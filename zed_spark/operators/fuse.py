@@ -1,0 +1,32 @@
+"""fuse — unify heterogeneous shapes into one superset schema.
+
+Reference: runtime/sam/op/fuse/fuse.go:22 buffers the entire input
+(spilling to disk) to compute the union type, then rewrites every
+record. In Spark the schema is metadata: fusing N DataFrames is a
+recursive StructType merge (zed_spark.schema.merge_types) plus one
+cast-projection per input and a unionByName — zero buffering, fully
+distributed, which is why this design scales to 100 TB where the
+reference's operator is a pipeline breaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from zed_spark.schema import conform, merge_schemas
+
+
+def fuse_dataframes(dfs: list[DataFrame]) -> DataFrame:
+    """Fuse N shapes into one DataFrame with the merged schema."""
+    if not dfs:
+        raise ValueError("fuse of zero inputs")
+    target = merge_schemas([d.schema for d in dfs])
+    out = conform(dfs[0], target)
+    for d in dfs[1:]:
+        out = out.unionByName(conform(d, target))
+    return out
+
+
+def fuse(df: DataFrame) -> DataFrame:
+    """Single-DataFrame fuse is the identity (one shape already)."""
+    return df

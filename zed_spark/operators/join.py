@@ -1,0 +1,68 @@
+"""join — equi-joins in the reference's four styles.
+
+Reference: runtime/sam/op/join/join.go (ordered merge join; sorts
+injected on demand) and docs/language/operators/join.md:24-44 —
+inner/left/right/anti, equi-keys only, right-side fields merged via
+an explicit cut list.
+
+Spark-first: we declare the join and let Catalyst choose
+broadcast-hash / shuffle-hash / sort-merge. `auto_broadcast` adds an
+explicit broadcast hint when one side is known-small (dimension
+tables) — at 100 TB the fact side must never shuffle for a small-dim
+join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_STYLES = {"inner": "inner", "left": "left", "right": "right", "anti": "left_anti"}
+
+
+def join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str | Column,
+    right_key: str | Column | None = None,
+    style: str = "inner",
+    cut: dict[str, str] | None = None,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Equi-join two pipeline legs.
+
+    cut: {out_name: right_field} — the right-side fields to merge
+    into the output (zed's `[field:=expr]` list). Anti joins take no
+    cut list (join.go:19 anti flag disallows it). Omitted cut keeps
+    all right columns (minus the join key duplicate).
+    """
+    if style not in _STYLES:
+        raise ValueError(f"join style must be one of {sorted(_STYLES)}")
+    if style == "anti" and cut:
+        raise ValueError("anti join cannot merge right-side fields (zed semantics)")
+
+    rk = right_key if right_key is not None else left_key
+    lcol = F.col(left_key) if isinstance(left_key, str) else left_key
+    rcol = F.col(rk) if isinstance(rk, str) else rk
+
+    r = right
+    if cut:
+        keep = [rk] if isinstance(rk, str) else []
+        r = right.select(*dict.fromkeys(keep + list(cut.values())))
+    if broadcast_right:
+        r = F.broadcast(r)
+
+    l_a, r_a = left.alias("__l"), r.alias("__r")
+    cond = F.col(f"__l.{left_key}") == F.col(f"__r.{rk}") if isinstance(left_key, str) and isinstance(rk, str) else lcol == rcol
+    out = l_a.join(r_a, cond, _STYLES[style])
+
+    if style == "anti":
+        return out.select("__l.*")
+    if cut:
+        cols = [F.col(f"__l.{c}") for c in left.columns]
+        cols += [F.col(f"__r.{src}").alias(dst) for dst, src in cut.items()]
+        return out.select(*cols)
+    # default: all left cols + right cols (drop duplicate key col)
+    cols = [F.col(f"__l.{c}") for c in left.columns]
+    cols += [F.col(f"__r.{c}") for c in r.columns if not (isinstance(rk, str) and c == rk)]
+    return out.select(*cols)

@@ -1,0 +1,117 @@
+"""summarize — hash aggregation with zed's agg-function set.
+
+Reference: runtime/sam/op/groupby/groupby.go (594 LoC hash table,
+spill, partials). In Spark all of that is built in: HashAggregate
+does partial/final decomposition (the reference's PartialsIn/Out,
+dag/op.go:134-142) and spills automatically; we just declare the
+aggregation.
+
+Agg functions (reference: runtime/sam/expr/agg/agg.go:30-80):
+  count sum avg min max any dcount collect union collect_map and or
+plus per-agg `where` filters (compiler/semantic/op.go:1102) and
+`every(dur)` time bucketing (function/time.go:17-60).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# name -> builder(Column) -> Column
+_AGG_FNS = {
+    "count": lambda e: F.count(e if e is not None else F.lit(1)),
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "any": lambda e: F.first(e, ignorenulls=True),
+    "dcount": F.approx_count_distinct,
+    "dcount_exact": F.count_distinct,
+    "collect": lambda e: F.collect_list(e),
+    "union": lambda e: F.array_sort(F.collect_set(e)),
+    "and": F.bool_and,
+    "or": F.bool_or,
+    "collect_map": lambda e: F.map_from_entries(
+        F.collect_list(F.struct(e.getField("key"), e.getField("value")))
+    ),
+}
+
+
+def agg_expr(fn: str, expr: Column | str | None = None, where: Column | None = None) -> Column:
+    """Build one aggregation column.
+
+    fn: one of the zed agg names. where: per-agg filter — rows where
+    the condition is false contribute nothing (reference semantics:
+    the where clause gates Consume, semantic/op.go:1102).
+    """
+    if fn not in _AGG_FNS:
+        raise ValueError(f"unknown agg function {fn!r}; have {sorted(_AGG_FNS)}")
+    col = F.col(expr) if isinstance(expr, str) else expr
+    if where is not None:
+        if fn == "count":
+            col = F.when(where, F.lit(1) if col is None else col)
+        else:
+            col = F.when(where, col)
+    return _AGG_FNS[fn](col)
+
+
+def every_key(ts: Column | str, duration: str) -> Column:
+    """Time-bucket key: truncate ts to fixed-width bins — zed
+    ``every(d)`` desugars to ``bucket(ts, d)`` (function/time.go:17).
+    duration is a Spark interval string like '1 hour', '5 minutes'.
+    Uses window() so arbitrary widths work, not just calendar units.
+    """
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.window(c, duration).getField("start")
+
+
+def summarize(
+    df: DataFrame,
+    by: dict[str, Column] | list[str] | None = None,
+    aggs: dict[str, Column] | None = None,
+    every: tuple[str, str] | None = None,
+    **agg_specs,
+) -> DataFrame:
+    """Group-by + aggregate.
+
+    by:   group keys — list of column names or {alias: Column}
+    aggs: {output_name: aggregate Column} (use agg_expr to build)
+    every: (ts_column, duration) adds a time-bucket key named 'ts'
+    agg_specs: shorthand kwargs — name=("sum", "col") or
+               name=("count", None) or name=("sum", col, where_col)
+
+    With no keys, a global aggregation (reference: groupby with empty
+    key list). Spark plans partial+final automatically.
+    """
+    keys: list[Column] = []
+    if every is not None:
+        keys.append(every_key(every[0], every[1]).alias("ts"))
+    if by:
+        if isinstance(by, dict):
+            keys.extend(c.alias(name) for name, c in by.items())
+        else:
+            keys.extend(F.col(k) for k in by)
+
+    agg_cols: list[Column] = []
+    for name, col in (aggs or {}).items():
+        agg_cols.append(col.alias(name))
+    for name, spec in agg_specs.items():
+        fn, expr, *rest = spec if isinstance(spec, tuple) else (spec, None)
+        agg_cols.append(agg_expr(fn, expr, rest[0] if rest else None).alias(name))
+    if not agg_cols:
+        agg_cols = [F.count(F.lit(1)).alias("count")]
+
+    if keys:
+        return df.groupBy(*keys).agg(*agg_cols)
+    return df.agg(*agg_cols)
+
+
+def sample(df: DataFrame) -> DataFrame:
+    """zed ``sample``: one exemplar value per shape — desugars to
+    ``any(this) by typeof(this)`` (compiler/semantic/op.go:727-752).
+    A DataFrame has ONE shape, so this is first() over the whole
+    input; kept for API parity. Heterogeneous inputs are lists of
+    DataFrames in this engine (see operators.fuse), where sample is
+    first() per frame.
+    """
+    return df.limit(1)

@@ -1,0 +1,132 @@
+"""File readers — the engine's input formats.
+
+Reference format dispatch: zio/anyio/lookup.go:24-56 (arrows, csv,
+json, line, parquet, tsv, zeek, …). Our binary columnar format IS
+parquet (the reference's VNG spec, docs/formats/vng.md, explicitly
+compares itself to parquet); ZNG/ZSON/VNG are not ported.
+
+Formats here:
+  parquet   — spark.read.parquet (pushdown + pruning)
+  json      — ndjson with schema inference or explicit schema
+  csv / tsv — header + type inference options
+  line      — one string column `value` (zio/lineio)
+  zeek      — zeek TSV logs with '#fields'/'#types' headers
+              (zio/zeekio): parsed into typed columns
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# tables whose parquet files carry TIMESTAMP(NANOS) — Spark reads them
+# as LongType ns (legacy nanosAsLong); convert to µs TimestampType.
+_NS_TS_COLS = {"events": ["ts"]}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NS_TS_COLS.get(name, []):
+        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def read_any(spark: SparkSession, path: str, fmt: str = "auto", **options) -> DataFrame:
+    if fmt == "auto":
+        fmt = _sniff_format(path)
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "json":
+        return spark.read.options(**options).json(path)
+    if fmt == "csv":
+        options.setdefault("header", True)
+        options.setdefault("inferSchema", True)
+        return spark.read.options(**options).csv(path)
+    if fmt == "tsv":
+        options.setdefault("header", True)
+        options.setdefault("inferSchema", True)
+        options.setdefault("sep", "\t")
+        return spark.read.options(**options).csv(path)
+    if fmt == "line":
+        return spark.read.text(path)
+    if fmt == "zeek":
+        return read_zeek_tsv(spark, path)
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+def _sniff_format(path: str) -> str:
+    for ext, fmt in [
+        (".parquet", "parquet"), (".json", "json"), (".ndjson", "json"),
+        (".csv", "csv"), (".tsv", "tsv"), (".log", "zeek"), (".txt", "line"),
+    ]:
+        if path.endswith(ext):
+            return fmt
+    return "parquet"
+
+
+# --- zeek TSV (zio/zeekio) -------------------------------------------------
+
+_ZEEK_TYPES = {
+    "time": T.DoubleType(),      # epoch seconds w/ fraction; converted below
+    "interval": T.DoubleType(),
+    "count": T.LongType(),
+    "int": T.LongType(),
+    "double": T.DoubleType(),
+    "bool": T.StringType(),      # zeek T/F; converted below
+    "string": T.StringType(),
+    "addr": T.StringType(),
+    "port": T.IntegerType(),
+    "enum": T.StringType(),
+}
+
+
+def read_zeek_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """Read a zeek TSV log: '#fields'/'#types' header lines define the
+    schema (reference: zio/zeekio/parser.go). Header is sniffed
+    driver-side (first KB of one file); data is read distributed.
+    """
+    import glob as _glob
+
+    files = sorted(_glob.glob(path)) or [path]
+    fields: list[str] = []
+    ztypes: list[str] = []
+    sep = "\t"
+    unset = "-"
+    with open(files[0], "r", errors="replace") as f:
+        for line in f:
+            if not line.startswith("#"):
+                break
+            key, _, rest = line[1:].rstrip("\n").partition("\t")
+            if key == "separator":
+                sep = rest.encode().decode("unicode_escape") if rest.startswith("\\") else rest
+            elif key == "unset_field":
+                unset = rest
+            elif key == "fields":
+                fields = rest.split("\t")
+            elif key == "types":
+                ztypes = rest.split("\t")
+    if not fields:
+        raise ValueError(f"{files[0]}: no '#fields' header — not a zeek log")
+
+    schema = T.StructType(
+        [T.StructField(n, T.StringType(), True) for n in fields]
+    )
+    df = (
+        spark.read.options(sep=sep, comment="#", nullValue=unset)
+        .schema(schema)
+        .csv(path)
+    )
+    # apply zeek types
+    for name, zt in zip(fields, ztypes):
+        base = zt.split("[", 1)[0]  # vector[...] stays string csv
+        if zt.startswith(("set[", "vector[")):
+            df = df.withColumn(name, F.split(F.col(name), ","))
+        elif base == "time":
+            df = df.withColumn(name, F.col(name).cast("double").cast("timestamp"))
+        elif base == "bool":
+            df = df.withColumn(name, F.col(name) == "T")
+        elif base in _ZEEK_TYPES:
+            df = df.withColumn(name, F.col(name).cast(_ZEEK_TYPES[base]))
+    return df
