@@ -1,0 +1,65 @@
+"""flatten / unflatten / nest_dotted (reference:
+runtime/sam/expr/function/flatten.go, unflatten.go, nestdotted.go).
+
+flatten(r) → array of {key: array<string>, value} over all leaf
+paths. Schema-driven (static), so it compiles to a native array
+constructor — no UDF, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from zed_spark.schema import flat_paths
+
+
+def flatten_record(df: DataFrame, columns: list[str] | None = None) -> Column:
+    """Build the zed flatten() value for a row: array of
+    {key: array<string>, value: string} — values rendered as strings
+    (our union-type compromise; zed's array holds a union)."""
+    schema = df.schema
+    if columns:
+        schema = T.StructType([schema[c] for c in columns])
+    entries = []
+    for path in flat_paths(schema):
+        entries.append(
+            F.struct(
+                F.array(*[F.lit(p) for p in path.split(".")]).alias("key"),
+                F.col(path).cast("string").alias("value"),
+            )
+        )
+    return F.array(*entries)
+
+
+def unflatten(df: DataFrame, flat: Column) -> Column:
+    """Inverse of flatten: array<{key,value}> → map (dotted keys).
+    Returns a MapType value (zed rebuilds a record; our dynamic analog
+    is a map, since Spark structs are static)."""
+    return F.map_from_entries(
+        F.transform(flat, lambda e: F.struct(F.array_join(e.getField("key"), ".").alias("key"),
+                                             e.getField("value").alias("value")))
+    )
+
+
+def nest_dotted(df: DataFrame) -> DataFrame:
+    """Turn a.b-style flat COLUMN NAMES into nested records
+    (nestdotted.go). Purely schema-driven."""
+    tree: dict = {}
+    order: list[str] = []
+    for c in df.columns:
+        parts = c.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = F.col(f"`{c}`")
+        if parts[0] not in order:
+            order.append(parts[0])
+
+    def build(node) -> Column:
+        if isinstance(node, Column):
+            return node
+        return F.struct(*[build(v).alias(k) for k, v in node.items()])
+
+    return df.select(*[build(tree[name]).alias(name) for name in order])

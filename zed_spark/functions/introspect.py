@@ -1,0 +1,77 @@
+"""Type introspection (reference: runtime/sam/expr/function/types.go,
+under.go; typeof/kind/is predicates function.go:112-158).
+
+In zed these are per-VALUE (each value carries its type); in Spark
+the schema is per-DataFrame, so they compile to literals/static
+checks — free at runtime. `typeof` returns the zed-style type name.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SPARK_TO_ZED = {
+    T.ByteType(): "int8",
+    T.ShortType(): "int16",
+    T.IntegerType(): "int32",
+    T.LongType(): "int64",
+    T.FloatType(): "float32",
+    T.DoubleType(): "float64",
+    T.BooleanType(): "bool",
+    T.StringType(): "string",
+    T.BinaryType(): "bytes",
+    T.TimestampType(): "time",
+    T.DateType(): "time",
+    T.NullType(): "null",
+}
+
+
+def zed_type_name(t: T.DataType) -> str:
+    if t in _SPARK_TO_ZED:
+        return _SPARK_TO_ZED[t]
+    if isinstance(t, T.StructType):
+        inner = ",".join(f"{f.name}:{zed_type_name(f.dataType)}" for f in t.fields)
+        return "{" + inner + "}"
+    if isinstance(t, T.ArrayType):
+        return f"[{zed_type_name(t.elementType)}]"
+    if isinstance(t, T.MapType):
+        return f"|{{{zed_type_name(t.keyType)}:{zed_type_name(t.valueType)}}}|"
+    if isinstance(t, T.DecimalType):
+        return "float64"
+    return t.simpleString()
+
+
+def typeof_col(df: DataFrame, path: str | None = None) -> Column:
+    """typeof(e) → literal type-name string (static per DataFrame)."""
+    from zed_spark.schema import path_type
+
+    t: T.DataType = df.schema if path is None else (path_type(df.schema, path) or T.NullType())
+    return F.lit(zed_type_name(t))
+
+
+_KINDS = {
+    "record": T.StructType, "array": T.ArrayType, "map": T.MapType,
+}
+
+
+def kind_of(df: DataFrame, path: str) -> Column:
+    """kind(e): primitive | record | array | map (types.go kind)."""
+    from zed_spark.schema import path_type
+
+    t = path_type(df.schema, path)
+    if t is None:
+        return F.lit("error")
+    for name, cls in _KINDS.items():
+        if isinstance(t, cls):
+            return F.lit(name)
+    return F.lit("primitive")
+
+
+def is_type(df: DataFrame, path: str, type_name: str) -> Column:
+    """is(e, <type>): static schema check."""
+    from zed_spark.schema import path_type
+
+    t = path_type(df.schema, path)
+    return F.lit(t is not None and zed_type_name(t) == type_name)

@@ -1,0 +1,87 @@
+"""Parsing functions (reference: runtime/sam/expr/function/parse.go,
+grok.go + pkg/grok/).
+
+parse_uri: URI string → structured record (scheme/host/port/path/
+query/fragment) via native parse_url calls.
+
+grok: a compile-time translation of grok %{PATTERN:name} syntax into
+a regex whose captures become struct fields via regexp_extract —
+fully native, no UDF (the pattern set is the common core of the
+reference's grok-patterns bundle).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# common grok primitives (public logstash pattern definitions)
+GROK_PATTERNS: dict[str, str] = {
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "BASE10NUM": r"[+-]?(?:\d+(?:\.\d+)?)",
+    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "IPV4": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "HOSTNAME": r"\b[0-9A-Za-z][0-9A-Za-z-]{0,62}(?:\.[0-9A-Za-z][0-9A-Za-z-]{0,62})*\.?\b",
+    "USER": r"[a-zA-Z0-9._-]+",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "LOGLEVEL": r"(?:DEBUG|INFO|WARN(?:ING)?|ERROR|FATAL|TRACE|CRITICAL)",
+    "QS": r"\"[^\"]*\"",
+    "UUID": r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
+
+
+def grok_to_regex(pattern: str) -> tuple[str, list[str]]:
+    """Expand %{NAME:field} refs into a plain regex + capture order."""
+    fields: list[str] = []
+
+    def sub(m: re.Match) -> str:
+        name, field = m.group(1), m.group(2)
+        if name not in GROK_PATTERNS:
+            raise ValueError(f"unknown grok pattern %{{{name}}}")
+        body = GROK_PATTERNS[name]
+        if field:
+            fields.append(field)
+            return f"({body})"
+        return f"(?:{body})"
+
+    return _GROK_REF.sub(sub, pattern), fields
+
+
+def grok(pattern: str, s: Column) -> Column:
+    """Parse s with a grok pattern → struct of captured fields
+    (all strings, like the reference which emits strings unless cast).
+    Unmatched rows → null struct."""
+    regex, fields = grok_to_regex(pattern)
+    if not fields:
+        raise ValueError("grok pattern has no named captures")
+    parts = [
+        F.regexp_extract(s, regex, i + 1).alias(name) for i, name in enumerate(fields)
+    ]
+    matched = s.rlike(regex)
+    return F.when(matched, F.struct(*parts))
+
+
+def parse_uri(s: Column) -> Column:
+    """URI → record {scheme, host, port, path, query, fragment}
+    (parse.go parse_uri). Query stays a raw string; use
+    str_to_map(query, '&', '=') for the map form."""
+    return F.struct(
+        F.lower(F.regexp_extract(s, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)).alias("scheme"),
+        F.parse_url(s, F.lit("HOST")).alias("host"),
+        F.nullif(
+            F.regexp_extract(F.parse_url(s, F.lit("AUTHORITY")), r":(\d+)$", 1), F.lit("")
+        ).cast("int").alias("port"),
+        F.parse_url(s, F.lit("PATH")).alias("path"),
+        F.parse_url(s, F.lit("QUERY")).alias("query"),
+        F.parse_url(s, F.lit("REF")).alias("fragment"),
+    )
