@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship query on sf0.001 (smoke check)
+queries()       — name -> fn(spark, sf_dir) -> DataFrame, one per
+                  implemented operator from SURVEY.md §2 + the
+                  training-data ops
+oracle_sql()    — name -> equivalent DuckDB SQL (omitted only for
+                  approx sketches / LSH-bucket internals / stubs,
+                  which get rows-only checks)
+
+Implementation lives in zed_spark.queries_core / queries_text.
 """
 
 from __future__ import annotations
@@ -13,26 +17,66 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from zed_spark import queries_core as qc
+from zed_spark import queries_text as qt
+
+# name -> (query_fn, oracle_sql | None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # --- core relational operators (SURVEY §2) -----------------------
+    "q1_pricing_summary": (qc.q1_pricing_summary, qc.Q1_SQL),
+    "where_filter": (qc.where_filter, qc.WHERE_SQL),
+    "cut_project": (qc.cut_project, qc.CUT_SQL),
+    "put_derived": (qc.put_derived, qc.PUT_SQL),
+    "drop_rename": (qc.drop_rename, qc.DROP_RENAME_SQL),
+    "head_sorted": (qc.head_sorted, qc.HEAD_SQL),
+    "tail_sorted": (qc.tail_sorted, qc.TAIL_SQL),
+    "top_k": (qc.top_k, qc.TOP_SQL),
+    "sort_nulls": (qc.sort_nulls, qc.SORT_SQL),
+    "uniq_runs": (qc.uniq_runs, qc.UNIQ_SQL),
+    "join_inner_agg": (qc.join_inner_agg, qc.JOIN_INNER_SQL),
+    "join_left_count": (qc.join_left_count, qc.JOIN_LEFT_SQL),
+    "join_anti": (qc.join_anti, qc.JOIN_ANTI_SQL),
+    "join_right": (qc.join_right, qc.JOIN_RIGHT_SQL),
+    "agg_global": (qc.agg_global, qc.AGG_GLOBAL_SQL),
+    "agg_where": (qc.agg_where, qc.AGG_WHERE_SQL),
+    "dcount_exact": (qc.dcount_exact, qc.DCOUNT_SQL),
+    "dcount_approx": (qc.dcount_approx, None),
+    "every_hour": (qc.every_hour, qc.EVERY_SQL),
+    "collect_sorted": (qc.collect_sorted, qc.COLLECT_SQL),
+    "union_set": (qc.union_set, qc.UNION_SET_SQL),
+    "bool_aggs": (qc.bool_aggs, qc.BOOL_SQL),
+    "switch_routing": (qc.switch_routing, qc.SWITCH_SQL),
+    "merge_streams": (qc.merge_streams, qc.MERGE_SQL),
+    "fuse_shapes": (qc.fuse_shapes, qc.FUSE_SQL),
+    "string_funcs": (qc.string_funcs, qc.STRING_SQL),
+    "math_funcs": (qc.math_funcs, qc.MATH_SQL),
+    "time_funcs": (qc.time_funcs, qc.TIME_SQL),
+    "json_props": (qc.json_props, qc.JSON_SQL),
+    "over_words": (qc.over_words, qc.OVER_SQL),
+    "grep_docs": (qc.grep_docs, qc.GREP_SQL),
+    "cidr_filter": (qc.cidr_filter, qc.CIDR_SQL),
+    # --- training-data ops ------------------------------------------
+    "dedup_exact": (qt.dedup_exact_q, qt.DEDUP_EXACT_SQL),
+    "ngram_jaccard_pairs": (qt.ngram_jaccard_q, qt.NGRAM_JACCARD_SQL),
+    "minhash_lsh_pairs": (qt.minhash_lsh_q, qt.MINHASH_LSH_SQL),
+    "simhash_fingerprints": (qt.simhash_q, qt.SIMHASH_SQL),
+    "cosine_topk": (qt.cosine_topk_q, qt.COSINE_TOPK_SQL),
+    "ann_lsh_topk": (qt.ann_lsh_q, None),
+    "language_id": (qt.langid_q, qt.LANGID_SQL),
+    "token_stats": (qt.token_stats_q, qt.TOKEN_STATS_SQL),
+    "quality_scores": (qt.quality_q, qt.QUALITY_SQL),
+    "multimodal_meta": (qt.multimodal_meta_q, None),
+}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return qc.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

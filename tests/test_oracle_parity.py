@@ -1,0 +1,43 @@
+"""Every oracle-backed entry in __spark_entry__.REGISTRY must match
+DuckDB exactly (the driver's t2 gate, at sf0.001 for speed; the
+driver runs sf0.01)."""
+
+import warnings
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_DIR
+from tests.oracle_utils import compare, duckdb_con
+
+ORACLE_CASES = sorted(entry_mod.oracle_sql().keys())
+ROWS_ONLY = sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb_con(SF_DIR)
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_oracle_parity(spark, con, name):
+    fn = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    res = compare(fn(spark, SF_DIR), con, sql)
+    assert res["count_match"], f"{name}: row count {res['rows_spark']} vs {res['rows_duckdb']}"
+    assert res["schema_match"], f"{name}: cols {res['cols_spark']} vs {res['cols_duckdb']}"
+    assert res["approx_match"], f"{name}: values differ: {res.get('first_diff')}"
+    if not res["exact_match"]:
+        warnings.warn(f"{name}: only approx match — value-hash risk")
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    fn = entry_mod.queries()[name]
+    df = fn(spark, SF_DIR)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0

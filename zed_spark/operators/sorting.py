@@ -75,26 +75,34 @@ def top(df: DataFrame, n: int, *keys) -> DataFrame:
     return df.orderBy(*[F.col(k).desc() if isinstance(k, str) else k for k in keys]).limit(n)
 
 
-def uniq(df: DataFrame, order_by: list[str], count: bool = False) -> DataFrame:
+def uniq(
+    df: DataFrame,
+    order_by: list[str],
+    compare_cols: list[str] | None = None,
+    count: bool = False,
+) -> DataFrame:
     """Adjacent dedup over an explicit order (zed uniq [-c]).
+
+    compare_cols: the columns forming the compared record (models
+    `... | cut X | uniq` where arrival order comes from upstream
+    columns that are no longer part of the value). Defaults to all
+    non-order columns.
 
     Scale note: a global order means a single-partition window — the
     reference operator is equally sequential (one goroutine). For the
     distributed case prefer summarize-by or dedup.exact_dedup.
     """
+    cmp_cols = compare_cols or [c for c in df.columns if c not in order_by]
     w = Window.orderBy(*[F.col(k) for k in order_by])
-    all_cols = [F.col(c) for c in df.columns]
-    fp = F.struct(*all_cols)
+    fp = F.struct(*[F.col(c) for c in cmp_cols])
     out = df.withColumn("__prev", F.lag(fp).over(w))
+    is_new = F.col("__prev").isNull() | (fp != F.col("__prev"))
     if count:
         # run-length: count rows per adjacent run
-        out = out.withColumn(
-            "__new_run", F.when(F.col("__prev").isNull() | (fp != F.col("__prev")), 1).otherwise(0)
-        )
-        out = out.withColumn("__run", F.sum("__new_run").over(w))
+        out = out.withColumn("__run", F.sum(F.when(is_new, 1).otherwise(0)).over(w))
         return (
-            out.groupBy("__run", *df.columns)
+            out.groupBy("__run", *cmp_cols)
             .agg(F.count(F.lit(1)).alias("count"))
             .drop("__run")
         )
-    return out.filter(F.col("__prev").isNull() | (fp != F.col("__prev"))).drop("__prev")
+    return out.filter(is_new).select(*cmp_cols)

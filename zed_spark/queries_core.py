@@ -1,0 +1,558 @@
+"""Core relational query battery: one entry per reference operator
+(SURVEY §2), each with a DuckDB oracle. These are what the round
+driver grades (CORRECTNESS_r{N}) and what bench.py times.
+
+Float determinism rules (so Spark and DuckDB value-hashes match):
+  - SUM over doubles → sum exact DECIMAL(38,4) then cast double
+    (associative, engine-independent)
+  - per-row double arithmetic → emitted raw (IEEE ops are identical)
+  - AVG → decimal-sum / count in double
+  - no ROUND on aggregated doubles (rounding modes differ)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zed_spark import operators as ops
+from zed_spark.operators.combine import switch
+from zed_spark.operators.fuse import fuse_dataframes
+from zed_spark.sources.readers import read_table
+
+
+def _dec(c):
+    return c.cast("decimal(38,4)")
+
+
+def _dsum(c, alias):
+    return F.sum(_dec(c)).cast("double").alias(alias)
+
+
+# --------------------------------------------------------------------------
+# each query: (fn(spark, sf_dir) -> DataFrame, oracle_sql | None)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship (SURVEY §7.1): scan → filter → groupBy → multi-agg →
+    sort. Exercises pushdown, partial aggs, whole-stage codegen."""
+    li = read_table(spark, sf, "lineitem")
+    return (
+        ops.where(li, F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(F.col("l_extendedprice"), "sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
+            (F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)/COUNT(*) AS avg_qty,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def where_filter(spark, sf):
+    od = read_table(spark, sf, "orders")
+    return ops.where(
+        od, (F.col("o_totalprice") > 200000) & (F.col("o_orderstatus") == "O")
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+WHERE_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_totalprice > 200000 AND o_orderstatus = 'O'
+"""
+
+
+def cut_project(spark, sf):
+    li = read_table(spark, sf, "lineitem")
+    return ops.cut(li, "l_orderkey", "l_linenumber", "qty:=l_quantity")
+
+
+CUT_SQL = "SELECT l_orderkey, l_linenumber, l_quantity AS qty FROM lineitem"
+
+
+def put_derived(spark, sf):
+    li = read_table(spark, sf, "lineitem")
+    out = ops.put(
+        li,
+        revenue=F.col("l_extendedprice") * (1 - F.col("l_discount")),
+        charged=F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+    )
+    return out.select("l_orderkey", "l_linenumber", "revenue", "charged")
+
+
+PUT_SQL = """
+SELECT l_orderkey, l_linenumber,
+  l_extendedprice*(1-l_discount) AS revenue,
+  l_extendedprice*(1-l_discount)*(1+l_tax) AS charged
+FROM lineitem
+"""
+
+
+def drop_rename(spark, sf):
+    na = read_table(spark, sf, "nation")
+    out = ops.drop(na, "n_regionkey")
+    return ops.rename(out, nation_name="n_name")
+
+
+DROP_RENAME_SQL = "SELECT n_nationkey, n_name AS nation_name FROM nation"
+
+
+def head_sorted(spark, sf):
+    od = read_table(spark, sf, "orders")
+    return ops.head(ops.sort(od, "o_orderkey"), 5).select("o_orderkey", "o_totalprice")
+
+
+HEAD_SQL = "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 5"
+
+
+def tail_sorted(spark, sf):
+    od = read_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    return ops.tail(od, 5, order_by=["o_orderkey"])
+
+
+TAIL_SQL = """
+SELECT * FROM (SELECT o_orderkey, o_totalprice FROM orders
+               ORDER BY o_orderkey DESC LIMIT 5) ORDER BY o_orderkey
+"""
+
+
+def top_k(spark, sf):
+    od = read_table(spark, sf, "orders")
+    return ops.top(od, 10, "o_totalprice").select("o_orderkey", "o_totalprice")
+
+
+TOP_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC LIMIT 10
+"""
+
+
+def sort_nulls(spark, sf):
+    cu = read_table(spark, sf, "customer")
+    top20 = ops.head(ops.sort(cu, "-c_acctbal", "c_custkey"), 20)
+    return top20.select("c_custkey", "c_acctbal")
+
+
+SORT_SQL = """
+SELECT c_custkey, c_acctbal FROM customer
+ORDER BY c_acctbal DESC NULLS FIRST, c_custkey LIMIT 20
+"""
+
+
+def uniq_runs(spark, sf):
+    ev = read_table(spark, sf, "events")
+    return ops.uniq(ev, order_by=["ts"], compare_cols=["event_type"], count=True)
+
+
+UNIQ_SQL = """
+WITH s AS (SELECT event_type, ts, lag(event_type) OVER (ORDER BY ts) AS p FROM events),
+r AS (SELECT event_type,
+        SUM(CASE WHEN p IS NULL OR p<>event_type THEN 1 ELSE 0 END)
+          OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run
+      FROM s)
+SELECT event_type, COUNT(*) AS count FROM r GROUP BY run, event_type
+"""
+
+
+def join_inner_agg(spark, sf):
+    li = read_table(spark, sf, "lineitem")
+    od = read_table(spark, sf, "orders")
+    j = ops.join(li, od, "l_orderkey", "o_orderkey", "inner",
+                 cut={"o_orderpriority": "o_orderpriority"})
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+JOIN_INNER_SQL = """
+SELECT o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def join_left_count(spark, sf):
+    cu = read_table(spark, sf, "customer")
+    od = read_table(spark, sf, "orders")
+    j = ops.join(cu, od, "c_custkey", "o_custkey", "left", cut={"o_orderkey": "o_orderkey"})
+    return j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("n_orders"))
+
+
+JOIN_LEFT_SQL = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def join_anti(spark, sf):
+    cu = read_table(spark, sf, "customer")
+    od = read_table(spark, sf, "orders")
+    return ops.join(cu, od, "c_custkey", "o_custkey", "anti").select("c_custkey", "c_name")
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def join_right(spark, sf):
+    od = read_table(spark, sf, "orders")
+    cu = read_table(spark, sf, "customer")
+    j = ops.join(od, cu, "o_custkey", "c_custkey", "right",
+                 cut={"c_custkey": "c_custkey", "c_mktsegment": "c_mktsegment"})
+    return j.groupBy("c_mktsegment").agg(F.count("o_orderkey").alias("n_orders"))
+
+
+JOIN_RIGHT_SQL = """
+SELECT c_mktsegment, COUNT(o_orderkey) AS n_orders
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def agg_global(spark, sf):
+    li = read_table(spark, sf, "lineitem")
+    return ops.summarize(
+        li,
+        aggs={
+            "n": F.count(F.lit(1)),
+            "total_qty": F.sum(_dec(F.col("l_quantity"))).cast("double"),
+            "min_price": F.min("l_extendedprice"),
+            "max_price": F.max("l_extendedprice"),
+        },
+    )
+
+
+AGG_GLOBAL_SQL = """
+SELECT COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS total_qty,
+  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+FROM lineitem
+"""
+
+
+def agg_where(spark, sf):
+    """Per-agg where clauses (reference: semantic/op.go:1102)."""
+    li = read_table(spark, sf, "lineitem")
+    from zed_spark.operators.summarize import agg_expr
+
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_discount") > 0.05, _dec(F.col("l_quantity"))))
+        .cast("double").alias("qty_highdisc"),
+        agg_expr("count", None, F.col("l_tax") > 0.04).alias("n_hightax"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+AGG_WHERE_SQL = """
+SELECT l_returnflag,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS qty_highdisc,
+  COUNT(*) FILTER (WHERE l_tax > 0.04) AS n_hightax,
+  COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def dcount_exact(spark, sf):
+    od = read_table(spark, sf, "orders")
+    return od.groupBy("o_orderstatus").agg(
+        F.count_distinct(F.col("o_custkey")).alias("n_customers")
+    )
+
+
+DCOUNT_SQL = """
+SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def dcount_approx(spark, sf):
+    """approx HLL distinct (reference dcount.go) — no SQL oracle
+    (sketch internals differ); driver records rows-only."""
+    od = read_table(spark, sf, "orders")
+    return od.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("n_customers_approx")
+    )
+
+
+def every_hour(spark, sf):
+    ev = read_table(spark, sf, "events")
+    out = ops.summarize(
+        ev,
+        by=None,
+        aggs={
+            "n": F.count(F.lit(1)),
+            "total_value": F.sum(_dec(F.col("value"))).cast("double"),
+        },
+        every=("ts", "1 hour"),
+    )
+    return out.select(F.unix_timestamp("ts").alias("hour_epoch"), "n", "total_value")
+
+
+EVERY_SQL = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1
+"""
+
+
+def collect_sorted(spark, sf):
+    na = read_table(spark, sf, "nation")
+    re = read_table(spark, sf, "region")
+    j = ops.join(na, re, "n_regionkey", "r_regionkey", "inner",
+                 cut={"r_name": "r_name"}, broadcast_right=True)
+    return j.groupBy("r_name").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+COLLECT_SQL = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def union_set(spark, sf):
+    od = read_table(spark, sf, "orders")
+    return od.groupBy("o_orderstatus").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias("priorities")
+    )
+
+
+UNION_SET_SQL = """
+SELECT o_orderstatus, string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def bool_aggs(spark, sf):
+    li = read_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_bigdisc"),
+    )
+
+
+BOOL_SQL = """
+SELECT l_returnflag, bool_and(l_quantity > 0) AS all_positive,
+  bool_or(l_discount > 0.09) AS any_bigdisc
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def switch_routing(spark, sf):
+    ev = read_table(spark, sf, "events")
+    legs = switch(ev, [F.col("value") >= 150, F.col("value") >= 50], default=True)
+    tagged = [
+        legs[0].withColumn("tier", F.lit("high")),
+        legs[1].withColumn("tier", F.lit("mid")),
+        legs[2].withColumn("tier", F.lit("low")),
+    ]
+    return fuse_dataframes(tagged).groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("value"))).cast("double").alias("total"),
+    )
+
+
+SWITCH_SQL = """
+SELECT CASE WHEN value >= 150 THEN 'high' WHEN value >= 50 THEN 'mid' ELSE 'low' END AS tier,
+  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total
+FROM events GROUP BY 1
+"""
+
+
+def merge_streams(spark, sf):
+    """combine/merge of two filtered legs (reference combine.go /
+    merge.go) — ordered output re-expressed as explicit sort."""
+    ev = read_table(spark, sf, "events")
+    errors = ops.where(ev, F.col("event_type") == "error")
+    purchases = ops.where(ev, F.col("event_type") == "purchase")
+    merged = ops.merge([errors, purchases], "ts")
+    return merged.select("event_id", "event_type", F.unix_timestamp("ts").alias("ts_epoch"))
+
+
+MERGE_SQL = """
+SELECT event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM events WHERE event_type IN ('error', 'purchase')
+"""
+
+
+def fuse_shapes(spark, sf):
+    """fuse of two different shapes → superset schema with nulls."""
+    ev = read_table(spark, sf, "events")
+    shape_a = ev.select("event_id", "event_type")
+    shape_b = ev.select("event_id", "value")
+    fused = fuse_dataframes([shape_a, shape_b])
+    return fused.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("event_type").alias("n_type"),
+        F.count("value").alias("n_value"),
+    )
+
+
+FUSE_SQL = """
+SELECT COUNT(*) AS n_rows, COUNT(event_type) AS n_type, COUNT(value) AS n_value
+FROM (SELECT event_id, event_type, NULL::DOUBLE AS value FROM events
+      UNION ALL BY NAME
+      SELECT event_id, NULL::VARCHAR AS event_type, value FROM events)
+"""
+
+
+def string_funcs(spark, sf):
+    pa = read_table(spark, sf, "part")
+    return pa.select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.size(F.split(F.col("p_type"), " ")).alias("type_words"),
+        F.substring(F.col("p_name"), 1, 8).alias("name_prefix"),
+    )
+
+
+STRING_SQL = """
+SELECT p_partkey, upper(p_brand) AS brand_upper,
+  replace(p_name, ' ', '_') AS name_snake,
+  length(p_name) AS name_len,
+  len(string_split(p_type, ' ')) AS type_words,
+  substr(p_name, 1, 8) AS name_prefix
+FROM part
+"""
+
+
+def math_funcs(spark, sf):
+    su = read_table(spark, sf, "supplier")
+    return su.select(
+        "s_suppkey",
+        F.abs(F.col("s_acctbal")).alias("abs_bal"),
+        F.ceil(F.col("s_acctbal")).alias("ceil_bal"),
+        F.floor(F.col("s_acctbal")).alias("floor_bal"),
+        F.sqrt(F.abs(F.col("s_acctbal"))).alias("sqrt_bal"),
+        F.greatest(F.col("s_acctbal"), F.lit(0.0)).alias("clamped"),
+    )
+
+
+MATH_SQL = """
+SELECT s_suppkey, abs(s_acctbal) AS abs_bal,
+  CAST(ceil(s_acctbal) AS BIGINT) AS ceil_bal,
+  CAST(floor(s_acctbal) AS BIGINT) AS floor_bal,
+  sqrt(abs(s_acctbal)) AS sqrt_bal,
+  greatest(s_acctbal, 0.0) AS clamped
+FROM supplier
+"""
+
+
+def time_funcs(spark, sf):
+    od = read_table(spark, sf, "orders")
+    return od.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("o_totalprice"), "total"),
+    )
+
+
+TIME_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+FROM orders GROUP BY 1, 2
+"""
+
+
+def json_props(spark, sf):
+    """JSON access (analog of the reference's parse_zson / nested
+    expression access on dynamic values)."""
+    ev = read_table(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+JSON_SQL = """
+SELECT event_type, CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k, COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def over_words(spark, sf):
+    """Lateral iteration (reference over.go): explode words, count,
+    top 10 — `over split(text) | count() by this | top 10`."""
+    docs = read_table(spark, sf, "documents")
+    from zed_spark.textops.dedup import normalize_text
+
+    words = docs.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word")
+    )
+    counted = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    return counted.orderBy(F.col("n").desc(), F.col("word")).limit(10)
+
+
+OVER_SQL = """
+SELECT word, COUNT(*) AS n FROM (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+  FROM documents)
+GROUP BY word ORDER BY n DESC, word LIMIT 10
+"""
+
+
+def grep_docs(spark, sf):
+    """Search-expression analog: substring match (grep) on a column."""
+    from zed_spark.functions.grep import grep
+
+    docs = read_table(spark, sf, "documents")
+    return docs.filter(grep("spark", F.col("text"))).select("doc_id")
+
+
+GREP_SQL = "SELECT doc_id FROM documents WHERE text LIKE '%spark%'"
+
+
+def cidr_filter(spark, sf):
+    """cidr_match on synthesized IPv4s (events carry no IPs, so
+    derive one deterministically from user_id — both engines use the
+    same formula)."""
+    ev = read_table(spark, sf, "events")
+    from zed_spark.functions.ip import cidr_match
+
+    ip = F.concat_ws(
+        ".",
+        F.lit("10"),
+        (F.col("user_id") % 256).cast("string"),
+        (F.floor(F.col("user_id") / 256) % 256).cast("string"),
+        F.lit("7"),
+    )
+    out = ev.withColumn("ip", ip)
+    return out.filter(cidr_match("10.3.0.0/16", F.col("ip"))).groupBy("ip").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+CIDR_SQL = """
+SELECT ip, COUNT(*) AS n FROM (
+  SELECT '10.' || CAST(user_id % 256 AS VARCHAR) || '.' ||
+         CAST((user_id // 256) % 256 AS VARCHAR) || '.7' AS ip
+  FROM events)
+WHERE ip LIKE '10.3.%' GROUP BY ip
+"""

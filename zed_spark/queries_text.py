@@ -1,0 +1,230 @@
+"""Training-data pipeline query battery (documents/embeddings
+tables): dedup, similarity search, text analysis — each with a
+DuckDB oracle where the computation is engine-portable (md5-based
+hashing makes minhash/simhash exactly reproducible in SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zed_spark.sources.readers import read_table
+from zed_spark.textops import (
+    brute_force_topk,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from zed_spark.textops.analysis import STOPWORDS, language_id, stopword_ratio, token_count
+from zed_spark.textops.simhash import N_BITS, _HIGH_HEX, simhash
+from zed_spark.textops.similarity import ann_topk
+
+# normalized text / word list, shared by the SQL oracles
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_WORDS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+def dedup_exact_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_table(spark, sf, "documents")
+    return exact_dedup(docs)
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT md5({_NORM_SQL}) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def ngram_jaccard_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_table(spark, sf, "documents")
+    return ngram_jaccard_pairs(docs, k=2, threshold=0.35)
+
+
+# shingle list per doc, k=2 — matches textops.dedup.word_shingles
+_SHINGLES_SQL = f"""
+SELECT doc_id, list_sort(list_distinct(list_transform(
+         range(1, greatest(len(w) - 1, 0) + 1),
+         i -> array_to_string(list_slice(w, i, i + 1), ' ')))) AS shingles
+FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)
+"""
+
+NGRAM_JACCARD_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         COUNT(*) AS common, ANY_VALUE(a.n_sh) AS n_a, ANY_VALUE(b.n_sh) AS n_b
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b, common / (n_a + n_b - common) AS jaccard
+FROM pairs WHERE common / (n_a + n_b - common) >= 0.35
+"""
+
+
+def minhash_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_table(spark, sf, "documents")
+    return minhash_lsh_pairs(
+        docs, k_shingle=2, num_hashes=16, bands=8, threshold=0.35
+    )
+
+
+# exact SQL replica of the LSH pipeline: 16 md5-minhashes, 8 bands of
+# 2, band-bucket join, exact-jaccard verification at 0.35
+MINHASH_LSH_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+shing AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+minh AS (
+  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || s)) AS mh
+  FROM shing CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+  GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, seed // 2 AS band, md5(string_agg(mh, ',' ORDER BY seed)) AS bh
+  FROM minh GROUP BY doc_id, seed // 2),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT id_a, id_b,
+    len(list_intersect(x.shingles, y.shingles)) /
+      (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jaccard
+  FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.35
+"""
+
+
+def simhash_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_table(spark, sf, "documents")
+    return simhash(docs)
+
+
+def _simhash_sql() -> str:
+    highs = ",".join(f"'{h}'" for h in _HIGH_HEX)
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN substr(h, {j + 1}, 1) IN ({highs}) THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(N_BITS)
+    )
+    bits = " || ".join(f"CASE WHEN b{j} > 0 THEN '1' ELSE '0' END" for j in range(N_BITS))
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_WORDS_SQL}) AS tok FROM documents),
+h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+s AS (SELECT doc_id,
+    {sums}
+  FROM h GROUP BY doc_id)
+SELECT doc_id, {bits} AS simhash FROM s
+"""
+
+
+SIMHASH_SQL = _simhash_sql()
+
+
+def cosine_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = read_table(spark, sf, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return brute_force_topk(emb, qv, k=10)
+
+
+COSINE_TOPK_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+  list_dot_product(CAST(embedding AS DOUBLE[]), q.qv) /
+    (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+     sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+FROM embeddings, q
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+def ann_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN scale path (sign-LSH bucket prune + exact re-rank) — no
+    SQL oracle (bucket construction is engine-specific); correctness
+    is pytest-checked against brute force."""
+    emb = read_table(spark, sf, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ann_topk(emb, qv, k=10, n_planes=4)
+
+
+def langid_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_table(spark, sf, "documents")
+    return docs.groupBy(language_id(F.col("text")).alias("lang_guess")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def _langid_sql() -> str:
+    ratios = {
+        lang: (
+            f"len(list_filter({_WORDS_SQL}, t -> list_contains("
+            f"[{', '.join(repr(w) for w in STOPWORDS[lang])}], t))) * 1.0 / "
+            f"greatest(len({_WORDS_SQL}), 1)"
+        )
+        for lang in STOPWORDS
+    }
+    best = "greatest(" + ", ".join(f"r_{lang}" for lang in STOPWORDS) + ")"
+    # mirror functions order: later langs win ties (same when-chain order)
+    case = "'und'"
+    for lang in STOPWORDS:
+        case = f"CASE WHEN best > 0 AND r_{lang} = best THEN '{lang}' ELSE {case} END"
+    inner = ", ".join(f"{sql} AS r_{lang}" for lang, sql in ratios.items())
+    return f"""
+WITH r AS (SELECT doc_id, {inner} FROM documents),
+b AS (SELECT doc_id, {best} AS best, * FROM r)
+SELECT {case} AS lang_guess, COUNT(*) AS n FROM b GROUP BY 1
+"""
+
+
+LANGID_SQL = _langid_sql()
+
+
+def token_stats_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_table(spark, sf, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).alias("total_words"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+TOKEN_STATS_SQL = f"""
+SELECT source, CAST(SUM(len({_WORDS_SQL})) AS BIGINT) AS total_words,
+  CAST(SUM(length(text)) AS BIGINT) AS total_chars, COUNT(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+def quality_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_table(spark, sf, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_words"),
+        F.length(t).alias("n_chars"),
+        stopword_ratio(t).alias("stop_ratio"),
+        F.substring(F.md5(F.col("text")), 1, 16).alias("fp"),
+    )
+
+
+_EN_STOPS = ", ".join(repr(w) for w in STOPWORDS["en"])
+
+QUALITY_SQL = f"""
+SELECT doc_id,
+  CAST(len({_WORDS_SQL}) AS INT) AS n_words,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  len(list_filter({_WORDS_SQL}, t -> list_contains([{_EN_STOPS}], t))) * 1.0 /
+    greatest(len({_WORDS_SQL}), 1) AS stop_ratio,
+  substr(md5(text), 1, 16) AS fp
+FROM documents
+"""
+
+
+def multimodal_meta_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing smoke: binary column + metadata + fake
+    decode via mapInPandas — rows-only check (no SQL oracle; the
+    decode is a stub by design)."""
+    from zed_spark.textops.multimodal import attach_media_meta, decode_image
+
+    docs = read_table(spark, sf, "documents")
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("media"))
+    decoded = decode_image(media, fake=True)
+    meta = attach_media_meta(media).select("doc_id", "media_meta.n_bytes", "media_meta.sha1")
+    return decoded.join(meta, "doc_id")

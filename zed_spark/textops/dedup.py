@@ -1,0 +1,87 @@
+"""Deduplication: exact and n-gram-Jaccard near-dup.
+
+Exact dedup is a hash group-by (scales linearly, one shuffle on the
+content hash). Near-dup Jaccard generates candidate pairs through a
+shingle inverted index (shuffle on shingle, never O(n²) row pairs);
+for very large corpora prefer minhash.minhash_lsh_pairs which bounds
+the index size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(text: Column) -> Column:
+    """Lowercase + whitespace-collapse — the usual normalization
+    before content hashing."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", keep_count: bool = True
+) -> DataFrame:
+    """Exact dedup on normalized content hash: keeps the minimum id
+    per distinct content (deterministic representative) plus the
+    duplicate count.
+
+    Scale: single hash-shuffle on a 32-char key; partial aggregation
+    (min/count) runs map-side, so the shuffle carries one row per
+    distinct content per partition.
+    """
+    h = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    agg = [F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")]
+    out = df.groupBy(h).agg(*agg)
+    if not keep_count:
+        out = out.drop("n_copies")
+    return out
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of the text (sorted for determinism)."""
+    words = F.split(normalize_text(text), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    return F.array_sort(F.array_distinct(sh))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-duplicate pairs.
+
+    Inverted-index plan: explode distinct shingles → self-join on
+    shingle (the shuffle key) → count common shingles per pair →
+    jaccard = common / (|A| + |B| - common). Only pairs sharing at
+    least one shingle are ever materialized.
+
+    Scale note: hot shingles create skew; AQE skew-join splitting is
+    enabled in the session. For >10^9 docs, drop the top-frequency
+    shingles (stopword shingles) before the join — standard practice.
+    """
+    docs = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles"))
+    ex = docs.select("id", "n_sh", F.explode("shingles").alias("sh"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
+        )
+    )
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        common.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,83 @@
+"""SimHash document fingerprints (32-bit, md5-derived).
+
+simhash bit j = sign of Σ_tokens (bit_j(md5(token)) ? +1 : -1).
+bit_j of the hash is read from hex digit j of the md5 string (its
+high bit), which both Spark and the DuckDB oracle compute
+identically — the fingerprint is engine-portable by construction.
+
+Near-dup = small Hamming distance between fingerprints; pair
+generation buckets on rotated prefixes (standard simhash tables).
+
+Scale: one explode (doc × token) + one groupBy(doc) with 32
+conditional sums — a single shuffle on doc id, all codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from zed_spark.textops.dedup import normalize_text
+
+_HIGH_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
+N_BITS = 32
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document 32-char bitstring simhash fingerprint."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")))
+    sums = [
+        F.sum(
+            F.when(F.substring(F.col("h"), j + 1, 1).isin(*_HIGH_HEX), 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(N_BITS)
+    ]
+    agg = toks.groupBy(id_col).agg(*sums)
+    bits = F.concat(
+        *[F.when(F.col(f"b{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(N_BITS)]
+    )
+    return agg.select(F.col(id_col), bits.alias("simhash"))
+
+
+def hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two equal-length bitstrings (native:
+    zip characters, count differences)."""
+    return F.size(
+        F.filter(
+            F.zip_with(F.split(a, ""), F.split(b, ""), lambda x, y: x != y),
+            lambda d: d,
+        )
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 4,
+    prefix_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by simhash: bucket on the fingerprint prefix
+    (rotations would add recall; one table here), verify Hamming.
+    """
+    fp = simhash(df, text_col, id_col)
+    keyed = fp.withColumn("bucket", F.substring("simhash", 1, prefix_bits))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -61,8 +61,8 @@ class ZFrame:
     def top(self, n: int, *keys) -> "ZFrame":
         return self._wrap(ops.top(self.df, n, *keys))
 
-    def uniq(self, order_by: list[str], count: bool = False) -> "ZFrame":
-        return self._wrap(ops.uniq(self.df, order_by, count))
+    def uniq(self, order_by: list[str], compare_cols=None, count: bool = False) -> "ZFrame":
+        return self._wrap(ops.uniq(self.df, order_by, compare_cols, count))
 
     # --- aggregation -----------------------------------------------
     def summarize(self, by=None, aggs=None, every=None, **agg_specs) -> "ZFrame":
