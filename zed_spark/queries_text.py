@@ -69,18 +69,28 @@ def minhash_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# exact SQL replica of the LSH pipeline: 16 md5-minhashes, 8 bands of
-# 2, band-bucket join, exact-jaccard verification at 0.35
-MINHASH_LSH_SQL = f"""
+# exact SQL replica of the LSH pipeline: universal-hash minhashes
+# (one md5 per shingle), int64 band hashes, band-bucket join,
+# exact-jaccard verification at 0.35
+def _minhash_sql(num_hashes: int = 16, bands: int = 8, threshold: float = 0.35) -> str:
+    from zed_spark.textops.minhash import P, band_sql_exprs, hash_params
+
+    min_aggs = ",\n    ".join(
+        f"MIN(({hash_params(i)[0]} * b + {hash_params(i)[1]}) % {P}) AS m{i}"
+        for i in range(num_hashes)
+    )
+    band_list = ", ".join(band_sql_exprs(num_hashes, bands))
+    return f"""
 WITH sh AS ({_SHINGLES_SQL}),
-shing AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-minh AS (
-  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || s)) AS mh
-  FROM shing CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
-  GROUP BY doc_id, seed),
+shing AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS b
+          FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+minh AS (SELECT doc_id,
+    {min_aggs}
+  FROM shing GROUP BY doc_id),
 bands AS (
-  SELECT doc_id, seed // 2 AS band, md5(string_agg(mh, ',' ORDER BY seed)) AS bh
-  FROM minh GROUP BY doc_id, seed // 2),
+  SELECT doc_id, band, bl[band + 1] AS bh
+  FROM (SELECT doc_id, [{band_list}] AS bl FROM minh)
+  CROSS JOIN (SELECT unnest(range({bands})) AS band) bs),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
@@ -89,8 +99,11 @@ verified AS (
     len(list_intersect(x.shingles, y.shingles)) /
       (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jaccard
   FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
-SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.35
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
 """
+
+
+MINHASH_LSH_SQL = _minhash_sql()
 
 
 def simhash_q(spark: SparkSession, sf: str) -> DataFrame:

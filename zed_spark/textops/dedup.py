@@ -39,12 +39,22 @@ def exact_dedup(
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-shingles of the text (sorted for determinism)."""
+    """Distinct word k-shingles of the text (sorted for determinism).
+
+    Built by zipping the word array with its own shifted tails rather
+    than indexing with transform(sequence(...)) — an expression
+    referenced inside a transform lambda is re-evaluated PER ELEMENT,
+    which made the index formulation ~8× slower. zip_with pads the
+    shorter side with nulls; concat propagates them, so the overhang
+    entries are nulls and get filtered.
+    """
     words = F.split(normalize_text(text), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
-    return F.array_sort(F.array_distinct(sh))
+    cur = words
+    for j in range(1, k):
+        rest = F.slice(words, j + 1, F.greatest(F.size(words) - j, F.lit(0)))
+        cur = F.zip_with(cur, rest, lambda a, b: F.concat(a, F.lit(" "), b))
+    cur = F.filter(cur, lambda x: x.isNotNull())
+    return F.array_sort(F.array_distinct(cur))
 
 
 def ngram_jaccard_pairs(

@@ -3,16 +3,18 @@
 Pipeline: word shingles → K minhashes → B bands of R rows →
 band-bucket join → candidate pairs → (optional) exact-Jaccard verify.
 
-Hash design: minhash_i(doc) = MIN over shingles of md5("<i>:" + sh)
-— the lexicographic minimum of an md5 hex string is a uniform
-minhash, is deterministic across runs/engines (no seed state), and
-lets the DuckDB oracle reproduce the exact signature. md5 is
-JVM-native in Spark (no Python in the hot path).
+Hash design (engine-portable, oracle-checkable, fast):
+  base(sh)    = int(md5(sh)[:7 hex])           — 28-bit content hash,
+                ONE md5 per shingle (the only "slow" hash)
+  minhash_i   = MIN over shingles of (A_i·base + B_i) mod P
+                with P = 2^31-1 and fixed per-seed constants —
+                classic universal hashing; products stay < 2^59 so
+                everything is plain int64 arithmetic in codegen
+  band hash   = m_{2b}·2^31 + m_{2b+1}         — int64, no string ops
 
-Scale: the band join shuffles on (band_index, band_hash) — docs per
-bucket is small by construction, so the pair blow-up is bounded;
-this is the standard web-scale dedup shape (e.g. the GPT-3/C4
-dedup recipe).
+Scale: the band join shuffles narrow (id, band, int64) rows — docs
+per bucket is small by construction, so the pair blow-up is bounded;
+this is the standard web-scale dedup shape (the GPT-3/C4 recipe).
 """
 
 from __future__ import annotations
@@ -22,23 +24,34 @@ from pyspark.sql import functions as F
 
 from zed_spark.textops.dedup import word_shingles
 
+P = 2_147_483_647  # 2^31 - 1 (prime)
+_SHIFT = 2_147_483_648  # 2^31
+
+
+def hash_params(i: int) -> tuple[int, int]:
+    """Deterministic per-seed universal-hash constants (shared with
+    the DuckDB oracle SQL)."""
+    a = (1103515245 * i + 12345) % P or 1
+    b = (2654435761 * i + 1013904223) % P
+    return a, b
+
+
+def shingle_base(sh: Column) -> Column:
+    """28-bit integer content hash of a shingle: md5 hex prefix."""
+    return F.conv(F.substring(F.md5(sh), 1, 7), 16, 10).cast("long")
+
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """Array of K minhash values (md5-hex strings)."""
+    """Array of K minhash values for a shingle-array column (column-
+    level form; the DataFrame pipeline below uses the faster
+    explode+aggregate formulation)."""
+    base = F.transform(shingles, shingle_base)
     return F.array(
         *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
+            F.array_min(
+                F.transform(base, lambda h, i=i: (F.lit(hash_params(i)[0]) * h + F.lit(hash_params(i)[1])) % P)
+            )
             for i in range(num_hashes)
-        ]
-    )
-
-
-def band_hashes(signature: Column, bands: int, rows_per_band: int) -> Column:
-    """Array of B band hashes: md5 of the concatenated band slice."""
-    return F.array(
-        *[
-            F.md5(F.concat_ws(",", F.slice(signature, b * rows_per_band + 1, rows_per_band)))
-            for b in range(bands)
         ]
     )
 
@@ -60,14 +73,34 @@ def minhash_lsh_pairs(
     docs = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), k_shingle).alias("shingles")
     )
-    sig = docs.select(
-        "id", "shingles", minhash_signature(F.col("shingles"), num_hashes).alias("sig")
+    # shingle arrays are reused (signature + candidate verification):
+    # cache so the text→shingle transform runs once. (Higher-order
+    # functions are interpreted — without a barrier, projection
+    # collapse would re-evaluate the shingle expression per seed.)
+    docs = docs.cache()
+    # base hash materialized BEFORE the aggregation so the md5 runs
+    # once per shingle, not once per seed
+    ex = docs.select("id", F.explode("shingles").alias("sh")).select(
+        "id", shingle_base(F.col("sh")).alias("b")
     )
-    banded = sig.select(
-        "id",
-        "shingles",
-        F.posexplode(band_hashes(F.col("sig"), bands, rows_per_band)).alias("band", "bh"),
+    minh = ex.groupBy("id").agg(
+        *[
+            F.min((F.lit(hash_params(i)[0]) * F.col("b") + F.lit(hash_params(i)[1])) % P).alias(
+                f"m{i}"
+            )
+            for i in range(num_hashes)
+        ]
     )
+    # int64 band hashes; the self-join shuffles (id, band, bh) only
+    band_cols = []
+    for b in range(bands):
+        bh = F.col(f"m{b * rows_per_band}")
+        for r in range(1, rows_per_band):
+            bh = bh * _SHIFT + F.col(f"m{b * rows_per_band + r}") if r == rows_per_band - 1 else (
+                (bh + F.col(f"m{b * rows_per_band + r}")) % P
+            )
+        band_cols.append(bh)
+    banded = minh.select("id", F.posexplode(F.array(*band_cols)).alias("band", "bh"))
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -76,20 +109,35 @@ def minhash_lsh_pairs(
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     if threshold is None:
-        return pairs.select("id_a", "id_b")
+        return pairs
+    # fetch shingles only for the (few) candidates, then verify
+    x = docs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    y = docs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    cand = pairs.join(x, "id_a").join(y, "id_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     return (
-        pairs.withColumn("jaccard", inter / union)
+        cand.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def band_sql_exprs(num_hashes: int, bands: int) -> list[str]:
+    """DuckDB expressions mirroring the band-hash construction above
+    (used by the oracle SQL generator)."""
+    rows_per_band = num_hashes // bands
+    out = []
+    for b in range(bands):
+        expr = f"m{b * rows_per_band}"
+        for r in range(1, rows_per_band):
+            if r == rows_per_band - 1:
+                expr = f"({expr} * {_SHIFT} + m{b * rows_per_band + r})"
+            else:
+                expr = f"(({expr} + m{b * rows_per_band + r}) % {P})"
+        out.append(expr)
+    return out
