@@ -1,0 +1,170 @@
+"""Golden-style operator tests (the reference's ztest model,
+SURVEY §5: small inline input → operator → expected output)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from zed_spark import operators as ops
+from zed_spark.operators.combine import switch_on
+from zed_spark.operators.summarize import agg_expr, summarize
+from zed_spark.operators.traverse import over, over_expr
+
+
+@pytest.fixture(scope="module")
+def kv(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "a", 30.0), (4, None, 5.0)],
+        "id long, k string, v double",
+    )
+
+
+def test_where(kv):
+    assert [r.id for r in ops.where(kv, F.col("v") > 6).orderBy("id").collect()] == [1, 3]
+
+
+def test_cut_rename_spec(kv):
+    out = ops.cut(kv, "id", "val:=v")
+    assert out.columns == ["id", "val"]
+
+
+def test_put_overwrites(kv):
+    out = ops.put(kv, v=F.col("v") * 2, w=F.lit(1))
+    row = out.filter(F.col("id") == 1).first()
+    assert row["v"] == 20.0 and row["w"] == 1
+
+
+def test_yield_multi(spark):
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    out = ops.yield_(
+        df,
+        F.struct(F.col("a").alias("x")),
+        F.struct(F.col("b").alias("x")),
+    )
+    assert sorted(r.x for r in out.collect()) == [1, 2]
+
+
+def test_sort_nulls_zed_semantics(kv):
+    # zed: nulls last on ascending sort
+    got = [r.k for r in ops.sort(kv, "k").collect()]
+    assert got == ["a", "a", "b", None]
+    # descending → nulls first
+    got = [r.k for r in ops.sort(kv, "-k").collect()]
+    assert got == [None, "b", "a", "a"]
+
+
+def test_head_tail_top(kv):
+    assert ops.head(ops.sort(kv, "id"), 2).count() == 2
+    assert [r.id for r in ops.tail(kv, 2, order_by=["id"]).collect()] == [3, 4]
+    assert [r.id for r in ops.top(kv, 1, "v").collect()] == [3]
+
+
+def test_tail_requires_order(kv):
+    with pytest.raises(ValueError):
+        ops.tail(kv, 2)
+
+
+def test_uniq_adjacent_vs_global(spark):
+    # a b b a — global dedup gives {a,b}; adjacent uniq gives a b a
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b"), (4, "a")], "ord long, x string"
+    )
+    out = ops.uniq(df, order_by=["ord"], compare_cols=["x"])
+    assert [r.x for r in out.collect()] == ["a", "b", "a"]
+    counted = ops.uniq(df, order_by=["ord"], compare_cols=["x"], count=True)
+    assert sorted((r.x, r["count"]) for r in counted.collect()) == [
+        ("a", 1), ("a", 1), ("b", 2)]
+
+
+def test_summarize_agg_where(kv):
+    out = summarize(
+        kv,
+        by=["k"],
+        total=("sum", "v"),
+        big=("count", None, F.col("v") > 9),
+    )
+    rows = {r.k: (r.total, r.big) for r in out.collect()}
+    assert rows["a"] == (40.0, 2)
+    assert rows["b"] == (None, 0)
+
+
+def test_agg_expr_rejects_unknown():
+    with pytest.raises(ValueError):
+        agg_expr("median", F.col("x"))
+
+
+def test_collect_map(spark):
+    df = spark.createDataFrame(
+        [({"key": "a", "value": 1},), ({"key": "b", "value": 2},)],
+        T.StructType([T.StructField(
+            "e", T.StructType([T.StructField("key", T.StringType()),
+                               T.StructField("value", T.IntegerType())]))]),
+    )
+    out = df.agg(agg_expr("collect_map", F.col("e")).alias("m"))
+    assert out.first()["m"] == {"a": 1, "b": 2}
+
+
+def test_switch_first_match_and_null_routing(spark):
+    df = spark.createDataFrame([(1,), (5,), (None,)], "x int")
+    legs = ops.switch(df, [F.col("x") < 3, F.col("x") < 10], default=True)
+    assert [leg.count() for leg in legs] == [1, 1, 1]  # null → default
+
+
+def test_switch_on_values(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], "x string")
+    legs = switch_on(df, F.col("x"), ["a", "b"], default=True)
+    assert [leg.count() for leg in legs] == [1, 1, 1]
+
+
+def test_fork_mirror(kv):
+    legs = ops.fork(kv, 3)
+    assert len(legs) == 3 and all(leg.count() == 4 for leg in legs)
+    main, mirrored = ops.mirror(kv)
+    assert main.count() == mirrored.count() == 4
+
+
+def test_combine_heterogeneous(spark):
+    a = spark.createDataFrame([(1, "x")], "id long, s string")
+    b = spark.createDataFrame([(2, 3.5)], "id long, v double")
+    out = ops.combine([a, b])
+    assert set(out.columns) == {"id", "s", "v"}
+    assert out.count() == 2
+
+
+def test_merge_ordered(spark):
+    a = spark.createDataFrame([(1,), (3,)], "x long")
+    b = spark.createDataFrame([(2,), (4,)], "x long")
+    assert [r.x for r in ops.merge([a, b], "x").collect()] == [1, 2, 3, 4]
+
+
+def test_over_array_and_map(spark):
+    df = spark.createDataFrame(
+        [([1, 2, 3], {"a": 1})],
+        "arr array<long>, kv map<string,long>",
+    )
+    assert [r.this for r in over(df, "arr").collect()] == [1, 2, 3]
+    row = over(df, "kv").first()
+    assert row.this.asDict() == {"key": "a", "value": 1}
+
+
+def test_over_with_vars(spark):
+    df = spark.createDataFrame([([1, 2], 10)], "arr array<long>, base long")
+    out = over(df, "arr", with_vars={"b": F.col("base")})
+    got = [(r.b, r.this) for r in out.collect()]
+    assert got == [(10, 1), (10, 2)]
+
+
+def test_over_expr_hof(spark):
+    df = spark.createDataFrame([([1, 2, 3],)], "arr array<long>")
+    out = df.select(over_expr(F.col("arr"), lambda x: x * 10).alias("r"))
+    assert out.first()["r"] == [10, 20, 30]
+
+
+def test_join_cut_list(spark):
+    left = spark.createDataFrame([(1, "l1"), (2, "l2")], "k long, lv string")
+    right = spark.createDataFrame([(1, "r1", 9)], "k long, rv string, extra long")
+    out = ops.join(left, right, "k", "k", "inner", cut={"rv2": "rv"})
+    assert out.columns == ["k", "lv", "rv2"]
+    assert out.first()["rv2"] == "r1"
+    anti = ops.join(left, right, "k", "k", "anti")
+    assert [r.k for r in anti.collect()] == [2]

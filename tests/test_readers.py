@@ -1,0 +1,57 @@
+"""Source readers: zeek TSV, line, csv/json round-trips."""
+
+import textwrap
+
+from pyspark.sql import types as T
+
+from zed_spark.sources.readers import read_any, read_zeek_tsv
+
+ZEEK_SAMPLE = textwrap.dedent(
+    """\
+    #separator \\x09
+    #set_separator\t,
+    #empty_field\t(empty)
+    #unset_field\t-
+    #path\tconn
+    #fields\tts\tuid\tid.orig_h\tid.orig_p\tproto\tduration\torig_bytes\tlocal
+    #types\ttime\tstring\taddr\tport\tenum\tinterval\tcount\tbool
+    1521911721.255387\tC8Tful1TvM3Zf5x8fl\t10.164.94.120\t39681\ttcp\t0.000038\t0\tT
+    1521911721.411148\tCXWfTK3LRdiuQxBbM6\t10.47.25.80\t50817\tudp\t-\t-\tF
+    """
+).replace("    ", "")
+
+
+def test_zeek_reader(spark, tmp_path):
+    p = tmp_path / "conn.log"
+    p.write_text(ZEEK_SAMPLE)
+    df = read_zeek_tsv(spark, str(p))
+    assert df.columns == ["ts", "uid", "id.orig_h", "id.orig_p", "proto",
+                          "duration", "orig_bytes", "local"]
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    assert isinstance(df.schema["id.orig_p"].dataType, T.IntegerType)
+    rows = df.orderBy("ts").collect()
+    assert rows[0]["id.orig_h"] == "10.164.94.120"
+    assert rows[0]["local"] is True and rows[1]["local"] is False
+    # unset '-' → null
+    assert rows[1]["orig_bytes"] is None
+
+
+def test_line_reader(spark, tmp_path):
+    p = tmp_path / "notes.txt"
+    p.write_text("alpha\nbeta\n")
+    df = read_any(spark, str(p), "line")
+    assert sorted(r.value for r in df.collect()) == ["alpha", "beta"]
+
+
+def test_csv_auto(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    df = read_any(spark, str(p))
+    assert df.count() == 2 and set(df.columns) == {"a", "b"}
+
+
+def test_json_auto(spark, tmp_path):
+    p = tmp_path / "t.json"
+    p.write_text('{"a": 1}\n{"a": 2, "b": "x"}\n')
+    df = read_any(spark, str(p))
+    assert df.count() == 2 and set(df.columns) == {"a", "b"}

@@ -1,0 +1,177 @@
+"""Shaping (cast/crop/fill/order/fit/shape) + fuse schema algebra +
+hypothesis property tests for the type merge."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from zed_spark.operators.fuse import fuse_dataframes
+from zed_spark.operators.shape_op import (
+    cast_to, crop_to, fill_to, fit_to, order_to, shape_to,
+)
+from zed_spark.schema import merge_types
+
+
+@pytest.fixture(scope="module")
+def df_nested(spark):
+    return spark.createDataFrame(
+        [(1, ("x", 2))],
+        T.StructType([
+            T.StructField("a", T.IntegerType()),
+            T.StructField("r", T.StructType([
+                T.StructField("s", T.StringType()),
+                T.StructField("n", T.IntegerType()),
+            ])),
+        ]),
+    )
+
+
+def test_cast_deep(df_nested):
+    target = T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("r", T.StructType([
+            T.StructField("s", T.StringType()),
+            T.StructField("n", T.DoubleType()),
+        ])),
+    ])
+    out = cast_to(df_nested, target)
+    assert out.schema == target
+    assert out.first()["r"]["n"] == 2.0
+
+
+def test_crop_drops_extras(df_nested):
+    # zed crop removes fields not in target at EVERY level
+    target = T.StructType([
+        T.StructField("r", T.StructType([T.StructField("s", T.StringType())])),
+    ])
+    out = crop_to(df_nested, target)
+    assert out.columns == ["r"]
+    assert [f.name for f in out.schema["r"].dataType.fields] == ["s"]
+
+
+def test_crop_top_level(spark):
+    df = spark.createDataFrame([(1, "x")], "a int, b string")
+    target = T.StructType([T.StructField("a", T.IntegerType())])
+    assert crop_to(df, target).columns == ["a"]
+
+
+def test_fill_adds_nulls(spark):
+    df = spark.createDataFrame([(1,)], "a int")
+    target = T.StructType([
+        T.StructField("a", T.IntegerType()),
+        T.StructField("b", T.StringType()),
+    ])
+    out = fill_to(df, target)
+    assert out.columns == ["a", "b"]
+    assert out.first()["b"] is None
+
+
+def test_order_reorders(spark):
+    df = spark.createDataFrame([(1, "x")], "b int, a string")
+    target = T.StructType([
+        T.StructField("a", T.StringType()),
+        T.StructField("b", T.IntegerType()),
+    ])
+    assert order_to(df, target).columns == ["a", "b"]
+
+
+def test_fit_and_shape(spark):
+    df = spark.createDataFrame([(1, "x", 9)], "a int, junk string, c int")
+    target = T.StructType([
+        T.StructField("c", T.LongType()),
+        T.StructField("a", T.IntegerType()),
+        T.StructField("new", T.StringType()),
+    ])
+    fit = fit_to(df, target)
+    assert set(fit.columns) == {"a", "c", "new"}
+    shaped = shape_to(df, target)
+    assert shaped.columns == ["c", "a", "new", "junk"]  # target order, extras kept
+    assert shaped.schema["c"].dataType == T.LongType()
+
+
+def test_fuse_numeric_widening(spark):
+    a = spark.createDataFrame([(1,)], "x int")
+    b = spark.createDataFrame([(2.5,)], "x double")
+    out = fuse_dataframes([a, b])
+    assert out.schema["x"].dataType == T.DoubleType()
+    assert sorted(r.x for r in out.collect()) == [1.0, 2.5]
+
+
+def test_fuse_nested_supersets(spark):
+    a = spark.createDataFrame(
+        [((1, "s"),)],
+        T.StructType([T.StructField("r", T.StructType([
+            T.StructField("x", T.IntegerType()),
+            T.StructField("y", T.StringType()),
+        ]))]),
+    )
+    b = spark.createDataFrame(
+        [((2, True),)],
+        T.StructType([T.StructField("r", T.StructType([
+            T.StructField("x", T.IntegerType()),
+            T.StructField("z", T.BooleanType()),
+        ]))]),
+    )
+    out = fuse_dataframes([a, b])
+    assert [f.name for f in out.schema["r"].dataType.fields] == ["x", "y", "z"]
+    assert out.count() == 2
+
+
+# --- property tests for the type-merge lattice --------------------------
+
+_prims = st.sampled_from([
+    T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType(),
+    T.FloatType(), T.DoubleType(), T.StringType(), T.BooleanType(),
+    T.TimestampType(), T.NullType(),
+])
+
+
+@st.composite
+def dtypes(draw, depth=2):
+    if depth == 0:
+        return draw(_prims)
+    kind = draw(st.integers(0, 3))
+    if kind == 0:
+        return draw(_prims)
+    if kind == 1:
+        return T.ArrayType(draw(dtypes(depth=depth - 1)), True)
+    if kind == 2:
+        n = draw(st.integers(1, 3))
+        return T.StructType([
+            T.StructField(f"f{i}", draw(dtypes(depth=depth - 1)), True) for i in range(n)
+        ])
+    return T.MapType(T.StringType(), draw(dtypes(depth=depth - 1)), True)
+
+
+@given(a=dtypes(), b=dtypes())
+@settings(max_examples=200, deadline=None)
+def test_merge_commutative_up_to_field_order(a, b):
+    """merge(a,b) and merge(b,a) agree up to struct field order
+    (fuse order is first-seen, so names may permute)."""
+
+    def canon(t):
+        if isinstance(t, T.StructType):
+            return ("struct", tuple(sorted((f.name, canon(f.dataType)) for f in t.fields)))
+        if isinstance(t, T.ArrayType):
+            return ("array", canon(t.elementType))
+        if isinstance(t, T.MapType):
+            return ("map", canon(t.keyType), canon(t.valueType))
+        return t.simpleString()
+
+    assert canon(merge_types(a, b)) == canon(merge_types(b, a))
+
+
+@given(a=dtypes())
+@settings(max_examples=100, deadline=None)
+def test_merge_idempotent(a):
+    assert merge_types(a, a) == a
+
+
+@given(a=dtypes(), b=dtypes(), c=dtypes())
+@settings(max_examples=100, deadline=None)
+def test_merge_total(a, b, c):
+    """merging never raises and is associative in result validity."""
+    out = merge_types(merge_types(a, b), c)
+    assert isinstance(out, T.DataType)

@@ -1,0 +1,125 @@
+"""Training-data ops: algorithmic correctness beyond oracle parity
+(LSH recall vs exact, ANN vs brute force, analysis invariants)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from zed_spark.sources.readers import read_table
+from zed_spark.textops import (
+    brute_force_topk,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from zed_spark.textops.analysis import language_id, quality_score, token_count
+from zed_spark.textops.simhash import hamming, simhash, simhash_near_pairs
+from zed_spark.textops.similarity import ann_topk, pairwise_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_table(spark, SF_DIR, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return read_table(spark, SF_DIR, "embeddings").cache()
+
+
+def test_exact_dedup_finds_planted_dup(spark, docs):
+    twice = docs.limit(3).union(docs.limit(3))
+    out = exact_dedup(twice)
+    assert out.count() == 3
+    assert all(r["n_copies"] == 2 for r in out.collect())
+
+
+def test_minhash_recall_vs_exact(docs):
+    """LSH candidates (verified) must recover a high fraction of the
+    exact jaccard pairs at the same threshold."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, k=2, threshold=0.35).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, k_shingle=2, num_hashes=16, bands=8, threshold=0.35
+        ).collect()
+    }
+    assert lsh <= exact  # verification removes all false positives
+    if exact:
+        assert len(lsh) / len(exact) >= 0.8  # banding recall
+
+
+def test_simhash_similar_docs_close(spark):
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "the quick brown fox jumps over the lazy cat again and again"
+    c = "entirely different words about database engines and queries"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "doc_id long, text string")
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    d = lambda x, y: sum(1 for i, j in zip(fp[x], fp[y]) if i != j)
+    assert d(1, 2) < d(1, 3)
+
+
+def test_simhash_near_pairs_planted(spark):
+    rows = [(i, "common words shared by every document here plus filler") for i in range(5)]
+    rows.append((99, "totally unrelated content with nothing in common at all xyz"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_near_pairs(df, max_hamming=2, prefix_bits=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(0, 1), (0, 4)} <= got
+    assert not any(99 in p for p in got)
+
+
+def test_hamming_expr(spark):
+    df = spark.createDataFrame([("1100", "1010")], "a string, b string")
+    assert df.select(hamming(F.col("a"), F.col("b")).alias("h")).first()["h"] == 2
+
+
+def test_ann_contains_topk_of_its_bucket(emb):
+    qv = [float(x) for x in emb.first()["embedding"]]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, qv, 5).collect()]
+    approx = [r["vec_id"] for r in ann_topk(emb, qv, 5, n_planes=4).collect()]
+    # the query itself is always in its own bucket → rank 1 matches
+    assert approx[0] == exact[0]
+    # approx results are genuinely from the corpus and sorted
+    sims = [r["cosine"] for r in ann_topk(emb, qv, 5, n_planes=4).collect()]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_pairwise_topk_shape(emb):
+    out = pairwise_topk(emb.limit(4), emb, k=3)
+    assert out.count() == 12
+    assert set(out.columns) == {"q_id", "c_id", "cosine", "rank"}
+    # self-similarity tops each group
+    firsts = {r["q_id"]: r["c_id"] for r in out.filter(F.col("rank") == 1).collect()}
+    assert all(q == c for q, c in firsts.items())
+
+
+def test_language_id_basic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog run to the house"),
+            (2, "el perro y el gato en la casa de los abuelos"),
+            (3, "zzz qqq xxx www"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang"] for r in
+           df.select("doc_id", language_id(F.col("text")).alias("lang")).collect()}
+    assert got[1] == "en" and got[2] == "es" and got[3] == "und"
+
+
+def test_quality_and_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "the data engine processes queries for the analytics team "
+             "with good throughput and it is reliable")],
+        "doc_id long, text string",
+    )
+    row = df.select(
+        token_count(F.col("text")).alias("n"),
+        quality_score(F.col("text")).alias("q"),
+    ).first()
+    assert row["n"] == 16
+    assert 0.0 < row["q"] <= 1.0

@@ -120,15 +120,17 @@ def read_zeek_tsv(spark: SparkSession, path: str) -> DataFrame:
         .schema(schema)
         .csv(path)
     )
-    # apply zeek types
+    # apply zeek types (backticks: zeek names like id.orig_h are
+    # flat column names, not nested paths)
     for name, zt in zip(fields, ztypes):
+        c = F.col(f"`{name}`")
         base = zt.split("[", 1)[0]  # vector[...] stays string csv
         if zt.startswith(("set[", "vector[")):
-            df = df.withColumn(name, F.split(F.col(name), ","))
+            df = df.withColumn(name, F.split(c, ","))
         elif base == "time":
-            df = df.withColumn(name, F.col(name).cast("double").cast("timestamp"))
+            df = df.withColumn(name, c.cast("double").cast("timestamp"))
         elif base == "bool":
-            df = df.withColumn(name, F.col(name) == "T")
+            df = df.withColumn(name, c == "T")
         elif base in _ZEEK_TYPES:
-            df = df.withColumn(name, F.col(name).cast(_ZEEK_TYPES[base]))
+            df = df.withColumn(name, c.cast(_ZEEK_TYPES[base]))
     return df
