@@ -55,6 +55,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "over_words": (qc.over_words, qc.OVER_SQL),
     "grep_docs": (qc.grep_docs, qc.GREP_SQL),
     "cidr_filter": (qc.cidr_filter, qc.CIDR_SQL),
+    # --- zed-language text path (parse → compile → run) -------------
+    "zq_filter_agg": (qc.zq_filter_agg, qc.ZQ_FILTER_AGG_SQL),
+    "zq_summary": (qc.zq_summary, qc.ZQ_SUMMARY_SQL),
+    "zq_join": (qc.zq_join, qc.ZQ_JOIN_SQL),
+    "zq_every": (qc.zq_every, qc.ZQ_EVERY_SQL),
     # --- training-data ops ------------------------------------------
     "dedup_exact": (qt.dedup_exact_q, qt.DEDUP_EXACT_SQL),
     "ngram_jaccard_pairs": (qt.ngram_jaccard_q, qt.NGRAM_JACCARD_SQL),

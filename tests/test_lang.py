@@ -1,0 +1,151 @@
+"""zed query-language front end: parse + compile + execute, checked
+against the equivalent DataFrame pipelines (the reference's ztest
+model: query text → expected result)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from zed_spark.lang.parser import parse
+from zed_spark.session import ZedSession
+
+
+@pytest.fixture(scope="module")
+def z(spark):
+    return ZedSession(spark)
+
+
+def q(z, text):
+    return z.query(text, sf_dir=SF_DIR)
+
+
+# --- parser shape tests -------------------------------------------------
+
+def test_parse_pipeline_shapes():
+    ast = parse("from events | where value > 100 | count() by event_type | sort -r count | head 5")
+    assert [n[0] for n in ast] == ["from", "where", "summarize", "sort", "head"]
+
+
+def test_parse_implied_ops():
+    assert parse("x := 1")[0][0] == "put"
+    assert parse("value > 5")[0][0] == "where"
+    assert parse("sum(x) by k")[0][0] == "summarize"
+    assert parse("error")[0][0] == "search"
+
+
+def test_parse_errors():
+    with pytest.raises(SyntaxError):
+        parse("from x | sort -q")
+    with pytest.raises(SyntaxError):
+        parse("where )")
+
+
+# --- execution tests ----------------------------------------------------
+
+def test_filter_count(z, spark):
+    got = q(z, "from events | where value > 100 | count() by event_type").df
+    want = (
+        z.table(SF_DIR, "events").df.filter(F.col("value") > 100)
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("count"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_implied_where_and_head(z):
+    got = q(z, "from orders | o_totalprice > 200000 | sort o_orderkey | head 3").df
+    assert got.count() == 3
+
+
+def test_cut_and_put(z):
+    got = q(z, "from lineitem | revenue := l_extendedprice * (1 - l_discount) | cut l_orderkey, revenue | head 2").df
+    assert got.columns == ["l_orderkey", "revenue"]
+
+
+def test_summarize_every(z):
+    got = q(z, "from events | count() by every(1h), event_type").df
+    assert set(got.columns) == {"ts", "event_type", "count"}
+    n_hours = got.select("ts").distinct().count()
+    assert n_hours > 10
+
+
+def test_agg_where_clause(z):
+    got = q(z, "from lineitem | big := count() where l_quantity > 40 by l_returnflag").df
+    rows = {r["l_returnflag"]: r["big"] for r in got.collect()}
+    li = ZedSession.table.__get__(z)(SF_DIR, "lineitem").df
+    want = (
+        li.groupBy("l_returnflag")
+        .agg(F.count(F.when(F.col("l_quantity") > 40, 1)).alias("big"))
+    )
+    assert rows == {r["l_returnflag"]: r["big"] for r in want.collect()}
+
+
+def test_time_literal_filter(z):
+    got = q(z, "from lineitem | l_shipdate <= 1995-01-01 | count()").df
+    want = z.table(SF_DIR, "lineitem").df.filter(F.col("l_shipdate") <= "1995-01-01").count()
+    assert got.first()["count"] == want
+
+
+def test_join_with_subquery(z):
+    text = ("from lineitem | join (from orders) on l_orderkey=o_orderkey "
+            "priority:=o_orderpriority | count() by priority")
+    got = q(z, text).df
+    assert got.count() == 5  # five TPC-H priorities
+
+
+def test_search_term(z):
+    got = q(z, "from documents | spark | count()").df
+    want = (
+        z.table(SF_DIR, "documents").df
+        .filter(F.lower(F.to_json(F.struct("*"))).contains("spark")).count()
+    )
+    assert got.first()["count"] == want
+
+
+def test_sort_desc_top(z):
+    got_top = q(z, "from orders | top 5 o_totalprice").df
+    got_sort = q(z, "from orders | sort -r o_totalprice | head 5").df
+    assert {r["o_orderkey"] for r in got_top.collect()} == {
+        r["o_orderkey"] for r in got_sort.collect()
+    }
+
+
+def test_over_array(z, spark):
+    df = spark.createDataFrame([([1, 2, 3],)], "arr array<long>")
+    got = z.query("from t | over arr", tables={"t": df}).df
+    assert [r.this for r in got.collect()] == [1, 2, 3]
+
+
+def test_yield_record(z, spark):
+    df = spark.createDataFrame([(2, 3)], "a long, b long")
+    got = z.query("from t | yield {s: a + b, p: a * b}", tables={"t": df}).df
+    assert got.collect()[0].asDict() == {"s": 5, "p": 6}
+
+
+def test_uniq_and_fuse_parse(z, spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "ord long, x string")
+    got = z.query("from t | cut ord, x | uniq -c", tables={"t": df}).df
+    assert "count" in got.columns
+
+
+def test_index_zero_based(z, spark):
+    df = spark.createDataFrame([([10, 20, 30],)], "arr array<long>")
+    got = z.query("from t | yield {first: arr[0], sl: arr[1:3]}", tables={"t": df}).df
+    row = got.first()
+    assert row["first"] == 10
+    assert row["sl"] == [20, 30]
+
+
+def test_conditional_and_functions(z, spark):
+    df = spark.createDataFrame([("HeLLo",)], "s string")
+    got = z.query(
+        "from t | yield {l: lower(s), n: len(s), c: len(s) > 3 ? 'long' : 'short'}",
+        tables={"t": df},
+    ).df
+    row = got.first()
+    assert row["l"] == "hello" and row["n"] == 5 and row["c"] == "long"
+
+
+def test_unknown_function_rejected(z, spark):
+    df = spark.createDataFrame([(1,)], "a long")
+    with pytest.raises(ValueError, match="unknown function"):
+        z.query("from t | yield {x: frobnicate(a)}", tables={"t": df}).df.collect()

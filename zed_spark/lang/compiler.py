@@ -1,0 +1,295 @@
+"""Compile the zed-language AST onto the zed_spark operator API.
+
+The compile target is a DataFrame plan — Catalyst then owns
+optimization, exactly as the reference's DAG hands off to its
+optimizer (compiler/job.go:70-119).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zed_spark import operators as ops
+from zed_spark.lang.lexer import duration_interval
+from zed_spark.operators.summarize import agg_expr, every_key
+
+# zed scalar function name → Column builder
+def _fn_table() -> dict[str, Callable[..., Column]]:
+    from zed_spark.functions.ip import cidr_match, network_of
+    from zed_spark.functions.parse import parse_uri
+    from zed_spark.functions.strings import zjoin, zreplace, zsplit
+    from zed_spark.functions.ztime import bucket
+
+    return {
+        "abs": F.abs, "ceil": F.ceil, "floor": F.floor, "round": F.round,
+        "sqrt": F.sqrt, "pow": F.pow, "log": F.log, "exp": F.exp,
+        "min": F.least, "max": F.greatest,
+        "lower": F.lower, "upper": F.upper, "trim": F.trim,
+        "replace": lambda s, a, b: zreplace(s, a, b),
+        "split": lambda s, sep: zsplit(s, sep),
+        "join": lambda a, sep=F.lit(","): zjoin(a, sep),
+        "rune_len": F.length, "levenshtein": F.levenshtein,
+        "coalesce": F.coalesce, "now": F.current_timestamp,
+        "base64": F.base64, "hex": F.hex,
+        "cidr_match": cidr_match, "network_of": network_of,
+        "parse_uri": parse_uri,
+        "bucket": bucket,
+        # cast-style calls (zed: cast(v, <type>) sugar forms)
+        "string": lambda e: e.cast("string"),
+        "int64": lambda e: e.cast("long"),
+        "float64": lambda e: e.cast("double"),
+        "time": lambda e: e.cast("timestamp"),
+    }
+    # grep/bucket/len/every/typeof get schema- or literal-directed
+    # handling in Compiler._call
+
+
+class Compiler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_resolver: Callable[[str], DataFrame],
+        input_df: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.resolve = source_resolver
+        self.input_df = input_df
+        self.fns = _fn_table()
+
+    # --- pipeline ----------------------------------------------------
+    def run(self, pipeline: list[tuple]) -> DataFrame:
+        df = self.input_df
+        for node in pipeline:
+            df = self.apply(df, node)
+        if df is None:
+            raise ValueError("pipeline produced no DataFrame (missing 'from'?)")
+        return df
+
+    def apply(self, df: DataFrame | None, node: tuple) -> DataFrame:
+        kind = node[0]
+        if kind == "from":
+            return self.resolve(node[1])
+        if df is None:
+            raise ValueError(f"operator {kind!r} needs an input (start with 'from')")
+        if kind == "where":
+            return ops.where(df, self.expr(node[1], df))
+        if kind == "search":
+            from zed_spark.operators.filters import search
+
+            return search(df, node[1])
+        if kind == "cut":
+            specs = [f"{alias}:={path}" if alias else path for path, alias in node[1]]
+            return ops.cut(df, *specs)
+        if kind == "put":
+            out = df
+            for path, e in node[1]:
+                from zed_spark.operators.project import put_path
+
+                out = put_path(out, path, self.expr(e, out))
+            return out
+        if kind == "drop":
+            return ops.drop(df, *node[1])
+        if kind == "rename":
+            out = df
+            for new, old in node[1]:
+                from zed_spark.schema import rename_path
+
+                out = rename_path(out, old, new)
+            return out
+        if kind == "summarize":
+            _, aggs, keys, every = node
+            agg_cols = {
+                name: agg_expr(
+                    fn,
+                    self.expr(arg, df) if arg is not None else None,
+                    self.expr(where, df) if where is not None else None,
+                )
+                for name, fn, arg, where in aggs
+            }
+            by = {name: self.expr(e, df) for name, e in keys} or None
+            ev = None
+            if every is not None:
+                ts_col = "ts" if "ts" in df.columns else df.columns[0]
+                ev = (ts_col, duration_interval(every))
+            return ops.summarize(df, by=by, aggs=agg_cols, every=ev)
+        if kind == "sort":
+            _, keys, desc = node
+            if not keys:
+                keys = [("field", [df.columns[0]])]
+            cols = []
+            for k in keys:
+                c = self.expr(k, df)
+                cols.append(c.desc_nulls_first() if desc else c.asc_nulls_last())
+            return df.orderBy(*cols)
+        if kind == "head":
+            return ops.head(df, node[1])
+        if kind == "tail":
+            # zed tail follows input order; our order proxy is the
+            # first sortable column — callers needing exact zed
+            # semantics should sort first
+            return ops.tail(df, node[1], order_by=[df.columns[0]])
+        if kind == "top":
+            keys = [self.expr(k, df) for k in node[2]]
+            return df.orderBy(*[k.desc() for k in keys]).limit(node[1])
+        if kind == "uniq":
+            return ops.uniq(df, order_by=[df.columns[0]], count=node[1])
+        if kind == "fuse":
+            return ops.fuse(df)
+        if kind == "yield":
+            exprs = []
+            for e in node[1]:
+                c = self.expr(e, df)
+                if e[0] != "record":
+                    c = F.struct(c.alias("value"))
+                exprs.append(c)
+            return ops.yield_(df, *exprs)
+        if kind == "over":
+            return ops.over(df, self.expr(node[1], df))
+        if kind == "join":
+            _, jkind, lk, rk, cut, sub = node
+            right = Compiler(self.spark, self.resolve).run(sub)
+            cut_map = {alias or path.split(".")[-1]: path for path, alias in cut} or None
+            return ops.join(df, right, lk, rk, jkind, cut=cut_map)
+        raise ValueError(f"unsupported operator {kind!r}")
+
+    # --- expressions -------------------------------------------------
+    def expr(self, e: tuple, df: DataFrame) -> Column:
+        kind = e[0]
+        if kind == "num":
+            return F.lit(e[1])
+        if kind == "str":
+            return F.lit(e[1])
+        if kind == "bool":
+            return F.lit(e[1])
+        if kind == "null":
+            return F.lit(None)
+        if kind == "time":
+            return F.lit(e[1]).cast("timestamp")
+        if kind == "dur":
+            return F.expr(f"INTERVAL {duration_interval(e[1])}")
+        if kind == "field":
+            return F.col(".".join(e[1]))
+        if kind == "this":
+            return F.col("this") if "this" in df.columns else F.struct(
+                *[F.col(c) for c in df.columns]
+            )
+        if kind == "getfield":
+            return self.expr(e[1], df).getField(e[2])
+        if kind == "bin":
+            op, l, r = e[1], self.expr(e[2], df), self.expr(e[3], df)
+            if op == "and":
+                return l & r
+            if op == "or":
+                return l | r
+            if op == "==":
+                return l == r
+            if op == "!=":
+                return l != r
+            if op == "<":
+                return l < r
+            if op == "<=":
+                return l <= r
+            if op == ">":
+                return l > r
+            if op == ">=":
+                return l >= r
+            if op == "+":
+                return l + r
+            if op == "-":
+                return l - r
+            if op == "*":
+                return l * r
+            if op == "/":
+                return l / r
+            if op == "%":
+                return l % r
+        if kind == "un":
+            v = self.expr(e[2], df)
+            return ~v if e[1] == "not" else -v
+        if kind == "in":
+            container = self.expr(e[2], df)
+            return F.array_contains(container, self.expr(e[1], df))
+        if kind == "cond":
+            return F.when(self.expr(e[1], df), self.expr(e[2], df)).otherwise(
+                self.expr(e[3], df)
+            )
+        if kind == "index":
+            # zed arrays are 0-based (eval.go:583); element_at is
+            # 1-based for arrays, key-based for maps
+            base = self.expr(e[1], df)
+            idx = e[2]
+            if idx[0] == "num" and isinstance(idx[1], int):
+                return F.element_at(base, idx[1] + 1)
+            return F.element_at(base, self.expr(idx, df))
+        if kind == "slice":
+            base = self.expr(e[1], df)
+            lo = self.expr(e[2], df) if e[2] else F.lit(0)
+            hi = self.expr(e[3], df) if e[3] else F.size(base)
+            return F.slice(base, lo + 1, hi - lo)
+        if kind == "array":
+            return F.array(*[self.expr(x, df) for x in e[1]])
+        if kind == "record":
+            return F.struct(*[self.expr(x, df).alias(n) for n, x in e[1]])
+        if kind == "call":
+            return self._call(e[1], e[2], df)
+        raise ValueError(f"unsupported expression {e!r}")
+
+    def _call(self, name: str, args: list[tuple], df: DataFrame) -> Column:
+        if name == "grep":
+            from zed_spark.functions.grep import grep as grep_fn
+
+            pat = args[0]
+            if pat[0] != "str":
+                raise ValueError("grep pattern must be a string literal")
+            target = (
+                self.expr(args[1], df)
+                if len(args) > 1
+                else F.struct(*[F.col(c) for c in df.columns])
+            )
+            return grep_fn(pat[1], target)
+        if name == "bucket":
+            from zed_spark.functions.ztime import bucket
+
+            ts = self.expr(args[0], df)
+            dur = args[1]
+            if dur[0] == "dur":
+                return bucket(ts, duration_interval(dur[1]))
+            return bucket(ts, dur[1])
+        if name == "len":
+            c = self.expr(args[0], df)
+            # schema-directed: size for containers, length for strings
+            try:
+                dt = df.select(c.alias("__t")).schema[0].dataType.simpleString()
+            except Exception:
+                dt = "string"
+            if dt.startswith(("array", "map")):
+                return F.size(c)
+            if dt.startswith("struct"):
+                n = dt.count(":")
+                return F.lit(n)
+            return F.length(c.cast("string"))
+        if name == "every":
+            ts_col = "ts" if "ts" in df.columns else df.columns[0]
+            return every_key(F.col(ts_col), duration_interval(args[0][1]))
+        if name == "typeof":
+            from zed_spark.functions.introspect import typeof_col
+
+            path = ".".join(args[0][1]) if args and args[0][0] == "field" else None
+            return typeof_col(df, path)
+        if name in self.fns:
+            return self.fns[name](*[self.expr(a, df) for a in args])
+        raise ValueError(f"unknown function {name!r}")
+
+
+def compile_query(
+    spark: SparkSession,
+    text: str,
+    source_resolver: Callable[[str], DataFrame],
+    input_df: DataFrame | None = None,
+) -> DataFrame:
+    from zed_spark.lang.parser import parse
+
+    return Compiler(spark, source_resolver, input_df).run(parse(text))

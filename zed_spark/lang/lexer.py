@@ -1,0 +1,85 @@
+"""Tokenizer for the zed-language subset.
+
+Token kinds: NUM, STR, ID, DUR (duration literal like 5m/1h), TIME
+(ISO date/time literal), OP (punctuation/operators), EOF.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<WS>\s+)
+  | (?P<TIME>\d{4}-\d{2}-\d{2}(?:T\d{2}:\d{2}:\d{2}(?:\.\d+)?Z?)?)
+  | (?P<DUR>\d+(?:\.\d+)?(?:ns|us|ms|s|m|h|d|w|y))
+  | (?P<NUM>\d+\.\d+|\.\d+|\d+)
+  | (?P<STR>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
+  | (?P<ID>[A-Za-z_][A-Za-z_0-9]*)
+  | (?P<OP>:=|==|!=|<=|>=|=~|\|>|\||\.\.\.|[-+*/%(),.\[\]{}:?<>=!@])
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class Token:
+    kind: str
+    text: str
+    pos: int
+
+    def __repr__(self) -> str:
+        return f"{self.kind}({self.text!r})"
+
+
+def tokenize(src: str) -> list[Token]:
+    out: list[Token] = []
+    pos = 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            raise SyntaxError(f"unexpected character {src[pos]!r} at {pos}: {src[max(0,pos-20):pos+5]!r}")
+        kind = m.lastgroup
+        if kind != "WS":
+            out.append(Token(kind, m.group(), pos))
+        pos = m.end()
+    out.append(Token("EOF", "", pos))
+    return out
+
+
+_DUR_NS = {
+    "ns": 1,
+    "us": 1_000,
+    "ms": 1_000_000,
+    "s": 1_000_000_000,
+    "m": 60 * 1_000_000_000,
+    "h": 3_600 * 1_000_000_000,
+    "d": 86_400 * 1_000_000_000,
+    "w": 7 * 86_400 * 1_000_000_000,
+    "y": 365 * 86_400 * 1_000_000_000,
+}
+
+
+def duration_ns(text: str) -> int:
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)(ns|us|ms|s|m|h|d|w|y)", text)
+    if not m:
+        raise SyntaxError(f"bad duration {text!r}")
+    return int(float(m.group(1)) * _DUR_NS[m.group(2)])
+
+
+def duration_interval(text: str) -> str:
+    """zed duration literal → Spark interval string ('5m' → '5 minutes')."""
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)(ns|us|ms|s|m|h|d|w|y)", text)
+    if not m:
+        raise SyntaxError(f"bad duration {text!r}")
+    n, unit = m.group(1), m.group(2)
+    names = {
+        "us": "microseconds", "ms": "milliseconds", "s": "seconds",
+        "m": "minutes", "h": "hours", "d": "days", "w": "weeks",
+    }
+    if unit == "ns":
+        return f"{max(1, int(float(n)) // 1000)} microseconds"
+    if unit == "y":
+        return f"{int(float(n)) * 365} days"
+    return f"{n} {names[unit]}"

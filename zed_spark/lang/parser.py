@@ -1,0 +1,473 @@
+"""Recursive-descent parser for the zed-language subset.
+
+Produces a plain-tuple AST:
+  pipeline: list of op nodes
+  op nodes: ('from',name) ('where',e) ('search',term) ('cut',[(path,alias)])
+            ('put',[(path,e)]) ('drop',[path]) ('rename',[(new,old)])
+            ('summarize',[aggs],[keys],every) ('sort',keys,desc)
+            ('head',n) ('tail',n) ('top',n,[k]) ('uniq',count) ('fuse',)
+            ('yield',[e]) ('over',e) ('join',kind,lk,rk,[cut],subquery)
+  exprs:    ('num',v) ('str',s) ('bool',b) ('null',) ('time',s) ('dur',s)
+            ('field',[parts]) ('this',) ('bin',op,l,r) ('un',op,e)
+            ('call',name,[args]) ('cond',c,t,f) ('index',e,i)
+            ('slice',e,lo,hi) ('record',[(n,e)]) ('array',[e]) ('in',l,r)
+
+Grammar reference: compiler/parser/parser.peg (semantics only — this
+is an independent implementation of a subset).
+"""
+
+from __future__ import annotations
+
+from zed_spark.lang.lexer import Token, tokenize
+
+AGG_FNS = {
+    "count", "sum", "avg", "min", "max", "any", "dcount", "collect",
+    "union", "and", "or", "collect_map",
+}
+
+_KEYWORDS = {
+    "from", "where", "cut", "put", "drop", "rename", "summarize", "sort",
+    "head", "tail", "top", "uniq", "fuse", "yield", "over", "join", "by",
+    "on", "kind", "and", "or", "not", "in", "this", "true", "false", "null",
+    "every",
+}
+
+
+class Parser:
+    def __init__(self, src: str):
+        self.toks = tokenize(src)
+        self.i = 0
+
+    # --- token helpers ----------------------------------------------
+    def peek(self, k: int = 0) -> Token:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept(self, text: str) -> bool:
+        if self.peek().text == text:
+            self.i += 1
+            return True
+        return False
+
+    def expect(self, text: str) -> Token:
+        t = self.next()
+        if t.text != text:
+            raise SyntaxError(f"expected {text!r}, got {t.text!r} at {t.pos}")
+        return t
+
+    def at_end_of_op(self) -> bool:
+        return self.peek().text in ("|", ")", "") or self.peek().kind == "EOF"
+
+    # --- pipeline ----------------------------------------------------
+    def parse_pipeline(self) -> list[tuple]:
+        ops = [self.parse_op()]
+        while self.accept("|") or self.accept("|>"):
+            ops.append(self.parse_op())
+        return ops
+
+    def parse_op(self) -> tuple:
+        t = self.peek()
+        word = t.text
+        if word == "from":
+            self.next()
+            name = self.parse_source_name()
+            return ("from", name)
+        if word == "where":
+            self.next()
+            return ("where", self.parse_expr())
+        if word == "cut":
+            self.next()
+            return ("cut", self.parse_assign_list())
+        if word == "put":
+            self.next()
+            return ("put", self.parse_put_list())
+        if word == "drop":
+            self.next()
+            return ("drop", self.parse_path_list())
+        if word == "rename":
+            self.next()
+            out = []
+            while True:
+                new = self.parse_path()
+                self.expect(":=")
+                old = self.parse_path()
+                out.append((".".join(new), ".".join(old)))
+                if not self.accept(","):
+                    break
+            return ("rename", out)
+        if word == "summarize":
+            self.next()
+            return self.parse_summarize()
+        if word == "sort":
+            self.next()
+            desc = False
+            if self.accept("-"):
+                flag = self.next()
+                if flag.text != "r":
+                    raise SyntaxError(f"unknown sort flag -{flag.text}")
+                desc = True
+            keys = []
+            if not self.at_end_of_op():
+                keys.append(self.parse_expr())
+                while self.accept(","):
+                    keys.append(self.parse_expr())
+            return ("sort", keys, desc)
+        if word == "head":
+            self.next()
+            n = int(self.next().text) if not self.at_end_of_op() else 1
+            return ("head", n)
+        if word == "tail":
+            self.next()
+            n = int(self.next().text) if not self.at_end_of_op() else 1
+            return ("tail", n)
+        if word == "top":
+            self.next()
+            n = int(self.next().text)
+            keys = [self.parse_expr()]
+            while self.accept(","):
+                keys.append(self.parse_expr())
+            return ("top", n, keys)
+        if word == "uniq":
+            self.next()
+            count = False
+            if self.accept("-"):
+                if self.next().text != "c":
+                    raise SyntaxError("unknown uniq flag")
+                count = True
+            return ("uniq", count)
+        if word == "fuse":
+            self.next()
+            return ("fuse",)
+        if word == "yield":
+            self.next()
+            exprs = [self.parse_expr()]
+            while self.accept(","):
+                exprs.append(self.parse_expr())
+            return ("yield", exprs)
+        if word == "over":
+            self.next()
+            return ("over", self.parse_expr())
+        if word == "join":
+            self.next()
+            return self.parse_join()
+        if word == "count" and self.peek(1).text == "(":
+            return self.parse_summarize()
+        # disambiguate: assignment op (put sugar), agg-call op
+        # (summarize sugar), search term, or implied where
+        save = self.i
+        try:
+            return self.parse_summarize_if_aggs()
+        except _NotAggs:
+            self.i = save
+        if self.peek().kind == "ID" and self.peek(1).text == ":=":
+            return ("put", self.parse_put_list())
+        # search term: single bare word / string / glob at op position
+        if (
+            t.kind in ("ID", "STR")
+            and t.text not in _KEYWORDS
+            and self.peek(1).text in ("|", "", "*")
+        ):
+            self.next()
+            term = t.text[1:-1] if t.kind == "STR" else t.text
+            return ("search", term)
+        return ("where", self.parse_expr())
+
+    def parse_source_name(self) -> str:
+        parts = [self.next().text]
+        # allow dotted / path-ish names: events.parquet, sf0.01/events
+        while self.peek().text in (".", "/", "-") or self.peek().kind in ("ID", "NUM"):
+            if self.at_end_of_op():
+                break
+            parts.append(self.next().text)
+        return "".join(parts)
+
+    # --- summarize ---------------------------------------------------
+    def parse_summarize(self) -> tuple:
+        aggs = [self.parse_agg()]
+        while self.accept(","):
+            aggs.append(self.parse_agg())
+        keys, every = [], None
+        if self.accept("by"):
+            while True:
+                k = self.parse_key()
+                if k[0] == "every":
+                    every = k[1]
+                else:
+                    keys.append(k)
+                if not self.accept(","):
+                    break
+        return ("summarize", aggs, keys, every)
+
+    def parse_summarize_if_aggs(self) -> tuple:
+        """Try to parse the op as implied-summarize (agg calls)."""
+        save = self.i
+        # optional name:=
+        name = None
+        if self.peek().kind == "ID" and self.peek(1).text == ":=":
+            name = self.peek().text
+            fn_tok = self.peek(2)
+        else:
+            fn_tok = self.peek()
+        if not (fn_tok.kind == "ID" and fn_tok.text in AGG_FNS):
+            raise _NotAggs()
+        # must be a call
+        k = 3 if name else 1
+        if self.peek(k).text != "(":
+            raise _NotAggs()
+        self.i = save
+        return self.parse_summarize()
+
+    def parse_agg(self) -> tuple:
+        name = None
+        if self.peek().kind == "ID" and self.peek(1).text == ":=":
+            name = self.next().text
+            self.expect(":=")
+        fn = self.next().text
+        if fn not in AGG_FNS:
+            raise SyntaxError(f"unknown aggregate {fn!r}")
+        self.expect("(")
+        arg = None if self.peek().text == ")" else self.parse_expr()
+        self.expect(")")
+        where = None
+        if self.peek().text == "where":
+            self.next()
+            where = self.parse_expr()
+        return (name or fn, fn, arg, where)
+
+    def parse_key(self) -> tuple:
+        # every(dur) | name:=expr | path
+        if self.peek().text == "every" and self.peek(1).text == "(":
+            self.next()
+            self.expect("(")
+            d = self.next()
+            self.expect(")")
+            return ("every", d.text)
+        if self.peek().kind == "ID" and self.peek(1).text == ":=":
+            name = self.next().text
+            self.expect(":=")
+            return (name, self.parse_expr())
+        e = self.parse_expr()
+        if e[0] == "field":
+            return (e[1][-1], e)
+        raise SyntaxError("group-by key expressions need a name (k:=expr)")
+
+    # --- join --------------------------------------------------------
+    def parse_join(self) -> tuple:
+        kind = "inner"
+        if self.peek().text == "kind":
+            self.next()
+            self.expect("=")
+            kind = self.next().text
+        self.expect("(")
+        sub = self.parse_pipeline()
+        self.expect(")")
+        self.expect("on")
+        lk = self.parse_path()
+        self.expect("=")
+        rk = self.parse_path()
+        cut = []
+        if not self.at_end_of_op():
+            cut = self.parse_assign_list()
+        return ("join", kind, ".".join(lk), ".".join(rk), cut, sub)
+
+    # --- lists -------------------------------------------------------
+    def parse_assign_list(self) -> list[tuple]:
+        """a.b, c:=d.e → [(path, alias|None)]"""
+        out = []
+        while True:
+            if self.peek().kind == "ID" and self.peek(1).text == ":=":
+                alias = self.next().text
+                self.expect(":=")
+                path = self.parse_path()
+                out.append((".".join(path), alias))
+            else:
+                path = self.parse_path()
+                out.append((".".join(path), None))
+            if not self.accept(","):
+                break
+        return out
+
+    def parse_put_list(self) -> list[tuple]:
+        out = []
+        while True:
+            path = self.parse_path()
+            self.expect(":=")
+            out.append((".".join(path), self.parse_expr()))
+            if not self.accept(","):
+                break
+        return out
+
+    def parse_path_list(self) -> list[str]:
+        out = [".".join(self.parse_path())]
+        while self.accept(","):
+            out.append(".".join(self.parse_path()))
+        return out
+
+    def parse_path(self) -> list[str]:
+        parts = [self.next().text]
+        while self.peek().text == "." and self.peek(1).kind == "ID":
+            self.next()
+            parts.append(self.next().text)
+        return parts
+
+    # --- expressions -------------------------------------------------
+    def parse_expr(self):
+        return self.parse_cond()
+
+    def parse_cond(self):
+        c = self.parse_or()
+        if self.accept("?"):
+            t = self.parse_expr()
+            self.expect(":")
+            f = self.parse_expr()
+            return ("cond", c, t, f)
+        return c
+
+    def parse_or(self):
+        l = self.parse_and()
+        while self.peek().text == "or":
+            self.next()
+            l = ("bin", "or", l, self.parse_and())
+        return l
+
+    def parse_and(self):
+        l = self.parse_not()
+        while self.peek().text == "and":
+            self.next()
+            l = ("bin", "and", l, self.parse_not())
+        return l
+
+    def parse_not(self):
+        if self.accept("!") or self.peek().text == "not":
+            if self.peek().text == "not":
+                self.next()
+            return ("un", "not", self.parse_not())
+        return self.parse_cmp()
+
+    def parse_cmp(self):
+        l = self.parse_add()
+        op = self.peek().text
+        if op in ("==", "!=", "<", "<=", ">", ">="):
+            self.next()
+            return ("bin", op, l, self.parse_add())
+        if op == "in":
+            self.next()
+            return ("in", l, self.parse_add())
+        return l
+
+    def parse_add(self):
+        l = self.parse_mul()
+        while self.peek().text in ("+", "-"):
+            op = self.next().text
+            l = ("bin", op, l, self.parse_mul())
+        return l
+
+    def parse_mul(self):
+        l = self.parse_unary()
+        while self.peek().text in ("*", "/", "%"):
+            op = self.next().text
+            l = ("bin", op, l, self.parse_unary())
+        return l
+
+    def parse_unary(self):
+        if self.accept("-"):
+            return ("un", "-", self.parse_unary())
+        return self.parse_postfix()
+
+    def parse_postfix(self):
+        e = self.parse_primary()
+        while True:
+            if self.peek().text == "[":
+                self.next()
+                if self.accept(":"):
+                    hi = None if self.peek().text == "]" else self.parse_expr()
+                    self.expect("]")
+                    e = ("slice", e, None, hi)
+                else:
+                    lo = self.parse_expr()
+                    if self.accept(":"):
+                        hi = None if self.peek().text == "]" else self.parse_expr()
+                        self.expect("]")
+                        e = ("slice", e, lo, hi)
+                    else:
+                        self.expect("]")
+                        e = ("index", e, lo)
+            elif self.peek().text == "." and self.peek(1).kind == "ID":
+                self.next()
+                f = self.next().text
+                if e[0] == "field":
+                    e = ("field", e[1] + [f])
+                else:
+                    e = ("getfield", e, f)
+            else:
+                return e
+
+    def parse_primary(self):
+        t = self.next()
+        if t.kind == "NUM":
+            return ("num", float(t.text) if "." in t.text else int(t.text))
+        if t.kind == "STR":
+            return ("str", t.text[1:-1])
+        if t.kind == "TIME":
+            return ("time", t.text)
+        if t.kind == "DUR":
+            return ("dur", t.text)
+        if t.text == "true":
+            return ("bool", True)
+        if t.text == "false":
+            return ("bool", False)
+        if t.text == "null":
+            return ("null",)
+        if t.text == "this":
+            return ("this",)
+        if t.text == "(":
+            e = self.parse_expr()
+            self.expect(")")
+            return e
+        if t.text == "[":
+            items = []
+            if self.peek().text != "]":
+                items.append(self.parse_expr())
+                while self.accept(","):
+                    items.append(self.parse_expr())
+            self.expect("]")
+            return ("array", items)
+        if t.text == "{":
+            fields = []
+            if self.peek().text != "}":
+                while True:
+                    name = self.next().text
+                    self.expect(":")
+                    fields.append((name, self.parse_expr()))
+                    if not self.accept(","):
+                        break
+            self.expect("}")
+            return ("record", fields)
+        if t.kind == "ID":
+            if self.peek().text == "(":
+                self.next()
+                args = []
+                if self.peek().text != ")":
+                    args.append(self.parse_expr())
+                    while self.accept(","):
+                        args.append(self.parse_expr())
+                self.expect(")")
+                return ("call", t.text, args)
+            return ("field", [t.text])
+        raise SyntaxError(f"unexpected token {t.text!r} at {t.pos}")
+
+
+class _NotAggs(Exception):
+    pass
+
+
+def parse(src: str) -> list[tuple]:
+    p = Parser(src)
+    ops = p.parse_pipeline()
+    if p.peek().kind != "EOF":
+        raise SyntaxError(f"trailing input at {p.peek().pos}: {p.peek().text!r}")
+    return ops

@@ -556,3 +556,50 @@ SELECT ip, COUNT(*) AS n FROM (
   FROM events)
 WHERE ip LIKE '10.3.%' GROUP BY ip
 """
+
+
+# --- zed-language text queries (the reference's primary UX: a query
+# string through parse → compile → run, SURVEY §3.1) ------------------
+
+def _zq(text: str):
+    from zed_spark.session import ZedSession
+
+    def run(spark, sf):
+        return ZedSession(spark).query(text, sf_dir=sf).df
+
+    return run
+
+
+zq_filter_agg = _zq("from events | where value > 100 | count() by event_type")
+
+ZQ_FILTER_AGG_SQL = """
+SELECT event_type, COUNT(*) AS count FROM events WHERE value > 100 GROUP BY event_type
+"""
+
+zq_summary = _zq(
+    "from lineitem | n:=count(), mx:=max(l_extendedprice), mn:=min(l_quantity) by l_returnflag"
+)
+
+ZQ_SUMMARY_SQL = """
+SELECT l_returnflag, COUNT(*) AS n, MAX(l_extendedprice) AS mx, MIN(l_quantity) AS mn
+FROM lineitem GROUP BY l_returnflag
+"""
+
+zq_join = _zq(
+    "from lineitem | join (from orders) on l_orderkey=o_orderkey "
+    "priority:=o_orderpriority | count() by priority"
+)
+
+ZQ_JOIN_SQL = """
+SELECT o_orderpriority AS priority, COUNT(*) AS count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+zq_every = _zq("from events | count() by every(1h), event_type | put h:=int64(ts) | drop ts")
+
+ZQ_EVERY_SQL = """
+SELECT event_type, COUNT(*) AS count,
+  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""

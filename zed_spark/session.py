@@ -109,6 +109,33 @@ class ZedSession:
 
         return ZFrame(self.spark.sql(query))
 
+    def query(self, text: str, sf_dir: str | None = None, tables: dict | None = None):
+        """Run a zed-language query (SURVEY §3.1 entry point).
+
+        `from NAME` resolves against `tables` (name → DataFrame/
+        ZFrame), then `{sf_dir}/NAME.parquet`, then NAME as a path.
+        """
+        from zed_spark.lang import compile_query
+        from zed_spark.zframe import ZFrame
+
+        def resolve(name: str):
+            if tables and name in tables:
+                t = tables[name]
+                return t.df if isinstance(t, ZFrame) else t
+            if sf_dir is not None:
+                import os
+
+                p = f"{sf_dir}/{name}.parquet" if not name.endswith(".parquet") else f"{sf_dir}/{name}"
+                if os.path.exists(p):
+                    from zed_spark.sources.readers import read_table
+
+                    return read_table(self.spark, sf_dir, name.removesuffix(".parquet"))
+            from zed_spark.sources.readers import read_any
+
+            return read_any(self.spark, name)
+
+        return ZFrame(compile_query(self.spark, text, resolve))
+
     def table(self, sf_dir: str, name: str):
         """Load one of the standard test tables from a scale-factor dir.
 
