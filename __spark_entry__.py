@@ -66,6 +66,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "minhash_lsh_pairs": (qt.minhash_lsh_q, qt.MINHASH_LSH_SQL),
     "simhash_fingerprints": (qt.simhash_q, qt.SIMHASH_SQL),
     "cosine_topk": (qt.cosine_topk_q, qt.COSINE_TOPK_SQL),
+    "embedding_near_pairs": (qt.embedding_near_pairs_q, qt.EMBEDDING_NEAR_SQL),
+    "embedding_near_lsh": (qt.embedding_near_lsh_q, None),
     "ann_lsh_topk": (qt.ann_lsh_q, None),
     "language_id": (qt.langid_q, qt.LANGID_SQL),
     "token_stats": (qt.token_stats_q, qt.TOKEN_STATS_SQL),

@@ -145,6 +145,29 @@ def test_conditional_and_functions(z, spark):
     assert row["l"] == "hello" and row["n"] == 5 and row["c"] == "long"
 
 
+def test_user_func_and_const(z, spark):
+    df = spark.createDataFrame([(2, 10.0)], "n long, price double")
+    got = z.query(
+        "func markup(x, pct): (x * (1 + pct / 100)) const RATE = 7 "
+        "from t | yield {m: markup(price, RATE)}",
+        tables={"t": df},
+    ).df
+    assert got.first()["m"] == pytest.approx(10.7)
+
+
+def test_user_func_param_field_access(z, spark):
+    df = spark.createDataFrame([((5, 2),)], "r struct<a:long, b:long>")
+    got = z.query("func area(rec): (rec.a * rec.b) from t | yield {ar: area(r)}",
+                  tables={"t": df}).df
+    assert got.first()["ar"] == 10
+
+
+def test_user_func_arity_checked(z, spark):
+    df = spark.createDataFrame([(1,)], "a long")
+    with pytest.raises(ValueError, match="takes 1 args"):
+        z.query("func f(x): (x) from t | yield {y: f(1, 2)}", tables={"t": df}).df.collect()
+
+
 def test_unknown_function_rejected(z, spark):
     df = spark.createDataFrame([(1,)], "a long")
     with pytest.raises(ValueError, match="unknown function"):

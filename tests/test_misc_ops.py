@@ -1,0 +1,87 @@
+"""assert/sample/load ops, sinks, http scan, extra introspection."""
+
+import json
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from zed_spark import errors as E
+from zed_spark.functions.introspect import fields_of, parse_zson, under
+from zed_spark.operators.misc_ops import assert_op, sample_op
+from zed_spark.sources.sinks import emit_split_by, to_table_string, write_any
+
+
+def test_assert_marks_failures(spark):
+    df = spark.createDataFrame([(1,), (20,)], "x int")
+    out = assert_op(df, F.col("x") < 10, "x < 10")
+    bad = out.filter(E.has_error(out))
+    assert bad.count() == 1 and bad.first()["x"] == 20
+
+
+def test_sample_per_shape(spark):
+    a = spark.createDataFrame([(1, "s")], "x int, s string")
+    b = spark.createDataFrame([(2.0, True)], "x double, b boolean")
+    out = sample_op([a, b])
+    assert out.count() == 2
+    assert set(out.columns) == {"x", "s", "b"}
+
+
+def test_sinks_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, tag string")
+    for fmt in ["parquet", "json", "csv"]:
+        p = str(tmp_path / fmt)
+        write_any(df, p, fmt=fmt)
+        back = (
+            spark.read.options(header=True, inferSchema=True).format(fmt).load(p)
+        )
+        assert back.count() == 2
+    assert "id" in to_table_string(df)
+
+
+def test_emit_split_by(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, tag string")
+    p = str(tmp_path / "split")
+    emit_split_by(df, p, "tag")
+    import os
+
+    assert sorted(d for d in os.listdir(p) if d.startswith("tag=")) == ["tag=a", "tag=b"]
+
+
+def test_http_scan(spark):
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    payload = b'{"a": 1}\n{"a": 2}\n'
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        from zed_spark.sources.http import http_scan
+
+        df = http_scan(spark, f"http://127.0.0.1:{srv.server_port}/data")
+        assert sorted(r.a for r in df.collect()) == [1, 2]
+    finally:
+        srv.shutdown()
+
+
+def test_fields_of_and_under(spark):
+    df = spark.createDataFrame([((1, "x"),)], "r struct<a:int, b:string>")
+    row = df.select(fields_of(df, "r").alias("f"), under(F.col("r")).alias("u")).first()
+    assert row["f"] == [["a"], ["b"]]
+    assert row["u"]["a"] == 1
+
+
+def test_parse_zson_json_analog(spark):
+    df = spark.createDataFrame([('{"x": 5}',)], "s string")
+    out = df.select(parse_zson(spark, F.col("s"), "x INT").alias("v"))
+    assert out.first()["v"]["x"] == 5

@@ -75,3 +75,41 @@ def is_type(df: DataFrame, path: str, type_name: str) -> Column:
 
     t = path_type(df.schema, path)
     return F.lit(t is not None and zed_type_name(t) == type_name)
+
+
+def fields_of(df: DataFrame, path: str | None = None) -> Column:
+    """fields(r): array of field-name paths of a record
+    (function/fields.go) — static per schema."""
+    from zed_spark.schema import path_type
+
+    t: T.DataType = df.schema if path is None else (path_type(df.schema, path) or T.NullType())
+    if not isinstance(t, T.StructType):
+        return F.lit(None).cast("array<array<string>>")
+    from zed_spark.schema import flat_paths
+
+    return F.array(
+        *[
+            F.array(*[F.lit(p) for p in fp.split(".")])
+            for fp in flat_paths(t)
+        ]
+    )
+
+
+def nameof(df: DataFrame, path: str) -> Column:
+    """nameof(v): named-type name — Spark has no named types; the
+    column's own name is the nearest analog (documented compromise,
+    SURVEY §1.2 'named' row)."""
+    return F.lit(path.split(".")[-1])
+
+
+def under(e: Column) -> Column:
+    """under(v): strip named/union/error wrappers (under.go) — our
+    representations don't wrap, so under is the identity."""
+    return e
+
+
+def parse_zson(spark, s: Column, schema: str) -> Column:
+    """parse_zson analog: parse a serialized text value into a typed
+    value. ZSON itself is not ported (SURVEY §1.4); the engine's
+    text form is JSON → from_json with an explicit schema."""
+    return F.from_json(s, schema)

@@ -16,9 +16,13 @@ time/duration), field paths, arithmetic/comparison/boolean operators,
 `in`, indexing/slicing, conditional e?a:b, function calls, and
 record/array constructors.
 
-Not ported (documented gaps): user func/op declarations, lateral
-`with` scopes inside expressions, type casts by named types, switch
-blocks in-language (use the Python API for those).
+Also supported: `func name(params): (expr)` and `const NAME = expr`
+declarations (macro-expanded inline, like the reference's FuncDecl
+compilation, semantic/op.go:855).
+
+Not ported (documented gaps): user `op` declarations, lateral `with`
+scopes inside expressions, type casts by named types, switch blocks
+in-language (use the Python API for those).
 """
 
 from zed_spark.lang.parser import parse

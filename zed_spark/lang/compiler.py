@@ -62,7 +62,16 @@ class Compiler:
     # --- pipeline ----------------------------------------------------
     def run(self, pipeline: list[tuple]) -> DataFrame:
         df = self.input_df
+        self.user_funcs: dict = {}
+        self.consts: dict = {}
         for node in pipeline:
+            if node[0] == "decls":
+                # user funcs are macros: expanded inline at call sites
+                # (the reference compiles FuncDecl bodies inline too —
+                # they are pure expressions, not foreign code)
+                self.user_funcs.update(node[1])
+                self.consts.update(node[2])
+                continue
             df = self.apply(df, node)
         if df is None:
             raise ValueError("pipeline produced no DataFrame (missing 'from'?)")
@@ -171,6 +180,8 @@ class Compiler:
         if kind == "dur":
             return F.expr(f"INTERVAL {duration_interval(e[1])}")
         if kind == "field":
+            if len(e[1]) == 1 and e[1][0] in getattr(self, "consts", {}):
+                return self.expr(self.consts[e[1][0]], df)
             return F.col(".".join(e[1]))
         if kind == "this":
             return F.col("this") if "this" in df.columns else F.struct(
@@ -238,6 +249,11 @@ class Compiler:
         raise ValueError(f"unsupported expression {e!r}")
 
     def _call(self, name: str, args: list[tuple], df: DataFrame) -> Column:
+        if name in getattr(self, "user_funcs", {}):
+            params, body = self.user_funcs[name]
+            if len(args) != len(params):
+                raise ValueError(f"{name}() takes {len(params)} args, got {len(args)}")
+            return self.expr(_subst(body, dict(zip(params, args))), df)
         if name == "grep":
             from zed_spark.functions.grep import grep as grep_fn
 
@@ -282,6 +298,27 @@ class Compiler:
         if name in self.fns:
             return self.fns[name](*[self.expr(a, df) for a in args])
         raise ValueError(f"unknown function {name!r}")
+
+
+def _subst(e: tuple, mapping: dict[str, tuple]) -> tuple:
+    """Substitute parameter references in a user-func body AST with
+    the call's argument ASTs (macro expansion)."""
+    if not isinstance(e, tuple):
+        return e
+    if e[0] == "field" and e[1][0] in mapping:
+        arg = mapping[e[1][0]]
+        for f in e[1][1:]:
+            arg = ("getfield", arg, f)
+        return arg
+    return tuple(
+        [e[0]]
+        + [
+            [_subst(x, mapping) if isinstance(x, tuple) else x for x in part]
+            if isinstance(part, list)
+            else _subst(part, mapping)
+            for part in e[1:]
+        ]
+    )
 
 
 def compile_query(

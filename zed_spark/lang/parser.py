@@ -466,8 +466,37 @@ class _NotAggs(Exception):
 
 
 def parse(src: str) -> list[tuple]:
+    """Returns the op list; if the query opens with declarations
+    (`func name(params): (expr)` / `const name = expr`, reference:
+    FuncDecl/ConstDecl semantic/op.go:855+), the first element is
+    ('decls', {funcs}, {consts})."""
     p = Parser(src)
+    funcs: dict[str, tuple[list[str], tuple]] = {}
+    consts: dict[str, tuple] = {}
+    while p.peek().text in ("func", "const"):
+        if p.peek().text == "func":
+            p.next()
+            name = p.next().text
+            p.expect("(")
+            params = []
+            if p.peek().text != ")":
+                params.append(p.next().text)
+                while p.accept(","):
+                    params.append(p.next().text)
+            p.expect(")")
+            p.expect(":")
+            p.expect("(")
+            body = p.parse_expr()
+            p.expect(")")
+            funcs[name] = (params, body)
+        else:
+            p.next()
+            name = p.next().text
+            p.expect("=")
+            consts[name] = p.parse_expr()
     ops = p.parse_pipeline()
     if p.peek().kind != "EOF":
         raise SyntaxError(f"trailing input at {p.peek().pos}: {p.peek().text!r}")
+    if funcs or consts:
+        return [("decls", funcs, consts)] + ops
     return ops

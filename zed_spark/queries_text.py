@@ -148,6 +148,34 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
+def embedding_near_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
+    from zed_spark.textops.similarity import embedding_near_pairs
+
+    emb = read_table(spark, sf, "embeddings")
+    return embedding_near_pairs(emb, threshold=0.3)
+
+
+EMBEDDING_NEAR_SQL = """
+WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS u,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) AS nrm
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.u, b.u) / (a.nrm * b.nrm) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.u, b.u) / (a.nrm * b.nrm) >= 0.3
+"""
+
+
+def embedding_near_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale path: sign-LSH bucketed near-pairs — rows-only check
+    (bucket recall is probabilistic; exactness is the query above)."""
+    from zed_spark.textops.similarity import embedding_near_pairs
+
+    emb = read_table(spark, sf, "embeddings")
+    return embedding_near_pairs(emb, threshold=0.3, n_planes=4)
+
+
 def ann_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
     """ANN scale path (sign-LSH bucket prune + exact re-rank) — no
     SQL oracle (bucket construction is engine-specific); correctness

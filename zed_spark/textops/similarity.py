@@ -114,6 +114,48 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     return F.concat(*bits)
 
 
+def embedding_near_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    n_planes=None → exact all-pairs (self-join on id<id) — right up
+    to ~10^5 rows per executor-group; n_planes=k → sign-LSH bucketed:
+    only same-bucket pairs are compared (the 100 TB path: expected
+    bucket size n/2^k bounds the quadratic term; near-identical
+    vectors land in the same bucket with prob ≈ 1 - k·θ/π).
+
+    Normalized vectors are precomputed once (cached) so the pair
+    join computes a plain dot product.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = corpus.select(
+        F.col(id_col).alias("id"), v.alias("u")
+    ).withColumn("nrm", norm(F.col("u")))
+    if n_planes:
+        base = base.withColumn("bucket", lsh_bucket(F.col("u"), dim, n_planes))
+    base = base.cache()
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if n_planes:
+        cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
+    sim = dot(F.col("a.u"), F.col("b.u")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            sim.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ann_topk(
     corpus: DataFrame,
     query_vec: list[float],
