@@ -55,6 +55,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "over_words": (qc.over_words, qc.OVER_SQL),
     "grep_docs": (qc.grep_docs, qc.GREP_SQL),
     "cidr_filter": (qc.cidr_filter, qc.CIDR_SQL),
+    "misc_funcs": (qc.misc_funcs, qc.MISC_FUNCS_SQL),
+    "grok_parse": (qc.grok_parse, qc.GROK_SQL),
     # --- zed-language text path (parse → compile → run) -------------
     "zq_filter_agg": (qc.zq_filter_agg, qc.ZQ_FILTER_AGG_SQL),
     "zq_summary": (qc.zq_summary, qc.ZQ_SUMMARY_SQL),

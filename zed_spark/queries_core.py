@@ -558,6 +558,62 @@ WHERE ip LIKE '10.3.%' GROUP BY ip
 """
 
 
+def misc_funcs(spark, sf):
+    """Remaining scalar-function coverage: levenshtein, base64/hex,
+    compare, coalesce (SURVEY §2.8)."""
+    from zed_spark.functions.misc import compare, from_base64, to_base64, to_hex
+
+    na = read_table(spark, sf, "nation")
+    return na.select(
+        "n_nationkey",
+        F.levenshtein(F.col("n_name"), F.lit("NATION_1")).alias("lev"),
+        to_base64(F.col("n_name")).alias("b64"),
+        F.decode(from_base64(to_base64(F.col("n_name"))), "utf-8").alias("roundtrip"),
+        to_hex(F.col("n_regionkey").cast("long")).alias("hexed"),
+        compare(F.col("n_regionkey"), F.lit(2)).alias("cmp"),
+        F.coalesce(F.lit(None).cast("string"), F.col("n_name")).alias("co"),
+    )
+
+
+MISC_FUNCS_SQL = """
+SELECT n_nationkey,
+  levenshtein(n_name, 'NATION_1') AS lev,
+  to_base64(CAST(n_name AS BLOB)) AS b64,
+  n_name AS roundtrip,
+  upper(printf('%x', n_regionkey)) AS hexed,
+  CASE WHEN n_regionkey < 2 THEN -1 WHEN n_regionkey > 2 THEN 1 ELSE 0 END AS cmp,
+  COALESCE(NULL, n_name) AS co
+FROM nation
+"""
+
+
+def grok_parse(spark, sf):
+    """grok pattern compilation (SURVEY §2.8 grok.go): parse a
+    synthesized log line into typed fields."""
+    from zed_spark.functions.parse import grok
+
+    ev = read_table(spark, sf, "events")
+    line = F.concat_ws(
+        " ",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+        F.upper("event_type"),
+        F.concat(F.lit("user="), F.col("user_id").cast("string")),
+    )
+    g = grok("%{TIMESTAMP_ISO8601:when} %{WORD:level} user=%{INT:uid}", line)
+    return ev.select("event_id", g.getField("when").alias("when"),
+                     g.getField("level").alias("level"),
+                     g.getField("uid").cast("long").alias("uid"))
+
+
+GROK_SQL = """
+SELECT event_id,
+  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') AS when,
+  upper(event_type) AS level,
+  user_id AS uid
+FROM events
+"""
+
+
 # --- zed-language text queries (the reference's primary UX: a query
 # string through parse → compile → run, SURVEY §3.1) ------------------
 

@@ -1,0 +1,62 @@
+"""Union types — the tagged-struct representation (SURVEY §1.2).
+
+zed unions are first-class tagged sums (reference: complex.go:
+290-330). Spark has no native sum type; the documented compromise:
+
+    union(T0, T1, ...) → struct<tag:int, v0:T0, v1:T1, ...>
+
+with exactly one non-null vN per value. Helpers here build/inspect
+union values; `fuse` avoids creating unions wherever widening works
+(merge_types falls back to StringType for irreconcilable leaves —
+use these helpers when the textual fallback loses too much).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def union_type(*types: T.DataType) -> T.StructType:
+    fields = [T.StructField("tag", T.IntegerType(), False)]
+    fields += [T.StructField(f"v{i}", t, True) for i, t in enumerate(types)]
+    return T.StructType(fields)
+
+
+def make_union(tag: int, value: Column, arity: int, types: list[T.DataType]) -> Column:
+    """Build a union value holding `value` at alternative `tag`."""
+    parts: list[Column] = [F.lit(tag).alias("tag")]
+    for i in range(arity):
+        parts.append(
+            (value if i == tag else F.lit(None)).cast(types[i]).alias(f"v{i}")
+        )
+    return F.struct(*parts)
+
+
+def union_tag(u: Column) -> Column:
+    """typeof-style dispatch on a union value (the reference's
+    vector.Dynamic tag, vector/dynamic.go:10)."""
+    return u.getField("tag")
+
+
+def union_value(u: Column, tag: int) -> Column:
+    """Extract alternative `tag` (null when the value holds another
+    alternative) — zed's implicit union access."""
+    return u.getField(f"v{tag}")
+
+
+def union_unwrap(u: Column, arity: int) -> Column:
+    """under(union) as a string rendering when alternatives must
+    collapse to one column (the textual compromise)."""
+    out = F.lit(None).cast("string")
+    for i in range(arity):
+        out = F.when(u.getField("tag") == i, u.getField(f"v{i}").cast("string")).otherwise(out)
+    return out
+
+
+def mixed_array(cols: list[tuple[int, Column]], types: list[T.DataType]) -> Column:
+    """Array with mixed element types → array<union-struct>
+    (zed `[1, "a", 2.5]`)."""
+    arity = len(types)
+    return F.array(*[make_union(tag, c, arity, types) for tag, c in cols])
