@@ -145,6 +145,29 @@ def test_conditional_and_functions(z, spark):
     assert row["l"] == "hello" and row["n"] == 5 and row["c"] == "long"
 
 
+def test_switch_boolean_cases(z):
+    got = q(z, "from events | switch ( case value >= 150 => put tier:='high' "
+               "case value >= 50 => put tier:='mid' default => put tier:='low' ) "
+               "| count() by tier").df
+    rows = {r["tier"]: r["count"] for r in got.collect()}
+    assert rows == {"high": 40, "mid": 349, "low": 611}
+
+
+def test_switch_selector(z):
+    got = q(z, "from events | switch event_type ( case 'error' => put sev:=10 "
+               "default => put sev:=1 ) | sum(sev) by event_type").df
+    rows = {r["event_type"]: r["sum"] for r in got.collect()}
+    n_err = z.table(SF_DIR, "events").df.filter(F.col("event_type") == "error").count()
+    n_click = z.table(SF_DIR, "events").df.filter(F.col("event_type") == "click").count()
+    assert rows["error"] == 10 * n_err
+    assert rows["click"] == n_click
+
+
+def test_fork_legs_fused(z):
+    got = q(z, "from events | fork ( => count() => n2:=count() where value > 100 )").df
+    assert got.count() == 2 and set(got.columns) == {"count", "n2"}
+
+
 def test_user_func_and_const(z, spark):
     df = spark.createDataFrame([(2, 10.0)], "n long, price double")
     got = z.query(

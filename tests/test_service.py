@@ -1,0 +1,70 @@
+"""Query service: POST /query → ndjson, error paths, /pools."""
+
+import json
+import urllib.request
+
+import pytest
+
+from tests.conftest import SF_DIR
+from zed_spark.service import QueryService
+
+
+@pytest.fixture(scope="module")
+def svc(spark, tmp_path_factory):
+    from zed_spark.sources.lake import Lake
+    from zed_spark.sources.readers import read_table
+
+    root = str(tmp_path_factory.mktemp("lake"))
+    lake = Lake(spark, root)
+    lake.create_pool("events", key="ts").load(read_table(spark, SF_DIR, "events"))
+    s = QueryService(spark, sf_dir=SF_DIR, lake_root=root)
+    port = s.start()
+    yield f"http://127.0.0.1:{port}"
+    s.stop()
+
+
+def _post(url, body: str):
+    req = urllib.request.Request(f"{url}/query", data=body.encode(), method="POST")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, resp.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+def test_query_ndjson(svc):
+    code, body = _post(svc, "from events | count() by event_type")
+    assert code == 200
+    rows = [json.loads(line) for line in body.splitlines()]
+    assert sum(r["count"] for r in rows) == 1000
+
+
+def test_query_json_envelope(svc):
+    code, body = _post(svc, json.dumps({"query": "from orders | head 3"}))
+    assert code == 200
+    assert len(body.splitlines()) == 3
+
+
+def test_parse_error_400(svc):
+    code, body = _post(svc, "from events | sort -q")
+    assert code == 400 and "parse" in json.loads(body)["error"]
+
+
+def test_exec_error_400(svc):
+    code, body = _post(svc, "from events | yield {x: nope(1)}")
+    assert code == 400 and "unknown function" in json.loads(body)["error"]
+
+
+def test_pools_and_status(svc):
+    with urllib.request.urlopen(f"{svc}/pools") as resp:
+        assert json.loads(resp.read()) == ["events"]
+    with urllib.request.urlopen(f"{svc}/status") as resp:
+        assert json.loads(resp.read())["ok"] is True
+
+
+def test_not_found(svc):
+    try:
+        urllib.request.urlopen(f"{svc}/nope")
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404

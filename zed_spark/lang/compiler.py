@@ -157,12 +157,51 @@ class Compiler:
             return ops.yield_(df, *exprs)
         if kind == "over":
             return ops.over(df, self.expr(node[1], df))
+        if kind == "switch":
+            _, selector, cases = node
+            from zed_spark.operators.fuse import fuse_dataframes
+
+            df = df.cache()
+            legs: list[DataFrame] = []
+            not_earlier = F.lit(True)
+            default_pipe = None
+            for cond_ast, sub in cases:
+                if cond_ast is None:
+                    default_pipe = sub
+                    continue
+                cond = (
+                    (self.expr(selector, df) == self.expr(cond_ast, df))
+                    if selector is not None
+                    else self.expr(cond_ast, df)
+                )
+                leg = df.filter(not_earlier & cond)
+                not_earlier = not_earlier & ~F.coalesce(cond, F.lit(False))
+                legs.append(self._run_sub(leg, sub))
+            if default_pipe is not None:
+                legs.append(self._run_sub(df.filter(not_earlier), default_pipe))
+            return fuse_dataframes(legs)
+        if kind == "fork":
+            from zed_spark.operators.fuse import fuse_dataframes
+
+            df = df.cache()
+            return fuse_dataframes([self._run_sub(df, sub) for sub in node[1]])
         if kind == "join":
             _, jkind, lk, rk, cut, sub = node
             right = Compiler(self.spark, self.resolve).run(sub)
             cut_map = {alias or path.split(".")[-1]: path for path, alias in cut} or None
             return ops.join(df, right, lk, rk, jkind, cut=cut_map)
         raise ValueError(f"unsupported operator {kind!r}")
+
+    def _run_sub(self, df: DataFrame, pipeline: list[tuple]) -> DataFrame:
+        """Run a leg subpipeline on an input frame, sharing declared
+        funcs/consts with the parent scope."""
+        sub = Compiler(self.spark, self.resolve, input_df=df)
+        sub.user_funcs = dict(getattr(self, "user_funcs", {}))
+        sub.consts = dict(getattr(self, "consts", {}))
+        out = df
+        for node in pipeline:
+            out = sub.apply(out, node)
+        return out
 
     # --- expressions -------------------------------------------------
     def expr(self, e: tuple, df: DataFrame) -> Column:

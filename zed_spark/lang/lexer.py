@@ -17,7 +17,7 @@ _TOKEN_RE = re.compile(
   | (?P<NUM>\d+\.\d+|\.\d+|\d+)
   | (?P<STR>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
   | (?P<ID>[A-Za-z_][A-Za-z_0-9]*)
-  | (?P<OP>:=|==|!=|<=|>=|=~|\|>|\||\.\.\.|[-+*/%(),.\[\]{}:?<>=!@])
+  | (?P<OP>:=|==|!=|<=|>=|=~|=>|\|>|\||\.\.\.|[-+*/%(),.\[\]{}:?<>=!@])
     """,
     re.VERBOSE,
 )

@@ -60,7 +60,7 @@ class Parser:
         return t
 
     def at_end_of_op(self) -> bool:
-        return self.peek().text in ("|", ")", "") or self.peek().kind == "EOF"
+        return self.peek().text in ("|", ")", "=>", "") or self.peek().kind == "EOF"
 
     # --- pipeline ----------------------------------------------------
     def parse_pipeline(self) -> list[tuple]:
@@ -154,6 +154,19 @@ class Parser:
         if word == "join":
             self.next()
             return self.parse_join()
+        if word == "switch":
+            self.next()
+            return self.parse_switch()
+        if word == "fork":
+            self.next()
+            self.expect("(")
+            legs = []
+            while self.accept("=>"):
+                legs.append(self.parse_pipeline())
+            self.expect(")")
+            if not legs:
+                raise SyntaxError("fork needs at least one '=> ...' leg")
+            return ("fork", legs)
         if word == "count" and self.peek(1).text == "(":
             return self.parse_summarize()
         # disambiguate: assignment op (put sugar), agg-call op
@@ -254,6 +267,36 @@ class Parser:
         if e[0] == "field":
             return (e[1][-1], e)
         raise SyntaxError("group-by key expressions need a name (k:=expr)")
+
+    def parse_switch(self) -> tuple:
+        """switch [expr] ( case <expr> => seq ... [default => seq] )
+        (reference: switcher/switch.go value-routing and
+        exprswitch.go boolean-case routing)."""
+        selector = None
+        if self.peek().text != "(":
+            # a bare field path directly followed by '(' is the
+            # selector (not a call): `switch event_type ( case ... )`.
+            # computed selectors: parenthesize or put them first.
+            if self.peek().kind == "ID":
+                selector = ("field", self.parse_path())
+            else:
+                selector = self.parse_expr()
+        self.expect("(")
+        cases: list[tuple] = []
+        while not self.accept(")"):
+            t = self.next()
+            if t.text == "case":
+                cond = self.parse_expr()
+                self.expect("=>")
+                cases.append((cond, self.parse_pipeline()))
+            elif t.text == "default":
+                self.expect("=>")
+                cases.append((None, self.parse_pipeline()))
+            else:
+                raise SyntaxError(f"expected 'case' or 'default', got {t.text!r} at {t.pos}")
+        if not cases:
+            raise SyntaxError("switch needs at least one case")
+        return ("switch", selector, cases)
 
     # --- join --------------------------------------------------------
     def parse_join(self) -> tuple:

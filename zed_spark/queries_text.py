@@ -17,7 +17,7 @@ from zed_spark.textops import (
     ngram_jaccard_pairs,
 )
 from zed_spark.textops.analysis import STOPWORDS, language_id, stopword_ratio, token_count
-from zed_spark.textops.simhash import N_BITS, _HIGH_HEX, simhash
+from zed_spark.textops.simhash import N_BITS, simhash
 from zed_spark.textops.similarity import ann_topk
 
 # normalized text / word list, shared by the SQL oracles
@@ -112,15 +112,13 @@ def simhash_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _simhash_sql() -> str:
-    highs = ",".join(f"'{h}'" for h in _HIGH_HEX)
     sums = ",\n    ".join(
-        f"SUM(CASE WHEN substr(h, {j + 1}, 1) IN ({highs}) THEN 1 ELSE -1 END) AS b{j}"
-        for j in range(N_BITS)
+        f"SUM(((v // {2 ** j}) % 2) * 2 - 1) AS b{j}" for j in range(N_BITS)
     )
     bits = " || ".join(f"CASE WHEN b{j} > 0 THEN '1' ELSE '0' END" for j in range(N_BITS))
     return f"""
 WITH toks AS (SELECT doc_id, unnest({_WORDS_SQL}) AS tok FROM documents),
-h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS v FROM toks),
 s AS (SELECT doc_id,
     {sums}
   FROM h GROUP BY doc_id)

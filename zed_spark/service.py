@@ -1,0 +1,104 @@
+"""Minimal query service — the reference's lake-service entry point
+(reference: service/core.go:169-191 route table; POST /query runs a
+compiled query and streams results).
+
+stdlib-only (http.server): POST /query with a zed-language body (or
+{"query": ..., "sf_dir": ...} JSON) → ndjson rows. GET /pools lists
+lake pools when the server is given a lake root. This is a thin
+driver-side shim — execution stays fully distributed in Spark; the
+HTTP layer only streams the collected result, like the reference.
+Not a production server (single-threaded) — API-parity surface.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import SparkSession
+
+
+class QueryService:
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str | None = None,
+        lake_root: str | None = None,
+        tables: dict | None = None,
+    ):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.lake_root = lake_root
+        self.tables = tables or {}
+        self._server: ThreadingHTTPServer | None = None
+
+    def _run_query(self, text: str, sf_dir: str | None) -> list[dict]:
+        from zed_spark.session import ZedSession
+
+        z = ZedSession(self.spark)
+        df = z.query(text, sf_dir=sf_dir or self.sf_dir, tables=self.tables).df
+        return [row.asDict(recursive=True) for row in df.collect()]
+
+    def _pools(self) -> list[str]:
+        if not self.lake_root:
+            return []
+        from zed_spark.sources.lake import Lake
+
+        return Lake(self.spark, self.lake_root).pools()
+
+    def start(self, host: str = "127.0.0.1", port: int = 0) -> int:
+        """Start serving in a daemon thread; returns the bound port."""
+        svc = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def _send(self, code: int, payload: bytes, ctype: str = "application/json"):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def do_GET(self):
+                if self.path == "/pools":
+                    self._send(200, json.dumps(svc._pools()).encode())
+                elif self.path == "/status":
+                    self._send(200, b'{"ok": true}')
+                else:
+                    self._send(404, b'{"error": "not found"}')
+
+            def do_POST(self):
+                if self.path != "/query":
+                    self._send(404, b'{"error": "not found"}')
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n).decode("utf-8", errors="replace")
+                try:
+                    parsed = json.loads(body)
+                    text = parsed["query"]
+                    sf_dir = parsed.get("sf_dir")
+                except (json.JSONDecodeError, TypeError, KeyError):
+                    text, sf_dir = body, None
+                try:
+                    rows = svc._run_query(text, sf_dir)
+                except SyntaxError as exc:
+                    self._send(400, json.dumps({"error": f"parse: {exc}"}).encode())
+                    return
+                except Exception as exc:  # compile/execute errors → 400
+                    self._send(400, json.dumps({"error": str(exc)[:500]}).encode())
+                    return
+                out = "\n".join(json.dumps(r, default=str) for r in rows).encode()
+                self._send(200, out, "application/x-ndjson")
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        t = threading.Thread(target=self._server.serve_forever, daemon=True)
+        t.start()
+        return self._server.server_port
+
+    def stop(self) -> None:
+        if self._server:
+            self._server.shutdown()
+            self._server = None
