@@ -203,14 +203,18 @@ GROUP BY c_custkey
 
 
 def join_anti(spark, sf):
+    """Customers with no high-value order (anti join against a
+    filtered leg — at sf≥0.01 every customer has SOME order, so the
+    unfiltered anti would be vacuously empty)."""
     cu = read_table(spark, sf, "customer")
-    od = read_table(spark, sf, "orders")
+    od = ops.where(read_table(spark, sf, "orders"), F.col("o_totalprice") > 300000)
     return ops.join(cu, od, "c_custkey", "o_custkey", "anti").select("c_custkey", "c_name")
 
 
 JOIN_ANTI_SQL = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
 """
 
 

@@ -70,20 +70,19 @@ def minhash_lsh_pairs(
     join and a `jaccard` column — no false positives).
     """
     rows_per_band = num_hashes // bands
-    docs = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), k_shingle).alias("shingles")
-    )
-    # shingle arrays are reused (signature + candidate verification):
-    # cache so the text→shingle transform runs once. (Higher-order
-    # functions are interpreted — without a barrier, projection
-    # collapse would re-evaluate the shingle expression per seed.)
-    docs = docs.cache()
+    # exploded distinct shingles — the ONLY cached intermediate, and
+    # it is narrow (id, string): array columns never flow downstream.
+    # (Higher-order shingle construction is interpreted — the cache
+    # is also the barrier that stops projection collapse from
+    # re-evaluating it per consumer.)
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k_shingle)).alias("sh"),
+    ).cache()
     # base hash materialized BEFORE the aggregation so the md5 runs
     # once per shingle, not once per seed
-    ex = docs.select("id", F.explode("shingles").alias("sh")).select(
-        "id", shingle_base(F.col("sh")).alias("b")
-    )
-    minh = ex.groupBy("id").agg(
+    based = ex.select("id", shingle_base(F.col("sh")).alias("b"))
+    minh = based.groupBy("id").agg(
         *[
             F.min((F.lit(hash_params(i)[0]) * F.col("b") + F.lit(hash_params(i)[1])) % P).alias(
                 f"m{i}"
@@ -100,6 +99,8 @@ def minhash_lsh_pairs(
                 (bh + F.col(f"m{b * rows_per_band + r}")) % P
             )
         band_cols.append(bh)
+    # (not cached: measured slower with a cache here — the recompute
+    # per join side is cheaper than the cache write + AQE stat loss)
     banded = minh.select("id", F.posexplode(F.array(*band_cols)).alias("band", "bh"))
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
@@ -114,14 +115,26 @@ def minhash_lsh_pairs(
     )
     if threshold is None:
         return pairs
-    # fetch shingles only for the (few) candidates, then verify
-    x = docs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    y = docs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    cand = pairs.join(x, "id_a").join(y, "id_b")
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    # verify candidates by counting common shingles through the
+    # exploded index (array-free: the candidate set is small, so
+    # these joins broadcast)
+    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a_sh = ex.select(F.col("id").alias("id_a"), F.col("sh"))
+    b_sh = ex.select(F.col("id").alias("id_b"), F.col("sh"))
+    common = (
+        F.broadcast(pairs)
+        .join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cand = (
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+    )
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
     return (
-        cand.withColumn("jaccard", inter / union)
+        cand.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
