@@ -26,6 +26,13 @@ _NS_TS_COLS = {"events": ["ts"]}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # set defensively at runtime: a caller-provided session (e.g. the
+    # round driver's) may lack both; without nanosAsLong the events
+    # scan fails with PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS), and a
+    # non-UTC session TZ shifts date extraction vs the DuckDB oracle
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name in _NS_TS_COLS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NS_TS_COLS.get(name, []):
         if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
