@@ -115,6 +115,13 @@ def test_over_array(z, spark):
     assert [r.this for r in got.collect()] == [1, 2, 3]
 
 
+def test_over_with_vars_lang(z, spark):
+    df = spark.createDataFrame([([1, 2], 10), ([3], 20)], "arr array<long>, base long")
+    got = z.query("from t | over arr with b=base | yield {v: this + b}",
+                  tables={"t": df}).df
+    assert sorted(r.v for r in got.collect()) == [11, 12, 23]
+
+
 def test_yield_record(z, spark):
     df = spark.createDataFrame([(2, 3)], "a long, b long")
     got = z.query("from t | yield {s: a + b, p: a * b}", tables={"t": df}).df

@@ -88,6 +88,11 @@ def test_summarize_agg_where(kv):
     assert rows["b"] == (None, 0)
 
 
+def test_fuse_agg_type_value(kv):
+    out = summarize(kv, by=["k"], t=("fuse", "v"), n=("count", None))
+    assert all(r["t"] == "float64" for r in out.collect())
+
+
 def test_agg_expr_rejects_unknown():
     with pytest.raises(ValueError):
         agg_expr("median", F.col("x"))

@@ -156,7 +156,10 @@ class Compiler:
                 exprs.append(c)
             return ops.yield_(df, *exprs)
         if kind == "over":
-            return ops.over(df, self.expr(node[1], df))
+            with_vars = {
+                name: self.expr(e, df) for name, e in (node[2] if len(node) > 2 else [])
+            }
+            return ops.over(df, self.expr(node[1], df), with_vars or None)
         if kind == "switch":
             _, selector, cases = node
             from zed_spark.operators.fuse import fuse_dataframes

@@ -150,7 +150,17 @@ class Parser:
             return ("yield", exprs)
         if word == "over":
             self.next()
-            return ("over", self.parse_expr())
+            e = self.parse_expr()
+            with_vars = []
+            if self.peek().text == "with":
+                self.next()
+                while True:
+                    vname = self.next().text
+                    self.expect("=")
+                    with_vars.append((vname, self.parse_expr()))
+                    if not self.accept(","):
+                        break
+            return ("over", e, with_vars)
         if word == "join":
             self.next()
             return self.parse_join()

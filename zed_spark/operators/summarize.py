@@ -97,6 +97,14 @@ def summarize(
         agg_cols.append(col.alias(name))
     for name, spec in agg_specs.items():
         fn, expr, *rest = spec if isinstance(spec, tuple) else (spec, None)
+        if fn == "fuse":
+            # fuse(e): merged type of the group's values (agg/fuse.go).
+            # A DataFrame column has ONE static type, so the merged
+            # type is its zed type name — constant per group.
+            from zed_spark.functions.introspect import typeof_col
+
+            agg_cols.append(F.first(typeof_col(df, expr)).alias(name))
+            continue
         agg_cols.append(agg_expr(fn, expr, rest[0] if rest else None).alias(name))
     if not agg_cols:
         agg_cols = [F.count(F.lit(1)).alias("count")]
