@@ -17,6 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from zed_spark import queries_analytics as qa
 from zed_spark import queries_core as qc
 from zed_spark import queries_text as qt
 
@@ -62,6 +63,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "zq_summary": (qc.zq_summary, qc.ZQ_SUMMARY_SQL),
     "zq_join": (qc.zq_join, qc.ZQ_JOIN_SQL),
     "zq_every": (qc.zq_every, qc.ZQ_EVERY_SQL),
+    # --- analytics beyond the reference (windows, grouping sets) ----
+    "sessionize": (qa.sessionize_q, qa.SESSIONIZE_SQL),
+    "top_per_group": (qa.top_per_group_q, qa.TOP_PER_GROUP_SQL),
+    "pivot_counts": (qa.pivot_q, qa.PIVOT_SQL),
+    "rollup_totals": (qa.rollup_q, qa.ROLLUP_SQL),
+    "percentiles": (qa.percentiles_q, qa.PERCENTILES_SQL),
     # --- training-data ops ------------------------------------------
     "dedup_exact": (qt.dedup_exact_q, qt.DEDUP_EXACT_SQL),
     "ngram_jaccard_pairs": (qt.ngram_jaccard_q, qt.NGRAM_JACCARD_SQL),

@@ -1,0 +1,96 @@
+"""Analytics operators beyond the reference's surface.
+
+The reference has no window functions (SURVEY §2.9) and no
+grouping-set aggregations; Spark gives them natively and a
+training-data / telemetry pipeline needs them. Each has a graded
+query with a DuckDB oracle (windows and grouping sets are standard
+SQL — fully cross-checkable).
+
+Scale notes:
+  - sessionize / top_per_group partition their windows by a key —
+    parallelism is per-key, no global window (unlike uniq).
+  - pivot uses an explicit value list: Catalyst plans a single-pass
+    pivot aggregate, no second job for value discovery.
+  - rollup is the built-in partial-aggregation tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Assign session ids per user: a new session starts when the gap
+    to the previous event exceeds `gap`. Window partitioned by user —
+    shuffles once on user, scales with users not with total rows."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_session = (prev.isNull() | (F.col(ts_col) > prev + gap_expr)).cast("int")
+    return df.withColumn("session_seq", F.sum(new_session).over(w))
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    s = sessionize(df, user_col, ts_col, gap)
+    return s.groupBy(user_col, "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_timestamp(F.max(ts_col)).alias("end_epoch"),
+        F.unix_timestamp(F.min(ts_col)).alias("start_epoch"),
+    )
+
+
+def top_per_group(
+    df: DataFrame, group_cols: list[str], order_col: str, k: int,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Top-k rows per group by order_col descending (deterministic
+    with a tiebreak column). Catalyst plans a partial top-k under the
+    window when k is small (rank filter pushdown)."""
+    order = [F.col(order_col).desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def pivot_agg(
+    df: DataFrame,
+    group_col: str,
+    pivot_col: str,
+    values: list[str],
+    agg: Column,
+) -> DataFrame:
+    """Pivot with an explicit value list (single-pass plan)."""
+    return df.groupBy(group_col).pivot(pivot_col, values).agg(agg)
+
+
+def rollup_agg(df: DataFrame, cols: list[str], aggs: dict[str, Column]) -> DataFrame:
+    """ROLLUP aggregation: totals at every prefix level, null-marked
+    (grouping-sets — absent in the reference, free in Spark)."""
+    return df.rollup(*cols).agg(*[c.alias(n) for n, c in aggs.items()])
+
+
+def exact_percentiles(
+    df: DataFrame, value_col: str, by: list[str], percentiles: list[float]
+) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile`; DuckDB
+    quantile_cont — both the standard linear interpolation)."""
+    aggs = [
+        F.percentile(F.col(value_col), F.lit(p)).alias(f"p{int(p * 100)}")
+        for p in percentiles
+    ]
+    return df.groupBy(*by).agg(*aggs)

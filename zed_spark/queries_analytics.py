@@ -1,0 +1,102 @@
+"""Graded queries for the analytics extensions (windows, grouping
+sets, percentiles) — all oracle-backed standard SQL."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zed_spark.analytics import (
+    exact_percentiles,
+    pivot_agg,
+    rollup_agg,
+    session_stats,
+    top_per_group,
+)
+from zed_spark.sources.readers import read_table
+
+
+def sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_table(spark, sf, "events")
+    return session_stats(ev, gap="30 minutes")
+
+
+SESSIONIZE_SQL = """
+WITH s AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+r AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM s)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+  CAST(floor(epoch(MAX(ts))) AS BIGINT) AS end_epoch,
+  CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_epoch
+FROM r GROUP BY user_id, session_seq
+"""
+
+
+def top_per_group_q(spark: SparkSession, sf: str) -> DataFrame:
+    od = read_table(spark, sf, "orders")
+    top = top_per_group(od, ["o_orderpriority"], "o_totalprice", 3, tiebreak="o_orderkey")
+    return top.select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+
+
+TOP_PER_GROUP_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders) WHERE rank <= 3
+"""
+
+
+def pivot_q(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_table(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    src = ev.withColumn("props_k_bucket", F.when(k < 50, "low").otherwise("high"))
+    return pivot_agg(src, "event_type", "props_k_bucket", ["low", "high"],
+                     F.count(F.lit(1)))
+
+
+PIVOT_SQL = """
+SELECT event_type,
+  COUNT(*) FILTER (WHERE CAST(props->>'$.k' AS BIGINT) < 50) AS low,
+  COUNT(*) FILTER (WHERE CAST(props->>'$.k' AS BIGINT) >= 50) AS high
+FROM events GROUP BY event_type
+"""
+
+
+def rollup_q(spark: SparkSession, sf: str) -> DataFrame:
+    li = read_table(spark, sf, "lineitem")
+    out = rollup_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "n": F.count(F.lit(1)),
+            "qty": F.sum(F.col("l_quantity").cast("decimal(38,4)")).cast("double"),
+        },
+    )
+    return out
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def percentiles_q(spark: SparkSession, sf: str) -> DataFrame:
+    li = read_table(spark, sf, "lineitem")
+    return exact_percentiles(li, "l_extendedprice", ["l_returnflag"], [0.5, 0.9])
+
+
+PERCENTILES_SQL = """
+SELECT l_returnflag,
+  quantile_cont(l_extendedprice, 0.5) AS p50,
+  quantile_cont(l_extendedprice, 0.9) AS p90
+FROM lineitem GROUP BY l_returnflag
+"""

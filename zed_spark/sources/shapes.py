@@ -1,0 +1,73 @@
+"""Shape-grouping for heterogeneous inputs — zed's core data model.
+
+zed streams are sequences of values where EACH VALUE carries its own
+type (reference: docs/formats/zng.md:12-17, SURVEY §1.1); records of
+different shapes flow through one pipeline. A DataFrame has one
+schema, so the engine's representation of a mixed stream is a
+*shape-grouped* family of DataFrames (SURVEY §7.4.2):
+
+    groups = shape_groups(spark, "mixed.ndjson")   # shape -> DataFrame
+    fused  = fuse_shape_groups(groups)             # superset schema
+    sample = sample_shapes(groups)                 # one exemplar/shape
+
+Shape identity = the record's field-name sequence (order matters, as
+in zed where field order is part of the type). Per-shape schemas are
+inferred from an exemplar row.
+
+Scale: the shape key is computed row-parallel (json_object_keys);
+grouping is a filter per shape (one scan with N predicate branches,
+or N scans when shapes are many — shape counts are small in
+practice, zed's own fuse assumes so).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def shape_key(json_col) -> F.Column:
+    """Shape identity of a JSON object: its field names in order."""
+    return F.array_join(F.json_object_keys(json_col), ",")
+
+
+def shape_groups(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    """Read ndjson with mixed shapes → {shape: typed DataFrame}."""
+    raw = spark.read.text(path).filter(F.trim("value") != "")
+    keyed = raw.withColumn("__shape", shape_key(F.col("value"))).cache()
+    shapes = [r["__shape"] for r in keyed.select("__shape").distinct().collect()]
+    out: dict[str, DataFrame] = {}
+    for shape in sorted(shapes):
+        rows = keyed.filter(F.col("__shape") == shape)
+        exemplar = rows.select("value").first()["value"]
+        ddl = spark.range(1).select(
+            F.schema_of_json(F.lit(exemplar)).alias("s")
+        ).first()["s"]
+        parsed = rows.select(F.from_json(F.col("value"), ddl).alias("r"))
+        # schema_of_json alphabetizes fields; restore the shape's
+        # appearance order (field order is part of the zed type)
+        order = [c for c in shape.split(",") if c]
+        out[shape] = parsed.select(*[F.col(f"r.`{c}`").alias(c) for c in order])
+    return out
+
+
+def fuse_shape_groups(groups: dict[str, DataFrame]) -> DataFrame:
+    """zed `fuse` over a mixed stream: all shapes conformed to the
+    superset schema (metadata-only, SURVEY §2.3 fuse row)."""
+    from zed_spark.operators.fuse import fuse_dataframes
+
+    return fuse_dataframes(list(groups.values()))
+
+
+def sample_shapes(groups: dict[str, DataFrame]) -> DataFrame:
+    """zed `sample`: one exemplar per shape (any(this) by typeof)."""
+    from zed_spark.operators.misc_ops import sample_op
+
+    return sample_op(list(groups.values()))
+
+
+def typeof_shapes(groups: dict[str, DataFrame]) -> dict[str, str]:
+    """zed `typeof` per shape group: the zed-style type name."""
+    from zed_spark.functions.introspect import zed_type_name
+
+    return {shape: zed_type_name(df.schema) for shape, df in groups.items()}
