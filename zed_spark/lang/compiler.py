@@ -136,15 +136,18 @@ class Compiler:
         if kind == "head":
             return ops.head(df, node[1])
         if kind == "tail":
-            # zed tail follows input order; our order proxy is the
-            # first sortable column — callers needing exact zed
-            # semantics should sort first
-            return ops.tail(df, node[1], order_by=[df.columns[0]])
+            # zed tail follows input order: use a monotonic sequence
+            # assigned at this point in the pipeline (exact for
+            # single-partition inputs; partition-ordered otherwise)
+            seq = df.withColumn("__seq", F.monotonically_increasing_id())
+            return ops.tail(seq, node[1], order_by=["__seq"]).drop("__seq")
         if kind == "top":
             keys = [self.expr(k, df) for k in node[2]]
             return df.orderBy(*[k.desc() for k in keys]).limit(node[1])
         if kind == "uniq":
-            return ops.uniq(df, order_by=[df.columns[0]], count=node[1])
+            # adjacent dedup over input order (same monotonic proxy)
+            seq = df.withColumn("__seq", F.monotonically_increasing_id())
+            return ops.uniq(seq, order_by=["__seq"], count=node[1])
         if kind == "fuse":
             return ops.fuse(df)
         if kind == "yield":
