@@ -32,6 +32,14 @@ HEADLINE = [
     "simhash_fingerprints",
     "cosine_topk",
     "token_stats",
+    "sessionize",
+    "top_per_group",
+    "rollup_totals",
+    "percentiles",
+    # scale path: LSH-bucketed near-pairs (the exact all-pairs
+    # variant is correctness-graded at sf0.01; O(n²) by design)
+    "embedding_near_lsh",
+    "zq_filter_agg",
 ]
 
 

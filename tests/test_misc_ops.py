@@ -74,6 +74,22 @@ def test_http_scan(spark):
         srv.shutdown()
 
 
+def test_multimodal_resize_and_audio_stubs(spark):
+    from zed_spark.textops.multimodal import audio_features, resize_image
+
+    df = spark.createDataFrame([(1, b"abcdef" * 100)], "doc_id long, media binary")
+    r = resize_image(df, 8, 8, fake=True).first()
+    assert len(r["resized"]) == 8 * 8 * 3 and r["width"] == 8
+    a = audio_features(df, fake=True).first()
+    assert a["duration_s"] > 0 and a["rms"] > 0
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        resize_image(df, 8, 8)
+    with _pytest.raises(NotImplementedError):
+        audio_features(df)
+
+
 def test_fields_of_and_under(spark):
     df = spark.createDataFrame([((1, "x"),)], "r struct<a:int, b:string>")
     row = df.select(fields_of(df, "r").alias("f"), under(F.col("r")).alias("u")).first()

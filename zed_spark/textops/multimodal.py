@@ -85,6 +85,72 @@ def decode_image(df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
     return df.select(id_col, media_col).mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
+def resize_image(df: DataFrame, width: int, height: int,
+                 media_col: str = "media", id_col: str = "doc_id",
+                 fake: bool = False) -> DataFrame:
+    """Resize STUB: real impl needs an image library. The fake path
+    re-encodes a deterministic payload of the target size so the
+    batch shape / schema plumbing is real."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize needs an image library (PIL/cv2) — not available "
+            "in this environment; pass fake=True for the deterministic stub"
+        )
+
+    target = width * height * 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for payload in pdf[media_col]:
+                if payload is None:
+                    out.append(None)
+                    continue
+                reps = (target // max(len(payload), 1)) + 1
+                out.append((bytes(payload) * reps)[:target])
+            yield pd.DataFrame({id_col: pdf[id_col], "resized": out,
+                                "width": width, "height": height})
+
+    return df.select(id_col, media_col).mapInPandas(
+        batches, schema=f"{id_col} long, resized binary, width int, height int"
+    )
+
+
+def audio_features(df: DataFrame, media_col: str = "media", id_col: str = "doc_id",
+                   fake: bool = False) -> DataFrame:
+    """Audio feature-extraction STUB (duration/rms/zero-crossings
+    from a fake PCM interpretation of the bytes); real impl needs an
+    audio library."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decode needs an audio library (librosa/soundfile) — not "
+            "available in this environment; pass fake=True for the stub"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in it:
+            rows = {"doc_id": [], "duration_s": [], "rms": [], "zero_crossings": []}
+            for did, payload in zip(pdf[id_col], pdf[media_col]):
+                if payload is None or len(payload) < 2:
+                    continue
+                samples = [b - 128 for b in payload]
+                rows["doc_id"].append(did)
+                rows["duration_s"].append(round(len(samples) / 16000.0, 6))
+                rows["rms"].append(
+                    round(math.sqrt(sum(s * s for s in samples) / len(samples)), 6)
+                )
+                rows["zero_crossings"].append(
+                    sum(1 for a, b in zip(samples, samples[1:]) if (a < 0) != (b < 0))
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, media_col).mapInPandas(
+        batches, schema="doc_id long, duration_s double, rms double, zero_crossings int"
+    )
+
+
 def frame_sample(df: DataFrame, every_n: int = 10, media_col: str = "media",
                  id_col: str = "doc_id") -> DataFrame:
     """Video frame sampling STUB: emits (doc_id, frame_no, frame)
