@@ -66,3 +66,38 @@ def join(
     cols = [F.col(f"__l.{c}") for c in left.columns]
     cols += [F.col(f"__r.{c}") for c in r.columns if not (isinstance(rk, str) and c == rk)]
     return out.select(*cols)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str | None = None,
+    style: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi-join: the left (large, skewed) side gets a
+    random salt in [0, salt); the right side is replicated once per
+    salt value, so one hot key spreads over `salt` reducers.
+
+    AQE skew-join (enabled in the session) handles most skew at
+    runtime; use this when a single key dominates so heavily that
+    even split partitions blow past executor memory — the classic
+    hot-key mitigation. Salt is derived from a hash of all left
+    columns (deterministic, no rand()/seed state).
+    """
+    rk = right_key or left_key
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    l_s = left.withColumn("__salt", lsalt)
+    r_s = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = l_s.join(
+        r_s,
+        (l_s[left_key] == r_s[rk]) & (l_s["__salt"] == r_s["__salt"]),
+        {"inner": "inner", "left": "left"}[style],
+    )
+    keep = [l_s[c] for c in left.columns] + [
+        r_s[c] for c in right.columns if c != rk
+    ]
+    return out.select(*keep)
