@@ -192,6 +192,25 @@ def test_user_func_param_field_access(z, spark):
     assert got.first()["ar"] == 10
 
 
+def test_user_op_declaration(z):
+    got = q(z, "op hot(threshold): ( where value > threshold | count() by event_type ) "
+               "from events | hot(150) | sort -r count").df
+    want = q(z, "from events | where value > 150 | count() by event_type | sort -r count").df
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_user_op_uses_func(z):
+    got = q(z, "func double(x): (x * 2) "
+               "op scaled(col): ( put v2 := double(col) | cut event_id, v2 ) "
+               "from events | scaled(value) | head 2").df
+    assert got.columns == ["event_id", "v2"]
+
+
+def test_user_op_arity(z):
+    with pytest.raises(ValueError, match="takes 1 args"):
+        q(z, "op f(x): ( where x > 1 ) from events | f(1, 2)").df.collect()
+
+
 def test_user_func_arity_checked(z, spark):
     df = spark.createDataFrame([(1,)], "a long")
     with pytest.raises(ValueError, match="takes 1 args"):

@@ -16,13 +16,14 @@ time/duration), field paths, arithmetic/comparison/boolean operators,
 `in`, indexing/slicing, conditional e?a:b, function calls, and
 record/array constructors.
 
-Also supported: `func name(params): (expr)` and `const NAME = expr`
-declarations (macro-expanded inline, like the reference's FuncDecl
-compilation, semantic/op.go:855).
+Also supported: `func name(params): (expr)`, `const NAME = expr`,
+and `op name(params): ( seq )` declarations (all macro-expanded
+inline, like the reference's FuncDecl/OpDecl compilation,
+semantic/op.go:855-857); `switch [selector] ( case ... => seq )` and
+`fork ( => seq ... )` blocks; `over e with x=e` bindings.
 
-Not ported (documented gaps): user `op` declarations, lateral `with`
-scopes inside expressions, type casts by named types, switch blocks
-in-language (use the Python API for those).
+Not ported (documented gaps): OverExpr (lateral subquery inside an
+expression — use over as an operator), casts to user-named types.
 """
 
 from zed_spark.lang.parser import parse

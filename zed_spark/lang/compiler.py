@@ -64,13 +64,16 @@ class Compiler:
         df = self.input_df
         self.user_funcs: dict = {}
         self.consts: dict = {}
+        self.user_ops: dict = {}
         for node in pipeline:
             if node[0] == "decls":
-                # user funcs are macros: expanded inline at call sites
-                # (the reference compiles FuncDecl bodies inline too —
-                # they are pure expressions, not foreign code)
+                # user funcs/ops are macros: expanded inline at call
+                # sites (the reference compiles FuncDecl/OpDecl
+                # bodies inline too — pure expressions/pipelines)
                 self.user_funcs.update(node[1])
                 self.consts.update(node[2])
+                if len(node) > 3:
+                    self.user_ops.update(node[3])
                 continue
             df = self.apply(df, node)
         if df is None:
@@ -163,6 +166,14 @@ class Compiler:
                 name: self.expr(e, df) for name, e in (node[2] if len(node) > 2 else [])
             }
             return ops.over(df, self.expr(node[1], df), with_vars or None)
+        if kind == "opcall":
+            _, name, args = node
+            params, body = self.user_ops[name]
+            if len(args) != len(params):
+                raise ValueError(f"op {name}() takes {len(params)} args, got {len(args)}")
+            mapping = dict(zip(params, args))
+            expanded = [_subst(op_node, mapping) for op_node in body]
+            return self._run_sub(df, expanded)
         if kind == "switch":
             _, selector, cases = node
             from zed_spark.operators.fuse import fuse_dataframes
@@ -204,6 +215,7 @@ class Compiler:
         sub = Compiler(self.spark, self.resolve, input_df=df)
         sub.user_funcs = dict(getattr(self, "user_funcs", {}))
         sub.consts = dict(getattr(self, "consts", {}))
+        sub.user_ops = dict(getattr(self, "user_ops", {}))
         out = df
         for node in pipeline:
             out = sub.apply(out, node)

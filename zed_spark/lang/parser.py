@@ -179,6 +179,20 @@ class Parser:
             return ("fork", legs)
         if word == "count" and self.peek(1).text == "(":
             return self.parse_summarize()
+        if (
+            t.kind == "ID"
+            and t.text in getattr(self, "user_op_names", ())
+            and self.peek(1).text == "("
+        ):
+            self.next()
+            self.expect("(")
+            args = []
+            if self.peek().text != ")":
+                args.append(self.parse_expr())
+                while self.accept(","):
+                    args.append(self.parse_expr())
+            self.expect(")")
+            return ("opcall", t.text, args)
         # disambiguate: assignment op (put sugar), agg-call op
         # (summarize sugar), search term, or implied where
         save = self.i
@@ -526,7 +540,26 @@ def parse(src: str) -> list[tuple]:
     p = Parser(src)
     funcs: dict[str, tuple[list[str], tuple]] = {}
     consts: dict[str, tuple] = {}
-    while p.peek().text in ("func", "const"):
+    user_ops: dict[str, tuple[list[str], list[tuple]]] = {}
+    while p.peek().text in ("func", "const", "op"):
+        if p.peek().text == "op":
+            # op name(params): ( seq ) — user macro pipeline
+            # (reference OpDecl, semantic/op.go:857)
+            p.next()
+            name = p.next().text
+            p.expect("(")
+            params = []
+            if p.peek().text != ")":
+                params.append(p.next().text)
+                while p.accept(","):
+                    params.append(p.next().text)
+            p.expect(")")
+            p.expect(":")
+            p.expect("(")
+            body = p.parse_pipeline()
+            p.expect(")")
+            user_ops[name] = (params, body)
+            continue
         if p.peek().text == "func":
             p.next()
             name = p.next().text
@@ -547,9 +580,10 @@ def parse(src: str) -> list[tuple]:
             name = p.next().text
             p.expect("=")
             consts[name] = p.parse_expr()
+    p.user_op_names = set(user_ops)
     ops = p.parse_pipeline()
     if p.peek().kind != "EOF":
         raise SyntaxError(f"trailing input at {p.peek().pos}: {p.peek().text!r}")
-    if funcs or consts:
-        return [("decls", funcs, consts)] + ops
+    if funcs or consts or user_ops:
+        return [("decls", funcs, consts, user_ops)] + ops
     return ops
