@@ -58,6 +58,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cidr_filter": (qc.cidr_filter, qc.CIDR_SQL),
     "misc_funcs": (qc.misc_funcs, qc.MISC_FUNCS_SQL),
     "grok_parse": (qc.grok_parse, qc.GROK_SQL),
+    "regexp_funcs": (qc.regexp_funcs, qc.REGEXP_SQL),
     # --- zed-language text path (parse → compile → run) -------------
     "zq_filter_agg": (qc.zq_filter_agg, qc.ZQ_FILTER_AGG_SQL),
     "zq_summary": (qc.zq_summary, qc.ZQ_SUMMARY_SQL),

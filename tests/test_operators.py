@@ -88,6 +88,14 @@ def test_summarize_agg_where(kv):
     assert rows["b"] == (None, 0)
 
 
+def test_dcount_approx_accuracy(spark):
+    """HLL approx distinct stays within its documented rsd (~2.3%
+    at precision default) — the reference's dcount is also a sketch."""
+    df = spark.range(100_000).select((F.col("id") % 5000).alias("k"))
+    approx = df.agg(F.approx_count_distinct("k", 0.01).alias("a")).first()["a"]
+    assert abs(approx - 5000) / 5000 < 0.05
+
+
 def test_fuse_agg_type_value(kv):
     out = summarize(kv, by=["k"], t=("fuse", "v"), n=("count", None))
     assert all(r["t"] == "float64" for r in out.collect())

@@ -591,6 +591,27 @@ FROM nation
 """
 
 
+def regexp_funcs(spark, sf):
+    """regexp / regexp_replace (SURVEY §2.8 regexp.go): capture
+    extraction and pattern replacement."""
+    pa = read_table(spark, sf, "part")
+    return pa.select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_type"), r"(\w+)$", 1).alias("last_word"),
+        F.regexp_replace(F.col("p_name"), r"[aeiou]", "_").alias("devoweled"),
+        F.regexp_extract(F.col("p_brand"), r"(\d+)", 1).alias("brand_num"),
+    )
+
+
+REGEXP_SQL = """
+SELECT p_partkey,
+  regexp_extract(p_type, '(\\w+)$', 1) AS last_word,
+  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+  regexp_extract(p_brand, '(\\d+)', 1) AS brand_num
+FROM part
+"""
+
+
 def grok_parse(spark, sf):
     """grok pattern compilation (SURVEY §2.8 grok.go): parse a
     synthesized log line into typed fields."""
