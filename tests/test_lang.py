@@ -142,6 +142,13 @@ def test_index_zero_based(z, spark):
     assert row["sl"] == [20, 30]
 
 
+def test_string_index_and_slice(z, spark):
+    df = spark.createDataFrame([("hello world",)], "s string")
+    got = z.query("from t | yield {c: s[0], mid: s[6:11], head: s[:5]}",
+                  tables={"t": df}).df.first()
+    assert got["c"] == "h" and got["mid"] == "world" and got["head"] == "hello"
+
+
 def test_conditional_and_functions(z, spark):
     df = spark.createDataFrame([("HeLLo",)], "s string")
     got = z.query(

@@ -286,15 +286,23 @@ class Compiler:
             )
         if kind == "index":
             # zed arrays are 0-based (eval.go:583); element_at is
-            # 1-based for arrays, key-based for maps
+            # 1-based for arrays, key-based for maps; strings index
+            # to single characters
             base = self.expr(e[1], df)
             idx = e[2]
+            if self._is_string(e[1], df):
+                if idx[0] == "num" and isinstance(idx[1], int):
+                    return F.substring(base, idx[1] + 1, 1)
+                return base.substr(self.expr(idx, df) + 1, F.lit(1))
             if idx[0] == "num" and isinstance(idx[1], int):
                 return F.element_at(base, idx[1] + 1)
             return F.element_at(base, self.expr(idx, df))
         if kind == "slice":
             base = self.expr(e[1], df)
             lo = self.expr(e[2], df) if e[2] else F.lit(0)
+            if self._is_string(e[1], df):
+                hi = self.expr(e[3], df) if e[3] else F.length(base)
+                return base.substr(lo + 1, hi - lo)
             hi = self.expr(e[3], df) if e[3] else F.size(base)
             return F.slice(base, lo + 1, hi - lo)
         if kind == "array":
@@ -304,6 +312,14 @@ class Compiler:
         if kind == "call":
             return self._call(e[1], e[2], df)
         raise ValueError(f"unsupported expression {e!r}")
+
+    def _is_string(self, e: tuple, df: DataFrame) -> bool:
+        """Static type probe for slice/index dispatch."""
+        try:
+            dt = df.select(self.expr(e, df).alias("__t")).schema[0].dataType
+            return dt.simpleString() == "string"
+        except Exception:
+            return False
 
     def _call(self, name: str, args: list[tuple], df: DataFrame) -> Column:
         if name in getattr(self, "user_funcs", {}):
