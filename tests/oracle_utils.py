@@ -49,6 +49,26 @@ def _rows_sorted(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(out, key=repr)
 
 
+def _dtype_kind(dt) -> str:
+    """Collapse a pandas dtype to the kind that matters for the driver's
+    value hash: int vs float vs bool vs datetime vs object."""
+    k = dt.kind  # i/u -> int, f -> float, b -> bool, M -> datetime, O -> object
+    return {"i": "int", "u": "int", "f": "float", "b": "bool", "M": "dt"}.get(k, "obj")
+
+
+def dtype_kinds(spark_df, con, sql: str) -> tuple[dict, dict]:
+    """Pandas dtype kinds per column for both engines (the driver
+    fetches via pandas, where e.g. DuckDB HUGEINT becomes float64 —
+    a silent hash mismatch against a Spark bigint even when every
+    value is equal; round-1 `sessionize` failed exactly this way)."""
+    s_pd = spark_df.limit(100).toPandas()
+    d_pd = con.sql(f"SELECT * FROM ({sql}) LIMIT 100").df()
+    return (
+        {c: _dtype_kind(s_pd[c].dtype) for c in s_pd.columns},
+        {c: _dtype_kind(d_pd[c].dtype) for c in d_pd.columns},
+    )
+
+
 def compare(spark_df, con, sql: str) -> dict:
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
@@ -66,6 +86,20 @@ def compare(spark_df, con, sql: str) -> dict:
         "exact_match": False,
         "approx_match": False,
     }
+    if result["schema_match"]:
+        s_kinds, d_kinds = dtype_kinds(spark_df, con, sql)
+        # empty results give 'object' dtype on both sides — only flag
+        # kinds that differ where at least one side is non-empty
+        mismatched = {
+            c: (s_kinds[c], d_kinds[c])
+            for c in s_kinds
+            if s_kinds[c] != d_kinds[c] and len(s_rows) > 0
+        }
+        result["dtype_match"] = not mismatched
+        if mismatched:
+            result["dtype_mismatch"] = mismatched
+    else:
+        result["dtype_match"] = False
     if not (result["count_match"] and result["schema_match"]):
         return result
 

@@ -26,6 +26,7 @@ def test_oracle_parity(spark, con, name):
     res = compare(fn(spark, SF_DIR), con, sql)
     assert res["count_match"], f"{name}: row count {res['rows_spark']} vs {res['rows_duckdb']}"
     assert res["schema_match"], f"{name}: cols {res['cols_spark']} vs {res['cols_duckdb']}"
+    assert res["dtype_match"], f"{name}: pandas dtype kinds differ: {res.get('dtype_mismatch')}"
     assert res["approx_match"], f"{name}: values differ: {res.get('first_diff')}"
     if not res["exact_match"]:
         warnings.warn(f"{name}: only approx match — value-hash risk")

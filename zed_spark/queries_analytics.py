@@ -21,17 +21,28 @@ def sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
     return session_stats(ev, gap="30 minutes")
 
 
+# Two determinism rules learned from the round-1 driver run:
+#   1. `CAST(ts AS TIMESTAMP)` truncates the parquet TIMESTAMP_NS to µs —
+#      the same truncation read_table applies on the Spark side (`div
+#      1000`) — so gap comparisons are made on identical values in both
+#      engines at any SF (a gap within 1µs of the 30-min boundary would
+#      otherwise split sessions differently).
+#   2. `CAST(session_seq AS BIGINT)`: DuckDB SUM(int) yields HUGEINT,
+#      which the driver's pandas fetch converts to float64 (2.0 vs
+#      Spark's 2) — the round-1 hash mismatch. Every *output* column
+#      must have a concrete non-HUGEINT type.
 SESSIONIZE_SQL = """
-WITH s AS (
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+s AS (
   SELECT user_id, ts,
     CASE WHEN lag(ts) OVER w IS NULL
            OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
 r AS (
   SELECT user_id, ts,
     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM s)
-SELECT user_id, session_seq, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
   CAST(floor(epoch(MAX(ts))) AS BIGINT) AS end_epoch,
   CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_epoch
 FROM r GROUP BY user_id, session_seq
