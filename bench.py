@@ -31,7 +31,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "cosine_topk",
-    "token_stats",
+    "text_analysis",
     "sessionize",
     "top_per_group",
     "rollup_totals",
