@@ -76,6 +76,23 @@ def test_uniq_adjacent_vs_global(spark):
         ("a", 1), ("a", 1), ("b", 2)]
 
 
+def test_uniq_runs_span_partitions(spark):
+    """Runs longer than a range partition must merge across the
+    boundary fix-up (the distributed-uniq failure mode)."""
+    rows, i = [], 0
+    spec = [("a", 5000), ("b", 1), ("a", 3000), ("c", 7000), (None, 2), ("d", 10000)]
+    for val, runlen in spec:
+        for _ in range(runlen):
+            rows.append((i, val))
+            i += 1
+    df = spark.createDataFrame(rows, "ord: long, v: string").repartition(16)
+    out = ops.uniq(df, order_by=["ord"], compare_cols=["v"], count=True)
+    got = [(r.v, r["count"]) for r in out.collect()]
+    assert got == spec
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+
+
 def test_summarize_agg_where(kv):
     out = summarize(
         kv,
