@@ -88,6 +88,26 @@ def test_ann_contains_topk_of_its_bucket(emb):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_fast_kernels_match_exact_fold(emb):
+    """numpy batch kernels agree with the interpreted fold to float
+    tolerance, and the gram-matrix bucketed pairs find the same
+    same-bucket pairs as the fold-based bucket join."""
+    from zed_spark.textops.similarity import embedding_near_pairs
+
+    fast = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_pairs(emb, threshold=0.3, n_planes=4).collect()
+    }
+    fold = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_pairs(
+            emb, threshold=0.3, n_planes=4, exact_fold=True
+        ).collect()
+    }
+    assert set(fast) == set(fold)
+    assert all(abs(fast[k] - fold[k]) < 1e-9 for k in fast)
+
+
 def test_pairwise_topk_shape(emb):
     out = pairwise_topk(emb.limit(4), emb, k=3)
     assert out.count() == 12

@@ -150,7 +150,7 @@ def embedding_near_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
     from zed_spark.textops.similarity import embedding_near_pairs
 
     emb = read_table(spark, sf, "embeddings")
-    return embedding_near_pairs(emb, threshold=0.3)
+    return embedding_near_pairs(emb, threshold=0.3, exact_fold=True)
 
 
 EMBEDDING_NEAR_SQL = """
