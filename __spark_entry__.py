@@ -73,6 +73,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pivot_counts": (qa.pivot_q, qa.PIVOT_SQL),
     "rollup_totals": (qa.rollup_q, qa.ROLLUP_SQL),
     "percentiles": (qa.percentiles_q, qa.PERCENTILES_SQL),
+    "percentiles_approx": (qa.percentiles_approx_q, None),
     # --- training-data ops ------------------------------------------
     "dedup_exact": (qt.dedup_exact_q, qt.DEDUP_EXACT_SQL),
     "ngram_jaccard_pairs": (qt.ngram_jaccard_q, qt.NGRAM_JACCARD_SQL),

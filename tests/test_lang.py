@@ -149,6 +149,25 @@ def test_string_index_and_slice(z, spark):
     assert got["c"] == "h" and got["mid"] == "world" and got["head"] == "hello"
 
 
+def test_negative_index_and_slice(z, spark):
+    """Reference semantics (slice.go sliceIndex, eval.go
+    getNthFromContainer): negative indices add length; slice bounds
+    clamp to [0, len]."""
+    df = spark.createDataFrame([("hello world", [10, 20, 30])], "s string, arr array<long>")
+    got = z.query(
+        "from t | yield {last_c: s[-1], last_e: arr[-1], tail3: s[-3:], "
+        "mid: arr[-2:-1], clamp: s[3:99], under: arr[-99:1], oob: arr[5]}",
+        tables={"t": df},
+    ).df.first()
+    assert got["last_c"] == "d"
+    assert got["last_e"] == 30
+    assert got["tail3"] == "rld"
+    assert got["mid"] == [20]
+    assert got["clamp"] == "lo world"
+    assert got["under"] == [10]
+    assert got["oob"] is None
+
+
 def test_conditional_and_functions(z, spark):
     df = spark.createDataFrame([("HeLLo",)], "s string")
     got = z.query(
@@ -211,6 +230,19 @@ def test_user_op_uses_func(z):
                "op scaled(col): ( put v2 := double(col) | cut event_id, v2 ) "
                "from events | scaled(value) | head 2").df
     assert got.columns == ["event_id", "v2"]
+
+
+def test_user_op_calls_earlier_op(z, spark):
+    """An op body may call a previously declared op (the parser keeps
+    the known-op set current while the decl loop runs)."""
+    df = spark.createDataFrame([(1.0,), (200.0,)], "value double")
+    got = z.query(
+        "op big(th): ( where value > th ) "
+        "op bigcount(th): ( big(th) | count() ) "
+        "from t | bigcount(100)",
+        tables={"t": df},
+    ).df
+    assert got.first()["count"] == 1
 
 
 def test_user_op_arity(z):

@@ -105,6 +105,41 @@ def test_summarize_agg_where(kv):
     assert rows["b"] == (None, 0)
 
 
+def test_approx_percentile_rank_error_bound(spark):
+    """approx_percentiles guarantees rank error <= n/accuracy: the
+    returned value's true rank must sit within that band around p*n."""
+    from zed_spark.analytics import approx_percentiles
+
+    from tests.conftest import SF_DIR
+    from zed_spark.sources.readers import read_table
+
+    li = read_table(spark, SF_DIR, "lineitem")
+    acc = 1000
+    approx = {
+        r["l_returnflag"]: (r["p50"], r["p90"])
+        for r in approx_percentiles(
+            li, "l_extendedprice", ["l_returnflag"], [0.5, 0.9], accuracy=acc
+        ).collect()
+    }
+    import bisect
+
+    for flag, (a50, a90) in approx.items():
+        vals = sorted(
+            r["l_extendedprice"]
+            for r in li.filter(F.col("l_returnflag") == flag)
+            .select("l_extendedprice")
+            .collect()
+        )
+        n = len(vals)
+        for p, got in ((0.5, a50), (0.9, a90)):
+            lo = bisect.bisect_left(vals, got)
+            hi = bisect.bisect_right(vals, got)
+            target = p * n
+            # true rank interval of the returned value vs target rank
+            err = min(abs(lo - target), abs(hi - target))
+            assert err <= n / acc + 1, (flag, p, err, n)
+
+
 def test_dcount_approx_accuracy(spark):
     """HLL approx distinct stays within its documented rsd (~2.3%
     at precision default) — the reference's dcount is also a sketch."""
@@ -198,3 +233,13 @@ def test_join_cut_list(spark):
     assert out.first()["rv2"] == "r1"
     anti = ops.join(left, right, "k", "k", "anti")
     assert [r.k for r in anti.collect()] == [2]
+
+
+def test_join_cut_nested_path(spark):
+    """A cut entry referencing a nested right-side path ('a.b') must
+    resolve (selected column would otherwise be named 'b')."""
+    left = spark.createDataFrame([(1, "x")], "k long, lv string")
+    right = spark.createDataFrame([(1, ("deep",))], "k long, a struct<b: string>")
+    out = ops.join(left, right, "k", "k", "inner", cut={"nested": "a.b"})
+    assert out.columns == ["k", "lv", "nested"]
+    assert out.first()["nested"] == "deep"

@@ -36,6 +36,26 @@ def test_zeek_reader(spark, tmp_path):
     assert rows[1]["orig_bytes"] is None
 
 
+def test_zeek_reader_custom_separator(spark, tmp_path):
+    """'#separator' may declare a non-tab separator; the later header
+    lines (and data) are split on the DECLARED separator."""
+    sample = (
+        "#separator ,\n"
+        "#unset_field,-\n"
+        "#fields,ts,proto,n\n"
+        "#types,time,enum,count\n"
+        "1521911721.255387,tcp,5\n"
+        "1521911721.411148,udp,-\n"
+    )
+    p = tmp_path / "comma.log"
+    p.write_text(sample)
+    df = read_zeek_tsv(spark, str(p))
+    assert df.columns == ["ts", "proto", "n"]
+    rows = df.orderBy("ts").collect()
+    assert rows[0]["proto"] == "tcp" and rows[0]["n"] == 5
+    assert rows[1]["n"] is None
+
+
 def test_line_reader(spark, tmp_path):
     p = tmp_path / "notes.txt"
     p.write_text("alpha\nbeta\n")

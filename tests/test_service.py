@@ -50,6 +50,20 @@ def test_parse_error_400(svc):
     assert code == 400 and "parse" in json.loads(body)["error"]
 
 
+def test_arbitrary_path_read_refused(svc):
+    """The service resolver must not fall through to filesystem reads
+    (a client could otherwise read any host file)."""
+    code, body = _post(svc, "from /etc/passwd")
+    assert code == 400
+    assert "unknown source" in json.loads(body)["error"]
+
+
+def test_result_row_cap(svc):
+    code, body = _post(svc, json.dumps({"query": "from lineitem", "limit": 7}))
+    assert code == 200
+    assert len(body.splitlines()) == 7
+
+
 def test_exec_error_400(svc):
     code, body = _post(svc, "from events | yield {x: nope(1)}")
     assert code == 400 and "unknown function" in json.loads(body)["error"]

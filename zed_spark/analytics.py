@@ -88,9 +88,35 @@ def exact_percentiles(
     df: DataFrame, value_col: str, by: list[str], percentiles: list[float]
 ) -> DataFrame:
     """Exact interpolated percentiles (Spark `percentile`; DuckDB
-    quantile_cont — both the standard linear interpolation)."""
+    quantile_cont — both the standard linear interpolation).
+
+    Scale warning: the sort-based aggregate buffers EVERY group value
+    in the agg buffer — opt-in for small/medium groups only. The
+    100 TB default is `approx_percentiles` below.
+    """
     aggs = [
         F.percentile(F.col(value_col), F.lit(p)).alias(f"p{int(p * 100)}")
+        for p in percentiles
+    ]
+    return df.groupBy(*by).agg(*aggs)
+
+
+def approx_percentiles(
+    df: DataFrame,
+    value_col: str,
+    by: list[str],
+    percentiles: list[float],
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Scale-default percentiles: `approx_percentile` keeps a bounded,
+    mergeable quantile sketch per group (memory O(accuracy·log n), not
+    O(n) like the exact sort-based agg), with guaranteed rank error
+    ≤ n/accuracy. Partial aggregation stays map-side; groups never
+    buffer their raw values."""
+    aggs = [
+        F.percentile_approx(F.col(value_col), F.lit(p), F.lit(accuracy)).alias(
+            f"p{int(p * 100)}"
+        )
         for p in percentiles
     ]
     return df.groupBy(*by).agg(*aggs)

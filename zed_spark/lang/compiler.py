@@ -285,26 +285,47 @@ class Compiler:
                 self.expr(e[3], df)
             )
         if kind == "index":
-            # zed arrays are 0-based (eval.go:583); element_at is
-            # 1-based for arrays, key-based for maps; strings index
-            # to single characters
+            # zed arrays are 0-based (eval.go:583 getNthFromContainer);
+            # negative indices count from the end (slice.go sliceIndex
+            # adds len). Strings index to single characters.
             base = self.expr(e[1], df)
             idx = e[2]
             if self._is_string(e[1], df):
-                if idx[0] == "num" and isinstance(idx[1], int):
+                if idx[0] == "num" and isinstance(idx[1], int) and idx[1] >= 0:
                     return F.substring(base, idx[1] + 1, 1)
-                return base.substr(self.expr(idx, df) + 1, F.lit(1))
-            if idx[0] == "num" and isinstance(idx[1], int):
-                return F.element_at(base, idx[1] + 1)
+                idxc = self.expr(idx, df)
+                pos = F.when(idxc < 0, idxc + F.length(base)).otherwise(idxc)
+                return base.substr(pos + 1, F.lit(1))
+            if self._is_array(e[1], df):
+                # F.get is 0-based and null-safe out of range (no ANSI
+                # INVALID_ARRAY_INDEX), matching the reference's
+                # missing-value behavior more closely than element_at
+                idxc = self.expr(idx, df)
+                return F.get(
+                    base, F.when(idxc < 0, idxc + F.size(base)).otherwise(idxc)
+                )
+            # maps and other containers: key-based element_at
             return F.element_at(base, self.expr(idx, df))
         if kind == "slice":
+            # reference sliceIndex: negative lo/hi add length, then
+            # clamp to [0, len] — s[-3:] and a[1:-1] work as in zed
             base = self.expr(e[1], df)
-            lo = self.expr(e[2], df) if e[2] else F.lit(0)
-            if self._is_string(e[1], df):
-                hi = self.expr(e[3], df) if e[3] else F.length(base)
-                return base.substr(lo + 1, hi - lo)
-            hi = self.expr(e[3], df) if e[3] else F.size(base)
-            return F.slice(base, lo + 1, hi - lo)
+            is_str = self._is_string(e[1], df)
+            ln = F.length(base) if is_str else F.size(base)
+
+            def norm(bound, default):
+                if bound is None:
+                    return default
+                c = self.expr(bound, df)
+                c = F.when(c < 0, c + ln).otherwise(c)
+                return F.greatest(F.lit(0), F.least(c, ln))
+
+            lo = norm(e[2], F.lit(0))
+            hi = norm(e[3], ln)
+            width = F.greatest(hi - lo, F.lit(0))
+            if is_str:
+                return base.substr(lo + 1, width)
+            return F.slice(base, lo + 1, width)
         if kind == "array":
             return F.array(*[self.expr(x, df) for x in e[1]])
         if kind == "record":
@@ -318,6 +339,13 @@ class Compiler:
         try:
             dt = df.select(self.expr(e, df).alias("__t")).schema[0].dataType
             return dt.simpleString() == "string"
+        except Exception:
+            return False
+
+    def _is_array(self, e: tuple, df: DataFrame) -> bool:
+        try:
+            dt = df.select(self.expr(e, df).alias("__t")).schema[0].dataType
+            return dt.typeName() == "array"
         except Exception:
             return False
 

@@ -541,12 +541,16 @@ def parse(src: str) -> list[tuple]:
     funcs: dict[str, tuple[list[str], tuple]] = {}
     consts: dict[str, tuple] = {}
     user_ops: dict[str, tuple[list[str], list[tuple]]] = {}
+    # maintained incrementally so an op body can call ops declared
+    # before it (registered before the body parses)
+    p.user_op_names = set()
     while p.peek().text in ("func", "const", "op"):
         if p.peek().text == "op":
             # op name(params): ( seq ) — user macro pipeline
             # (reference OpDecl, semantic/op.go:857)
             p.next()
             name = p.next().text
+            p.user_op_names.add(name)
             p.expect("(")
             params = []
             if p.peek().text != ")":
@@ -580,7 +584,6 @@ def parse(src: str) -> list[tuple]:
             name = p.next().text
             p.expect("=")
             consts[name] = p.parse_expr()
-    p.user_op_names = set(user_ops)
     ops = p.parse_pipeline()
     if p.peek().kind != "EOF":
         raise SyntaxError(f"trailing input at {p.peek().pos}: {p.peek().text!r}")

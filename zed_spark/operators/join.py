@@ -47,8 +47,14 @@ def join(
 
     r = right
     if cut:
-        keep = [rk] if isinstance(rk, str) else []
-        r = right.select(*dict.fromkeys(keep + list(cut.values())))
+        # alias each cut source to a reserved flat name at select time:
+        # a nested right-side path like 'a.b' selects as column 'b',
+        # so referencing '__r.a.b' later would fail analysis
+        keep = [F.col(rk)] if isinstance(rk, str) else []
+        r = right.select(
+            *keep,
+            *[F.col(src).alias(f"__cut__{i}") for i, src in enumerate(cut.values())],
+        )
     if broadcast_right:
         r = F.broadcast(r)
 
@@ -60,7 +66,9 @@ def join(
         return out.select("__l.*")
     if cut:
         cols = [F.col(f"__l.{c}") for c in left.columns]
-        cols += [F.col(f"__r.{src}").alias(dst) for dst, src in cut.items()]
+        cols += [
+            F.col(f"__r.__cut__{i}").alias(dst) for i, dst in enumerate(cut.keys())
+        ]
         return out.select(*cols)
     # default: all left cols + right cols (drop duplicate key col)
     cols = [F.col(f"__l.{c}") for c in left.columns]

@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from zed_spark.analytics import (
+    approx_percentiles,
     exact_percentiles,
     pivot_agg,
     rollup_agg,
@@ -111,3 +112,12 @@ SELECT l_returnflag,
   quantile_cont(l_extendedprice, 0.9) AS p90
 FROM lineitem GROUP BY l_returnflag
 """
+
+
+def percentiles_approx_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale-path percentiles (bounded-memory mergeable sketch) —
+    rows-only check: sketch internals are engine-specific, so there
+    is no SQL oracle; the rank-error bound is pytest-verified against
+    the exact aggregate (tests/test_operators.py)."""
+    li = read_table(spark, sf, "lineitem")
+    return approx_percentiles(li, "l_extendedprice", ["l_returnflag"], [0.5, 0.9])

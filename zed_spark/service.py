@@ -26,19 +26,34 @@ class QueryService:
         sf_dir: str | None = None,
         lake_root: str | None = None,
         tables: dict | None = None,
+        max_rows: int = 10_000,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
         self.lake_root = lake_root
         self.tables = tables or {}
+        # result cap: an unbounded collect() would let one
+        # `from lineitem` OOM the driver; clients page with
+        # {"limit": N} up to this ceiling
+        self.max_rows = max_rows
         self._server: ThreadingHTTPServer | None = None
 
-    def _run_query(self, text: str, sf_dir: str | None) -> list[dict]:
+    def _run_query(
+        self, text: str, sf_dir: str | None, limit: int | None = None
+    ) -> tuple[list[dict], bool]:
+        """Returns (rows, truncated). Source resolution is restricted
+        to registered tables / sf_dir tables (allow_paths=False): a
+        network client must never be able to read arbitrary host
+        files via `from /some/path`."""
         from zed_spark.session import ZedSession
 
+        cap = min(limit, self.max_rows) if limit else self.max_rows
         z = ZedSession(self.spark)
-        df = z.query(text, sf_dir=sf_dir or self.sf_dir, tables=self.tables).df
-        return [row.asDict(recursive=True) for row in df.collect()]
+        df = z.query(
+            text, sf_dir=sf_dir or self.sf_dir, tables=self.tables, allow_paths=False
+        ).df
+        rows = [row.asDict(recursive=True) for row in df.limit(cap + 1).collect()]
+        return rows[:cap], len(rows) > cap
 
     def _pools(self) -> list[str]:
         if not self.lake_root:
@@ -80,10 +95,11 @@ class QueryService:
                     parsed = json.loads(body)
                     text = parsed["query"]
                     sf_dir = parsed.get("sf_dir")
+                    limit = parsed.get("limit")
                 except (json.JSONDecodeError, TypeError, KeyError):
-                    text, sf_dir = body, None
+                    text, sf_dir, limit = body, None, None
                 try:
-                    rows = svc._run_query(text, sf_dir)
+                    rows, truncated = svc._run_query(text, sf_dir, limit)
                 except SyntaxError as exc:
                     self._send(400, json.dumps({"error": f"parse: {exc}"}).encode())
                     return
@@ -91,7 +107,12 @@ class QueryService:
                     self._send(400, json.dumps({"error": str(exc)[:500]}).encode())
                     return
                 out = "\n".join(json.dumps(r, default=str) for r in rows).encode()
-                self._send(200, out, "application/x-ndjson")
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.send_header("Content-Length", str(len(out)))
+                self.send_header("X-Truncated", "true" if truncated else "false")
+                self.end_headers()
+                self.wfile.write(out)
 
         self._server = ThreadingHTTPServer((host, port), Handler)
         t = threading.Thread(target=self._server.serve_forever, daemon=True)

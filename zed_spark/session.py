@@ -109,11 +109,20 @@ class ZedSession:
 
         return ZFrame(self.spark.sql(query))
 
-    def query(self, text: str, sf_dir: str | None = None, tables: dict | None = None):
+    def query(
+        self,
+        text: str,
+        sf_dir: str | None = None,
+        tables: dict | None = None,
+        allow_paths: bool = True,
+    ):
         """Run a zed-language query (SURVEY §3.1 entry point).
 
         `from NAME` resolves against `tables` (name → DataFrame/
-        ZFrame), then `{sf_dir}/NAME.parquet`, then NAME as a path.
+        ZFrame), then `{sf_dir}/NAME.parquet`, then — only when
+        allow_paths — NAME as a filesystem path. Network-facing
+        callers (the query service) pass allow_paths=False so a query
+        can never read arbitrary host files.
         """
         from zed_spark.lang import compile_query
         from zed_spark.zframe import ZFrame
@@ -130,6 +139,8 @@ class ZedSession:
                     from zed_spark.sources.readers import read_table
 
                     return read_table(self.spark, sf_dir, name.removesuffix(".parquet"))
+            if not allow_paths:
+                raise ValueError(f"unknown source {name!r} (registered tables only)")
             from zed_spark.sources.readers import read_any
 
             return read_any(self.spark, name)

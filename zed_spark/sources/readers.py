@@ -107,15 +107,26 @@ def read_zeek_tsv(spark: SparkSession, path: str) -> DataFrame:
         for line in f:
             if not line.startswith("#"):
                 break
-            key, _, rest = line[1:].rstrip("\n").partition("\t")
-            if key == "separator":
-                sep = rest.encode().decode("unicode_escape") if rest.startswith("\\") else rest
-            elif key == "unset_field":
+            raw = line[1:].rstrip("\n")
+            if raw.startswith("separator"):
+                # the '#separator \x09' line itself is space-delimited
+                # (zeek ascii writer); accept tab too for tolerance.
+                # All later header lines use the DECLARED separator.
+                rest = raw[len("separator"):].lstrip(" \t")
+                if rest:
+                    sep = (
+                        rest.encode().decode("unicode_escape")
+                        if rest.startswith("\\")
+                        else rest
+                    )
+                continue
+            key, _, rest = raw.partition(sep)
+            if key == "unset_field":
                 unset = rest
             elif key == "fields":
-                fields = rest.split("\t")
+                fields = rest.split(sep)
             elif key == "types":
-                ztypes = rest.split("\t")
+                ztypes = rest.split(sep)
     if not fields:
         raise ValueError(f"{files[0]}: no '#fields' header — not a zeek log")
 
