@@ -85,8 +85,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_lsh_topk": (qt.ann_lsh_q, None),
     "text_analysis": (qt.text_analysis_q, qt.TEXT_ANALYSIS_SQL),
     "multimodal_meta": (qt.multimodal_meta_q, None),
-    # slots 49-50 are filled later this round: percentiles_approx
-    # (approx-sketch scale path) and zson_read (ZSON on-ramp)
+    # --- formats ----------------------------------------------------
+    "zson_read": (qc.zson_read, qc.ZSON_READ_SQL),
 }
 
 

@@ -1,0 +1,123 @@
+"""ZSON reader/writer: parser subset, Spark round-trip, and reads of
+the reference's own testdata files (docs/formats/zson.md is the
+spec; zio/zsonio is the reference implementation being mirrored)."""
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from zed_spark.sources.zson import (
+    ZMap,
+    parse_zson,
+    read_zson,
+    read_zson_fused,
+    write_zson,
+)
+
+
+def test_parse_primitives():
+    vals = parse_zson(
+        '{a:1,b:"hi",c:true,d:null,e:1.5,f:-Inf,g:NaN,h:0xdead,'
+        "t:2024-05-30T04:04:28.123Z,ip:192.168.1.1,v6:fe80::1,dur:1.5h}"
+    )
+    (v,) = vals
+    assert v["a"] == 1 and v["b"] == "hi" and v["c"] is True and v["d"] is None
+    assert v["e"] == 1.5 and v["f"] == -math.inf and math.isnan(v["g"])
+    assert v["h"] == bytes.fromhex("dead")
+    assert v["t"].year == 2024 and v["t"].microsecond == 123000
+    assert v["ip"] == "192.168.1.1" and v["v6"] == "fe80::1"
+    assert v["dur"] == int(1.5 * 3600 * 1e9)
+
+
+def test_parse_complex_and_decorators():
+    vals = parse_zson(
+        '{arr:[1,2],s:|["x","y"]|,m:|{"k":1}|,n:1 (int32),f:2 (float32),'
+        "nested:{x:{y:9}}} /* c */ {second:true} // tail"
+    )
+    first, second = vals
+    assert first["arr"] == [1, 2] and first["s"] == ["x", "y"]
+    assert isinstance(first["m"], ZMap) and first["m"]["k"] == 1
+    assert first["n"] == 1 and first["f"] == 2.0
+    assert first["nested"]["x"]["y"] == 9
+    assert second["second"] is True
+
+
+def test_roundtrip_through_spark(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            (1, "plain", 1.5, True, [1, 2], ("in", 9), None),
+            (2, 'quo"te\nnl', -0.25, False, [], ("x", -1), b"\xde\xad"),
+            (3, None, float("inf"), None, None, None, None),
+        ],
+        "id long, s string, f double, b boolean, arr array<long>, "
+        "st struct<a: string, n: long>, bin binary",
+    )
+    path = str(tmp_path / "rt")
+    write_zson(df, path, single_file=True)
+    groups = read_zson(spark, path)
+    assert len(groups) == 1
+    out = next(iter(groups.values()))
+    assert out.columns == ["id", "s", "f", "b", "arr", "st", "bin"]
+    got = {r["id"]: r for r in out.collect()}
+    assert got[1]["s"] == "plain" and got[1]["arr"] == [1, 2]
+    assert got[1]["st"]["a"] == "in" and got[1]["st"]["n"] == 9
+    assert got[2]["s"] == 'quo"te\nnl' and got[2]["f"] == -0.25
+    assert bytes(got[2]["bin"]) == b"\xde\xad"
+    assert got[3]["s"] is None and got[3]["f"] == float("inf")
+
+
+def test_roundtrip_timestamps(spark, tmp_path):
+    from tests.conftest import SF_DIR
+    from zed_spark.sources.readers import read_table
+
+    ev = read_table(spark, SF_DIR, "events").select("event_id", "ts").limit(50)
+    path = str(tmp_path / "ts")
+    write_zson(ev, path, single_file=True)
+    out = read_zson_fused(spark, path)
+    want = {r["event_id"]: r["ts"] for r in ev.collect()}
+    got = {r["event_id"]: r["ts"] for r in out.collect()}
+    assert got == want
+
+
+def test_mixed_shapes(spark, tmp_path):
+    p = tmp_path / "mixed.zson"
+    p.write_text('{a:1,b:"x"}\n{a:2,b:"y"}\n{c:true}\n')
+    groups = read_zson(spark, str(p))
+    assert set(groups) == {"a,b", "c"}
+    assert groups["a,b"].count() == 2 and groups["c"].count() == 1
+    fused = read_zson_fused(spark, str(p))
+    assert fused.count() == 3 and set(fused.columns) == {"a", "b", "c"}
+
+
+REF_ZSON = "/root/reference/lake/testdata/babble-norm.zson"
+REF_PRETTY = "/root/reference/zson/test.zson"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_ZSON), reason="reference data absent")
+def test_reads_reference_testdata(spark):
+    groups = read_zson(spark, REF_ZSON)
+    (df,) = groups.values()
+    assert df.count() == 1000
+    assert df.columns == ["ts", "s", "v"]
+    assert df.schema["v"].dataType.simpleString() == "bigint"
+    assert df.schema["ts"].dataType.simpleString() == "timestamp"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_PRETTY), reason="reference data absent")
+def test_reads_pretty_multiline(spark):
+    """Pretty-printed multi-line ZSON exercises the driver fallback."""
+    fused = read_zson_fused(spark, REF_PRETTY)
+    assert fused.count() >= 1
+
+
+def test_zq_over_zson_file(spark, tmp_path):
+    """ZSON as a language source: from <file.zson> | ... works."""
+    from zed_spark.session import ZedSession
+
+    p = tmp_path / "d.zson"
+    p.write_text('{k:"a",v:1}\n{k:"b",v:2}\n{k:"a",v:3}\n')
+    z = ZedSession(spark)
+    got = z.query(f"from {p} | sum(v) by k | sort k").df
+    assert [(r["k"], r["sum"]) for r in got.collect()] == [("a", 4), ("b", 2)]

@@ -611,6 +611,43 @@ FROM events
 """
 
 
+def zson_read(spark, sf):
+    """ZSON on-ramp proof (docs/formats/zson.md; zio/zsonio): write
+    nation + derived typed columns as ZSON text, read it back with the
+    distributed ZSON reader, and grade the round-trip against the
+    oracle computing the same columns straight from parquet — i.e.
+    the reader/writer must preserve int, string, float, bool and
+    array values exactly."""
+    import os
+    import tempfile
+
+    from zed_spark.sources.zson import read_zson_fused, write_zson
+
+    na = read_table(spark, sf, "nation")
+    src = na.select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        (F.col("n_regionkey") + 0.5).alias("fval"),
+        (F.col("n_nationkey") % 2 == 0).alias("even"),
+        F.array(F.col("n_nationkey"), F.col("n_regionkey")).alias("arr"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"zson_roundtrip_{os.path.basename(sf.rstrip('/'))}"
+    )
+    write_zson(src, path, single_file=True)
+    return read_zson_fused(spark, path)
+
+
+ZSON_READ_SQL = """
+SELECT n_nationkey, n_name, n_regionkey,
+  n_regionkey + 0.5 AS fval,
+  n_nationkey % 2 = 0 AS even,
+  [n_nationkey, n_regionkey] AS arr
+FROM nation
+"""
+
+
 # --- zed-language text queries (the reference's primary UX: a query
 # string through parse → compile → run, SURVEY §3.1) ------------------
 

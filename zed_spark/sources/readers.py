@@ -62,6 +62,10 @@ def read_any(spark: SparkSession, path: str, fmt: str = "auto", **options) -> Da
         return spark.read.text(path)
     if fmt == "zeek":
         return read_zeek_tsv(spark, path)
+    if fmt == "zson":
+        from zed_spark.sources.zson import read_zson_fused
+
+        return read_zson_fused(spark, path)
     raise ValueError(f"unknown format {fmt!r}")
 
 
@@ -69,6 +73,7 @@ def _sniff_format(path: str) -> str:
     for ext, fmt in [
         (".parquet", "parquet"), (".json", "json"), (".ndjson", "json"),
         (".csv", "csv"), (".tsv", "tsv"), (".log", "zeek"), (".txt", "line"),
+        (".zson", "zson"),
     ]:
         if path.endswith(ext):
             return fmt

@@ -1,0 +1,608 @@
+"""ZSON text format: reader + writer.
+
+The reference's human-readable serialization (docs/formats/zson.md;
+reader entry zio/zsonio/reader.go, grammar per the spec — this is an
+independent implementation from the published spec, not a port).
+This is the round-1 verdict's top migration blocker: every existing
+zed dataset can be dumped as ZSON (`zq -z`), so a ZSON on-ramp makes
+the engine reachable from any zed deployment.
+
+Supported subset (the zq `-z` output surface):
+  - records, arrays, sets `|[..]|`, maps `|{k:v,..}|`, nested freely
+  - primitives: int64, float64 (incl. `Inf`/`-Inf`/`NaN`), bool,
+    string (double-quote JSON escapes + backtick), null, time
+    (RFC 3339 → TimestampType, µs truncation documented), duration
+    (→ ns int64), bytes `0x..` → BinaryType, ip/net → string
+  - type decorators `(int32)` etc. (value cast; sized ints widen to
+    int64 in the DataFrame — Spark has no unsigned types), named-type
+    decorators `(=name)` (name recorded, value kept), unions (the
+    decorated member value is used)
+  - comments `//` and `/* .. */` as whitespace
+
+Reading is distributed: one task per input split parses its lines
+(zq's default output is one value per line). Values spanning lines
+(pretty mode) fall back to a driver-side whole-text parse — that mode
+is for small human-edited files by construction.
+
+Shape model: like the ndjson reader (sources/shapes.py), a mixed
+stream groups by shape = ordered top-level field names; `read_zson`
+returns {shape: DataFrame} and `read_zson_fused` the fuse of all
+shapes.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+from datetime import date, datetime, timedelta, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# --- parser ----------------------------------------------------------------
+
+_IDENT = re.compile(r"[^\W\d][\w$]*", re.UNICODE)
+_TIME = re.compile(
+    r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})$"
+)
+_DUR = re.compile(r"^[-+]?(\d+(\.\d+)?(ns|us|ms|s|m|h|d|w|y))+$")
+_INT = re.compile(r"^[-+]?\d+$")
+# ':' is NOT a terminator for ordinary bare values (times and IPv6
+# contain colons); map KEYS parse with key_mode, where it is
+_BARE_END = set(",}]|)( \t\r\n")
+_BARE_END_KEY = _BARE_END | {":"}
+
+_DUR_NS = {
+    "ns": 1,
+    "us": 1_000,
+    "ms": 1_000_000,
+    "s": 1_000_000_000,
+    "m": 60 * 1_000_000_000,
+    "h": 3_600 * 1_000_000_000,
+    "d": 86_400 * 1_000_000_000,
+    "w": 7 * 86_400 * 1_000_000_000,
+    "y": 365 * 86_400 * 1_000_000_000,
+}
+
+
+class ZMap(dict):
+    """Marker: a ZSON map value (vs a record, which is a plain dict)."""
+
+
+class ZsonError(ValueError):
+    pass
+
+
+class _Parser:
+    def __init__(self, s: str):
+        self.s = s
+        self.i = 0
+        self.n = len(s)
+
+    def _ws(self) -> None:
+        s, n = self.s, self.n
+        while self.i < n:
+            c = s[self.i]
+            if c in " \t\r\n,":
+                self.i += 1
+            elif s.startswith("//", self.i):
+                j = s.find("\n", self.i)
+                self.i = n if j < 0 else j + 1
+            elif s.startswith("/*", self.i):
+                j = s.find("*/", self.i + 2)
+                if j < 0:
+                    raise ZsonError("unterminated /* comment")
+                self.i = j + 2
+            else:
+                return
+
+    def at_end(self) -> bool:
+        self._ws()
+        return self.i >= self.n
+
+    def parse_value(self, key_mode: bool = False):
+        self._ws()
+        if self.i >= self.n:
+            raise ZsonError("unexpected end of input")
+        c = self.s[self.i]
+        if c == "{":
+            v = self._record()
+        elif c == "[":
+            v = self._array()
+        elif c == "|":
+            v = self._set_or_map()
+        elif c == '"':
+            v = self._string('"')
+        elif c == "`":
+            v = self._string("`")
+        elif c == "<":
+            v = self._type_value()
+        else:
+            v = self._bare(key_mode)
+        return self._decorators(v)
+
+    def _record(self) -> dict:
+        self.i += 1  # {
+        out: dict = {}
+        self._ws()
+        if self.i < self.n and self.s[self.i] == "}":
+            self.i += 1
+            return out
+        while True:
+            self._ws()
+            name = self._name()
+            self._ws()
+            if self.i >= self.n or self.s[self.i] != ":":
+                raise ZsonError(f"expected ':' after field name at {self.i}")
+            self.i += 1
+            out[name] = self.parse_value()
+            self._ws()
+            if self.i < self.n and self.s[self.i] == "}":
+                self.i += 1
+                return out
+            if self.i >= self.n:
+                raise ZsonError("unterminated record")
+
+    def _name(self) -> str:
+        if self.s[self.i] == '"':
+            return self._string('"')
+        m = _IDENT.match(self.s, self.i)
+        if not m:
+            raise ZsonError(f"bad field name at {self.i}")
+        self.i = m.end()
+        return m.group(0)
+
+    def _array(self, is_set: bool = False) -> list:
+        self.i += 1  # [ (caller consumed any leading |)
+        out = []
+        while True:
+            self._ws()
+            if self.i >= self.n:
+                raise ZsonError("unterminated array/set")
+            if self.s[self.i] == "]":
+                self.i += 1
+                if is_set:
+                    if self.s[self.i : self.i + 1] != "|":
+                        raise ZsonError("unterminated set (expected ']|')")
+                    self.i += 1
+                return out
+            out.append(self.parse_value())
+
+    def _set_or_map(self):
+        if self.s.startswith("|[", self.i):
+            self.i += 1
+            return self._array(is_set=True)
+        if self.s.startswith("|{", self.i):
+            self.i += 2
+            out = ZMap()
+            while True:
+                self._ws()
+                if self.s.startswith("}|", self.i):
+                    self.i += 2
+                    return out
+                if self.i >= self.n:
+                    raise ZsonError("unterminated map")
+                k = self.parse_value(key_mode=True)
+                self._ws()
+                if self.i >= self.n or self.s[self.i] != ":":
+                    raise ZsonError(f"expected ':' in map at {self.i}")
+                self.i += 1
+                out[k] = self.parse_value()
+        raise ZsonError(f"unexpected '|' at {self.i}")
+
+    def _string(self, quote: str) -> str:
+        if quote == "`":
+            j = self.s.find("`", self.i + 1)
+            if j < 0:
+                raise ZsonError("unterminated backtick string")
+            raw = self.s[self.i + 1 : j]
+            self.i = j + 1
+            # spec: first newline deleted; newline+indent collapses
+            raw = re.sub(r"\n[ \t]+", "\n", raw)
+            return raw.removeprefix("\n")
+        # double-quoted: JSON escapes — scan to the unescaped close
+        j = self.i + 1
+        s = self.s
+        while j < self.n:
+            if s[j] == "\\":
+                j += 2
+                continue
+            if s[j] == '"':
+                break
+            j += 1
+        if j >= self.n:
+            raise ZsonError("unterminated string")
+        raw = s[self.i : j + 1]
+        self.i = j + 1
+        return json.loads(raw)
+
+    def _type_value(self) -> str:
+        # <type> values kept as their canonical string
+        j = self.s.find(">", self.i)
+        if j < 0:
+            raise ZsonError("unterminated type value")
+        v = self.s[self.i + 1 : j]
+        self.i = j + 1
+        return v
+
+    def _bare(self, key_mode: bool = False):
+        end = _BARE_END_KEY if key_mode else _BARE_END
+        j = self.i
+        s = self.s
+        while j < self.n and s[j] not in end:
+            j += 1
+        tok = s[self.i : j]
+        if not tok:
+            raise ZsonError(f"empty value at {self.i}")
+        self.i = j
+        return _classify(tok)
+
+    def _decorators(self, v):
+        while True:
+            self._ws()
+            if self.i >= self.n or self.s[self.i] != "(":
+                return v
+            j = self._match_paren(self.i)
+            typ = self.s[self.i + 1 : j].strip()
+            self.i = j + 1
+            v = _apply_type(v, typ)
+
+    def _match_paren(self, start: int) -> int:
+        depth = 0
+        for j in range(start, self.n):
+            if self.s[j] == "(":
+                depth += 1
+            elif self.s[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    return j
+        raise ZsonError("unterminated type decorator")
+
+
+def _classify(tok: str):
+    if tok == "null":
+        return None
+    if tok == "true":
+        return True
+    if tok == "false":
+        return False
+    if tok in ("Inf", "+Inf"):
+        return math.inf
+    if tok == "-Inf":
+        return -math.inf
+    if tok == "NaN":
+        return math.nan
+    if tok.startswith("0x") and len(tok) > 2:
+        return bytes.fromhex(tok[2:])
+    if _INT.match(tok):
+        return int(tok)
+    if _TIME.match(tok):
+        return _parse_time(tok)
+    if _DUR.match(tok):
+        return _parse_duration(tok)
+    try:
+        return float(tok)
+    except ValueError:
+        # ip / net / enum symbols etc. ride as strings
+        return tok
+
+
+def _parse_time(tok: str) -> datetime:
+    # RFC 3339, ns precision in the format; Spark timestamps are µs —
+    # truncate (the same compromise as the parquet reader)
+    m = re.match(r"(.*?)(\.\d+)?(Z|[+-]\d{2}:\d{2})$", tok)
+    base, frac, tz = m.group(1), m.group(2) or "", m.group(3)
+    # digit-string math, not float: int(float('.778549')*1e6) can be
+    # off by one ulp; ns digits beyond µs truncate
+    micros = int((frac[1:] + "000000")[:6]) if frac else 0
+    dt = datetime.strptime(base, "%Y-%m-%dT%H:%M:%S")
+    if tz != "Z":
+        sign = 1 if tz[0] == "+" else -1
+        off = int(tz[1:3]) * 3600 + int(tz[4:6]) * 60
+        dt = dt - sign * timedelta(seconds=off)
+    return dt.replace(microsecond=micros, tzinfo=timezone.utc)
+
+
+def _parse_duration(tok: str) -> int:
+    sign = -1 if tok.startswith("-") else 1
+    body = tok.lstrip("+-")
+    total = 0
+    for num, _, unit in re.findall(r"(\d+(\.\d+)?)(ns|us|ms|s|m|h|d|w|y)", body):
+        total += int(float(num) * _DUR_NS[unit])
+    return sign * total
+
+
+_INT_TYPES = {f"{s}{w}" for s in ("int", "uint") for w in (8, 16, 32, 64, 128, 256)}
+_FLOAT_TYPES = {"float16", "float32", "float64", "float128", "float256"}
+
+
+def _apply_type(v, typ: str):
+    if typ.startswith("="):
+        return v  # named-type definition: keep the value
+    if typ in _INT_TYPES:
+        return int(v) if v is not None else None
+    if typ in _FLOAT_TYPES or typ.startswith("decimal"):
+        return float(v) if v is not None else None
+    if typ == "time" and isinstance(v, str):
+        return _parse_time(v)
+    if typ == "bool":
+        return bool(v) if v is not None else None
+    if typ == "string":
+        return str(v) if v is not None else None
+    # unions / complex / unknown decorators: keep the parsed value
+    return v
+
+
+def parse_zson(text: str) -> list:
+    """Parse a ZSON text into a list of Python values."""
+    p = _Parser(text)
+    out = []
+    while not p.at_end():
+        out.append(p.parse_value())
+    return out
+
+
+# --- schema inference ------------------------------------------------------
+
+
+def _infer_type(v) -> T.DataType:
+    if v is None:
+        return T.NullType()
+    if isinstance(v, bool):
+        return T.BooleanType()
+    if isinstance(v, int):
+        return T.LongType()
+    if isinstance(v, float):
+        return T.DoubleType()
+    if isinstance(v, datetime):
+        return T.TimestampType()
+    if isinstance(v, date):
+        return T.DateType()
+    if isinstance(v, (bytes, bytearray)):
+        return T.BinaryType()
+    if isinstance(v, ZMap):
+        kt = vt = T.NullType()
+        for k, val in v.items():
+            kt = _merge_type(kt, _infer_type(k))
+            vt = _merge_type(vt, _infer_type(val))
+        return T.MapType(kt, vt)
+    if isinstance(v, dict):
+        return T.StructType(
+            [T.StructField(k, _infer_type(val)) for k, val in v.items()]
+        )
+    if isinstance(v, list):
+        et = T.NullType()
+        for x in v:
+            et = _merge_type(et, _infer_type(x))
+        return T.ArrayType(et)
+    return T.StringType()
+
+
+def _finalize(t: T.DataType) -> T.DataType:
+    """NullType is the merge wildcard; anything still untyped after
+    all exemplars merged becomes string."""
+    if isinstance(t, T.NullType):
+        return T.StringType()
+    if isinstance(t, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _finalize(f.dataType)) for f in t.fields]
+        )
+    if isinstance(t, T.ArrayType):
+        return T.ArrayType(_finalize(t.elementType))
+    if isinstance(t, T.MapType):
+        return T.MapType(_finalize(t.keyType), _finalize(t.valueType))
+    return t
+
+
+def _merge_type(a: T.DataType, b: T.DataType) -> T.DataType:
+    if isinstance(a, T.NullType):
+        return b
+    if isinstance(b, T.NullType) or a == b:
+        return a
+    num = (T.LongType, T.DoubleType)
+    if isinstance(a, num) and isinstance(b, num):
+        return T.DoubleType()
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        fields: dict[str, T.DataType] = {f.name: f.dataType for f in a.fields}
+        for f in b.fields:
+            fields[f.name] = (
+                _merge_type(fields[f.name], f.dataType)
+                if f.name in fields
+                else f.dataType
+            )
+        return T.StructType([T.StructField(n, t) for n, t in fields.items()])
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        return T.ArrayType(_merge_type(a.elementType, b.elementType))
+    # irreconcilable → string (documented union-type compromise)
+    return T.StringType()
+
+
+def _conform(v, t: T.DataType):
+    """Coerce a parsed value to the merged schema type."""
+    if v is None:
+        return None
+    if isinstance(t, T.StringType) and not isinstance(v, str):
+        return _dump_value(v, _infer_type(v))
+    if isinstance(t, T.DoubleType) and isinstance(v, int) and not isinstance(v, bool):
+        return float(v)
+    if isinstance(t, T.StructType) and isinstance(v, dict):
+        return tuple(_conform(v.get(f.name), f.dataType) for f in t.fields)
+    if isinstance(t, T.ArrayType) and isinstance(v, list):
+        return [_conform(x, t.elementType) for x in v]
+    if isinstance(t, T.MapType) and isinstance(v, dict):
+        return {
+            _conform(k, t.keyType): _conform(val, t.valueType) for k, val in v.items()
+        }
+    return v
+
+
+# --- distributed reader ----------------------------------------------------
+
+
+def _shape_of(v) -> str:
+    if isinstance(v, dict) and not isinstance(v, ZMap):
+        return ",".join(v.keys())
+    return "<value>"
+
+
+def read_zson(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    """Read ZSON → {shape: DataFrame}.
+
+    Line mode (zq -z output: one value per line) parses distributed —
+    each input split is parsed by its own task. If any line is not a
+    complete value (pretty-printed multi-line ZSON), falls back to a
+    driver-side parse of the whole (small, human-edited) file.
+    """
+    lines = spark.read.text(path).filter("trim(value) != ''")
+
+    def parse_lines(it):
+        for row in it:
+            txt = row["value"].strip()
+            if txt.startswith("//"):
+                continue
+            vals = parse_zson(txt)
+            for v in vals:
+                yield v
+
+    try:
+        parsed = lines.rdd.mapPartitions(parse_lines)
+        shaped = parsed.map(lambda v: (_shape_of(v), v))
+        shaped.cache()
+        shapes = shaped.keys().distinct().collect()
+    except Exception:
+        # multi-line values: whole-text fallback on the driver
+        import glob
+        import os
+
+        if os.path.isdir(path):
+            files = sorted(glob.glob(os.path.join(path, "*")))
+        elif any(c in path for c in "*?["):
+            files = sorted(glob.glob(path))
+        else:
+            files = [path]
+        text = ""
+        for f in files:
+            with open(f, "r") as fh:
+                text += fh.read() + "\n"
+        values = parse_zson(text)
+        sc = spark.sparkContext
+        shaped = sc.parallelize([(_shape_of(v), v) for v in values]).cache()
+        shapes = shaped.keys().distinct().collect()
+
+    out: dict[str, DataFrame] = {}
+    for shape in sorted(shapes):
+        vals = shaped.filter(lambda kv, s=shape: kv[0] == s).values()
+        t = T.NullType()
+        for v in vals.take(1000):
+            t = _merge_type(t, _infer_type(v))
+        t = _finalize(t)
+        if shape == "<value>":
+            schema = T.StructType([T.StructField("this", t)])
+            rows = vals.map(lambda v, tt=t: (_conform(v, tt),))
+        else:
+            schema = t if isinstance(t, T.StructType) else T.StructType()
+            rows = vals.map(lambda v, tt=schema: _conform(v, tt))
+        out[shape] = spark.createDataFrame(rows, schema)
+    return out
+
+
+def read_zson_fused(spark: SparkSession, path: str) -> DataFrame:
+    """All shapes fused to the superset schema (zed `fuse`)."""
+    from zed_spark.sources.shapes import fuse_shape_groups
+
+    return fuse_shape_groups(read_zson(spark, path))
+
+
+# --- writer ----------------------------------------------------------------
+
+_IMPLIED = (T.LongType, T.DoubleType, T.BooleanType, T.StringType, T.TimestampType)
+
+
+def _quote_name(name: str) -> str:
+    if _IDENT.fullmatch(name) and name not in ("true", "false", "null"):
+        return name
+    return json.dumps(name)
+
+
+def _dump_value(v, t: T.DataType) -> str:
+    if v is None:
+        return "null"
+    if isinstance(t, T.BooleanType):
+        return "true" if v else "false"
+    if isinstance(t, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return str(int(v))
+    if isinstance(t, (T.DoubleType, T.FloatType)):
+        f = float(v)
+        if math.isnan(f):
+            return "NaN"
+        if math.isinf(f):
+            return "Inf" if f > 0 else "-Inf"
+        r = repr(f)
+        return r if any(c in r for c in ".e") else r + "."
+    if isinstance(t, T.DecimalType):
+        return f"{v} (decimal128)"
+    if isinstance(t, T.StringType):
+        return json.dumps(str(v))
+    if isinstance(t, T.TimestampType):
+        us = v.microsecond
+        frac = f".{us:06d}".rstrip("0") if us else ""
+        return v.strftime("%Y-%m-%dT%H:%M:%S") + frac + "Z"
+    if isinstance(t, T.DateType):
+        return v.strftime("%Y-%m-%dT00:00:00Z")
+    if isinstance(t, T.BinaryType):
+        return "0x" + bytes(v).hex()
+    if isinstance(t, T.StructType):
+        inner = ",".join(
+            f"{_quote_name(f.name)}:{_dump_value(v[f.name] if isinstance(v, dict) else v[i], f.dataType)}"
+            for i, f in enumerate(t.fields)
+        )
+        return "{" + inner + "}"
+    if isinstance(t, T.ArrayType):
+        return "[" + ",".join(_dump_value(x, t.elementType) for x in v) + "]"
+    if isinstance(t, T.MapType):
+        inner = ",".join(
+            f"{_dump_value(k, t.keyType)}:{_dump_value(val, t.valueType)}"
+            for k, val in v.items()
+        )
+        return "|{" + inner + "}|"
+    return json.dumps(str(v))
+
+
+# decorators for non-implied primitive column types
+_DECORATE = {
+    T.IntegerType(): "int32",
+    T.ShortType(): "int16",
+    T.ByteType(): "int8",
+    T.FloatType(): "float32",
+}
+
+
+def df_to_zson_lines(df: DataFrame):
+    """RDD[str]: one ZSON record per row (distributed; schema-driven)."""
+    schema = df.schema
+
+    def render(row) -> str:
+        parts = []
+        for i, f in enumerate(schema.fields):
+            val = _dump_value(row[i], f.dataType)
+            deco = _DECORATE.get(f.dataType)
+            if deco and row[i] is not None:
+                val = f"{val} ({deco})"
+            parts.append(f"{_quote_name(f.name)}:{val}")
+        return "{" + ",".join(parts) + "}"
+
+    return df.rdd.map(render)
+
+
+def write_zson(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """Write a DataFrame as ZSON text (one record per line).
+
+    single_file=True coalesces to one task — only for small exports;
+    the default writes one file per partition like any Spark sink.
+    """
+    lines = df_to_zson_lines(df).map(lambda s: (s,))
+    out = df.sparkSession.createDataFrame(lines, "value string")
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode("overwrite").text(path)
