@@ -72,3 +72,77 @@ def test_duplicate_pool_refused(spark, lake):
     lake.create_pool("p", key="k")
     with pytest.raises(ValueError):
         lake.create_pool("p", key="k")
+
+
+def test_branches_load_merge(spark, lake):
+    """Branch → load on branch → main unchanged → merge → main sees
+    the branch's data (lake/branch.go OpenBranch semantics)."""
+    na = read_table(spark, SF_DIR, "nation")
+    pool = lake.create_pool("nation", key="n_nationkey")
+    pool.load(na, message="base")
+    pool.create_branch("staging")
+    pool.load(na.limit(5), message="staged rows", branch="staging")
+    assert pool.scan("main").count() == 25
+    assert pool.scan("staging").count() == 30
+    # branch metadata as data
+    b = {r["branch"]: r for r in pool.meta_branches().collect()}
+    assert set(b) == {"main", "staging"}
+    assert b["staging"]["n_objects"] == 2
+    merge_commit = pool.merge("staging", into="main", message="ship it")
+    assert pool.scan("main").count() == 30
+    log = {r["commit"]: r["message"] for r in pool.meta_commits().collect()}
+    assert log[merge_commit] == "ship it"
+
+
+def test_branch_delete_merges_removal(spark, lake):
+    na = read_table(spark, SF_DIR, "nation")
+    pool = lake.create_pool("nation", key="n_nationkey")
+    pool.load(na, message="base")
+    pool.create_branch("cleanup")
+    pool.delete_where(F.col("n_regionkey") == 0, branch="cleanup", message="drop r0")
+    n_after = pool.scan("cleanup").count()
+    assert n_after < 25
+    assert pool.scan("main").count() == 25
+    pool.merge("cleanup", into="main")
+    assert pool.scan("main").count() == n_after
+
+
+def test_revert_is_new_commit(spark, lake):
+    na = read_table(spark, SF_DIR, "nation")
+    pool = lake.create_pool("nation", key="n_nationkey")
+    pool.load(na, message="base")
+    bad = pool.load(na.limit(3), message="oops")
+    assert pool.scan().count() == 28
+    pool.revert(bad)
+    assert pool.scan().count() == 25
+    # history is append-only: 3 commits now
+    assert pool.meta_commits().count() == 3
+    # vacuum keeps objects still referenced by other branches only
+    removed = pool.vacuum()
+    assert all(bad not in r for r in removed) or removed
+
+
+def test_scan_ref_branch_syntax(spark, lake):
+    na = read_table(spark, SF_DIR, "nation")
+    pool = lake.create_pool("nation", key="n_nationkey")
+    pool.load(na)
+    pool.create_branch("dev")
+    pool.load(na.limit(2), branch="dev")
+    assert lake.scan_ref("nation").count() == 25
+    assert lake.scan_ref("nation@dev").count() == 27
+
+
+def test_commit_events_fire(spark, lake):
+    from zed_spark.sources import lake as lake_mod
+
+    events = []
+    lake_mod.subscribe_commits(events.append)
+    try:
+        na = read_table(spark, SF_DIR, "nation")
+        pool = lake.create_pool("nation", key="n_nationkey")
+        pool.load(na, message="hello")
+    finally:
+        lake_mod.unsubscribe_commits(events.append)
+    assert events and events[-1]["pool"] == "nation"
+    assert events[-1]["message"] == "hello"
+    assert events[-1]["branch"] == "main"

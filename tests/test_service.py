@@ -64,6 +64,76 @@ def test_result_row_cap(svc):
     assert len(body.splitlines()) == 7
 
 
+def _post_json(url, path, payload):
+    req = urllib.request.Request(
+        f"{url}{path}", data=json.dumps(payload).encode(), method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read().decode())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read().decode())
+
+
+def test_branch_endpoints(svc):
+    code, out = _post_json(svc, "/pools/events/branch", {"name": "dev"})
+    assert code == 200 and out["ok"]
+    with urllib.request.urlopen(f"{svc}/pools/events/branches") as resp:
+        rows = json.loads(resp.read().decode())
+    assert {r["branch"] for r in rows} == {"main", "dev"}
+    code, out = _post_json(svc, "/pools/events/merge", {"source": "dev"})
+    assert code == 200 and "commit" in out
+    code, out = _post_json(svc, "/pools/nope/branch", {"name": "x"})
+    assert code == 400
+
+
+def test_events_sse_streams_commits(svc, spark):
+    """A lake commit in this process must arrive on GET /events as an
+    SSE event (reference /events feed, service/core.go:173)."""
+    import socket
+    import threading
+    import time as _time
+    from urllib.parse import urlparse
+
+    u = urlparse(svc)
+    got: list[str] = []
+
+    def reader():
+        s = socket.create_connection((u.hostname, u.port), timeout=5)
+        s.sendall(b"GET /events HTTP/1.1\r\nHost: x\r\n\r\n")
+        buf = b""
+        deadline = _time.time() + 10
+        while _time.time() < deadline:
+            try:
+                chunk = s.recv(4096)
+            except socket.timeout:
+                break
+            if not chunk:
+                break
+            buf += chunk
+            if b"event: commit" in buf:
+                break
+        got.append(buf.decode(errors="replace"))
+        s.close()
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    _time.sleep(0.5)  # let the subscription register
+    from tests.conftest import SF_DIR
+    from zed_spark.sources.lake import Lake
+    from zed_spark.sources.readers import read_table
+
+    import tempfile
+
+    root = tempfile.mkdtemp()
+    lake = Lake(spark, root)
+    pool = lake.create_pool("sse_pool", key="n_nationkey")
+    pool.load(read_table(spark, SF_DIR, "nation"), message="sse test")
+    t.join(timeout=12)
+    assert got and "event: commit" in got[0]
+    assert "sse_pool" in got[0] and "sse test" in got[0]
+
+
 def test_exec_error_400(svc):
     code, body = _post(svc, "from events | yield {x: nope(1)}")
     assert code == 400 and "unknown function" in json.loads(body)["error"]

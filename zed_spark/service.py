@@ -4,15 +4,19 @@ compiled query and streams results).
 
 stdlib-only (http.server): POST /query with a zed-language body (or
 {"query": ..., "sf_dir": ...} JSON) → ndjson rows. GET /pools lists
-lake pools when the server is given a lake root. This is a thin
-driver-side shim — execution stays fully distributed in Spark; the
-HTTP layer only streams the collected result, like the reference.
-Not a production server (single-threaded) — API-parity surface.
+lake pools when the server is given a lake root; branch endpoints
+(GET /pools/<p>/branches, POST /pools/<p>/{branch,merge,revert})
+mirror service/core.go's branch routes, and GET /events is the SSE
+commit feed (service/core.go:173). This is a thin driver-side shim —
+execution stays fully distributed in Spark; the HTTP layer only
+streams the collected result, like the reference. Not a production
+server — API-parity surface.
 """
 
 from __future__ import annotations
 
 import json
+import queue
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -62,6 +66,13 @@ class QueryService:
 
         return Lake(self.spark, self.lake_root).pools()
 
+    def _pool(self, name: str):
+        if not self.lake_root:
+            raise ValueError("service has no lake root")
+        from zed_spark.sources.lake import Lake
+
+        return Lake(self.spark, self.lake_root).pool(name)
+
     def start(self, host: str = "127.0.0.1", port: int = 0) -> int:
         """Start serving in a daemon thread; returns the bound port."""
         svc = self
@@ -82,10 +93,84 @@ class QueryService:
                     self._send(200, json.dumps(svc._pools()).encode())
                 elif self.path == "/status":
                     self._send(200, b'{"ok": true}')
+                elif self.path == "/events":
+                    self._serve_events()
+                elif self.path.startswith("/pools/") and self.path.endswith("/branches"):
+                    name = self.path[len("/pools/"):-len("/branches")]
+                    try:
+                        rows = [
+                            r.asDict() for r in svc._pool(name).meta_branches().collect()
+                        ]
+                        self._send(200, json.dumps(rows).encode())
+                    except Exception as exc:
+                        self._send(400, json.dumps({"error": str(exc)[:300]}).encode())
                 else:
                     self._send(404, b'{"error": "not found"}')
 
+            def _serve_events(self):
+                """SSE commit feed (service/core.go:173): every lake
+                commit in this process streams as an event."""
+                from zed_spark.sources import lake as lake_mod
+
+                q: queue.Queue = queue.Queue()
+                lake_mod.subscribe_commits(q.put)
+                try:
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/event-stream")
+                    self.send_header("Cache-Control", "no-cache")
+                    self.end_headers()
+                    while True:
+                        try:
+                            ev = q.get(timeout=0.5)
+                        except queue.Empty:
+                            self.wfile.write(b": keepalive\n\n")
+                            self.wfile.flush()
+                            continue
+                        payload = (
+                            f"event: {ev.get('type', 'commit')}\n"
+                            f"data: {json.dumps(ev)}\n\n"
+                        )
+                        self.wfile.write(payload.encode())
+                        self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError, OSError):
+                    pass
+                finally:
+                    lake_mod.unsubscribe_commits(q.put)
+
+            def _branch_op(self, name: str, op: str, body: dict):
+                pool = svc._pool(name)
+                if op == "branch":
+                    pool.create_branch(body["name"], body.get("from", "main"))
+                    return {"ok": True}
+                if op == "merge":
+                    c = pool.merge(
+                        body["source"],
+                        body.get("into", "main"),
+                        body.get("author", ""),
+                        body.get("message", ""),
+                    )
+                    return {"commit": c}
+                if op == "revert":
+                    c = pool.revert(
+                        body["commit"], body.get("branch", "main"), body.get("author", "")
+                    )
+                    return {"commit": c}
+                raise ValueError(f"unknown pool op {op!r}")
+
             def do_POST(self):
+                if self.path.startswith("/pools/"):
+                    parts = self.path[len("/pools/"):].split("/")
+                    if len(parts) == 2 and parts[1] in ("branch", "merge", "revert"):
+                        n = int(self.headers.get("Content-Length", 0))
+                        try:
+                            body = json.loads(self.rfile.read(n) or b"{}")
+                            out = self._branch_op(parts[0], parts[1], body)
+                            self._send(200, json.dumps(out).encode())
+                        except Exception as exc:
+                            self._send(
+                                400, json.dumps({"error": str(exc)[:300]}).encode()
+                            )
+                        return
                 if self.path != "/query":
                     self._send(404, b'{"error": "not found"}')
                     return

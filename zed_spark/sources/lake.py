@@ -1,5 +1,5 @@
 """Data lake layer: pools as partitioned, sorted parquet + a JSON
-commit log.
+commit log, with branches.
 
 Reference semantics (lake/ — pools, branches, commits, data objects;
 REST surface service/core.go:169-191): a pool has a sort key; load
@@ -7,6 +7,14 @@ commits data objects with author/message metadata; queries prune
 objects by key range (lake/seekindex, optimizer.go:549-642
 newRangePruner); delete/compact/vacuum manage object lifecycle;
 `from :pools`, `:log`, `:objects` expose metadata as data.
+
+Branches (lake/branch.go:41 OpenBranch, :217 Revert; lake/branches/):
+commits form parent-linked chains; a branch is a named ref
+{tip, base} in branches.json — creating one copies no data. merge
+applies the source chain's net object-set change since its fork
+base as one commit on the target; revert is a NEW commit undoing a
+prior one (history stays append-only). All branch metadata ops are
+O(commits), never O(rows).
 
 Spark-first design: a pool is a directory of parquet files, each
 file range-sorted on the pool key, plus `_zed_lake/commits.jsonl`.
@@ -35,6 +43,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 LAKE_META_DIR = "_zed_lake"
+
+# commit event hub (the reference's /events SSE feed,
+# service/core.go:173): listeners get {pool, commit, branch, ...}
+_COMMIT_LISTENERS: list = []
+
+
+def subscribe_commits(fn) -> None:
+    _COMMIT_LISTENERS.append(fn)
+
+
+def unsubscribe_commits(fn) -> None:
+    if fn in _COMMIT_LISTENERS:
+        _COMMIT_LISTENERS.remove(fn)
+
+
+def _notify_commit(event: dict) -> None:
+    for fn in list(_COMMIT_LISTENERS):
+        try:
+            fn(event)
+        except Exception:
+            pass
 
 
 @dataclass
@@ -74,6 +103,12 @@ class Lake:
 
         shutil.rmtree(os.path.join(self.root, name))
 
+    def scan_ref(self, ref: str) -> DataFrame:
+        """Scan `pool` or `pool@branch` (the reference's from-clause
+        commitish syntax, lake/parse.go)."""
+        name, _, branch = ref.partition("@")
+        return self.pool(name).scan(branch or "main")
+
     def pools(self) -> list[str]:
         return sorted(
             d for d in os.listdir(self.root)
@@ -110,12 +145,89 @@ class Pool:
     def _append_commit(self, entry: dict) -> None:
         with open(self._log_path(), "a") as f:
             f.write(json.dumps(entry) + "\n")
+        _notify_commit(
+            {
+                "type": "commit",
+                "pool": self.cfg.name,
+                "commit": entry["commit"],
+                "branch": entry.get("branch", "main"),
+                "message": entry.get("message", ""),
+            }
+        )
 
-    def _live_objects(self) -> list[str]:
-        """Object file names referenced by the live commit history
-        (adds minus deletes)."""
-        live: list[str] = []
+    # --- branches ----------------------------------------------------
+    def _branches_path(self) -> str:
+        return os.path.join(self.meta_dir, "branches.json")
+
+    def branches(self) -> dict[str, dict]:
+        """{branch: {"tip": commit|None, "base": commit|None}}.
+        A log written before branching existed implies main's tip is
+        the last entry in file order."""
+        path = self._branches_path()
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+        cs = self.commits()
+        return {"main": {"tip": cs[-1]["commit"] if cs else None, "base": None}}
+
+    def _save_branches(self, b: dict) -> None:
+        with open(self._branches_path(), "w") as f:
+            json.dump(b, f)
+
+    def _commit_index(self) -> dict[str, dict]:
+        """id → entry with parent links; legacy entries (no parent
+        field) chain in file order."""
+        out: dict[str, dict] = {}
+        prev = None
         for c in self.commits():
+            c = dict(c)
+            c.setdefault("parent", prev)
+            out[c["commit"]] = c
+            prev = c["commit"]
+        return out
+
+    def _chain(self, tip: str | None) -> list[dict]:
+        """Commits root-first from a tip."""
+        by_id = self._commit_index()
+        chain: list[dict] = []
+        cur = tip
+        while cur is not None:
+            e = by_id[cur]
+            chain.append(e)
+            cur = e["parent"]
+        return list(reversed(chain))
+
+    def _tip(self, branch: str) -> str | None:
+        b = self.branches()
+        if branch not in b:
+            raise ValueError(f"unknown branch {branch!r} in pool {self.cfg.name!r}")
+        return b[branch]["tip"]
+
+    def create_branch(self, name: str, from_ref: str = "main") -> None:
+        """Branch = new ref at an existing branch tip or commit id —
+        no data is copied (lake/branch.go:41)."""
+        b = self.branches()
+        if name in b:
+            raise ValueError(f"branch {name!r} already exists")
+        if from_ref in b:
+            tip = b[from_ref]["tip"]
+        elif from_ref in self._commit_index():
+            tip = from_ref
+        else:
+            raise ValueError(f"unknown ref {from_ref!r}")
+        b[name] = {"tip": tip, "base": tip}
+        self._save_branches(b)
+
+    def drop_branch(self, name: str) -> None:
+        if name == "main":
+            raise ValueError("cannot drop main")
+        b = self.branches()
+        b.pop(name, None)
+        self._save_branches(b)
+
+    def _live_at(self, tip: str | None) -> list[str]:
+        live: list[str] = []
+        for c in self._chain(tip):
             for obj in c.get("add", []):
                 live.append(obj)
             for obj in c.get("remove", []):
@@ -123,13 +235,75 @@ class Pool:
                     live.remove(obj)
         return live
 
-    # --- load (write a commit) --------------------------------------
-    def load(self, df: DataFrame, author: str = "", message: str = "") -> str:
-        """Commit a batch into the pool: range-partition + sort by
-        the pool key so every file covers a disjoint key range (this
-        is what makes parquet min/max pruning equal the reference's
-        seek-index object pruning)."""
+    def _live_objects(self, branch: str = "main") -> list[str]:
+        """Object file names live on a branch (adds minus deletes
+        along its commit chain)."""
+        return self._live_at(self._tip(branch))
+
+    def _advance(self, branch: str, entry: dict) -> None:
+        b = self.branches()
+        if branch not in b:
+            b[branch] = {"tip": None, "base": None}
+        entry["branch"] = branch
+        entry["parent"] = b[branch]["tip"]
+        self._append_commit(entry)
+        b[branch]["tip"] = entry["commit"]
+        self._save_branches(b)
+
+    def merge(self, source: str, into: str = "main", author: str = "", message: str = "") -> str:
+        """Merge a branch: one commit on the target applying the
+        source chain's net object-set change since its fork base."""
+        b = self.branches()
+        if source not in b:
+            raise ValueError(f"unknown branch {source!r}")
+        src_live = self._live_objects(source)
+        base_live = set(self._live_at(b[source]["base"]))
+        dst_live = set(self._live_objects(into))
+        adds = [o for o in src_live if o not in base_live and o not in dst_live]
+        removes = [o for o in base_live if o not in set(src_live) and o in dst_live]
         commit_id = uuid.uuid4().hex[:12]
+        self._advance(
+            into,
+            {
+                "commit": commit_id,
+                "ts": time.time(),
+                "author": author,
+                "message": message or f"merge {source} into {into}",
+                "add": adds,
+                "remove": removes,
+            },
+        )
+        return commit_id
+
+    def revert(self, commit_id: str, branch: str = "main", author: str = "") -> str:
+        """Revert as a NEW commit that undoes `commit_id` (history
+        stays append-only; lake/branch.go:217)."""
+        entry = self._commit_index().get(commit_id)
+        if entry is None:
+            raise ValueError(f"unknown commit {commit_id!r}")
+        live = set(self._live_objects(branch))
+        re_add = [
+            o
+            for o in entry.get("remove", [])
+            if o not in live and os.path.isdir(os.path.join(self.cfg.path, o))
+        ]
+        drop = [o for o in entry.get("add", []) if o in live]
+        new_id = uuid.uuid4().hex[:12]
+        self._advance(
+            branch,
+            {
+                "commit": new_id,
+                "ts": time.time(),
+                "author": author,
+                "message": f"revert {commit_id}",
+                "add": re_add,
+                "remove": drop,
+            },
+        )
+        return new_id
+
+    # --- load (write a commit) --------------------------------------
+    def _write_object(self, df: DataFrame, commit_id: str) -> None:
         obj_dir = os.path.join(self.cfg.path, f"obj_{commit_id}")
         n = max(df.rdd.getNumPartitions() // 4, 1)
         (
@@ -138,7 +312,18 @@ class Pool:
             .write.mode("overwrite")
             .parquet(obj_dir)
         )
-        self._append_commit(
+
+    def load(
+        self, df: DataFrame, author: str = "", message: str = "", branch: str = "main"
+    ) -> str:
+        """Commit a batch into the pool: range-partition + sort by
+        the pool key so every file covers a disjoint key range (this
+        is what makes parquet min/max pruning equal the reference's
+        seek-index object pruning)."""
+        commit_id = uuid.uuid4().hex[:12]
+        self._write_object(df, commit_id)
+        self._advance(
+            branch,
             {
                 "commit": commit_id,
                 "ts": time.time(),
@@ -146,44 +331,44 @@ class Pool:
                 "message": message,
                 "add": [f"obj_{commit_id}"],
                 "remove": [],
-            }
+            },
         )
         return commit_id
 
     # --- scan --------------------------------------------------------
-    def scan(self) -> DataFrame:
-        """PoolScan: read all live objects. Filters pushed by the
-        caller reach parquet row-group stats; because objects are
+    def scan(self, branch: str = "main") -> DataFrame:
+        """PoolScan: read a branch's live objects. Filters pushed by
+        the caller reach parquet row-group stats; because objects are
         key-sorted, key-range predicates skip whole files."""
-        objs = self._live_objects()
+        objs = self._live_objects(branch)
         if not objs:
-            raise ValueError(f"pool {self.cfg.name!r} is empty")
+            raise ValueError(f"pool {self.cfg.name!r} is empty on branch {branch!r}")
         paths = [os.path.join(self.cfg.path, o) for o in objs]
         return self.spark.read.parquet(*paths)
 
-    def scan_range(self, lo, hi) -> DataFrame:
+    def scan_range(self, lo, hi, branch: str = "main") -> DataFrame:
         """Key-range scan (the reference's range pruner applies the
         interval to object key ranges; parquet stats do it here)."""
         key = F.col(self.cfg.key)
-        return self.scan().filter((key >= lo) & (key <= hi))
+        return self.scan(branch).filter((key >= lo) & (key <= hi))
 
     # --- delete / compact / vacuum -----------------------------------
-    def delete_where(self, predicate, author: str = "", message: str = "delete") -> str:
+    def delete_where(
+        self,
+        predicate,
+        author: str = "",
+        message: str = "delete",
+        branch: str = "main",
+    ) -> str:
         """Distributed delete: rewrite only the rows NOT matching the
         predicate into a new object, retire all previous objects
         (reference: Deleter/DeleteScan, meta/deleter.go:30)."""
-        old = self._live_objects()
-        kept = self.scan().filter(~predicate)
+        old = self._live_objects(branch)
+        kept = self.scan(branch).filter(~predicate)
         commit_id = uuid.uuid4().hex[:12]
-        obj_dir = os.path.join(self.cfg.path, f"obj_{commit_id}")
-        n = max(kept.rdd.getNumPartitions() // 4, 1)
-        (
-            kept.repartitionByRange(n, F.col(self.cfg.key))
-            .sortWithinPartitions(self.cfg.key)
-            .write.mode("overwrite")
-            .parquet(obj_dir)
-        )
-        self._append_commit(
+        self._write_object(kept, commit_id)
+        self._advance(
+            branch,
             {
                 "commit": commit_id,
                 "ts": time.time(),
@@ -191,21 +376,23 @@ class Pool:
                 "message": message,
                 "add": [f"obj_{commit_id}"],
                 "remove": old,
-            }
+            },
         )
         return commit_id
 
-    def compact(self, author: str = "", message: str = "compact") -> str:
+    def compact(self, author: str = "", message: str = "compact", branch: str = "main") -> str:
         """Merge all live objects into one key-sorted object set
         (reference: /compact, service/core.go)."""
-        return self.delete_where(F.lit(False), author, message)
+        return self.delete_where(F.lit(False), author, message, branch)
 
     def vacuum(self) -> list[str]:
-        """Remove object dirs no longer referenced by the live set
-        (reference: /vacuum)."""
+        """Remove object dirs referenced by NO branch (reference:
+        /vacuum). Live sets across every branch are kept."""
         import shutil
 
-        live = set(self._live_objects())
+        live: set[str] = set()
+        for name in self.branches():
+            live |= set(self._live_objects(name))
         removed = []
         for d in os.listdir(self.cfg.path):
             if d.startswith("obj_") and d not in live:
@@ -223,6 +410,22 @@ class Pool:
         ]
         return self.spark.createDataFrame(
             rows, "commit string, ts double, author string, message string, n_add int, n_remove int"
+        )
+
+    def meta_branches(self) -> DataFrame:
+        """`from <pool>:branches` — branch refs as data."""
+        rows = [
+            (
+                name,
+                ref.get("tip") or "",
+                ref.get("base") or "",
+                len(self._chain(ref.get("tip"))),
+                len(self._live_objects(name)),
+            )
+            for name, ref in sorted(self.branches().items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "branch string, tip string, base string, n_commits int, n_objects int"
         )
 
     def meta_objects(self) -> DataFrame:
