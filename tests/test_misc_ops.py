@@ -90,6 +90,40 @@ def test_multimodal_resize_and_audio_stubs(spark):
         audio_features(df)
 
 
+def test_image_header_parse_real_formats(spark):
+    """Header decode is REAL: dims come out of actual PNG/JPEG/GIF
+    container bytes (public specs), no image library involved."""
+    from zed_spark.textops.multimodal import image_meta, parse_image_header, png_bytes
+
+    # real PNG from the synthesizer
+    assert parse_image_header(png_bytes(33, 21)) == ("png", 33, 21, 3)
+    assert parse_image_header(png_bytes(5, 9, color_type=6)) == ("png", 5, 9, 4)
+    # handcrafted minimal JPEG: SOI + APP0 + SOF0(h=7,w=11,3ch) + EOI
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 7, 11, 3) + b"\x00" * 9
+    jpeg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    assert parse_image_header(jpeg) == ("jpeg", 11, 7, 3)
+    # GIF fixed header
+    assert parse_image_header(b"GIF89a" + struct.pack("<HH", 40, 30) + b"\x00" * 4) == (
+        "gif", 40, 30, 3)
+    # junk and truncation degrade, never raise
+    assert parse_image_header(b"notanimage")[0] == "unknown"
+    assert parse_image_header(png_bytes(9, 9)[:20])[0] == "unknown"
+    assert parse_image_header(None)[0] == "unknown"
+
+    # distributed: mapInPandas round-trip over a binary column
+    df = spark.createDataFrame(
+        [(1, bytearray(png_bytes(20, 10))), (2, bytearray(jpeg)), (3, b"junk" * 4)],
+        "doc_id long, media binary",
+    )
+    got = {r["doc_id"]: r for r in image_meta(df).collect()}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("png", 20, 10)
+    assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("jpeg", 11, 7)
+    assert got[3]["format"] == "unknown" and got[3]["width"] is None
+
+
 def test_fields_of_and_under(spark):
     df = spark.createDataFrame([((1, "x"),)], "r struct<a:int, b:string>")
     row = df.select(fields_of(df, "r").alias("f"), under(F.col("r")).alias("u")).first()

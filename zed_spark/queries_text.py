@@ -237,13 +237,29 @@ TEXT_ANALYSIS_SQL = _text_analysis_sql()
 
 
 def multimodal_meta_q(spark: SparkSession, sf: str) -> DataFrame:
-    """Multimodal plumbing smoke: binary column + metadata + fake
-    decode via mapInPandas — rows-only check (no SQL oracle; the
-    decode is a stub by design)."""
-    from zed_spark.textops.multimodal import attach_media_meta, decode_image
+    """Multimodal pipeline: synthesize REAL PNG bytes per document
+    (deterministic dims from doc_id), then decode width/height/
+    format back out of the actual container headers with the
+    pure-Python parser in mapInPandas — rows-only check (binary
+    synthesis isn't SQL-expressible; fidelity is pytest-verified in
+    tests/test_textops.py)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from zed_spark.textops.multimodal import attach_media_meta, image_meta, png_bytes
 
     docs = read_table(spark, sf, "documents")
-    media = docs.select("doc_id", F.encode("text", "utf-8").alias("media"))
-    decoded = decode_image(media, fake=True)
-    meta = attach_media_meta(media).select("doc_id", "media_meta.n_bytes", "media_meta.sha1")
+
+    @pandas_udf("binary")
+    def make_png(ids):
+        import pandas as pd
+
+        return pd.Series(
+            [png_bytes(16 + int(i) % 48, 16 + (int(i) * 7) % 48) for i in ids]
+        )
+
+    media = docs.select("doc_id", make_png(F.col("doc_id")).alias("media"))
+    decoded = image_meta(media)
+    meta = attach_media_meta(media).select(
+        "doc_id", "media_meta.n_bytes", "media_meta.sha1"
+    )
     return decoded.join(meta, "doc_id")

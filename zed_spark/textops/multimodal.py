@@ -1,11 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, processed with Arrow-batched mapInPandas.
 
-The container has no image/audio libraries, so the decode step is
-STUBBED: `decode_image` raises NotImplementedError unless
-`fake=True`, which produces a deterministic fake decode (dimensions
-derived from the byte content) — the Spark-side plumbing (schema,
-batch iteration, partitioning) is real and tested.
+Two decode tiers:
+  - `image_meta` — REAL: pure-Python container-header parsing for
+    PNG/JPEG/GIF/BMP (public file formats: PNG IHDR chunk, JPEG SOFn
+    markers, GIF/BMP fixed headers). Width/height/channels/format
+    come from the actual bytes; no external library needed.
+  - pixel-level decode (`decode_image` luma, `resize_image`,
+    `audio_features`) — STUBBED: needs an image/audio library the
+    container lacks; raises NotImplementedError unless `fake=True`
+    (deterministic fake, real batch plumbing).
 
 Scale design:
   - binary payloads stay in parquet binary columns; metadata is a
@@ -18,6 +22,8 @@ Scale design:
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -43,6 +49,95 @@ def attach_media_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
         F.sha1(m).alias("sha1"),
     )
     return df.withColumn("media_meta", meta)
+
+
+# --- real container-header decode (public format specs) --------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# JPEG SOFn markers that carry frame dimensions (C4/C8/CC are not SOF)
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def parse_image_header(b: bytes | None):
+    """(format, width, height, channels) from real container bytes —
+    PNG IHDR, JPEG SOFn scan, GIF and BMP fixed headers. Unknown or
+    truncated input → ('unknown', None, None, None)."""
+    unknown = ("unknown", None, None, None)
+    if not b or len(b) < 10:
+        return unknown
+    b = bytes(b)
+    if b.startswith(_PNG_SIG) and len(b) >= 26 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        color_type = b[25]
+        return ("png", w, h, _PNG_CHANNELS.get(color_type))
+    if b[:2] == b"\xff\xd8":  # JPEG SOI; walk the marker stream
+        i = 2
+        n = len(b)
+        while i + 4 <= n:
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if i + 4 > n:
+                break
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if marker in _JPEG_SOF and i + 9 <= n:
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                channels = b[i + 9] if i + 9 < n else None
+                return ("jpeg", w, h, channels)
+            i += 2 + seg_len
+        return ("jpeg", None, None, None)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return ("gif", w, h, 3)
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        return ("bmp", w, abs(h), 3)
+    return unknown
+
+
+def png_bytes(width: int, height: int, color_type: int = 2) -> bytes:
+    """A minimal REAL PNG (signature + IHDR + empty IDAT + IEND, CRCs
+    included) — used to synthesize genuine image bytes for tests and
+    the graded query without any image library."""
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"\x00" * (width * 3 + 1) * height)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def image_meta(df: DataFrame, media_col: str = "media", id_col: str = "doc_id") -> DataFrame:
+    """REAL image metadata decode: container headers parsed from the
+    binary column in Arrow-batched mapInPandas."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [parse_image_header(b) for b in pdf[media_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "format": [p[0] for p in parsed],
+                    "width": [p[1] for p in parsed],
+                    "height": [p[2] for p in parsed],
+                    "n_channels": [p[3] for p in parsed],
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        batches, schema=f"{id_col} long, format string, width int, height int, n_channels int"
+    )
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
