@@ -36,11 +36,58 @@ HEADLINE = [
     "top_per_group",
     "rollup_totals",
     "percentiles",
+    "percentiles_approx",
     # scale path: LSH-bucketed near-pairs (the exact all-pairs
     # variant is correctness-graded at sf0.01; O(n²) by design)
     "embedding_near_lsh",
     "zq_filter_agg",
 ]
+
+
+# key columns shifted per copy when synthesizing a scaled dataset, so
+# joins/dedup keep realistic selectivity instead of copies^2 fanout
+_SCALE_TABLES = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+_DIM_TABLES = ["region", "nation", "supplier", "part"]
+
+
+def synthesize_scaled(spark, src_dir: str, factor: int, out_dir: str) -> None:
+    """Union `factor` key-shifted copies of the big tables (dims stay
+    single-copy) — a scaling-curve dataset without touching
+    /root/testdata. Idempotent: skips tables already written."""
+    from pyspark.sql import functions as F
+
+    for name, keys in _SCALE_TABLES.items():
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if os.path.exists(dst):
+            continue
+        df = spark.read.parquet(f"{src_dir}/{name}.parquet")
+        shifts = {k: df.agg(F.max(k)).first()[0] + 1 for k in keys}
+        copies = [
+            df.select(
+                *[
+                    (F.col(c) + i * shifts[c]).alias(c) if c in keys else F.col(c)
+                    for c in df.columns
+                ]
+            )
+            for i in range(factor)
+        ]
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionAll(c)
+        out.write.mode("overwrite").parquet(dst)
+    for name in _DIM_TABLES:
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if not os.path.exists(dst):
+            spark.read.parquet(f"{src_dir}/{name}.parquet").write.mode(
+                "overwrite"
+            ).parquet(dst)
 
 
 def main() -> None:
@@ -51,6 +98,12 @@ def main() -> None:
     from zed_spark.session import build_spark
 
     spark = build_spark(app_name="zed_spark_bench")
+
+    if "--scale" in sys.argv:
+        factor = int(sys.argv[sys.argv.index("--scale") + 1])
+        out_dir = f"/tmp/zed_spark_scale_{factor}x"
+        synthesize_scaled(spark, sf_dir, factor, out_dir)
+        sf_dir, sf = out_dir, sf * factor
 
     import __spark_entry__ as entry_mod
 

@@ -99,6 +99,21 @@ def test_fuse_numeric_widening(spark):
     assert sorted(r.x for r in out.collect()) == [1.0, 2.5]
 
 
+def test_fuse_union_downgrade_warns(spark):
+    """An int/string fuse must surface the string downgrade as a
+    UnionTypeDowngrade warning naming the column (round-1 VERDICT
+    item 10: no silent type loss)."""
+    import pytest as _pytest
+
+    from zed_spark.schema import UnionTypeDowngrade
+
+    a = spark.createDataFrame([(1,)], "x long")
+    b = spark.createDataFrame([("s",)], "x string")
+    with _pytest.warns(UnionTypeDowngrade, match="at x: bigint vs string"):
+        out = fuse_dataframes([a, b])
+    assert out.schema["x"].dataType == T.StringType()
+
+
 def test_fuse_nested_supersets(spark):
     a = spark.createDataFrame(
         [((1, "s"),)],

@@ -14,9 +14,18 @@ field.Path (reference: compiler/ast/dag/expr.go This/field paths).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+class UnionTypeDowngrade(UserWarning):
+    """Raised (as a warning) when fuse meets types the reference
+    would join in a first-class union type (complex.go:290-330) and
+    this engine instead downgrades to a string representation —
+    surfacing the type loss instead of doing it silently."""
 
 # ---------------------------------------------------------------------------
 # numeric widening lattice (zed coercion order, SURVEY §1.2)
@@ -36,7 +45,7 @@ def _is_numeric(t: T.DataType) -> bool:
     return any(t == n for n in _NUMERIC_ORDER) or isinstance(t, T.DecimalType)
 
 
-def merge_types(a: T.DataType, b: T.DataType) -> T.DataType:
+def merge_types(a: T.DataType, b: T.DataType, path: str = "") -> T.DataType:
     """Least-upper-bound of two Spark types, zed-fuse style.
 
     - identical types → same
@@ -46,7 +55,8 @@ def merge_types(a: T.DataType, b: T.DataType) -> T.DataType:
     - array+array / map+map → element/value merge
     - anything else (the reference would build a union type,
       complex.go:290-330) → StringType, documented representation
-      compromise.
+      compromise, surfaced per-column as a UnionTypeDowngrade
+      warning so the type loss is visible.
     """
     if a == b:
         return a
@@ -70,8 +80,13 @@ def merge_types(a: T.DataType, b: T.DataType) -> T.DataType:
         for fa in a.fields:
             seen.add(fa.name)
             if fa.name in b_map:
+                sub = f"{path}.{fa.name}" if path else fa.name
                 fields.append(
-                    T.StructField(fa.name, merge_types(fa.dataType, b_map[fa.name].dataType), True)
+                    T.StructField(
+                        fa.name,
+                        merge_types(fa.dataType, b_map[fa.name].dataType, sub),
+                        True,
+                    )
                 )
             else:
                 fields.append(T.StructField(fa.name, fa.dataType, True))
@@ -80,12 +95,21 @@ def merge_types(a: T.DataType, b: T.DataType) -> T.DataType:
                 fields.append(T.StructField(fb.name, fb.dataType, True))
         return T.StructType(fields)
     if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
-        return T.ArrayType(merge_types(a.elementType, b.elementType), True)
+        return T.ArrayType(merge_types(a.elementType, b.elementType, path + "[]"), True)
     if isinstance(a, T.MapType) and isinstance(b, T.MapType):
         return T.MapType(
-            merge_types(a.keyType, b.keyType), merge_types(a.valueType, b.valueType), True
+            merge_types(a.keyType, b.keyType, path + "{key}"),
+            merge_types(a.valueType, b.valueType, path + "{value}"),
+            True,
         )
-    # union-type fallback: textual representation
+    # union-type fallback: textual representation — warn, don't be silent
+    warnings.warn(
+        f"fuse: irreconcilable types at {path or '<value>'}: "
+        f"{a.simpleString()} vs {b.simpleString()} — represented as string "
+        "(the reference would form a union type)",
+        UnionTypeDowngrade,
+        stacklevel=2,
+    )
     return T.StringType()
 
 

@@ -68,8 +68,28 @@ def minhash_lsh_pairs(
     """Candidate near-dup pairs via MinHash-LSH banding, optionally
     verified with exact Jaccard (threshold!=None adds the verify
     join and a `jaccard` column — no false positives).
-    """
+
+    Exact duplicates are collapsed FIRST (md5 text groups → one
+    representative each), the LSH + verify pipeline runs on unique
+    texts only, and representative pairs expand back to member pairs
+    at the end. Semantics are unchanged — identical texts have
+    identical shingle sets, so a member pair's jaccard equals its
+    rep pair's, and within-group pairs are exactly 1.0 — but the
+    quadratic candidate/verify cost now scales with UNIQUE docs
+    (the C4/GPT-3 dedup recipe; a 10× corpus of heavy duplication
+    ran 56× slower without this — bench --scale 10 finding)."""
     rows_per_band = num_hashes // bands
+
+    # --- exact-dup collapse ------------------------------------------
+    keyed = df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("__h"))
+    groups = keyed.groupBy("__h").agg(
+        F.min("id").alias("rep"), F.count(F.lit(1)).alias("gsz")
+    )
+    members = keyed.join(groups, "__h").select("id", "rep", "gsz")
+    reps_df = df.join(
+        groups.select(F.col("rep").alias(id_col)), id_col, "left_semi"
+    )
+    df = reps_df
     # exploded distinct shingles — the ONLY cached intermediate, and
     # it is narrow (id, string): array columns never flow downstream.
     # (Higher-order shingle construction is interpreted — the cache
@@ -113,11 +133,43 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    # expansion of representative pairs back to member pairs; groups
+    # are disjoint so least/greatest ordering never collides.
+    # Within-group pairs exist only for reps that HAVE shingles (an
+    # empty-shingle doc produces no bands, hence no candidates, in
+    # the uncollapsed pipeline either).
+    shingled = minh.select("id")
+
+    def expand(rep_pairs: DataFrame, jaccard: bool) -> DataFrame:
+        ma = members.select(F.col("rep").alias("id_a"), F.col("id").alias("__xa"))
+        mb = members.select(F.col("rep").alias("id_b"), F.col("id").alias("__xb"))
+        out_cols = [
+            F.least("__xa", "__xb").alias("id_a"),
+            F.greatest("__xa", "__xb").alias("id_b"),
+        ] + ([F.col("jaccard")] if jaccard else [])
+        cross = rep_pairs.join(ma, "id_a").join(mb, "id_b").select(*out_cols)
+        dup_groups = members.filter(F.col("gsz") >= 2).join(
+            shingled.select(F.col("id").alias("rep")), "rep", "left_semi"
+        )
+        wa = dup_groups.select("rep", F.col("id").alias("__xa"))
+        wb = dup_groups.select("rep", F.col("id").alias("__xb"))
+        within = (
+            wa.join(wb, "rep")
+            .filter(F.col("__xa") < F.col("__xb"))
+            .select(
+                F.col("__xa").alias("id_a"),
+                F.col("__xb").alias("id_b"),
+                *([F.lit(1.0).alias("jaccard")] if jaccard else []),
+            )
+        )
+        return cross.unionByName(within)
+
     if threshold is None:
-        return pairs
+        return expand(pairs, jaccard=False)
     # verify candidates by counting common shingles through the
-    # exploded index (array-free: the candidate set is small, so
-    # these joins broadcast)
+    # exploded index (array-free: the candidate set is small — unique
+    # texts only — so these joins broadcast)
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a_sh = ex.select(F.col("id").alias("id_a"), F.col("sh"))
     b_sh = ex.select(F.col("id").alias("id_b"), F.col("sh"))
@@ -133,11 +185,12 @@ def minhash_lsh_pairs(
         .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
     )
     jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
-    return (
+    verified = (
         cand.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return expand(verified, jaccard=True)
 
 
 def band_sql_exprs(num_hashes: int, bands: int) -> list[str]:
