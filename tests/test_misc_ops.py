@@ -135,3 +135,35 @@ def test_parse_zson_json_analog(spark):
     df = spark.createDataFrame([('{"x": 5}',)], "s string")
     out = df.select(parse_zson(spark, F.col("s"), "x INT").alias("v"))
     assert out.first()["v"]["x"] == 5
+
+
+def test_ksuid_codec(spark):
+    """Real KSUID base62 codec (public format: 20 bytes <-> 27-char
+    base62; reference runtime/sam/expr/function/ksuid.go)."""
+    from zed_spark.functions.misc import (
+        ksuid_decode_str,
+        ksuid_encode_bytes,
+        ksuid_parse,
+        ksuid_to_string,
+    )
+
+    # the segmentio/ksuid README example pair
+    raw = bytes.fromhex("0669F7EFB5A1CD34B5F99D1154FB6853345C9735")
+    assert ksuid_encode_bytes(raw) == "0ujtsYcgvSTl8PAuAdqWYSMnLOv"
+    assert ksuid_decode_str("0ujtsYcgvSTl8PAuAdqWYSMnLOv") == raw
+    # round-trip arbitrary payloads
+    for payload in (b"\x00" * 20, b"\xff" * 20, bytes(range(20))):
+        assert ksuid_decode_str(ksuid_encode_bytes(payload)) == payload
+
+    df = spark.createDataFrame([(1, raw), (2, None)], "id long, k binary")
+    got = {r["id"]: r["s"] for r in df.select("id", ksuid_to_string(F.col("k")).alias("s")).collect()}
+    assert got[1] == "0ujtsYcgvSTl8PAuAdqWYSMnLOv" and got[2] is None
+    back = df.select(ksuid_parse(ksuid_to_string(F.col("k"))).alias("b")).first()
+    assert bytes(back["b"]) == raw
+
+    # language dispatch: string arg decodes, binary arg encodes
+    from zed_spark.session import ZedSession
+
+    z = ZedSession(spark)
+    out = z.query("from t | yield {s: ksuid(k)}", tables={"t": df.limit(1)}).df
+    assert out.first()["s"] == "0ujtsYcgvSTl8PAuAdqWYSMnLOv"

@@ -47,7 +47,68 @@ def from_hex(e: Column) -> Column:
     return F.unhex(e)
 
 
-def ksuid(e: Column) -> Column:
-    """ksuid decode (ksuid.go). Niche — the reference renders ksuids
-    as base62 strings; we keep the string form (identity)."""
-    return e.cast("string")
+# --- KSUID codec (real; public format) -------------------------------------
+# A KSUID is 20 bytes (4-byte big-endian timestamp since 2014-05-13 +
+# 16 payload bytes) rendered as a fixed-width 27-char base62 string.
+# Reference behavior (runtime/sam/expr/function/ksuid.go): bytes →
+# base62 string, string → bytes.
+
+_B62 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+_B62_INDEX = {c: i for i, c in enumerate(_B62)}
+KSUID_EPOCH = 1_400_000_000  # 2014-05-13, the ksuid epoch offset
+
+
+def ksuid_encode_bytes(b: bytes) -> str:
+    if len(b) != 20:
+        raise ValueError(f"ksuid: need 20 bytes, got {len(b)}")
+    n = int.from_bytes(b, "big")
+    out = []
+    for _ in range(27):
+        n, r = divmod(n, 62)
+        out.append(_B62[r])
+    return "".join(reversed(out))
+
+
+def ksuid_decode_str(s: str) -> bytes:
+    if len(s) != 27:
+        raise ValueError(f"ksuid: need 27 chars, got {len(s)}")
+    n = 0
+    for c in s:
+        n = n * 62 + _B62_INDEX[c]
+    return n.to_bytes(20, "big")
+
+
+def ksuid_to_string(e: Column) -> Column:
+    """bytes(20) → base62 ksuid string."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def enc(s):
+        import pandas as pd
+
+        return pd.Series(
+            [None if b is None else ksuid_encode_bytes(bytes(b)) for b in s]
+        )
+
+    return enc(e)
+
+
+def ksuid_parse(e: Column) -> Column:
+    """base62 ksuid string → bytes(20)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def dec(s):
+        import pandas as pd
+
+        return pd.Series([None if v is None else ksuid_decode_str(v) for v in s])
+
+    return dec(e)
+
+
+def ksuid(e: Column, mode: str = "encode") -> Column:
+    """ksuid(bytes) → string / ksuid(string, mode='decode') → bytes
+    (ksuid.go dispatches on the argument type; Columns are untyped at
+    this layer, so the direction is a parameter — the language
+    front end probes the schema and picks it)."""
+    return ksuid_to_string(e) if mode == "encode" else ksuid_parse(e)

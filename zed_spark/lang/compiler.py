@@ -355,6 +355,13 @@ class Compiler:
             if len(args) != len(params):
                 raise ValueError(f"{name}() takes {len(params)} args, got {len(args)}")
             return self.expr(_subst(body, dict(zip(params, args))), df)
+        if name == "ksuid":
+            # ksuid.go dispatches on argument type: string → bytes,
+            # bytes → base62 string
+            from zed_spark.functions.misc import ksuid as ksuid_fn
+
+            mode = "decode" if self._is_string(args[0], df) else "encode"
+            return ksuid_fn(self.expr(args[0], df), mode)
         if name == "grep":
             from zed_spark.functions.grep import grep as grep_fn
 

@@ -74,7 +74,24 @@ def ngram_jaccard_pairs(
     Scale note: hot shingles create skew; AQE skew-join splitting is
     enabled in the session. For >10^9 docs, drop the top-frequency
     shingles (stopword shingles) before the join — standard practice.
+
+    Exact duplicates are collapsed first and representative pairs
+    expanded back at the end (identical texts ⇒ identical shingle
+    sets, so member-pair jaccard equals rep-pair jaccard and
+    within-group pairs are exactly 1.0) — duplicate clusters
+    otherwise grow the inverted index's per-shingle document
+    frequency, and the pair join, quadratically (the bench --scale
+    finding on the minhash path; same algebra as minhash.py).
     """
+    keyed = df.select(
+        F.col(id_col).alias("id"), F.md5(normalize_text(F.col(text_col))).alias("__h")
+    )
+    groups = keyed.groupBy("__h").agg(
+        F.min("id").alias("rep"), F.count(F.lit(1)).alias("gsz")
+    )
+    members = keyed.join(groups, "__h").select("id", "rep", "gsz")
+    df = df.join(groups.select(F.col("rep").alias(id_col)), id_col, "left_semi")
+
     docs = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("shingles")
     ).withColumn("n_sh", F.size("shingles"))
@@ -90,8 +107,36 @@ def ngram_jaccard_pairs(
         )
     )
     jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
-    return (
+    rep_pairs = (
         common.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+    # expand rep pairs to member pairs + within-group 1.0 pairs
+    # (groups with at least one shingle — empty-shingle docs never
+    # pair in the uncollapsed pipeline either)
+    ma = members.select(F.col("rep").alias("id_a"), F.col("id").alias("__xa"))
+    mb = members.select(F.col("rep").alias("id_b"), F.col("id").alias("__xb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("__xa", "__xb").alias("id_a"),
+            F.greatest("__xa", "__xb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    shingled = docs.filter(F.col("n_sh") > 0).select(F.col("id").alias("rep"))
+    dup_groups = members.filter(F.col("gsz") >= 2).join(shingled, "rep", "left_semi")
+    within = (
+        dup_groups.select("rep", F.col("id").alias("__xa"))
+        .join(dup_groups.select("rep", F.col("id").alias("__xb")), "rep")
+        .filter(F.col("__xa") < F.col("__xb"))
+        .select(
+            F.col("__xa").alias("id_a"),
+            F.col("__xb").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
