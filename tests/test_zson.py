@@ -121,3 +121,59 @@ def test_zq_over_zson_file(spark, tmp_path):
     z = ZedSession(spark)
     got = z.query(f"from {p} | sum(v) by k | sort k").df
     assert [(r["k"], r["sum"]) for r in got.collect()] == [("a", 4), ("b", 2)]
+
+
+# --- ZJSON -----------------------------------------------------------------
+
+
+def test_zjson_roundtrip(spark, tmp_path):
+    from zed_spark.sources.zjson import read_zjson, write_zjson
+
+    df = spark.createDataFrame(
+        [
+            (1, "plain", 1.5, True, [1, 2], ("in", 9)),
+            (2, 'quo"te', -0.25, False, [], ("x", -1)),
+            (3, None, float("inf"), None, None, None),
+        ],
+        "id long, s string, f double, b boolean, arr array<long>, "
+        "st struct<a: string, n: long>",
+    )
+    path = str(tmp_path / "zj")
+    write_zjson(df, path, single_file=True)
+    groups = read_zjson(spark, path)
+    assert len(groups) == 1
+    out = next(iter(groups.values()))
+    assert out.columns == ["id", "s", "f", "b", "arr", "st"]
+    got = {r["id"]: r for r in out.collect()}
+    assert got[1]["arr"] == [1, 2] and got[1]["st"]["n"] == 9
+    assert got[2]["s"] == 'quo"te' and got[2]["f"] == -0.25
+    assert got[3]["s"] is None and got[3]["f"] == float("inf")
+
+
+def test_zjson_spec_framing(spark, tmp_path):
+    """First line defines the type tree; later lines must be refs;
+    values are ZSON-representation strings (docs/formats/zjson.md)."""
+    import json as _json
+
+    from zed_spark.sources.zjson import df_to_zjson_lines
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "n long, s string").coalesce(1)
+    lines = [_json.loads(l) for l in df_to_zjson_lines(df).collect()]
+    assert lines[0]["type"]["kind"] == "record"
+    assert [f["name"] for f in lines[0]["type"]["fields"]] == ["n", "s"]
+    assert lines[1]["type"]["kind"] == "ref"
+    assert lines[0]["value"] == ["1", "a"]
+
+
+def test_zjson_timestamps_and_read_any(spark, tmp_path):
+    from tests.conftest import SF_DIR
+    from zed_spark.sources.readers import read_any, read_table
+    from zed_spark.sources.zjson import write_zjson
+
+    ev = read_table(spark, SF_DIR, "events").select("event_id", "ts").limit(20)
+    path = str(tmp_path / "ev_zjson")
+    write_zjson(ev, path, single_file=True)
+    out = read_any(spark, path, fmt="zjson")
+    want = {r["event_id"]: r["ts"] for r in ev.collect()}
+    got = {r["event_id"]: r["ts"] for r in out.collect()}
+    assert got == want

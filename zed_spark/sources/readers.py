@@ -66,6 +66,10 @@ def read_any(spark: SparkSession, path: str, fmt: str = "auto", **options) -> Da
         from zed_spark.sources.zson import read_zson_fused
 
         return read_zson_fused(spark, path)
+    if fmt == "zjson":
+        from zed_spark.sources.zjson import read_zjson_fused
+
+        return read_zjson_fused(spark, path)
     raise ValueError(f"unknown format {fmt!r}")
 
 
@@ -73,7 +77,7 @@ def _sniff_format(path: str) -> str:
     for ext, fmt in [
         (".parquet", "parquet"), (".json", "json"), (".ndjson", "json"),
         (".csv", "csv"), (".tsv", "tsv"), (".log", "zeek"), (".txt", "line"),
-        (".zson", "zson"),
+        (".zson", "zson"), (".zjson", "zjson"),
     ]:
         if path.endswith(ext):
             return fmt

@@ -1,0 +1,297 @@
+"""ZJSON format: zed values over NDJSON with an embedded type layer.
+
+Reference: docs/formats/zjson.md (spec; zio/zjsonio is the reference
+implementation — this is an independent implementation from the
+published spec). Each line is {"type": <tree|ref>, "value": <nested
+string arrays>}; the first occurrence of a complex type defines a
+small-integer id, later lines reference it with {"kind":"ref"}.
+Primitive values are strings in their ZSON representation.
+
+Reader strategy (type context is stream-global): one distributed
+pass extracts the distinct type-defining lines (small), the registry
+is built on the driver and broadcast, then a second distributed pass
+decodes values per partition. Output is shape-grouped by outer type
+id, like the ZSON and ndjson readers.
+
+Representation compromises on read (same as the rest of the engine):
+union values decode to their member value with the merged column
+type (string when irreconcilable, surfaced by UnionTypeDowngrade);
+enums and type values ride as strings.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from zed_spark.sources.zson import (
+    ZMap,
+    _classify,
+    _conform,
+    _finalize,
+    _infer_type,
+    _merge_type,
+    _parse_time,
+)
+
+# --- type encoding ---------------------------------------------------------
+
+_SPARK_TO_ZED = {
+    T.LongType(): "int64",
+    T.IntegerType(): "int32",
+    T.ShortType(): "int16",
+    T.ByteType(): "int8",
+    T.DoubleType(): "float64",
+    T.FloatType(): "float32",
+    T.BooleanType(): "bool",
+    T.StringType(): "string",
+    T.TimestampType(): "time",
+    T.DateType(): "time",
+    T.BinaryType(): "bytes",
+    T.NullType(): "null",
+}
+
+_ZED_PRIM_PY = {
+    **{f"int{w}": int for w in (8, 16, 32, 64)},
+    **{f"uint{w}": int for w in (8, 16, 32, 64)},
+    "float16": float,
+    "float32": float,
+    "float64": float,
+    "bool": bool,
+    "string": str,
+    "time": "time",
+    "duration": "duration",
+    "bytes": "bytes",
+    "ip": str,
+    "net": str,
+    "type": str,
+    "null": None,
+}
+
+
+class _TypeEncoder:
+    def __init__(self):
+        self.next_id = 30  # the reference's first dynamic type id
+
+    def encode(self, dt: T.DataType) -> dict:
+        if dt in _SPARK_TO_ZED:
+            return {"kind": "primitive", "name": _SPARK_TO_ZED[dt]}
+        if isinstance(dt, T.DecimalType):
+            return {"kind": "primitive", "name": "float64"}
+        if isinstance(dt, T.StructType):
+            fields = [
+                {"name": f.name, "type": self.encode(f.dataType)} for f in dt.fields
+            ]
+            tid = self.next_id
+            self.next_id += 1
+            return {"kind": "record", "id": tid, "fields": fields}
+        if isinstance(dt, T.ArrayType):
+            inner = self.encode(dt.elementType)
+            tid = self.next_id
+            self.next_id += 1
+            return {"kind": "array", "id": tid, "type": inner}
+        if isinstance(dt, T.MapType):
+            kt, vt = self.encode(dt.keyType), self.encode(dt.valueType)
+            tid = self.next_id
+            self.next_id += 1
+            return {"kind": "map", "id": tid, "key_type": kt, "val_type": vt}
+        return {"kind": "primitive", "name": "string"}
+
+
+def _prim_str(v, dt: T.DataType):
+    """ZSON primitive representation as a plain JSON string."""
+    if v is None:
+        return None
+    if isinstance(dt, T.BooleanType):
+        return "true" if v else "false"
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return str(int(v))
+    if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
+        f = float(v)
+        if math.isnan(f):
+            return "NaN"
+        if math.isinf(f):
+            return "Inf" if f > 0 else "-Inf"
+        r = repr(f)
+        return r if any(c in r for c in ".e") else r + "."
+    if isinstance(dt, T.TimestampType):
+        us = v.microsecond
+        frac = f".{us:06d}".rstrip("0") if us else ""
+        return v.strftime("%Y-%m-%dT%H:%M:%S") + frac + "Z"
+    if isinstance(dt, T.DateType):
+        return v.strftime("%Y-%m-%dT00:00:00Z")
+    if isinstance(dt, T.BinaryType):
+        return "0x" + bytes(v).hex()
+    return str(v)
+
+
+def _encode_value(v, dt: T.DataType):
+    if v is None:
+        return None
+    if isinstance(dt, T.StructType):
+        return [
+            _encode_value(v[f.name] if isinstance(v, dict) else v[i], f.dataType)
+            for i, f in enumerate(dt.fields)
+        ]
+    if isinstance(dt, T.ArrayType):
+        return [_encode_value(x, dt.elementType) for x in v]
+    if isinstance(dt, T.MapType):
+        return [
+            [_encode_value(k, dt.keyType), _encode_value(val, dt.valueType)]
+            for k, val in v.items()
+        ]
+    return _prim_str(v, dt)
+
+
+def df_to_zjson_lines(df: DataFrame):
+    """RDD[str] of ZJSON lines: first line per partition carries the
+    full type tree, later lines use a ref (ids are deterministic per
+    schema, so definitions repeated across partitions agree)."""
+    schema = df.schema
+    tree = _TypeEncoder().encode(schema)
+    outer_id = tree["id"]
+
+    def render(it):
+        first = True
+        for row in it:
+            t = tree if first else {"kind": "ref", "id": outer_id}
+            first = False
+            yield json.dumps(
+                {"type": t, "value": _encode_value(row, schema)},
+                separators=(",", ":"),
+            )
+
+    return df.rdd.mapPartitions(render)
+
+
+def write_zjson(df: DataFrame, path: str, single_file: bool = False) -> None:
+    lines = df_to_zjson_lines(df).map(lambda s: (s,))
+    out = df.sparkSession.createDataFrame(lines, "value string")
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode("overwrite").text(path)
+
+
+# --- reader ----------------------------------------------------------------
+
+
+def _resolve_type(t: dict, registry: dict[int, dict]) -> dict:
+    """Expand refs against the registry."""
+    if t.get("kind") == "ref":
+        return registry[t["id"]]
+    return t
+
+
+def _decode_prim(s, name: str):
+    if s is None:
+        return None
+    if name == "time":
+        return _parse_time(s)
+    if name in ("string", "ip", "net", "type", "enum"):
+        return s
+    # reuse the ZSON literal classifier for the rest (ints, floats,
+    # bool, bytes, duration)
+    return _classify(s)
+
+
+def _decode_value(v, t: dict, registry: dict[int, dict]):
+    t = _resolve_type(t, registry)
+    kind = t.get("kind")
+    if v is None:
+        return None
+    if kind == "record":
+        return {
+            f["name"]: _decode_value(x, f["type"], registry)
+            for f, x in zip(t["fields"], v)
+        }
+    if kind in ("array", "set"):
+        return [_decode_value(x, t["type"], registry) for x in v]
+    if kind == "map":
+        out = ZMap()
+        for k, val in v:
+            out[_decode_value(k, t["key_type"], registry)] = _decode_value(
+                val, t["val_type"], registry
+            )
+        return out
+    if kind == "union":
+        tag, _, inner = v.partition(":") if isinstance(v, str) else (None, None, v)
+        if tag is not None and tag.lstrip("-").isdigit():
+            member = t["types"][int(tag)]
+            return _decode_value(inner, member, registry)
+        return v
+    if kind == "enum":
+        return t["symbols"][int(v)] if isinstance(v, str) and v.isdigit() else v
+    if kind == "error":
+        return _decode_value(v, t["type"], registry)
+    if kind == "named":
+        return _decode_value(v, t["type"], registry)
+    return _decode_prim(v, t.get("name", "string"))
+
+
+def _collect_defs(t: dict, registry: dict[int, dict]) -> None:
+    if not isinstance(t, dict) or t.get("kind") == "ref":
+        return
+    if "id" in t:
+        registry[t["id"]] = t
+    for sub in ("type", "key_type", "val_type"):
+        if sub in t:
+            _collect_defs(t[sub], registry)
+    for f in t.get("fields", []):
+        _collect_defs(f["type"], registry)
+    for m in t.get("types", []):
+        _collect_defs(m, registry)
+
+
+def read_zjson(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    """Read ZJSON NDJSON → {shape: DataFrame}, shape-grouped by the
+    outer type. Pass 1 (distributed) collects the distinct type
+    definitions; pass 2 decodes values with the broadcast registry."""
+    lines = spark.read.text(path).filter("trim(value) != ''")
+
+    defs = (
+        lines.rdd.map(lambda r: json.loads(r["value"])["type"])
+        .filter(lambda t: t.get("kind") != "ref")
+        .map(lambda t: json.dumps(t, sort_keys=True))
+        .distinct()
+        .collect()
+    )
+    registry: dict[int, dict] = {}
+    for d in defs:
+        _collect_defs(json.loads(d), registry)
+
+    def decode_partition(it):
+        for row in it:
+            obj = json.loads(row["value"])
+            t = _resolve_type(obj["type"], registry)
+            yield (t.get("id", -1), _decode_value(obj["value"], t, registry))
+
+    decoded = lines.rdd.mapPartitions(decode_partition).cache()
+    shape_ids = decoded.keys().distinct().collect()
+
+    out: dict[str, DataFrame] = {}
+    for sid in sorted(shape_ids):
+        vals = decoded.filter(lambda kv, s=sid: kv[0] == s).values()
+        t = T.NullType()
+        for v in vals.take(1000):
+            t = _merge_type(t, _infer_type(v))
+        t = _finalize(t)
+        if isinstance(t, T.StructType):
+            schema = t
+            rows = vals.map(lambda v, tt=schema: _conform(v, tt))
+            shape = ",".join(f.name for f in schema.fields)
+        else:
+            schema = T.StructType([T.StructField("this", t)])
+            rows = vals.map(lambda v, tt=t: (_conform(v, tt),))
+            shape = "<value>"
+        out[shape] = spark.createDataFrame(rows, schema)
+    return out
+
+
+def read_zjson_fused(spark: SparkSession, path: str) -> DataFrame:
+    from zed_spark.sources.shapes import fuse_shape_groups
+
+    return fuse_shape_groups(read_zjson(spark, path))
