@@ -16,11 +16,18 @@ from pyspark.sql import DataFrame
 from zed_spark.schema import conform, merge_schemas
 
 
-def fuse_dataframes(dfs: list[DataFrame]) -> DataFrame:
-    """Fuse N shapes into one DataFrame with the merged schema."""
+def fuse_dataframes(dfs: list[DataFrame], unions: str = "string") -> DataFrame:
+    """Fuse N shapes into one DataFrame with the merged schema.
+
+    unions picks the representation for irreconcilable column types:
+    "string" (default — textual collapse, warns UnionTypeDowngrade)
+    or "tagged" — first-class zed-style union values as tagged
+    structs (union.py: struct<tag:int, v0:T0, v1:T1, ...>), matching
+    the reference's union types (complex.go:290-330) without type
+    loss; dispatch with union_tag/union_value."""
     if not dfs:
         raise ValueError("fuse of zero inputs")
-    target = merge_schemas([d.schema for d in dfs])
+    target = merge_schemas([d.schema for d in dfs], unions)
     out = conform(dfs[0], target)
     for d in dfs[1:]:
         out = out.unionByName(conform(d, target))

@@ -45,7 +45,24 @@ def _is_numeric(t: T.DataType) -> bool:
     return any(t == n for n in _NUMERIC_ORDER) or isinstance(t, T.DecimalType)
 
 
-def merge_types(a: T.DataType, b: T.DataType, path: str = "") -> T.DataType:
+def is_union_type(t: T.DataType) -> bool:
+    """The tagged-struct union convention (union.py): fields are
+    (tag int, v0, v1, ...)."""
+    return (
+        isinstance(t, T.StructType)
+        and len(t.fields) >= 2
+        and t.fields[0].name == "tag"
+        and all(f.name == f"v{i}" for i, f in enumerate(t.fields[1:]))
+    )
+
+
+def union_alternatives(t: T.StructType) -> list[T.DataType]:
+    return [f.dataType for f in t.fields[1:]]
+
+
+def merge_types(
+    a: T.DataType, b: T.DataType, path: str = "", unions: str = "string"
+) -> T.DataType:
     """Least-upper-bound of two Spark types, zed-fuse style.
 
     - identical types → same
@@ -64,6 +81,16 @@ def merge_types(a: T.DataType, b: T.DataType, path: str = "") -> T.DataType:
         return b
     if isinstance(b, T.NullType):
         return a
+    if unions == "tagged" and (is_union_type(a) or is_union_type(b)):
+        alts_a = union_alternatives(a) if is_union_type(a) else [a]
+        alts_b = union_alternatives(b) if is_union_type(b) else [b]
+        alts = list(alts_a)
+        for t in alts_b:
+            if t not in alts:
+                alts.append(t)
+        from zed_spark.union import union_type
+
+        return union_type(*alts)
     if _is_numeric(a) and _is_numeric(b):
         if isinstance(a, T.DecimalType) or isinstance(b, T.DecimalType):
             return T.DoubleType()
@@ -84,7 +111,7 @@ def merge_types(a: T.DataType, b: T.DataType, path: str = "") -> T.DataType:
                 fields.append(
                     T.StructField(
                         fa.name,
-                        merge_types(fa.dataType, b_map[fa.name].dataType, sub),
+                        merge_types(fa.dataType, b_map[fa.name].dataType, sub, unions),
                         True,
                     )
                 )
@@ -95,13 +122,19 @@ def merge_types(a: T.DataType, b: T.DataType, path: str = "") -> T.DataType:
                 fields.append(T.StructField(fb.name, fb.dataType, True))
         return T.StructType(fields)
     if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
-        return T.ArrayType(merge_types(a.elementType, b.elementType, path + "[]"), True)
+        return T.ArrayType(
+            merge_types(a.elementType, b.elementType, path + "[]", unions), True
+        )
     if isinstance(a, T.MapType) and isinstance(b, T.MapType):
         return T.MapType(
-            merge_types(a.keyType, b.keyType, path + "{key}"),
-            merge_types(a.valueType, b.valueType, path + "{value}"),
+            merge_types(a.keyType, b.keyType, path + "{key}", unions),
+            merge_types(a.valueType, b.valueType, path + "{value}", unions),
             True,
         )
+    if unions == "tagged":
+        from zed_spark.union import union_type
+
+        return union_type(a, b)
     # union-type fallback: textual representation — warn, don't be silent
     warnings.warn(
         f"fuse: irreconcilable types at {path or '<value>'}: "
@@ -113,10 +146,10 @@ def merge_types(a: T.DataType, b: T.DataType, path: str = "") -> T.DataType:
     return T.StringType()
 
 
-def merge_schemas(schemas: list[T.StructType]) -> T.StructType:
+def merge_schemas(schemas: list[T.StructType], unions: str = "string") -> T.StructType:
     out: T.DataType = T.StructType([])
     for s in schemas:
-        out = merge_types(out, s)
+        out = merge_types(out, s, "", unions)
     assert isinstance(out, T.StructType)
     return out
 
@@ -137,6 +170,34 @@ def conform(df: DataFrame, target: T.StructType) -> DataFrame:
 def _conform_col(col: Column, src: T.DataType, dst: T.DataType) -> Column:
     if src == dst:
         return col
+    if is_union_type(dst):
+        from zed_spark.union import make_union
+
+        alts = union_alternatives(dst)
+        if is_union_type(src):
+            # widen union → union: remap tags and carry alternatives
+            src_alts = union_alternatives(src)
+            tag = F.lit(None).cast("int")
+            for j, st in enumerate(src_alts):
+                tag = F.when(col.getField("tag") == j, F.lit(alts.index(st))).otherwise(tag)
+            parts = [tag.alias("tag")]
+            for k, at in enumerate(alts):
+                if at in src_alts:
+                    parts.append(
+                        col.getField(f"v{src_alts.index(at)}").alias(f"v{k}")
+                    )
+                else:
+                    parts.append(F.lit(None).cast(at).alias(f"v{k}"))
+            return F.when(col.isNull(), F.lit(None).cast(dst)).otherwise(F.struct(*parts))
+        if src in alts:
+            i = alts.index(src)
+        elif T.StringType() in alts:
+            i, col = alts.index(T.StringType()), col.cast("string")
+        else:
+            i, col = 0, col.cast(alts[0])
+        return F.when(col.isNull(), F.lit(None).cast(dst)).otherwise(
+            make_union(i, col, len(alts), alts)
+        )
     if isinstance(src, T.StructType) and isinstance(dst, T.StructType):
         src_map = {f.name: f for f in src.fields}
         parts = []
