@@ -146,3 +146,25 @@ def test_commit_events_fire(spark, lake):
     assert events and events[-1]["pool"] == "nation"
     assert events[-1]["message"] == "hello"
     assert events[-1]["branch"] == "main"
+
+
+def test_language_lake_refs(spark, lake):
+    """from pool / pool@branch / pool:log / :pools in the language
+    (the reference's commitish + meta-scan syntax, lake/parse.go)."""
+    from zed_spark.session import ZedSession
+
+    na = read_table(spark, SF_DIR, "nation")
+    pool = lake.create_pool("nation", key="n_nationkey")
+    pool.load(na, message="base")
+    pool.create_branch("dev")
+    pool.load(na.limit(3), branch="dev")
+
+    z = ZedSession(spark)
+    assert z.query("from nation | count()", lake=lake).df.first()["count"] == 25
+    assert z.query("from nation@dev | count()", lake=lake).df.first()["count"] == 28
+    logs = z.query("from nation:log", lake=lake).df
+    assert logs.count() == 2 and "message" in logs.columns
+    branches = z.query("from nation:branches | sort branch", lake=lake).df
+    assert [r["branch"] for r in branches.collect()] == ["dev", "main"]
+    pools = z.query("from :pools", lake=lake).df
+    assert [r["name"] for r in pools.collect()] == ["nation"]

@@ -215,8 +215,13 @@ class Parser:
 
     def parse_source_name(self) -> str:
         parts = [self.next().text]
-        # allow dotted / path-ish names: events.parquet, sf0.01/events
-        while self.peek().text in (".", "/", "-") or self.peek().kind in ("ID", "NUM"):
+        # allow dotted / path-ish names (events.parquet, sf0.01/events)
+        # and lake refs (pool@branch, pool:log, :pools — the
+        # reference's commitish/meta syntax, lake/parse.go)
+        while (
+            self.peek().text in (".", "/", "-", "@", ":")
+            or self.peek().kind in ("ID", "NUM")
+        ):
             if self.at_end_of_op():
                 break
             parts.append(self.next().text)

@@ -54,7 +54,11 @@ class QueryService:
         cap = min(limit, self.max_rows) if limit else self.max_rows
         z = ZedSession(self.spark)
         df = z.query(
-            text, sf_dir=sf_dir or self.sf_dir, tables=self.tables, allow_paths=False
+            text,
+            sf_dir=sf_dir or self.sf_dir,
+            tables=self.tables,
+            allow_paths=False,
+            lake=self.lake_root,
         ).df
         rows = [row.asDict(recursive=True) for row in df.limit(cap + 1).collect()]
         return rows[:cap], len(rows) > cap

@@ -115,14 +115,18 @@ class ZedSession:
         sf_dir: str | None = None,
         tables: dict | None = None,
         allow_paths: bool = True,
+        lake=None,
     ):
         """Run a zed-language query (SURVEY §3.1 entry point).
 
         `from NAME` resolves against `tables` (name → DataFrame/
-        ZFrame), then `{sf_dir}/NAME.parquet`, then — only when
-        allow_paths — NAME as a filesystem path. Network-facing
-        callers (the query service) pass allow_paths=False so a query
-        can never read arbitrary host files.
+        ZFrame), then lake refs when `lake` (a Lake or root path) is
+        given — `pool`, `pool@branch`, `pool:log|objects|branches`,
+        `:pools` (the reference's commitish/meta syntax) — then
+        `{sf_dir}/NAME.parquet`, then — only when allow_paths — NAME
+        as a filesystem path. Network-facing callers (the query
+        service) pass allow_paths=False so a query can never read
+        arbitrary host files.
         """
         from zed_spark.lang import compile_query
         from zed_spark.zframe import ZFrame
@@ -131,6 +135,22 @@ class ZedSession:
             if tables and name in tables:
                 t = tables[name]
                 return t.df if isinstance(t, ZFrame) else t
+            if lake is not None:
+                from zed_spark.sources.lake import Lake
+
+                lk = lake if isinstance(lake, Lake) else Lake(self.spark, lake)
+                if name == ":pools":
+                    return lk.meta_pools()
+                base, _, meta = name.partition(":")
+                if meta in ("log", "objects", "branches") and base in lk.pools():
+                    pool = lk.pool(base)
+                    return {
+                        "log": pool.meta_commits,
+                        "objects": pool.meta_objects,
+                        "branches": pool.meta_branches,
+                    }[meta]()
+                if name.partition("@")[0] in lk.pools():
+                    return lk.scan_ref(name)
             if sf_dir is not None:
                 import os
 
