@@ -260,3 +260,32 @@ def test_unknown_function_rejected(z, spark):
     df = spark.createDataFrame([(1,)], "a long")
     with pytest.raises(ValueError, match="unknown function"):
         z.query("from t | yield {x: frobnicate(a)}", tables={"t": df}).df.collect()
+
+
+def test_over_expression(z, spark):
+    """Lateral subquery as an expression (reference OverExpr): a
+    pipeline over an array value inside a put/yield — no explode."""
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3], 10), (2, [], 20), (3, [5, None, 7], 30)],
+        "id long, nums array<long>, base long",
+    )
+    got = z.query(
+        "from t | put total := (over nums | sum(this)), "
+        "big := (over nums | where this > 1 | count()), "
+        "doubled := (over nums | yield this * 2), "
+        "mx := (over nums | max(this)) | cut id, total, big, doubled, mx",
+        tables={"t": df},
+    ).df
+    rows = {r["id"]: r for r in got.collect()}
+    assert rows[1]["total"] == 6.0 and rows[1]["big"] == 2
+    assert rows[1]["doubled"] == [2, 4, 6] and rows[1]["mx"] == 3
+    assert rows[2]["total"] == 0.0 and rows[2]["big"] == 0 and rows[2]["mx"] is None
+    assert rows[3]["total"] == 12.0  # nulls skipped by sum
+    # outer columns remain visible inside the lateral body
+    got2 = z.query(
+        "from t | yield {k: (over nums | yield this + base | sum(this))}",
+        tables={"t": df},
+    ).df
+    # id=3: [5+30, null, 7+30] — the null element stays null and is
+    # skipped by sum → 72
+    assert sorted(r["k"] for r in got2.collect()) == [0.0, 36.0, 72.0]

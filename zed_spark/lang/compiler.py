@@ -241,9 +241,13 @@ class Compiler:
                 return self.expr(self.consts[e[1][0]], df)
             return F.col(".".join(e[1]))
         if kind == "this":
+            if getattr(self, "_this_stack", None):
+                return self._this_stack[-1]
             return F.col("this") if "this" in df.columns else F.struct(
                 *[F.col(c) for c in df.columns]
             )
+        if kind == "overexpr":
+            return self._over_expr(e[1], df)
         if kind == "getfield":
             return self.expr(e[1], df).getField(e[2])
         if kind == "bin":
@@ -333,6 +337,97 @@ class Compiler:
         if kind == "call":
             return self._call(e[1], e[2], df)
         raise ValueError(f"unsupported expression {e!r}")
+
+    def _over_lambda(self, e: tuple, df: DataFrame, x: Column) -> Column:
+        """Compile an expression with `this` bound to an array element
+        (nested over-expressions push/pop the binding stack)."""
+        if not hasattr(self, "_this_stack"):
+            self._this_stack = []
+        self._this_stack.append(x)
+        try:
+            return self.expr(e, df)
+        finally:
+            self._this_stack.pop()
+
+    def _over_expr(self, ops: list[tuple], df: DataFrame) -> Column:
+        """OverExpr (reference ast OverExpr / lateral exprs): a
+        pipeline over an array value, entirely as array functions —
+        `where` → filter, `yield` → transform, a terminal ungrouped
+        summarize → fold. No explode, no shuffle: per-row lateral
+        iteration stays inside the row."""
+        head = ops[0]
+        if head[0] != "over":
+            raise ValueError("over-expression must start with `over <expr>`")
+        if len(head) > 2 and head[2]:
+            raise ValueError("`over ... with` is operator-only (use the over op)")
+        cur = self.expr(head[1], df)
+
+        # single-parameter closure factory: Spark's HOF helpers pass
+        # (element, index) to two-parameter lambdas, so a default
+        # argument would capture the index column
+        def bind(expr_ast):
+            return lambda x: self._over_lambda(expr_ast, df, x)
+
+        for op in ops[1:]:
+            if op[0] == "where":
+                cur = F.filter(cur, bind(op[1]))
+            elif op[0] == "yield":
+                if len(op[1]) != 1:
+                    raise ValueError("over-expression yield takes one expression")
+                cur = F.transform(cur, bind(op[1][0]))
+            elif op[0] == "summarize":
+                aggs, keys, every = op[1], op[2], op[3]
+                if keys or every:
+                    raise ValueError(
+                        "grouped aggregates are not supported in over-expressions"
+                    )
+                outs = [
+                    (name, self._over_agg(fn, arg, where, cur, df))
+                    for name, fn, arg, where in aggs
+                ]
+                if len(outs) == 1:
+                    return outs[0][1]
+                return F.struct(*[c.alias(n) for n, c in outs])
+            else:
+                raise ValueError(f"unsupported op in over-expression: {op[0]!r}")
+        return cur
+
+    def _over_agg(self, fn, arg, where, arr: Column, df: DataFrame) -> Column:
+        def bind(expr_ast):
+            return lambda x: self._over_lambda(expr_ast, df, x)
+
+        if where is not None:
+            arr = F.filter(arr, bind(where))
+        vals = F.transform(arr, bind(arg)) if arg is not None else arr
+        if fn == "count":
+            return F.size(vals).cast("long")
+        if fn == "sum":
+            return F.aggregate(
+                vals, F.lit(0.0), lambda acc, v: acc + F.coalesce(v.cast("double"), F.lit(0.0))
+            )
+        if fn == "avg":
+            total = F.aggregate(
+                vals, F.lit(0.0), lambda acc, v: acc + F.coalesce(v.cast("double"), F.lit(0.0))
+            )
+            n = F.size(F.filter(vals, lambda v: v.isNotNull()))
+            return F.when(n > 0, total / n)
+        if fn == "min":
+            return F.array_min(vals)
+        if fn == "max":
+            return F.array_max(vals)
+        if fn == "any":
+            return F.get(F.array_compact(vals), 0)
+        if fn == "collect":
+            return vals
+        if fn == "union":
+            return F.array_distinct(vals)
+        if fn == "and":
+            return F.forall(vals, lambda v: v)
+        if fn == "or":
+            return F.exists(vals, lambda v: v)
+        if fn == "dcount":
+            return F.size(F.array_distinct(vals)).cast("long")
+        raise ValueError(f"aggregate {fn!r} not supported in over-expressions")
 
     def _is_string(self, e: tuple, df: DataFrame) -> bool:
         """Static type probe for slice/index dispatch."""

@@ -497,6 +497,12 @@ class Parser:
         if t.text == "this":
             return ("this",)
         if t.text == "(":
+            if self.peek().text == "over":
+                # lateral subquery as an expression (reference
+                # OverExpr, ast/ast.go): (over e | where .. | sum(this))
+                ops = self.parse_pipeline()
+                self.expect(")")
+                return ("overexpr", ops)
             e = self.parse_expr()
             self.expect(")")
             return e
