@@ -289,3 +289,21 @@ def test_over_expression(z, spark):
     # id=3: [5+30, null, 7+30] — the null element stays null and is
     # skipped by sum → 72
     assert sorted(r["k"] for r in got2.collect()) == [0.0, 36.0, 72.0]
+
+
+def test_named_type_decls(z, spark):
+    """type NAME = <type> declarations + cast forms (reference
+    TypeDecl): named-type call and cast(v, name)."""
+    df = spark.createDataFrame([(70000.9, "5")], "x double, s string")
+    got = z.query(
+        "type port = uint16 "
+        "type scores = [float64] "
+        "from t | yield {p: port(x), c: cast(s, int64), "
+        "arr: cast([s], scores)}",
+        tables={"t": df},
+    ).df
+    row = got.first()
+    assert row["p"] == 70000 and isinstance(row["p"], int)
+    assert row["c"] == 5
+    assert row["arr"] == [5.0]
+    assert got.schema["arr"].dataType.simpleString() == "array<double>"

@@ -65,6 +65,7 @@ class Compiler:
         self.user_funcs: dict = {}
         self.consts: dict = {}
         self.user_ops: dict = {}
+        self.user_types: dict = {}
         for node in pipeline:
             if node[0] == "decls":
                 # user funcs/ops are macros: expanded inline at call
@@ -74,6 +75,8 @@ class Compiler:
                 self.consts.update(node[2])
                 if len(node) > 3:
                     self.user_ops.update(node[3])
+                if len(node) > 4:
+                    self.user_types.update(node[4])
                 continue
             df = self.apply(df, node)
         if df is None:
@@ -444,7 +447,40 @@ class Compiler:
         except Exception:
             return False
 
+    _TYPE_DDL = {
+        "int8": "tinyint", "int16": "smallint", "int32": "int", "int64": "long",
+        "uint8": "int", "uint16": "int", "uint32": "long", "uint64": "long",
+        "float32": "float", "float64": "double", "string": "string",
+        "bool": "boolean", "time": "timestamp", "duration": "long",
+        "bytes": "binary", "ip": "string", "net": "string",
+    }
+
+    def _type_ddl(self, t: tuple) -> str:
+        """Type AST (named-type decls) → Spark DDL string. Named refs
+        resolve through the declared registry (reference TypeDecl;
+        unsigned widths widen — Spark has no unsigned types)."""
+        if t[0] == "prim":
+            n = t[1]
+            if n in getattr(self, "user_types", {}):
+                return self._type_ddl(self.user_types[n])
+            if n not in self._TYPE_DDL:
+                raise ValueError(f"unknown type {n!r}")
+            return self._TYPE_DDL[n]
+        if t[0] == "array":
+            return f"array<{self._type_ddl(t[1])}>"
+        if t[0] == "recordtype":
+            inner = ",".join(f"{n}:{self._type_ddl(ty)}" for n, ty in t[1])
+            return f"struct<{inner}>"
+        raise ValueError(f"bad type expression {t!r}")
+
     def _call(self, name: str, args: list[tuple], df: DataFrame) -> Column:
+        if name == "cast" and len(args) == 2 and args[1][0] == "field" and len(args[1][1]) == 1:
+            # cast(v, <type-or-named-type>) — zed cast with a type arg
+            tname = args[1][1][0]
+            return self.expr(args[0], df).cast(self._type_ddl(("prim", tname)))
+        if name in getattr(self, "user_types", {}) and len(args) == 1:
+            # named-type call form: port(v) casts to the named type
+            return self.expr(args[0], df).cast(self._type_ddl(("prim", name)))
         if name in getattr(self, "user_funcs", {}):
             params, body = self.user_funcs[name]
             if len(args) != len(params):

@@ -227,6 +227,29 @@ class Parser:
             parts.append(self.next().text)
         return "".join(parts)
 
+    def parse_type_expr(self) -> tuple:
+        """Type syntax for named-type decls: primitive name, named
+        ref, [elem] array, {field:type,...} record."""
+        t = self.peek()
+        if t.text == "[":
+            self.next()
+            inner = self.parse_type_expr()
+            self.expect("]")
+            return ("array", inner)
+        if t.text == "{":
+            self.next()
+            fields = []
+            if self.peek().text != "}":
+                while True:
+                    name = self.next().text
+                    self.expect(":")
+                    fields.append((name, self.parse_type_expr()))
+                    if not self.accept(","):
+                        break
+            self.expect("}")
+            return ("recordtype", fields)
+        return ("prim", self.next().text)
+
     # --- summarize ---------------------------------------------------
     def parse_summarize(self) -> tuple:
         aggs = [self.parse_agg()]
@@ -552,10 +575,19 @@ def parse(src: str) -> list[tuple]:
     funcs: dict[str, tuple[list[str], tuple]] = {}
     consts: dict[str, tuple] = {}
     user_ops: dict[str, tuple[list[str], list[tuple]]] = {}
+    types: dict[str, tuple] = {}
     # maintained incrementally so an op body can call ops declared
     # before it (registered before the body parses)
     p.user_op_names = set()
-    while p.peek().text in ("func", "const", "op"):
+    while p.peek().text in ("func", "const", "op", "type"):
+        if p.peek().text == "type":
+            # type name = <type> — named-type decl (reference
+            # TypeDecl, semantic/op.go; docs/language/statements.md)
+            p.next()
+            name = p.next().text
+            p.expect("=")
+            types[name] = p.parse_type_expr()
+            continue
         if p.peek().text == "op":
             # op name(params): ( seq ) — user macro pipeline
             # (reference OpDecl, semantic/op.go:857)
@@ -598,6 +630,6 @@ def parse(src: str) -> list[tuple]:
     ops = p.parse_pipeline()
     if p.peek().kind != "EOF":
         raise SyntaxError(f"trailing input at {p.peek().pos}: {p.peek().text!r}")
-    if funcs or consts or user_ops:
-        return [("decls", funcs, consts, user_ops)] + ops
+    if funcs or consts or user_ops or types:
+        return [("decls", funcs, consts, user_ops, types)] + ops
     return ops
