@@ -49,6 +49,34 @@ def simhash(
     return agg.select(F.col(id_col), bits.alias("simhash"))
 
 
+def simhash_col(text: Column) -> Column:
+    """Column-level simhash: one fold over the token array, per row —
+    no explode, no groupBy, so it runs stateless on a stream
+    (streaming/dedup.py). Produces the SAME fingerprints as the
+    batch explode+agg form (one md5 per token — the hash array is
+    materialized before the fold, and the 32 bit-votes per token are
+    plain arithmetic on the bound lambda variable)."""
+    toks = F.split(normalize_text(text), " ")
+    hs = F.transform(toks, token_hash)
+    zero = F.array_repeat(F.lit(0).cast("long"), N_BITS)
+
+    def merge(acc, v):
+        contrib = F.transform(
+            F.sequence(F.lit(0), F.lit(N_BITS - 1)),
+            lambda j: (F.floor(v / F.pow(F.lit(2.0), j).cast("long")) % 2) * 2 - 1,
+        )
+        return F.zip_with(acc, contrib, lambda a, c: a + c)
+
+    def finish(acc):
+        return F.aggregate(
+            acc,
+            F.lit(""),
+            lambda s, vote: F.concat(s, F.when(vote > 0, "1").otherwise("0")),
+        )
+
+    return F.aggregate(hs, zero, merge, finish)
+
+
 def hamming(a: Column, b: Column) -> Column:
     """Hamming distance between two equal-length bitstrings (native:
     zip characters, count differences)."""
