@@ -1,0 +1,142 @@
+"""Run the reference's OWN ztest cases against this engine.
+
+Each ztest yaml (reference runtime/ztests/) is a spec: a zed program,
+ZSON input lines, and expected ZSON output. The harness parses the
+input with our ZSON reader, runs the program through the language
+front end, and compares VALUES (type decorators like (int32) are
+widened by design — SURVEY §1.2 — so comparison is value-level, as
+a multiset; zed's output order is pipeline-dependent and our
+DataFrame results are unordered unless sorted).
+
+Cases whose semantics need per-record shapes (mixed-shape streams
+where zed keeps each record's own fields) or unported syntax are
+listed in UNSUPPORTED with the reason — the test fails if a case
+is neither green nor declared, so parity coverage is explicit.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from datetime import datetime
+
+import pytest
+
+ZTESTS = "/root/reference/runtime/ztests"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(ZTESTS), reason="reference ztests absent"
+)
+
+# reference ztest files to run (paths under runtime/ztests/)
+CASES = [
+    "op/cut-foo.yaml",
+    "op/cut-foo-bar.yaml",
+    "op/cut-foo-bar-only.yaml",
+    "op/drop-foo.yaml",
+    "op/drop-boo.yaml",
+    "op/drop-multi.yaml",
+    "op/put-1.yaml",
+    "op/put-2.yaml",
+    "op/put-multi-1.yaml",
+    "op/put-multi-2.yaml",
+    "op/put-overwrite-132.yaml",
+    "op/put-overwrite-321.yaml",
+    "op/pass.yaml",
+    "op/tail-just-right.yaml",
+    "op/tail-too-much.yaml",
+    "op/tail-too-little.yaml",
+    "op/over.yaml",
+    "op/over-null.yaml",
+    "op/fork-head-tail.yaml",
+    "op/over-where.yaml",
+]
+
+# declared gaps: case → reason (the honest boundary of the subset)
+UNSUPPORTED: dict[str, str] = {
+    "op/cut-foo-bar-only.yaml": "cut of an absent field yields zed error('missing') values; the record model errors instead",
+    "op/over.yaml": "over of mixed int/string arrays flows through the union→string collapse",
+    "op/over-where.yaml": "`over x => ( body )` scoped-lateral syntax not in the parser subset",
+    "op/over-null.yaml": "over of null input yields zero rows vs zed's error value",
+}
+
+
+def _load(path: str) -> dict:
+    import yaml
+
+    with open(os.path.join(ZTESTS, path)) as f:
+        return yaml.safe_load(f)
+
+
+def _to_df(spark, values):
+    from pyspark.sql import types as T
+
+    from zed_spark.sources.zson import ZMap, _conform, _finalize, _infer_type, _merge_type
+
+    records = all(isinstance(v, dict) and not isinstance(v, ZMap) for v in values)
+    if not records:
+        values = [{"this": v} for v in values]
+    t = T.NullType()
+    for v in values:
+        t = _merge_type(t, _infer_type(v))
+    t = _finalize(t)
+    rows = [_conform(v, t) for v in values]
+    return spark.createDataFrame(rows, t), (not records)
+
+
+def _norm(v):
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        if v == int(v) and abs(v) < 2**53:
+            return ("n", int(v))  # 2.0 ≡ 2: decorators widen by design
+        return ("f", v)
+    if isinstance(v, int):
+        return ("n", v)
+    if isinstance(v, datetime):
+        return ("t", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, (bytes, bytearray)):
+        return ("y", bytes(v))
+    return v
+
+
+def _run_case(spark, path: str):
+    from zed_spark.lang.compiler import compile_query
+    from zed_spark.sources.zson import parse_zson
+
+    case = _load(path)
+    df, wrapped = _to_df(spark, parse_zson(case["input"]))
+    out = compile_query(spark, case["zed"], lambda n: (_ for _ in ()).throw(ValueError(n)), df)
+    got_rows = [r.asDict(recursive=True) for r in out.collect()]
+    if wrapped and out.columns == ["this"]:
+        got = [r["this"] for r in got_rows]
+    else:
+        got = got_rows
+    want = parse_zson(case["output"])
+    # value-level multiset compare (drop absent-field nulls the
+    # record model fills in)
+    def strip_nulls(v):
+        if isinstance(v, dict):
+            return {k: strip_nulls(x) for k, x in v.items() if x is not None}
+        return v
+
+    g = sorted(map(repr, (_norm(strip_nulls(v)) for v in got)))
+    w = sorted(map(repr, (_norm(strip_nulls(v)) for v in want)))
+    assert g == w, f"{path}\n  got:  {g}\n  want: {w}"
+
+
+@pytest.mark.parametrize("path", CASES)
+def test_reference_ztest(spark, path):
+    if path in UNSUPPORTED:
+        try:
+            _run_case(spark, path)
+        except Exception:
+            pytest.skip(UNSUPPORTED[path])
+        pytest.fail(f"{path} now passes — remove it from UNSUPPORTED")
+    _run_case(spark, path)

@@ -89,6 +89,8 @@ class Compiler:
             return self.resolve(node[1])
         if df is None:
             raise ValueError(f"operator {kind!r} needs an input (start with 'from')")
+        if kind == "pass":
+            return df
         if kind == "where":
             return ops.where(df, self.expr(node[1], df))
         if kind == "search":
@@ -99,12 +101,20 @@ class Compiler:
             specs = [f"{alias}:={path}" if alias else path for path, alias in node[1]]
             return ops.cut(df, *specs)
         if kind == "put":
-            out = df
-            for path, e in node[1]:
-                from zed_spark.operators.project import put_path
+            # zed evaluates every RHS against the INPUT record, then
+            # applies all assignments (put a:=b,b:=a swaps — reference
+            # put semantics, ztest op/put-multi-2). Column references
+            # resolve lazily by name, so the RHS values are frozen as
+            # temp columns in ONE withColumns against the input
+            # before any target is overwritten.
+            from zed_spark.operators.project import put_path
 
-                out = put_path(out, path, self.expr(e, out))
-            return out
+            compiled = [(path, self.expr(e, df)) for path, e in node[1]]
+            tmps = {f"__put_{i}": col for i, (_, col) in enumerate(compiled)}
+            out = df.withColumns(tmps)
+            for i, (path, _) in enumerate(compiled):
+                out = put_path(out, path, F.col(f"__put_{i}"))
+            return out.drop(*tmps.keys())
         if kind == "drop":
             return ops.drop(df, *node[1])
         if kind == "rename":

@@ -29,7 +29,7 @@ _KEYWORDS = {
     "from", "where", "cut", "put", "drop", "rename", "summarize", "sort",
     "head", "tail", "top", "uniq", "fuse", "yield", "over", "join", "by",
     "on", "kind", "and", "or", "not", "in", "this", "true", "false", "null",
-    "every",
+    "every", "pass",
 }
 
 
@@ -76,6 +76,9 @@ class Parser:
             self.next()
             name = self.parse_source_name()
             return ("from", name)
+        if word == "pass":
+            self.next()
+            return ("pass",)
         if word == "where":
             self.next()
             return ("where", self.parse_expr())
