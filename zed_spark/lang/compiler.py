@@ -143,11 +143,15 @@ class Compiler:
         if kind == "sort":
             _, keys, desc = node
             if not keys:
-                keys = [("field", [df.columns[0]])]
+                keys = [(("field", [df.columns[0]]), None)]
             cols = []
-            for k in keys:
+            for k, kdir in keys:
                 c = self.expr(k, df)
-                cols.append(c.desc_nulls_first() if desc else c.asc_nulls_last())
+                # per-key asc/desc keywords override the -r flag
+                # (docs/language/operators/sort.md); zed null rule:
+                # nulls last on asc, first on desc
+                is_desc = kdir == "desc" if kdir else desc
+                cols.append(c.desc_nulls_first() if is_desc else c.asc_nulls_last())
             return df.orderBy(*cols)
         if kind == "head":
             return ops.head(df, node[1])

@@ -114,10 +114,18 @@ class Parser:
                     raise SyntaxError(f"unknown sort flag -{flag.text}")
                 desc = True
             keys = []
+
+            def key():
+                e = self.parse_expr()
+                d = None
+                if self.peek().text in ("asc", "desc"):
+                    d = self.next().text
+                return (e, d)
+
             if not self.at_end_of_op():
-                keys.append(self.parse_expr())
+                keys.append(key())
                 while self.accept(","):
-                    keys.append(self.parse_expr())
+                    keys.append(key())
             return ("sort", keys, desc)
         if word == "head":
             self.next()
