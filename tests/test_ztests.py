@@ -23,13 +23,21 @@ from datetime import datetime
 import pytest
 
 ZTESTS = "/root/reference/runtime/ztests"
+GROUPBY = "/root/reference/runtime/sam/op/groupby/ztests"
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(ZTESTS), reason="reference ztests absent"
 )
 
-# reference ztest files to run (paths under runtime/ztests/)
+# reference ztest files to run (paths under runtime/ztests/, or
+# absolute for batteries elsewhere in the reference tree)
 CASES = [
+    f"{GROUPBY}/multiple-fields.yaml",
+    f"{GROUPBY}/multiple-fields-assign.yaml",
+    f"{GROUPBY}/null-keys-at-start.yaml",
+    f"{GROUPBY}/null-inputs.yaml",
+    f"{GROUPBY}/computed-key.yaml",
+    f"{GROUPBY}/by-only.yaml",
     "op/cut-foo.yaml",
     "op/cut-foo-bar.yaml",
     "op/cut-foo-bar-only.yaml",
@@ -68,7 +76,8 @@ UNSUPPORTED: dict[str, str] = {
 def _load(path: str) -> dict:
     import yaml
 
-    with open(os.path.join(ZTESTS, path)) as f:
+    full = path if path.startswith("/") else os.path.join(ZTESTS, path)
+    with open(full) as f:
         return yaml.safe_load(f)
 
 

@@ -126,6 +126,11 @@ class Compiler:
             return out
         if kind == "summarize":
             _, aggs, keys, every = node
+            if not aggs and keys and every is None:
+                # zed `by key,...` shorthand: distinct key tuples
+                return df.select(
+                    *[self.expr(e, df).alias(name) for name, e in keys]
+                ).distinct()
             agg_cols = {
                 name: agg_expr(
                     fn,

@@ -79,6 +79,19 @@ class Parser:
         if word == "pass":
             self.next()
             return ("pass",)
+        if word == "by":
+            # `by key,...` — summarize shorthand for distinct keys
+            self.next()
+            keys, every = [], None
+            while True:
+                k = self.parse_key()
+                if k[0] == "every":
+                    every = k[1]
+                else:
+                    keys.append(k)
+                if not self.accept(","):
+                    break
+            return ("summarize", [], keys, every)
         if word == "where":
             self.next()
             return ("where", self.parse_expr())
