@@ -31,7 +31,12 @@ pytestmark = pytest.mark.skipif(
 
 # reference ztest files to run (paths under runtime/ztests/, or
 # absolute for batteries elsewhere in the reference tree)
+SAM_OP = "/root/reference/runtime/sam/op"
+
 CASES = [
+    f"{SAM_OP}/fuse/ztests/basic.yaml",
+    f"{SAM_OP}/yield/ztests/record.yaml",
+    f"{SAM_OP}/switcher/ztests/switch-default.yaml",
     f"{GROUPBY}/multiple-fields.yaml",
     f"{GROUPBY}/multiple-fields-assign.yaml",
     f"{GROUPBY}/null-keys-at-start.yaml",

@@ -92,7 +92,10 @@ class Compiler:
         if kind == "pass":
             return df
         if kind == "where":
-            return ops.where(df, self.expr(node[1], df))
+            # cast to boolean: zed treats a null predicate as no
+            # match (`filter null` drops everything); Spark rejects a
+            # VOID filter expression outright
+            return ops.where(df, self.expr(node[1], df).cast("boolean"))
         if kind == "search":
             from zed_spark.operators.filters import search
 

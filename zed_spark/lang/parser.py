@@ -29,7 +29,7 @@ _KEYWORDS = {
     "from", "where", "cut", "put", "drop", "rename", "summarize", "sort",
     "head", "tail", "top", "uniq", "fuse", "yield", "over", "join", "by",
     "on", "kind", "and", "or", "not", "in", "this", "true", "false", "null",
-    "every", "pass",
+    "every", "pass", "filter",
 }
 
 
@@ -92,7 +92,8 @@ class Parser:
                 if not self.accept(","):
                     break
             return ("summarize", [], keys, every)
-        if word == "where":
+        if word in ("where", "filter"):
+            # `filter` is the reference's alias for where
             self.next()
             return ("where", self.parse_expr())
         if word == "cut":
