@@ -34,6 +34,11 @@ pytestmark = pytest.mark.skipif(
 SAM_OP = "/root/reference/runtime/sam/op"
 
 CASES = [
+    f"{SAM_OP}/traverse/ztests/over-expr.yaml",
+    f"{SAM_OP}/traverse/ztests/over-expr-outer-vars.yaml",
+    f"{SAM_OP}/traverse/ztests/bare.yaml",
+    f"{SAM_OP}/traverse/ztests/filter.yaml",
+    f"{SAM_OP}/top/ztests/top.yaml",
     f"{SAM_OP}/fuse/ztests/basic.yaml",
     f"{SAM_OP}/yield/ztests/record.yaml",
     f"{SAM_OP}/switcher/ztests/switch-default.yaml",
@@ -137,11 +142,18 @@ def _run_case(spark, path: str):
     df, wrapped = _to_df(spark, in_vals)
     out = compile_query(spark, case["zed"], lambda n: (_ for _ in ()).throw(ValueError(n)), df)
     got_rows = [r.asDict(recursive=True) for r in out.collect()]
+    want = parse_zson(case["output"])
+    got = got_rows
     if wrapped and out.columns == ["this"]:
         got = [r["this"] for r in got_rows]
-    else:
-        got = got_rows
-    want = parse_zson(case["output"])
+    elif (
+        len(out.columns) == 1
+        and want
+        and all(not isinstance(v, dict) for v in want)
+    ):
+        # zed emits BARE values where the record model wraps them in
+        # a single column (yield of a non-record, over pipelines)
+        got = [r[out.columns[0]] for r in got_rows]
     # value-level multiset compare (drop absent-field nulls the
     # record model fills in)
     def strip_nulls(v):
