@@ -165,6 +165,22 @@ def test_zjson_spec_framing(spark, tmp_path):
     assert lines[0]["value"] == ["1", "a"]
 
 
+def test_extensionless_dir_sniffing(spark, tmp_path):
+    """read_any on an extension-less directory sniffs the content:
+    ZSON exports, ZJSON frames, and parquet dirs all resolve."""
+    from zed_spark.sources.readers import read_any
+    from zed_spark.sources.zjson import write_zjson
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "n long, s string")
+    zs, zj, pq = (str(tmp_path / d) for d in ("zs_dir", "zj_dir", "pq_dir"))
+    write_zson(df, zs, single_file=True)
+    write_zjson(df, zj, single_file=True)
+    df.write.parquet(pq)
+    assert read_any(spark, zs).count() == 2
+    assert read_any(spark, zj).count() == 2
+    assert read_any(spark, pq).count() == 2
+
+
 def test_zjson_timestamps_and_read_any(spark, tmp_path):
     from tests.conftest import SF_DIR
     from zed_spark.sources.readers import read_any, read_table

@@ -73,14 +73,53 @@ def read_any(spark: SparkSession, path: str, fmt: str = "auto", **options) -> Da
     raise ValueError(f"unknown format {fmt!r}")
 
 
+_EXT_FORMATS = [
+    (".parquet", "parquet"), (".json", "json"), (".ndjson", "json"),
+    (".csv", "csv"), (".tsv", "tsv"), (".log", "zeek"), (".txt", "line"),
+    (".zson", "zson"), (".zjson", "zjson"),
+]
+
+
 def _sniff_format(path: str) -> str:
-    for ext, fmt in [
-        (".parquet", "parquet"), (".json", "json"), (".ndjson", "json"),
-        (".csv", "csv"), (".tsv", "tsv"), (".log", "zeek"), (".txt", "line"),
-        (".zson", "zson"), (".zjson", "zjson"),
-    ]:
+    for ext, fmt in _EXT_FORMATS:
         if path.endswith(ext):
             return fmt
+    # extension-less directory (a Spark text/parquet output dir, a
+    # lake object, a ZSON export): sniff the first data file's content
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    if _os.path.isdir(path):
+        files = [
+            f
+            for f in sorted(_glob.glob(_os.path.join(path, "*")))
+            if _os.path.isfile(f)
+            and not _os.path.basename(f).startswith(("_", "."))
+            and not f.endswith(".crc")
+        ]
+        if files:
+            for ext, fmt in _EXT_FORMATS:
+                if files[0].endswith(ext) and ext != ".txt":
+                    return fmt
+            with open(files[0], "rb") as fh:
+                head = fh.read(4096)
+            if head[:4] == b"PAR1":
+                return "parquet"
+            first = head.decode("utf-8", errors="replace").lstrip().splitlines()
+            line = first[0] if first else ""
+            if line.startswith("#separator"):
+                return "zeek"
+            if line.startswith("{"):
+                try:
+                    obj = _json.loads(line)
+                    # ZJSON frames are {"type":..,"value":..} JSON
+                    if isinstance(obj, dict) and set(obj) == {"type", "value"}:
+                        return "zjson"
+                    return "json"
+                except ValueError:
+                    return "zson"  # records with unquoted names
+            return "line"
     return "parquet"
 
 
