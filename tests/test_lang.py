@@ -307,3 +307,17 @@ def test_named_type_decls(z, spark):
     assert row["c"] == 5
     assert row["arr"] == [5.0]
     assert got.schema["arr"].dataType.simpleString() == "array<double>"
+
+
+def test_fstrings(z, spark):
+    """Formatted string literals (docs/language/expressions.md):
+    replacement expressions in braces, implicit cast to string."""
+    df = spark.createDataFrame([(22.0, 7.0, "pi")], "numerator double, denominator double, name string")
+    got = z.query(
+        'from t | yield {msg: f"pi is approximately {numerator / denominator}", '
+        'tag: f"{upper(name)}!", plain: f"no subst", empty: f""}',
+        tables={"t": df},
+    ).df.first()
+    assert got["msg"] == "pi is approximately 3.142857142857143"
+    assert got["tag"] == "PI!"
+    assert got["plain"] == "no subst" and got["empty"] == ""

@@ -273,6 +273,10 @@ class Compiler:
             )
         if kind == "overexpr":
             return self._over_expr(e[1], df)
+        if kind == "fstr":
+            if not e[1]:
+                return F.lit("")
+            return F.concat(*[self.expr(p, df).cast("string") for p in e[1]])
         if kind == "getfield":
             return self.expr(e[1], df).getField(e[2])
         if kind == "bin":

@@ -15,6 +15,7 @@ _TOKEN_RE = re.compile(
   | (?P<TIME>\d{4}-\d{2}-\d{2}(?:T\d{2}:\d{2}:\d{2}(?:\.\d+)?Z?)?)
   | (?P<DUR>\d+(?:\.\d+)?(?:ns|us|ms|s|m|h|d|w|y))
   | (?P<NUM>\d+\.\d+|\.\d+|\d+)
+  | (?P<FSTR>f"(?:\\.|[^"\\])*")
   | (?P<STR>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
   | (?P<ID>[A-Za-z_][A-Za-z_0-9]*)
   | (?P<OP>:=|==|!=|<=|>=|=~|=>|\|>|\||\.\.\.|[-+*/%(),.\[\]{}:?<>=!@])

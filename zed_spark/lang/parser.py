@@ -252,6 +252,48 @@ class Parser:
             parts.append(self.next().text)
         return "".join(parts)
 
+    def _fstring(self, raw: str) -> tuple:
+        """f"... {expr} ..." → ('fstr', [('str', lit) | expr, ...])
+        (docs/language/expressions.md formatted string literals;
+        nested f-strings inside replacements are not in the subset)."""
+        import json as _json
+
+        body = raw[2:-1]
+        parts: list[tuple] = []
+        lit: list[str] = []
+
+        def flush():
+            if lit:
+                parts.append(("str", _json.loads('"' + "".join(lit) + '"')))
+                lit.clear()
+
+        i = 0
+        while i < len(body):
+            c = body[i]
+            if c == "\\" and i + 1 < len(body):
+                lit.append(body[i : i + 2])
+                i += 2
+                continue
+            if c == "{":
+                depth, j = 1, i + 1
+                while j < len(body) and depth:
+                    depth += {"{": 1, "}": -1}.get(body[j], 0)
+                    j += 1
+                if depth:
+                    raise SyntaxError("unterminated '{' in f-string")
+                sub = Parser(body[i + 1 : j - 1])
+                e = sub.parse_expr()
+                if sub.peek().kind != "EOF":
+                    raise SyntaxError("trailing input in f-string expression")
+                flush()
+                parts.append(e)
+                i = j
+                continue
+            lit.append(c)
+            i += 1
+        flush()
+        return ("fstr", parts)
+
     def parse_type_expr(self) -> tuple:
         """Type syntax for named-type decls: primitive name, named
         ref, [elem] array, {field:type,...} record."""
@@ -532,6 +574,8 @@ class Parser:
             return ("num", float(t.text) if "." in t.text else int(t.text))
         if t.kind == "STR":
             return ("str", t.text[1:-1])
+        if t.kind == "FSTR":
+            return self._fstring(t.text)
         if t.kind == "TIME":
             return ("time", t.text)
         if t.kind == "DUR":
