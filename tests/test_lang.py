@@ -321,3 +321,29 @@ def test_fstrings(z, spark):
     assert got["msg"] == "pi is approximately 3.142857142857143"
     assert got["tag"] == "PI!"
     assert got["plain"] == "no subst" and got["empty"] == ""
+
+
+def test_shape_ops_in_language(z, spark):
+    """shape/cast/crop/order with inline record-type arguments."""
+    df = spark.createDataFrame([(1, "5", 2.5)], "a long, b string, junk double")
+    got = z.query(
+        "from t | shape {b:int64, a:string}", tables={"t": df}
+    ).df
+    # target order + types; extras kept by shape (b first, then a, then junk)
+    assert got.columns == ["b", "a", "junk"]
+    assert got.schema["b"].dataType.simpleString() == "bigint"
+    assert got.first()["b"] == 5 and got.first()["a"] == "1"
+    cropped = z.query("from t | crop {a:int64}", tables={"t": df}).df
+    assert cropped.columns == ["a"]
+    # guard: these words still work as assignment targets
+    put = z.query("from t | order := a + 1 | cut order", tables={"t": df}).df
+    assert put.first()["order"] == 2
+
+
+def test_assert_in_language(z, spark):
+    from zed_spark import errors as E
+
+    df = spark.createDataFrame([(1,), (20,)], "x long")
+    got = z.query("from t | assert x < 10", tables={"t": df}).df
+    bad = got.filter(E.has_error(got))
+    assert bad.count() == 1 and bad.first()["x"] == 20

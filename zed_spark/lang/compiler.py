@@ -91,6 +91,28 @@ class Compiler:
             raise ValueError(f"operator {kind!r} needs an input (start with 'from')")
         if kind == "pass":
             return df
+        if kind == "assert":
+            from zed_spark.operators.misc_ops import assert_op
+
+            return assert_op(df, self.expr(node[1], df))
+        if kind == "shapeop":
+            from pyspark.sql.types import StructType
+
+            from zed_spark.operators import shape_op as S
+
+            ddl = self._type_ddl(node[2])
+            if not ddl.startswith("struct<"):
+                raise ValueError(f"{node[1]} needs a record type, got {ddl}")
+            target = StructType.fromDDL(ddl[len("struct<"):-1])
+            fn = {
+                "shape": S.shape_to,
+                "cast": S.cast_to,
+                "crop": S.crop_to,
+                "fit": S.fit_to,
+                "order": S.order_to,
+                "fill": S.fill_to,
+            }[node[1]]
+            return fn(df, target)
         if kind == "where":
             # cast to boolean: zed treats a null predicate as no
             # match (`filter null` drops everything); Spark rejects a

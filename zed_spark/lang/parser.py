@@ -96,6 +96,20 @@ class Parser:
             # `filter` is the reference's alias for where
             self.next()
             return ("where", self.parse_expr())
+        if word == "assert":
+            self.next()
+            return ("assert", self.parse_expr())
+        if word in ("shape", "cast", "crop", "fit", "order", "fill"):
+            # shaping family with an inline type argument:
+            # `shape {a:int64,b:string}` (docs/language/operators/*).
+            # Guarded so these words still work as field names in
+            # implied puts (`order := 5`) and calls (`cast(v, t)`).
+            nxt = self.peek(1)
+            if nxt.text in ("{", "[") or (
+                nxt.kind == "ID" and self.peek(2).text not in (":=", "(", ".")
+            ):
+                self.next()
+                return ("shapeop", word, self.parse_type_expr())
         if word == "cut":
             self.next()
             return ("cut", self.parse_assign_list())
