@@ -168,3 +168,28 @@ def test_language_lake_refs(spark, lake):
     assert [r["branch"] for r in branches.collect()] == ["dev", "main"]
     pools = z.query("from :pools", lake=lake).df
     assert [r["name"] for r in pools.collect()] == ["nation"]
+
+
+def test_language_load_op(spark, lake):
+    """`... | load pool@branch author "a" message "m"` writes the
+    pipeline result into the pool; the commit comes back as data."""
+    from zed_spark.session import ZedSession
+
+    na = read_table(spark, SF_DIR, "nation")
+    pool = lake.create_pool("nation", key="n_nationkey")
+    pool.load(na, message="base")
+    pool.create_branch("staging")
+    z = ZedSession(spark)
+    out = z.query(
+        'from nation | where n_regionkey == 0 | load nation@staging '
+        'author "ci" message "region zero"',
+        lake=lake,
+    ).df
+    row = out.first()
+    assert row["pool"] == "nation" and row["branch"] == "staging"
+    n0 = na.filter(F.col("n_regionkey") == 0).count()
+    assert pool.scan("staging").count() == 25 + n0
+    assert pool.scan("main").count() == 25
+    log = {r["commit"]: r for r in pool.meta_commits().collect()}
+    assert log[row["commit"]]["author"] == "ci"
+    assert log[row["commit"]]["message"] == "region zero"

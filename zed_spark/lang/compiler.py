@@ -95,6 +95,19 @@ class Compiler:
             from zed_spark.operators.misc_ops import assert_op
 
             return assert_op(df, self.expr(node[1], df))
+        if kind == "load":
+            # terminal lake write; the commit id comes back as data
+            # (metadata-as-data, like the reference's commit response)
+            lake = getattr(self, "lake", None)
+            if lake is None:
+                raise ValueError("`load` needs a lake context (ZedSession.query(lake=...))")
+            _, ref, author, message = node
+            name, _, branch = ref.partition("@")
+            pool = lake.pool(name)
+            cid = pool.load(df, author=author, message=message, branch=branch or "main")
+            return self.spark.createDataFrame(
+                [(cid, name, branch or "main")], "commit string, pool string, branch string"
+            )
         if kind == "shapeop":
             from pyspark.sql.types import StructType
 
@@ -613,7 +626,10 @@ def compile_query(
     text: str,
     source_resolver: Callable[[str], DataFrame],
     input_df: DataFrame | None = None,
+    lake=None,
 ) -> DataFrame:
     from zed_spark.lang.parser import parse
 
-    return Compiler(spark, source_resolver, input_df).run(parse(text))
+    c = Compiler(spark, source_resolver, input_df)
+    c.lake = lake
+    return c.run(parse(text))

@@ -99,6 +99,28 @@ class Parser:
         if word == "assert":
             self.next()
             return ("assert", self.parse_expr())
+        if word == "load":
+            # terminal lake write: load pool[@branch] [author "a"]
+            # [message "m"] (reference load op, docs/language/operators/load.md)
+            self.next()
+            parts = [self.next().text]
+            while (
+                self.peek().text in (".", "/", "-", "@", ":")
+                or self.peek().kind in ("ID", "NUM")
+            ) and self.peek().text not in ("author", "message"):
+                if self.at_end_of_op():
+                    break
+                parts.append(self.next().text)
+            ref = "".join(parts)
+            author = message = ""
+            while self.peek().text in ("author", "message"):
+                which = self.next().text
+                val = self.next().text[1:-1]  # quoted string
+                if which == "author":
+                    author = val
+                else:
+                    message = val
+            return ("load", ref, author, message)
         if word in ("shape", "cast", "crop", "fit", "order", "fill"):
             # shaping family with an inline type argument:
             # `shape {a:int64,b:string}` (docs/language/operators/*).

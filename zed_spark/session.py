@@ -165,7 +165,12 @@ class ZedSession:
 
             return read_any(self.spark, name)
 
-        return ZFrame(compile_query(self.spark, text, resolve))
+        lk = None
+        if lake is not None:
+            from zed_spark.sources.lake import Lake
+
+            lk = lake if isinstance(lake, Lake) else Lake(self.spark, lake)
+        return ZFrame(compile_query(self.spark, text, resolve, lake=lk))
 
     def table(self, sf_dir: str, name: str):
         """Load one of the standard test tables from a scale-factor dir.
