@@ -34,6 +34,9 @@ pytestmark = pytest.mark.skipif(
 SAM_OP = "/root/reference/runtime/sam/op"
 
 CASES = [
+    f"{SAM_OP}/exprswitch/ztests/switch.yaml",
+    f"{SAM_OP}/shape/ztests/shape-simple.yaml",
+    f"{SAM_OP}/merge/ztests/fork-merge.yaml",
     f"{SAM_OP}/traverse/ztests/over-expr.yaml",
     f"{SAM_OP}/traverse/ztests/over-expr-outer-vars.yaml",
     f"{SAM_OP}/traverse/ztests/bare.yaml",
@@ -163,8 +166,8 @@ def _run_case(spark, path: str):
 
     g = [repr(_norm(strip_nulls(v))) for v in got]
     w = [repr(_norm(strip_nulls(v))) for v in want]
-    if "sort" in case["zed"]:
-        # a sorted pipeline's output order is part of the contract
+    if "sort" in case["zed"] or "merge" in case["zed"]:
+        # a sorted/merged pipeline's output order is part of the contract
         assert g == w, f"{path} (ordered)\n  got:  {g}\n  want: {w}"
     else:
         assert sorted(g) == sorted(w), f"{path}\n  got:  {sorted(g)}\n  want: {sorted(w)}"

@@ -262,6 +262,10 @@ class Compiler:
 
             df = df.cache()
             return fuse_dataframes([self._run_sub(df, sub) for sub in node[1]])
+        if kind == "merge":
+            # ordered merge of upstream legs = sort by the merge key
+            # (zed nulls rule: asc → nulls last)
+            return df.orderBy(*[self.expr(k, df).asc_nulls_last() for k in node[1]])
         if kind == "join":
             _, jkind, lk, rk, cut, sub = node
             right = Compiler(self.spark, self.resolve).run(sub)

@@ -132,6 +132,11 @@ class Parser:
             ):
                 self.next()
                 return ("shapeop", word, self.parse_type_expr())
+            if nxt.text in ("|", ")", "=>", "") or nxt.kind == "EOF":
+                # bare `shape`/`fuse`-style normalization: one
+                # DataFrame already has one shape — identity
+                self.next()
+                return ("pass",)
         if word == "cut":
             self.next()
             return ("cut", self.parse_assign_list())
@@ -225,6 +230,13 @@ class Parser:
         if word == "join":
             self.next()
             return self.parse_join()
+        if word == "merge":
+            # re-establish order by key after fork/combine legs
+            self.next()
+            keys = [self.parse_expr()]
+            while self.accept(","):
+                keys.append(self.parse_expr())
+            return ("merge", keys)
         if word == "switch":
             self.next()
             return self.parse_switch()
