@@ -75,6 +75,15 @@ def _post_json(url, path, payload):
         return e.code, json.loads(e.read().decode())
 
 
+def test_query_pool_branch_ref(svc):
+    """POST /query resolves lake refs: pool@branch and :pools."""
+    code, body = _post(svc, "from events@main | count()")
+    assert code == 200
+    assert json.loads(body.splitlines()[0])["count"] == 1000
+    code, body = _post(svc, "from :pools | cut name")
+    assert code == 200 and json.loads(body.splitlines()[0])["name"] == "events"
+
+
 def test_branch_endpoints(svc):
     code, out = _post_json(svc, "/pools/events/branch", {"name": "dev"})
     assert code == 200 and out["ok"]
