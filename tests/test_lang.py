@@ -347,3 +347,19 @@ def test_assert_in_language(z, spark):
     got = z.query("from t | assert x < 10", tables={"t": df}).df
     bad = got.filter(E.has_error(got))
     assert bad.count() == 1 and bad.first()["x"] == 20
+
+
+def test_join_prefix_kinds(z, spark):
+    """Reference prefix-kind join syntax: anti/left/inner join (...)."""
+    left = spark.createDataFrame([(1, "l1"), (2, "l2"), (3, "l3")], "k long, lv string")
+    right = spark.createDataFrame([(1, "r1")], "j long, rv string")
+    anti = z.query(
+        "from l | anti join (from r) on k=j",
+        tables={"l": left, "r": right},
+    ).df
+    assert sorted(r["k"] for r in anti.collect()) == [2, 3]
+    lj = z.query(
+        "from l | left join (from r) on k=j hit:=rv | sort k",
+        tables={"l": left, "r": right},
+    ).df
+    assert [(r["k"], r["hit"]) for r in lj.collect()] == [(1, "r1"), (2, None), (3, None)]

@@ -230,6 +230,11 @@ class Parser:
         if word == "join":
             self.next()
             return self.parse_join()
+        if word in ("left", "right", "inner", "anti") and self.peek(1).text == "join":
+            # reference prefix-kind form: `anti join ( ... ) on a=b`
+            self.next()
+            self.next()
+            return self.parse_join(kind=word)
         if word == "merge":
             # re-establish order by key after fork/combine legs
             self.next()
@@ -466,8 +471,7 @@ class Parser:
         return ("switch", selector, cases)
 
     # --- join --------------------------------------------------------
-    def parse_join(self) -> tuple:
-        kind = "inner"
+    def parse_join(self, kind: str = "inner") -> tuple:
         if self.peek().text == "kind":
             self.next()
             self.expect("=")
