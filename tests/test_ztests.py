@@ -81,7 +81,6 @@ CASES = [
 UNSUPPORTED: dict[str, str] = {
     "op/cut-foo-bar-only.yaml": "cut of an absent field yields zed error('missing') values; the record model errors instead",
     "op/over.yaml": "over of mixed int/string arrays flows through the union→string collapse",
-    "op/over-where.yaml": "`over x => ( body )` scoped-lateral syntax not in the parser subset",
     "op/over-null.yaml": "over of null input yields zero rows vs zed's error value",
 }
 

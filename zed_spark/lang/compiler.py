@@ -225,7 +225,21 @@ class Compiler:
             with_vars = {
                 name: self.expr(e, df) for name, e in (node[2] if len(node) > 2 else [])
             }
-            return ops.over(df, self.expr(node[1], df), with_vars or None)
+            out = ops.over(df, self.expr(node[1], df), with_vars or None)
+            scoped = node[3] if len(node) > 3 else None
+            if scoped:
+                # scoped body runs per source value; row-local
+                # operators are identical per-group and globally, so
+                # only those are admitted (head/sort per group would
+                # need windowed semantics)
+                row_local = {"where", "put", "yield", "cut", "drop", "rename", "pass"}
+                for sub in scoped:
+                    if sub[0] not in row_local:
+                        raise ValueError(
+                            f"scoped over body supports row-local operators only, got {sub[0]!r}"
+                        )
+                    out = self.apply(out, sub)
+            return out
         if kind == "opcall":
             _, name, args = node
             params, body = self.user_ops[name]

@@ -226,7 +226,13 @@ class Parser:
                     with_vars.append((vname, self.parse_expr()))
                     if not self.accept(","):
                         break
-            return ("over", e, with_vars)
+            scoped = None
+            if self.accept("=>"):
+                # scoped lateral body: over x => ( ops... )
+                self.expect("(")
+                scoped = self.parse_pipeline()
+                self.expect(")")
+            return ("over", e, with_vars, scoped)
         if word == "join":
             self.next()
             return self.parse_join()
