@@ -68,6 +68,7 @@ CASES = [
     "op/tail-too-much.yaml",
     "op/tail-too-little.yaml",
     "op/over.yaml",
+    "op/over-head.yaml",
     "op/over-null.yaml",
     "op/fork-head-tail.yaml",
     "op/over-where.yaml",

@@ -225,21 +225,55 @@ class Compiler:
             with_vars = {
                 name: self.expr(e, df) for name, e in (node[2] if len(node) > 2 else [])
             }
-            out = ops.over(df, self.expr(node[1], df), with_vars or None)
             scoped = node[3] if len(node) > 3 else None
-            if scoped:
-                # scoped body runs per source value; row-local
-                # operators are identical per-group and globally, so
-                # only those are admitted (head/sort per group would
-                # need windowed semantics)
-                row_local = {"where", "put", "yield", "cut", "drop", "rename", "pass"}
-                for sub in scoped:
-                    if sub[0] not in row_local:
-                        raise ValueError(
-                            f"scoped over body supports row-local operators only, got {sub[0]!r}"
-                        )
-                    out = self.apply(out, sub)
-            return out
+            if not scoped:
+                return ops.over(df, self.expr(node[1], df), with_vars or None)
+            # scoped body runs PER SOURCE VALUE: explode with a source
+            # id + element position so head/tail apply within each
+            # group (zed over-scope semantics); row-local ops
+            # (where/put/yield) behave identically per group and
+            # globally
+            from pyspark.sql import Window
+
+            col = self.expr(node[1], df)
+            # the source id must bind BEFORE the explode: inside the
+            # same select a nondeterministic expr evaluates per
+            # generated row, giving every element its own group
+            src = df.withColumn("__src", F.monotonically_increasing_id())
+            out = src.select(
+                F.col("__src"),
+                *[v.alias(name) for name, v in with_vars.items()],
+                F.posexplode(col).alias("__pos", "this"),
+            )
+            helpers = ["__src", "__pos"] + list(with_vars)
+            for sub in scoped:
+                if sub[0] == "pass":
+                    continue
+                if sub[0] == "where":
+                    out = out.filter(self.expr(sub[1], out).cast("boolean"))
+                elif sub[0] == "put":
+                    for path, e2 in sub[1]:
+                        from zed_spark.operators.project import put_path
+
+                        out = put_path(out, path, self.expr(e2, out))
+                elif sub[0] == "yield" and len(sub[1]) == 1:
+                    out = out.select(
+                        *[F.col(h) for h in helpers],
+                        self.expr(sub[1][0], out).alias("this"),
+                    )
+                elif sub[0] in ("head", "tail"):
+                    order = F.col("__pos").asc() if sub[0] == "head" else F.col("__pos").desc()
+                    w = Window.partitionBy("__src").orderBy(order)
+                    out = (
+                        out.withColumn("__rn", F.row_number().over(w))
+                        .filter(F.col("__rn") <= sub[1])
+                        .drop("__rn")
+                    )
+                else:
+                    raise ValueError(
+                        f"scoped over body: operator {sub[0]!r} not supported per-group"
+                    )
+            return out.drop("__src", "__pos")
         if kind == "opcall":
             _, name, args = node
             params, body = self.user_ops[name]
