@@ -38,6 +38,9 @@ CASES = [
     f"{SAM_OP}/shape/ztests/shape-simple.yaml",
     f"{SAM_OP}/merge/ztests/fork-merge.yaml",
     f"{SAM_OP}/traverse/ztests/over-expr.yaml",
+    f"{SAM_OP}/traverse/ztests/head-scoped.yaml",
+    f"{SAM_OP}/traverse/ztests/head.yaml",
+    f"{SAM_OP}/traverse/ztests/nested-where.yaml",
     f"{SAM_OP}/traverse/ztests/over-expr-outer-vars.yaml",
     f"{SAM_OP}/traverse/ztests/bare.yaml",
     f"{SAM_OP}/traverse/ztests/filter.yaml",

@@ -269,6 +269,12 @@ class Compiler:
                         .filter(F.col("__rn") <= sub[1])
                         .drop("__rn")
                     )
+                elif sub[0] == "over":
+                    # nested lateral: re-explode; group helpers are
+                    # consumed (per-group ops can't follow)
+                    out = self.apply(out.drop("__src", "__pos"), sub)
+                    helpers = []
+                    continue
                 else:
                     raise ValueError(
                         f"scoped over body: operator {sub[0]!r} not supported per-group"
