@@ -363,3 +363,11 @@ def test_join_prefix_kinds(z, spark):
         tables={"l": left, "r": right},
     ).df
     assert [(r["k"], r["hit"]) for r in lj.collect()] == [(1, "r1"), (2, None), (3, None)]
+
+
+def test_load_unquoted_author_is_syntax_error():
+    """`load p author bob` must fail loudly, not silently strip
+    characters from an unquoted token (round-2 ADVICE parser.py:110)."""
+    parse('load p author "bob"')  # quoted form parses
+    with pytest.raises(SyntaxError, match="quoted string"):
+        parse("load p author bob")

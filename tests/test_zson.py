@@ -193,3 +193,76 @@ def test_zjson_timestamps_and_read_any(spark, tmp_path):
     want = {r["event_id"]: r["ts"] for r in ev.collect()}
     got = {r["event_id"]: r["ts"] for r in out.collect()}
     assert got == want
+
+
+def test_late_widening_value(spark, tmp_path):
+    """Type inference merges over ALL rows in one job: a float that
+    first appears past row 1000 (former take(1000) sample window)
+    still widens the column, and a struct field seen only late is
+    kept (round-2 ADVICE zson.py:497)."""
+    p = tmp_path / "wide.zson"
+    rows = ["{n:%d,extra:null}" % i for i in range(1200)]
+    rows.append("{n:3.5,extra:{deep:7}}")
+    p.write_text("\n".join(rows) + "\n")
+    df = read_zson_fused(spark, str(p))
+    assert df.count() == 1201
+    types = dict(df.dtypes)
+    assert types["n"] == "double"
+    assert types["extra"].startswith("struct")
+    assert df.agg(F.sum("n")).collect()[0][0] == sum(range(1200)) + 3.5
+
+
+def test_zjson_union_array_and_per_file_ids(spark, tmp_path):
+    """Union values decode from the reference's two-element
+    [tag, value] array form (zio/zjsonio/writer.go:178), and type ids
+    are resolved per input file: two files reusing id 30 for
+    different types don't cross-contaminate (round-2 ADVICE)."""
+    import json as _json
+
+    from zed_spark.sources.zjson import read_zjson
+
+    d = tmp_path / "zj"
+    d.mkdir()
+    union_t = {
+        "kind": "record",
+        "id": 31,
+        "fields": [
+            {
+                "name": "v",
+                "type": {
+                    "kind": "union",
+                    "id": 30,
+                    "types": [
+                        {"kind": "primitive", "name": "int64"},
+                        {"kind": "primitive", "name": "string"},
+                    ],
+                },
+            }
+        ],
+    }
+    (d / "a.zjson").write_text(
+        _json.dumps({"type": union_t, "value": [["0", "7"]]})
+        + "\n"
+        + _json.dumps({"type": {"kind": "ref", "id": 31}, "value": [["1", "x"]]})
+        + "\n"
+    )
+    # independent stream: id 30 is a different (record) type here
+    rec_t = {
+        "kind": "record",
+        "id": 30,
+        "fields": [{"name": "s", "type": {"kind": "primitive", "name": "string"}}],
+    }
+    (d / "b.zjson").write_text(
+        _json.dumps({"type": rec_t, "value": ["hello"]})
+        + "\n"
+        + _json.dumps({"type": {"kind": "ref", "id": 30}, "value": ["bye"]})
+        + "\n"
+    )
+    groups = read_zjson(spark, str(d))
+    all_rows = []
+    for g in groups.values():
+        all_rows.extend(r.asDict() for r in g.collect())
+    vs = sorted(str(r["v"]) for r in all_rows if "v" in r)
+    ss = sorted(r["s"] for r in all_rows if "s" in r)
+    assert vs == ["7", "x"]
+    assert ss == ["bye", "hello"]

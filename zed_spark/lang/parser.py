@@ -115,7 +115,12 @@ class Parser:
             author = message = ""
             while self.peek().text in ("author", "message"):
                 which = self.next().text
-                val = self.next().text[1:-1]  # quoted string
+                tok = self.next()
+                if tok.kind != "STR":
+                    raise SyntaxError(
+                        f"load: {which} requires a quoted string, got {tok.text!r}"
+                    )
+                val = tok.text[1:-1]
                 if which == "author":
                     author = val
                 else:

@@ -636,14 +636,23 @@ def zson_read(spark, sf):
         tempfile.gettempdir(), f"zson_roundtrip_{os.path.basename(sf.rstrip('/'))}"
     )
     write_zson(src, path, single_file=True)
-    return read_zson_fused(spark, path)
+    back = read_zson_fused(spark, path)
+    # The driver's canonicalizer (pandas sort over all columns) can't
+    # hash raw list cells, so grade a string projection of the array;
+    # the raw-array round-trip stays asserted in tests/test_zson.py.
+    return back.select(
+        "n_nationkey", "n_name", "n_regionkey", "fval", "even",
+        F.array_join(
+            F.transform(F.col("arr"), lambda x: x.cast("string")), ","
+        ).alias("arr"),
+    )
 
 
 ZSON_READ_SQL = """
 SELECT n_nationkey, n_name, n_regionkey,
   n_regionkey + 0.5 AS fval,
   n_nationkey % 2 = 0 AS even,
-  [n_nationkey, n_regionkey] AS arr
+  array_to_string([n_nationkey, n_regionkey], ',') AS arr
 FROM nation
 """
 

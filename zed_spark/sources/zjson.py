@@ -218,10 +218,18 @@ def _decode_value(v, t: dict, registry: dict[int, dict]):
             )
         return out
     if kind == "union":
-        tag, _, inner = v.partition(":") if isinstance(v, str) else (None, None, v)
-        if tag is not None and tag.lstrip("-").isdigit():
-            member = t["types"][int(tag)]
-            return _decode_value(inner, member, registry)
+        # Reference encoding is a two-element array [tag-string, value]
+        # (zio/zjsonio/writer.go:178; reader.go:170 accepts only that
+        # form). The "tag:value" string form from an older spec draft
+        # is kept as a legacy fallback.
+        if isinstance(v, list) and len(v) == 2 and isinstance(v[0], str):
+            tag, inner = v
+            if tag.lstrip("-").isdigit():
+                return _decode_value(inner, t["types"][int(tag)], registry)
+        if isinstance(v, str):
+            tag, _, inner = v.partition(":")
+            if tag.lstrip("-").isdigit():
+                return _decode_value(inner, t["types"][int(tag)], registry)
         return v
     if kind == "enum":
         return t["symbols"][int(v)] if isinstance(v, str) and v.isdigit() else v
@@ -249,36 +257,63 @@ def _collect_defs(t: dict, registry: dict[int, dict]) -> None:
 def read_zjson(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     """Read ZJSON NDJSON → {shape: DataFrame}, shape-grouped by the
     outer type. Pass 1 (distributed) collects the distinct type
-    definitions; pass 2 decodes values with the broadcast registry."""
-    lines = spark.read.text(path).filter("trim(value) != ''")
+    definitions; pass 2 decodes values with the broadcast registries.
+
+    Type-context ids are PER FILE (each reference writer allocates
+    from 30 upward — zio/zjsonio/writer.go), so the registry is keyed
+    by input file: independent streams reusing the same id never
+    cross-resolve. Shape grouping is by the resolved type tree, not
+    the id, so identical types from different files still fuse.
+
+    Per-shape schemas are merged over ALL values in one aggregateByKey
+    job (not a take(1000) sample), so a widening value at any row
+    position is seen.
+    """
+    from pyspark.sql import functions as F
+
+    lines = (
+        spark.read.text(path)
+        .select(F.input_file_name().alias("src"), "value")
+        .filter("trim(value) != ''")
+    )
 
     defs = (
-        lines.rdd.map(lambda r: json.loads(r["value"])["type"])
-        .filter(lambda t: t.get("kind") != "ref")
-        .map(lambda t: json.dumps(t, sort_keys=True))
+        lines.rdd.map(lambda r: (r["src"], json.loads(r["value"])["type"]))
+        .filter(lambda ft: ft[1].get("kind") != "ref")
+        .map(lambda ft: (ft[0], json.dumps(ft[1], sort_keys=True)))
         .distinct()
         .collect()
     )
-    registry: dict[int, dict] = {}
-    for d in defs:
-        _collect_defs(json.loads(d), registry)
+    registries: dict[str, dict[int, dict]] = {}
+    for src, d in defs:
+        _collect_defs(json.loads(d), registries.setdefault(src, {}))
 
     def decode_partition(it):
+        key_memo: dict[tuple, str] = {}
         for row in it:
             obj = json.loads(row["value"])
+            registry = registries.get(row["src"], {})
             t = _resolve_type(obj["type"], registry)
-            yield (t.get("id", -1), _decode_value(obj["value"], t, registry))
+            mk = (row["src"], t.get("id", -1), t.get("name"))
+            key = key_memo.get(mk)
+            if key is None:
+                key = json.dumps(_inline_refs(t, registry), sort_keys=True)
+                key_memo[mk] = key
+            yield (key, _decode_value(obj["value"], t, registry))
 
     decoded = lines.rdd.mapPartitions(decode_partition).cache()
-    shape_ids = decoded.keys().distinct().collect()
+    merged = dict(
+        decoded.aggregateByKey(
+            T.NullType(),
+            lambda acc, v: _merge_type(acc, _infer_type(v)),
+            _merge_type,
+        ).collect()
+    )
 
     out: dict[str, DataFrame] = {}
-    for sid in sorted(shape_ids):
-        vals = decoded.filter(lambda kv, s=sid: kv[0] == s).values()
-        t = T.NullType()
-        for v in vals.take(1000):
-            t = _merge_type(t, _infer_type(v))
-        t = _finalize(t)
+    for key in sorted(merged):
+        vals = decoded.filter(lambda kv, s=key: kv[0] == s).values()
+        t = _finalize(merged[key])
         if isinstance(t, T.StructType):
             schema = t
             rows = vals.map(lambda v, tt=schema: _conform(v, tt))
@@ -288,6 +323,31 @@ def read_zjson(spark: SparkSession, path: str) -> dict[str, DataFrame]:
             rows = vals.map(lambda v, tt=t: (_conform(v, tt),))
             shape = "<value>"
         out[shape] = spark.createDataFrame(rows, schema)
+    return out
+
+
+def _inline_refs(t: dict, registry: dict[int, dict]) -> dict:
+    """Canonical id-free type tree (refs expanded, ids dropped) so
+    shapes compare equal across files with different id allocations."""
+    if not isinstance(t, dict):
+        return t
+    if t.get("kind") == "ref":
+        t = registry.get(t["id"], {"kind": "primitive", "name": "string"})
+    out = {}
+    for k, v in t.items():
+        if k == "id":
+            continue
+        if k in ("type", "key_type", "val_type"):
+            out[k] = _inline_refs(v, registry)
+        elif k == "fields":
+            out[k] = [
+                {"name": f["name"], "type": _inline_refs(f["type"], registry)}
+                for f in v
+            ]
+        elif k == "types":
+            out[k] = [_inline_refs(m, registry) for m in v]
+        else:
+            out[k] = v
     return out
 
 

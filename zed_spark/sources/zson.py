@@ -308,8 +308,13 @@ def _parse_duration(tok: str) -> int:
     sign = -1 if tok.startswith("-") else 1
     body = tok.lstrip("+-")
     total = 0
-    for num, _, unit in re.findall(r"(\d+(\.\d+)?)(ns|us|ms|s|m|h|d|w|y)", body):
-        total += int(float(num) * _DUR_NS[unit])
+    for num, frac, unit in re.findall(r"(\d+(\.\d+)?)(ns|us|ms|s|m|h|d|w|y)", body):
+        # exact integer ns: float math loses precision above 2^53 ns
+        # (the reference keeps int64 ns throughout — nano.go)
+        whole = int(num.split(".")[0]) * _DUR_NS[unit]
+        if frac:
+            whole += int(float(frac) * _DUR_NS[unit])
+        total += whole
     return sign * total
 
 
@@ -490,13 +495,20 @@ def read_zson(spark: SparkSession, path: str) -> dict[str, DataFrame]:
         shaped = sc.parallelize([(_shape_of(v), v) for v in values]).cache()
         shapes = shaped.keys().distinct().collect()
 
+    # one job merges each shape's type over ALL values (a widening
+    # value at any row position is seen — no take(N) sampling)
+    merged = dict(
+        shaped.aggregateByKey(
+            T.NullType(),
+            lambda acc, v: _merge_type(acc, _infer_type(v)),
+            _merge_type,
+        ).collect()
+    )
+
     out: dict[str, DataFrame] = {}
     for shape in sorted(shapes):
         vals = shaped.filter(lambda kv, s=shape: kv[0] == s).values()
-        t = T.NullType()
-        for v in vals.take(1000):
-            t = _merge_type(t, _infer_type(v))
-        t = _finalize(t)
+        t = _finalize(merged[shape])
         if shape == "<value>":
             schema = T.StructType([T.StructField("this", t)])
             rows = vals.map(lambda v, tt=t: (_conform(v, tt),))

@@ -191,13 +191,30 @@ def _hyperplane(seed: int, dim: int) -> list[float]:
     return [v / n for v in vals]
 
 
-def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
     """Sign-LSH bucket id: bitstring of hyperplane sign bits
-    (interpreted-fold variant; kept for SQL-replicable grading)."""
+    (interpreted-fold variant; kept for SQL-replicable grading).
+
+    Plane values are computed per element from md5(seed:i) without the
+    unit normalization `_hyperplane` applies — the sign of the dot
+    product is invariant under positive scaling, so buckets agree with
+    `lsh_bucket_fast` while needing no plan-time knowledge of dim.
+    """
+
+    def plane_val(seed: int, i: Column) -> Column:
+        h = F.md5(F.concat(F.lit(f"{seed}:"), i.cast("string")))
+        return (
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(2.0**31)
+            - 1.0
+        )
+
+    def proj(p):
+        return lambda x, i: x.cast("double") * plane_val(p, i)
+
     bits = []
     for p in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(p, dim)])
-        bits.append(F.when(dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+        s = F.aggregate(F.transform(vec, proj(p)), F.lit(0.0), lambda acc, v: acc + v)
+        bits.append(F.when(s >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
 
@@ -294,8 +311,7 @@ def embedding_near_pairs(
     nrm_fn = norm if exact_fold else norm_fast
     base = base.withColumn("nrm", nrm_fn(F.col("u")))
     if n_planes:
-        dim = len(corpus.select(vec_col).first()[0])
-        base = base.withColumn("bucket", lsh_bucket(F.col("u"), dim, n_planes))
+        base = base.withColumn("bucket", lsh_bucket(F.col("u"), n_planes))
     base = base.cache()
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
