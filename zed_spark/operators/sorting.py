@@ -105,6 +105,15 @@ def uniq(
     """
     cmp_cols = compare_cols or [c for c in df.columns if c not in order_by]
     src = df.select(*order_by, *cmp_cols)
+
+    # Adaptive: a single-partition input already flows through one
+    # task, so the range shuffle + Arrow round-trips below are pure
+    # overhead — use the plain lag-window plan (same single task,
+    # JVM-side codegen). Any input big enough to matter at scale has
+    # >1 partition and takes the distributed plan.
+    if src.rdd.getNumPartitions() <= 1:
+        return _uniq_window(src, order_by, cmp_cols, count)
+
     rp = src.repartitionByRange(*[F.col(k) for k in order_by]).sortWithinPartitions(
         *[F.col(k) for k in order_by]
     )
@@ -218,3 +227,21 @@ def uniq(
     both = interior.select(ordk, *cols).unionByName(merged.select("__ord", *cols))
     # emit in input-run order (zed uniq preserves arrival order)
     return both.orderBy("__ord").select(*cols)
+
+
+def _uniq_window(
+    src: DataFrame, order_by: list[str], cmp_cols: list[str], count: bool
+) -> DataFrame:
+    """Small/single-partition path: run-length dedup with lag +
+    cumulative-sum windows (whole-stage codegen, zero Python)."""
+    keys = [F.col(k) for k in order_by]
+    w = Window.orderBy(*keys)
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fp = F.struct(*[F.col(c) for c in cmp_cols])
+    chg = F.when(F.lag(fp).over(w).eqNullSafe(fp), F.lit(0)).otherwise(F.lit(1))
+    runs = src.withColumn("__run", F.sum(chg).over(wrows))
+    out = runs.groupBy("__run").agg(
+        *[F.first(c).alias(c) for c in cmp_cols], F.count("*").alias("count")
+    )
+    cols = [*cmp_cols, "count"] if count else list(cmp_cols)
+    return out.orderBy("__run").select(*cols)

@@ -1,0 +1,123 @@
+"""Arrow IPC input/output — the reference's `arrows` format.
+
+Reference: zio/arrowio/ (reader.go/writer.go) reads and writes the
+Arrow IPC *stream* format, registered in the format dispatch at
+zio/anyio/lookup.go:24-56 under "arrows". Here the analog is nearly
+free: Spark's Python interchange is already Arrow, so reading is one
+IPC decode per file straight into `mapInArrow` (record batches pass
+through untouched — no pandas, no per-row work), and writing reuses
+the same Arrow batches Spark produces.
+
+Scale notes:
+  - Arrow IPC is not block-splittable (unlike parquet), so the unit
+    of parallelism is the FILE — one task per file via the
+    `binaryFile` source. A directory of N files reads N-wide. This
+    matches the reference, which also streams one file sequentially.
+  - The driver touches only the FIRST file's header (schema); all
+    batch decoding happens in executors.
+  - Directory writes emit one .arrows file per partition from inside
+    the executors (no driver collect); `single_file=True` is the
+    driver-side `df.toArrow()` path, for small exports only.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _open_ipc(buf: bytes):
+    """IPC reader for stream- or file-format bytes (the reference
+    accepts the stream form; we tolerate both)."""
+    import pyarrow as pa
+
+    try:
+        return pa.ipc.open_stream(io.BytesIO(buf))
+    except pa.ArrowInvalid:
+        return pa.ipc.open_file(io.BytesIO(buf))
+
+
+def _iter_batches(reader):
+    import pyarrow as pa
+
+    if isinstance(reader, pa.ipc.RecordBatchFileReader):
+        for i in range(reader.num_record_batches):
+            yield reader.get_batch(i)
+    else:
+        yield from reader
+
+
+def read_arrows(spark: SparkSession, path: str) -> DataFrame:
+    """Read Arrow IPC file(s) → DataFrame. `path` may be a file, a
+    directory, or a glob; each file is one task."""
+    import glob as _glob
+
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    if os.path.isdir(path):
+        files = sorted(
+            f
+            for f in _glob.glob(os.path.join(path, "*"))
+            if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+        )
+    elif any(c in path for c in "*?["):
+        files = sorted(_glob.glob(path))
+    else:
+        files = [path]
+    if not files:
+        raise ValueError(f"{path}: no Arrow files found")
+    with open(files[0], "rb") as fh:
+        arrow_schema = _open_ipc(fh.read()).schema
+    spark_schema = from_arrow_schema(arrow_schema)
+
+    bin_df = spark.read.format("binaryFile").load(files).select("content")
+
+    def decode(batches):
+        for b in batches:
+            for content in b.column(0).to_pylist():
+                rdr = _open_ipc(content)
+                for rb in _iter_batches(rdr):
+                    yield rb
+
+    return bin_df.mapInArrow(decode, spark_schema)
+
+
+def write_arrows(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """Write a DataFrame as Arrow IPC stream file(s).
+
+    Default: one `part-N.arrows` per partition, written inside the
+    executors (batches never cross to the driver). single_file=True
+    collects via `df.toArrow()` — small exports only.
+    """
+    import pyarrow as pa
+
+    if single_file:
+        table = df.toArrow()
+        if os.path.isdir(path):
+            path = os.path.join(path, "part-0.arrows")
+        with pa.ipc.new_stream(path, table.schema) as w:
+            w.write_table(table)
+        return
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_part(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        out = os.path.join(path, f"part-{pid:05d}.arrows")
+        writer = None
+        try:
+            for b in batches:
+                if writer is None:
+                    writer = pa.ipc.new_stream(out, b.schema)
+                writer.write_batch(b)
+        finally:
+            if writer is not None:
+                writer.close()
+        if False:
+            yield  # generator with no output rows
+
+    df.mapInArrow(write_part, df.schema).count()

@@ -3,7 +3,7 @@
 Reference format dispatch: zio/anyio/lookup.go:24-56 (arrows, csv,
 json, line, parquet, tsv, zeek, …). Our binary columnar format IS
 parquet (the reference's VNG spec, docs/formats/vng.md, explicitly
-compares itself to parquet); ZNG/ZSON/VNG are not ported.
+compares itself to parquet); ZNG binary and ZSON/ZJSON text are read natively; VNG is not ported.
 
 Formats here:
   parquet   — spark.read.parquet (pushdown + pruning)
@@ -70,13 +70,18 @@ def read_any(spark: SparkSession, path: str, fmt: str = "auto", **options) -> Da
         from zed_spark.sources.zjson import read_zjson_fused
 
         return read_zjson_fused(spark, path)
+    if fmt == "arrows":
+        from zed_spark.sources.arrow_io import read_arrows
+
+        return read_arrows(spark, path)
     raise ValueError(f"unknown format {fmt!r}")
 
 
 _EXT_FORMATS = [
     (".parquet", "parquet"), (".json", "json"), (".ndjson", "json"),
     (".csv", "csv"), (".tsv", "tsv"), (".log", "zeek"), (".txt", "line"),
-    (".zson", "zson"), (".zjson", "zjson"),
+    (".zson", "zson"), (".zjson", "zjson"), (".arrows", "arrows"),
+    (".arrow", "arrows"),
 ]
 
 
@@ -106,6 +111,9 @@ def _sniff_format(path: str) -> str:
                 head = fh.read(4096)
             if head[:4] == b"PAR1":
                 return "parquet"
+            if head[:6] == b"ARROW1" or head[:4] == b"\xff\xff\xff\xff":
+                # Arrow IPC file magic / stream continuation marker
+                return "arrows"
             first = head.decode("utf-8", errors="replace").lstrip().splitlines()
             line = first[0] if first else ""
             if line.startswith("#separator"):

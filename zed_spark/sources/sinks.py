@@ -34,6 +34,10 @@ def write_any(
         w.options(**options).text(path)
     elif fmt == "orc":
         w.options(**options).orc(path)
+    elif fmt == "arrows":
+        from zed_spark.sources.arrow_io import write_arrows
+
+        write_arrows(df, path, **options)
     else:
         raise ValueError(f"unknown sink format {fmt!r}")
 
