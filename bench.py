@@ -15,6 +15,10 @@ import re
 import sys
 import time
 
+# FROZEN at the round-2 battery (BENCH_r02.json's 23 keys) so
+# round-over-round totals compare apples-to-apples. Queries added in
+# later rounds go in NEW_QUERIES and are reported in a separate
+# "new" block, never in the headline total.
 HEADLINE = [
     "q1_pricing_summary",
     "where_filter",
@@ -42,6 +46,9 @@ HEADLINE = [
     "embedding_near_lsh",
     "zq_filter_agg",
 ]
+
+# round-3+ additions, timed and reported separately
+NEW_QUERIES: list[str] = []
 
 
 # key columns shifted per copy when synthesizing a scaled dataset, so
@@ -112,27 +119,29 @@ def main() -> None:
     # untimed warm-up pass: JIT-compile the generated code for every
     # query shape (steady-state throughput is what matters at scale —
     # a real cluster amortizes codegen over hours, not milliseconds)
-    for name in HEADLINE:
+    for name in HEADLINE + NEW_QUERIES:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    for name in HEADLINE:
+    new_times: dict[str, float] = {}
+    for name in HEADLINE + NEW_QUERIES:
         fn = queries[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 4)
+        (times if name in HEADLINE else new_times)[name] = round(
+            time.perf_counter() - t0, 4
+        )
 
     total = round(sum(times.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if new_times:
+        out["new"] = new_times
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,162 @@
+"""ZNG binary format: decodes the reference's OWN tutorial files
+(docs/tutorials/*.zng) and checks them against the expected query
+outputs published in docs/tutorials/zq.md; round-trips Spark
+DataFrames through write_zng/read_zng."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from zed_spark.sources.zng import (
+    decode_zng,
+    parse_zng,
+    read_zng_fused,
+    write_zng,
+)
+
+TUTORIALS = "/root/reference/docs/tutorials"
+
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir(TUTORIALS), reason="reference tutorials absent"
+)
+
+
+@needs_ref
+def test_prs_decode_counts():
+    vals = parse_zng(open(f"{TUTORIALS}/prs.zng", "rb").read())
+    assert len(vals) == 28  # per zq.md: PRs 1..30 minus two dropped
+    nums = [v["number"] for v in vals]
+    assert nums[:5] == [1, 2, 3, 5, 6]  # zq.md PR Report head
+    assert nums[-5:] == [26, 27, 28, 29, 30]  # zq.md tail 5
+
+
+@needs_ref
+def test_prs_count_by_user():
+    """zq.md: count() by user:=user.login | sort count desc."""
+    from collections import Counter
+
+    vals = parse_zng(open(f"{TUTORIALS}/prs.zng", "rb").read())
+    counts = Counter(v["user"]["login"] for v in vals)
+    assert counts == {
+        "mattnibs": 10, "aswan": 7, "mccanne": 6, "nwt": 4, "henridf": 1
+    }
+
+
+@needs_ref
+def test_prs_reviewers_union():
+    """zq.md: over requested_reviewers | reviewers:=union(login)."""
+    vals = parse_zng(open(f"{TUTORIALS}/prs.zng", "rb").read())
+    logins = {
+        r["login"] for v in vals for r in (v.get("requested_reviewers") or [])
+    }
+    assert logins == {
+        "nwt", "aswan", "philrz", "henridf", "mccanne", "mattnibs", "mikesbrown"
+    }
+
+
+@needs_ref
+def test_prs_created_at_is_time():
+    from datetime import datetime
+
+    vals = parse_zng(open(f"{TUTORIALS}/prs.zng", "rb").read())
+    assert all(isinstance(v["created_at"], datetime) for v in vals)
+    assert vals[0]["created_at"].strftime("%Y-%m-%dT%H:%M:%SZ") == "2019-11-11T19:50:46Z"
+
+
+@needs_ref
+def test_prs_spark_agg(spark):
+    """The count-by-user aggregation run through Spark on the fused
+    shape groups."""
+    df = read_zng_fused(spark, f"{TUTORIALS}/prs.zng")
+    got = {
+        r["user"]: r["count"]
+        for r in df.groupBy(F.col("user.login").alias("user"))
+        .agg(F.count("*").alias("count"))
+        .collect()
+    }
+    assert got == {"mattnibs": 10, "aswan": 7, "mccanne": 6, "nwt": 4, "henridf": 1}
+
+
+@needs_ref
+def test_github_files_decode():
+    for name, n in [("github1.zng", 100), ("github2.zng", 1900)]:
+        vals = parse_zng(open(f"{TUTORIALS}/{name}", "rb").read())
+        assert len(vals) == n
+
+
+def test_roundtrip_simple(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.5, True, None),
+            (2, "b", -2.25, False, "x"),
+            (-3, None, None, None, "y"),
+        ],
+        "n long, s string, f double, b boolean, o string",
+    )
+    p = str(tmp_path / "t.zng")
+    write_zng(df, p, single_file=True)
+    back = read_zng_fused(spark, p)
+    assert sorted(map(tuple, back.select(*df.columns).collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+
+def test_roundtrip_nested_and_arrays(spark, tmp_path):
+    df = spark.sql(
+        """SELECT * FROM VALUES
+          (1, named_struct('a', 10L, 'b', 'x'), array(1L, 2L, 3L), map('k', 1L)),
+          (2, named_struct('a', 20L, 'b', 'y'), array(4L), map('m', 2L, 'a', 3L))
+          AS t(id, rec, arr, mp)"""
+    )
+    p = str(tmp_path / "nested.zng")
+    write_zng(df, p, single_file=True)
+    back = read_zng_fused(spark, p)
+    got = {r["id"]: r.asDict(recursive=True) for r in back.collect()}
+    want = {r["id"]: r.asDict(recursive=True) for r in df.collect()}
+    assert got == want
+
+
+def test_roundtrip_partitioned(spark, tmp_path):
+    from tests.conftest import SF_DIR
+    from zed_spark.sources.readers import read_table
+
+    cust = read_table(spark, SF_DIR, "customer").repartition(4)
+    d = str(tmp_path / "cust_zng")
+    write_zng(cust, d)
+    assert len([f for f in os.listdir(d) if f.endswith(".zng")]) > 1
+    back = read_zng_fused(spark, d)
+    assert back.count() == cust.count()
+    a = cust.agg(F.sum("c_acctbal")).collect()[0][0]
+    b = back.agg(F.sum("c_acctbal")).collect()[0][0]
+    assert abs(a - b) < 1e-6
+
+
+def test_roundtrip_timestamps(spark, tmp_path):
+    from tests.conftest import SF_DIR
+    from zed_spark.sources.readers import read_table
+
+    ev = read_table(spark, SF_DIR, "events").select("event_id", "ts").limit(20)
+    p = str(tmp_path / "ev.zng")
+    write_zng(ev, p, single_file=True)
+    back = read_zng_fused(spark, p)
+    want = {r["event_id"]: r["ts"] for r in ev.collect()}
+    got = {r["event_id"]: r["ts"] for r in back.collect()}
+    assert got == want
+
+
+def test_read_any_dispatch(spark, tmp_path):
+    from zed_spark.sources.readers import read_any
+
+    df = spark.createDataFrame([(1, "x")], "n long, s string")
+    p = str(tmp_path / "t.zng")
+    write_zng(df, p, single_file=True)
+    assert read_any(spark, p).collect()[0]["n"] == 1
+
+
+def test_lz4_pure_python():
+    """The pure-Python LZ4 block decoder against a stream the
+    reference wrote (tutorial files have compressed frames)."""
+    data = open(f"{TUTORIALS}/github2.zng", "rb").read()
+    # frame codes with the C bit set exist in this file
+    assert any(True for _ in decode_zng(data))

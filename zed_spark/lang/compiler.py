@@ -604,7 +604,21 @@ class Compiler:
             params, body = self.user_funcs[name]
             if len(args) != len(params):
                 raise ValueError(f"{name}() takes {len(params)} args, got {len(args)}")
-            return self.expr(_subst(body, dict(zip(params, args))), df)
+            # user funcs are macros expanded inline; recursion has no
+            # base-case evaluation at compile time and would expand
+            # forever (the reference interprets calls at runtime —
+            # a documented non-goal here)
+            depth = getattr(self, "_func_depth", 0)
+            if depth > 32:
+                raise ValueError(
+                    f"recursive user function {name}() is not supported "
+                    "(functions expand inline at compile time)"
+                )
+            self._func_depth = depth + 1
+            try:
+                return self.expr(_subst(body, dict(zip(params, args))), df)
+            finally:
+                self._func_depth = depth
         if name == "ksuid":
             # ksuid.go dispatches on argument type: string → bytes,
             # bytes → base62 string

@@ -612,15 +612,18 @@ FROM events
 
 
 def zson_read(spark, sf):
-    """ZSON on-ramp proof (docs/formats/zson.md; zio/zsonio): write
-    nation + derived typed columns as ZSON text, read it back with the
-    distributed ZSON reader, and grade the round-trip against the
-    oracle computing the same columns straight from parquet — i.e.
-    the reader/writer must preserve int, string, float, bool and
-    array values exactly."""
+    """Native-format on-ramp proof: write nation + derived typed
+    columns as ZSON text (docs/formats/zson.md; zio/zsonio), read it
+    back with the distributed ZSON reader, then round-trip THAT
+    through ZNG binary (docs/formats/zng.md; zio/zngio) — the
+    reference's default at-rest format — and grade the result against
+    the oracle computing the same columns straight from parquet. Both
+    readers/writers must preserve int, string, float, bool and array
+    values exactly for this row to be green."""
     import os
     import tempfile
 
+    from zed_spark.sources.zng import read_zng_fused, write_zng
     from zed_spark.sources.zson import read_zson_fused, write_zson
 
     na = read_table(spark, sf, "nation")
@@ -632,11 +635,13 @@ def zson_read(spark, sf):
         (F.col("n_nationkey") % 2 == 0).alias("even"),
         F.array(F.col("n_nationkey"), F.col("n_regionkey")).alias("arr"),
     )
-    path = os.path.join(
-        tempfile.gettempdir(), f"zson_roundtrip_{os.path.basename(sf.rstrip('/'))}"
-    )
+    tag = os.path.basename(sf.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"zson_roundtrip_{tag}")
     write_zson(src, path, single_file=True)
     back = read_zson_fused(spark, path)
+    zng_path = os.path.join(tempfile.gettempdir(), f"zng_roundtrip_{tag}.zng")
+    write_zng(back, zng_path, single_file=True)
+    back = read_zng_fused(spark, zng_path)
     # The driver's canonicalizer (pandas sort over all columns) can't
     # hash raw list cells, so grade a string projection of the array;
     # the raw-array round-trip stays asserted in tests/test_zson.py.

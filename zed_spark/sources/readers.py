@@ -74,6 +74,10 @@ def read_any(spark: SparkSession, path: str, fmt: str = "auto", **options) -> Da
         from zed_spark.sources.arrow_io import read_arrows
 
         return read_arrows(spark, path)
+    if fmt == "zng":
+        from zed_spark.sources.zng import read_zng_fused
+
+        return read_zng_fused(spark, path)
     raise ValueError(f"unknown format {fmt!r}")
 
 
@@ -81,7 +85,7 @@ _EXT_FORMATS = [
     (".parquet", "parquet"), (".json", "json"), (".ndjson", "json"),
     (".csv", "csv"), (".tsv", "tsv"), (".log", "zeek"), (".txt", "line"),
     (".zson", "zson"), (".zjson", "zjson"), (".arrows", "arrows"),
-    (".arrow", "arrows"),
+    (".arrow", "arrows"), (".zng", "zng"),
 ]
 
 

@@ -1,0 +1,655 @@
+"""ZNG binary format reader (read path).
+
+Spec: docs/formats/zng.md (frame structure, typedefs, tag-encoded
+values); reference implementation zio/zngio/{reader,parser}.go.
+ZNG is the reference's DEFAULT at-rest format (`zq` writes ZNG unless
+told otherwise), so this decoder is the migration on-ramp for
+existing zed data.
+
+Values decode into the same Python value model as the ZSON text
+reader (dict records, list arrays/sets, ZMap maps, UTC datetime for
+time, int nanoseconds for duration, str for ip/net/enum symbols), so
+shape grouping, schema inference and conform are shared with
+sources.zson.
+
+Implementation-over-spec notes (verified against the Go reader):
+  - union tag: zcode DecodeInt (zigzag little-endian), not plain
+    uvarint (complex.go:333 Untag).
+  - error values are transparent — the body IS the wrapped type's
+    body, no extra tag layer (walk.go:40 Walk(typ.Type, body)).
+  - enum value: little-endian unsigned positional index.
+
+Scale design: a ZNG file is a sequence of independent streams (each
+0xff end-of-stream marker resets the type context), and frames are
+compressed independently, but values reference a running type
+context, so the unit of distribution is the FILE — one task per file
+via the binaryFile source, matching the reference's
+sequential-per-stream reader. LZ4 block frames decompress with
+lz4.block when available, else a pure-Python decoder (fine for
+migration-size data; a 100 TB lake would land in parquet anyway).
+"""
+
+from __future__ import annotations
+
+import struct
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+_EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+# --- low-level decoders ----------------------------------------------------
+
+
+def _uvarint(buf, pos: int) -> tuple[int, int]:
+    """Protobuf-style LEB128 (zng.md §2: N-1 bytes with bit 7 clear —
+    NOTE the spec's bit convention is inverted vs protobuf; the Go
+    implementation uses binary.Uvarint, i.e. standard LEB128 with
+    bit 7 SET meaning continue, so we follow the implementation."""
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return result, pos
+        shift += 7
+
+
+def _zigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def _decode_int(body) -> int:
+    """zcode signed int: little-endian bytes, zigzag."""
+    return _zigzag(int.from_bytes(body, "little", signed=False))
+
+
+def _decode_uint(body) -> int:
+    return int.from_bytes(body, "little", signed=False)
+
+
+def _lz4_block(src: bytes, out_size: int) -> bytes:
+    """LZ4 block decompression (https://github.com/lz4/lz4 block
+    format). Uses the lz4 wheel when present; else pure Python."""
+    try:
+        import lz4.block as _lz4
+
+        return _lz4.decompress(src, uncompressed_size=out_size)
+    except ImportError:
+        pass
+    dst = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        dst += src[i : i + lit]
+        i += lit
+        if i >= n:
+            break  # last sequence: literals only
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        mlen = token & 0xF
+        if mlen == 15:
+            while True:
+                b = src[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        mlen += 4
+        start = len(dst) - offset
+        if offset >= mlen:
+            dst += dst[start : start + mlen]
+        else:  # overlapping match (run-length style)
+            for j in range(mlen):
+                dst.append(dst[start + j])
+    if len(dst) != out_size:
+        raise ValueError(f"lz4: expected {out_size} bytes, got {len(dst)}")
+    return bytes(dst)
+
+
+# --- type context ----------------------------------------------------------
+
+_PRIMITIVES = {
+    0: "uint8", 1: "uint16", 2: "uint32", 3: "uint64", 4: "uint128",
+    5: "uint256", 6: "int8", 7: "int16", 8: "int32", 9: "int64",
+    10: "int128", 11: "int256", 12: "duration", 13: "time",
+    14: "float16", 15: "float32", 16: "float64", 17: "float128",
+    18: "float256", 19: "decimal32", 20: "decimal64", 21: "decimal128",
+    22: "decimal256", 23: "bool", 24: "bytes", 25: "string", 26: "ip",
+    27: "net", 28: "type", 29: "null",
+}
+
+# type descriptors: ("prim", name) | ("record", [(name, t), ...]) |
+# ("array", t) | ("set", t) | ("map", kt, vt) | ("union", [t, ...]) |
+# ("enum", [symbols]) | ("error", t) | ("named", name, t)
+
+
+class _Context:
+    """Per-stream type context: typedefs numbered from 30 upward
+    (zng.md §2.1); reset at every end-of-stream marker."""
+
+    def __init__(self):
+        self.types: dict[int, tuple] = {}
+        self.next_id = 30
+
+    def lookup(self, tid: int) -> tuple:
+        if tid < 30:
+            return ("prim", _PRIMITIVES[tid])
+        return self.types[tid]
+
+    def add(self, t: tuple) -> None:
+        self.types[self.next_id] = t
+        self.next_id += 1
+
+    def parse_typedefs(self, buf: bytes) -> None:
+        pos, n = 0, len(buf)
+        while pos < n:
+            code = buf[pos]
+            pos += 1
+            if code == 0:  # record
+                nfields, pos = _uvarint(buf, pos)
+                fields = []
+                for _ in range(nfields):
+                    name, pos = self._counted_string(buf, pos)
+                    tid, pos = _uvarint(buf, pos)
+                    fields.append((name, self.lookup(tid)))
+                self.add(("record", fields))
+            elif code in (1, 2):  # array / set
+                tid, pos = _uvarint(buf, pos)
+                self.add(("array" if code == 1 else "set", self.lookup(tid)))
+            elif code == 3:  # map
+                kt, pos = _uvarint(buf, pos)
+                vt, pos = _uvarint(buf, pos)
+                self.add(("map", self.lookup(kt), self.lookup(vt)))
+            elif code == 4:  # union
+                ntypes, pos = _uvarint(buf, pos)
+                members = []
+                for _ in range(ntypes):
+                    tid, pos = _uvarint(buf, pos)
+                    members.append(self.lookup(tid))
+                self.add(("union", members))
+            elif code == 5:  # enum
+                nelem, pos = _uvarint(buf, pos)
+                syms = []
+                for _ in range(nelem):
+                    s, pos = self._counted_string(buf, pos)
+                    syms.append(s)
+                self.add(("enum", syms))
+            elif code == 6:  # error
+                tid, pos = _uvarint(buf, pos)
+                self.add(("error", self.lookup(tid)))
+            elif code == 7:  # named
+                name, pos = self._counted_string(buf, pos)
+                tid, pos = _uvarint(buf, pos)
+                self.add(("named", name, self.lookup(tid)))
+            else:
+                raise ValueError(f"zng: unknown typedef code {code}")
+
+    @staticmethod
+    def _counted_string(buf: bytes, pos: int) -> tuple[str, int]:
+        ln, pos = _uvarint(buf, pos)
+        return buf[pos : pos + ln].decode("utf-8"), pos + ln
+
+
+# --- value decoding --------------------------------------------------------
+
+
+def _decode_prim(name: str, body: bytes):
+    if name.startswith("uint"):
+        return _decode_uint(body)
+    if name.startswith("int"):
+        return _decode_int(body)
+    if name == "duration":
+        return _decode_int(body)  # int ns, same as the ZSON model
+    if name == "time":
+        ns = _decode_int(body)
+        # µs truncation — same compromise as the parquet/ZSON readers
+        return _EPOCH + timedelta(microseconds=ns // 1000)
+    if name == "float16":
+        return float(struct.unpack("<e", body)[0])
+    if name == "float32":
+        return float(struct.unpack("<f", body)[0])
+    if name == "float64":
+        return struct.unpack("<d", body)[0]
+    if name == "bool":
+        return body[0] != 0
+    if name == "bytes":
+        return bytes(body)
+    if name == "string":
+        return body.decode("utf-8")
+    if name == "ip":
+        import ipaddress
+
+        return str(ipaddress.ip_address(bytes(body)))
+    if name == "net":
+        import ipaddress
+
+        half = len(body) // 2
+        addr = ipaddress.ip_address(bytes(body[:half]))
+        mask = bytes(body[half:])
+        prefix = bin(int.from_bytes(mask, "big")).count("1")
+        return str(ipaddress.ip_network((addr, prefix), strict=False))
+    if name == "type":
+        return _render_type_value(bytes(body), 0)[0]
+    if name == "null":
+        return None
+    raise ValueError(f"zng: unsupported primitive {name!r}")  # decimals
+
+
+def _iter_tagged(body: bytes):
+    """Yield the tag-encoded elements of a container body."""
+    pos, n = 0, len(body)
+    while pos < n:
+        tag, pos = _uvarint(body, pos)
+        if tag == 0:
+            yield None
+        else:
+            ln = tag - 1
+            yield body[pos : pos + ln]
+            pos += ln
+
+
+def _decode_value(t: tuple, body):
+    if body is None:
+        return None
+    kind = t[0]
+    if kind == "prim":
+        return _decode_prim(t[1], body)
+    if kind == "named":
+        return _decode_value(t[2], body)
+    if kind == "error":
+        # transparent: body IS the wrapped type's body (walk.go:40)
+        return _decode_value(t[1], body)
+    if kind == "record":
+        it = _iter_tagged(body)
+        return {name: _decode_value(ft, next(it)) for name, ft in t[1]}
+    if kind in ("array", "set"):
+        return [_decode_value(t[1], el) for el in _iter_tagged(body)]
+    if kind == "map":
+        from zed_spark.sources.zson import ZMap
+
+        out = ZMap()
+        it = _iter_tagged(body)
+        for k in it:
+            out[_decode_value(t[1], k)] = _decode_value(t[2], next(it))
+        return out
+    if kind == "union":
+        it = _iter_tagged(body)
+        tag = _decode_int(next(it))  # zigzag, per Untag (complex.go:333)
+        return _decode_value(t[1][tag], next(it))
+    if kind == "enum":
+        return t[1][_decode_uint(body)]
+    raise ValueError(f"zng: unknown type kind {kind}")
+
+
+def _render_type_value(buf: bytes, pos: int) -> tuple[str, int]:
+    """Render a canonical type VALUE (zng.md §4) as ZSON type syntax —
+    type values ride as strings in our model, like the ZSON reader."""
+    code = buf[pos]
+    pos += 1
+    if code < 30:
+        return _PRIMITIVES[code], pos
+    if code == 30:  # record
+        nfields, pos = _uvarint(buf, pos)
+        parts = []
+        for _ in range(nfields):
+            name, pos = _Context._counted_string(buf, pos)
+            tv, pos = _render_type_value(buf, pos)
+            parts.append(f"{name}:{tv}")
+        return "{" + ",".join(parts) + "}", pos
+    if code in (31, 32):  # array / set
+        tv, pos = _render_type_value(buf, pos)
+        return (f"[{tv}]", pos) if code == 31 else (f"|[{tv}]|", pos)
+    if code == 33:  # map
+        kt, pos = _render_type_value(buf, pos)
+        vt, pos = _render_type_value(buf, pos)
+        return f"|{{{kt}:{vt}}}|", pos
+    if code == 34:  # union
+        ntypes, pos = _uvarint(buf, pos)
+        parts = []
+        for _ in range(ntypes):
+            tv, pos = _render_type_value(buf, pos)
+            parts.append(tv)
+        return "(" + "|".join(parts) + ")", pos
+    if code == 35:  # enum
+        nelem, pos = _uvarint(buf, pos)
+        syms = []
+        for _ in range(nelem):
+            s, pos = _Context._counted_string(buf, pos)
+            syms.append(s)
+        return "enum(" + ",".join(syms) + ")", pos
+    if code == 36:  # error
+        tv, pos = _render_type_value(buf, pos)
+        return f"error({tv})", pos
+    if code in (37, 38):  # named def / ref
+        name, pos = _Context._counted_string(buf, pos)
+        if code == 37:
+            _, pos = _render_type_value(buf, pos)
+        return name, pos
+    raise ValueError(f"zng: bad type value code {code}")
+
+
+# --- stream parsing --------------------------------------------------------
+
+
+def decode_zng(data: bytes):
+    """Yield Python values from ZNG bytes (all streams)."""
+    ctx = _Context()
+    pos, n = 0, len(data)
+    while pos < n:
+        code = data[pos]
+        pos += 1
+        if code == 0xFF:  # end of stream: reset type context
+            ctx = _Context()
+            continue
+        if code & 0x80:
+            raise ValueError("zng: version bit set (not a v0 stream)")
+        compressed = bool(code & 0x40)
+        ftype = (code >> 4) & 3
+        low = code & 0x0F
+        mult, pos = _uvarint(data, pos)
+        size = mult * 16 + low
+        payload = data[pos : pos + size]
+        pos += size
+        if compressed:
+            fmt = payload[0]
+            usize, p = _uvarint(payload, 1)
+            if fmt != 0:
+                raise ValueError(f"zng: unknown compression format {fmt}")
+            payload = _lz4_block(payload[p:], usize)
+        if ftype == 0:
+            ctx.parse_typedefs(payload)
+        elif ftype == 1:
+            vpos, vn = 0, len(payload)
+            while vpos < vn:
+                tid, vpos = _uvarint(payload, vpos)
+                t = ctx.lookup(tid)
+                tag, vpos = _uvarint(payload, vpos)
+                if tag == 0:
+                    yield _decode_value(t, None)
+                else:
+                    ln = tag - 1
+                    yield _decode_value(t, payload[vpos : vpos + ln])
+                    vpos += ln
+        elif ftype == 2:
+            continue  # control frames: skip (zng.md §2.3)
+        else:
+            raise ValueError("zng: unexpected end-of-stream frame type")
+
+
+def parse_zng(data: bytes) -> list:
+    return list(decode_zng(data))
+
+
+# --- Spark reader ----------------------------------------------------------
+
+
+def read_zng(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    """Read ZNG file(s) → {shape: DataFrame}, sharing the ZSON
+    reader's shape-group machinery. One task per file (binaryFile);
+    per-shape schemas merge over ALL values in one aggregateByKey."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from zed_spark.sources.zson import (
+        _conform,
+        _finalize,
+        _infer_type,
+        _merge_type,
+        _shape_of,
+    )
+
+    if _os.path.isdir(path):
+        load = [
+            f
+            for f in sorted(_glob.glob(_os.path.join(path, "*")))
+            if _os.path.isfile(f) and not _os.path.basename(f).startswith(("_", "."))
+        ]
+    elif any(c in path for c in "*?["):
+        load = sorted(_glob.glob(path))
+    else:
+        load = [path]
+    bin_df = spark.read.format("binaryFile").load(load).select("content")
+
+    def decode_partition(rows):
+        for row in rows:
+            for v in decode_zng(row["content"]):
+                yield (_shape_of(v), v)
+
+    shaped = bin_df.rdd.mapPartitions(decode_partition).cache()
+    merged = dict(
+        shaped.aggregateByKey(
+            T.NullType(),
+            lambda acc, v: _merge_type(acc, _infer_type(v)),
+            _merge_type,
+        ).collect()
+    )
+
+    out: dict[str, DataFrame] = {}
+    for shape in sorted(merged):
+        vals = shaped.filter(lambda kv, s=shape: kv[0] == s).values()
+        t = _finalize(merged[shape])
+        if shape == "<value>":
+            schema = T.StructType([T.StructField("this", t)])
+            rows = vals.map(lambda v, tt=t: (_conform(v, tt),))
+        else:
+            schema = t if isinstance(t, T.StructType) else T.StructType()
+            rows = vals.map(lambda v, tt=schema: _conform(v, tt))
+        out[shape] = spark.createDataFrame(rows, schema)
+    return out
+
+
+def read_zng_fused(spark: SparkSession, path: str) -> DataFrame:
+    """All shapes fused to the superset schema (zed `fuse`)."""
+    from zed_spark.sources.shapes import fuse_shape_groups
+
+    return fuse_shape_groups(read_zng(spark, path))
+
+
+# --- writer ----------------------------------------------------------------
+#
+# Write path (zio/zngio/writer.go analog): one types frame per
+# partition declaring the record typedef tree, then uncompressed
+# values frames, then the end-of-stream marker. Each partition is an
+# independent ZNG stream, so the part files (and their concatenation)
+# are valid ZNG (zng.md §2.4).
+
+
+def _put_uvarint(out: bytearray, v: int) -> None:
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+
+
+def _zigzag_enc(v: int) -> int:
+    return v * 2 if v >= 0 else -v * 2 - 1
+
+
+def _int_bytes(v: int) -> bytes:
+    u = _zigzag_enc(v)
+    return u.to_bytes((u.bit_length() + 7) // 8, "little")
+
+
+def _schema_typedefs(dt, defs: list, memo: dict) -> int:
+    """Allocate typedef ids (30+) for a Spark type tree; returns the
+    type id for dt. Primitive Spark types map onto ZNG primitives."""
+    from pyspark.sql import types as T
+
+    prim = {
+        T.LongType: 9, T.IntegerType: 8, T.ShortType: 7, T.ByteType: 6,
+        T.DoubleType: 16, T.FloatType: 15, T.BooleanType: 23,
+        T.BinaryType: 24, T.StringType: 25, T.TimestampType: 13,
+        T.DateType: 13, T.NullType: 29,
+    }
+    for cls, tid in prim.items():
+        if isinstance(dt, cls):
+            return tid
+    key = dt.simpleString()
+    if key in memo:
+        return memo[key]
+    if isinstance(dt, T.DecimalType):
+        return 16  # written as float64
+    if isinstance(dt, T.ArrayType):
+        inner = _schema_typedefs(dt.elementType, defs, memo)
+        body = bytearray([1])
+        _put_uvarint(body, inner)
+    elif isinstance(dt, T.MapType):
+        kt = _schema_typedefs(dt.keyType, defs, memo)
+        vt = _schema_typedefs(dt.valueType, defs, memo)
+        body = bytearray([3])
+        _put_uvarint(body, kt)
+        _put_uvarint(body, vt)
+    elif isinstance(dt, T.StructType):
+        ftids = [(f.name, _schema_typedefs(f.dataType, defs, memo)) for f in dt.fields]
+        body = bytearray([0])
+        _put_uvarint(body, len(ftids))
+        for name, tid in ftids:
+            nb = name.encode("utf-8")
+            _put_uvarint(body, len(nb))
+            body += nb
+            _put_uvarint(body, tid)
+    else:
+        raise ValueError(f"zng writer: unsupported Spark type {dt}")
+    defs.append(bytes(body))
+    tid = 30 + len(defs) - 1
+    memo[key] = tid
+    return tid
+
+
+def _encode_body(v, dt) -> bytes | None:
+    """Value body bytes for dt, or None for null (tag 0)."""
+    from pyspark.sql import types as T
+
+    if v is None:
+        return None
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return _int_bytes(int(v))
+    if isinstance(dt, (T.DoubleType, T.DecimalType)):
+        return struct.pack("<d", float(v))
+    if isinstance(dt, T.FloatType):
+        return struct.pack("<f", float(v))
+    if isinstance(dt, T.BooleanType):
+        return b"\x01" if v else b"\x00"
+    if isinstance(dt, T.BinaryType):
+        return bytes(v)
+    if isinstance(dt, T.StringType):
+        return str(v).encode("utf-8")
+    if isinstance(dt, (T.TimestampType, T.DateType)):
+        if isinstance(v, datetime):
+            ts = v if v.tzinfo else v.replace(tzinfo=timezone.utc)
+        else:  # date
+            ts = datetime(v.year, v.month, v.day, tzinfo=timezone.utc)
+        # exact integer µs → ns (float total_seconds() would round)
+        delta = ts - _EPOCH
+        ns = (delta.days * 86_400_000_000 + delta.seconds * 1_000_000 + delta.microseconds) * 1000
+        return _int_bytes(ns)
+    if isinstance(dt, T.ArrayType):
+        out = bytearray()
+        for el in v:
+            _append_tagged(out, _encode_body(el, dt.elementType))
+        return bytes(out)
+    if isinstance(dt, T.MapType):
+        pairs = []
+        for k, val in v.items():
+            kb = bytearray()
+            _append_tagged(kb, _encode_body(k, dt.keyType))
+            vb = bytearray()
+            _append_tagged(vb, _encode_body(val, dt.valueType))
+            pairs.append((bytes(kb), bytes(vb)))
+        pairs.sort(key=lambda p: p[0])  # normalized key order (§2.2.3)
+        out = bytearray()
+        for kb, vb in pairs:
+            out += kb
+            out += vb
+        return bytes(out)
+    if isinstance(dt, T.StructType):
+        out = bytearray()
+        if hasattr(v, "asDict"):
+            v = v.asDict()
+        for f in dt.fields:
+            _append_tagged(out, _encode_body(v.get(f.name), f.dataType))
+        return bytes(out)
+    raise ValueError(f"zng writer: unsupported Spark type {dt}")
+
+
+def _append_tagged(out: bytearray, body: bytes | None) -> None:
+    if body is None:
+        out.append(0)
+    else:
+        _put_uvarint(out, len(body) + 1)
+        out += body
+
+
+def _frame(ftype: int, payload: bytes) -> bytes:
+    code = (ftype << 4) | (len(payload) & 0x0F)
+    out = bytearray([code])
+    _put_uvarint(out, len(payload) >> 4)
+    out += payload
+    return bytes(out)
+
+
+def encode_zng(rows, schema) -> bytes:
+    """Encode an iterable of Rows/dicts with a Spark schema as one
+    ZNG stream (types frame + values frames + end-of-stream)."""
+    defs: list[bytes] = []
+    memo: dict[str, int] = {}
+    top = _schema_typedefs(schema, defs, memo)
+    out = bytearray()
+    if defs:
+        out += _frame(0, b"".join(defs))
+    vals = bytearray()
+    for row in rows:
+        _put_uvarint(vals, top)
+        _append_tagged(vals, _encode_body(row, schema))
+        if len(vals) >= 512 * 1024:  # DefaultFrameThresh (writer.go:14)
+            out += _frame(1, bytes(vals))
+            vals = bytearray()
+    if vals:
+        out += _frame(1, bytes(vals))
+    out.append(0xFF)
+    return bytes(out)
+
+
+def write_zng(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """Write a DataFrame as ZNG: one part file (= one ZNG stream) per
+    partition, encoded in the executors. single_file coalesces."""
+    import os as _os
+
+    schema = df.schema
+    if single_file and not path.endswith(("/", ".zng")) and not _os.path.isdir(path):
+        _os.makedirs(_os.path.dirname(path) or ".", exist_ok=True)
+        target = path
+    else:
+        _os.makedirs(path, exist_ok=True)
+        target = None
+
+    src = df.coalesce(1) if single_file else df
+
+    def write_part(rows):
+        from pyspark import TaskContext
+
+        data = encode_zng(rows, schema)
+        if target is not None:
+            with open(target, "wb") as fh:
+                fh.write(data)
+        else:
+            pid = TaskContext.get().partitionId()
+            with open(_os.path.join(path, f"part-{pid:05d}.zng"), "wb") as fh:
+                fh.write(data)
+        return iter(())
+
+    src.rdd.mapPartitions(write_part).count()
