@@ -39,11 +39,9 @@ DIRS = [
 
 done = set()
 import os as _os
-if _os.path.exists("/tmp/sweep_done.txt"):
-    for line in open("/tmp/sweep_done.txt"):
-        parts = line.split()
-        if len(parts) >= 2 and parts[0] in ("P", "F"):
-            done.add(parts[1])
+if _os.path.exists("/tmp/retry_skip.txt"):
+    for line in open("/tmp/retry_skip.txt"):
+        done.add(line.strip())
 
 existing = set()
 for c in H.CASES:

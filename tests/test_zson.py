@@ -261,8 +261,12 @@ def test_zjson_union_array_and_per_file_ids(spark, tmp_path):
     groups = read_zjson(spark, str(d))
     all_rows = []
     for g in groups.values():
-        all_rows.extend(r.asDict() for r in g.collect())
-    vs = sorted(str(r["v"]) for r in all_rows if "v" in r)
+        all_rows.extend(r.asDict(recursive=True) for r in g.collect())
+
+    def unwrap(u):  # tagged-union struct → alternative value
+        return u[f"v{u['tag']}"] if isinstance(u, dict) and "tag" in u else u
+
+    vs = sorted(str(unwrap(r["v"])) for r in all_rows if "v" in r)
     ss = sorted(r["s"] for r in all_rows if "s" in r)
     assert vs == ["7", "x"]
     assert ss == ["bye", "hello"]

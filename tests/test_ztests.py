@@ -81,12 +81,11 @@ CASES = [
     "op/sort/empty-input.yaml",
 ]
 
-# declared gaps: case → reason (the honest boundary of the subset)
-UNSUPPORTED: dict[str, str] = {
-    "op/cut-foo-bar-only.yaml": "cut of an absent field yields zed error('missing') values; the record model errors instead",
-    "op/over.yaml": "over of mixed int/string arrays flows through the union→string collapse",
-    "op/over-null.yaml": "over of null input yields zero rows vs zed's error value",
-}
+# declared gaps: case → reason (the honest boundary of the subset).
+# (round 3 closed the three round-2 gaps: cut-of-absent-field now
+# yields error("missing") via the __zed_error convention, and over of
+# mixed/null arrays flows through first-class tagged unions.)
+UNSUPPORTED: dict[str, str] = {}
 
 
 def _load(path: str) -> dict:
@@ -113,8 +112,22 @@ def _to_df(spark, values):
     return spark.createDataFrame(rows, t), (not records)
 
 
+import re as _re
+
+
 def _norm(v):
+    from zed_spark.sources.zson import ZError
+
+    if isinstance(v, ZError):
+        return ("e", _norm(v.value))
     if isinstance(v, dict):
+        if "tag" in v and v and all(
+            k == "tag" or _re.fullmatch(r"v\d+", k) for k in v
+        ):
+            # tagged-union struct (union.py convention): compare as
+            # the alternative value, like zed's union semantics
+            tag = v["tag"]
+            return _norm(v.get(f"v{tag}")) if tag is not None else None
         return tuple(sorted((k, _norm(x)) for k, x in v.items()))
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
@@ -148,6 +161,18 @@ def _run_case(spark, path: str):
     df, wrapped = _to_df(spark, in_vals)
     out = compile_query(spark, case["zed"], lambda n: (_ for _ in ()).throw(ValueError(n)), df)
     got_rows = [r.asDict(recursive=True) for r in out.collect()]
+    # materialize the __zed_error convention back into zed error
+    # values (errors.py: null cell + side map of path -> message)
+    from zed_spark.sources.zson import ZError
+
+    for r in got_rows:
+        errs = r.pop("__zed_error", None)
+        if errs:
+            for path, msg in errs.items():
+                cur, parts = r, path.split(".")
+                for p in parts[:-1]:
+                    cur = cur.setdefault(p, {})
+                cur[parts[-1]] = ZError(msg)
     want = parse_zson(case["output"])
     got = got_rows
     if wrapped and out.columns == ["this"]:

@@ -136,8 +136,36 @@ class Compiler:
 
             return search(df, node[1])
         if kind == "cut":
-            specs = [f"{alias}:={path}" if alias else path for path, alias in node[1]]
-            return ops.cut(df, *specs)
+            # entries are either a path string or an expression AST
+            # (reference cut accepts full assignments, cut.md); exprs
+            # are frozen against the INPUT in one withColumns, then
+            # everything projects in argument order
+            from zed_spark.schema import path_type
+
+            tmps, specs, missing = {}, [], []
+            for i, (e, alias) in enumerate(node[1]):
+                if isinstance(e, tuple):
+                    tmp = f"__cut_{i}"
+                    tmps[tmp] = self.expr(e, df)
+                    specs.append(f"{alias}:={tmp}")
+                elif path_type(df.schema, e) is None:
+                    # absent field: zed yields error("missing") per
+                    # value (context.go:494); our convention is a null
+                    # cell + __zed_error entry (errors.py)
+                    tmp = f"__cut_{i}"
+                    tmps[tmp] = F.lit(None).cast("string")
+                    target = alias or e.split(".")[-1]
+                    specs.append(f"{target}:={tmp}")
+                    missing.append(target)
+                else:
+                    specs.append(f"{alias}:={e}" if alias else e)
+            out = ops.cut(df.withColumns(tmps) if tmps else df, *specs)
+            if missing:
+                from zed_spark import errors as zerrors
+
+                for target in missing:
+                    out = zerrors.with_error(out, target, F.lit(True), "missing")
+            return out
         if kind == "put":
             # zed evaluates every RHS against the INPUT record, then
             # applies all assignments (put a:=b,b:=a swaps — reference
@@ -184,7 +212,7 @@ class Compiler:
                 ev = (ts_col, duration_interval(every))
             return ops.summarize(df, by=by, aggs=agg_cols, every=ev)
         if kind == "sort":
-            _, keys, desc = node
+            _, keys, desc, nulls = (node if len(node) == 4 else (*node, None))
             if not keys:
                 keys = [(("field", [df.columns[0]]), None)]
             cols = []
@@ -192,9 +220,14 @@ class Compiler:
                 c = self.expr(k, df)
                 # per-key asc/desc keywords override the -r flag
                 # (docs/language/operators/sort.md); zed null rule:
-                # nulls last on asc, first on desc
+                # nulls last on asc, first on desc; -nulls first|last
+                # overrides the rule for every key
                 is_desc = kdir == "desc" if kdir else desc
-                cols.append(c.desc_nulls_first() if is_desc else c.asc_nulls_last())
+                nf = (nulls == "first") if nulls else is_desc
+                if is_desc:
+                    cols.append(c.desc_nulls_first() if nf else c.desc_nulls_last())
+                else:
+                    cols.append(c.asc_nulls_first() if nf else c.asc_nulls_last())
             return df.orderBy(*cols)
         if kind == "head":
             return ops.head(df, node[1])
@@ -458,7 +491,27 @@ class Compiler:
             return F.struct(*[self.expr(x, df).alias(n) for n, x in e[1]])
         if kind == "call":
             return self._call(e[1], e[2], df)
+        if kind == "typeval":
+            # type values ride as their canonical string (same model
+            # as the ZSON reader's <...> handling)
+            return F.lit(self._render_ztype(e[1]))
         raise ValueError(f"unsupported expression {e!r}")
+
+    def _render_ztype(self, t: tuple) -> str:
+        """Type AST → canonical zed type string (zson.md syntax)."""
+        if t[0] == "prim":
+            return t[1]
+        if t[0] == "array":
+            return f"[{self._render_ztype(t[1])}]"
+        if t[0] == "settype":
+            return f"|[{self._render_ztype(t[1])}]|"
+        if t[0] == "maptype":
+            return f"|{{{self._render_ztype(t[1])}:{self._render_ztype(t[2])}}}|"
+        if t[0] == "uniontype":
+            return "(" + ",".join(self._render_ztype(m) for m in t[1]) + ")"
+        if t[0] == "recordtype":
+            return "{" + ",".join(f"{n}:{self._render_ztype(ty)}" for n, ty in t[1]) + "}"
+        raise ValueError(f"bad type expression {t!r}")
 
     def _over_lambda(self, e: tuple, df: DataFrame, x: Column) -> Column:
         """Compile an expression with `this` bound to an array element
@@ -585,14 +638,42 @@ class Compiler:
             if n not in self._TYPE_DDL:
                 raise ValueError(f"unknown type {n!r}")
             return self._TYPE_DDL[n]
-        if t[0] == "array":
+        if t[0] in ("array", "settype"):
+            # sets ride as arrays (SURVEY §1.2 type widening)
             return f"array<{self._type_ddl(t[1])}>"
+        if t[0] == "maptype":
+            return f"map<{self._type_ddl(t[1])},{self._type_ddl(t[2])}>"
         if t[0] == "recordtype":
             inner = ",".join(f"{n}:{self._type_ddl(ty)}" for n, ty in t[1])
             return f"struct<{inner}>"
         raise ValueError(f"bad type expression {t!r}")
 
     def _call(self, name: str, args: list[tuple], df: DataFrame) -> Column:
+        if name == "cast" and len(args) == 2 and args[1][0] == "typeval":
+            # cast(v, <[string]>) — type value literal argument
+            return self.expr(args[0], df).cast(self._type_ddl(args[1][1]))
+        if name == "is" and args and args[-1][0] == "typeval":
+            # is(<t>) / is(e, <t>): static schema check against the
+            # type value (function/is.go; late-binding named types
+            # aren't tracked per value — SURVEY §1.2)
+            from zed_spark.functions.introspect import is_type
+
+            target = args[0] if len(args) == 2 else ("this",)
+            tname = self._render_ztype(args[-1][1])
+            if target[0] == "field":
+                return is_type(df, ".".join(target[1]), tname)
+            if target[0] == "this":
+                from zed_spark.functions.introspect import zed_type_name
+
+                if hasattr(self, "_this_stack") and self._this_stack:
+                    return F.lit(None).cast("boolean")
+                whole = (
+                    df.schema[df.columns[0]].dataType
+                    if df.columns == ["this"]
+                    else df.schema
+                )
+                return F.lit(zed_type_name(whole) == tname)
+            return F.lit(False)
         if name == "cast" and len(args) == 2 and args[1][0] == "field" and len(args[1][1]) == 1:
             # cast(v, <type-or-named-type>) — zed cast with a type arg
             tname = args[1][1][0]

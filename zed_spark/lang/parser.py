@@ -168,11 +168,18 @@ class Parser:
         if word == "sort":
             self.next()
             desc = False
-            if self.accept("-"):
+            nulls = None
+            while self.peek().text == "-":
+                self.next()
                 flag = self.next()
-                if flag.text != "r":
+                if flag.text == "r":
+                    desc = True
+                elif flag.text == "nulls":
+                    nulls = self.next().text  # first | last
+                    if nulls not in ("first", "last"):
+                        raise SyntaxError(f"sort -nulls: expected first|last, got {nulls!r}")
+                else:
                     raise SyntaxError(f"unknown sort flag -{flag.text}")
-                desc = True
             keys = []
 
             def key():
@@ -186,7 +193,7 @@ class Parser:
                 keys.append(key())
                 while self.accept(","):
                     keys.append(key())
-            return ("sort", keys, desc)
+            return ("sort", keys, desc, nulls)
         if word == "head":
             self.next()
             n = int(self.next().text) if not self.at_end_of_op() else 1
@@ -367,6 +374,28 @@ class Parser:
             inner = self.parse_type_expr()
             self.expect("]")
             return ("array", inner)
+        if t.text == "|":
+            # |[elem]| set / |{key:val}| map (sets ride as arrays)
+            self.next()
+            if self.accept("["):
+                inner = self.parse_type_expr()
+                self.expect("]")
+                self.expect("|")
+                return ("settype", inner)
+            self.expect("{")
+            kt = self.parse_type_expr()
+            self.expect(":")
+            vt = self.parse_type_expr()
+            self.expect("}")
+            self.expect("|")
+            return ("maptype", kt, vt)
+        if t.text == "(":
+            self.next()
+            members = [self.parse_type_expr()]
+            while self.accept(","):
+                members.append(self.parse_type_expr())
+            self.expect(")")
+            return ("uniontype", members)
         if t.text == "{":
             self.next()
             fields = []
@@ -501,14 +530,20 @@ class Parser:
 
     # --- lists -------------------------------------------------------
     def parse_assign_list(self) -> list[tuple]:
-        """a.b, c:=d.e → [(path, alias|None)]"""
+        """a.b, c:=d.e, c:=<expr> → [(path_or_expr_ast, alias|None)].
+        A plain right-hand field path stays a string; any other
+        expression rides as its AST tuple (reference cut accepts full
+        assignments, docs/language/operators/cut.md)."""
         out = []
         while True:
             if self.peek().kind == "ID" and self.peek(1).text == ":=":
                 alias = self.next().text
                 self.expect(":=")
-                path = self.parse_path()
-                out.append((".".join(path), alias))
+                e = self.parse_expr()
+                if e[0] == "field":
+                    out.append((".".join(e[1]), alias))
+                else:
+                    out.append((e, alias))
             else:
                 path = self.parse_path()
                 out.append((".".join(path), None))
@@ -651,6 +686,12 @@ class Parser:
             return ("null",)
         if t.text == "this":
             return ("this",)
+        if t.text == "<":
+            # type value literal: <int64>, <[string]>, <{a:int64}>
+            # (docs/language/expressions.md type values)
+            ty = self.parse_type_expr()
+            self.expect(">")
+            return ("typeval", ty)
         if t.text == "(":
             if self.peek().text == "over":
                 # lateral subquery as an expression (reference

@@ -51,12 +51,16 @@ def shape_groups(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     return out
 
 
-def fuse_shape_groups(groups: dict[str, DataFrame]) -> DataFrame:
+def fuse_shape_groups(groups: dict[str, DataFrame], unions: str = "tagged") -> DataFrame:
     """zed `fuse` over a mixed stream: all shapes conformed to the
-    superset schema (metadata-only, SURVEY §2.3 fuse row)."""
+    superset schema (metadata-only, SURVEY §2.3 fuse row).
+
+    Irreconcilable column types form first-class tagged unions by
+    default (round-3; matches the reference's union types); pass
+    unions="string" for the explicit textual-collapse opt-out."""
     from zed_spark.operators.fuse import fuse_dataframes
 
-    return fuse_dataframes(list(groups.values()))
+    return fuse_dataframes(list(groups.values()), unions=unions)
 
 
 def sample_shapes(groups: dict[str, DataFrame]) -> DataFrame:

@@ -70,6 +70,26 @@ class ZMap(dict):
     """Marker: a ZSON map value (vs a record, which is a plain dict)."""
 
 
+class ZError:
+    """A first-class zed error value: error("missing"), error({...})
+    (complex.go:42-65; ZSON syntax docs/formats/zson.md). Wraps the
+    inner value; compares by it."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value):
+        self.value = value
+
+    def __eq__(self, other):
+        return isinstance(other, ZError) and self.value == other.value
+
+    def __hash__(self):
+        return hash(("ZError", repr(self.value)))
+
+    def __repr__(self):
+        return f"ZError({self.value!r})"
+
+
 class ZsonError(ValueError):
     pass
 
@@ -118,6 +138,14 @@ class _Parser:
             v = self._string("`")
         elif c == "<":
             v = self._type_value()
+        elif self.s.startswith("error(", self.i):
+            self.i += len("error(")
+            inner = self.parse_value()
+            self._ws()
+            if self.i >= self.n or self.s[self.i] != ")":
+                raise ZsonError(f"unterminated error(...) at {self.i}")
+            self.i += 1
+            v = ZError(inner)
         else:
             v = self._bare(key_mode)
         return self._decorators(v)
@@ -354,6 +382,10 @@ def parse_zson(text: str) -> list:
 def _infer_type(v) -> T.DataType:
     if v is None:
         return T.NullType()
+    if isinstance(v, ZError):
+        # error values ride as their text rendering in DataFrames; the
+        # per-record convention is the __zed_error side column
+        return T.StringType()
     if isinstance(v, bool):
         return T.BooleanType()
     if isinstance(v, int):
@@ -408,6 +440,12 @@ def _merge_type(a: T.DataType, b: T.DataType) -> T.DataType:
     num = (T.LongType, T.DoubleType)
     if isinstance(a, num) and isinstance(b, num):
         return T.DoubleType()
+    from zed_spark.schema import is_union_type
+
+    if is_union_type(a) or is_union_type(b):
+        from zed_spark.schema import merge_types
+
+        return merge_types(a, b, unions="tagged")
     if isinstance(a, T.StructType) and isinstance(b, T.StructType):
         fields: dict[str, T.DataType] = {f.name: f.dataType for f in a.fields}
         for f in b.fields:
@@ -419,18 +457,51 @@ def _merge_type(a: T.DataType, b: T.DataType) -> T.DataType:
         return T.StructType([T.StructField(n, t) for n, t in fields.items()])
     if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
         return T.ArrayType(_merge_type(a.elementType, b.elementType))
-    # irreconcilable → string (documented union-type compromise)
-    return T.StringType()
+    # irreconcilable leaves form a first-class tagged union
+    # (complex.go:290-330; union.py struct convention)
+    from zed_spark.union import union_type
+
+    return union_type(a, b)
 
 
 def _conform(v, t: T.DataType):
     """Coerce a parsed value to the merged schema type."""
     if v is None:
         return None
+    if isinstance(v, ZError):
+        iv = _conform(v.value, _infer_type(v.value))
+        if isinstance(iv, str):
+            iv = json.dumps(iv)
+        return f"error({iv})"
     if isinstance(t, T.StringType) and not isinstance(v, str):
         return _dump_value(v, _infer_type(v))
     if isinstance(t, T.DoubleType) and isinstance(v, int) and not isinstance(v, bool):
         return float(v)
+    from zed_spark.schema import is_union_type
+
+    if is_union_type(t):
+        from zed_spark.schema import union_alternatives
+
+        alts = union_alternatives(t)
+        iv = _infer_type(v)
+        tag = None
+        for i, alt in enumerate(alts):
+            if alt == iv:
+                tag = i
+                break
+        if tag is None:  # widening match (e.g. long value, double alt)
+            for i, alt in enumerate(alts):
+                if _merge_type(alt, iv) == alt:
+                    tag = i
+                    break
+        if tag is None:
+            tag = next(
+                (i for i, alt in enumerate(alts) if isinstance(alt, T.StringType)), 0
+            )
+        row = [tag]
+        for i, alt in enumerate(alts):
+            row.append(_conform(v, alt) if i == tag else None)
+        return tuple(row)
     if isinstance(t, T.StructType) and isinstance(v, dict):
         return tuple(_conform(v.get(f.name), f.dataType) for f in t.fields)
     if isinstance(t, T.ArrayType) and isinstance(v, list):
@@ -565,6 +636,17 @@ def _dump_value(v, t: T.DataType) -> str:
     if isinstance(t, T.BinaryType):
         return "0x" + bytes(v).hex()
     if isinstance(t, T.StructType):
+        from zed_spark.schema import is_union_type, union_alternatives
+
+        if is_union_type(t):
+            # union values render as their alternative (zson.md unions)
+            get = (lambda k: v[k]) if isinstance(v, dict) else (
+                lambda k: v[list(f.name for f in t.fields).index(k)]
+            )
+            tag = get("tag")
+            if tag is None:
+                return "null"
+            return _dump_value(get(f"v{tag}"), union_alternatives(t)[tag])
         inner = ",".join(
             f"{_quote_name(f.name)}:{_dump_value(v[f.name] if isinstance(v, dict) else v[i], f.dataType)}"
             for i, f in enumerate(t.fields)
