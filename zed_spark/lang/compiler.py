@@ -19,6 +19,7 @@ from zed_spark.operators.summarize import agg_expr, every_key
 # zed scalar function name → Column builder
 def _fn_table() -> dict[str, Callable[..., Column]]:
     from zed_spark.functions.ip import cidr_match, network_of
+    from zed_spark.functions.misc import compare as zcompare
     from zed_spark.functions.parse import parse_uri
     from zed_spark.functions.strings import zjoin, zreplace, zsplit
     from zed_spark.functions.ztime import bucket
@@ -37,14 +38,35 @@ def _fn_table() -> dict[str, Callable[..., Column]]:
         "cidr_match": cidr_match, "network_of": network_of,
         "parse_uri": parse_uri,
         "bucket": bucket,
-        # cast-style calls (zed: cast(v, <type>) sugar forms)
+        "compare": zcompare,
+        # under/typeunder strip named-type wrappers — our model widens
+        # named types away (SURVEY §1.2), so they're the identity
+        "under": lambda e: e,
+        "regexp_replace": lambda s, re_, rep: F.regexp_replace(s, re_, rep),
+        # cast-style calls (zed: cast(v, <type>) sugar forms; the
+        # primitive-name functions are casts — docs/language/functions)
         "string": lambda e: e.cast("string"),
+        "int8": lambda e: e.cast("tinyint"),
+        "int16": lambda e: e.cast("smallint"),
+        "int32": lambda e: e.cast("int"),
         "int64": lambda e: e.cast("long"),
+        "uint8": lambda e: e.cast("int"),
+        "uint16": lambda e: e.cast("int"),
+        "uint32": lambda e: e.cast("long"),
+        "uint64": lambda e: e.cast("long"),
+        "float16": lambda e: e.cast("float"),
+        "float32": lambda e: e.cast("float"),
         "float64": lambda e: e.cast("double"),
-        "time": lambda e: e.cast("timestamp"),
+        "bool": lambda e: e.cast("boolean"),
+        "bytes": lambda e: e.cast("binary"),
+        # ip/net values ride as canonical strings (SURVEY §1.2)
+        "ip": lambda e: e.cast("string"),
+        "net": lambda e: e.cast("string"),
+        # duration values ride as int64 nanoseconds
+        "duration": lambda e: e.cast("long"),
     }
-    # grep/bucket/len/every/typeof get schema- or literal-directed
-    # handling in Compiler._call
+    # grep/bucket/len/every/typeof/time/has/missing/shaping get
+    # schema- or literal-directed handling in Compiler._call
 
 
 class Compiler:
@@ -411,18 +433,22 @@ class Compiler:
                 return l & r
             if op == "or":
                 return l | r
+            # zed comparison semantics (coerce.go/compare.go): a null
+            # operand never matches an ordering comparison (false, not
+            # null); == is null-safe (null == null → true) and != is
+            # its exact negation — ztest compare-null-int64/string
             if op == "==":
-                return l == r
+                return l.eqNullSafe(r)
             if op == "!=":
-                return l != r
+                return ~l.eqNullSafe(r)
             if op == "<":
-                return l < r
+                return F.coalesce(l < r, F.lit(False))
             if op == "<=":
-                return l <= r
+                return F.coalesce(l <= r, F.lit(False))
             if op == ">":
-                return l > r
+                return F.coalesce(l > r, F.lit(False))
             if op == ">=":
-                return l >= r
+                return F.coalesce(l >= r, F.lit(False))
             if op == "+":
                 return l + r
             if op == "-":
@@ -437,8 +463,21 @@ class Compiler:
             v = self.expr(e[2], df)
             return ~v if e[1] == "not" else -v
         if kind == "in":
+            # schema-directed membership (containsfn in eval.go):
+            # arrays/sets check elements; maps check BOTH keys and
+            # values (ztest in-map: "a" in |{"a":1}| and 1 in it are
+            # both true)
             container = self.expr(e[2], df)
-            return F.array_contains(container, self.expr(e[1], df))
+            needle = self.expr(e[1], df)
+            dt = self._type_of(e[2], df)
+            if dt is not None and dt.typeName() == "map":
+                return F.coalesce(
+                    F.map_contains_key(container, needle.cast(dt.keyType)), F.lit(False)
+                ) | F.coalesce(
+                    F.array_contains(F.map_values(container), needle.cast(dt.valueType)),
+                    F.lit(False),
+                )
+            return F.array_contains(container, needle)
         if kind == "cond":
             return F.when(self.expr(e[1], df), self.expr(e[2], df)).otherwise(
                 self.expr(e[3], df)
@@ -485,9 +524,55 @@ class Compiler:
             if is_str:
                 return base.substr(lo + 1, width)
             return F.slice(base, lo + 1, width)
-        if kind == "array":
-            return F.array(*[self.expr(x, df) for x in e[1]])
+        if kind == "array" or kind == "set":
+            items = e[1]
+            if any(isinstance(x, tuple) and x[0] == "spread" for x in items):
+                # [...a, x] — concatenate array segments (spreads
+                # splice in place; literals group into array chunks)
+                segs: list[Column] = []
+                chunk: list[Column] = []
+                for x in items:
+                    if isinstance(x, tuple) and x[0] == "spread":
+                        if chunk:
+                            segs.append(F.array(*chunk))
+                            chunk = []
+                        segs.append(self.expr(x[1], df))
+                    else:
+                        chunk.append(self.expr(x, df))
+                if chunk:
+                    segs.append(F.array(*chunk))
+                out = F.concat(*segs) if len(segs) > 1 else segs[0]
+            else:
+                out = F.array(*[self.expr(x, df) for x in items])
+            # sets ride as arrays; the literal dedups like the zed
+            # set constructor (zson.md sets)
+            return F.array_distinct(out) if kind == "set" else out
+        if kind == "map":
+            pairs = []
+            for k, v in e[1]:
+                pairs.append(self.expr(k, df))
+                pairs.append(self.expr(v, df))
+            return F.create_map(*pairs)
+        if kind == "regexmatch":
+            return self.expr(e[1], df).rlike(e[2])
         if kind == "record":
+            if any(n is None for n, _ in e[1]):
+                # {...r, a:1}: expand each spread's struct fields at
+                # plan time; later names override earlier (zed record
+                # spread semantics, expressions.md)
+                out_fields: dict[str, Column] = {}
+                for n, x in e[1]:
+                    if n is None:
+                        src = x[1]
+                        dt = self._type_of(src, df)
+                        if dt is None or dt.typeName() != "struct":
+                            raise ValueError("record spread needs a record operand")
+                        base = self.expr(src, df)
+                        for f in dt.fields:
+                            out_fields[f.name] = base.getField(f.name)
+                    else:
+                        out_fields[n] = self.expr(x, df)
+                return F.struct(*[c.alias(n) for n, c in out_fields.items()])
             return F.struct(*[self.expr(x, df).alias(n) for n, x in e[1]])
         if kind == "call":
             return self._call(e[1], e[2], df)
@@ -604,6 +689,14 @@ class Compiler:
             return F.size(F.array_distinct(vals)).cast("long")
         raise ValueError(f"aggregate {fn!r} not supported in over-expressions")
 
+    def _type_of(self, e: tuple, df: DataFrame):
+        """Static type probe: resolve an expression's Spark type
+        against the input schema (plan-time only — no job runs)."""
+        try:
+            return df.select(self.expr(e, df).alias("__t")).schema[0].dataType
+        except Exception:
+            return None
+
     def _is_string(self, e: tuple, df: DataFrame) -> bool:
         """Static type probe for slice/index dispatch."""
         try:
@@ -648,10 +741,66 @@ class Compiler:
             return f"struct<{inner}>"
         raise ValueError(f"bad type expression {t!r}")
 
+    # shaping-family functions compose the same bit-flags as the
+    # operator forms (shaper.go:19-43)
+    _SHAPE_FLAGS = {
+        "cast": dict(cast=True, crop=False, fill=False, order=False),
+        "crop": dict(cast=False, crop=True, fill=False, order=False),
+        "fill": dict(cast=False, crop=False, fill=True, order=False),
+        "order": dict(cast=False, crop=False, fill=False, order=True),
+        "fit": dict(cast=False, crop=True, fill=True, order=False),
+        "shape": dict(cast=True, crop=False, fill=True, order=True),
+    }
+
     def _call(self, name: str, args: list[tuple], df: DataFrame) -> Column:
+        if (
+            name in self._SHAPE_FLAGS
+            and args
+            and args[-1][0] == "typeval"
+            and (len(args) == 1 or name != "cast")
+        ):
+            # expression-position shaping: shape(<rec>) applies to
+            # this; shape(e, <rec>) to e (docs/language/shaping.md)
+            from pyspark.sql.types import _parse_datatype_string
+
+            target = _parse_datatype_string(self._type_ddl(args[-1][1]))
+            src_ast = args[0] if len(args) == 2 else ("this",)
+            col = self.expr(src_ast, df)
+            src_dt = self._type_of(src_ast, df)
+            if src_dt is None:
+                return col.cast(target)
+            from zed_spark.operators.shape_op import _project
+
+            return _project(col, src_dt, target, **self._SHAPE_FLAGS[name])
         if name == "cast" and len(args) == 2 and args[1][0] == "typeval":
             # cast(v, <[string]>) — type value literal argument
             return self.expr(args[0], df).cast(self._type_ddl(args[1][1]))
+        if name == "time" and len(args) == 1:
+            # dispatch on input type (reference time cast, nano.go):
+            # numeric → epoch nanoseconds; string → ISO-8601 parse
+            c = self.expr(args[0], df)
+            dt = self._type_of(args[0], df)
+            if dt is not None and dt.typeName() in (
+                "long", "integer", "short", "byte", "double", "float", "decimal"
+            ):
+                return F.timestamp_micros((c.cast("double") / 1000).cast("long"))
+            return c.cast("timestamp")
+        if name in ("has", "missing"):
+            # presence probe (function/has.go): true when every arg
+            # resolves to a present value. The record model fills
+            # absent fields with null, so null-ness is the per-row
+            # proxy; an unresolvable path is statically missing.
+            present = None
+            for a in args:
+                try:
+                    df.select(self.expr(a, df))
+                    c = self.expr(a, df).isNotNull()
+                except Exception:
+                    c = F.lit(False)
+                present = c if present is None else (present & c)
+            if present is None:
+                present = F.lit(False)
+            return present if name == "has" else ~present
         if name == "is" and args and args[-1][0] == "typeval":
             # is(<t>) / is(e, <t>): static schema check against the
             # type value (function/is.go; late-binding named types
@@ -743,7 +892,9 @@ class Compiler:
         if name == "every":
             ts_col = "ts" if "ts" in df.columns else df.columns[0]
             return every_key(F.col(ts_col), duration_interval(args[0][1]))
-        if name == "typeof":
+        if name in ("typeof", "typeunder"):
+            # typeunder strips named types — widened away here, so
+            # both resolve the static type (introspect.py)
             from zed_spark.functions.introspect import typeof_col
 
             path = ".".join(args[0][1]) if args and args[0][0] == "field" else None

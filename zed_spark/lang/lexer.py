@@ -13,15 +13,23 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<WS>\s+)
   | (?P<TIME>\d{4}-\d{2}-\d{2}(?:T\d{2}:\d{2}:\d{2}(?:\.\d+)?Z?)?)
+  | (?P<IP>\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}(?:/\d{1,2})?
+     |(?=[0-9A-Fa-f:]*::)[0-9A-Fa-f]{0,4}(?::[0-9A-Fa-f]{0,4})+(?:/\d{1,3})?)
   | (?P<DUR>\d+(?:\.\d+)?(?:ns|us|ms|s|m|h|d|w|y))
   | (?P<NUM>\d+\.\d+|\.\d+|\d+)
   | (?P<FSTR>f"(?:\\.|[^"\\])*")
   | (?P<STR>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
   | (?P<ID>[A-Za-z_][A-Za-z_0-9]*)
-  | (?P<OP>:=|==|!=|<=|>=|=~|=>|\|>|\||\.\.\.|[-+*/%(),.\[\]{}:?<>=!@])
+  | (?P<OP>:=|==|!=|<=|>=|=~|!~|=>|\|>|\||\.\.\.|[-+*/%(),.\[\]{}:?<>=!@~])
     """,
     re.VERBOSE,
 )
+
+# a regexp literal /.../ is only lexed immediately after a match
+# operator (~ / !~) — elsewhere '/' is division (parser.peg lexes
+# regexps the same contextual way)
+_REGEX_RE = re.compile(r"/(?:\\.|[^/\\])*/")
+_WS_RE = re.compile(r"\s*")
 
 
 @dataclass
@@ -45,6 +53,12 @@ def tokenize(src: str) -> list[Token]:
         if kind != "WS":
             out.append(Token(kind, m.group(), pos))
         pos = m.end()
+        if kind == "OP" and m.group() in ("~", "!~"):
+            pos = _WS_RE.match(src, pos).end()
+            rm = _REGEX_RE.match(src, pos)
+            if rm:
+                out.append(Token("REGEX", rm.group(), pos))
+                pos = rm.end()
     out.append(Token("EOF", "", pos))
     return out
 

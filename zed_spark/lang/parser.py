@@ -408,7 +408,14 @@ class Parser:
                         break
             self.expect("}")
             return ("recordtype", fields)
-        return ("prim", self.next().text)
+        name = self.next().text
+        if self.peek().text == "=" and self.peek(1).text != "=":
+            # inline named-type definition `port=uint16` inside a type
+            # expression (zson.md named types) — names widen to the
+            # underlying type in this model (SURVEY §1.2)
+            self.next()
+            return self.parse_type_expr()
+        return ("prim", name)
 
     # --- summarize ---------------------------------------------------
     def parse_summarize(self) -> tuple:
@@ -614,6 +621,19 @@ class Parser:
         if op in ("==", "!=", "<", "<=", ">", ">="):
             self.next()
             return ("bin", op, l, self.parse_add())
+        if op in ("~", "!~"):
+            # regexp match: e ~ /re/ (docs/language/expressions.md);
+            # the lexer emits the REGEX literal contextually
+            self.next()
+            t = self.next()
+            if t.kind == "REGEX":
+                pat = t.text[1:-1]
+            elif t.kind == "STR":
+                pat = t.text[1:-1]
+            else:
+                raise SyntaxError(f"expected /regexp/ after {op!r} at {t.pos}")
+            e = ("regexmatch", l, pat)
+            return ("un", "not", e) if op == "!~" else e
         if op == "in":
             self.next()
             return ("in", l, self.parse_add())
@@ -666,10 +686,19 @@ class Parser:
             else:
                 return e
 
+    def _array_item(self):
+        if self.accept("..."):
+            # array spread [...a, 1] concatenates (expressions.md)
+            return ("spread", self.parse_expr())
+        return self.parse_expr()
+
     def parse_primary(self):
         t = self.next()
         if t.kind == "NUM":
             return ("num", float(t.text) if "." in t.text else int(t.text))
+        if t.kind == "IP":
+            # ip/net literals ride as canonical strings (SURVEY §1.2)
+            return ("str", t.text)
         if t.kind == "STR":
             return ("str", t.text[1:-1])
         if t.kind == "FSTR":
@@ -705,18 +734,53 @@ class Parser:
         if t.text == "[":
             items = []
             if self.peek().text != "]":
-                items.append(self.parse_expr())
+                items.append(self._array_item())
                 while self.accept(","):
-                    items.append(self.parse_expr())
+                    items.append(self._array_item())
             self.expect("]")
             return ("array", items)
+        if t.text == "|":
+            # set |[ ... ]| / map |{ k:v, ... }| literals (zson.md)
+            if self.accept("["):
+                items = []
+                if self.peek().text != "]":
+                    items.append(self._array_item())
+                    while self.accept(","):
+                        items.append(self._array_item())
+                self.expect("]")
+                self.expect("|")
+                return ("set", items)
+            self.expect("{")
+            pairs = []
+            if self.peek().text != "}":
+                while True:
+                    k = self.parse_expr()
+                    self.expect(":")
+                    pairs.append((k, self.parse_expr()))
+                    if not self.accept(","):
+                        break
+            self.expect("}")
+            self.expect("|")
+            return ("map", pairs)
         if t.text == "{":
             fields = []
             if self.peek().text != "}":
                 while True:
-                    name = self.next().text
-                    self.expect(":")
-                    fields.append((name, self.parse_expr()))
+                    if self.accept("..."):
+                        # record spread {...r, a:1} (expressions.md)
+                        fields.append((None, ("spread", self.parse_expr())))
+                    else:
+                        name = self.next()
+                        if name.kind == "STR":
+                            fname = name.text[1:-1]
+                        else:
+                            fname = name.text
+                        if self.peek().text == ":":
+                            self.next()
+                            fields.append((fname, self.parse_expr()))
+                        else:
+                            # shorthand {a} ≡ {a:a}
+                            fields.append((fname, ("field", [fname])))
                     if not self.accept(","):
                         break
             self.expect("}")
