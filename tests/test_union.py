@@ -77,7 +77,9 @@ def test_fuse_tagged_union_widens(spark):
                           unions="tagged")
     xt = out.schema["x"].dataType
     assert [f.name for f in xt.fields] == ["tag", "v0", "v1", "v2"]
+    # canonical member order (union.py _ZED_TYPE_RANK, mirroring the
+    # reference's primitive type IDs): long < boolean < string
     rows = {r["id"]: r["x"] for r in out.collect()}
     assert rows[1]["tag"] == 0 and rows[1]["v0"] == 42
-    assert rows[2]["tag"] == 1 and rows[2]["v1"] == "hello"
-    assert rows[3]["tag"] == 2 and rows[3]["v2"] is True
+    assert rows[3]["tag"] == 1 and rows[3]["v1"] is True
+    assert rows[2]["tag"] == 2 and rows[2]["v2"] == "hello"

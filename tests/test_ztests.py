@@ -148,11 +148,79 @@ def _norm(v):
     return v
 
 
+def _parse_script_line(line: str):
+    """One `super query ... -c <q> [files...] [> out]` invocation →
+    (query, input_names, out_name). Raises on unsupported commands
+    (e.g. `super db` lake scripts)."""
+    import re
+    import shlex
+
+    m = re.match(r"(?:super|zq)\s+(?:query\s+)?(.*)$", line)
+    if not m:
+        raise ValueError(f"unsupported script command: {line!r}")
+    toks = shlex.split(m.group(1))
+    query, infiles, outfile = None, [], None
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t == "-c":
+            query, i = toks[i + 1], i + 2
+        elif t == ">":
+            outfile, i = toks[i + 1], i + 2
+        elif t in ("-fusemem", "-limit", "-f", "-orderby"):
+            i += 2
+        elif t.startswith("-") and t != "-":
+            i += 1
+        else:
+            infiles.append(t)
+            i += 1
+    if query is None:
+        raise ValueError(f"script line has no -c query: {line!r}")
+    return query, infiles, outfile
+
+
+def _run_script_case(spark, case: dict, path: str):
+    """script/inputs/outputs ztest form (ztest/ztest.go): run each
+    query invocation against its named input files and compare to the
+    named redirect target."""
+    from zed_spark.lang.compiler import compile_query
+    from zed_spark.sources.zson import parse_zson
+
+    if "super db" in case["script"] or "zed lake" in case["script"]:
+        raise ValueError("lake scripts are exercised by tests/test_lake.py")
+    files = {i["name"]: i["data"] for i in case.get("inputs", [])}
+    outs = {o["name"]: o["data"] for o in case.get("outputs", [])}
+    ran = 0
+    for line in case["script"].splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        query, infiles, outfile = _parse_script_line(line)
+        vals = []
+        for f in infiles:
+            vals.extend(parse_zson(case["input"] if f == "-" else files[f]))
+
+        def resolve(name):
+            return _to_df(spark, parse_zson(files[name]))[0]
+
+        df = wrapped = None
+        if vals:
+            df, wrapped = _to_df(spark, vals)
+        out = compile_query(spark, query, resolve, df)
+        want_text = outs.get(outfile) if outfile else next(iter(outs.values()))
+        _compare(out, query, parse_zson(want_text), bool(wrapped), path)
+        ran += 1
+    assert ran, f"{path}: script had no runnable queries"
+
+
 def _run_case(spark, path: str):
     from zed_spark.lang.compiler import compile_query
     from zed_spark.sources.zson import parse_zson
 
     case = _load(path)
+    if "script" in case:
+        _run_script_case(spark, case, path)
+        return
     in_vals = parse_zson(case["input"])
     if not in_vals:
         # empty input → empty output, no schema to resolve against
@@ -160,6 +228,10 @@ def _run_case(spark, path: str):
         return
     df, wrapped = _to_df(spark, in_vals)
     out = compile_query(spark, case["zed"], lambda n: (_ for _ in ()).throw(ValueError(n)), df)
+    _compare(out, case["zed"], parse_zson(case["output"]), wrapped, path)
+
+
+def _compare(out, zed: str, want, wrapped: bool, path: str):
     got_rows = [r.asDict(recursive=True) for r in out.collect()]
     # materialize the __zed_error convention back into zed error
     # values (errors.py: null cell + side map of path -> message)
@@ -173,7 +245,6 @@ def _run_case(spark, path: str):
                 for p in parts[:-1]:
                     cur = cur.setdefault(p, {})
                 cur[parts[-1]] = ZError(msg)
-    want = parse_zson(case["output"])
     got = got_rows
     if wrapped and out.columns == ["this"]:
         got = [r["this"] for r in got_rows]
@@ -190,11 +261,13 @@ def _run_case(spark, path: str):
     def strip_nulls(v):
         if isinstance(v, dict):
             return {k: strip_nulls(x) for k, x in v.items() if x is not None}
+        if isinstance(v, (list, tuple)):
+            return [strip_nulls(x) for x in v]
         return v
 
     g = [repr(_norm(strip_nulls(v))) for v in got]
     w = [repr(_norm(strip_nulls(v))) for v in want]
-    if "sort" in case["zed"] or "merge" in case["zed"]:
+    if "sort" in zed or "merge" in zed:
         # a sorted/merged pipeline's output order is part of the contract
         assert g == w, f"{path} (ordered)\n  got:  {g}\n  want: {w}"
     else:

@@ -32,6 +32,16 @@ def zed_type_name(t: T.DataType) -> str:
     if t in _SPARK_TO_ZED:
         return _SPARK_TO_ZED[t]
     if isinstance(t, T.StructType):
+        import re as _re
+
+        if (
+            t.fields
+            and t.fields[0].name == "tag"
+            and all(_re.fullmatch(r"v\d+", f.name) for f in t.fields[1:])
+            and len(t.fields) > 1
+        ):
+            # tagged-union struct (union.py) → zed union type syntax
+            return "(" + ",".join(zed_type_name(f.dataType) for f in t.fields[1:]) + ")"
         inner = ",".join(f"{f.name}:{zed_type_name(f.dataType)}" for f in t.fields)
         return "{" + inner + "}"
     if isinstance(t, T.ArrayType):

@@ -219,14 +219,22 @@ class Compiler:
                 return df.select(
                     *[self.expr(e, df).alias(name) for name, e in keys]
                 ).distinct()
-            agg_cols = {
-                name: agg_expr(
+            agg_cols = {}
+            for name, fn, arg, where in aggs:
+                if fn == "fuse":
+                    # fuse(e) aggregates e's TYPE across the group
+                    # (agg/fuse.go) — static in the record model: the
+                    # merged column type, as a type value
+                    from zed_spark.functions.introspect import zed_type_name
+
+                    dt = self._type_of(arg if arg is not None else ("this",), df)
+                    agg_cols[name] = F.min(F.lit(zed_type_name(dt)))
+                    continue
+                agg_cols[name] = agg_expr(
                     fn,
                     self.expr(arg, df) if arg is not None else None,
                     self.expr(where, df) if where is not None else None,
                 )
-                for name, fn, arg, where in aggs
-            }
             by = {name: self.expr(e, df) for name, e in keys} or None
             ev = None
             if every is not None:
@@ -324,6 +332,34 @@ class Compiler:
                         .filter(F.col("__rn") <= sub[1])
                         .drop("__rn")
                     )
+                elif sub[0] == "summarize":
+                    # per-group aggregation: the lateral group id is
+                    # the grouping key (zed over-scope aggregates run
+                    # once per source value)
+                    aggs2, keys2, every2 = sub[1], sub[2], sub[3]
+                    if keys2 or every2 is not None:
+                        raise ValueError(
+                            "scoped over summarize: by-keys not supported per-group"
+                        )
+                    acols = {}
+                    for name2, fn2, arg2, where2 in aggs2:
+                        if fn2 == "fuse":
+                            from zed_spark.functions.introspect import zed_type_name
+
+                            dt2 = self._type_of(
+                                arg2 if arg2 is not None else ("this",), out
+                            )
+                            acols[name2] = F.min(F.lit(zed_type_name(dt2)))
+                            continue
+                        acols[name2] = agg_expr(
+                            fn2,
+                            self.expr(arg2, out) if arg2 is not None else None,
+                            self.expr(where2, out) if where2 is not None else None,
+                        )
+                    out = out.groupBy("__src").agg(
+                        *[c.alias(n) for n, c in acols.items()]
+                    )
+                    helpers = ["__src"]
                 elif sub[0] == "over":
                     # nested lateral: re-explode; group helpers are
                     # consumed (per-group ops can't follow)

@@ -22,7 +22,7 @@ from zed_spark.lang.lexer import Token, tokenize
 
 AGG_FNS = {
     "count", "sum", "avg", "min", "max", "any", "dcount", "collect",
-    "union", "and", "or", "collect_map",
+    "union", "and", "or", "collect_map", "fuse",
 }
 
 _KEYWORDS = {
@@ -72,7 +72,9 @@ class Parser:
     def parse_op(self) -> tuple:
         t = self.peek()
         word = t.text
-        if word == "from":
+        if word == "from" or (word == "file" and self.peek(1).kind in ("ID", "NUM")):
+            # `file x.zson` is the reference's file-source form
+            # (used inside join subqueries and at pipeline heads)
             self.next()
             name = self.parse_source_name()
             return ("from", name)
@@ -218,6 +220,9 @@ class Parser:
                 count = True
             return ("uniq", count)
         if word == "fuse":
+            if self.peek(1).text == "(":
+                # fuse(e) is the aggregate form (agg/fuse.go)
+                return self.parse_summarize()
             self.next()
             return ("fuse",)
         if word == "yield":
@@ -432,6 +437,13 @@ class Parser:
                     keys.append(k)
                 if not self.accept(","):
                     break
+        if self.peek().text == "with" and self.peek(1).text == "-":
+            # trailing `with -limit N` (spill-threshold tuning knob —
+            # Spark's HashAggregate owns partials; parse and ignore)
+            self.next()
+            self.next()
+            self.next()
+            self.next()
         return ("summarize", aggs, keys, every)
 
     def parse_summarize_if_aggs(self) -> tuple:
@@ -468,6 +480,14 @@ class Parser:
         if self.peek().text == "where":
             self.next()
             where = self.parse_expr()
+        if self.peek().text == "with" and self.peek(1).text == "-":
+            # `with -limit N` tunes the reference's partials spill
+            # threshold (groupby.go) — a no-op here: Spark's
+            # HashAggregate owns partial/final decomposition
+            self.next()
+            self.next()
+            self.next()
+            self.next()
         return (name or fn, fn, arg, where)
 
     def parse_key(self) -> tuple:

@@ -28,7 +28,9 @@ _AGG_FNS = {
     "dcount": F.approx_count_distinct,
     "dcount_exact": F.count_distinct,
     "collect": lambda e: F.collect_list(e),
-    "union": lambda e: F.array_sort(F.collect_set(e)),
+    # set semantics with FIRST-SEEN order (agg/collect.go Union keeps
+    # encounter order; ztest agg/container); nulls don't join the set
+    "union": lambda e: F.array_distinct(F.array_compact(F.collect_list(e))),
     "and": F.bool_and,
     "or": F.bool_or,
     "collect_map": lambda e: F.map_from_entries(

@@ -18,9 +18,20 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# canonical member order follows the reference's primitive type IDs
+# (type.go:106-137: uints < ints < duration/time < floats < bool <
+# bytes < string < ip/net); complex types keep insertion order after
+_ZED_TYPE_RANK = {
+    T.ByteType(): 6, T.ShortType(): 7, T.IntegerType(): 8, T.LongType(): 9,
+    T.TimestampType(): 13, T.FloatType(): 15, T.DoubleType(): 16,
+    T.BooleanType(): 23, T.BinaryType(): 24, T.StringType(): 25,
+}
+
+
 def union_type(*types: T.DataType) -> T.StructType:
+    members = sorted(types, key=lambda t: _ZED_TYPE_RANK.get(t, 30))
     fields = [T.StructField("tag", T.IntegerType(), False)]
-    fields += [T.StructField(f"v{i}", t, True) for i, t in enumerate(types)]
+    fields += [T.StructField(f"v{i}", t, True) for i, t in enumerate(members)]
     return T.StructType(fields)
 
 
