@@ -114,6 +114,24 @@ def _to_df(spark, values):
 
 import re as _re
 
+# type-value strings compare under the engine's documented widening
+# (SURVEY §1.2): int8/16/32 and uint* ride as int64, float16/32 as
+# float64, named types and set-ness are structural. Both sides of the
+# compare pass through the same rewrite, so data strings that happen
+# to look like type syntax stay consistent.
+_TYPE_INT = _re.compile(r"\bu?int(?:8|16|32|64)\b")
+_TYPE_FLOAT = _re.compile(r"\bfloat(?:16|32)\b")
+_TYPE_NAMED = _re.compile(r"\b[A-Za-z_]\w*=")
+
+
+def _canon_type_str(s: str) -> str:
+    s = _TYPE_INT.sub("int64", s)
+    s = _TYPE_FLOAT.sub("float64", s)
+    s = _TYPE_NAMED.sub("", s)
+    s = s.replace("|[", "[").replace("]|", "]")
+    s = s.replace("|{", "{").replace("}|", "}")
+    return s.replace(" ", "")
+
 
 def _norm(v):
     from zed_spark.sources.zson import ZError
@@ -145,26 +163,38 @@ def _norm(v):
         return ("t", v.replace(tzinfo=None).isoformat())
     if isinstance(v, (bytes, bytearray)):
         return ("y", bytes(v))
+    if isinstance(v, str):
+        return _canon_type_str(v)
     return v
 
 
 def _parse_script_line(line: str):
-    """One `super query ... -c <q> [files...] [> out]` invocation →
-    (query, input_names, out_name). Raises on unsupported commands
-    (e.g. `super db` lake scripts)."""
+    """One `[echo '<data>' |] super query ... [-c <q>] [-I inc]
+    [files...] [> out]` invocation → (query, include_names,
+    input_names, echo_text, out_name). Raises on unsupported commands
+    (e.g. `super db` lake scripts, shell loops, `!` negations)."""
     import re
     import shlex
 
+    echo_text = None
+    m = re.match(r"echo\s+(.*?)\s*\|\s*((?:super|zq)\b.*)$", line)
+    if m:
+        parts = shlex.split(m.group(1))
+        echo_text = " ".join(parts)
+        line = m.group(2)
     m = re.match(r"(?:super|zq)\s+(?:query\s+)?(.*)$", line)
     if not m:
         raise ValueError(f"unsupported script command: {line!r}")
     toks = shlex.split(m.group(1))
-    query, infiles, outfile = None, [], None
+    query, includes, infiles, outfile = None, [], [], None
     i = 0
     while i < len(toks):
         t = toks[i]
         if t == "-c":
             query, i = toks[i + 1], i + 2
+        elif t == "-I":
+            includes.append(toks[i + 1])
+            i += 2
         elif t == ">":
             outfile, i = toks[i + 1], i + 2
         elif t in ("-fusemem", "-limit", "-f", "-orderby"):
@@ -174,31 +204,45 @@ def _parse_script_line(line: str):
         else:
             infiles.append(t)
             i += 1
-    if query is None:
+    if query is None and not includes:
         raise ValueError(f"script line has no -c query: {line!r}")
-    return query, infiles, outfile
+    return query, includes, infiles, echo_text, outfile
 
 
 def _run_script_case(spark, case: dict, path: str):
     """script/inputs/outputs ztest form (ztest/ztest.go): run each
-    query invocation against its named input files and compare to the
-    named redirect target."""
+    query invocation against its named input files and compare against
+    the redirect target. Un-redirected invocations accumulate onto
+    stdout, compared once at the end (multi-invocation scripts append)."""
     from zed_spark.lang.compiler import compile_query
     from zed_spark.sources.zson import parse_zson
 
     if "super db" in case["script"] or "zed lake" in case["script"]:
         raise ValueError("lake scripts are exercised by tests/test_lake.py")
     files = {i["name"]: i["data"] for i in case.get("inputs", [])}
-    outs = {o["name"]: o["data"] for o in case.get("outputs", [])}
+    outs = {}
+    for o in case.get("outputs", []):
+        if "data" not in o:
+            raise ValueError(f"non-literal output form for {o['name']}")
+        outs[o["name"]] = o["data"]
     ran = 0
+    stdout_acc: list[tuple] = []  # (df, wrapped) per un-redirected line
     for line in case["script"].splitlines():
         line = line.strip()
         if not line or line.startswith("#"):
             continue
-        query, infiles, outfile = _parse_script_line(line)
+        if _re.match(r"echo\s", line) and "|" not in line:
+            continue  # bare echo: an output separator/comment line
+        query, includes, infiles, echo_text, outfile = _parse_script_line(line)
+        inc_text = "\n".join(files[n] for n in includes)
+        query = f"{inc_text}\n{query}" if query else inc_text
         vals = []
         for f in infiles:
-            vals.extend(parse_zson(case["input"] if f == "-" else files[f]))
+            if f == "-":
+                src = echo_text if echo_text is not None else case.get("input", "")
+            else:
+                src = files[f]
+            vals.extend(parse_zson(src))
 
         def resolve(name):
             return _to_df(spark, parse_zson(files[name]))[0]
@@ -207,9 +251,13 @@ def _run_script_case(spark, case: dict, path: str):
         if vals:
             df, wrapped = _to_df(spark, vals)
         out = compile_query(spark, query, resolve, df)
-        want_text = outs.get(outfile) if outfile else next(iter(outs.values()))
-        _compare(out, query, parse_zson(want_text), bool(wrapped), path)
+        if outfile:
+            _compare([(out, bool(wrapped))], query, parse_zson(outs[outfile]), path)
+        else:
+            stdout_acc.append((out, bool(wrapped)))
         ran += 1
+    if stdout_acc:
+        _compare(stdout_acc, case["script"], parse_zson(outs["stdout"]), path)
     assert ran, f"{path}: script had no runnable queries"
 
 
@@ -228,20 +276,20 @@ def _run_case(spark, path: str):
         return
     df, wrapped = _to_df(spark, in_vals)
     out = compile_query(spark, case["zed"], lambda n: (_ for _ in ()).throw(ValueError(n)), df)
-    _compare(out, case["zed"], parse_zson(case["output"]), wrapped, path)
+    _compare([(out, wrapped)], case["zed"], parse_zson(case["output"]), path)
 
 
-def _compare(out, zed: str, want, wrapped: bool, path: str):
+def _collect_vals(out, wrapped: bool, want) -> list:
     got_rows = [r.asDict(recursive=True) for r in out.collect()]
     # materialize the __zed_error convention back into zed error
     # values (errors.py: null cell + side map of path -> message)
-    from zed_spark.sources.zson import ZError
+    from zed_spark.sources.zson import ZError, ZMap
 
     for r in got_rows:
         errs = r.pop("__zed_error", None)
         if errs:
-            for path, msg in errs.items():
-                cur, parts = r, path.split(".")
+            for epath, msg in errs.items():
+                cur, parts = r, epath.split(".")
                 for p in parts[:-1]:
                     cur = cur.setdefault(p, {})
                 cur[parts[-1]] = ZError(msg)
@@ -251,11 +299,20 @@ def _compare(out, zed: str, want, wrapped: bool, path: str):
     elif (
         len(out.columns) == 1
         and want
-        and all(not isinstance(v, dict) for v in want)
+        and all(
+            not isinstance(v, dict) or isinstance(v, ZMap) for v in want
+        )
     ):
         # zed emits BARE values where the record model wraps them in
         # a single column (yield of a non-record, over pipelines)
         got = [r[out.columns[0]] for r in got_rows]
+    return got
+
+
+def _compare(outs: list[tuple], zed: str, want, path: str):
+    got = []
+    for out, wrapped in outs:
+        got.extend(_collect_vals(out, wrapped, want))
     # value-level multiset compare (drop absent-field nulls the
     # record model fills in)
     def strip_nulls(v):

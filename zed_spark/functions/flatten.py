@@ -33,6 +33,31 @@ def flatten_record(df: DataFrame, columns: list[str] | None = None) -> Column:
     return F.array(*entries)
 
 
+def flatten_col(col: Column, dt: T.DataType) -> Column:
+    """flatten() over an arbitrary record-typed expression: walk the
+    static struct type, emitting {key: array<string>, value} per leaf
+    (values ride as strings — the union-type compromise, as in
+    flatten_record)."""
+    entries: list[Column] = []
+
+    def walk(c: Column, t: T.DataType, path: list[str]):
+        if isinstance(t, T.StructType) and not (
+            t.fields and t.fields[0].name == "tag"
+        ):
+            for f in t.fields:
+                walk(c.getField(f.name), f.dataType, path + [f.name])
+            return
+        entries.append(
+            F.struct(
+                F.array(*[F.lit(p) for p in path]).alias("key"),
+                c.cast("string").alias("value"),
+            )
+        )
+
+    walk(col, dt, [])
+    return F.array(*entries)
+
+
 def unflatten(df: DataFrame, flat: Column) -> Column:
     """Inverse of flatten: array<{key,value}> → map (dotted keys).
     Returns a MapType value (zed rebuilds a record; our dynamic analog

@@ -34,3 +34,78 @@ def zreplace(s: Column, old: str | Column, new: str | Column) -> Column:
     o = F.lit(old) if isinstance(old, str) else old
     n = F.lit(new) if isinstance(new, str) else new
     return F.replace(s, o, n)
+
+
+def regexp_match(pattern: Column, s: Column) -> Column:
+    """zed regexp(re, s): leftmost match → [full, group1, ...]
+    (function/regexp.go wraps Go FindStringSubmatch). Patterns are
+    per-row values, so this is an Arrow-batched Pandas UDF (a literal
+    pattern should use rlike/regexp_extract instead — JVM-side).
+    Invalid patterns and non-matches return null (the reference
+    returns error(...) for bad patterns; expression-level error
+    values are a documented gap)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _m(p: pd.Series, x: pd.Series) -> pd.Series:
+        import re as _r
+
+        out = []
+        for pp, xx in zip(p, x):
+            if pp is None or xx is None:
+                out.append(None)
+                continue
+            try:
+                m = _r.search(pp, xx)
+            except _r.error:
+                out.append(None)
+                continue
+            out.append(
+                None
+                if m is None
+                else [m.group(0), *[g if g is not None else "" for g in m.groups()]]
+            )
+        return pd.Series(out)
+
+    return _m(pattern, s)
+
+
+def regexp_replace_dyn(s: Column, pattern: Column, new: Column) -> Column:
+    """zed regexp_replace with per-row patterns or Go-style $N/$name
+    group references (function/regexp.go ReplaceAllString). Go's $X
+    named refs aren't Java-compatible, so this translates to Python
+    \\g<X> and runs as a Pandas UDF. Literal patterns with no $-refs
+    compile to the JVM builtin in the caller instead."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _r(x: pd.Series, p: pd.Series, n: pd.Series) -> pd.Series:
+        import re as _re
+
+        def go_repl(repl: str) -> str:
+            # $$ → literal $; $1 → \1; $name / ${name} → \g<name>
+            def sub(m):
+                g = m.group(1) or m.group(2)
+                if g == "$":
+                    return "$"
+                return f"\\g<{g}>"
+
+            return _re.sub(r"\$(?:\{(\w+)\}|(\w+|\$))", sub, repl)
+
+        out = []
+        for xx, pp, nn in zip(x, p, n):
+            if xx is None:
+                out.append(None)
+                continue
+            if pp is None or nn is None:
+                out.append(None)
+                continue
+            try:
+                out.append(_re.sub(pp, go_repl(nn), xx))
+            except _re.error:
+                out.append(None)
+        return pd.Series(out)
+
+    return _r(s, pattern, new)

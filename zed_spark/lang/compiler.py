@@ -234,6 +234,11 @@ class Compiler:
                     fn,
                     self.expr(arg, df) if arg is not None else None,
                     self.expr(where, df) if where is not None else None,
+                    elem_type=(
+                        self._type_of(arg, df)
+                        if fn in ("union", "collect_map") and arg is not None
+                        else None
+                    ),
                 )
             by = {name: self.expr(e, df) for name, e in keys} or None
             ev = None
@@ -733,6 +738,25 @@ class Compiler:
         except Exception:
             return None
 
+    @staticmethod
+    def _union_members(c: Column, dt) -> list[tuple[Column, object]] | None:
+        """If dt is a tagged-union struct (union.py convention),
+        return [(member column, member type), ...]; else None. Lets
+        type-dispatching functions handle mixed-type streams by
+        coalescing per-member results (zed functions dispatch on each
+        value's runtime type)."""
+        import re as _re2
+
+        from pyspark.sql import types as T
+
+        if not isinstance(dt, T.StructType) or len(dt.fields) < 2:
+            return None
+        if dt.fields[0].name != "tag" or not all(
+            _re2.fullmatch(r"v\d+", f.name) for f in dt.fields[1:]
+        ):
+            return None
+        return [(c.getField(f.name), f.dataType) for f in dt.fields[1:]]
+
     def _is_string(self, e: tuple, df: DataFrame) -> bool:
         """Static type probe for slice/index dispatch."""
         try:
@@ -813,14 +837,39 @@ class Compiler:
             return self.expr(args[0], df).cast(self._type_ddl(args[1][1]))
         if name == "time" and len(args) == 1:
             # dispatch on input type (reference time cast, nano.go):
-            # numeric → epoch nanoseconds; string → ISO-8601 parse
+            # numeric → epoch nanoseconds; numeric STRING → also ns
+            # (the cast parses the number first, castval.go); other
+            # strings → ISO-8601 parse. Union inputs dispatch per
+            # member and coalesce.
             c = self.expr(args[0], df)
             dt = self._type_of(args[0], df)
-            if dt is not None and dt.typeName() in (
-                "long", "integer", "short", "byte", "double", "float", "decimal"
-            ):
-                return F.timestamp_micros((c.cast("double") / 1000).cast("long"))
-            return c.cast("timestamp")
+
+            def to_time(col: Column, t) -> Column:
+                if t is not None and t.typeName() in (
+                    "long", "integer", "short", "byte", "double", "float", "decimal"
+                ):
+                    return F.timestamp_micros((col.cast("double") / 1000).cast("long"))
+                if t is not None and t.typeName() == "string":
+                    num = col.cast("double")
+                    return F.coalesce(
+                        F.timestamp_micros((num / 1000).cast("long")),
+                        F.try_to_timestamp(col),
+                    )
+                return col.cast("timestamp")
+
+            members = self._union_members(c, dt)
+            if members is not None:
+                return F.coalesce(*[to_time(m, t) for m, t in members])
+            return to_time(c, dt)
+        if name == "duration" and len(args) == 1:
+            # duration cast: integer ns; numeric strings parse as ns
+            # count; union inputs per-member (nano.go ParseDuration)
+            c = self.expr(args[0], df)
+            dt = self._type_of(args[0], df)
+            members = self._union_members(c, dt)
+            if members is not None:
+                return F.coalesce(*[m.cast("long") for m, _ in members])
+            return c.cast("long")
         if name in ("has", "missing"):
             # presence probe (function/has.go): true when every arg
             # resolves to a present value. The record model fills
@@ -911,7 +960,12 @@ class Compiler:
             dur = args[1]
             if dur[0] == "dur":
                 return bucket(ts, duration_interval(dur[1]))
-            return bucket(ts, dur[1])
+            if dur[0] == "str":
+                return bucket(ts, dur[1])
+            raise ValueError(
+                "bucket needs a literal duration (per-row bin widths "
+                "are not expressible as a static window)"
+            )
         if name == "len":
             c = self.expr(args[0], df)
             # schema-directed: size for containers, length for strings
@@ -921,6 +975,8 @@ class Compiler:
                 dt = "string"
             if dt.startswith(("array", "map")):
                 return F.size(c)
+            if dt.startswith("binary"):
+                return F.octet_length(c)
             if dt.startswith("struct"):
                 n = dt.count(":")
                 return F.lit(n)
@@ -935,6 +991,55 @@ class Compiler:
 
             path = ".".join(args[0][1]) if args and args[0][0] == "field" else None
             return typeof_col(df, path)
+        if name == "flatten":
+            from zed_spark.functions.flatten import flatten_col, flatten_record
+
+            src = args[0] if args else ("this",)
+            if src == ("this",):
+                cols = [c for c in df.columns if c != "__zed_error"]
+                return flatten_record(df, cols)
+            return flatten_col(self.expr(src, df), self._type_of(src, df))
+        if name == "unflatten":
+            from zed_spark.functions.flatten import unflatten as unflatten_fn
+
+            src = args[0] if args else ("this",)
+            return unflatten_fn(df, self.expr(src, df))
+        if name == "grok":
+            from zed_spark.functions.parse import grok as grok_fn
+
+            if args[0][0] != "str":
+                raise ValueError("grok pattern must be a string literal")
+            return grok_fn(args[0][1], self.expr(args[1], df))
+        if name == "compare" and len(args) == 3:
+            # compare(a, b, nullsMax) — third arg is a bool literal
+            # (function/compare.go); non-bool → error value, which the
+            # expression layer can't produce, so reject loudly
+            from zed_spark.functions.misc import compare as zcompare
+
+            if args[2][0] != "bool":
+                raise ValueError("compare: nullsMax arg is not bool")
+            return zcompare(
+                self.expr(args[0], df), self.expr(args[1], df), args[2][1]
+            )
+        if name == "regexp":
+            from zed_spark.functions.strings import regexp_match
+
+            return regexp_match(self.expr(args[0], df), self.expr(args[1], df))
+        if name == "regexp_replace" and len(args) == 3:
+            pat, rep = args[1], args[2]
+            dynamic = (
+                pat[0] != "str"
+                or rep[0] != "str"
+                or "$" in rep[1]
+            )
+            if dynamic:
+                from zed_spark.functions.strings import regexp_replace_dyn
+
+                return regexp_replace_dyn(
+                    self.expr(args[0], df),
+                    self.expr(pat, df),
+                    self.expr(rep, df),
+                )
         if name in self.fns:
             return self.fns[name](*[self.expr(a, df) for a in args])
         raise ValueError(f"unknown function {name!r}")

@@ -571,6 +571,12 @@ class Parser:
                     out.append((".".join(e[1]), alias))
                 else:
                     out.append((e, alias))
+            elif self.peek().kind == "ID" and self.peek(1).text == "(":
+                # bare call: `cut split(s,".")` names the output after
+                # the function, like the reference's derived-name rule
+                # (semantic/expr.go deriveAs)
+                name = self.peek().text
+                out.append((self.parse_expr(), name))
             else:
                 path = self.parse_path()
                 out.append((".".join(path), None))

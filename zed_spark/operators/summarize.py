@@ -39,12 +39,19 @@ _AGG_FNS = {
 }
 
 
-def agg_expr(fn: str, expr: Column | str | None = None, where: Column | None = None) -> Column:
+def agg_expr(
+    fn: str,
+    expr: Column | str | None = None,
+    where: Column | None = None,
+    elem_type=None,
+) -> Column:
     """Build one aggregation column.
 
     fn: one of the zed agg names. where: per-agg filter — rows where
     the condition is false contribute nothing (reference semantics:
     the where clause gates Consume, semantic/op.go:1102).
+    elem_type: the aggregated expression's DataType — lets `union`
+    emit its set in canonical zcode order (complex.go NormalizeSet).
     """
     if fn not in _AGG_FNS:
         raise ValueError(f"unknown agg function {fn!r}; have {sorted(_AGG_FNS)}")
@@ -54,7 +61,29 @@ def agg_expr(fn: str, expr: Column | str | None = None, where: Column | None = N
             col = F.when(where, F.lit(1) if col is None else col)
         else:
             col = F.when(where, col)
-    return _AGG_FNS[fn](col)
+    if (
+        fn == "collect_map"
+        and elem_type is not None
+        and elem_type.typeName() == "map"
+    ):
+        # collect_map over |{k:v}| map values: merge entries across
+        # the group, later values overwriting earlier (collectmap.go
+        # stores into one map as consumed). Last-wins is expressed
+        # as reverse → keep-first-seen → reverse, all JVM-side.
+        entries = F.flatten(F.collect_list(F.map_entries(col)))
+        rev = F.reverse(entries)
+        keys = F.transform(rev, lambda x: x["key"])
+        kept = F.filter(
+            rev,
+            lambda x, i: F.array_position(keys, x["key"]) == i + 1,
+        )
+        return F.map_from_entries(F.reverse(kept))
+    out = _AGG_FNS[fn](col)
+    if fn == "union" and elem_type is not None:
+        from zed_spark.functions.zorder import zset_sort
+
+        out = zset_sort(out, elem_type)
+    return out
 
 
 def every_key(ts: Column | str, duration: str) -> Column:
