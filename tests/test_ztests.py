@@ -81,11 +81,122 @@ CASES = [
     "op/sort/empty-input.yaml",
 ]
 
+# round 3: the battery now sweeps the reference's ENTIRE
+# expr/function/agg ztest dirs (171 cases) — every yaml either passes
+# or is declared below with the reason.
+import glob as _glob
+
+SAM_EXPR = "/root/reference/runtime/sam/expr"
+for _d in (
+    f"{SAM_EXPR}/ztests",
+    f"{SAM_EXPR}/function/ztests",
+    f"{SAM_EXPR}/agg/ztests",
+):
+    CASES.extend(sorted(_glob.glob(f"{_d}/*.yaml")))
+
 # declared gaps: case → reason (the honest boundary of the subset).
-# (round 3 closed the three round-2 gaps: cut-of-absent-field now
-# yields error("missing") via the __zed_error convention, and over of
-# mixed/null arrays flows through first-class tagged unions.)
-UNSUPPORTED: dict[str, str] = {}
+# Families: [errval] expression-level error VALUES (our errors are
+# operator-level null+__zed_error); [shape] per-row shapes / runtime
+# type identity that the widened static model erases (SURVEY §1.2);
+# [union] mixed-type streams beyond what tagged-union dispatch
+# covers; [script] shell forms (loops, ! negation) outside the
+# harness's script subset; [macro] user funcs expand inline, so
+# runtime recursion/state is out of scope.
+_E = "expression-level error values are operator-level here [errval]"
+_S = "per-row shape/type identity is widened away [shape]"
+_U = "mixed-type stream beyond tagged-union dispatch [union]"
+_SC = "shell script form (loop/negation/pipe) outside harness subset [script]"
+_M = "user funcs are inline macros — no runtime recursion/state [macro]"
+UNSUPPORTED: dict[str, str] = {
+    f"{SAM_EXPR}/ztests/{k}.yaml": v
+    for k, v in {
+        "cast-bytes-string-err": _E,
+        "cast-dur-empty-string": _E,
+        "cast-name-only": "null record rows lose null-ness when yielded to columns",
+        "cast-time": "custom time formats (RFC822 etc.) not in the ISO parser",
+        "cast-type": "runtime type values over mixed rows " + _S,
+        "cast-union": "cast TO union needs per-value tag assignment " + _U,
+        "shape-cast-to-union": "cast TO union over union input needs "
+        "named-member identity " + _S,
+        "complex-record-math": "arithmetic over record operands " + _U,
+        "complex-unions": _U,
+        "cut": "cut of absent fields yields error('missing') per row " + _S,
+        "cut-dup-fields": _SC,
+        "cut-not-adjacent": _SC,
+        "dot-index": "runtime record keys (this[field]) " + _S,
+        "dot-record-type": "type-value field access " + _S,
+        "has-2": _E,
+        "has_error": _E,
+        "in-map": _E,
+        "in-star": "reference-skipped (disabled upstream)",
+        "index-map-union-key": "map keys of union type " + _U,
+        "index-named-complex": "named complex type index " + _S,
+        "ip-len": "ip/net ride as strings — byte/prefix len lost " + _S,
+        "is": _S,
+        "is-late-binding": _S,
+        "is-typedef": _S,
+        "logical": _E,
+        "map": "set-ness is widened to arrays, set map re-sorts lost",
+        "math-coerce": _SC,
+        "math-incompatible": _E,
+        "missing": _S,
+        "nested-error": _E,
+        "operator-mod": _E,
+        "record-spread-function": "unflatten returns a map — spread needs a record",
+        "shape-by-name": "runtime named-type lookup by field value " + _S,
+        "shape-cast": "named-type field rename inside cast targets " + _S,
+        "shape-cast-array-to-set": "set-ness widened to arrays",
+        "shape-cast-arrays": _E,
+        "shape-cast-from-union": _U,
+        "shape-cast-set-to-array": "set-ness widened to arrays",
+        "shape-cast-sets": _E,
+        "shape-map": "per-row dynamic cast target (schemas[_path]) " + _S,
+        "shape-null-container": _U,
+        "shape-string-time-err": _E,
+        "slice": "slicing union-typed columns " + _U,
+        "typedef-match": _S,
+        "type-map": _S,
+        "udf": _M,
+        "udf-mutual-recursion": _M,
+        "udf-overflow": _M,
+        "unary-minus": "negation over mixed int widths + overflow errors " + _U,
+        "vector-spread": _U,
+    }.items()
+}
+UNSUPPORTED.update(
+    {
+        f"{SAM_EXPR}/function/ztests/{k}.yaml": v
+        for k, v in {
+            "bucket": "per-row bin widths need a dynamic window",
+            "compare": "cross-type comparison over union operands " + _U,
+            "compare-nullsmax": _E,
+            "flatten": "flatten values ride as strings (union-valued leaves)",
+            "grep": _SC,
+            "grok": "per-row grok patterns need runtime schemas",
+            "ksuid": _E,
+            "len": "error values inside unions " + _E,
+            "nameof": _S,
+            "now": "regexp-form expected output outside harness subset",
+            "parse-uri": _U,
+            "parse-zson": "dynamic result types per row " + _S,
+            "regexp": _E,
+            "regexp-replace": _E,
+            "typeunder": _S,
+            "under": _E,
+            "unflatten": "unflatten rebuilds records at runtime — map model here",
+        }.items()
+    }
+)
+UNSUPPORTED.update(
+    {
+        f"{SAM_EXPR}/agg/ztests/{k}.yaml": v
+        for k, v in {
+            "args": _SC,
+            "collect-map-union": "map keys of union type " + _U,
+            "groupby-missing": "group key over mixed presence " + _S,
+        }.items()
+    }
+)
 
 
 def _load(path: str) -> dict:
@@ -134,8 +245,10 @@ def _canon_type_str(s: str) -> str:
 
 
 def _norm(v):
-    from zed_spark.sources.zson import ZError
+    from zed_spark.sources.zson import TypedNull, ZError
 
+    if isinstance(v, TypedNull):
+        return None
     if isinstance(v, ZError):
         return ("e", _norm(v.value))
     if isinstance(v, dict):
@@ -182,31 +295,33 @@ def _parse_script_line(line: str):
         parts = shlex.split(m.group(1))
         echo_text = " ".join(parts)
         line = m.group(2)
-    m = re.match(r"(?:super|zq)\s+(?:query\s+)?(.*)$", line)
-    if not m:
-        raise ValueError(f"unsupported script command: {line!r}")
-    toks = shlex.split(m.group(1))
-    query, includes, infiles, outfile = None, [], [], None
-    i = 0
-    while i < len(toks):
-        t = toks[i]
-        if t == "-c":
-            query, i = toks[i + 1], i + 2
-        elif t == "-I":
-            includes.append(toks[i + 1])
-            i += 2
-        elif t == ">":
-            outfile, i = toks[i + 1], i + 2
-        elif t in ("-fusemem", "-limit", "-f", "-orderby"):
-            i += 2
-        elif t.startswith("-") and t != "-":
-            i += 1
-        else:
-            infiles.append(t)
-            i += 1
-    if query is None and not includes:
-        raise ValueError(f"script line has no -c query: {line!r}")
-    return query, includes, infiles, echo_text, outfile
+    stages = []
+    for seg in re.split(r"\|(?=\s*(?:super|zq)\b)", line):
+        seg = seg.strip()
+        m = re.match(r"(?:super|zq)\s+(?:query\s+)?(.*)$", seg)
+        if not m:
+            raise ValueError(f"unsupported script command: {seg!r}")
+        toks = shlex.split(m.group(1))
+        query, includes, infiles, outfile = None, [], [], None
+        i = 0
+        while i < len(toks):
+            t = toks[i]
+            if t == "-c":
+                query, i = toks[i + 1], i + 2
+            elif t == "-I":
+                includes.append(toks[i + 1])
+                i += 2
+            elif t == ">":
+                outfile, i = toks[i + 1], i + 2
+            elif t in ("-fusemem", "-limit", "-f", "-orderby"):
+                i += 2
+            elif t.startswith("-") and t != "-":
+                i += 1
+            else:
+                infiles.append(t)
+                i += 1
+        stages.append((query, includes, infiles, outfile))
+    return echo_text, stages
 
 
 def _run_script_case(spark, case: dict, path: str):
@@ -219,63 +334,98 @@ def _run_script_case(spark, case: dict, path: str):
 
     if "super db" in case["script"] or "zed lake" in case["script"]:
         raise ValueError("lake scripts are exercised by tests/test_lake.py")
+    from zed_spark.sources.zson import parse_zson_typed as _pzt
+
     files = {i["name"]: i["data"] for i in case.get("inputs", [])}
+    named: dict = {}
+    for blob in [case.get("input", "")] + list(files.values()):
+        try:
+            named.update(_pzt(blob)[1])
+        except Exception:
+            pass
     outs = {}
     for o in case.get("outputs", []):
         if "data" not in o:
             raise ValueError(f"non-literal output form for {o['name']}")
         outs[o["name"]] = o["data"]
+    import shlex as _shlex
+
     ran = 0
     stdout_acc: list[tuple] = []  # (df, wrapped) per un-redirected line
+    separators: set[str] = set()
     for line in case["script"].splitlines():
         line = line.strip()
         if not line or line.startswith("#"):
             continue
         if _re.match(r"echo\s", line) and "|" not in line:
-            continue  # bare echo: an output separator/comment line
-        query, includes, infiles, echo_text, outfile = _parse_script_line(line)
-        inc_text = "\n".join(files[n] for n in includes)
-        query = f"{inc_text}\n{query}" if query else inc_text
-        vals = []
-        for f in infiles:
-            if f == "-":
-                src = echo_text if echo_text is not None else case.get("input", "")
-            else:
-                src = files[f]
-            vals.extend(parse_zson(src))
+            # bare echo: a separator the expected stdout also carries
+            separators.add(" ".join(_shlex.split(line[5:])))
+            continue
+        echo_text, stages = _parse_script_line(line)
 
         def resolve(name):
             return _to_df(spark, parse_zson(files[name]))[0]
 
         df = wrapped = None
-        if vals:
-            df, wrapped = _to_df(spark, vals)
-        out = compile_query(spark, query, resolve, df)
+        outfile = None
+        for query, includes, infiles, outfile in stages:
+            inc_text = "\n".join(files[n] for n in includes)
+            query = f"{inc_text}\n{query}" if query else (inc_text or "pass")
+            vals = []
+            for f in infiles:
+                if f == "-":
+                    if df is not None:
+                        continue  # piped from the previous stage
+                    src = echo_text if echo_text is not None else case.get("input", "")
+                    vals.extend(parse_zson(src))
+                else:
+                    vals.extend(parse_zson(files[f]))
+            if vals:
+                df, wrapped = _to_df(spark, vals)
+            df = compile_query(spark, query, resolve, df, named_types=named)
         if outfile:
-            _compare([(out, bool(wrapped))], query, parse_zson(outs[outfile]), path)
+            _compare([(df, bool(wrapped))], query, parse_zson(outs[outfile]), path)
         else:
-            stdout_acc.append((out, bool(wrapped)))
+            stdout_acc.append((df, bool(wrapped)))
         ran += 1
     if stdout_acc:
-        _compare(stdout_acc, case["script"], parse_zson(outs["stdout"]), path)
+        want = [
+            v
+            for v in parse_zson(outs["stdout"])
+            if not (isinstance(v, str) and v in separators)
+        ]
+        _compare(stdout_acc, case["script"], want, path)
     assert ran, f"{path}: script had no runnable queries"
 
 
 def _run_case(spark, path: str):
     from zed_spark.lang.compiler import compile_query
-    from zed_spark.sources.zson import parse_zson
+    from zed_spark.sources.zson import parse_zson, parse_zson_typed
 
     case = _load(path)
     if "script" in case:
         _run_script_case(spark, case, path)
         return
-    in_vals = parse_zson(case["input"])
+    if isinstance(case["input"], bytes):
+        # `input: !!binary ...` cases carry ZNG binary (ztest.go
+        # decodes with the zng reader) — so do we
+        from zed_spark.sources.zng import parse_zng
+
+        in_vals, named = parse_zng(case["input"]), {}
+    else:
+        in_vals, named = parse_zson_typed(case["input"])
     if not in_vals:
         # empty input → empty output, no schema to resolve against
         assert parse_zson(case["output"]) == []
         return
     df, wrapped = _to_df(spark, in_vals)
-    out = compile_query(spark, case["zed"], lambda n: (_ for _ in ()).throw(ValueError(n)), df)
+    out = compile_query(
+        spark,
+        case["zed"],
+        lambda n: (_ for _ in ()).throw(ValueError(n)),
+        df,
+        named_types=named,
+    )
     _compare([(out, wrapped)], case["zed"], parse_zson(case["output"]), path)
 
 
@@ -315,9 +465,15 @@ def _compare(outs: list[tuple], zed: str, want, path: str):
         got.extend(_collect_vals(out, wrapped, want))
     # value-level multiset compare (drop absent-field nulls the
     # record model fills in)
+    from zed_spark.sources.zson import TypedNull
+
     def strip_nulls(v):
         if isinstance(v, dict):
-            return {k: strip_nulls(x) for k, x in v.items() if x is not None}
+            return {
+                k: strip_nulls(x)
+                for k, x in v.items()
+                if x is not None and not isinstance(x, TypedNull)
+            }
         if isinstance(v, (list, tuple)):
             return [strip_nulls(x) for x in v]
         return v

@@ -27,13 +27,11 @@ def main():
 
     import test_ztests as H
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "16g")
-        .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
+    from zed_spark.session import build_spark
+
+    spark = build_spark(
+        master="local[8]",
+        extra_conf={"spark.sql.shuffle.partitions": "8"},
     )
     already = set()
     for c in H.CASES:

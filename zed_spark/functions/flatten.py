@@ -68,6 +68,25 @@ def unflatten(df: DataFrame, flat: Column) -> Column:
     )
 
 
+def nest_dotted_col(col: Column, dt: T.StructType) -> Column:
+    """nest_dotted over a record-typed expression: a.b-style FIELD
+    NAMES become nested records (nestdotted.go), schema-driven."""
+    tree: dict = {}
+    for f in dt.fields:
+        parts = f.name.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = col.getField(f.name)
+
+    def build(node) -> Column:
+        if isinstance(node, Column):
+            return node
+        return F.struct(*[build(v).alias(k) for k, v in node.items()])
+
+    return build(tree)
+
+
 def nest_dotted(df: DataFrame) -> DataFrame:
     """Turn a.b-style flat COLUMN NAMES into nested records
     (nestdotted.go). Purely schema-driven."""

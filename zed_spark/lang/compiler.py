@@ -87,7 +87,7 @@ class Compiler:
         self.user_funcs: dict = {}
         self.consts: dict = {}
         self.user_ops: dict = {}
-        self.user_types: dict = {}
+        self.user_types: dict = dict(getattr(self, "input_types", {}))
         for node in pipeline:
             if node[0] == "decls":
                 # user funcs/ops are macros: expanded inline at call
@@ -149,14 +149,30 @@ class Compiler:
             }[node[1]]
             return fn(df, target)
         if kind == "where":
+            if node[1][0] == "str":
+                # a bare string/ip/net literal in filter position is
+                # a SEARCH, not a predicate (search.go implied terms)
+                return self.apply(df, ("search", node[1][1]))
             # cast to boolean: zed treats a null predicate as no
             # match (`filter null` drops everything); Spark rejects a
             # VOID filter expression outright
             return ops.where(df, self.expr(node[1], df).cast("boolean"))
         if kind == "search":
-            from zed_spark.operators.filters import search
+            import re as _re3
 
+            from zed_spark.operators.filters import search, search_net
+
+            if _re3.fullmatch(r"[\d.]+/\d+|[0-9a-fA-F:]*:[0-9a-fA-F:]*/\d+", node[1]):
+                return search_net(df, node[1])
             return search(df, node[1])
+        if kind == "searchglob":
+            from zed_spark.operators.filters import search_glob
+
+            return search_glob(df, node[1])
+        if kind == "searchre":
+            from zed_spark.operators.filters import search_regex_leaves
+
+            return search_regex_leaves(df, node[1])
         if kind == "cut":
             # entries are either a path string or an expression AST
             # (reference cut accepts full assignments, cut.md); exprs
@@ -282,11 +298,80 @@ class Compiler:
         if kind == "fuse":
             return ops.fuse(df)
         if kind == "yield":
-            exprs = []
+            if (
+                len(node[1]) == 1
+                and node[1][0][0] == "call"
+                and node[1][0][1] == "nest_dotted"
+            ):
+                # nest_dotted() / nest_dotted(this) restructures the
+                # row; nest_dotted(f) restructures a record field
+                from zed_spark.functions.flatten import nest_dotted, nest_dotted_col
+
+                cargs = node[1][0][2]
+                if not cargs or cargs[0] == ("this",):
+                    return nest_dotted(df)
+                dt = self._type_of(cargs[0], df)
+                if dt is not None and dt.typeName() == "struct":
+                    return ops.yield_(
+                        df, nest_dotted_col(self.expr(cargs[0], df), dt)
+                    )
+            compiled = []
             for e in node[1]:
                 c = self.expr(e, df)
+                compiled.append((e, c, self._type_of(e, df)))
+            # multi-yield of differing scalar types keeps each value's
+            # type via a tagged union (zed yields are heterogeneous;
+            # Spark would silently coerce long→double etc.)
+            scalar = [
+                (c, dt)
+                for e, c, dt in compiled
+                if e[0] != "record"
+                and dt is not None
+                and dt.typeName() != "struct"
+            ]
+            wrap_union = None
+            if len(scalar) == len(compiled) and len(compiled) > 1:
+                sigs = {dt.simpleString() for _, dt in scalar}
+                if len(sigs) > 1:
+                    from zed_spark.union import union_type
+
+                    uniq, seen = [], set()
+                    for _, dt in scalar:
+                        if dt.simpleString() not in seen:
+                            seen.add(dt.simpleString())
+                            uniq.append(dt)
+                    ut = union_type(*uniq)
+                    mtypes = [f.dataType for f in ut.fields[1:]]
+
+                    def wrap_union(c, dt):
+                        idx = next(
+                            i
+                            for i, mt in enumerate(mtypes)
+                            if mt.simpleString() == dt.simpleString()
+                        )
+                        fields = [F.lit(idx).alias("tag")]
+                        for i, mt in enumerate(mtypes):
+                            fields.append(
+                                (c if i == idx else F.lit(None).cast(mt)).alias(
+                                    f"v{i}"
+                                )
+                            )
+                        return F.struct(*fields)
+
+            exprs = []
+            for e, c, dt in compiled:
                 if e[0] != "record":
-                    c = F.struct(c.alias("value"))
+                    if wrap_union is not None:
+                        c = F.struct(wrap_union(c, dt).alias("value"))
+                    elif not (
+                        dt is not None
+                        and dt.typeName() == "struct"
+                        and self._union_members(c, dt) is None
+                    ):
+                        # a record-TYPED expression (shape(<rec>), a
+                        # field holding a record, ...) yields its
+                        # fields as the row, like a record literal
+                        c = F.struct(c.alias("value"))
                 exprs.append(c)
             return ops.yield_(df, *exprs)
         if kind == "over":
@@ -361,8 +446,12 @@ class Compiler:
                             self.expr(arg2, out) if arg2 is not None else None,
                             self.expr(where2, out) if where2 is not None else None,
                         )
+                    carried = [v for v in with_vars if v in out.columns]
                     out = out.groupBy("__src").agg(
-                        *[c.alias(n) for n, c in acols.items()]
+                        *[c.alias(n) for n, c in acols.items()],
+                        # with-vars are constant per group: carry them
+                        # through so later body ops can still refer
+                        *[F.first(v).alias(v) for v in carried],
                     )
                     helpers = ["__src"]
                 elif sub[0] == "over":
@@ -375,7 +464,17 @@ class Compiler:
                     raise ValueError(
                         f"scoped over body: operator {sub[0]!r} not supported per-group"
                     )
-            return out.drop("__src", "__pos")
+            # with-vars are scope locals, not output (over.md); a
+            # record-valued yield emits its fields as the row
+            out = out.drop("__src", "__pos", *with_vars)
+            if out.columns == ["this"]:
+                dt = out.schema["this"].dataType
+                if (
+                    dt.typeName() == "struct"
+                    and self._union_members(F.col("this"), dt) is None
+                ):
+                    out = out.select("this.*")
+            return out
         if kind == "opcall":
             _, name, args = node
             params, body = self.user_ops[name]
@@ -451,6 +550,13 @@ class Compiler:
         if kind == "dur":
             return F.expr(f"INTERVAL {duration_interval(e[1])}")
         if kind == "field":
+            binds = getattr(self, "_param_binds", None)
+            if binds and e[1][0] in binds:
+                # lambda-parameter binding (map(a, f) element)
+                c = binds[e[1][0]]
+                for part in e[1][1:]:
+                    c = c.getField(part)
+                return c
             if len(e[1]) == 1 and e[1][0] in getattr(self, "consts", {}):
                 return self.expr(self.consts[e[1][0]], df)
             return F.col(".".join(e[1]))
@@ -543,6 +649,23 @@ class Compiler:
                 return F.get(
                     base, F.when(idxc < 0, idxc + F.size(base)).otherwise(idxc)
                 )
+            bt = self._type_of(e[1], df)
+            if (
+                bt is not None
+                and bt.typeName() == "struct"
+                and self._union_members(base, bt) is None
+            ):
+                # record index: literal string key → static field
+                # (eval.go indexRecord); dynamic keys would need a
+                # runtime shape — documented gap
+                if idx[0] == "str":
+                    if any(f.name == idx[1] for f in bt.fields):
+                        return base.getField(idx[1])
+                    return F.lit(None)
+                raise ValueError(
+                    "record index needs a literal string key "
+                    "(runtime keys are a documented gap)"
+                )
             # maps and other containers: key-based element_at
             return F.element_at(base, self.expr(idx, df))
         if kind == "slice":
@@ -585,9 +708,26 @@ class Compiler:
                 out = F.concat(*segs) if len(segs) > 1 else segs[0]
             else:
                 out = F.array(*[self.expr(x, df) for x in items])
-            # sets ride as arrays; the literal dedups like the zed
-            # set constructor (zson.md sets)
-            return F.array_distinct(out) if kind == "set" else out
+            # sets ride as arrays; the literal dedups AND sorts into
+            # canonical zcode order like the zed set constructor
+            # (zson.md sets; complex.go NormalizeSet)
+            if kind == "set":
+                from zed_spark.functions.zorder import zset_sort
+
+                out = F.array_distinct(out)
+                et = None
+                for x in items:
+                    if not (isinstance(x, tuple) and x[0] == "spread"):
+                        et = self._type_of(x, df)
+                        if et is not None:
+                            break
+                    else:
+                        st = self._type_of(x[1], df)
+                        if st is not None and st.typeName() == "array":
+                            et = st.elementType
+                            break
+                return zset_sort(out, et)
+            return out
         if kind == "map":
             pairs = []
             for k, v in e[1]:
@@ -615,6 +755,15 @@ class Compiler:
                         out_fields[n] = self.expr(x, df)
                 return F.struct(*[c.alias(n) for n, c in out_fields.items()])
             return F.struct(*[self.expr(x, df).alias(n) for n, x in e[1]])
+        if kind == "aggwhere":
+            # running-agg where clause: rows failing the condition
+            # contribute nothing (semantic/op.go agg where)
+            old = getattr(self, "_agg_where", None)
+            self._agg_where = self.expr(e[2], df)
+            try:
+                return self.expr(e[1], df)
+            finally:
+                self._agg_where = old
         if kind == "call":
             return self._call(e[1], e[2], df)
         if kind == "typeval":
@@ -738,6 +887,30 @@ class Compiler:
         except Exception:
             return None
 
+    def _zcast(self, col: Column, dt, ddl: str) -> Column:
+        """Type-directed cast: unions dispatch per member (first
+        non-null wins — zed casts look at each value's runtime type),
+        arrays cast element-wise, times → ns since epoch for numeric
+        targets (nano.Ts is int64 ns)."""
+        members = self._union_members(col, dt)
+        if members is not None:
+            return F.coalesce(*[self._zcast(m, t, ddl) for m, t in members])
+        if (
+            dt is not None
+            and dt.typeName() == "array"
+            and ddl.replace(" ", "").startswith("array<")
+        ):
+            inner = ddl.replace(" ", "")[len("array<"):-1]
+            return F.transform(
+                col, lambda x: self._zcast(x, dt.elementType, inner)
+            )
+        if dt is not None and dt.typeName() == "timestamp" and ddl in (
+            "tinyint", "smallint", "int", "long", "double", "float"
+        ):
+            ns = F.unix_micros(col) * 1000
+            return ns.cast(ddl) if ddl in ("double", "float") else ns
+        return col.cast(ddl)
+
     @staticmethod
     def _union_members(c: Column, dt) -> list[tuple[Column, object]] | None:
         """If dt is a tagged-union struct (union.py convention),
@@ -784,10 +957,24 @@ class Compiler:
         """Type AST (named-type decls) → Spark DDL string. Named refs
         resolve through the declared registry (reference TypeDecl;
         unsigned widths widen — Spark has no unsigned types)."""
+        if t[0] == "ddl":
+            # pre-rendered DDL (input-decorator named types)
+            return t[1]
+        if t[0] == "namedtype":
+            # inline definition `port=uint16` registers the name for
+            # later refs in the same query (zson.md named types)
+            if not hasattr(self, "user_types"):
+                self.user_types = {}
+            self.user_types[t[1]] = t[2]
+            return self._type_ddl(t[2])
         if t[0] == "prim":
             n = t[1]
             if n in getattr(self, "user_types", {}):
                 return self._type_ddl(self.user_types[n])
+            if n == "null":
+                # the null type matches anything; shaping with it is
+                # the identity (shaper.go null-type rule)
+                return "void"
             if n not in self._TYPE_DDL:
                 raise ValueError(f"unknown type {n!r}")
             return self._TYPE_DDL[n]
@@ -796,6 +983,15 @@ class Compiler:
             return f"array<{self._type_ddl(t[1])}>"
         if t[0] == "maptype":
             return f"map<{self._type_ddl(t[1])},{self._type_ddl(t[2])}>"
+        if t[0] == "uniontype":
+            # tagged-union struct (union.py convention), canonical
+            # member order
+            from pyspark.sql.types import _parse_datatype_string
+
+            from zed_spark.union import union_type
+
+            members = [_parse_datatype_string(self._type_ddl(m)) for m in t[1]]
+            return union_type(*members).simpleString()
         if t[0] == "recordtype":
             inner = ",".join(f"{n}:{self._type_ddl(ty)}" for n, ty in t[1])
             return f"struct<{inner}>"
@@ -812,7 +1008,69 @@ class Compiler:
         "shape": dict(cast=True, crop=False, fill=True, order=True),
     }
 
+    # aggs legal in expression position become RUNNING aggregates
+    # over arrival order (reference agg.go: stateful agg expressions
+    # consume the stream). Single-partition window by design: the
+    # semantics are inherently sequential (the reference runs them
+    # single-threaded too) — not a distributed-scale path.
+    _RUNNING_AGGS = {
+        "count", "sum", "avg", "dcount", "collect", "union", "any",
+        "min", "max", "and", "or",
+    }
+
+    def _running_agg(self, name: str, args: list[tuple], df: DataFrame) -> Column:
+        from pyspark.sql import Window
+
+        w = (
+            Window.orderBy(F.monotonically_increasing_id())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        arg = self.expr(args[0], df) if args else None
+        where = getattr(self, "_agg_where", None)
+        if where is not None and arg is not None:
+            arg = F.when(where, arg)
+        if name == "count":
+            src = F.lit(1) if arg is None else arg
+            if where is not None and arg is None:
+                src = F.when(where, F.lit(1))
+            return F.count(src).over(w)
+        if name in ("sum", "avg", "min", "max"):
+            return getattr(F, name)(arg).over(w)
+        if name == "any":
+            return F.first(arg, ignorenulls=True).over(w)
+        if name == "and":
+            return F.bool_and(arg).over(w)
+        if name == "or":
+            return F.bool_or(arg).over(w)
+        if name == "collect":
+            return F.collect_list(arg).over(w)
+        if name == "union":
+            out = F.array_distinct(F.array_compact(F.collect_list(arg).over(w)))
+            from zed_spark.functions.zorder import zset_sort
+
+            return zset_sort(out, self._type_of(args[0], df))
+        if name == "dcount":
+            return F.size(
+                F.array_distinct(F.array_compact(F.collect_list(arg).over(w)))
+            ).cast("long")
+        raise ValueError(f"running aggregate {name!r} not supported")
+
     def _call(self, name: str, args: list[tuple], df: DataFrame) -> Column:
+        if name in self._RUNNING_AGGS and (
+            name not in ("min", "max") or len(args) == 1
+        ):
+            if name not in ("min", "max") or (
+                args and args[0][0] not in ("num", "str")
+            ):
+                if name in (
+                    "count", "sum", "avg", "dcount", "collect", "union",
+                    "and", "or",
+                ):
+                    return self._running_agg(name, args, df)
+                # min/max/any with one non-literal arg: running agg
+                # (2+ args stay least/greatest via the fn table)
+                if name in ("min", "max", "any") and len(args) == 1:
+                    return self._running_agg(name, args, df)
         if (
             name in self._SHAPE_FLAGS
             and args
@@ -831,10 +1089,33 @@ class Compiler:
                 return col.cast(target)
             from zed_spark.operators.shape_op import _project
 
+            members = self._union_members(col, src_dt)
+            if members is not None:
+                # union source: shape each member, first non-null wins
+                # (zed casts dispatch on the value's runtime type)
+                return F.coalesce(
+                    *[
+                        _project(m, mt, target, **self._SHAPE_FLAGS[name])
+                        for m, mt in members
+                    ]
+                )
             return _project(col, src_dt, target, **self._SHAPE_FLAGS[name])
         if name == "cast" and len(args) == 2 and args[1][0] == "typeval":
             # cast(v, <[string]>) — type value literal argument
-            return self.expr(args[0], df).cast(self._type_ddl(args[1][1]))
+            return self._zcast(
+                self.expr(args[0], df),
+                self._type_of(args[0], df),
+                self._type_ddl(args[1][1]),
+            )
+        if name in self._TYPE_DDL and name not in ("time", "duration") and len(args) == 1:
+            # primitive-name cast (int64(x), bool(x), string(x), …):
+            # type-directed so unions/arrays/times convert per value
+            # (time/duration have dedicated dispatch branches below)
+            return self._zcast(
+                self.expr(args[0], df),
+                self._type_of(args[0], df),
+                self._TYPE_DDL[name],
+            )
         if name == "time" and len(args) == 1:
             # dispatch on input type (reference time cast, nano.go):
             # numeric → epoch nanoseconds; numeric STRING → also ns
@@ -863,13 +1144,31 @@ class Compiler:
             return to_time(c, dt)
         if name == "duration" and len(args) == 1:
             # duration cast: integer ns; numeric strings parse as ns
-            # count; union inputs per-member (nano.go ParseDuration)
+            # count; times → ns since epoch; union inputs per-member
+            # (nano.go ParseDuration)
             c = self.expr(args[0], df)
             dt = self._type_of(args[0], df)
+
+            def to_dur(col: Column, t) -> Column:
+                if t is not None and t.typeName() == "timestamp":
+                    return F.unix_micros(col) * 1000
+                if t is not None and "interval" in t.typeName():
+                    # ts-ts differences arrive as day-time intervals
+                    # (seconds when cast) — durations are int64 ns
+                    return col.cast("long") * 1_000_000_000
+                return col.cast("long")
+
             members = self._union_members(c, dt)
             if members is not None:
-                return F.coalesce(*[m.cast("long") for m, _ in members])
-            return c.cast("long")
+                return F.coalesce(*[to_dur(m, t) for m, t in members])
+            return to_dur(c, dt)
+        if name in ("int64", "uint64", "float64", "float32", "int32") and len(args) == 1:
+            # numeric cast of a time → ns since epoch (nano.Ts is
+            # int64 ns; castval.go time→int casts)
+            dt = self._type_of(args[0], df)
+            if dt is not None and dt.typeName() == "timestamp":
+                ns = F.unix_micros(self.expr(args[0], df)) * 1000
+                return ns.cast("double") if name.startswith("float") else ns
         if name in ("has", "missing"):
             # presence probe (function/has.go): true when every arg
             # resolves to a present value. The record model fills
@@ -911,7 +1210,15 @@ class Compiler:
         if name == "cast" and len(args) == 2 and args[1][0] == "field" and len(args[1][1]) == 1:
             # cast(v, <type-or-named-type>) — zed cast with a type arg
             tname = args[1][1][0]
-            return self.expr(args[0], df).cast(self._type_ddl(("prim", tname)))
+            try:
+                return self.expr(args[0], df).cast(self._type_ddl(("prim", tname)))
+            except ValueError:
+                # not a known type name: a string-valued field names
+                # the output type at runtime (cast(this, s) → (=s)) —
+                # named types are widened away, so this is identity
+                if self._is_string(args[1], df):
+                    return self.expr(args[0], df)
+                raise
         if name in getattr(self, "user_types", {}) and len(args) == 1:
             # named-type call form: port(v) casts to the named type
             return self.expr(args[0], df).cast(self._type_ddl(("prim", name)))
@@ -936,9 +1243,18 @@ class Compiler:
                 self._func_depth = depth
         if name == "ksuid":
             # ksuid.go dispatches on argument type: string → bytes,
-            # bytes → base62 string
+            # bytes → base62 string; no args → a fresh random 20-byte
+            # ksuid (4-byte timestamp + 16 random)
             from zed_spark.functions.misc import ksuid as ksuid_fn
 
+            if not args:
+                ts_hex = F.lpad(
+                    F.hex(F.unix_timestamp() - F.lit(1400000000)), 8, "0"
+                )
+                rand_hex = F.md5(
+                    F.concat(F.rand().cast("string"), F.rand().cast("string"))
+                )
+                return F.unhex(F.concat(ts_hex, F.substring(rand_hex, 1, 32)))
             mode = "decode" if self._is_string(args[0], df) else "encode"
             return ksuid_fn(self.expr(args[0], df), mode)
         if name == "grep":
@@ -1021,6 +1337,39 @@ class Compiler:
             return zcompare(
                 self.expr(args[0], df), self.expr(args[1], df), args[2][1]
             )
+        if name == "map" and len(args) == 2 and args[1][0] == "field":
+            # map(container, f): apply a named function per element
+            # (function/map.go). f is a builtin, a cast-name, or a
+            # user func; user funcs expand with the element bound to
+            # their parameter.
+            arr = self.expr(args[0], df)
+            fname = args[1][1][0]
+
+            def apply_fn(x: Column) -> Column:
+                if fname in getattr(self, "user_funcs", {}):
+                    params, body = self.user_funcs[fname]
+                    old = getattr(self, "_param_binds", None)
+                    self._param_binds = {**(old or {}), params[0]: x}
+                    try:
+                        return self.expr(body, df)
+                    finally:
+                        self._param_binds = old
+                if fname in self.fns:
+                    return self.fns[fname](x)
+                if fname in self._TYPE_DDL or fname in getattr(self, "user_types", {}):
+                    return x.cast(self._type_ddl(("prim", fname)))
+                raise ValueError(f"map: unknown function {fname!r}")
+
+            return F.transform(arr, apply_fn)
+        if name == "join":
+            # join(arr[, sep]) — sep must be a literal (array_join's
+            # delimiter is a plan-time string); null arrays join to ""
+            # (function/string.go Join on null yields empty string)
+            if len(args) > 1 and args[1][0] != "str":
+                raise ValueError("join separator must be a string literal")
+            sep = args[1][1] if len(args) > 1 else ""
+            arr = self.expr(args[0], df)
+            return F.coalesce(F.array_join(arr, sep), F.lit(""))
         if name == "regexp":
             from zed_spark.functions.strings import regexp_match
 
@@ -1072,9 +1421,13 @@ def compile_query(
     source_resolver: Callable[[str], DataFrame],
     input_df: DataFrame | None = None,
     lake=None,
+    named_types: dict[str, str] | None = None,
 ) -> DataFrame:
+    """named_types: name → Spark DDL for types defined by the INPUT's
+    ZSON decorators (parse_zson_typed), referenceable as <name>."""
     from zed_spark.lang.parser import parse
 
     c = Compiler(spark, source_resolver, input_df)
     c.lake = lake
+    c.input_types = {n: ("ddl", d) for n, d in (named_types or {}).items()}
     return c.run(parse(text))

@@ -19,6 +19,7 @@ _TOKEN_RE = re.compile(
   | (?P<NUM>\d+\.\d+|\.\d+|\d+)
   | (?P<FSTR>f"(?:\\.|[^"\\])*")
   | (?P<STR>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
+  | (?P<BSTR>(?:[A-Za-z0-9_.*]|\\[^\s])*\\[^\s](?:[A-Za-z0-9_.*]|\\[^\s])*)
   | (?P<ID>[A-Za-z_][A-Za-z_0-9]*)
   | (?P<OP>:=|==|!=|<=|>=|=~|!~|=>|\|>|\||\.\.\.|[-+*/%(),.\[\]{}:?<>=!@~])
     """,
@@ -46,6 +47,19 @@ def tokenize(src: str) -> list[Token]:
     out: list[Token] = []
     pos = 0
     while pos < len(src):
+        if src.startswith("//", pos):
+            # line comment (parser.peg comments)
+            nl = src.find("\n", pos)
+            pos = len(src) if nl < 0 else nl + 1
+            continue
+        if src[pos] == "/" and (not out or out[-1].text == "|"):
+            # a regexp literal may open a query or follow a pipe —
+            # a /re/ search term (parser.peg contextual regex lexing)
+            rm = _REGEX_RE.match(src, pos)
+            if rm:
+                out.append(Token("REGEX", rm.group(), pos))
+                pos = rm.end()
+                continue
         m = _TOKEN_RE.match(src, pos)
         if not m:
             raise SyntaxError(f"unexpected character {src[pos]!r} at {pos}: {src[max(0,pos-20):pos+5]!r}")

@@ -239,8 +239,13 @@ class Parser:
                 self.next()
                 while True:
                     vname = self.next().text
-                    self.expect("=")
-                    with_vars.append((vname, self.parse_expr()))
+                    if self.peek().text == "=" and self.peek(1).text != ">":
+                        self.next()
+                        with_vars.append((vname, self.parse_expr()))
+                    else:
+                        # bare `with b`: shorthand for b=b
+                        # (docs/language/operators/over.md)
+                        with_vars.append((vname, ("field", [vname])))
                     if not self.accept(","):
                         break
             scoped = None
@@ -303,15 +308,40 @@ class Parser:
             self.i = save
         if self.peek().kind == "ID" and self.peek(1).text == ":=":
             return ("put", self.parse_put_list())
-        # search term: single bare word / string / glob at op position
-        if (
-            t.kind in ("ID", "STR")
+        # search term: bare word / string / glob / escaped word /
+        # regexp at op position (search.go implied search terms)
+        if t.kind == "REGEX":
+            self.next()
+            return ("searchre", t.text[1:-1])
+        if t.kind == "BSTR" or (
+            t.kind in ("ID", "STR", "NUM")
             and t.text not in _KEYWORDS
             and self.peek(1).text in ("|", "", "*")
-        ):
-            self.next()
-            term = t.text[1:-1] if t.kind == "STR" else t.text
-            return ("search", term)
+        ) or (t.text == "*" and self.peek(1).kind in ("ID", "NUM")):
+            term = self.next().text
+            if t.kind == "STR":
+                return ("search", term[1:-1])
+            # merge ADJACENT word/star tokens into one term (foo*,
+            # *ar, a*b — the lexer splits them)
+            end = t.pos + len(term)
+            while (
+                self.peek().kind in ("ID", "NUM", "BSTR")
+                or self.peek().text == "*"
+            ) and self.peek().pos == end:
+                nxt = self.next()
+                term += nxt.text
+                end = nxt.pos + len(nxt.text)
+            if self.peek().text not in ("|", ""):
+                raise SyntaxError(
+                    f"trailing input after search term at {self.peek().pos}"
+                )
+            # unescape \x; any unescaped * makes it a glob
+            import re as _re4
+
+            is_glob = bool(_re4.search(r"(?<!\\)\*", term))
+            if is_glob:
+                return ("searchglob", term)
+            return ("search", _re4.sub(r"\\(.)", r"\1", term))
         return ("where", self.parse_expr())
 
     def parse_source_name(self) -> str:
@@ -505,6 +535,10 @@ class Parser:
         e = self.parse_expr()
         if e[0] == "field":
             return (e[1][-1], e)
+        if e[0] == "call":
+            # derived key name = the function's name (semantic
+            # deriveAs: `by nameof(this)` groups under "nameof")
+            return (e[1], e)
         raise SyntaxError("group-by key expressions need a name (k:=expr)")
 
     def parse_switch(self) -> tuple:
@@ -567,6 +601,11 @@ class Parser:
                 alias = self.next().text
                 self.expect(":=")
                 e = self.parse_expr()
+                if self.peek().text == "where":
+                    # per-agg where on a running aggregate
+                    # (cut sum:=sum(x) where c — agg.go filters)
+                    self.next()
+                    e = ("aggwhere", e, self.parse_expr())
                 if e[0] == "field":
                     out.append((".".join(e[1]), alias))
                 else:
@@ -602,10 +641,18 @@ class Parser:
 
     def parse_path(self) -> list[str]:
         parts = [self.next().text]
-        while self.peek().text == "." and self.peek(1).kind == "ID":
-            self.next()
-            parts.append(self.next().text)
-        return parts
+        while True:
+            if self.peek().text == "." and self.peek(1).kind == "ID":
+                self.next()
+                parts.append(self.next().text)
+            elif self.peek().text == "[" and self.peek(1).kind == "STR":
+                # rec['bar'] — quoted-key path step (same field
+                # reference as rec.bar; docs/language/pipeline-model)
+                self.next()
+                parts.append(self.next().text[1:-1])
+                self.expect("]")
+            else:
+                return parts
 
     # --- expressions -------------------------------------------------
     def parse_expr(self):
@@ -622,21 +669,21 @@ class Parser:
 
     def parse_or(self):
         l = self.parse_and()
-        while self.peek().text == "or":
+        while self.peek().text in ("or", "OR"):
             self.next()
             l = ("bin", "or", l, self.parse_and())
         return l
 
     def parse_and(self):
         l = self.parse_not()
-        while self.peek().text == "and":
+        while self.peek().text in ("and", "AND"):
             self.next()
             l = ("bin", "and", l, self.parse_not())
         return l
 
     def parse_not(self):
-        if self.accept("!") or self.peek().text == "not":
-            if self.peek().text == "not":
+        if self.accept("!") or self.peek().text in ("not", "NOT"):
+            if self.peek().text in ("not", "NOT"):
                 self.next()
             return ("un", "not", self.parse_not())
         return self.parse_cmp()

@@ -35,3 +35,160 @@ def search_regex(df: DataFrame, pattern: str) -> DataFrame:
     """Regexp search across all fields (zed ``/re/`` search term)."""
     blob = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
     return df.filter(blob.rlike(pattern))
+
+
+def search_net(df: DataFrame, cidr: str) -> DataFrame:
+    """Net-literal search (zed `192.168.2.0/24` filter): matches rows
+    holding an ip INSIDE the net or the net value itself, anywhere in
+    the record including inside arrays (search.go net match over
+    walked values). Schema-directed: only string-ish leaves are
+    probed, all JVM-side."""
+    from zed_spark.functions.ip import cidr_match
+
+    def hit(col):
+        return F.coalesce((col == cidr) | cidr_match(cidr, col), F.lit(False))
+
+    def walk(col, dt) -> list:
+        t = dt.typeName()
+        if t == "string":
+            return [hit(col)]
+        if t == "struct":
+            return [
+                p
+                for f in dt.fields
+                for p in walk(col.getField(f.name), f.dataType)
+            ]
+        if t == "array" and dt.elementType.typeName() == "string":
+            return [F.coalesce(F.exists(col, hit), F.lit(False))]
+        return []
+
+    preds = []
+    for f in df.schema.fields:
+        preds.extend(walk(F.col(f.name), f.dataType))
+    if not preds:
+        return df.filter(F.lit(False))
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return df.filter(out)
+
+
+def _string_leaf_preds(df: DataFrame, hit) -> list:
+    """Predicates from `hit(col)` applied to every string leaf
+    (recursing into structs and arrays) — the walked-value shape of
+    zed implied search (search.go walks each value)."""
+
+    def walk(col, dt) -> list:
+        t = dt.typeName()
+        if t == "string":
+            return [F.coalesce(hit(col), F.lit(False))]
+        if t == "struct":
+            return [
+                p for f in dt.fields for p in walk(col.getField(f.name), f.dataType)
+            ]
+        if t == "array":
+            et = dt.elementType
+            if et.typeName() == "string":
+                return [F.coalesce(F.exists(col, hit), F.lit(False))]
+            if et.typeName() == "struct":
+                sub = []
+                for f in et.fields:
+                    if f.dataType.typeName() == "string":
+                        sub.append(f.name)
+                def elem_pred(names):
+                    # single-param lambda: pyspark's higher-order
+                    # bridge passes (elem, index) to 2-param lambdas
+                    return lambda x: _any([hit(x.getField(n)) for n in names])
+
+                return [
+                    F.coalesce(
+                        F.exists(col, elem_pred(tuple(sub))), F.lit(False)
+                    )
+                ] if sub else []
+        return []
+
+    preds = []
+    for f in df.schema.fields:
+        if f.name == "__zed_error":
+            continue
+        preds.extend(walk(F.col(f.name), f.dataType))
+    return preds
+
+
+def _any(preds: list):
+    if not preds:
+        return F.lit(False)
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return out
+
+
+def search_glob(df: DataFrame, glob: str) -> DataFrame:
+    """Glob search (`foo*`): matches a string VALUE matching the glob
+    anywhere in the record, or a FIELD NAME matching the glob whose
+    value is present (search.go matches walked values and field
+    names). Field names are static schema, so the name side compiles
+    to presence checks — zero runtime string work."""
+    import re as _re
+
+    from zed_spark.functions.grep import glob_to_regex
+
+    # one pass: \x stays a literal char, unescaped */? become glob
+    # wildcards
+    out = []
+    i = 0
+    while i < len(glob):
+        ch = glob[i]
+        if ch == "\\" and i + 1 < len(glob):
+            out.append(_re.escape(glob[i + 1]))
+            i += 2
+        elif ch == "*":
+            out.append(".*")
+            i += 1
+        elif ch == "?":
+            out.append(".")
+            i += 1
+        else:
+            out.append(_re.escape(ch))
+            i += 1
+    rx = "^" + "".join(out) + "$"
+
+    def hit(col):
+        return col.rlike(rx)
+
+    preds = _string_leaf_preds(df, hit)
+
+    # field-name side: any schema path segment matching the glob →
+    # rows where that field is non-null
+    def name_walk(col, name, dt) -> list:
+        out = []
+        if _re.fullmatch(rx, name):
+            out.append(col.isNotNull())
+        t = dt.typeName()
+        if t == "struct":
+            for f in dt.fields:
+                out.extend(name_walk(col.getField(f.name), f.name, f.dataType))
+        elif t == "array" and dt.elementType.typeName() == "struct":
+            for f in dt.elementType.fields:
+                if _re.fullmatch(rx, f.name):
+                    def present(n):
+                        return lambda x: x.getField(n).isNotNull()
+
+                    out.append(
+                        F.coalesce(
+                            F.exists(col, present(f.name)), F.lit(False)
+                        )
+                    )
+        return out
+
+    for f in df.schema.fields:
+        if f.name != "__zed_error":
+            preds.extend(name_walk(F.col(f.name), f.name, f.dataType))
+    return df.filter(_any(preds))
+
+
+def search_regex_leaves(df: DataFrame, pattern: str) -> DataFrame:
+    """/re/ search term: regexp match against every string leaf
+    (search.go regex match over walked values)."""
+    return df.filter(_any(_string_leaf_preds(df, lambda c: c.rlike(pattern))))

@@ -26,6 +26,23 @@ def _project(
     fill: bool,
     order: bool,
 ) -> Column:
+    if isinstance(dst, T.NullType):
+        # the null type matches any source: shaping against it is the
+        # identity (shaper.go null-type rule; ztest shape-fill-null)
+        return col
+    from zed_spark.schema import is_union_type
+
+    if is_union_type(src):
+        # union source: shape each member, first non-null wins (the
+        # reference shapes each value by its runtime type)
+        parts = [
+            _project(
+                col.getField(f.name), f.dataType, dst,
+                cast=cast, crop=crop, fill=fill, order=order,
+            )
+            for f in src.fields[1:]
+        ]
+        return F.coalesce(*parts)
     if isinstance(src, T.StructType) and isinstance(dst, T.StructType):
         src_map = {f.name: f for f in src.fields}
         dst_map = {f.name: f for f in dst.fields}

@@ -704,6 +704,6 @@ zq_every = _zq("from events | count() by every(1h), event_type | put h:=int64(ts
 
 ZQ_EVERY_SQL = """
 SELECT event_type, COUNT(*) AS count,
-  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h
+  CAST(epoch_ns(date_trunc('hour', ts)) AS BIGINT) AS h
 FROM events GROUP BY event_type, date_trunc('hour', ts)
 """

@@ -54,6 +54,15 @@ def build_spark(
         # sources.readers converts to TimestampType (µs) on load.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # zed expression errors are VALUES, not exceptions
+        # (docs/language/expressions.md:23-45): divide-by-zero and
+        # invalid casts must not kill the job. Classic (non-ANSI)
+        # evaluation nulls them, matching the engine's null+__zed_error
+        # convention (errors.py).
+        .config("spark.sql.ansi.enabled", "false")
+        # zed map normalization keeps the LAST value per key
+        # (complex.go NormalizeMap; agg/collectmap.go overwrites)
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

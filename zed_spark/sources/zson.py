@@ -90,6 +90,47 @@ class ZError:
         return f"ZError({self.value!r})"
 
 
+class TypedNull:
+    """A null carrying its decorator's type (null(bytes),
+    null([int32]), ...) so schema inference sees the intended column
+    type instead of defaulting. Conforms to None in rows."""
+
+    __slots__ = ("dtype",)
+
+    def __init__(self, dtype):
+        self.dtype = dtype
+
+    def __repr__(self):
+        return f"TypedNull({self.dtype})"
+
+
+def _ztype_to_dtype(s: str):
+    """zed type syntax → widened Spark DataType (SURVEY §1.2), or
+    None when the syntax isn't recognized."""
+    s = s.strip()
+    if "=" in s and not s.startswith(("{", "|", "[", "(")):
+        s = s.split("=", 1)[1].strip()
+    prim = {
+        "string": T.StringType(), "ip": T.StringType(), "net": T.StringType(),
+        "bool": T.BooleanType(), "bytes": T.BinaryType(),
+        "time": T.TimestampType(), "duration": T.LongType(),
+        "null": T.NullType(), "type": T.StringType(),
+    }
+    if s in prim:
+        return prim[s]
+    if s.startswith(("int", "uint")) and s[-1].isdigit():
+        return T.LongType()
+    if s.startswith("float") or s.startswith("decimal"):
+        return T.DoubleType()
+    if s.startswith("[") and s.endswith("]"):
+        inner = _ztype_to_dtype(s[1:-1])
+        return T.ArrayType(inner) if inner is not None else None
+    if s.startswith("|[") and s.endswith("]|"):
+        inner = _ztype_to_dtype(s[2:-2])
+        return T.ArrayType(inner) if inner is not None else None
+    return None
+
+
 class ZsonError(ValueError):
     pass
 
@@ -99,6 +140,10 @@ class _Parser:
         self.s = s
         self.i = 0
         self.n = len(s)
+        # named-type definitions seen in decorators: name -> merged
+        # inferred DataType ((=name) defines from the value's shape;
+        # (name=prim) from the stated primitive — zson.md named types)
+        self.named: dict = {}
 
     def _ws(self) -> None:
         s, n = self.s, self.n
@@ -274,7 +319,39 @@ class _Parser:
             j = self._match_paren(self.i)
             typ = self.s[self.i + 1 : j].strip()
             self.i = j + 1
-            v = _apply_type(v, typ)
+            v = self._apply_decorator(v, typ)
+
+    def _apply_decorator(self, v, typ: str):
+        if typ.startswith("="):
+            # (=name): define name as this value's inferred type
+            name = typ[1:]
+            if name:
+                t = _infer_type(v)
+                self.named[name] = (
+                    _merge_type(self.named[name], t) if name in self.named else t
+                )
+            return v
+        if "=" in typ and not typ.startswith("("):
+            # (name=type): define AND apply the stated type
+            name, rest = typ.split("=", 1)
+            v = _apply_type(v, rest)
+            t = _infer_type(v)
+            self.named[name] = (
+                _merge_type(self.named[name], t) if name in self.named else t
+            )
+            return v
+        if v is None:
+            dt = _ztype_to_dtype(typ)
+            if dt is None and typ in self.named:
+                try:
+                    dt = _finalize(self.named[typ])
+                except Exception:
+                    dt = None
+            return TypedNull(dt) if dt is not None else None
+        if typ in self.named:
+            # bare named ref (port): conform to the registered type
+            return _apply_type(v, _prim_of(self.named[typ]))
+        return _apply_type(v, typ)
 
     def _match_paren(self, start: int) -> int:
         depth = 0
@@ -369,11 +446,36 @@ def _apply_type(v, typ: str):
 
 def parse_zson(text: str) -> list:
     """Parse a ZSON text into a list of Python values."""
+    return parse_zson_typed(text)[0]
+
+
+def parse_zson_typed(text: str) -> tuple[list, dict]:
+    """Parse ZSON text → (values, named_types) where named_types maps
+    each decorator-defined type name to its Spark DDL string (types
+    widen per SURVEY §1.2). Lets a query reference input-defined
+    named types (<person>, cast(x, <port>), ...)."""
     p = _Parser(text)
     out = []
     while not p.at_end():
         out.append(p.parse_value())
-    return out
+    ddl = {}
+    for name, t in p.named.items():
+        try:
+            ddl[name] = _finalize(t).simpleString()
+        except Exception:
+            pass
+    return out, ddl
+
+
+def _prim_of(t) -> str:
+    """Inferred DataType → the decorator-primitive name to re-apply
+    for bare named refs."""
+    s = t.simpleString() if hasattr(t, "simpleString") else str(t)
+    return {
+        "bigint": "int64", "int": "int32", "smallint": "int16",
+        "tinyint": "int8", "double": "float64", "float": "float32",
+        "boolean": "bool", "string": "string",
+    }.get(s, s)
 
 
 # --- schema inference ------------------------------------------------------
@@ -382,6 +484,8 @@ def parse_zson(text: str) -> list:
 def _infer_type(v) -> T.DataType:
     if v is None:
         return T.NullType()
+    if isinstance(v, TypedNull):
+        return v.dtype
     if isinstance(v, ZError):
         # error values ride as their text rendering in DataFrames; the
         # per-record convention is the __zed_error side column
@@ -466,7 +570,7 @@ def _merge_type(a: T.DataType, b: T.DataType) -> T.DataType:
 
 def _conform(v, t: T.DataType):
     """Coerce a parsed value to the merged schema type."""
-    if v is None:
+    if v is None or isinstance(v, TypedNull):
         return None
     if isinstance(v, ZError):
         iv = _conform(v.value, _infer_type(v.value))
