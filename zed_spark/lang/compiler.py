@@ -212,8 +212,27 @@ class Compiler:
             # temp columns in ONE withColumns against the input
             # before any target is overwritten.
             from zed_spark.operators.project import put_path
+            from zed_spark.schema import path_type as _pt
 
-            compiled = [(path, self.expr(e, df)) for path, e in node[1]]
+            compiled = []
+            for path, e in node[1]:
+                if e[0] == "call" and e[1] == "quiet" and len(e[2]) == 1:
+                    # quiet(e): a missing RHS skips the assignment
+                    # instead of erroring (function/quiet.go; ztest
+                    # op/put-quiet). Compile-time-absent field → drop
+                    # the entry; otherwise widened-null reads as
+                    # missing, so an existing target value survives.
+                    inner = e[2][0]
+                    if inner[0] == "field" and _pt(
+                        df.schema, ".".join(inner[1])
+                    ) is None and "this" not in df.columns:
+                        continue
+                    col = self.expr(inner, df)
+                    if _pt(df.schema, path) is not None:
+                        col = F.coalesce(col, F.col(path))
+                    compiled.append((path, col))
+                    continue
+                compiled.append((path, self.expr(e, df)))
             tmps = {f"__put_{i}": col for i, (_, col) in enumerate(compiled)}
             out = df.withColumns(tmps)
             for i, (path, _) in enumerate(compiled):
@@ -235,6 +254,12 @@ class Compiler:
                 return df.select(
                     *[self.expr(e, df).alias(name) for name, e in keys]
                 ).distinct()
+            names = [n for n, *_ in aggs] + [n for n, _ in keys]
+            dups = {n for n in names if names.count(n) > 1}
+            if dups:
+                # reference rejects colliding output fields
+                # (groupby/ztests/duplicate.yaml)
+                raise ValueError(f'duplicate field: "{sorted(dups)[0]}"')
             agg_cols = {}
             for name, fn, arg, where in aggs:
                 if fn == "fuse":
@@ -246,9 +271,17 @@ class Compiler:
                     dt = self._type_of(arg if arg is not None else ("this",), df)
                     agg_cols[name] = F.min(F.lit(zed_type_name(dt)))
                     continue
+                acol = self.expr(arg, df) if arg is not None else None
+                if arg is not None and fn in ("sum", "avg", "min", "max"):
+                    adt = self._type_of(arg, df)
+                    if adt is not None and adt.typeName() == "void":
+                        # aggregating an all-missing field: typed null
+                        # result, not an analysis error
+                        # (groupby/ztests/not-present.yaml)
+                        acol = acol.cast("double")
                 agg_cols[name] = agg_expr(
                     fn,
-                    self.expr(arg, df) if arg is not None else None,
+                    acol,
                     self.expr(where, df) if where is not None else None,
                     elem_type=(
                         self._type_of(arg, df)
@@ -261,7 +294,15 @@ class Compiler:
             if every is not None:
                 ts_col = "ts" if "ts" in df.columns else df.columns[0]
                 ev = (ts_col, duration_interval(every))
-            return ops.summarize(df, by=by, aggs=agg_cols, every=ev)
+            out = ops.summarize(df, by=by, aggs=agg_cols, every=ev)
+            if any("." in n for n in names):
+                # dotted output names rebuild their record nesting:
+                # `by rec.i` → {rec:{i}}, `result.count:=count()` →
+                # {result:{count}} (key-in-record, nested-agg-name)
+                from zed_spark.functions.flatten import nest_dotted
+
+                out = nest_dotted(out)
+            return out
         if kind == "sort":
             _, keys, desc, nulls = (node if len(node) == 4 else (*node, None))
             if not keys:
@@ -294,9 +335,53 @@ class Compiler:
         if kind == "uniq":
             # adjacent dedup over input order (same monotonic proxy)
             seq = df.withColumn("__seq", F.monotonically_increasing_id())
-            return ops.uniq(seq, order_by=["__seq"], count=node[1])
+            out = ops.uniq(seq, order_by=["__seq"], count=node[1])
+            if node[1]:
+                # uniq -c wraps each run as {value,count} (uniq.go;
+                # ztest op/uniq/uniq.yaml)
+                vals = [c for c in out.columns if c != "count"]
+                val = (
+                    F.col("this")
+                    if vals == ["this"]
+                    else F.struct(*[F.col(c) for c in vals])
+                )
+                out = out.select(val.alias("value"), "count")
+            return out
         if kind == "fuse":
             return ops.fuse(df)
+        if kind == "explode":
+            # explode <exprs> by <type> as <name>
+            # (runtime/sam/op/explode/explode.go): for each arg, emit
+            # every reachable value of the target type — the value
+            # itself, elements of arrays of it, record fields
+            # recursively. Schema-driven: the candidate set compiles
+            # to one concat+explode, no UDF.
+            _, exprs, ty_ast, name = node
+            want = self._type_ddl(ty_ast).replace(" ", "")
+
+            def collect(c: Column, dt, out: list) -> None:
+                if dt.simpleString().replace(" ", "") == want:
+                    out.append(F.array(c))
+                elif dt.typeName() == "array" and (
+                    dt.elementType.simpleString().replace(" ", "") == want
+                ):
+                    out.append(c)
+                elif dt.typeName() == "struct":
+                    for fld in dt.fields:
+                        collect(c.getField(fld.name), fld.dataType, out)
+
+            pieces: list[Column] = []
+            for e in exprs:
+                dt = self._type_of(e, df)
+                if dt is None:
+                    continue
+                collect(self.expr(e, df), dt, pieces)
+            if not pieces:
+                return df.filter(F.lit(False)).select(
+                    F.lit(None).alias(name)
+                )
+            combined = pieces[0] if len(pieces) == 1 else F.concat(*pieces)
+            return df.select(F.explode(combined).alias(name))
         if kind == "yield":
             if (
                 len(node[1]) == 1
@@ -510,16 +595,70 @@ class Compiler:
             from zed_spark.operators.fuse import fuse_dataframes
 
             df = df.cache()
-            return fuse_dataframes([self._run_sub(df, sub) for sub in node[1]])
+            legs = [self._run_sub(df, sub) for sub in node[1]]
+            # a directly-following `join on ...` (no subquery) takes
+            # the two legs as its inputs (join/ztests/first-key-*)
+            self._legs = legs
+            return fuse_dataframes(legs)
+        if kind == "frommulti":
+            from zed_spark.operators.fuse import fuse_dataframes
+
+            legs = [self.resolve(n) for n in node[1]]
+            self._legs = legs
+            return fuse_dataframes(legs)
         if kind == "merge":
             # ordered merge of upstream legs = sort by the merge key
             # (zed nulls rule: asc → nulls last)
             return df.orderBy(*[self.expr(k, df).asc_nulls_last() for k in node[1]])
         if kind == "join":
+            from zed_spark.schema import path_type
+
             _, jkind, lk, rk, cut, sub = node
-            right = Compiler(self.spark, self.resolve).run(sub)
-            cut_map = {alias or path.split(".")[-1]: path for path, alias in cut} or None
-            return ops.join(df, right, lk, rk, jkind, cut=cut_map)
+            if sub is not None:
+                rc = Compiler(self.spark, self.resolve)
+                rc.user_funcs = dict(getattr(self, "user_funcs", {}))
+                rc.consts = dict(getattr(self, "consts", {}))
+                rc.user_ops = dict(getattr(self, "user_ops", {}))
+                left, right = df, rc.run(sub)
+            else:
+                # no right subquery: the two legs of an upstream fork
+                # or multi-source from feed the join (join.go parallel
+                # input form)
+                legs = getattr(self, "_legs", None) or []
+                if len(legs) != 2:
+                    raise ValueError(
+                        "join without a right-side subquery needs a "
+                        "two-legged fork/from upstream"
+                    )
+                left, right = legs
+            # simple path keys present on both sides join directly so
+            # the key column dedups in the output; expression keys
+            # and absent fields (missing ≡ null key → no match, zed
+            # semantics) materialize as temp columns
+            simple = (
+                isinstance(lk, str)
+                and isinstance(rk, str)
+                and path_type(left.schema, lk) is not None
+                and path_type(right.schema, rk) is not None
+            )
+            if not simple:
+                last = lk if isinstance(lk, tuple) else ("field", lk.split("."))
+                rast = rk if isinstance(rk, tuple) else ("field", rk.split("."))
+                left = left.withColumn("__jk", self.expr(last, left))
+                right = right.withColumn("__jk", self.expr(rast, right))
+                lk = rk = "__jk"
+            cut_map = {}
+            for entry, alias in cut:
+                if isinstance(entry, tuple):
+                    if not alias:
+                        raise ValueError("join cut expression needs ':=' alias")
+                    cut_map[alias] = self.expr(entry, right)
+                else:
+                    cut_map[alias or entry.split(".")[-1]] = self.expr(
+                        ("field", entry.split(".")), right
+                    )
+            out = ops.join(left, right, lk, rk, jkind, cut=cut_map or None)
+            return out.drop("__jk") if not simple else out
         raise ValueError(f"unsupported operator {kind!r}")
 
     def _run_sub(self, df: DataFrame, pipeline: list[tuple]) -> DataFrame:
@@ -559,6 +698,33 @@ class Compiler:
                 return c
             if len(e[1]) == 1 and e[1][0] in getattr(self, "consts", {}):
                 return self.expr(self.consts[e[1][0]], df)
+            # absent field → missing: zed yields error("missing")
+            # (context.go:494); in the widened model that reads as a
+            # typed null, not an analysis error. Walk the schema and
+            # stop checking at the first non-struct hop (map/union
+            # member access stays dynamic for Spark to resolve).
+            cur, miss = df.schema, False
+            for p in e[1]:
+                if cur.typeName() == "struct":
+                    if p in cur.fieldNames():
+                        cur = cur[p].dataType
+                    else:
+                        miss = True
+                        break
+                else:
+                    break
+            if miss:
+                # wrapped frame: fields of a record in a lone `this`
+                # column resolve through it (zed field refs are
+                # this.<path>)
+                if "this" in df.columns and e[1][0] != "this":
+                    dt = df.schema["this"].dataType
+                    if dt.typeName() == "struct" and e[1][0] in dt.fieldNames():
+                        c = F.col("this")
+                        for p in e[1]:
+                            c = c.getField(p)
+                        return c
+                return F.lit(None)
             return F.col(".".join(e[1]))
         if kind == "this":
             if getattr(self, "_this_stack", None):
@@ -1056,6 +1222,11 @@ class Compiler:
         raise ValueError(f"running aggregate {name!r} not supported")
 
     def _call(self, name: str, args: list[tuple], df: DataFrame) -> Column:
+        if name == "quiet" and len(args) == 1:
+            # quiet(e) suppresses missing-value errors
+            # (function/quiet.go); widened model: missing already
+            # reads as null, so outside put/cut targets it's identity
+            return self.expr(args[0], df)
         if name in self._RUNNING_AGGS and (
             name not in ("min", "max") or len(args) == 1
         ):

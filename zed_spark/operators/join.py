@@ -49,11 +49,16 @@ def join(
     if cut:
         # alias each cut source to a reserved flat name at select time:
         # a nested right-side path like 'a.b' selects as column 'b',
-        # so referencing '__r.a.b' later would fail analysis
+        # so referencing '__r.a.b' later would fail analysis. Sources
+        # may arrive pre-compiled as Columns (language-level cut
+        # expressions / absent fields resolved to null).
         keep = [F.col(rk)] if isinstance(rk, str) else []
         r = right.select(
             *keep,
-            *[F.col(src).alias(f"__cut__{i}") for i, src in enumerate(cut.values())],
+            *[
+                (src if isinstance(src, Column) else F.col(src)).alias(f"__cut__{i}")
+                for i, src in enumerate(cut.values())
+            ],
         )
     if broadcast_right:
         r = F.broadcast(r)
