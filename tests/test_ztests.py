@@ -158,7 +158,6 @@ UNSUPPORTED: dict[str, str] = {
         "type-map": _S,
         "udf": _M,
         "udf-mutual-recursion": _M,
-        "udf-overflow": _M,
         "unary-minus": "negation over mixed int widths + overflow errors " + _U,
         "vector-spread": _U,
     }.items()

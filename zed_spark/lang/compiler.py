@@ -1070,9 +1070,15 @@ class Compiler:
             return F.transform(
                 col, lambda x: self._zcast(x, dt.elementType, inner)
             )
-        if dt is not None and dt.typeName() == "timestamp" and ddl in (
+        if dt is not None and dt.typeName() in (
+            "timestamp", "timestamp_ntz"
+        ) and ddl in (
             "tinyint", "smallint", "int", "long", "double", "float"
         ):
+            # session tz is pinned UTC (session.py:48) so the
+            # NTZ→TZ hop is numerically a no-op
+            if dt.typeName() == "timestamp_ntz":
+                col = col.cast("timestamp")
             ns = F.unix_micros(col) * 1000
             return ns.cast(ddl) if ddl in ("double", "float") else ns
         return col.cast(ddl)

@@ -50,6 +50,7 @@ _SPARK_TO_ZED = {
     T.BooleanType(): "bool",
     T.StringType(): "string",
     T.TimestampType(): "time",
+    T.TimestampNTZType(): "time",
     T.DateType(): "time",
     T.BinaryType(): "bytes",
     T.NullType(): "null",
@@ -118,7 +119,7 @@ def _prim_str(v, dt: T.DataType):
             return "Inf" if f > 0 else "-Inf"
         r = repr(f)
         return r if any(c in r for c in ".e") else r + "."
-    if isinstance(dt, T.TimestampType):
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         us = v.microsecond
         frac = f".{us:06d}".rstrip("0") if us else ""
         return v.strftime("%Y-%m-%dT%H:%M:%S") + frac + "Z"

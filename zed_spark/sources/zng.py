@@ -493,7 +493,7 @@ def _schema_typedefs(dt, defs: list, memo: dict) -> int:
         T.LongType: 9, T.IntegerType: 8, T.ShortType: 7, T.ByteType: 6,
         T.DoubleType: 16, T.FloatType: 15, T.BooleanType: 23,
         T.BinaryType: 24, T.StringType: 25, T.TimestampType: 13,
-        T.DateType: 13, T.NullType: 29,
+        T.TimestampNTZType: 13, T.DateType: 13, T.NullType: 29,
     }
     for cls, tid in prim.items():
         if isinstance(dt, cls):
@@ -548,7 +548,7 @@ def _encode_body(v, dt) -> bytes | None:
         return bytes(v)
     if isinstance(dt, T.StringType):
         return str(v).encode("utf-8")
-    if isinstance(dt, (T.TimestampType, T.DateType)):
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
         if isinstance(v, datetime):
             ts = v if v.tzinfo else v.replace(tzinfo=timezone.utc)
         else:  # date

@@ -703,7 +703,14 @@ def read_zson_fused(spark: SparkSession, path: str) -> DataFrame:
 
 # --- writer ----------------------------------------------------------------
 
-_IMPLIED = (T.LongType, T.DoubleType, T.BooleanType, T.StringType, T.TimestampType)
+_IMPLIED = (
+    T.LongType,
+    T.DoubleType,
+    T.BooleanType,
+    T.StringType,
+    T.TimestampType,
+    T.TimestampNTZType,  # session tz is UTC — NTZ ≡ zed time
+)
 
 
 def _quote_name(name: str) -> str:
@@ -731,7 +738,7 @@ def _dump_value(v, t: T.DataType) -> str:
         return f"{v} (decimal128)"
     if isinstance(t, T.StringType):
         return json.dumps(str(v))
-    if isinstance(t, T.TimestampType):
+    if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
         us = v.microsecond
         frac = f".{us:06d}".rstrip("0") if us else ""
         return v.strftime("%Y-%m-%dT%H:%M:%S") + frac + "Z"
