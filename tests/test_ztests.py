@@ -397,10 +397,13 @@ def _run_script_case(spark, case: dict, path: str):
             stdout_acc.append((df, bool(wrapped)))
         ran += 1
     if stdout_acc:
+        sep_tokens = {t for s in separators for t in s.split()}
         want = [
             v
             for v in parse_zson(outs["stdout"])
-            if not (isinstance(v, str) and v in separators)
+            if not (
+                isinstance(v, str) and (v in separators or v in sep_tokens)
+            )
         ]
         _compare(stdout_acc, case["script"], want, path)
     assert ran, f"{path}: script had no runnable queries"

@@ -109,6 +109,14 @@ class Compiler:
         kind = node[0]
         if kind == "from":
             return self.resolve(node[1])
+        if kind == "frommulti" and df is None:
+            # source position: from ( file a  file b ) — resolve each
+            # leg and combine (combine.go implied merge)
+            from zed_spark.operators.fuse import fuse_dataframes
+
+            legs = [self.resolve(n) for n in node[1]]
+            self._legs = legs
+            return fuse_dataframes(legs, unions="tagged")
         if df is None:
             raise ValueError(f"operator {kind!r} needs an input (start with 'from')")
         if kind == "pass":
@@ -279,6 +287,30 @@ class Compiler:
                         # result, not an analysis error
                         # (groupby/ztests/not-present.yaml)
                         acol = acol.cast("double")
+                    members = (
+                        self._union_members(acol, adt)
+                        if adt is not None
+                        else None
+                    )
+                    if members is not None:
+                        # numeric agg over a union column: dispatch
+                        # per member value — zed aggs consume each
+                        # value by its runtime type (groupby ztest
+                        # null.yaml); time/duration fold in as ns
+                        acol = F.coalesce(
+                            *[self._zcast(m, t, "double") for m, t in members]
+                        )
+                if arg is not None and fn == "any":
+                    adt = self._type_of(arg, df)
+                    members = (
+                        self._union_members(acol, adt)
+                        if adt is not None
+                        else None
+                    )
+                    if members is not None:
+                        acol = F.coalesce(
+                            *[m.cast("string") for m, _ in members]
+                        )
                 agg_cols[name] = agg_expr(
                     fn,
                     acol,
@@ -306,7 +338,7 @@ class Compiler:
         if kind == "sort":
             _, keys, desc, nulls = (node if len(node) == 4 else (*node, None))
             if not keys:
-                keys = [(("field", [df.columns[0]]), None)]
+                keys = [(("field", _guess_sort_key(df.schema)), None)]
             cols = []
             for k, kdir in keys:
                 c = self.expr(k, df)
@@ -320,7 +352,15 @@ class Compiler:
                     cols.append(c.desc_nulls_first() if nf else c.desc_nulls_last())
                 else:
                     cols.append(c.asc_nulls_first() if nf else c.asc_nulls_last())
-            return df.orderBy(*cols)
+            res = df.orderBy(*cols)
+            # note the sort direction for a downstream merge join
+            # (join adopts a pre-sorted side's direction, auto-sort)
+            k0, k0dir = keys[0]
+            res._zed_sort = (
+                ".".join(k0[1]) if k0[0] == "field" else None,
+                k0dir == "desc" if k0dir else desc,
+            )
+            return res
         if kind == "head":
             return ops.head(df, node[1])
         if kind == "tail":
@@ -357,7 +397,15 @@ class Compiler:
             # recursively. Schema-driven: the candidate set compiles
             # to one concat+explode, no UDF.
             _, exprs, ty_ast, name = node
-            want = self._type_ddl(ty_ast).replace(" ", "")
+            from pyspark.sql.types import _parse_datatype_string
+
+            # normalize through the DDL parser: _type_ddl says "long"
+            # but schema simpleString says "bigint"
+            want = (
+                _parse_datatype_string(self._type_ddl(ty_ast))
+                .simpleString()
+                .replace(" ", "")
+            )
 
             def collect(c: Column, dt, out: list) -> None:
                 if dt.simpleString().replace(" ", "") == want:
@@ -471,87 +519,26 @@ class Compiler:
             # group (zed over-scope semantics); row-local ops
             # (where/put/yield) behave identically per group and
             # globally
-            from pyspark.sql import Window
+            from zed_spark.operators.traverse import over_entries
 
             col = self.expr(node[1], df)
             # the source id must bind BEFORE the explode: inside the
             # same select a nondeterministic expr evaluates per
             # generated row, giving every element its own group
             src = df.withColumn("__src", F.monotonically_increasing_id())
+            cdt = self._type_of(node[1], df)
             out = src.select(
                 F.col("__src"),
                 *[v.alias(name) for name, v in with_vars.items()],
-                F.posexplode(col).alias("__pos", "this"),
+                F.posexplode(over_entries(col, cdt)).alias("__pos", "this"),
             )
-            helpers = ["__src", "__pos"] + list(with_vars)
-            for sub in scoped:
-                if sub[0] == "pass":
-                    continue
-                if sub[0] == "where":
-                    out = out.filter(self.expr(sub[1], out).cast("boolean"))
-                elif sub[0] == "put":
-                    for path, e2 in sub[1]:
-                        from zed_spark.operators.project import put_path
-
-                        out = put_path(out, path, self.expr(e2, out))
-                elif sub[0] == "yield" and len(sub[1]) == 1:
-                    out = out.select(
-                        *[F.col(h) for h in helpers],
-                        self.expr(sub[1][0], out).alias("this"),
-                    )
-                elif sub[0] in ("head", "tail"):
-                    order = F.col("__pos").asc() if sub[0] == "head" else F.col("__pos").desc()
-                    w = Window.partitionBy("__src").orderBy(order)
-                    out = (
-                        out.withColumn("__rn", F.row_number().over(w))
-                        .filter(F.col("__rn") <= sub[1])
-                        .drop("__rn")
-                    )
-                elif sub[0] == "summarize":
-                    # per-group aggregation: the lateral group id is
-                    # the grouping key (zed over-scope aggregates run
-                    # once per source value)
-                    aggs2, keys2, every2 = sub[1], sub[2], sub[3]
-                    if keys2 or every2 is not None:
-                        raise ValueError(
-                            "scoped over summarize: by-keys not supported per-group"
-                        )
-                    acols = {}
-                    for name2, fn2, arg2, where2 in aggs2:
-                        if fn2 == "fuse":
-                            from zed_spark.functions.introspect import zed_type_name
-
-                            dt2 = self._type_of(
-                                arg2 if arg2 is not None else ("this",), out
-                            )
-                            acols[name2] = F.min(F.lit(zed_type_name(dt2)))
-                            continue
-                        acols[name2] = agg_expr(
-                            fn2,
-                            self.expr(arg2, out) if arg2 is not None else None,
-                            self.expr(where2, out) if where2 is not None else None,
-                        )
-                    carried = [v for v in with_vars if v in out.columns]
-                    out = out.groupBy("__src").agg(
-                        *[c.alias(n) for n, c in acols.items()],
-                        # with-vars are constant per group: carry them
-                        # through so later body ops can still refer
-                        *[F.first(v).alias(v) for v in carried],
-                    )
-                    helpers = ["__src"]
-                elif sub[0] == "over":
-                    # nested lateral: re-explode; group helpers are
-                    # consumed (per-group ops can't follow)
-                    out = self.apply(out.drop("__src", "__pos"), sub)
-                    helpers = []
-                    continue
-                else:
-                    raise ValueError(
-                        f"scoped over body: operator {sub[0]!r} not supported per-group"
-                    )
-            # with-vars are scope locals, not output (over.md); a
-            # record-valued yield emits its fields as the row
-            out = out.drop("__src", "__pos", *with_vars)
+            out, keep = self._scoped_apply(out, scoped, list(with_vars))
+            # with-vars are scope locals, not output (over.md) —
+            # except ones a by-key promoted to data; a record-valued
+            # yield emits its fields as the row
+            out = out.drop(
+                "__src", "__pos", *[v for v in with_vars if v not in keep]
+            )
             if out.columns == ["this"]:
                 dt = out.schema["this"].dataType
                 if (
@@ -590,7 +577,7 @@ class Compiler:
                 legs.append(self._run_sub(leg, sub))
             if default_pipe is not None:
                 legs.append(self._run_sub(df.filter(not_earlier), default_pipe))
-            return fuse_dataframes(legs)
+            return fuse_dataframes(_align_legs(legs), unions="tagged")
         if kind == "fork":
             from zed_spark.operators.fuse import fuse_dataframes
 
@@ -599,7 +586,7 @@ class Compiler:
             # a directly-following `join on ...` (no subquery) takes
             # the two legs as its inputs (join/ztests/first-key-*)
             self._legs = legs
-            return fuse_dataframes(legs)
+            return fuse_dataframes(_align_legs(legs), unions="tagged")
         if kind == "frommulti":
             from zed_spark.operators.fuse import fuse_dataframes
 
@@ -631,10 +618,24 @@ class Compiler:
                         "two-legged fork/from upstream"
                     )
                 left, right = legs
+            # track pre-sorted inputs: zed's merge join adopts the
+            # direction of an already-sorted side (left precedence,
+            # asc default — ztest join/auto-sort.yaml), and its
+            # output IS key-ordered
+            zsort = getattr(left, "_zed_sort", None) or getattr(
+                right, "_zed_sort", None
+            )
+            desc = bool(zsort and zsort[1])
+            if jkind == "right":
+                # "as a left join but with the roles of the inputs
+                # and <right-expr> reversed" (join.md) — the cut
+                # exprs evaluate against the ORIGINAL left input
+                left, right, lk, rk = right, left, rk, lk
+                jkind = "left"
             # simple path keys present on both sides join directly so
             # the key column dedups in the output; expression keys
-            # and absent fields (missing ≡ null key → no match, zed
-            # semantics) materialize as temp columns
+            # and absent fields (missing ≡ null key) materialize as
+            # temp columns
             simple = (
                 isinstance(lk, str)
                 and isinstance(rk, str)
@@ -657,7 +658,19 @@ class Compiler:
                     cut_map[alias or entry.split(".")[-1]] = self.expr(
                         ("field", entry.split(".")), right
                     )
-            out = ops.join(left, right, lk, rk, jkind, cut=cut_map or None)
+            out = ops.join(
+                left,
+                right,
+                lk,
+                rk,
+                jkind,
+                cut=cut_map or None,
+                right_cols=False,
+            )
+            keyc = F.col(lk)
+            out = out.orderBy(
+                keyc.desc_nulls_last() if desc else keyc.asc_nulls_last()
+            )
             return out.drop("__jk") if not simple else out
         raise ValueError(f"unsupported operator {kind!r}")
 
@@ -729,8 +742,14 @@ class Compiler:
         if kind == "this":
             if getattr(self, "_this_stack", None):
                 return self._this_stack[-1]
-            return F.col("this") if "this" in df.columns else F.struct(
-                *[F.col(c) for c in df.columns]
+            cols = df.columns
+            excl = getattr(self, "_scoped_exclude", None)
+            if excl and excl[-1]:
+                # inside a scoped-over body the lateral helpers and
+                # with-vars are NOT part of `this`
+                cols = [c for c in cols if c not in excl[-1]]
+            return F.col("this") if "this" in cols else F.struct(
+                *[F.col(c) for c in cols]
             )
         if kind == "overexpr":
             return self._over_expr(e[1], df)
@@ -763,6 +782,17 @@ class Compiler:
             if op == ">=":
                 return F.coalesce(l >= r, F.lit(False))
             if op == "+":
+                # zed + concatenates strings (expr/arith.go); the
+                # numeric form would cast both sides to double → null
+                lt = self._type_of(e[2], df)
+                rt = self._type_of(e[3], df)
+                if (
+                    lt is not None
+                    and rt is not None
+                    and lt.simpleString() == "string"
+                    and rt.simpleString() == "string"
+                ):
+                    return F.concat(l, r)
                 return l + r
             if op == "-":
                 return l - r
@@ -991,6 +1021,36 @@ class Compiler:
                 if len(op[1]) != 1:
                     raise ValueError("over-expression yield takes one expression")
                 cur = F.transform(cur, bind(op[1][0]))
+            elif op[0] == "over" and (len(op) <= 3 or not op[3]):
+                # nested bare over: each element traverses to its own
+                # sequence (appendOver), flattened into one sequence
+                from zed_spark.operators.traverse import over_entries
+
+                inner_ast = op[1]
+                if len(op) > 2 and op[2]:
+                    raise ValueError(
+                        "`over ... with` is operator-only (use the over op)"
+                    )
+                try:
+                    pdt = (
+                        df.select(
+                            self._over_lambda(
+                                inner_ast, df, F.get(cur, F.lit(0))
+                            ).alias("__t")
+                        )
+                        .schema[0]
+                        .dataType
+                    )
+                except Exception:
+                    pdt = None
+                cur = F.flatten(
+                    F.transform(
+                        cur,
+                        lambda x: over_entries(
+                            self._over_lambda(inner_ast, df, x), pdt
+                        ),
+                    )
+                )
             elif op[0] == "summarize":
                 aggs, keys, every = op[1], op[2], op[3]
                 if keys or every:
@@ -1044,6 +1104,262 @@ class Compiler:
         if fn == "dcount":
             return F.size(F.array_distinct(vals)).cast("long")
         raise ValueError(f"aggregate {fn!r} not supported in over-expressions")
+
+    def _scoped_apply(
+        self, out: DataFrame, subs, scope_vars: list[str]
+    ) -> tuple[DataFrame, list[str]]:
+        """Interpret a scoped-over body (`=> ( ... )`) per lateral
+        group (traverse/scope.go). Frame contract: `__src` identifies
+        the source value's group, `__pos` (when present) orders the
+        elements within it, scope_vars are carried `with` bindings,
+        and the remaining columns are the data (`this`, or loose
+        columns after an aggregation). Returns (frame, keep) where
+        keep ⊆ scope_vars became data (group keys) and must survive
+        the final var drop."""
+        from pyspark.sql import Window
+
+        from zed_spark.operators.fuse import fuse_dataframes
+        from zed_spark.operators.traverse import over_entries
+
+        keep: list[str] = []
+
+        def helpers_of(frame: DataFrame) -> list[str]:
+            h = ["__src"]
+            if "__pos" in frame.columns:
+                h.append("__pos")
+            h += [v for v in scope_vars if v in frame.columns and v not in keep]
+            return h
+
+        if not hasattr(self, "_scoped_exclude"):
+            self._scoped_exclude = []
+        self._scoped_exclude.append(set())
+        try:
+            for sub in subs:
+                helpers = helpers_of(out)
+                self._scoped_exclude[-1] = set(helpers)
+                kind = sub[0]
+                if kind == "pass":
+                    continue
+                if kind == "where":
+                    out = out.filter(self.expr(sub[1], out).cast("boolean"))
+                elif kind == "put":
+                    from zed_spark.operators.project import put_path
+
+                    for path, e2 in sub[1]:
+                        out = put_path(out, path, self.expr(e2, out))
+                elif kind == "yield" and len(sub[1]) == 1:
+                    out = out.select(
+                        *[F.col(h) for h in helpers],
+                        self.expr(sub[1][0], out).alias("this"),
+                    )
+                elif kind in ("head", "tail"):
+                    if "__pos" not in out.columns:
+                        # post-aggregation groups have one row — head
+                        # n ≥ 1 / tail n ≥ 1 are the identity
+                        continue
+                    order = (
+                        F.col("__pos").asc()
+                        if kind == "head"
+                        else F.col("__pos").desc()
+                    )
+                    w = Window.partitionBy("__src").orderBy(order)
+                    out = (
+                        out.withColumn("__rn", F.row_number().over(w))
+                        .filter(F.col("__rn") <= sub[1])
+                        .drop("__rn")
+                    )
+                elif kind == "sort":
+                    _, skeys, sdesc, snulls = (
+                        sub if len(sub) == 4 else (*sub, None)
+                    )
+                    ocols = []
+                    if not skeys:
+                        skeys = [(("this",), None)]
+                    for k, kdir in skeys:
+                        c = self.expr(k, out)
+                        is_desc = kdir == "desc" if kdir else sdesc
+                        nf = (snulls == "first") if snulls else is_desc
+                        if is_desc:
+                            ocols.append(
+                                c.desc_nulls_first() if nf else c.desc_nulls_last()
+                            )
+                        else:
+                            ocols.append(
+                                c.asc_nulls_first() if nf else c.asc_nulls_last()
+                            )
+                    w = Window.partitionBy("__src").orderBy(*ocols)
+                    out = out.withColumn("__pos", F.row_number().over(w))
+                elif kind == "summarize":
+                    # per-group aggregation: the lateral group id
+                    # joins the by-keys (zed over-scope aggregates
+                    # run once per source value per key group)
+                    aggs2, keys2, every2 = sub[1], sub[2], sub[3]
+                    if every2 is not None:
+                        raise ValueError(
+                            "scoped over summarize: every() not supported per-group"
+                        )
+                    key_cols = {
+                        name: self.expr(e, out) for name, e in (keys2 or [])
+                    }
+                    acols = {}
+                    for name2, fn2, arg2, where2 in aggs2:
+                        if fn2 == "fuse":
+                            from zed_spark.functions.introspect import zed_type_name
+
+                            dt2 = self._type_of(
+                                arg2 if arg2 is not None else ("this",), out
+                            )
+                            acols[name2] = F.min(F.lit(zed_type_name(dt2)))
+                            continue
+                        acols[name2] = agg_expr(
+                            fn2,
+                            self.expr(arg2, out) if arg2 is not None else None,
+                            self.expr(where2, out) if where2 is not None else None,
+                        )
+                    carried = [
+                        v
+                        for v in scope_vars
+                        if v in out.columns and v not in key_cols
+                    ]
+                    if "__pos" in out.columns:
+                        # order-sensitive aggs (collect) follow the
+                        # element order: co-locate each group and
+                        # sort so collect_list sees __pos order
+                        out = out.repartition("__src").sortWithinPartitions(
+                            "__src", "__pos"
+                        )
+                    out = out.groupBy(
+                        F.col("__src"),
+                        *[c.alias(n) for n, c in key_cols.items()],
+                    ).agg(
+                        *[c.alias(n) for n, c in acols.items()],
+                        # with-vars are constant per group: carry them
+                        # through so later body ops can still refer
+                        *[F.first(v).alias(v) for v in carried],
+                    )
+                    # a by-key that shadows a scope var is data now
+                    keep.extend(k for k in key_cols if k in scope_vars)
+                elif kind == "switch":
+                    _, selector, cases = sub
+                    cached = out.cache()
+                    legs: list[DataFrame] = []
+                    not_earlier = F.lit(True)
+                    default_body = None
+                    for cond_ast, body in cases:
+                        if cond_ast is None:
+                            default_body = body
+                            continue
+                        cond = (
+                            (
+                                self.expr(selector, cached)
+                                == self.expr(cond_ast, cached)
+                            )
+                            if selector is not None
+                            else self.expr(cond_ast, cached).cast("boolean")
+                        )
+                        leg = cached.filter(
+                            not_earlier & F.coalesce(cond, F.lit(False))
+                        )
+                        not_earlier = not_earlier & ~F.coalesce(
+                            cond, F.lit(False)
+                        )
+                        legs.append(self._scoped_apply(leg, body, scope_vars)[0])
+                    if default_body is not None:
+                        legs.append(
+                            self._scoped_apply(
+                                cached.filter(not_earlier), default_body, scope_vars
+                            )[0]
+                        )
+                    out = fuse_dataframes(legs, unions="tagged")
+                elif kind == "fork":
+                    cached = out.cache()
+                    legs = [
+                        self._scoped_apply(cached, body, scope_vars)[0]
+                        for body in sub[1]
+                    ]
+                    out = fuse_dataframes(legs, unions="tagged")
+                elif kind == "over":
+                    nwith = {
+                        name: self.expr(e, out)
+                        for name, e in (sub[2] if len(sub) > 2 else [])
+                    }
+                    c2 = self.expr(sub[1], out)
+                    dt2 = self._type_of(sub[1], out)
+                    has_pos = "__pos" in out.columns
+                    inner_scoped = sub[3] if len(sub) > 3 else None
+                    carry = [
+                        F.col(v)
+                        for v in scope_vars
+                        if v in out.columns and v not in nwith
+                    ]
+                    if not inner_scoped:
+                        # bare nested over: flatten into the SAME
+                        # scope — order is (outer pos, element pos)
+                        ex = out.select(
+                            F.col("__src"),
+                            (F.col("__pos") if has_pos else F.lit(0)).alias(
+                                "__opos"
+                            ),
+                            *carry,
+                            *[v.alias(n) for n, v in nwith.items()],
+                            F.posexplode(over_entries(c2, dt2)).alias(
+                                "__ipos", "this"
+                            ),
+                        )
+                        w = Window.partitionBy("__src").orderBy(
+                            "__opos", "__ipos"
+                        )
+                        out = ex.withColumn(
+                            "__pos", F.row_number().over(w)
+                        ).drop("__opos", "__ipos")
+                        scope_vars = list(
+                            dict.fromkeys(scope_vars + list(nwith))
+                        )
+                    else:
+                        # scoped nested over: a NEW lateral scope per
+                        # element — composite group id, recurse, then
+                        # restore the outer scope and its ordering
+                        comp = F.struct(
+                            F.col("__src").alias("o"),
+                            (F.col("__pos") if has_pos else F.lit(0)).alias(
+                                "p"
+                            ),
+                        )
+                        inner = out.select(
+                            comp.alias("__src"),
+                            *carry,
+                            *[v.alias(n) for n, v in nwith.items()],
+                            F.posexplode(over_entries(c2, dt2)).alias(
+                                "__pos", "this"
+                            ),
+                        )
+                        ivars = list(dict.fromkeys(scope_vars + list(nwith)))
+                        inner, _ikeep = self._scoped_apply(
+                            inner, inner_scoped, ivars
+                        )
+                        ipos = (
+                            F.col("__pos")
+                            if "__pos" in inner.columns
+                            else F.lit(0)
+                        )
+                        w = Window.partitionBy(F.col("__src")["o"]).orderBy(
+                            F.col("__src")["p"], ipos
+                        )
+                        inner = inner.withColumn(
+                            "__rank", F.row_number().over(w)
+                        )
+                        out = (
+                            inner.withColumn("__src", F.col("__src")["o"])
+                            .withColumn("__pos", F.col("__rank"))
+                            .drop("__rank", *[n for n in nwith if n in inner.columns])
+                        )
+                else:
+                    raise ValueError(
+                        f"scoped over body: operator {kind!r} not supported per-group"
+                    )
+            return out, keep
+        finally:
+            self._scoped_exclude.pop()
 
     def _type_of(self, e: tuple, df: DataFrame):
         """Static type probe: resolve an expression's Spark type
@@ -1476,7 +1792,11 @@ class Compiler:
             return F.length(c.cast("string"))
         if name == "every":
             ts_col = "ts" if "ts" in df.columns else df.columns[0]
-            return every_key(F.col(ts_col), duration_interval(args[0][1]))
+            return every_key(
+                F.col(ts_col),
+                duration_interval(args[0][1]),
+                dtype=df.schema[ts_col].dataType,
+            )
         if name in ("typeof", "typeunder"):
             # typeunder strips named types — widened away here, so
             # both resolve the static type (introspect.py)
@@ -1569,6 +1889,51 @@ class Compiler:
         if name in self.fns:
             return self.fns[name](*[self.expr(a, df) for a in args])
         raise ValueError(f"unknown function {name!r}")
+
+
+def _align_legs(legs: list[DataFrame]) -> list[DataFrame]:
+    """Branch outputs in the bare-value regime name their single
+    column `this` (pass-through) or `value` (yield of a scalar);
+    align them so the merge unions like values instead of padding
+    mismatched columns with nulls."""
+    if (
+        all(d.columns in (["this"], ["value"]) for d in legs)
+        and any(d.columns != legs[0].columns for d in legs)
+    ):
+        return [
+            d.withColumnRenamed(d.columns[0], "this") for d in legs
+        ]
+    return legs
+
+
+def _guess_sort_key(schema) -> list[str]:
+    """Keyless `sort` key guess (sort.go:218 GuessSortKey): first
+    integer field, else first float field, else first non-time field,
+    recursing into nested records; else 'ts'."""
+    from pyspark.sql import types as T
+
+    def first_match(st, pred, prefix):
+        for f in st.fields:
+            if pred(f.dataType):
+                return prefix + [f.name]
+            if isinstance(f.dataType, T.StructType):
+                p = first_match(f.dataType, pred, prefix + [f.name])
+                if p is not None:
+                    return p
+        return None
+
+    is_int = lambda dt: isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
+    is_float = lambda dt: isinstance(dt, (T.FloatType, T.DoubleType))
+    not_time = lambda dt: not isinstance(
+        dt, (T.TimestampType, T.TimestampNTZType)
+    ) and not isinstance(dt, T.StructType)
+    for pred in (is_int, is_float, not_time):
+        p = first_match(schema, pred, [])
+        if p is not None:
+            return p
+    return ["ts"]
 
 
 def _subst(e: tuple, mapping: dict[str, tuple]) -> tuple:

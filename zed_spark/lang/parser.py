@@ -37,6 +37,14 @@ class Parser:
     def __init__(self, src: str):
         self.toks = tokenize(src)
         self.i = 0
+        # decl accumulators — every lexical scope (`( ... )` body)
+        # may open with func/const/op/type decls (statements.md);
+        # they accumulate here and parse() emits one decls node
+        self.funcs: dict[str, tuple[list[str], tuple]] = {}
+        self.consts: dict[str, tuple] = {}
+        self.user_ops: dict[str, tuple[list[str], list[tuple]]] = {}
+        self.types: dict[str, tuple] = {}
+        self.user_op_names: set[str] = set()
 
     # --- token helpers ----------------------------------------------
     def peek(self, k: int = 0) -> Token:
@@ -64,10 +72,66 @@ class Parser:
 
     # --- pipeline ----------------------------------------------------
     def parse_pipeline(self) -> list[tuple]:
+        self.parse_decls()
         ops = [self.parse_op()]
         while self.accept("|") or self.accept("|>"):
+            self.parse_decls()
             ops.append(self.parse_op())
         return ops
+
+    def parse_decls(self) -> None:
+        """Leading func/const/op/type decls of a scope (reference
+        semantic/op.go TypeDecl/OpDecl/FuncDecl; statements.md).
+        Scope-local names are hoisted to the query level — the zed
+        shadowing rules are stricter, but hoisting is sound for
+        non-colliding names (the common case)."""
+        p = self
+        while p.peek().text in ("func", "const", "op", "type"):
+            if p.peek().text == "type":
+                p.next()
+                name = p.next().text
+                p.expect("=")
+                p.types[name] = p.parse_type_expr()
+                continue
+            if p.peek().text == "op":
+                # op name(params): ( seq ) — user macro pipeline
+                # (reference OpDecl, semantic/op.go:857)
+                p.next()
+                name = p.next().text
+                p.user_op_names.add(name)
+                p.expect("(")
+                params = []
+                if p.peek().text != ")":
+                    params.append(p.next().text)
+                    while p.accept(","):
+                        params.append(p.next().text)
+                p.expect(")")
+                p.expect(":")
+                p.expect("(")
+                body = p.parse_pipeline()
+                p.expect(")")
+                p.user_ops[name] = (params, body)
+                continue
+            if p.peek().text == "func":
+                p.next()
+                name = p.next().text
+                p.expect("(")
+                params = []
+                if p.peek().text != ")":
+                    params.append(p.next().text)
+                    while p.accept(","):
+                        params.append(p.next().text)
+                p.expect(")")
+                p.expect(":")
+                p.expect("(")
+                body = p.parse_expr()
+                p.expect(")")
+                p.funcs[name] = (params, body)
+            else:
+                p.next()
+                name = p.next().text
+                p.expect("=")
+                p.consts[name] = p.parse_expr()
 
     def parse_op(self) -> tuple:
         t = self.peek()
@@ -383,20 +447,32 @@ class Parser:
             if is_glob:
                 return ("searchglob", term)
             return ("search", _re4.sub(r"\\(.)", r"\1", term))
-        return ("where", self.parse_expr())
+        e = self.parse_expr()
+        # implied operators (pipeline-model.md:203): search/where has
+        # precedence, but an expression that ISN'T search syntax — a
+        # record/array/set/map literal — is an implied `yield`
+        if isinstance(e, tuple) and e[0] in (
+            "record", "array", "set", "map", "fstring"
+        ):
+            return ("yield", [e])
+        return ("where", e)
 
     def parse_source_name(self) -> str:
         parts = [self.next().text]
         # allow dotted / path-ish names (events.parquet, sf0.01/events)
         # and lake refs (pool@branch, pool:log, :pools — the
-        # reference's commitish/meta syntax, lake/parse.go)
-        while (
-            self.peek().text in (".", "/", "-", "@", ":")
-            or self.peek().kind in ("ID", "NUM")
-        ):
+        # reference's commitish/meta syntax, lake/parse.go). Only
+        # punctuation continues a name: a bare ID after whitespace is
+        # the next token stream element (e.g. the `file` keyword of a
+        # second source in `from ( file a file b )`).
+        while parts[-1] == ":" and self.peek().kind in ("ID", "NUM"):
+            parts.append(self.next().text)
+        while self.peek().text in (".", "/", "-", "@", ":"):
             if self.at_end_of_op():
                 break
             parts.append(self.next().text)
+            if self.peek().kind in ("ID", "NUM"):
+                parts.append(self.next().text)
         return "".join(parts)
 
     def _fstring(self, raw: str) -> tuple:
@@ -960,64 +1036,9 @@ def parse(src: str) -> list[tuple]:
     FuncDecl/ConstDecl semantic/op.go:855+), the first element is
     ('decls', {funcs}, {consts})."""
     p = Parser(src)
-    funcs: dict[str, tuple[list[str], tuple]] = {}
-    consts: dict[str, tuple] = {}
-    user_ops: dict[str, tuple[list[str], list[tuple]]] = {}
-    types: dict[str, tuple] = {}
-    # maintained incrementally so an op body can call ops declared
-    # before it (registered before the body parses)
-    p.user_op_names = set()
-    while p.peek().text in ("func", "const", "op", "type"):
-        if p.peek().text == "type":
-            # type name = <type> — named-type decl (reference
-            # TypeDecl, semantic/op.go; docs/language/statements.md)
-            p.next()
-            name = p.next().text
-            p.expect("=")
-            types[name] = p.parse_type_expr()
-            continue
-        if p.peek().text == "op":
-            # op name(params): ( seq ) — user macro pipeline
-            # (reference OpDecl, semantic/op.go:857)
-            p.next()
-            name = p.next().text
-            p.user_op_names.add(name)
-            p.expect("(")
-            params = []
-            if p.peek().text != ")":
-                params.append(p.next().text)
-                while p.accept(","):
-                    params.append(p.next().text)
-            p.expect(")")
-            p.expect(":")
-            p.expect("(")
-            body = p.parse_pipeline()
-            p.expect(")")
-            user_ops[name] = (params, body)
-            continue
-        if p.peek().text == "func":
-            p.next()
-            name = p.next().text
-            p.expect("(")
-            params = []
-            if p.peek().text != ")":
-                params.append(p.next().text)
-                while p.accept(","):
-                    params.append(p.next().text)
-            p.expect(")")
-            p.expect(":")
-            p.expect("(")
-            body = p.parse_expr()
-            p.expect(")")
-            funcs[name] = (params, body)
-        else:
-            p.next()
-            name = p.next().text
-            p.expect("=")
-            consts[name] = p.parse_expr()
     ops = p.parse_pipeline()
     if p.peek().kind != "EOF":
         raise SyntaxError(f"trailing input at {p.peek().pos}: {p.peek().text!r}")
-    if funcs or consts or user_ops or types:
-        return [("decls", funcs, consts, user_ops, types)] + ops
+    if p.funcs or p.consts or p.user_ops or p.types:
+        return [("decls", p.funcs, p.consts, p.user_ops, p.types)] + ops
     return ops

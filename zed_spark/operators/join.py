@@ -28,13 +28,22 @@ def join(
     style: str = "inner",
     cut: dict[str, str] | None = None,
     broadcast_right: bool = False,
+    right_cols: bool = True,
 ) -> DataFrame:
     """Equi-join two pipeline legs.
 
     cut: {out_name: right_field} — the right-side fields to merge
     into the output (zed's `[field:=expr]` list). Anti joins take no
     cut list (join.go:19 anti flag disallows it). Omitted cut keeps
-    all right columns (minus the join key duplicate).
+    all right columns (minus the join key duplicate) — the
+    convenience default for the Python API; the language layer passes
+    right_cols=False to match zed, where no cut list merges NOTHING
+    from the right (join.md: "merged components from <right-expr>",
+    ztest join/expr.yaml `on s` block).
+
+    Key equality is null-safe: zed's merge join matches null keys to
+    null keys (sort.go compareValues: null==null → 0; ztest
+    first-key-is-null), unlike SQL where null never equals null.
     """
     if style not in _STYLES:
         raise ValueError(f"join style must be one of {sorted(_STYLES)}")
@@ -64,7 +73,11 @@ def join(
         r = F.broadcast(r)
 
     l_a, r_a = left.alias("__l"), r.alias("__r")
-    cond = F.col(f"__l.{left_key}") == F.col(f"__r.{rk}") if isinstance(left_key, str) and isinstance(rk, str) else lcol == rcol
+    cond = (
+        F.col(f"__l.{left_key}").eqNullSafe(F.col(f"__r.{rk}"))
+        if isinstance(left_key, str) and isinstance(rk, str)
+        else lcol.eqNullSafe(rcol)
+    )
     out = l_a.join(r_a, cond, _STYLES[style])
 
     if style == "anti":
@@ -75,7 +88,10 @@ def join(
             F.col(f"__r.__cut__{i}").alias(dst) for i, dst in enumerate(cut.keys())
         ]
         return out.select(*cols)
-    # default: all left cols + right cols (drop duplicate key col)
+    if not right_cols:
+        # zed: no cut list → no right-side fields merged
+        return out.select(*[F.col(f"__l.{c}") for c in left.columns])
+    # API default: all left cols + right cols (drop duplicate key col)
     cols = [F.col(f"__l.{c}") for c in left.columns]
     cols += [F.col(f"__r.{c}") for c in r.columns if not (isinstance(rk, str) and c == rk)]
     return out.select(*cols)

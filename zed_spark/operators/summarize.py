@@ -86,14 +86,48 @@ def agg_expr(
     return out
 
 
-def every_key(ts: Column | str, duration: str) -> Column:
+_INTERVAL_US = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 604_800_000_000,
+}
+
+
+def _interval_us(interval: str) -> int:
+    """'1 hour' / '5 minutes' / '250 milliseconds' → microseconds."""
+    total = 0
+    toks = interval.strip().split()
+    for n, unit in zip(toks[::2], toks[1::2]):
+        total += int(float(n) * _INTERVAL_US[unit.rstrip("s")])
+    if total <= 0:
+        raise ValueError(f"bad bucket interval {interval!r}")
+    return total
+
+
+def every_key(ts: Column | str, duration: str, dtype=None) -> Column:
     """Time-bucket key: truncate ts to fixed-width bins — zed
     ``every(d)`` desugars to ``bucket(ts, d)`` (function/time.go:17).
     duration is a Spark interval string like '1 hour', '5 minutes'.
-    Uses window() so arbitrary widths work, not just calendar units.
+
+    Arithmetic bucketing rather than F.window(): the TimeWindowing
+    analyzer rule injects `Filter isnotnull(ts)` which silently DROPS
+    null-ts rows, but zed keeps a null group (groupby ztest
+    `groupby.yaml` forward-sorted-every-null). pmod keeps the
+    floor-division exact for pre-epoch timestamps too. Pass dtype to
+    preserve a TIMESTAMP_NTZ input type on the bucket key.
     """
     c = F.col(ts) if isinstance(ts, str) else ts
-    return F.window(c, duration).getField("start")
+    us = _interval_us(duration)
+    # session tz is pinned UTC (session.py) — NTZ→TZ cast is a no-op
+    epoch = F.unix_micros(c.cast("timestamp"))
+    out = F.timestamp_micros(epoch - F.pmod(epoch, F.lit(us)))
+    if dtype is not None and dtype.typeName() == "timestamp_ntz":
+        out = out.cast("timestamp_ntz")
+    return out
 
 
 def summarize(
@@ -116,7 +150,10 @@ def summarize(
     """
     keys: list[Column] = []
     if every is not None:
-        keys.append(every_key(every[0], every[1]).alias("ts"))
+        dt = None
+        if isinstance(every[0], str) and every[0] in df.columns:
+            dt = df.schema[every[0]].dataType
+        keys.append(every_key(every[0], every[1], dtype=dt).alias("ts"))
     if by:
         if isinstance(by, dict):
             keys.extend(c.alias(name) for name, c in by.items())

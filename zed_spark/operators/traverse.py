@@ -23,6 +23,60 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def over_entries(col: Column, dtype: T.DataType) -> Column:
+    """The sequence a value traverses to under `over` (over.go:89
+    appendOver), as ONE array column ready for explode/posexplode:
+
+      array/set → its elements
+      map       → {key, value} records
+      record    → {key:[name], value:<field>} per field — mixed field
+                  types become a tagged union on `value`
+      scalar    → a one-element array of the value itself
+    """
+    if isinstance(dtype, T.ArrayType):
+        return col
+    if isinstance(dtype, T.MapType):
+        return F.transform(
+            F.map_entries(col),
+            lambda e: F.struct(e["key"].alias("key"), e["value"].alias("value")),
+        )
+    if isinstance(dtype, T.StructType) and not _is_union(dtype):
+        from zed_spark.union import make_union, union_type
+
+        distinct: list[T.DataType] = []
+        for f in dtype.fields:
+            if f.dataType not in distinct:
+                distinct.append(f.dataType)
+        if len(distinct) == 1:
+            wrap = lambda c, t: c
+        else:
+            ut = union_type(*distinct)
+            members = [fld.dataType for fld in ut.fields[1:]]
+            wrap = lambda c, t: make_union(
+                members.index(t), c, len(members), members
+            )
+        return F.array(
+            *[
+                F.struct(
+                    F.array(F.lit(f.name)).alias("key"),
+                    wrap(col.getField(f.name), f.dataType).alias("value"),
+                )
+                for f in dtype.fields
+            ]
+        )
+    return F.array(col)
+
+
+def _is_union(dt: T.StructType) -> bool:
+    import re
+
+    return (
+        len(dt.fields) >= 2
+        and dt.fields[0].name == "tag"
+        and all(re.fullmatch(r"v\d+", f.name) for f in dt.fields[1:])
+    )
+
+
 def over(
     df: DataFrame,
     expr: Column | str,
@@ -30,9 +84,10 @@ def over(
     keep: list[str] | None = None,
 ) -> DataFrame:
     """Iterate a container column: arrays explode to elements, maps
-    explode to {key,value} records (over.go semantics). The element
-    becomes column ``this``; `with` bindings become sibling columns
-    usable by the downstream pipeline (scope.go).
+    explode to {key,value} records, records to {key,value} per field
+    (over.go:89 appendOver). The element becomes column ``this``;
+    `with` bindings become sibling columns usable by the downstream
+    pipeline (scope.go).
 
     keep: parent columns to carry alongside (default: none, matching
     zed where the subquery sees only `this` + vars).
@@ -42,13 +97,7 @@ def over(
     cols: list[Column] = [F.col(k) for k in (keep or [])]
     for name, v in (with_vars or {}).items():
         cols.append(v.alias(name))
-    if isinstance(dtype, T.MapType):
-        out = df.select(*cols, F.explode(col).alias("key", "value"))
-        return out.withColumn("this", F.struct("key", "value")).drop("key", "value")
-    if isinstance(dtype, T.ArrayType):
-        return df.select(*cols, F.explode(col).alias("this"))
-    # scalar: one row, this = value
-    return df.select(*cols, col.alias("this"))
+    return df.select(*cols, F.explode(over_entries(col, dtype)).alias("this"))
 
 
 def over_expr(arr: Column, fn) -> Column:
