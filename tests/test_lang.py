@@ -28,7 +28,9 @@ def test_parse_pipeline_shapes():
 
 def test_parse_implied_ops():
     assert parse("x := 1")[0][0] == "put"
-    assert parse("value > 5")[0][0] == "where"
+    # bare expressions defer the where-vs-yield decision to the
+    # compiler's type probe (implied operators, pipeline-model.md)
+    assert parse("value > 5")[0][0] == "exprop"
     assert parse("sum(x) by k")[0][0] == "summarize"
     assert parse("error")[0][0] == "search"
 

@@ -82,8 +82,8 @@ CASES = [
 ]
 
 # round 3: the battery now sweeps the reference's ENTIRE
-# expr/function/agg ztest dirs (171 cases) — every yaml either passes
-# or is declared below with the reason.
+# expr/function/agg ztest dirs AND every per-operator ztest dir —
+# every yaml either passes or is declared below with the reason.
 import glob as _glob
 
 SAM_EXPR = "/root/reference/runtime/sam/expr"
@@ -91,8 +91,19 @@ for _d in (
     f"{SAM_EXPR}/ztests",
     f"{SAM_EXPR}/function/ztests",
     f"{SAM_EXPR}/agg/ztests",
+    f"{SAM_OP}/ztests",
+    *(
+        f"{SAM_OP}/{op}/ztests"
+        for op in (
+            "groupby", "traverse", "join", "fuse", "switcher",
+            "exprswitch", "yield", "merge", "tail", "shape",
+            "explode", "sort", "top", "uniq", "meta",
+        )
+    ),
 ):
     CASES.extend(sorted(_glob.glob(f"{_d}/*.yaml")))
+# explicit-list entries that are also in swept dirs: dedupe
+CASES = list(dict.fromkeys(CASES))
 
 # declared gaps: case → reason (the honest boundary of the subset).
 # Families: [errval] expression-level error VALUES (our errors are
@@ -143,7 +154,6 @@ UNSUPPORTED: dict[str, str] = {
         "nested-error": _E,
         "operator-mod": _E,
         "record-spread-function": "unflatten returns a map — spread needs a record",
-        "shape-by-name": "runtime named-type lookup by field value " + _S,
         "shape-cast": "named-type field rename inside cast targets " + _S,
         "shape-cast-array-to-set": "set-ness widened to arrays",
         "shape-cast-arrays": _E,
@@ -193,6 +203,61 @@ UNSUPPORTED.update(
             "args": _SC,
             "collect-map-union": "map keys of union type " + _U,
             "groupby-missing": "group key over mixed presence " + _S,
+        }.items()
+    }
+)
+# per-operator ztest dirs (round-3 sweep): declared gaps
+_LAKE = "lake-script form — the lake layer is exercised by tests/test_lake.py"
+UNSUPPORTED.update(
+    {
+        f"{SAM_OP}/groupby/ztests/{k}.yaml": v
+        for k, v in {
+            "different-key-types": "per-row type ordering of mixed-type "
+            "group keys " + _S,
+            "dot": "typeof(this) group key needs per-row type identity " + _S,
+            "missing-fields": "error('missing') as a group key " + _E,
+            "mixed-output-types": _E,
+            "mixed-type-key": "union-typed key record (field access on "
+            "record|string) " + _U,
+            "null": "count/dcount count typed nulls as values — null vs "
+            "missing widened away " + _S,
+        }.items()
+    }
+)
+UNSUPPORTED.update(
+    {
+        f"{SAM_OP}/{k}.yaml": v
+        for k, v in {
+            "traverse/ztests/nested-done-tail": "sort over records orders "
+            "by zcode byte encoding (length-first containers) — not "
+            "replicated " + _S,
+            "join/ztests/kinds": "anti join drops missing-key rows but "
+            "keeps null-key rows — null vs missing widened away " + _S,
+            "fuse/ztests/mixed": "fuse of record and primitive shapes "
+            + _U,
+            "switcher/ztests/switch-error": "error value from a/0 in a "
+            "case predicate " + _E,
+            "yield/ztests/yield": "yield of an absent field is "
+            "error('missing') " + _E,
+            "meta/ztests/nulls-max": _LAKE,
+            "meta/ztests/partitions": _LAKE,
+            "meta/ztests/pruner": _LAKE,
+            "meta/ztests/type-context": _LAKE,
+            "ztests/cut-dynamic-field": "runtime field names from data "
+            "values (this[expr] targets) " + _S,
+            "ztests/cut-empty-record": "cut of absent fields yields "
+            "error('missing') " + _E,
+            "ztests/cut-foo-bar": "cut of absent fields yields "
+            "error('missing') " + _E,
+            "ztests/cut-rename-foo-bar": "cut of absent fields yields "
+            "error('missing') " + _E,
+            "ztests/cut-rename-nested": "cut of a union-typed source "
+            "(record|array per row) " + _U,
+            "ztests/put-6": "error('dividebyzero') value " + _E,
+            "ztests/put-dynamic-field": "runtime field names " + _S,
+            "ztests/rename-dynamic-field": "runtime field names " + _S,
+            "ztests/user-errors": _SC,
+            "ztests/user-join": _LAKE,
         }.items()
     }
 )
@@ -252,12 +317,21 @@ def _norm(v):
         return ("e", _norm(v.value))
     if isinstance(v, dict):
         if "tag" in v and v and all(
-            k == "tag" or _re.fullmatch(r"v\d+", k) for k in v
+            k == "tag" or _re.fullmatch(r"[ve]\d+", k) for k in v
         ):
             # tagged-union struct (union.py convention): compare as
-            # the alternative value, like zed's union semantics
+            # the alternative value, like zed's union semantics. The
+            # tag indexes POSITIONALLY into the non-tag fields;
+            # e-named alternatives are first-class error values
             tag = v["tag"]
-            return _norm(v.get(f"v{tag}")) if tag is not None else None
+            if tag is None:
+                return None
+            names = [k for k in v if k != "tag"]
+            name = names[tag] if 0 <= tag < len(names) else None
+            if name is None:
+                return None
+            val = _norm(v[name])
+            return ("e", val) if name.startswith("e") else val
         return tuple(sorted((k, _norm(x)) for k, x in v.items()))
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
@@ -289,7 +363,7 @@ def _parse_script_line(line: str):
     import shlex
 
     echo_text = None
-    m = re.match(r"echo\s+(.*?)\s*\|\s*((?:super|zq)\b.*)$", line)
+    m = re.match(r"echo\s+(.*?)\s*\|\s*((?:super|zq)\b.*)$", line, re.S)
     if m:
         parts = shlex.split(m.group(1))
         echo_text = " ".join(parts)
@@ -297,7 +371,7 @@ def _parse_script_line(line: str):
     stages = []
     for seg in re.split(r"\|(?=\s*(?:super|zq)\b)", line):
         seg = seg.strip()
-        m = re.match(r"(?:super|zq)\s+(?:query\s+)?(.*)$", seg)
+        m = re.match(r"(?:super|zq)\s+(?:query\s+)?(.*)$", seg, re.S)
         if not m:
             raise ValueError(f"unsupported script command: {seg!r}")
         toks = shlex.split(m.group(1))
@@ -352,10 +426,25 @@ def _run_script_case(spark, case: dict, path: str):
     ran = 0
     stdout_acc: list[tuple] = []  # (df, wrapped) per un-redirected line
     separators: set[str] = set()
-    for line in case["script"].splitlines():
-        line = line.strip()
-        if not line or line.startswith("#"):
+    # merge continuation lines: a quoted -c argument may span lines
+    # (ztest scripts are shell; quotes balance across newlines)
+    logical: list[str] = []
+    buf = ""
+    for raw in case["script"].splitlines():
+        buf = raw if not buf else buf + "\n" + raw
+        s = buf.strip()
+        if not s or s.startswith("#"):
+            buf = ""
             continue
+        try:
+            _shlex.split(s)
+        except ValueError:
+            continue  # unbalanced quote — keep buffering
+        logical.append(s)
+        buf = ""
+    if buf.strip():
+        logical.append(buf.strip())
+    for line in logical:
         if _re.match(r"echo\s", line) and "|" not in line:
             # bare echo: a separator the expected stdout also carries
             separators.add(" ".join(_shlex.split(line[5:])))
@@ -444,6 +533,31 @@ def _run_case(spark, path: str):
         from zed_spark.sources.zng import parse_zng
 
         in_vals, named = parse_zng(case["input"]), {}
+    elif case["input"].lstrip().startswith("#separator"):
+        # zeek TSV input — route through the zeek reader like the
+        # reference's format auto-detection (zio/anyio)
+        import tempfile
+
+        from zed_spark.lang.compiler import compile_query as _cq
+        from zed_spark.sources.readers import read_zeek_tsv
+
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".log", delete=False
+        ) as tf:
+            tf.write(case["input"])
+        df = read_zeek_tsv(spark, tf.name)
+        out = _cq(
+            spark,
+            case["zed"],
+            lambda n: (_ for _ in ()).throw(ValueError(n)),
+            df,
+        )
+        if "-f table" in case.get("output-flags", ""):
+            want = _parse_table(case["output"])
+        else:
+            want = parse_zson(case["output"])
+        _compare([(out, False)], case["zed"], want, path)
+        return
     else:
         in_vals, named = parse_zson_typed(case["input"])
     if not in_vals:
@@ -477,12 +591,17 @@ def _parse_table(text: str) -> list:
     headers = lines[0].split()
     rows = []
     for ln in lines[1:]:
-        toks = ln.split()
+        if len(headers) == 1:
+            # single-column tables: the whole line is the value
+            # (values may contain spaces — op/ztests/cut.yaml)
+            toks = [ln.rstrip()]
+        else:
+            toks = ln.split()
         assert len(toks) == len(headers), f"table row mismatch: {ln!r}"
         row = {}
         for h, tok in zip(headers, toks):
             vals = parse_zson(tok)
-            row[h] = vals[0] if vals else tok
+            row[h] = vals[0] if len(vals) == 1 else tok
         rows.append(row)
     return rows
 
@@ -536,7 +655,28 @@ def _compare(outs: list[tuple], zed: str, want, path: str):
             return [strip_nulls(x) for x in v]
         return v
 
-    g = [repr(_norm(strip_nulls(v))) for v in got]
+    from zed_spark.sources.zson import ZError
+
+    def resolve_unions(v):
+        # tagged-union dicts collapse to their selected member BEFORE
+        # null-stripping (stripping null members would shift the
+        # positional tag); e-alternatives become first-class errors
+        if isinstance(v, dict) and "tag" in v and all(
+            k == "tag" or _re.fullmatch(r"[ve]\d+", k) for k in v
+        ):
+            tag = v["tag"]
+            names = [k for k in v if k != "tag"]
+            if tag is None or not 0 <= tag < len(names):
+                return None
+            val = resolve_unions(v[names[tag]])
+            return ZError(val) if names[tag].startswith("e") else val
+        if isinstance(v, dict):
+            return {k: resolve_unions(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [resolve_unions(x) for x in v]
+        return v
+
+    g = [repr(_norm(strip_nulls(resolve_unions(v)))) for v in got]
     w = [repr(_norm(strip_nulls(v))) for v in want]
     ordered = "sort" in zed or "merge" in zed
     if (

@@ -156,6 +156,17 @@ class Compiler:
                 "fill": S.fill_to,
             }[node[1]]
             return fn(df, target)
+        if kind == "exprop":
+            # implied operator: boolean-valued expressions filter,
+            # anything else yields (pipeline-model.md Implied
+            # Operators — search precedence is handled at parse time)
+            e1 = node[1]
+            if e1[0] == "str":
+                return self.apply(df, ("where", e1))
+            dt = self._type_of(e1, df)
+            if dt is not None and dt.typeName() not in ("boolean", "void"):
+                return self.apply(df, ("yield", [e1]))
+            return self.apply(df, ("where", e1))
         if kind == "where":
             if node[1][0] == "str":
                 # a bare string/ip/net literal in filter position is
@@ -429,6 +440,9 @@ class Compiler:
                     F.lit(None).alias(name)
                 )
             combined = pieces[0] if len(pieces) == 1 else F.concat(*pieces)
+            # drop nulls: a missing field widens to a null scalar
+            # here, but contributes no value in zed (explode/this)
+            combined = F.filter(combined, lambda x: x.isNotNull())
             return df.select(F.explode(combined).alias(name))
         if kind == "yield":
             if (
@@ -495,7 +509,7 @@ class Compiler:
             for e, c, dt in compiled:
                 if e[0] != "record":
                     if wrap_union is not None:
-                        c = F.struct(wrap_union(c, dt).alias("value"))
+                        c = F.struct(wrap_union(c, dt).alias("this"))
                     elif not (
                         dt is not None
                         and dt.typeName() == "struct"
@@ -504,7 +518,7 @@ class Compiler:
                         # a record-TYPED expression (shape(<rec>), a
                         # field holding a record, ...) yields its
                         # fields as the row, like a record literal
-                        c = F.struct(c.alias("value"))
+                        c = F.struct(c.alias("this"))
                 exprs.append(c)
             return ops.yield_(df, *exprs)
         if kind == "over":
@@ -552,7 +566,18 @@ class Compiler:
             params, body = self.user_ops[name]
             if len(args) != len(params):
                 raise ValueError(f"op {name}() takes {len(params)} args, got {len(args)}")
-            mapping = dict(zip(params, args))
+            mapping = {}
+            for p, a in zip(params, args):
+                # a const name as an argument passes its value (so a
+                # `file path` body can resolve a const source name)
+                if (
+                    isinstance(a, tuple)
+                    and a[0] == "field"
+                    and len(a[1]) == 1
+                    and a[1][0] in getattr(self, "consts", {})
+                ):
+                    a = self.consts[a[1][0]]
+                mapping[p] = a
             expanded = [_subst(op_node, mapping) for op_node in body]
             return self._run_sub(df, expanded)
         if kind == "switch":
@@ -822,9 +847,31 @@ class Compiler:
                 )
             return F.array_contains(container, needle)
         if kind == "cond":
-            return F.when(self.expr(e[1], df), self.expr(e[2], df)).otherwise(
-                self.expr(e[3], df)
-            )
+            tcol, fcol = self.expr(e[2], df), self.expr(e[3], df)
+            tdt, fdt = self._type_of(e[2], df), self._type_of(e[3], df)
+            if (
+                tdt is not None
+                and fdt is not None
+                and tdt.typeName() not in ("void", "null")
+                and fdt.typeName() not in ("void", "null")
+                and tdt.simpleString() != fdt.simpleString()
+            ):
+                # branch types differ: zed conditionals yield a
+                # per-row-typed value (ztest put-changing-types) —
+                # a tagged union, not Spark's silent string coercion
+                from zed_spark.union import make_union, union_type
+
+                ut = union_type(tdt, fdt)
+                members = [fld.dataType for fld in ut.fields[1:]]
+                return F.when(
+                    self.expr(e[1], df),
+                    make_union(
+                        members.index(tdt), tcol, len(members), members
+                    ),
+                ).otherwise(
+                    make_union(members.index(fdt), fcol, len(members), members)
+                )
+            return F.when(self.expr(e[1], df), tcol).otherwise(fcol)
         if kind == "index":
             # zed arrays are 0-based (eval.go:583 getNthFromContainer);
             # negative indices count from the end (slice.go sliceIndex
@@ -1015,6 +1062,17 @@ class Compiler:
             return lambda x: self._over_lambda(expr_ast, df, x)
 
         for op in ops[1:]:
+            if op[0] == "exprop":
+                # inside an over-expression the element type isn't
+                # statically probeable against df; boolean-operator
+                # asts filter, anything else maps
+                op = (
+                    ("where", op[1])
+                    if op[1][0] in ("un", "in")
+                    or (op[1][0] == "bin" and op[1][1] in
+                        ("and", "or", "==", "!=", "<", "<=", ">", ">="))
+                    else ("yield", [op[1]])
+                )
             if op[0] == "where":
                 cur = F.filter(cur, bind(op[1]))
             elif op[0] == "yield":
@@ -1138,10 +1196,27 @@ class Compiler:
                 helpers = helpers_of(out)
                 self._scoped_exclude[-1] = set(helpers)
                 kind = sub[0]
+                if kind == "exprop":
+                    dt = self._type_of(sub[1], out)
+                    sub = (
+                        ("yield", [sub[1]])
+                        if dt is not None
+                        and dt.typeName() not in ("boolean", "void")
+                        else ("where", sub[1])
+                    )
+                    kind = sub[0]
                 if kind == "pass":
                     continue
                 if kind == "where":
-                    out = out.filter(self.expr(sub[1], out).cast("boolean"))
+                    # materialize the predicate first: it may carry a
+                    # running-agg window (not allowed inside WHERE)
+                    out = (
+                        out.withColumn(
+                            "__cond", self.expr(sub[1], out).cast("boolean")
+                        )
+                        .filter(F.col("__cond"))
+                        .drop("__cond")
+                    )
                 elif kind == "put":
                     from zed_spark.operators.project import put_path
 
@@ -1198,9 +1273,13 @@ class Compiler:
                         raise ValueError(
                             "scoped over summarize: every() not supported per-group"
                         )
-                    key_cols = {
-                        name: self.expr(e, out) for name, e in (keys2 or [])
-                    }
+                    # materialize key exprs first — a computed key
+                    # may carry a running-agg window (by c:=count())
+                    key_names = []
+                    for kn, ke in keys2 or []:
+                        out = out.withColumn(kn, self.expr(ke, out))
+                        key_names.append(kn)
+                    key_cols = {kn: F.col(kn) for kn in key_names}
                     acols = {}
                     for name2, fn2, arg2, where2 in aggs2:
                         if fn2 == "fuse":
@@ -1241,33 +1320,47 @@ class Compiler:
                     keep.extend(k for k in key_cols if k in scope_vars)
                 elif kind == "switch":
                     _, selector, cases = sub
-                    cached = out.cache()
-                    legs: list[DataFrame] = []
-                    not_earlier = F.lit(True)
-                    default_body = None
-                    for cond_ast, body in cases:
+                    # materialize case predicates first — selectors
+                    # and conditions may carry running-agg windows
+                    base = out
+                    cnames: list[str | None] = []
+                    for i, (cond_ast, _b) in enumerate(cases):
                         if cond_ast is None:
-                            default_body = body
+                            cnames.append(None)
                             continue
                         cond = (
                             (
-                                self.expr(selector, cached)
-                                == self.expr(cond_ast, cached)
+                                self.expr(selector, base)
+                                == self.expr(cond_ast, base)
                             )
                             if selector is not None
-                            else self.expr(cond_ast, cached).cast("boolean")
+                            else self.expr(cond_ast, base).cast("boolean")
                         )
-                        leg = cached.filter(
-                            not_earlier & F.coalesce(cond, F.lit(False))
+                        cn = f"__case{i}"
+                        base = base.withColumn(
+                            cn, F.coalesce(cond, F.lit(False))
                         )
-                        not_earlier = not_earlier & ~F.coalesce(
-                            cond, F.lit(False)
+                        cnames.append(cn)
+                    drop_conds = [c for c in cnames if c]
+                    cached = base.cache()
+                    legs: list[DataFrame] = []
+                    not_earlier = F.lit(True)
+                    default_body = None
+                    for (cond_ast, body), cn in zip(cases, cnames):
+                        if cond_ast is None:
+                            default_body = body
+                            continue
+                        leg = cached.filter(not_earlier & F.col(cn)).drop(
+                            *drop_conds
                         )
+                        not_earlier = not_earlier & ~F.col(cn)
                         legs.append(self._scoped_apply(leg, body, scope_vars)[0])
                     if default_body is not None:
                         legs.append(
                             self._scoped_apply(
-                                cached.filter(not_earlier), default_body, scope_vars
+                                cached.filter(not_earlier).drop(*drop_conds),
+                                default_body,
+                                scope_vars,
                             )[0]
                         )
                     out = fuse_dataframes(legs, unions="tagged")
@@ -1285,6 +1378,11 @@ class Compiler:
                     }
                     c2 = self.expr(sub[1], out)
                     dt2 = self._type_of(sub[1], out)
+                    # materialize first: the traversed expression may
+                    # carry a running-agg window, which can't sit
+                    # inside a generator (over count())
+                    out = out.withColumn("__ovr", c2)
+                    c2 = F.col("__ovr")
                     has_pos = "__pos" in out.columns
                     inner_scoped = sub[3] if len(sub) > 3 else None
                     carry = [
@@ -1413,10 +1511,16 @@ class Compiler:
         if not isinstance(dt, T.StructType) or len(dt.fields) < 2:
             return None
         if dt.fields[0].name != "tag" or not all(
-            _re2.fullmatch(r"v\d+", f.name) for f in dt.fields[1:]
+            _re2.fullmatch(r"[ve]\d+", f.name) for f in dt.fields[1:]
         ):
             return None
-        return [(c.getField(f.name), f.dataType) for f in dt.fields[1:]]
+        # VALUE members only — error alternatives (e*) propagate
+        # through dedicated error-aware paths, not value dispatch
+        return [
+            (c.getField(f.name), f.dataType)
+            for f in dt.fields[1:]
+            if f.name.startswith("v")
+        ]
 
     def _is_string(self, e: tuple, df: DataFrame) -> bool:
         """Static type probe for slice/index dispatch."""
@@ -1509,10 +1613,19 @@ class Compiler:
     def _running_agg(self, name: str, args: list[tuple], df: DataFrame) -> Column:
         from pyspark.sql import Window
 
-        w = (
-            Window.orderBy(F.monotonically_increasing_id())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
+        if getattr(self, "_scoped_exclude", None) and self._scoped_exclude[-1]:
+            # inside a scoped-over body the running state RESETS per
+            # source value (expr resetters, ztest stateful-expr-reset)
+            w = (
+                Window.partitionBy("__src")
+                .orderBy("__pos")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        else:
+            w = (
+                Window.orderBy(F.monotonically_increasing_id())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
         arg = self.expr(args[0], df) if args else None
         where = getattr(self, "_agg_where", None)
         if where is not None and arg is not None:
@@ -1946,6 +2059,29 @@ def _subst(e: tuple, mapping: dict[str, tuple]) -> tuple:
         for f in e[1][1:]:
             arg = ("getfield", arg, f)
         return arg
+    if e[0] == "put":
+        # assignment TARGETS substitute too: op add1(x): (x := x+1)
+        # called as add1(a.b) writes a.b (ztest op/user-path)
+        new = []
+        for path, ex in e[1]:
+            parts = path.split(".") if isinstance(path, str) else list(path)
+            if (
+                parts
+                and parts[0] in mapping
+                and isinstance(mapping[parts[0]], tuple)
+                and mapping[parts[0]][0] == "field"
+            ):
+                parts = list(mapping[parts[0]][1]) + parts[1:]
+                path = ".".join(parts)
+            new.append((path, _subst(ex, mapping)))
+        return ("put", new)
+    if e[0] == "from" and isinstance(e[1], str) and e[1] in mapping:
+        # op test(path): ( file path | ... ) — a string argument (or
+        # string const) names the source (ztest op/user-from)
+        arg = mapping[e[1]]
+        if isinstance(arg, tuple) and arg[0] == "str":
+            return ("from", arg[1])
+        return e
     return tuple(
         [e[0]]
         + [

@@ -449,13 +449,13 @@ class Parser:
             return ("search", _re4.sub(r"\\(.)", r"\1", term))
         e = self.parse_expr()
         # implied operators (pipeline-model.md:203): search/where has
-        # precedence, but an expression that ISN'T search syntax — a
-        # record/array/set/map literal — is an implied `yield`
+        # precedence, but a non-boolean expression is an implied
+        # `yield` — the compiler decides by static type ("exprop")
         if isinstance(e, tuple) and e[0] in (
             "record", "array", "set", "map", "fstring"
         ):
             return ("yield", [e])
-        return ("where", e)
+        return ("exprop", e)
 
     def parse_source_name(self) -> str:
         parts = [self.next().text]
@@ -465,14 +465,18 @@ class Parser:
         # punctuation continues a name: a bare ID after whitespace is
         # the next token stream element (e.g. the `file` keyword of a
         # second source in `from ( file a file b )`).
-        while parts[-1] == ":" and self.peek().kind in ("ID", "NUM"):
-            parts.append(self.next().text)
-        while self.peek().text in (".", "/", "-", "@", ":"):
-            if self.at_end_of_op():
-                break
-            parts.append(self.next().text)
-            if self.peek().kind in ("ID", "NUM"):
+        seps = (".", "/", "-", "@", ":")
+        while True:
+            nxt = self.peek()
+            if nxt.text in seps and not self.at_end_of_op():
                 parts.append(self.next().text)
+            elif parts[-1] in seps and nxt.kind in ("ID", "NUM"):
+                # an ID/NUM continues the name only right after a
+                # separator — a space-separated bare ID is the next
+                # element (`from ( file a file b )`)
+                parts.append(self.next().text)
+            else:
+                break
         return "".join(parts)
 
     def _fstring(self, raw: str) -> tuple:

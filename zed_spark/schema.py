@@ -47,12 +47,19 @@ def _is_numeric(t: T.DataType) -> bool:
 
 def is_union_type(t: T.DataType) -> bool:
     """The tagged-struct union convention (union.py): fields are
-    (tag int, v0, v1, ...)."""
+    (tag int, v0, v1, ...), optionally followed by error
+    alternatives (e0, e1, ...) holding first-class zed error values
+    (errors-are-data, docs/language/expressions.md). The tag indexes
+    POSITIONALLY into the non-tag fields."""
+    import re as _re
+
     return (
         isinstance(t, T.StructType)
         and len(t.fields) >= 2
         and t.fields[0].name == "tag"
-        and all(f.name == f"v{i}" for i, f in enumerate(t.fields[1:]))
+        and all(
+            _re.fullmatch(r"[ve]\d+", f.name) for f in t.fields[1:]
+        )
     )
 
 
@@ -251,6 +258,33 @@ def path_type(schema: T.StructType, path: str) -> T.DataType | None:
     return cur
 
 
+def _set_in(col: Column, dt: T.DataType, parts: list[str], value: Column) -> Column:
+    """New value for `col` (of type dt) with `parts` set to value.
+    Creates intermediate records through nulls and replaces
+    non-record intermediates, like the reference putter
+    (putter.go — ztest op/put-nested: a.c.a:=3 on {a:{c:null}})."""
+    if not parts:
+        return value
+    if not isinstance(dt, T.StructType):
+        nested = value
+        for q in reversed(parts):
+            nested = F.struct(nested.alias(q))
+        return nested
+    p = parts[0]
+    known = p in dt.fieldNames()
+    sub_dt = dt[p].dataType if known else T.NullType()
+    inner = _set_in(
+        col.getField(p) if known else F.lit(None), sub_dt, parts[1:], value
+    )
+    # a null record can't take withField — rebuild it as typed nulls
+    base = F.when(col.isNotNull(), col).otherwise(
+        F.struct(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in dt.fields]
+        )
+    )
+    return base.withField(f"`{p}`", inner)
+
+
 def set_path(df: DataFrame, path: str, value: Column) -> DataFrame:
     """withColumn that understands nested dotted paths (zed ``put``,
     reference: runtime/sam/expr/putter.go)."""
@@ -264,8 +298,8 @@ def set_path(df: DataFrame, path: str, value: Column) -> DataFrame:
         for p in reversed(parts[1:]):
             nested = F.struct(nested.alias(p))
         return df.withColumn(top, nested)
-    col = F.col(top).withField(".".join(f"`{p}`" for p in parts[1:]), value)
-    return df.withColumn(top, col)
+    dt = df.schema[top].dataType
+    return df.withColumn(top, _set_in(F.col(top), dt, parts[1:], value))
 
 
 def drop_path(df: DataFrame, path: str) -> DataFrame:

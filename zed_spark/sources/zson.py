@@ -570,7 +570,34 @@ def _merge_type(a: T.DataType, b: T.DataType) -> T.DataType:
 
 def _conform(v, t: T.DataType):
     """Coerce a parsed value to the merged schema type."""
-    if v is None or isinstance(v, TypedNull):
+    if isinstance(v, TypedNull):
+        from zed_spark.schema import is_union_type
+
+        if is_union_type(t):
+            # a TYPED null keeps its union tag (zed: null(int64) is a
+            # value OF int64 — count/dcount see it, groupby
+            # null.yaml); member stays null
+            from zed_spark.schema import union_alternatives
+
+            alts = union_alternatives(t)
+            nt = _finalize(v.dtype) if v.dtype is not None else None
+            tag = next(
+                (i for i, alt in enumerate(alts) if alt == nt), None
+            )
+            if tag is None and nt is not None:
+                # widening match (null(int64) into a double member)
+                tag = next(
+                    (
+                        i
+                        for i, alt in enumerate(alts)
+                        if _merge_type(alt, nt) == alt
+                    ),
+                    None,
+                )
+            if tag is not None:
+                return tuple([tag] + [None] * len(alts))
+        return None
+    if v is None:
         return None
     if isinstance(v, ZError):
         iv = _conform(v.value, _infer_type(v.value))
