@@ -23,10 +23,12 @@ def _render(e: Column) -> Column:
 
 
 def grep(pattern: str, e: Column, mode: str = "substring") -> Column:
-    """mode: substring | glob | regexp."""
+    """mode: substring | glob | regexp. Substring grep is
+    case-insensitive like zed search terms (grep.go uses the same
+    string matcher; ztest language-background-7)."""
     blob = _render(e)
     if mode == "substring":
-        return blob.contains(pattern)
+        return F.lower(blob).contains(pattern.lower())
     if mode == "glob":
         rx = glob_to_regex(pattern)
         return blob.rlike(rx)

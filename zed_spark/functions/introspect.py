@@ -79,12 +79,28 @@ def kind_of(df: DataFrame, path: str) -> Column:
     return F.lit("primitive")
 
 
+def _canon_tname(s: str) -> str:
+    """Compare type names under the documented widening (SURVEY
+    §1.2): int8/16/32 and uint* ride as int64, float16/32 as float64,
+    named types are structural."""
+    import re
+
+    s = re.sub(r"\bu?int(?:8|16|32|64)\b", "int64", s)
+    s = re.sub(r"\bfloat(?:16|32)\b", "float64", s)
+    s = re.sub(r"\b[A-Za-z_]\w*=", "", s)
+    return s.replace(" ", "")
+
+
 def is_type(df: DataFrame, path: str, type_name: str) -> Column:
-    """is(e, <type>): static schema check."""
+    """is(e, <type>): static schema check (widening-canonical). The
+    static match gates per-row on presence — a row without the field
+    is not of the type (zson typedef-binding)."""
     from zed_spark.schema import path_type
 
     t = path_type(df.schema, path)
-    return F.lit(t is not None and zed_type_name(t) == type_name)
+    if t is None or _canon_tname(zed_type_name(t)) != _canon_tname(type_name):
+        return F.lit(False)
+    return F.col(path).isNotNull()
 
 
 def fields_of(df: DataFrame, path: str | None = None) -> Column:

@@ -24,9 +24,25 @@ def zsplit(s: Column, sep: str | Column) -> Column:
     return F.split(s, F.regexp_replace(sep_col, r"([.\\+*?\[\]^$(){}=!<>|:\-#])", r"\\$1"))
 
 
-def zjoin(arr: Column, sep: str = "") -> Column:
-    """zed join(array, sep) → array_join."""
-    return F.array_join(arr, sep)
+def zjoin(arr: Column, sep: str | Column = "") -> Column:
+    """zed join(array, sep) → array_join; a COLUMN separator (not
+    expressible with array_join, whose delimiter is plan-time) folds
+    with aggregate(), skipping nulls like array_join does."""
+    if isinstance(sep, str):
+        return F.array_join(arr, sep)
+    compact = F.filter(arr, lambda x: x.isNotNull())
+    acc0 = F.struct(F.lit(True).alias("first"), F.lit("").alias("s"))
+    return F.aggregate(
+        compact,
+        acc0,
+        lambda acc, x: F.struct(
+            F.lit(False).alias("first"),
+            F.when(acc["first"], x)
+            .otherwise(F.concat(acc["s"], sep, x))
+            .alias("s"),
+        ),
+        lambda acc: acc["s"],
+    )
 
 
 def zreplace(s: Column, old: str | Column, new: str | Column) -> Column:

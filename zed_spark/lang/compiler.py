@@ -200,6 +200,11 @@ class Compiler:
             from zed_spark.schema import path_type
 
             tmps, specs, missing = {}, [], []
+            for _e, alias in node[1]:
+                if alias == "this":
+                    # semantic check (semantic/op.go): cut can't
+                    # assign the root
+                    raise ValueError("cannot assign to 'this'")
             for i, (e, alias) in enumerate(node[1]):
                 if isinstance(e, tuple):
                     tmp = f"__cut_{i}"
@@ -359,6 +364,12 @@ class Compiler:
                 # overrides the rule for every key
                 is_desc = kdir == "desc" if kdir else desc
                 nf = (nulls == "first") if nulls else is_desc
+                kdt = self._type_of(k, df)
+                if kdt is not None and kdt.typeName() in ("float", "double"):
+                    # zed orders NaN FIRST ascending (compareNumbers);
+                    # Spark puts it after +Inf — a NaN pre-key fixes it
+                    nan = F.coalesce(F.isnan(c), F.lit(False))
+                    cols.append(nan.asc() if is_desc else nan.desc())
                 if is_desc:
                     cols.append(c.desc_nulls_first() if nf else c.desc_nulls_last())
                 else:
@@ -547,6 +558,11 @@ class Compiler:
                 F.posexplode(over_entries(col, cdt)).alias("__pos", "this"),
             )
             out, keep = self._scoped_apply(out, scoped, list(with_vars))
+            # the lateral's output order is (source value, element) —
+            # a body sort re-ranked __pos, so make the order real
+            # before dropping the helpers (ztest op/over-sort)
+            if "__pos" in out.columns:
+                out = out.orderBy("__src", "__pos")
             # with-vars are scope locals, not output (over.md) —
             # except ones a by-key promoted to data; a record-valued
             # yield emits its fields as the row
@@ -776,6 +792,42 @@ class Compiler:
             return F.col("this") if "this" in cols else F.struct(
                 *[F.col(c) for c in cols]
             )
+        if kind in ("sterm", "sglob", "sre", "snet"):
+            # search factors inside composed search expressions
+            # (search.go): each is a predicate over the whole row
+            from zed_spark.operators.filters import (
+                search_glob_pred,
+                search_net_pred,
+                search_pred,
+                search_regex_pred,
+            )
+
+            return {
+                "sterm": search_pred,
+                "sglob": search_glob_pred,
+                "sre": search_regex_pred,
+                "snet": search_net_pred,
+            }[kind](df, e[1])
+        if kind == "overlist":
+            # over e1, e2, ... — the concatenated traversal sequence
+            # as ONE entries array (over_entries treats it as array)
+            from zed_spark.operators.traverse import (
+                _entry_elem_type,
+                merge_entry_arrays,
+                over_entries,
+            )
+
+            ents, etypes = [], []
+            for ex in e[1]:
+                c = self.expr(ex, df)
+                dt = self._type_of(ex, df)
+                ents.append(over_entries(c, dt))
+                etypes.append(
+                    _entry_elem_type(dt) if dt is not None else None
+                )
+            if any(t is None for t in etypes):
+                return F.concat(*ents) if len(ents) > 1 else ents[0]
+            return merge_entry_arrays(ents, etypes)
         if kind == "overexpr":
             return self._over_expr(e[1], df)
         if kind == "fstr":
@@ -1018,6 +1070,22 @@ class Compiler:
     def _render_ztype(self, t: tuple) -> str:
         """Type AST → canonical zed type string (zson.md syntax)."""
         if t[0] == "prim":
+            utypes = getattr(self, "user_types", {})
+            if t[1] in utypes:
+                # a named-type reference resolves structurally (the
+                # widened model is structural — SURVEY §1.2); decls
+                # carry type ASTs, reader-fed named types carry DDL
+                u = utypes[t[1]]
+                if isinstance(u, tuple):
+                    return self._render_ztype(u)
+                from pyspark.sql.types import _parse_datatype_string
+
+                from zed_spark.functions.introspect import zed_type_name
+
+                try:
+                    return zed_type_name(_parse_datatype_string(u))
+                except Exception:
+                    return t[1]
             return t[1]
         if t[0] == "array":
             return f"[{self._render_ztype(t[1])}]"
@@ -1294,6 +1362,12 @@ class Compiler:
                             fn2,
                             self.expr(arg2, out) if arg2 is not None else None,
                             self.expr(where2, out) if where2 is not None else None,
+                            elem_type=(
+                                self._type_of(arg2, out)
+                                if fn2 in ("union", "collect_map")
+                                and arg2 is not None
+                                else None
+                            ),
                         )
                     carried = [
                         v
@@ -1610,6 +1684,176 @@ class Compiler:
         "min", "max", "and", "or",
     }
 
+    def _typed_call(
+        self,
+        specs: list[tuple[Column, object, Callable, str]],
+        apply: Callable[..., Column],
+        df: DataFrame,
+        accepted_null: str = "pass",
+        untyped_null_error: str | None = None,
+    ) -> Column:
+        """Error-aware typed function dispatch (zed errors-are-data,
+        WrapError in runtime/sam/expr/function/*). specs is one
+        (col, dtype, accept, message) per argument:
+
+          - every arg acceptable and non-union → plain apply() (the
+            fast path: zero overhead for well-typed pipelines)
+          - union args dispatch per member; unacceptable members
+            (and uniformly wrong-typed args) become first-class
+            error values error({message, on:<operand>}) carried in
+            e-alternatives of a tagged result union
+          - error-valued inputs pass through unchanged (zed
+            functions propagate errors)
+
+        The first bad argument wins, like the reference's in-order
+        arg checks.
+
+        accepted_null — what happens when an ACCEPTED argument's
+        value is null: "pass" (propagate into apply — the SQL
+        default), "empty" (treat as "" like Go's DecodeString),
+        "null_out" (whole result is null — split.go), or
+        "error:<msg>" (a first-class error — replace.go).
+        untyped_null_error — message for an untyped-null union input
+        (zed: a bare null has no member type to dispatch on)."""
+        from pyspark.sql import types as T
+
+        from zed_spark.schema import is_union_type
+
+        plain = True
+        for col, dt, accept, msg in specs:
+            if dt is not None and (is_union_type(dt) or not accept(dt)):
+                plain = False
+        if plain and accepted_null in ("pass", "empty"):
+            cols = [c for c, _d, _a, _m in specs]
+            if accepted_null == "empty":
+                cols = [F.coalesce(c, F.lit("")) for c in cols]
+            return apply(*cols)
+
+        err_slots: list[tuple[T.DataType, Column, Column]] = []
+        ok_cols: list[Column] = []
+        null_conds: list[Column] = []  # accepted-but-null per arg
+        for col, dt, accept, msg in specs:
+            if dt is not None and is_union_type(dt):
+                ok = None
+                ok_cond = None
+                for pos, f in enumerate(dt.fields[1:]):
+                    mcol = col.getField(f.name)
+                    cond = col.getField("tag") == pos
+                    if f.name.startswith("e"):
+                        err_slots.append((f.dataType, cond, mcol))
+                    elif accept(f.dataType):
+                        ok = mcol if ok is None else F.coalesce(ok, mcol)
+                        ok_cond = (
+                            cond if ok_cond is None else (ok_cond | cond)
+                        )
+                    else:
+                        est = T.StructType(
+                            [
+                                T.StructField("message", T.StringType()),
+                                T.StructField("on", f.dataType),
+                            ]
+                        )
+                        err_slots.append(
+                            (
+                                est,
+                                cond,
+                                F.struct(
+                                    F.lit(msg).alias("message"),
+                                    mcol.alias("on"),
+                                ),
+                            )
+                        )
+                if untyped_null_error is not None:
+                    est = T.StructType(
+                        [
+                            T.StructField("message", T.StringType()),
+                            T.StructField("on", T.StringType()),
+                        ]
+                    )
+                    err_slots.append(
+                        (
+                            est,
+                            col.isNull() | col.getField("tag").isNull(),
+                            F.struct(
+                                F.lit(untyped_null_error).alias("message"),
+                                F.lit(None).cast("string").alias("on"),
+                            ),
+                        )
+                    )
+                if ok is not None and ok_cond is not None:
+                    null_conds.append(
+                        F.coalesce(ok_cond, F.lit(False)) & ok.isNull()
+                    )
+                ok_cols.append(ok if ok is not None else F.lit(None))
+            elif dt is not None and not accept(dt):
+                est = T.StructType(
+                    [
+                        T.StructField("message", T.StringType()),
+                        T.StructField("on", dt),
+                    ]
+                )
+                err_slots.append(
+                    (
+                        est,
+                        F.lit(True),
+                        F.struct(
+                            F.lit(msg).alias("message"), col.alias("on")
+                        ),
+                    )
+                )
+                ok_cols.append(F.lit(None))
+            else:
+                null_conds.append(col.isNull())
+                ok_cols.append(col)
+        if accepted_null == "empty":
+            ok_cols = [F.coalesce(c, F.lit("")) for c in ok_cols]
+        null_any = None
+        for nc in null_conds:
+            null_any = nc if null_any is None else (null_any | nc)
+        if null_any is not None:
+            null_any = F.coalesce(null_any, F.lit(False))
+        if accepted_null.startswith("error:") and null_any is not None:
+            err_slots.append(
+                (T.StringType(), null_any, F.lit(accepted_null[6:]))
+            )
+        try:
+            result = apply(*ok_cols)
+            rdt = df.select(result.alias("__t")).schema[0].dataType
+        except Exception:
+            result, rdt = F.lit(None).cast("string"), T.StringType()
+        if not err_slots:
+            # no error alternative can occur — keep the plain type
+            if accepted_null == "null_out" and null_any is not None:
+                return F.when(
+                    null_any, F.lit(None).cast(rdt)
+                ).otherwise(result)
+            return result
+        fields: list[tuple[str, T.DataType]] = [("v0", rdt)]
+        fields += [(f"e{k}", st) for k, (st, _c, _v) in enumerate(err_slots)]
+
+        def mk(pos: int, value: Column) -> Column:
+            parts = [F.lit(pos).alias("tag")]
+            for i, (nm, ft) in enumerate(fields):
+                parts.append(
+                    (value if i == pos else F.lit(None).cast(ft)).alias(nm)
+                )
+            return F.struct(*parts)
+
+        out = mk(0, result)
+        for k in reversed(range(len(err_slots))):
+            _st, cond, vcol = err_slots[k]
+            out = F.when(F.coalesce(cond, F.lit(False)), mk(k + 1, vcol)).otherwise(out)
+        if accepted_null == "null_out" and null_any is not None:
+            st = T.StructType(
+                [T.StructField("tag", T.IntegerType())]
+                + [T.StructField(nm, ft) for nm, ft in fields]
+            )
+            out = F.when(null_any, F.lit(None).cast(st)).otherwise(out)
+        return out
+
+    # typed-function table: fname -> (accept-preds + messages, apply)
+    _STR_OK = staticmethod(lambda dt: dt.simpleString() == "string")
+
     def _running_agg(self, name: str, args: list[tuple], df: DataFrame) -> Column:
         from pyspark.sql import Window
 
@@ -1791,6 +2035,15 @@ class Compiler:
             if present is None:
                 present = F.lit(False)
             return present if name == "has" else ~present
+        if name == "fields" and len(args) <= 1:
+            from zed_spark.functions.introspect import fields_of
+
+            path = (
+                ".".join(args[0][1])
+                if args and args[0][0] == "field"
+                else None
+            )
+            return fields_of(df, path)
         if name == "is" and args and args[-1][0] == "typeval":
             # is(<t>) / is(e, <t>): static schema check against the
             # type value (function/is.go; late-binding named types
@@ -1890,19 +2143,35 @@ class Compiler:
             )
         if name == "len":
             c = self.expr(args[0], df)
-            # schema-directed: size for containers, length for strings
+
+            def _len_of(col: Column, dt) -> Column:
+                tn = dt.typeName() if dt is not None else "string"
+                if tn in ("array", "map"):
+                    # len(null container) is 0 in zed, not Spark's -1
+                    return F.when(col.isNull(), F.lit(0)).otherwise(
+                        F.size(col)
+                    ).cast("long")
+                if tn == "binary":
+                    return F.octet_length(col).cast("long")
+                if tn == "struct":
+                    return F.lit(len(dt.fields)).cast("long")
+                return F.length(col.cast("string")).cast("long")
+
             try:
-                dt = df.select(c.alias("__t")).schema[0].dataType.simpleString()
+                cdt = df.select(c.alias("__t")).schema[0].dataType
             except Exception:
-                dt = "string"
-            if dt.startswith(("array", "map")):
-                return F.size(c)
-            if dt.startswith("binary"):
-                return F.octet_length(c)
-            if dt.startswith("struct"):
-                n = dt.count(":")
-                return F.lit(n)
-            return F.length(c.cast("string"))
+                cdt = None
+            members = self._union_members(c, cdt)
+            if members is not None:
+                # len dispatches on each value's runtime type
+                # (len.go) — one branch per union member
+                out = F.lit(None).cast("long")
+                for pos, (mcol, mdt) in enumerate(members):
+                    out = F.when(
+                        c.getField("tag") == pos, _len_of(mcol, mdt)
+                    ).otherwise(out)
+                return out
+            return _len_of(c, cdt)
         if name == "every":
             ts_col = "ts" if "ts" in df.columns else df.columns[0]
             return every_key(
@@ -1971,12 +2240,13 @@ class Compiler:
                 raise ValueError(f"map: unknown function {fname!r}")
 
             return F.transform(arr, apply_fn)
-        if name == "join":
-            # join(arr[, sep]) — sep must be a literal (array_join's
-            # delimiter is a plan-time string); null arrays join to ""
-            # (function/string.go Join on null yields empty string)
-            if len(args) > 1 and args[1][0] != "str":
-                raise ValueError("join separator must be a string literal")
+        if name == "join" and (
+            len(args) == 1 or (len(args) == 2 and args[1][0] == "str")
+        ):
+            # join(arr[, sep]) with a literal separator — plain
+            # array_join fast path; null arrays join to ""
+            # (function/string.go Join on null yields empty string).
+            # A dynamic separator goes through the typed dispatch.
             sep = args[1][1] if len(args) > 1 else ""
             arr = self.expr(args[0], df)
             return F.coalesce(F.array_join(arr, sep), F.lit(""))
@@ -1999,9 +2269,126 @@ class Compiler:
                     self.expr(pat, df),
                     self.expr(rep, df),
                 )
+        if name == "network_of" and len(args) == 1:
+            # classful IPv4 default mask (ip.go:24-30: class A /8,
+            # B /16, C /24); non-IPv4 input is a first-class error
+            # (groupby ztest mixed-output-types)
+            from pyspark.sql import types as T
+
+            from zed_spark.functions.ip import network_of as _netof
+
+            addr = self.expr(args[0], df)
+            o1 = F.split(addr, "[.]").getItem(0).cast("int")
+            plen = (
+                F.when(o1 < 128, 8).when(o1 < 192, 16).otherwise(24)
+            )
+            net = _netof(addr, plen)
+            is4 = addr.rlike(r"^\d+\.\d+\.\d+\.\d+$")
+            est = T.StructType(
+                [
+                    T.StructField("message", T.StringType()),
+                    T.StructField("on", T.StringType()),
+                ]
+            )
+            return F.when(
+                addr.isNull(), F.lit(None).cast(
+                    T.StructType(
+                        [
+                            T.StructField("tag", T.IntegerType()),
+                            T.StructField("v0", T.StringType()),
+                            T.StructField("e0", est),
+                        ]
+                    )
+                )
+            ).when(
+                is4,
+                F.struct(
+                    F.lit(0).alias("tag"),
+                    net.alias("v0"),
+                    F.lit(None).cast(est).alias("e0"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.lit(1).alias("tag"),
+                    F.lit(None).cast("string").alias("v0"),
+                    F.struct(
+                        F.lit("network_of: not an IPv4 address").alias(
+                            "message"
+                        ),
+                        addr.alias("on"),
+                    ).alias("e0"),
+                )
+            )
+        typed = self._typed_specs(name, len(args))
+        if typed is not None:
+            accepts_msgs, apply, policy = typed
+            cols = [self.expr(a, df) for a in args]
+            dts = [self._type_of(a, df) for a in args]
+            return self._typed_call(
+                [
+                    (c, d, acc, m)
+                    for c, d, (acc, m) in zip(cols, dts, accepts_msgs)
+                ],
+                apply,
+                df,
+                accepted_null=policy.get("accepted_null", "pass"),
+                untyped_null_error=policy.get("untyped_null_error"),
+            )
         if name in self.fns:
             return self.fns[name](*[self.expr(a, df) for a in args])
         raise ValueError(f"unknown function {name!r}")
+
+    @staticmethod
+    def _typed_specs(name: str, nargs: int):
+        """Arg-type contracts for error-aware builtins: returns
+        ([(accept, message)], apply) or None. Messages replicate the
+        reference's WrapError texts (function/string.go, math.go,
+        bytes.go)."""
+        from zed_spark.functions.strings import zjoin, zreplace, zsplit
+
+        is_str = lambda dt: dt.simpleString() == "string"
+        is_num = lambda dt: dt.typeName() in (
+            "byte", "short", "integer", "long", "float", "double", "decimal",
+        )
+        is_str_arr = lambda dt: (
+            dt.typeName() == "array"
+            and dt.elementType.simpleString() == "string"
+        )
+        str_req = lambda f: (is_str, f"{f}: string arg required")
+        if name in ("lower", "upper", "trim") and nargs == 1:
+            return [str_req(name)], {
+                "lower": F.lower, "upper": F.upper, "trim": F.trim
+            }[name], {}
+        if name == "rune_len" and nargs == 1:
+            return [str_req(name)], F.length, {}
+        if name == "replace" and nargs == 3:
+            return (
+                [str_req(name)] * 3,
+                lambda s, a, b: zreplace(s, a, b),
+                {"accepted_null": "error:replace: an input arg is null"},
+            )
+        if name == "split" and nargs == 2:
+            return (
+                [str_req(name)] * 2,
+                lambda s, sep: zsplit(s, sep),
+                {"accepted_null": "null_out"},
+            )
+        if name == "levenshtein" and nargs == 2:
+            m = "levenshtein: string args required"
+            return [(is_str, m)] * 2, F.levenshtein, {
+                "accepted_null": "empty",
+                "untyped_null_error": m,
+            }
+        if name == "join" and nargs == 2:
+            return [
+                (is_str_arr, "join: array of string arg required"),
+                (is_str, "join: separator must be string"),
+            ], lambda a, sep: zjoin(a, sep), {}
+        if name in ("abs", "ceil", "floor") and nargs == 1:
+            return [(is_num, f"{name}: not a number")], {
+                "abs": F.abs, "ceil": F.ceil, "floor": F.floor
+            }[name], {}
+        return None
 
 
 def _align_legs(legs: list[DataFrame]) -> list[DataFrame]:

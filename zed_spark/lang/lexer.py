@@ -17,7 +17,7 @@ _TOKEN_RE = re.compile(
      |(?=[0-9A-Fa-f:]*::)[0-9A-Fa-f]{0,4}(?::[0-9A-Fa-f]{0,4})+(?:/\d{1,3})?)
   | (?P<DUR>\d+(?:\.\d+)?(?:ns|us|ms|s|m|h|d|w|y))
   | (?P<NUM>\d+\.\d+|\.\d+|\d+)
-  | (?P<FSTR>f"(?:\\.|[^"\\])*")
+  | (?P<FSTR>f"(?:\\.|[^"\\])*"|f'(?:\\.|[^'\\])*')
   | (?P<STR>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
   | (?P<BSTR>(?:[A-Za-z0-9_.*]|\\[^\s])*\\[^\s](?:[A-Za-z0-9_.*]|\\[^\s])*)
   | (?P<ID>[A-Za-z_][A-Za-z_0-9]*)
@@ -52,9 +52,13 @@ def tokenize(src: str) -> list[Token]:
             nl = src.find("\n", pos)
             pos = len(src) if nl < 0 else nl + 1
             continue
-        if src[pos] == "/" and (not out or out[-1].text == "|"):
-            # a regexp literal may open a query or follow a pipe —
-            # a /re/ search term (parser.peg contextual regex lexing)
+        if src[pos] == "/" and (
+            not out
+            or out[-1].text in ("|", "not", "!", "and", "or", "(", "==", "!=")
+        ):
+            # a regexp literal may open a query, follow a pipe, or
+            # follow a search connective (`not /^APPL/`) — a /re/
+            # search term (parser.peg contextual regex lexing)
             rm = _REGEX_RE.match(src, pos)
             if rm:
                 out.append(Token("REGEX", rm.group(), pos))

@@ -79,6 +79,23 @@ class Parser:
             ops.append(self.parse_op())
         return ops
 
+    def _paren_then_on(self, k: int) -> bool:
+        """Lookahead: does the paren group starting at offset k close
+        with `on` right after? (join-operator vs join-function)"""
+        depth = 0
+        i = k
+        while True:
+            t = self.peek(i)
+            if t.kind == "EOF":
+                return False
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+                if depth == 0:
+                    return self.peek(i + 1).text == "on"
+            i += 1
+
     def parse_decls(self) -> None:
         """Leading func/const/op/type decls of a scope (reference
         semantic/op.go TypeDecl/OpDecl/FuncDecl; statements.md).
@@ -339,6 +356,13 @@ class Parser:
         if word == "over":
             self.next()
             e = self.parse_expr()
+            if self.peek().text == ",":
+                # over e1, e2, ... — each expr traverses in turn
+                # (over.md: the over clause takes an expr list)
+                exprs = [e]
+                while self.accept(","):
+                    exprs.append(self.parse_expr())
+                e = ("overlist", exprs)
             with_vars = []
             if self.peek().text == "with":
                 self.next()
@@ -361,8 +385,14 @@ class Parser:
                 self.expect(")")
             return ("over", e, with_vars, scoped)
         if word == "join":
-            self.next()
-            return self.parse_join()
+            # `join (subquery) on k=k` is the operator; `join(arr,
+            # sep)` is the function call (string.go Join) — the
+            # operator form has `on` after its matching close-paren
+            if self.peek(1).text == "(" and not self._paren_then_on(1):
+                pass  # expression form — fall through to exprop
+            else:
+                self.next()
+                return self.parse_join()
         if word in ("left", "right", "inner", "anti") and self.peek(1).text == "join":
             # reference prefix-kind form: `anti join ( ... ) on a=b`
             self.next()
@@ -413,40 +443,39 @@ class Parser:
             self.i = save
         if self.peek().kind == "ID" and self.peek(1).text == ":=":
             return ("put", self.parse_put_list())
-        # search term: bare word / string / glob / escaped word /
-        # regexp at op position (search.go implied search terms)
-        if t.kind == "REGEX":
+        if word == "search":
+            # explicit search keyword (the long form of the implied
+            # search operator)
             self.next()
-            return ("searchre", t.text[1:-1])
-        if t.kind == "BSTR" or (
-            t.kind in ("ID", "STR", "NUM")
-            and t.text not in _KEYWORDS
-            and self.peek(1).text in ("|", "", "*")
-        ) or (t.text == "*" and self.peek(1).kind in ("ID", "NUM")):
-            term = self.next().text
-            if t.kind == "STR":
-                return ("search", term[1:-1])
-            # merge ADJACENT word/star tokens into one term (foo*,
-            # *ar, a*b — the lexer splits them)
-            end = t.pos + len(term)
-            while (
-                self.peek().kind in ("ID", "NUM", "BSTR")
-                or self.peek().text == "*"
-            ) and self.peek().pos == end:
-                nxt = self.next()
-                term += nxt.text
-                end = nxt.pos + len(nxt.text)
-            if self.peek().text not in ("|", ""):
-                raise SyntaxError(
-                    f"trailing input after search term at {self.peek().pos}"
-                )
-            # unescape \x; any unescaped * makes it a glob
-            import re as _re4
-
-            is_glob = bool(_re4.search(r"(?<!\\)\*", term))
-            if is_glob:
-                return ("searchglob", term)
-            return ("search", _re4.sub(r"\\(.)", r"\1", term))
+            node, _t, _n = self._search_or()
+            return ("where", node)
+        # search EXPRESSION at op position (search.go / docs
+        # search-expressions.md): adjacent factors imply AND; factors
+        # are bare terms / globs / regexps / net literals or ordinary
+        # comparison expressions; `*` alone matches everything
+        if t.text == "*" and self.peek(1).text in ("|", ")", "") or (
+            t.text == "*" and self.peek(1).kind == "EOF"
+        ):
+            self.next()
+            return ("pass",)
+        save_all = self.i
+        node, has_term, nfac = self._search_or()
+        if has_term:
+            # single-term searches keep the specialized op forms
+            if nfac == 1 and node[0] == "sterm":
+                return ("search", node[1])
+            if nfac == 1 and node[0] == "sglob":
+                return ("searchglob", node[1])
+            if nfac == 1 and node[0] == "sre":
+                return ("searchre", node[1])
+            if nfac == 1 and node[0] == "snet":
+                return ("search", node[1])
+            return ("where", node)
+        if nfac > 1:
+            return ("where", node)
+        # single non-term factor: re-parse with the FULL expression
+        # grammar (conditionals etc.) and defer where-vs-yield
+        self.i = save_all
         e = self.parse_expr()
         # implied operators (pipeline-model.md:203): search/where has
         # precedence, but a non-boolean expression is an implied
@@ -456,6 +485,93 @@ class Parser:
         ):
             return ("yield", [e])
         return ("exprop", e)
+
+    # --- search-expression grammar --------------------------------
+    _EXPR_FOLLOW = {
+        "==", "!=", "<", "<=", ">", ">=", "in", "+", "-", "/", "%",
+        "*", "?", ":=", "=",
+    }
+
+    def _search_or(self):
+        l, lt, n = self._search_and()
+        while self.peek().text == "or":
+            self.next()
+            r, rt, n2 = self._search_and()
+            l, lt, n = ("bin", "or", l, r), lt or rt, n + n2
+        return l, lt, n
+
+    def _search_and(self):
+        l, lt, n = self._search_not()
+        while True:
+            nxt = self.peek()
+            if nxt.text == "and":
+                self.next()
+            elif self.at_end_of_op() or nxt.text == "or":
+                break
+            elif nxt.text not in ("(", "!", "not", "*") and nxt.kind not in (
+                "ID", "NUM", "STR", "BSTR", "REGEX"
+            ):
+                # can't start a search factor (e.g. `?` of a
+                # conditional) — let the caller re-parse as a full
+                # expression
+                break
+            r, rt, n2 = self._search_not()
+            l, lt, n = ("bin", "and", l, r), lt or rt, n + n2
+        return l, lt, n
+
+    def _search_not(self):
+        if self.peek().text in ("not", "!"):
+            self.next()
+            e, t, n = self._search_not()
+            return ("un", "not", e), t, n
+        return self._search_primary()
+
+    def _search_primary(self):
+        import re as _re4
+
+        t = self.peek()
+        if t.text == "(":
+            self.next()
+            e, tt, n = self._search_or()
+            self.expect(")")
+            return e, tt, n
+        if t.kind == "REGEX":
+            self.next()
+            return ("sre", t.text[1:-1]), True, 1
+        if t.kind == "STR" and self.peek(1).text not in self._EXPR_FOLLOW:
+            self.next()
+            return ("sterm", t.text[1:-1]), True, 1
+        if (
+            t.kind in ("ID", "NUM", "BSTR") or t.text == "*"
+        ) and t.text not in ("true", "false", "null", "this"):
+            save = self.i
+            term = self.next().text
+            end = t.pos + len(term)
+            while (
+                self.peek().kind in ("ID", "NUM", "BSTR")
+                or self.peek().text in ("*", ".", "/", ":", "-")
+            ) and self.peek().pos == end:
+                nxt = self.next()
+                term += nxt.text
+                end = nxt.pos + len(nxt.text)
+            nxt = self.peek()
+            is_expr = nxt.text in self._EXPR_FOLLOW or (
+                nxt.text in ("(", "[", ".") and nxt.pos == end
+            )
+            if not is_expr:
+                if _re4.fullmatch(
+                    r"[\d.]+/\d+|[0-9a-fA-F:]*:[0-9a-fA-F:]*/\d+", term
+                ):
+                    return ("snet", term), True, 1
+                if _re4.search(r"(?<!\\)\*", term):
+                    return ("sglob", term), True, 1
+                return (
+                    ("sterm", _re4.sub(r"\\(.)", r"\1", term)),
+                    True,
+                    1,
+                )
+            self.i = save
+        return self.parse_cmp(), False, 1
 
     def parse_source_name(self) -> str:
         parts = [self.next().text]
@@ -935,6 +1051,12 @@ class Parser:
         if t.kind == "FSTR":
             return self._fstring(t.text)
         if t.kind == "TIME":
+            # nano.Ts is int64 ns — times past 2262-04-11T23:47:16Z
+            # overflow (zson time-overflow ztest)
+            if t.text[:4].isdigit() and int(t.text[:4]) > 2262:
+                raise SyntaxError(
+                    f"time overflow: {t.text} (max: 2262-04-11T23:47:16Z)"
+                )
             return ("time", t.text)
         if t.kind == "DUR":
             return ("dur", t.text)

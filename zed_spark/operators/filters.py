@@ -21,14 +21,20 @@ def where(df: DataFrame, predicate: Column | str) -> DataFrame:
     return df.filter(predicate)
 
 
-def search(df: DataFrame, term: str, case_sensitive: bool = False) -> DataFrame:
-    """Bare-word search across ALL fields (recursively), zed's
-    implied-search semantics. Implemented over to_json(struct(*))."""
+def search_pred(df: DataFrame, term: str, case_sensitive: bool = False) -> Column:
+    """Predicate form of `search` — usable inside composed search
+    expressions (`widget and price > 1000`)."""
     blob = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
     if not case_sensitive:
         blob = F.lower(blob)
         term = term.lower()
-    return df.filter(blob.contains(term))
+    return blob.contains(term)
+
+
+def search(df: DataFrame, term: str, case_sensitive: bool = False) -> DataFrame:
+    """Bare-word search across ALL fields (recursively), zed's
+    implied-search semantics. Implemented over to_json(struct(*))."""
+    return df.filter(search_pred(df, term, case_sensitive))
 
 
 def search_regex(df: DataFrame, pattern: str) -> DataFrame:
@@ -37,7 +43,7 @@ def search_regex(df: DataFrame, pattern: str) -> DataFrame:
     return df.filter(blob.rlike(pattern))
 
 
-def search_net(df: DataFrame, cidr: str) -> DataFrame:
+def search_net_pred(df: DataFrame, cidr: str) -> Column:
     """Net-literal search (zed `192.168.2.0/24` filter): matches rows
     holding an ip INSIDE the net or the net value itself, anywhere in
     the record including inside arrays (search.go net match over
@@ -66,11 +72,15 @@ def search_net(df: DataFrame, cidr: str) -> DataFrame:
     for f in df.schema.fields:
         preds.extend(walk(F.col(f.name), f.dataType))
     if not preds:
-        return df.filter(F.lit(False))
+        return F.lit(False)
     out = preds[0]
     for p in preds[1:]:
         out = out | p
-    return df.filter(out)
+    return out
+
+
+def search_net(df: DataFrame, cidr: str) -> DataFrame:
+    return df.filter(search_net_pred(df, cidr))
 
 
 def _string_leaf_preds(df: DataFrame, hit) -> list:
@@ -124,7 +134,7 @@ def _any(preds: list):
     return out
 
 
-def search_glob(df: DataFrame, glob: str) -> DataFrame:
+def search_glob_pred(df: DataFrame, glob: str) -> Column:
     """Glob search (`foo*`): matches a string VALUE matching the glob
     anywhere in the record, or a FIELD NAME matching the glob whose
     value is present (search.go matches walked values and field
@@ -185,10 +195,19 @@ def search_glob(df: DataFrame, glob: str) -> DataFrame:
     for f in df.schema.fields:
         if f.name != "__zed_error":
             preds.extend(name_walk(F.col(f.name), f.name, f.dataType))
-    return df.filter(_any(preds))
+    return _any(preds)
+
+
+def search_glob(df: DataFrame, glob: str) -> DataFrame:
+    return df.filter(search_glob_pred(df, glob))
+
+
+def search_regex_pred(df: DataFrame, pattern: str) -> Column:
+    """Predicate form of the /re/ search term."""
+    return _any(_string_leaf_preds(df, lambda c: c.rlike(pattern)))
 
 
 def search_regex_leaves(df: DataFrame, pattern: str) -> DataFrame:
     """/re/ search term: regexp match against every string leaf
     (search.go regex match over walked values)."""
-    return df.filter(_any(_string_leaf_preds(df, lambda c: c.rlike(pattern))))
+    return df.filter(search_regex_pred(df, pattern))

@@ -81,7 +81,19 @@ def agg_expr(
     out = _AGG_FNS[fn](col)
     if fn == "union" and elem_type is not None:
         from zed_spark.functions.zorder import zset_sort
+        from zed_spark.schema import is_union_type
 
+        if is_union_type(elem_type):
+            # a tagged struct holding a typed null is non-null to
+            # array_compact — drop elements whose selected member is
+            # null (zed union() collects VALUES; nulls don't join)
+            vf = [f.name for f in elem_type.fields[1:]]
+            out = F.filter(
+                out,
+                lambda x: F.coalesce(
+                    *[x.getField(n).cast("string") for n in vf]
+                ).isNotNull(),
+            )
         out = zset_sort(out, elem_type)
     return out
 

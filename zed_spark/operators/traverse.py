@@ -33,6 +33,41 @@ def over_entries(col: Column, dtype: T.DataType) -> Column:
                   types become a tagged union on `value`
       scalar    → a one-element array of the value itself
     """
+    if isinstance(dtype, T.StructType) and _is_union(dtype):
+        # union input: traverse the member the tag selects
+        # (over.go val.Under()). Entry types per member must merge —
+        # same-type entries merge plainly, otherwise each element
+        # wraps into a tagged union of the member entry types.
+        from zed_spark.union import make_union, union_type
+
+        members = [
+            (f.name, f.dataType)
+            for f in dtype.fields[1:]
+            if f.name.startswith("v")
+        ]
+        elem_types: list[T.DataType] = []
+        branches = []  # (pos, entries_col, elem_type)
+        for pos, (nm, mdt) in enumerate(members):
+            ent = over_entries(col.getField(nm), mdt)
+            et = _entry_elem_type(mdt)
+            branches.append((pos, ent, et))
+            if et not in elem_types:
+                elem_types.append(et)
+        if len(elem_types) == 1:
+            out = F.array().cast(T.ArrayType(elem_types[0]))
+            for pos, ent, _et in branches:
+                out = F.when(col.getField("tag") == pos, ent).otherwise(out)
+            return out
+        ut = union_type(*elem_types)
+        mtypes = [f.dataType for f in ut.fields[1:]]
+        out = F.array().cast(T.ArrayType(ut))
+        for pos, ent, et in branches:
+            tag = mtypes.index(et)
+            wrapped = F.transform(
+                ent, lambda x, t=tag: make_union(t, x, len(mtypes), mtypes)
+            )
+            out = F.when(col.getField("tag") == pos, wrapped).otherwise(out)
+        return out
     if isinstance(dtype, T.ArrayType):
         return col
     if isinstance(dtype, T.MapType):
@@ -65,6 +100,65 @@ def over_entries(col: Column, dtype: T.DataType) -> Column:
             ]
         )
     return F.array(col)
+
+
+def _entry_elem_type(dt: T.DataType) -> T.DataType:
+    """Element type of over_entries(col of dt)."""
+    if isinstance(dt, T.ArrayType):
+        return dt.elementType
+    if isinstance(dt, T.MapType):
+        return T.StructType(
+            [
+                T.StructField("key", dt.keyType),
+                T.StructField("value", dt.valueType),
+            ]
+        )
+    if isinstance(dt, T.StructType) and not _is_union(dt):
+        distinct: list[T.DataType] = []
+        for f in dt.fields:
+            if f.dataType not in distinct:
+                distinct.append(f.dataType)
+        if len(distinct) == 1:
+            vt = distinct[0]
+        else:
+            from zed_spark.union import union_type
+
+            vt = union_type(*distinct)
+        return T.StructType(
+            [
+                T.StructField("key", T.ArrayType(T.StringType())),
+                T.StructField("value", vt),
+            ]
+        )
+    return dt
+
+
+def merge_entry_arrays(
+    ents: list[Column], etypes: list[T.DataType]
+) -> Column:
+    """Concatenate entry arrays of possibly-different element types
+    (`over a, b`, `over 1,2,"foo"`): same types concat plainly,
+    mixed types wrap each element into a tagged union first."""
+    distinct: list[T.DataType] = []
+    for t in etypes:
+        if t not in distinct:
+            distinct.append(t)
+    if len(distinct) == 1:
+        return F.concat(*ents) if len(ents) > 1 else ents[0]
+    from zed_spark.union import make_union, union_type
+
+    ut = union_type(*distinct)
+    mtypes = [f.dataType for f in ut.fields[1:]]
+    wrapped = [
+        F.transform(
+            ent,
+            lambda x, t=mtypes.index(et): make_union(
+                t, x, len(mtypes), mtypes
+            ),
+        )
+        for ent, et in zip(ents, etypes)
+    ]
+    return F.concat(*wrapped)
 
 
 def _is_union(dt: T.StructType) -> bool:

@@ -523,7 +523,8 @@ def grep_docs(spark, sf):
     return docs.filter(grep("spark", F.col("text"))).select("doc_id")
 
 
-GREP_SQL = "SELECT doc_id FROM documents WHERE text LIKE '%spark%'"
+# grep is case-insensitive like zed search terms (grep.py)
+GREP_SQL = "SELECT doc_id FROM documents WHERE lower(text) LIKE '%spark%'"
 
 
 def cidr_filter(spark, sf):

@@ -93,7 +93,19 @@ def merge_types(
         alts_b = union_alternatives(b) if is_union_type(b) else [b]
         alts = list(alts_a)
         for t in alts_b:
-            if t not in alts:
+            if t in alts:
+                continue
+            # structurally-compatible alternatives MERGE instead of
+            # multiplying members: {version:[int]} joining a union
+            # holding {version:[(int,string)]} widens that member
+            # (zson mixed-array) — only truly irreconcilable kinds
+            # add a new alternative
+            for i, alt in enumerate(alts):
+                cand = merge_types(alt, t, path, unions)
+                if not is_union_type(cand):
+                    alts[i] = cand
+                    break
+            else:
                 alts.append(t)
         from zed_spark.union import union_type
 

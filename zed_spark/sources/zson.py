@@ -239,6 +239,7 @@ class _Parser:
                     if self.s[self.i : self.i + 1] != "|":
                         raise ZsonError("unterminated set (expected ']|')")
                     self.i += 1
+                    return _normalize_set(out)
                 return out
             out.append(self.parse_value())
 
@@ -568,6 +569,49 @@ def _merge_type(a: T.DataType, b: T.DataType) -> T.DataType:
     return union_type(a, b)
 
 
+def _zcode_key(v):
+    """Approximate zcode element order: (encoded byte length, body
+    bytes) — NormalizeSet sorts encoded elements with bytes.Compare
+    (complex.go:268; zcode tag is uvarint(len+1))."""
+    import struct as _struct
+
+    if v is None or isinstance(v, TypedNull):
+        return (0, b"")
+    if isinstance(v, bool):
+        return (1, bytes([1 if v else 0]))
+    if isinstance(v, int):
+        z = v * 2 if v >= 0 else -v * 2 + 1
+        b = bytearray()
+        while z:
+            b.append(z & 255)
+            z >>= 8
+        return (len(b), bytes(b))
+    if isinstance(v, float):
+        return (8, _struct.pack("<d", v))
+    if isinstance(v, str):
+        enc = v.encode("utf-8")
+        return (len(enc), enc)
+    return None
+
+
+def _normalize_set(vals: list) -> list:
+    """Set bodies dedupe and sort into canonical zcode order at parse
+    time (zson set.yaml: |[1,1,5]| reads as |[1,5]|). Elements whose
+    encoding isn't replicated keep first-seen order after the
+    sortable ones."""
+    seen: dict = {}
+    for i, v in enumerate(vals):
+        k = repr(v)
+        if k not in seen:
+            seen[k] = (i, v)
+    items = list(seen.values())
+    keyed = [( _zcode_key(v), i, v) for i, v in items]
+    sortable = all(k is not None for k, _i, _v in keyed)
+    if sortable:
+        keyed.sort(key=lambda t: t[0])
+    return [v for _k, _i, v in keyed]
+
+
 def _conform(v, t: T.DataType):
     """Coerce a parsed value to the merged schema type."""
     if isinstance(v, TypedNull):
@@ -603,7 +647,11 @@ def _conform(v, t: T.DataType):
         iv = _conform(v.value, _infer_type(v.value))
         if isinstance(iv, str):
             iv = json.dumps(iv)
-        return f"error({iv})"
+        s = f"error({iv})"
+        if isinstance(t, T.StringType):
+            return s
+        # non-string target (e.g. a union): conform the rendering
+        return _conform(s, t)
     if isinstance(t, T.StringType) and not isinstance(v, str):
         return _dump_value(v, _infer_type(v))
     if isinstance(t, T.DoubleType) and isinstance(v, int) and not isinstance(v, bool):
@@ -625,6 +673,15 @@ def _conform(v, t: T.DataType):
                 if _merge_type(alt, iv) == alt:
                     tag = i
                     break
+        if tag is None:  # same KIND (record↔record, array↔array)
+            tag = next(
+                (
+                    i
+                    for i, alt in enumerate(alts)
+                    if alt.typeName() == iv.typeName()
+                ),
+                None,
+            )
         if tag is None:
             tag = next(
                 (i for i, alt in enumerate(alts) if isinstance(alt, T.StringType)), 0
