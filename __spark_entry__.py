@@ -49,7 +49,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "agg_global": (qc.agg_global, qc.AGG_GLOBAL_SQL),
     "agg_where": (qc.agg_where, qc.AGG_WHERE_SQL),
     "dcount_exact": (qc.dcount_exact, qc.DCOUNT_SQL),
-    "dcount_approx": (qc.dcount_approx, None),
+    # dcount_approx rotated out of the 50-row graded window for
+    # dedup_clusters (an oracle-backed row beats a rows-only one);
+    # its accuracy bound stays pinned by
+    # tests/test_operators.py::test_dcount_approx_accuracy
     "every_hour": (qc.every_hour, qc.EVERY_SQL),
     "collect_sorted": (qc.collect_sorted, qc.COLLECT_SQL),
     "switch_routing": (qc.switch_routing, qc.SWITCH_SQL),
@@ -78,6 +81,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_exact": (qt.dedup_exact_q, qt.DEDUP_EXACT_SQL),
     "ngram_jaccard_pairs": (qt.ngram_jaccard_q, qt.NGRAM_JACCARD_SQL),
     "minhash_lsh_pairs": (qt.minhash_lsh_q, qt.MINHASH_LSH_SQL),
+    "dedup_clusters": (qt.dedup_clusters_q, qt.DEDUP_CLUSTERS_SQL),
     "simhash_fingerprints": (qt.simhash_q, qt.SIMHASH_SQL),
     "cosine_topk": (qt.cosine_topk_q, qt.COSINE_TOPK_SQL),
     "embedding_near_pairs": (qt.embedding_near_pairs_q, qt.EMBEDDING_NEAR_SQL),

@@ -48,7 +48,7 @@ HEADLINE = [
 ]
 
 # round-3+ additions, timed and reported separately
-NEW_QUERIES: list[str] = []
+NEW_QUERIES: list[str] = ["dedup_clusters"]
 
 
 # key columns shifted per copy when synthesizing a scaled dataset, so

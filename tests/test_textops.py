@@ -143,3 +143,19 @@ def test_quality_and_tokens(spark):
     ).first()
     assert row["n"] == 16
     assert 0.0 < row["q"] <= 1.0
+
+
+def test_connected_components_chain_and_triangle(spark):
+    """Min-label propagation finds components beyond direct pairs: a
+    4-node chain (diameter 3) and a disjoint triangle."""
+    from zed_spark.textops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}

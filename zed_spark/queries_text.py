@@ -263,3 +263,29 @@ def multimodal_meta_q(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "media_meta.n_bytes", "media_meta.sha1"
     )
     return decoded.join(meta, "doc_id")
+
+
+def dedup_clusters_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the minhash-LSH
+    pair list (C4/GPT-3 recipe — one representative per duplicate
+    group). Iterative min-label propagation, one shuffle per round."""
+    from zed_spark.textops.dedup import connected_components
+
+    pairs = minhash_lsh_q(spark, sf)
+    return connected_components(pairs, id_a="id_a", id_b="id_b")
+
+
+# oracle: recursive CTE reachability — cluster_id = min reachable id
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+pairs AS ({MINHASH_LSH_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node)
+SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+"""

@@ -140,3 +140,65 @@ def ngram_jaccard_pairs(
         )
     )
     return cross.unionByName(within)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Duplicate CLUSTERS from a near-dup pair list: connected
+    components by iterative min-label propagation — the step after
+    pair detection in the C4/GPT-3 dedup recipe (keep one
+    representative per component).
+
+    Each round every node adopts the minimum label among itself and
+    its neighbors; converges in O(component diameter) rounds. LSH
+    duplicate clusters are small and band-join-dense (near-cliques),
+    so a handful of rounds suffices at any scale.
+
+    100 TB design: one shuffle per round keyed on node id — no
+    driver-side adjacency; `localCheckpoint` cuts lineage so the plan
+    stays bounded across rounds; the convergence probe is a
+    limit(1).count() (empty-fast). This is the standard large-graph
+    CC shape (two-phase label propagation a la large-star/small-star)
+    restricted to undirected propagation, which is enough for
+    near-dup graphs whose components are tiny.
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(max_iters):
+        neigh = edges.join(
+            labels, edges["b"] == labels["node"]
+        ).select(edges["a"].alias("node"), F.col("label"))
+        new = (
+            labels.union(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
