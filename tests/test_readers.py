@@ -25,8 +25,10 @@ def test_zeek_reader(spark, tmp_path):
     p = tmp_path / "conn.log"
     p.write_text(ZEEK_SAMPLE)
     df = read_zeek_tsv(spark, str(p))
-    assert df.columns == ["ts", "uid", "id.orig_h", "id.orig_p", "proto",
-                          "duration", "orig_bytes", "local"]
+    # '#path conn' injects _path as the leading column (zeekio)
+    assert df.columns == ["_path", "ts", "uid", "id.orig_h", "id.orig_p",
+                          "proto", "duration", "orig_bytes", "local"]
+    assert df.first()["_path"] == "conn"
     assert isinstance(df.schema["ts"].dataType, T.TimestampType)
     assert isinstance(df.schema["id.orig_p"].dataType, T.IntegerType)
     rows = df.orderBy("ts").collect()

@@ -107,7 +107,15 @@ for _d in (
     f"{ZTESTS}/expr/function",
     "/root/reference/zson/ztests",
     "/root/reference/docs/language/ztests",
+    "/root/reference/zio/jsonio/ztests",
+    "/root/reference/zio/zsonio/ztests",
+    "/root/reference/zio/textio/ztests",
 ):
+# deliberately OUT of the sweep: compiler/ztests + compiler/parser
+# (super-dev AST/flowgraph goldens), service/ztests (HTTP server —
+# tests/test_service.py), lake/ztests (tests/test_lake.py),
+# zio/{zeekio,csvio,tableio,...} writer byte-goldens, vng + vcache
+# (documented non-goal: parquet is this engine's columnar store)
     CASES.extend(sorted(_glob.glob(f"{_d}/*.yaml")))
 # normalize to absolute and dedupe (explicit entries are relative
 # to ZTESTS)
@@ -218,6 +226,32 @@ UNSUPPORTED.update(
     }
 )
 _LAKE2 = "lake-script form — the lake layer is exercised by tests/test_lake.py"
+UNSUPPORTED.update(
+    {
+        f"/root/reference/zio/{k}.yaml": v
+        for k, v in {
+            "jsonio/ztests/time": "json times decode to ns ints per "
+            "shape [shape]",
+            "jsonio/ztests/types": "ip/net/time types round-trip as "
+            "strings [shape]",
+            "jsonio/ztests/unexpected-input-end": "shell while-loop "
+            "script [script]",
+            "jsonio/ztests/unicode-nfc": "NFC normalization on JSON "
+            "string decode [format]",
+            "jsonio/ztests/error": "error values in JSON output "
+            "[errval]",
+            "jsonio/ztests/map-output": "record/map/set values as MAP "
+            "KEYS [shape]",
+            "zsonio/ztests/tv": "type-value rendering [shape]",
+            "zsonio/ztests/zson-zng": "typeof() output with named "
+            "types [shape]",
+            "textio/ztests/flatten": "-f text writer golden [script]",
+            "textio/ztests/nested-record-named": "-f text writer "
+            "golden [script]",
+            "textio/ztests/vals": "-f text writer golden [script]",
+        }.items()
+    }
+)
 # runtime/ztests tree (round-3 sweep): declared gaps
 UNSUPPORTED.update(
     {

@@ -160,6 +160,7 @@ def read_zeek_tsv(spark: SparkSession, path: str) -> DataFrame:
 
     files = sorted(_glob.glob(path)) or [path]
     fields: list[str] = []
+    zpath: str | None = None
     ztypes: list[str] = []
     sep = "\t"
     unset = "-"
@@ -183,6 +184,8 @@ def read_zeek_tsv(spark: SparkSession, path: str) -> DataFrame:
             key, _, rest = raw.partition(sep)
             if key == "unset_field":
                 unset = rest
+            elif key == "path":
+                zpath = rest
             elif key == "fields":
                 fields = rest.split(sep)
             elif key == "types":
@@ -198,6 +201,13 @@ def read_zeek_tsv(spark: SparkSession, path: str) -> DataFrame:
         .schema(schema)
         .csv(path)
     )
+    if zpath is not None and "_path" not in fields:
+        # zeek injects _path from the '#path' header as the leading
+        # column (zio/zeekio parser.go; ztest jsonio/format)
+        df = df.select(
+            F.lit(zpath).alias("_path"),
+            *[F.col(f"`{n}`") for n in fields],
+        )
     # apply zeek types (backticks: zeek names like id.orig_h are
     # flat column names, not nested paths)
     for name, zt in zip(fields, ztypes):
