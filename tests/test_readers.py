@@ -25,14 +25,20 @@ def test_zeek_reader(spark, tmp_path):
     p = tmp_path / "conn.log"
     p.write_text(ZEEK_SAMPLE)
     df = read_zeek_tsv(spark, str(p))
-    # '#path conn' injects _path as the leading column (zeekio)
-    assert df.columns == ["_path", "ts", "uid", "id.orig_h", "id.orig_p",
+    # '#path conn' injects _path as the leading column, and dotted
+    # zeek names nest into records (zeekio parser.go)
+    assert df.columns == ["_path", "ts", "uid", "id",
                           "proto", "duration", "orig_bytes", "local"]
+    assert [f.name for f in df.schema["id"].dataType.fields] == [
+        "orig_h", "orig_p"
+    ]
     assert df.first()["_path"] == "conn"
     assert isinstance(df.schema["ts"].dataType, T.TimestampType)
-    assert isinstance(df.schema["id.orig_p"].dataType, T.IntegerType)
+    assert isinstance(
+        df.schema["id"].dataType["orig_p"].dataType, T.IntegerType
+    )
     rows = df.orderBy("ts").collect()
-    assert rows[0]["id.orig_h"] == "10.164.94.120"
+    assert rows[0]["id"]["orig_h"] == "10.164.94.120"
     assert rows[0]["local"] is True and rows[1]["local"] is False
     # unset '-' → null
     assert rows[1]["orig_bytes"] is None

@@ -110,6 +110,8 @@ for _d in (
     "/root/reference/zio/jsonio/ztests",
     "/root/reference/zio/zsonio/ztests",
     "/root/reference/zio/textio/ztests",
+    "/root/reference/zio/anyio/ztests",
+    "/root/reference/ztests",
 ):
 # deliberately OUT of the sweep: compiler/ztests + compiler/parser
 # (super-dev AST/flowgraph goldens), service/ztests (HTTP server —
@@ -249,6 +251,34 @@ UNSUPPORTED.update(
             "textio/ztests/nested-record-named": "-f text writer "
             "golden [script]",
             "textio/ztests/vals": "-f text writer golden [script]",
+            "anyio/ztests/detector-errors": "stderr golden [script]",
+            "anyio/ztests/fake-zng": "`!` expected-failure form "
+            "[script]",
+            "anyio/ztests/huge": "shell pipeline fixture [script]",
+            "anyio/ztests/ndjson-gz": "gzip binary fixture file "
+            "[script]",
+            "anyio/ztests/parquet": "-f parquet output-file fixture "
+            "[script]",
+            "anyio/ztests/vng": "VNG format — documented non-goal "
+            "(parquet is the columnar store)",
+            "anyio/ztests/zeek-gz": "gzip binary fixture [script]",
+            "anyio/ztests/zjson": "zjson typed-frame golden — "
+            "round-trips are tested in tests/test_zson.py [script]",
+            "anyio/ztests/zng-gz": "gzip binary fixture [script]",
+            "anyio/ztests/zng-rdwr-comp": "zng compressed-frame file "
+            "fixture [script]",
+        }.items()
+    }
+)
+UNSUPPORTED.update(
+    {
+        f"/root/reference/ztests/{k}.yaml": v
+        for k, v in {
+            "enum": "enum types (symbol index + values) are widened "
+            "to strings [shape]",
+            "enum-err": "`!` expected-failure form [script]",
+            "mixed-primitive-alias": "named-type aliases over mixed "
+            "primitives [shape]",
         }.items()
     }
 )

@@ -2269,6 +2269,15 @@ class Compiler:
                     self.expr(pat, df),
                     self.expr(rep, df),
                 )
+        if name in ("base64", "hex") and len(args) == 1:
+            # type-directed (bytes.go): bytes ENCODE to string,
+            # strings DECODE to bytes
+            c = self.expr(args[0], df)
+            dt = self._type_of(args[0], df)
+            tn = dt.typeName() if dt is not None else "binary"
+            if name == "base64":
+                return F.base64(c) if tn == "binary" else F.unbase64(c)
+            return F.hex(c) if tn != "string" else F.unhex(c)
         if name == "network_of" and len(args) == 1:
             # classful IPv4 default mask (ip.go:24-30: class A /8,
             # B /16, C /24); non-IPv4 input is a first-class error

@@ -221,4 +221,8 @@ def read_zeek_tsv(spark: SparkSession, path: str) -> DataFrame:
             df = df.withColumn(name, c == "T")
         elif base in _ZEEK_TYPES:
             df = df.withColumn(name, c.cast(_ZEEK_TYPES[base]))
-    return df
+    # zed's zeekio nests dotted field names into records
+    # (id.orig_h -> id:{orig_h}) — parser.go builds nested types
+    from zed_spark.functions.flatten import nest_dotted
+
+    return nest_dotted(df)
