@@ -295,8 +295,6 @@ UNSUPPORTED.update(
             "op/drop-foo-both": "drop leaving an empty record drops the "
             "row only when the FIELD was absent — null vs missing "
             "[shape]",
-            "op/over-union": "union of array-of-union with "
-            "union-of-array — nested union merge [union]",
             "op/put-non-record": "put on a non-record value is "
             "error('put: not a record') [errval]",
             "op/rename-error-dupe": "rename duplicate-field errors "

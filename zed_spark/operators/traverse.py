@@ -38,7 +38,7 @@ def over_entries(col: Column, dtype: T.DataType) -> Column:
         # (over.go val.Under()). Entry types per member must merge —
         # same-type entries merge plainly, otherwise each element
         # wraps into a tagged union of the member entry types.
-        from zed_spark.union import make_union, union_type
+        from zed_spark.union import make_union, retag, union_type
 
         members = [
             (f.name, f.dataType)
@@ -51,8 +51,15 @@ def over_entries(col: Column, dtype: T.DataType) -> Column:
             ent = over_entries(col.getField(nm), mdt)
             et = _entry_elem_type(mdt)
             branches.append((pos, ent, et))
-            if et not in elem_types:
-                elem_types.append(et)
+            # zed unions never nest (complex.go): a union-typed entry
+            # contributes its MEMBERS to the flat result union
+            for leaf in (
+                [f.dataType for f in et.fields[1:]]
+                if isinstance(et, T.StructType) and _is_union(et)
+                else [et]
+            ):
+                if leaf not in elem_types:
+                    elem_types.append(leaf)
         if len(elem_types) == 1:
             out = F.array().cast(T.ArrayType(elem_types[0]))
             for pos, ent, _et in branches:
@@ -60,12 +67,23 @@ def over_entries(col: Column, dtype: T.DataType) -> Column:
             return out
         ut = union_type(*elem_types)
         mtypes = [f.dataType for f in ut.fields[1:]]
+        # closure factories: Spark passes (element, index) to
+        # TWO-parameter lambdas, so a default-arg capture would bind
+        # the index column instead of the tag
+        def _wrap_at(tag: int):
+            return lambda x: make_union(tag, x, len(mtypes), mtypes)
+
+        def _retag_from(src: list):
+            return lambda x: retag(x, src, mtypes)
+
         out = F.array().cast(T.ArrayType(ut))
         for pos, ent, et in branches:
-            tag = mtypes.index(et)
-            wrapped = F.transform(
-                ent, lambda x, t=tag: make_union(t, x, len(mtypes), mtypes)
-            )
+            if isinstance(et, T.StructType) and _is_union(et):
+                wrapped = F.transform(
+                    ent, _retag_from([f.dataType for f in et.fields[1:]])
+                )
+            else:
+                wrapped = F.transform(ent, _wrap_at(mtypes.index(et)))
             out = F.when(col.getField("tag") == pos, wrapped).otherwise(out)
         return out
     if isinstance(dtype, T.ArrayType):
@@ -149,13 +167,14 @@ def merge_entry_arrays(
 
     ut = union_type(*distinct)
     mtypes = [f.dataType for f in ut.fields[1:]]
+
+    def _wrap_at(tag: int):
+        # single-parameter closure: a two-parameter lambda would
+        # receive Spark's element INDEX as the second argument
+        return lambda x: make_union(tag, x, len(mtypes), mtypes)
+
     wrapped = [
-        F.transform(
-            ent,
-            lambda x, t=mtypes.index(et): make_union(
-                t, x, len(mtypes), mtypes
-            ),
-        )
+        F.transform(ent, _wrap_at(mtypes.index(et)))
         for ent, et in zip(ents, etypes)
     ]
     return F.concat(*wrapped)

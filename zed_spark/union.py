@@ -71,3 +71,24 @@ def mixed_array(cols: list[tuple[int, Column]], types: list[T.DataType]) -> Colu
     (zed `[1, "a", 2.5]`)."""
     arity = len(types)
     return F.array(*[make_union(tag, c, arity, types) for tag, c in cols])
+
+
+def retag(col: Column, src_types: list[T.DataType], mtypes: list[T.DataType]) -> Column:
+    """Re-wrap a union value into a WIDER union whose members are a
+    superset: each source member maps to its slot in mtypes (flat
+    union composition — zed unions never nest, complex.go)."""
+    mapping = {i: mtypes.index(t) for i, t in enumerate(src_types)}
+    tag_col: Column | None = None
+    for i, j in mapping.items():
+        w = F.when(col.getField("tag") == i, F.lit(j))
+        tag_col = w.otherwise(tag_col) if tag_col is not None else w
+    fields = [tag_col.alias("tag")]
+    for j, mt in enumerate(mtypes):
+        src = [i for i, jj in mapping.items() if jj == j]
+        v = (
+            col.getField(f"v{src[0]}")
+            if src
+            else F.lit(None).cast(mt)
+        )
+        fields.append(v.alias(f"v{j}"))
+    return F.struct(*fields)
