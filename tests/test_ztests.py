@@ -409,12 +409,6 @@ UNSUPPORTED.update(
             "meta/ztests/type-context": _LAKE,
             "ztests/cut-dynamic-field": "runtime field names from data "
             "values (this[expr] targets) " + _S,
-            "ztests/cut-empty-record": "cut of absent fields yields "
-            "error('missing') " + _E,
-            "ztests/cut-foo-bar": "cut of absent fields yields "
-            "error('missing') " + _E,
-            "ztests/cut-rename-foo-bar": "cut of absent fields yields "
-            "error('missing') " + _E,
             "ztests/cut-rename-nested": "cut of a union-typed source "
             "(record|array per row) " + _U,
             "ztests/put-6": "error('dividebyzero') value " + _E,

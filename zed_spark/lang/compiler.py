@@ -11,6 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from zed_spark import operators as ops
 from zed_spark.lang.lexer import duration_interval
@@ -219,6 +220,31 @@ class Compiler:
                     target = alias or e.split(".")[-1]
                     specs.append(f"{target}:={tmp}")
                     missing.append(target)
+                elif isinstance(path_type(df.schema, e), T.StructType):
+                    # struct-typed source: unlike primitives, widening
+                    # PRESERVES per-row presence for records (absent →
+                    # null struct, present-empty → non-null {}), so
+                    # cut can yield the reference's per-row
+                    # error("missing") (ztest op/cut-empty-record)
+                    # as an e-alternative union
+                    st_v = path_type(df.schema, e)
+                    c = self.expr(("field", e.split(".")), df)
+                    flds = [("v0", st_v), ("e1", T.StringType())]
+
+                    def _mk(pos, value):
+                        parts = [F.lit(pos).alias("tag")]
+                        for j, (nm, ft) in enumerate(flds):
+                            parts.append(
+                                (value if j == pos else F.lit(None).cast(ft)).alias(nm)
+                            )
+                        return F.struct(*parts)
+
+                    tmp = f"__cut_{i}"
+                    tmps[tmp] = F.when(c.isNotNull(), _mk(0, c)).otherwise(
+                        _mk(1, F.lit("missing"))
+                    )
+                    target = alias or e.split(".")[-1]
+                    specs.append(f"{target}:={tmp}")
                 else:
                     specs.append(f"{alias}:={e}" if alias else e)
             out = ops.cut(df.withColumns(tmps) if tmps else df, *specs)
@@ -227,6 +253,32 @@ class Compiler:
 
                 for target in missing:
                     out = zerrors.with_error(out, target, F.lit(True), "missing")
+            if node[1] and all(
+                isinstance(e, tuple)
+                and e[0] == "call"
+                and e[1] == "quiet"
+                and len(e[2]) == 1
+                for e, _a in node[1]
+            ):
+                # every entry is quiet(...): quiet drops missing
+                # fields per row (function/quiet.go), and a row whose
+                # fields ALL dropped produces no output record
+                # (op ztests cut-foo-bar / cut-rename-foo-bar)
+                targets = []
+                for e, a in node[1]:
+                    inner = e[2][0]
+                    if a:
+                        targets.append(a)
+                    elif inner[0] == "field":
+                        targets.append(".".join(inner[1]))
+                    else:
+                        targets = []
+                        break
+                if targets:
+                    keep = F.lit(False)
+                    for t in targets:
+                        keep = keep | F.col(t).isNotNull()
+                    out = out.filter(keep)
             return out
         if kind == "put":
             # zed evaluates every RHS against the INPUT record, then

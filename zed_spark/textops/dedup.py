@@ -166,11 +166,18 @@ def connected_components(
     restricted to undirected propagation, which is enough for
     near-dup graphs whose components are tiny.
     """
-    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    edges = (
-        edges.union(
-            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    # symmetrize in ONE pass over the (possibly expensive) upstream
+    # pair pipeline: explode both directions per pair, so the LSH
+    # stage above is computed once, not once per union branch
+    both = F.explode(
+        F.array(
+            F.struct(F.col(id_a).alias("a"), F.col(id_b).alias("b")),
+            F.struct(F.col(id_b).alias("a"), F.col(id_a).alias("b")),
         )
+    )
+    edges = (
+        pairs.select(both.alias("e"))
+        .select("e.a", "e.b")
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -179,7 +186,7 @@ def connected_components(
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
-    for _ in range(max_iters):
+    for i in range(max_iters):
         neigh = edges.join(
             labels, edges["b"] == labels["node"]
         ).select(edges["a"].alias("node"), F.col("label"))
@@ -189,13 +196,18 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        if i > 0:
+            # round 1 always changes labels (any edge lowers some
+            # label) — probe only from round 2 on
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+        else:
+            changed = 1
         labels = new
         if changed == 0:
             break
