@@ -154,8 +154,6 @@ UNSUPPORTED: dict[str, str] = {
         "complex-record-math": "arithmetic over record operands " + _U,
         "complex-unions": _U,
         "cut": "cut of absent fields yields error('missing') per row " + _S,
-        "cut-dup-fields": _SC,
-        "cut-not-adjacent": _SC,
         "dot-index": "runtime record keys (this[field]) " + _S,
         "dot-record-type": "type-value field access " + _S,
         "has-2": _E,
@@ -252,21 +250,13 @@ UNSUPPORTED.update(
             "golden [script]",
             "textio/ztests/vals": "-f text writer golden [script]",
             "anyio/ztests/detector-errors": "stderr golden [script]",
-            "anyio/ztests/fake-zng": "`!` expected-failure form "
-            "[script]",
             "anyio/ztests/huge": "shell pipeline fixture [script]",
-            "anyio/ztests/ndjson-gz": "gzip binary fixture file "
-            "[script]",
             "anyio/ztests/parquet": "-f parquet output-file fixture "
             "[script]",
             "anyio/ztests/vng": "VNG format — documented non-goal "
             "(parquet is the columnar store)",
-            "anyio/ztests/zeek-gz": "gzip binary fixture [script]",
             "anyio/ztests/zjson": "zjson typed-frame golden — "
             "round-trips are tested in tests/test_zson.py [script]",
-            "anyio/ztests/zng-gz": "gzip binary fixture [script]",
-            "anyio/ztests/zng-rdwr-comp": "zng compressed-frame file "
-            "fixture [script]",
         }.items()
     }
 )
@@ -276,7 +266,6 @@ UNSUPPORTED.update(
         for k, v in {
             "enum": "enum types (symbol index + values) are widened "
             "to strings [shape]",
-            "enum-err": "`!` expected-failure form [script]",
             "mixed-primitive-alias": "named-type aliases over mixed "
             "primitives [shape]",
         }.items()
@@ -289,7 +278,6 @@ UNSUPPORTED.update(
         for k, v in {
             "issue-4013": "shell `seq` command outside harness subset "
             "[script]",
-            "parallel-err": "`!` expected-failure form [script]",
             "op/cut-foo-mixed": "cut of absent fields yields "
             "error('missing') [errval]",
             "op/drop-foo-both": "drop leaving an empty record drops the "
@@ -414,7 +402,6 @@ UNSUPPORTED.update(
             "ztests/put-6": "error('dividebyzero') value " + _E,
             "ztests/put-dynamic-field": "runtime field names " + _S,
             "ztests/rename-dynamic-field": "runtime field names " + _S,
-            "ztests/user-errors": _SC,
             "ztests/user-join": _LAKE,
         }.items()
     }
@@ -535,7 +522,8 @@ def _parse_script_line(line: str):
         if not m:
             raise ValueError(f"unsupported script command: {seg!r}")
         toks = shlex.split(m.group(1))
-        query, includes, infiles, outfile = None, [], [], None
+        query, includes, infiles, outfile, ifmt = None, [], [], None, None
+        ofile, flags = None, []
         i = 0
         while i < len(toks):
             t = toks[i]
@@ -544,16 +532,21 @@ def _parse_script_line(line: str):
             elif t == "-I":
                 includes.append(toks[i + 1])
                 i += 2
+            elif t == "-i":
+                ifmt, i = toks[i + 1], i + 2
+            elif t == "-o":
+                ofile, i = toks[i + 1], i + 2
             elif t == ">":
                 outfile, i = toks[i + 1], i + 2
-            elif t in ("-fusemem", "-limit", "-f", "-orderby", "-i"):
+            elif t in ("-fusemem", "-limit", "-f", "-orderby"):
                 i += 2
             elif t.startswith("-") and t != "-":
+                flags.append(t)
                 i += 1
             else:
                 infiles.append(t)
                 i += 1
-        stages.append((query, includes, infiles, outfile))
+        stages.append((query, includes, infiles, outfile, ifmt, ofile, flags))
     return echo_text, stages
 
 
@@ -609,40 +602,95 @@ def _run_script_case(spark, case: dict, path: str):
             # bare echo: a separator the expected stdout also carries
             separators.add(" ".join(_shlex.split(line[5:])))
             continue
+        expect_fail = line.startswith("!")
+        if expect_fail:
+            # `! super query ...` expected-failure form (ztest.go
+            # runs the command and asserts non-zero exit + stderr
+            # match). Our error MESSAGES differ from the reference's,
+            # so this asserts rejection happens at all — the same
+            # weaker, honest check as the errorRE case form.
+            line = line[1:].strip()
         echo_text, stages = _parse_script_line(line)
 
         def resolve(name):
             return _to_df(spark, parse_zson(files[name]))[0]
 
-        df = wrapped = None
-        outfile = None
-        for query, includes, infiles, outfile in stages:
-            inc_text = "\n".join(files[n] for n in includes)
-            query = f"{inc_text}\n{query}" if query else (inc_text or "pass")
-            vals = []
-            for f in infiles:
-                if f == "-":
-                    if df is not None:
-                        continue  # piped from the previous stage
-                    src = (
-                        echo_text
-                        if echo_text is not None
-                        else files.get("stdin", case.get("input", ""))
+        def run_stages():
+            from zed_spark.sources.zng import encode_zng, parse_zng
+
+            def blob_vals(data, ifmt):
+                # bytes blobs: gunzip + format-sniff like zio/anyio
+                if isinstance(data, bytes) and data[:2] == b"\x1f\x8b":
+                    import gzip
+
+                    data = gzip.decompress(data)
+                if isinstance(data, bytes):
+                    if ifmt == "zng":
+                        return parse_zng(data)
+                    try:
+                        data = data.decode("utf-8")
+                    except UnicodeDecodeError:
+                        return parse_zng(data)
+                elif ifmt == "zng":
+                    return parse_zng(data)
+                return parse_zson(data)
+
+            df = wrapped = None
+            outfile = None
+            for query, includes, infiles, outfile, ifmt, ofile, flags in stages:
+                inc_text = "\n".join(files[n] for n in includes)
+                query = f"{inc_text}\n{query}" if query else (inc_text or "pass")
+                vals = []
+                for f in infiles:
+                    if f == "-":
+                        if df is not None:
+                            continue  # piped from the previous stage
+                        src = (
+                            echo_text
+                            if echo_text is not None
+                            else files.get("stdin", case.get("input", ""))
+                        )
+                        vals.extend(blob_vals(src, ifmt))
+                    else:
+                        fmt = "zng" if f.endswith(".zng") else ifmt
+                        vals.extend(blob_vals(files[f], fmt))
+                if vals:
+                    df, wrapped = _to_df(spark, vals)
+                if df is None and not vals and not query.lstrip().startswith("from"):
+                    # inputless invocation: the query runs against a
+                    # single null value (ztest.go: `super query -c
+                    # 'yield 1'` emits 1)
+                    df, wrapped = _to_df(spark, [None])
+                df = compile_query(spark, query, resolve, df, named_types=named)
+                if ofile is not None:
+                    # `-o file`: serialize for a later invocation to
+                    # read back (zng only — the round-trip fixtures)
+                    if not ofile.endswith(".zng"):
+                        raise ValueError(f"unsupported -o target {ofile!r}")
+                    files[ofile] = encode_zng(
+                        df.collect(),
+                        df.schema,
+                        compress="-zng.compress=false" not in flags,
                     )
-                    vals.extend(parse_zson(src))
-                else:
-                    vals.extend(parse_zson(files[f]))
-            if vals:
-                df, wrapped = _to_df(spark, vals)
-            if df is None and not vals and not query.lstrip().startswith("from"):
-                # inputless invocation: the query runs against a
-                # single null value (ztest.go: `super query -c
-                # 'yield 1'` emits 1)
-                df, wrapped = _to_df(spark, [None])
-            df = compile_query(spark, query, resolve, df, named_types=named)
+                    df = wrapped = None
+            return df, wrapped, outfile, query
+
+        if expect_fail:
+            try:
+                df, _w, _o, _q = run_stages()
+                df.collect()  # failures may surface only at runtime
+            except AssertionError:
+                raise
+            except Exception:
+                ran += 1
+                continue
+            raise AssertionError(
+                f"{path}: `!` invocation was expected to fail but succeeded"
+            )
+        df, wrapped, outfile, query = run_stages()
         if outfile:
             _compare([(df, bool(wrapped))], query, parse_zson(outs[outfile]), path)
-        else:
+        elif df is not None:  # None: the stage wrote a -o file instead
             stdout_acc.append((df, bool(wrapped)))
         ran += 1
     if stdout_acc:
@@ -687,6 +735,18 @@ def _run_case(spark, path: str):
         raise AssertionError(
             f"{path}: expected error {err_re!r}, query succeeded"
         )
+    raw = case["input"]
+    if isinstance(raw, bytes) and raw[:2] == b"\x1f\x8b":
+        # gzip auto-detection, like the reference (zio/anyio): gunzip
+        # then sniff the payload format
+        import gzip
+
+        raw = gzip.decompress(raw)
+        try:
+            raw = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            pass
+        case = dict(case, input=raw)
     if isinstance(case["input"], bytes):
         # `input: !!binary ...` cases carry ZNG binary (ztest.go
         # decodes with the zng reader) — so do we

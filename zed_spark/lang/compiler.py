@@ -206,6 +206,34 @@ class Compiler:
                     # semantic check (semantic/op.go): cut can't
                     # assign the root
                     raise ValueError("cannot assign to 'this'")
+            # compile-time checks (semantic/op.go; ztests
+            # cut-dup-fields / cut-not-adjacent): duplicate output
+            # paths (incl. prefix overlap) and non-adjacent fields of
+            # the same record are rejected
+            paths = []
+            for e, alias in node[1]:
+                if alias:
+                    paths.append(tuple(alias.split(".")))
+                elif isinstance(e, str):
+                    paths.append(tuple(e.split(".")))
+                else:
+                    paths.append(None)
+            seen_paths = [p for p in paths if p is not None]
+            for j, q in enumerate(seen_paths):
+                for p in seen_paths[:j]:
+                    if p[: len(q)] == q or q[: len(p)] == p:
+                        raise ValueError(f'duplicate field: "{".".join(q)}"')
+            prefixes = {p[:ln] for p in seen_paths if p for ln in range(1, len(p))}
+            for pref in prefixes:
+                hits = [
+                    i
+                    for i, p in enumerate(paths)
+                    if p is not None and p[: len(pref)] == pref
+                ]
+                if hits and hits != list(range(hits[0], hits[-1] + 1)):
+                    raise ValueError(
+                        f"fields in record {'.'.join(pref)} must be adjacent"
+                    )
             for i, (e, alias) in enumerate(node[1]):
                 if isinstance(e, tuple):
                     tmp = f"__cut_{i}"

@@ -145,7 +145,11 @@ class _Context:
 
     def lookup(self, tid: int) -> tuple:
         if tid < 30:
+            if tid not in _PRIMITIVES:
+                raise ValueError(f"malformed zng record (bad type id {tid})")
             return ("prim", _PRIMITIVES[tid])
+        if tid not in self.types:
+            raise ValueError(f"malformed zng record (undefined type id {tid})")
         return self.types[tid]
 
     def add(self, t: tuple) -> None:
@@ -256,6 +260,8 @@ def _iter_tagged(body: bytes):
             yield None
         else:
             ln = tag - 1
+            if pos + ln > n:
+                raise ValueError("malformed zng record (truncated element)")
             yield body[pos : pos + ln]
             pos += ln
 
@@ -360,6 +366,8 @@ def decode_zng(data: bytes):
         low = code & 0x0F
         mult, pos = _uvarint(data, pos)
         size = mult * 16 + low
+        if pos + size > n:
+            raise ValueError("malformed zng record (truncated frame)")
         payload = data[pos : pos + size]
         pos += size
         if compressed:
@@ -380,6 +388,10 @@ def decode_zng(data: bytes):
                     yield _decode_value(t, None)
                 else:
                     ln = tag - 1
+                    if vpos + ln > vn:
+                        raise ValueError(
+                            "malformed zng record (truncated value)"
+                        )
                     yield _decode_value(t, payload[vpos : vpos + ln])
                     vpos += ln
         elif ftype == 2:
@@ -594,7 +606,41 @@ def _append_tagged(out: bytearray, body: bytes | None) -> None:
         out += body
 
 
-def _frame(ftype: int, payload: bytes) -> bytes:
+def _lz4_block_compress(src: bytes) -> bytes:
+    """LZ4 block compression. Uses the lz4 wheel when present; else a
+    literals-only block (valid LZ4: one sequence, no matches) — larger
+    than real LZ4 but spec-conformant, and _frame only keeps the
+    compressed form when it actually shrinks."""
+    try:
+        import lz4.block as _lz4
+
+        return _lz4.compress(src, store_size=False)
+    except Exception:
+        n = len(src)
+        out = bytearray()
+        tok = min(n, 15)
+        out.append(tok << 4)
+        if tok == 15:
+            rem = n - 15
+            while rem >= 255:
+                out.append(255)
+                rem -= 255
+            out.append(rem)
+        out += src
+        return bytes(out)
+
+
+def _frame(ftype: int, payload: bytes, compress: bool = False) -> bytes:
+    if compress:
+        comp = bytearray([0x00])  # compression format 0 = LZ4 block
+        _put_uvarint(comp, len(payload))
+        comp += _lz4_block_compress(payload)
+        if len(comp) < len(payload):
+            code = 0x40 | (ftype << 4) | (len(comp) & 0x0F)
+            out = bytearray([code])
+            _put_uvarint(out, len(comp) >> 4)
+            out += comp
+            return bytes(out)
     code = (ftype << 4) | (len(payload) & 0x0F)
     out = bytearray([code])
     _put_uvarint(out, len(payload) >> 4)
@@ -602,9 +648,12 @@ def _frame(ftype: int, payload: bytes) -> bytes:
     return bytes(out)
 
 
-def encode_zng(rows, schema) -> bytes:
+def encode_zng(rows, schema, compress: bool = True) -> bytes:
     """Encode an iterable of Rows/dicts with a Spark schema as one
-    ZNG stream (types frame + values frames + end-of-stream)."""
+    ZNG stream (types frame + values frames + end-of-stream). Values
+    frames are LZ4-compressed by default like the reference writer
+    (zio/zngio/writer.go compression default); compress=False matches
+    `-zng.compress=false`."""
     defs: list[bytes] = []
     memo: dict[str, int] = {}
     top = _schema_typedefs(schema, defs, memo)
@@ -616,10 +665,10 @@ def encode_zng(rows, schema) -> bytes:
         _put_uvarint(vals, top)
         _append_tagged(vals, _encode_body(row, schema))
         if len(vals) >= 512 * 1024:  # DefaultFrameThresh (writer.go:14)
-            out += _frame(1, bytes(vals))
+            out += _frame(1, bytes(vals), compress)
             vals = bytearray()
     if vals:
-        out += _frame(1, bytes(vals))
+        out += _frame(1, bytes(vals), compress)
     out.append(0xFF)
     return bytes(out)
 

@@ -441,6 +441,14 @@ def _apply_type(v, typ: str):
         return bool(v) if v is not None else None
     if typ == "string":
         return str(v) if v is not None else None
+    if typ.startswith("enum(") and typ.endswith(")") and isinstance(v, str):
+        # enum symbols (%sym) ride as strings, but membership is
+        # validated like the reference (zson/parser.go enum lookup)
+        sym = v[1:] if v.startswith("%") else v
+        members = [s.strip() for s in typ[5:-1].split(",")]
+        if sym not in members:
+            raise ZsonError(f'symbol "{sym}" not a member of type "{typ}"')
+        return sym
     # unions / complex / unknown decorators: keep the parsed value
     return v
 
