@@ -206,7 +206,7 @@ def test_fork_legs_fused(z):
 def test_user_func_and_const(z, spark):
     df = spark.createDataFrame([(2, 10.0)], "n long, price double")
     got = z.query(
-        "func markup(x, pct): (x * (1 + pct / 100)) const RATE = 7 "
+        "func markup(x, pct): (x * (1 + pct / 100.0)) const RATE = 7 "
         "from t | yield {m: markup(price, RATE)}",
         tables={"t": df},
     ).df

@@ -319,8 +319,6 @@ UNSUPPORTED.update(
             "[errval]",
             "expr/function/split": "split of an absent field is "
             "error('missing') [errval]",
-            "expr/function/strftime": "format-string compile errors as "
-            "values [errval]",
             "expr/function/typeof": "per-row type identity (int32 vs "
             "int64, named types) is widened away [shape]",
         }.items()
@@ -399,7 +397,6 @@ UNSUPPORTED.update(
             "values (this[expr] targets) " + _S,
             "ztests/cut-rename-nested": "cut of a union-typed source "
             "(record|array per row) " + _U,
-            "ztests/put-6": "error('dividebyzero') value " + _E,
             "ztests/put-dynamic-field": "runtime field names " + _S,
             "ztests/rename-dynamic-field": "runtime field names " + _S,
             "ztests/user-join": _LAKE,

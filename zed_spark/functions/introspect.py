@@ -134,6 +134,124 @@ def under(e: Column) -> Column:
     return e
 
 
+def _union_members(t: T.DataType):
+    """(tag-field?, member fields) of a tagged-union struct
+    (union.py convention: tag + v*/e* alternatives), else None."""
+    import re as _re
+
+    if (
+        isinstance(t, T.StructType)
+        and t.fields
+        and t.fields[0].name == "tag"
+        and len(t.fields) > 1
+        and all(_re.fullmatch(r"[ve]\d*", f.name) for f in t.fields[1:])
+    ):
+        return t.fields[1:]
+    return None
+
+
+def kind_expr(col: Column, t: T.DataType | None) -> Column:
+    """kind(v) per value (function/kind.go): primitive | record |
+    array | map | union | error. Static per type, except union
+    carriers dispatch on the tag (e-alternatives are error values;
+    a single v-member means the union only exists to carry errors,
+    so the v side reports its member kind, not 'union')."""
+    members = _union_members(t) if t is not None else None
+    if members is not None:
+        vmembers = [
+            (i, f) for i, f in enumerate(members) if f.name.startswith("v")
+        ]
+        if len(vmembers) == 1:
+            i, f = vmembers[0]
+            inner = kind_expr(col.getField(f.name), f.dataType)
+            return F.when(
+                col.getField("tag") == i, inner
+            ).otherwise(F.lit("error"))
+        # a real zed union: e-members are still error values per row
+        out = F.lit("union")
+        for i, f in enumerate(members):
+            if f.name.startswith("e"):
+                out = F.when(
+                    col.getField("tag") == i, F.lit("error")
+                ).otherwise(out)
+        return out
+    if isinstance(t, T.StructType):
+        return F.lit("record")
+    if isinstance(t, T.ArrayType):
+        return F.lit("array")
+    if isinstance(t, T.MapType):
+        return F.lit("map")
+    return F.lit("primitive")
+
+
+def has_error_expr(col: Column, t: T.DataType | None) -> Column:
+    """has_error(v) (function/haserror.go): true when the value IS or
+    CONTAINS an error — a static recursive walk over the type,
+    checking union tags at runtime."""
+    members = _union_members(t) if t is not None else None
+    if members is not None:
+        cond = F.lit(False)
+        for i, f in enumerate(members):
+            active = col.getField("tag") == i
+            if f.name.startswith("e"):
+                cond = cond | active
+            else:
+                inner = has_error_expr(col.getField(f.name), f.dataType)
+                cond = cond | (active & inner)
+        return F.coalesce(cond, F.lit(False))
+    if isinstance(t, T.StructType):
+        cond = F.lit(False)
+        for f in t.fields:
+            cond = cond | has_error_expr(col.getField(f.name), f.dataType)
+        return F.coalesce(cond, F.lit(False))
+    if isinstance(t, T.ArrayType):
+        if _contains_error(t.elementType):
+            return F.coalesce(
+                F.exists(col, lambda x: has_error_expr(x, t.elementType)),
+                F.lit(False),
+            )
+        return F.lit(False)
+    if isinstance(t, T.MapType):
+        if _contains_error(t.valueType):
+            return F.coalesce(
+                F.exists(
+                    F.map_values(col),
+                    lambda x: has_error_expr(x, t.valueType),
+                ),
+                F.lit(False),
+            )
+        return F.lit(False)
+    return F.lit(False)
+
+
+def _contains_error(t: T.DataType) -> bool:
+    members = _union_members(t)
+    if members is not None:
+        return any(f.name.startswith("e") for f in members) or any(
+            _contains_error(f.dataType) for f in members
+        )
+    if isinstance(t, T.StructType):
+        return any(_contains_error(f.dataType) for f in t.fields)
+    if isinstance(t, T.ArrayType):
+        return _contains_error(t.elementType)
+    if isinstance(t, T.MapType):
+        return _contains_error(t.valueType)
+    return False
+
+
+def is_error_expr(col: Column, t: T.DataType | None) -> Column:
+    """is_error(v): the value itself is an error (not merely contains
+    one) — an active e-alternative on a union carrier."""
+    members = _union_members(t) if t is not None else None
+    if members is None:
+        return F.lit(False)
+    cond = F.lit(False)
+    for i, f in enumerate(members):
+        if f.name.startswith("e"):
+            cond = cond | (col.getField("tag") == i)
+    return F.coalesce(cond, F.lit(False))
+
+
 def parse_zson(spark, s: Column, schema: str) -> Column:
     """parse_zson analog: parse a serialized text value into a typed
     value. ZSON itself is not ported (SURVEY §1.4); the engine's

@@ -955,10 +955,43 @@ class Compiler:
                 return l - r
             if op == "*":
                 return l * r
-            if op == "/":
+            if op in ("/", "%"):
+                ints = {"byte", "short", "integer", "long"}
+                lt = self._type_of(e[2], df)
+                rt = self._type_of(e[3], df)
+                l_int = lt is None or lt.typeName() in ints
+                r_int = rt is None or rt.typeName() in ints
+                if (
+                    e[3][0] == "num"
+                    and isinstance(e[3][1], int)
+                    and e[3][1] == 0
+                    and l_int
+                ):
+                    # integer division by a literal zero: the
+                    # reference's error("divide by zero") value
+                    # (expressions.md:23; ztest op/put-6). Column
+                    # denominators that hit zero at runtime remain a
+                    # documented gap (result type would have to be a
+                    # union for every division).
+                    est = T.StructType(
+                        [
+                            T.StructField("tag", T.IntegerType()),
+                            T.StructField("v0", T.LongType()),
+                            T.StructField("e0", T.StringType()),
+                        ]
+                    )
+                    return F.struct(
+                        F.lit(1).alias("tag"),
+                        F.lit(None).cast("long").alias("v0"),
+                        F.lit("divide by zero").alias("e0"),
+                    ).cast(est)
+                if op == "%":
+                    return l % r
+                if l_int and r_int and lt is not None and rt is not None:
+                    # int/int is integer division (Go semantics;
+                    # vam/op/ztests/arith.yaml: int ops stay int)
+                    return (l / r).cast("long")
                 return l / r
-            if op == "%":
-                return l % r
         if kind == "un":
             v = self.expr(e[2], df)
             return ~v if e[1] == "not" else -v
@@ -1771,6 +1804,7 @@ class Compiler:
         df: DataFrame,
         accepted_null: str = "pass",
         untyped_null_error: str | None = None,
+        value_errors: Callable | None = None,
     ) -> Column:
         """Error-aware typed function dispatch (zed errors-are-data,
         WrapError in runtime/sam/expr/function/*). specs is one
@@ -1803,6 +1837,10 @@ class Compiler:
         for col, dt, accept, msg in specs:
             if dt is not None and (is_union_type(dt) or not accept(dt)):
                 plain = False
+        if value_errors is not None:
+            # VALUE-level failure modes (e.g. a bad strftime pattern
+            # in a well-typed string) always need the union result
+            plain = False
         if plain and accepted_null in ("pass", "empty"):
             cols = [c for c, _d, _a, _m in specs]
             if accepted_null == "empty":
@@ -1896,6 +1934,10 @@ class Compiler:
             err_slots.append(
                 (T.StringType(), null_any, F.lit(accepted_null[6:]))
             )
+        if value_errors is not None:
+            # appended AFTER arg-type slots so in-order arg checks
+            # win, like the reference
+            err_slots.extend(value_errors(ok_cols))
         try:
             result = apply(*ok_cols)
             rdt = df.select(result.alias("__t")).schema[0].dataType
@@ -2266,6 +2308,45 @@ class Compiler:
 
             path = ".".join(args[0][1]) if args and args[0][0] == "field" else None
             return typeof_col(df, path)
+        if name == "kind" and len(args) == 1:
+            from zed_spark.functions.introspect import kind_expr
+
+            return kind_expr(
+                self.expr(args[0], df), self._type_of(args[0], df)
+            )
+        if name == "has_error" and len(args) == 1:
+            from zed_spark.functions.introspect import has_error_expr
+
+            return has_error_expr(
+                self.expr(args[0], df), self._type_of(args[0], df)
+            )
+        if name == "is_error" and len(args) == 1:
+            from zed_spark.functions.introspect import is_error_expr
+
+            return is_error_expr(
+                self.expr(args[0], df), self._type_of(args[0], df)
+            )
+        if name == "nameof" and len(args) == 1:
+            # named types are widened away (SURVEY §1.2): the column's
+            # own name is the nearest static analog
+            from zed_spark.functions.introspect import nameof as _nameof
+
+            if args[0][0] == "field":
+                return _nameof(df, ".".join(args[0][1]))
+            return F.lit(None).cast("string")
+        if name == "parse_zson" and len(args) == 1:
+            # literal form: parse driver-side and embed the value
+            # (per-row dynamic result types are a documented gap)
+            if args[0][0] != "str":
+                raise ValueError(
+                    "parse_zson: only string-literal args are supported "
+                    "(per-row result types are dynamic)"
+                )
+            from zed_spark.sources.zson import parse_zson as _pz
+
+            vals = _pz(args[0][1])
+            v = vals[0] if vals else None
+            return self._literal_value(v)
         if name == "flatten":
             from zed_spark.functions.flatten import flatten_col, flatten_record
 
@@ -2362,8 +2443,6 @@ class Compiler:
             # classful IPv4 default mask (ip.go:24-30: class A /8,
             # B /16, C /24); non-IPv4 input is a first-class error
             # (groupby ztest mixed-output-types)
-            from pyspark.sql import types as T
-
             from zed_spark.functions.ip import network_of as _netof
 
             addr = self.expr(args[0], df)
@@ -2408,6 +2487,74 @@ class Compiler:
                     ).alias("e0"),
                 )
             )
+        if name == "strftime" and len(args) == 2:
+            # C-style strftime (time.go; docs/language/functions/
+            # strftime.md). Literal formats validate at compile time
+            # and take the JVM date_format path when translatable;
+            # column formats go through the Pandas renderer with
+            # pattern errors surfaced as first-class error values.
+            from zed_spark.functions import ztime as _zt
+
+            is_str = lambda dt: dt.simpleString() == "string"  # noqa: E731
+            is_time = lambda dt: dt.typeName().startswith("timestamp")  # noqa: E731
+            fmsg = "strftime: string value required for format arg"
+            vmsg = "strftime: time value required for time arg"
+            fcol, vcol = self.expr(args[0], df), self.expr(args[1], df)
+            fdt, vdt = self._type_of(args[0], df), self._type_of(args[1], df)
+            specs = [(fcol, fdt, is_str, fmsg), (vcol, vdt, is_time, vmsg)]
+            if args[0][0] == "str":
+                bad = _zt.strftime_pattern_error(args[0][1])
+                if bad is not None:
+                    est = T.StructType(
+                        [
+                            T.StructField("message", T.StringType()),
+                            T.StructField("on", T.StringType()),
+                        ]
+                    )
+                    return F.struct(
+                        F.lit(1).alias("tag"),
+                        F.lit(None).cast("string").alias("v0"),
+                        F.struct(
+                            F.lit(_zt.strftime_compile_message(bad)).alias(
+                                "message"
+                            ),
+                            F.lit(args[0][1]).alias("on"),
+                        ).cast(est).alias("e0"),
+                    )
+                jp = _zt.java_pattern(args[0][1])
+                lit_fmt = args[0][1]
+                app = (
+                    (lambda f_, v: F.date_format(v, jp))
+                    if jp is not None
+                    else (lambda f_, v: _zt.strftime_dyn(f_, v))
+                )
+                return self._typed_call(specs, app, df)
+
+            def _ve(ok_cols):
+                bad_tok = _zt.strftime_bad_token(ok_cols[0])
+                est = T.StructType(
+                    [
+                        T.StructField("message", T.StringType()),
+                        T.StructField("on", T.StringType()),
+                    ]
+                )
+                cond = bad_tok.isNotNull() & (bad_tok != "")
+                val = F.struct(
+                    F.concat(
+                        F.lit(
+                            "strftime: failed to compile format: pattern "
+                            "compilation failed: lookup failed: '"
+                        ),
+                        bad_tok,
+                        F.lit("' was not found in specification set"),
+                    ).alias("message"),
+                    ok_cols[0].alias("on"),
+                )
+                return [(est, cond, val)]
+
+            return self._typed_call(
+                specs, _zt.strftime_dyn, df, value_errors=_ve
+            )
         typed = self._typed_specs(name, len(args))
         if typed is not None:
             accepts_msgs, apply, policy = typed
@@ -2426,6 +2573,44 @@ class Compiler:
         if name in self.fns:
             return self.fns[name](*[self.expr(a, df) for a in args])
         raise ValueError(f"unknown function {name!r}")
+
+    def _literal_value(self, v) -> Column:
+        """Embed a driver-side Python value (from a literal parse) as
+        a Column expression."""
+        from zed_spark.sources.zson import TypedNull, ZError, ZMap
+
+        if isinstance(v, TypedNull):
+            try:
+                return F.lit(None).cast(v.dtype)
+            except Exception:
+                return F.lit(None).cast("string")
+        if v is None:
+            return F.lit(None).cast("string")
+        if isinstance(v, ZError):
+            est = T.StructType(
+                [
+                    T.StructField("tag", T.IntegerType()),
+                    T.StructField("v0", T.StringType()),
+                    T.StructField("e0", T.StringType()),
+                ]
+            )
+            return F.struct(
+                F.lit(1).alias("tag"),
+                F.lit(None).cast("string").alias("v0"),
+                self._literal_value(v.value).cast("string").alias("e0"),
+            ).cast(est)
+        if isinstance(v, ZMap):
+            return F.map_from_arrays(
+                F.array(*[self._literal_value(k) for k in v]),
+                F.array(*[self._literal_value(x) for x in v.values()]),
+            )
+        if isinstance(v, dict):
+            return F.struct(
+                *[self._literal_value(x).alias(k) for k, x in v.items()]
+            )
+        if isinstance(v, (list, tuple)):
+            return F.array(*[self._literal_value(x) for x in v])
+        return F.lit(v)
 
     @staticmethod
     def _typed_specs(name: str, nargs: int):
