@@ -342,7 +342,6 @@ UNSUPPORTED.update(
             "[shape]",
             "union-cast": "cast to union preserving per-row member "
             "identity [union]",
-            "zeek-to-zson": "IPv6 values in zeek conversion [shape]",
             "zson-to-zeek": "zeek OUTPUT format golden [script]",
         }.items()
     }
@@ -632,6 +631,19 @@ def _run_script_case(spark, case: dict, path: str):
                     return parse_zng(data)
                 return parse_zson(data)
 
+            def zeek_df(text):
+                # zeek TSV blob → temp file through the zeek reader,
+                # like the reference's format auto-detection
+                import tempfile
+
+                from zed_spark.sources.readers import read_zeek_tsv
+
+                with tempfile.NamedTemporaryFile(
+                    "w", suffix=".log", delete=False
+                ) as tf:
+                    tf.write(text)
+                return read_zeek_tsv(spark, tf.name)
+
             df = wrapped = None
             outfile = None
             for query, includes, infiles, outfile, ifmt, ofile, flags in stages:
@@ -647,10 +659,21 @@ def _run_script_case(spark, case: dict, path: str):
                             if echo_text is not None
                             else files.get("stdin", case.get("input", ""))
                         )
+                        if isinstance(src, str) and src.lstrip().startswith(
+                            "#separator"
+                        ):
+                            df, wrapped = zeek_df(src), False
+                            continue
                         vals.extend(blob_vals(src, ifmt))
                     else:
+                        raw = files[f]
+                        if isinstance(raw, str) and raw.lstrip().startswith(
+                            "#separator"
+                        ):
+                            df, wrapped = zeek_df(raw), False
+                            continue
                         fmt = "zng" if f.endswith(".zng") else ifmt
-                        vals.extend(blob_vals(files[f], fmt))
+                        vals.extend(blob_vals(raw, fmt))
                 if vals:
                     df, wrapped = _to_df(spark, vals)
                 if df is None and not vals and not query.lstrip().startswith("from"):

@@ -139,7 +139,7 @@ def _sniff_format(path: str) -> str:
 
 _ZEEK_TYPES = {
     "time": T.DoubleType(),      # epoch seconds w/ fraction; converted below
-    "interval": T.DoubleType(),
+    "interval": T.LongType(),    # → int64 ns duration (zeek-compat.md)
     "count": T.LongType(),
     "int": T.LongType(),
     "double": T.DoubleType(),
@@ -149,6 +149,42 @@ _ZEEK_TYPES = {
     "port": T.IntegerType(),
     "enum": T.StringType(),
 }
+
+
+def _zeek_unescape(v: str | None) -> str | None:
+    """Decode zeek's \\xNN byte escapes (ascii writer escaping):
+    escaped bytes join the surrounding text and the result decodes as
+    UTF-8 (multi-byte sequences span several escapes)."""
+    if v is None or "\\x" not in v:
+        return v
+    b = bytearray()
+    i, n = 0, len(v)
+    while i < n:
+        if v[i] == "\\" and i + 3 < n and v[i + 1] == "x":
+            try:
+                b.append(int(v[i + 2 : i + 4], 16))
+                i += 4
+                continue
+            except ValueError:
+                pass
+        b += v[i].encode("utf-8")
+        i += 1
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return b.decode("latin-1")
+
+
+def _zeek_unescape_col(c):
+    """Escape decode as a Column: cheap JVM guard (contains '\\x')
+    around an Arrow-batched UDF so clean strings never leave the JVM."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _un(s):
+        return s.map(_zeek_unescape)
+
+    return F.when(c.contains("\\x"), _un(c)).otherwise(c)
 
 
 def read_zeek_tsv(spark: SparkSession, path: str) -> DataFrame:
@@ -213,12 +249,24 @@ def read_zeek_tsv(spark: SparkSession, path: str) -> DataFrame:
     for name, zt in zip(fields, ztypes):
         c = F.col(f"`{name}`")
         base = zt.split("[", 1)[0]  # vector[...] stays string csv
-        if zt.startswith(("set[", "vector[")):
+        if zt.startswith("set["):
+            # zed's zeekio canonicalizes set element order
+            # (zeek-compat.md; ztest zson/zeek-to-zson)
+            df = df.withColumn(name, F.array_sort(F.split(c, ",")))
+        elif zt.startswith("vector["):
             df = df.withColumn(name, F.split(c, ","))
         elif base == "time":
             df = df.withColumn(name, c.cast("double").cast("timestamp"))
+        elif base == "interval":
+            # zeek interval (seconds) → int64 ns duration, the zed
+            # duration model (zeek-compat.md interval row)
+            df = df.withColumn(
+                name, (c.cast("double") * F.lit(1_000_000_000)).cast("long")
+            )
         elif base == "bool":
             df = df.withColumn(name, c == "T")
+        elif base == "string":
+            df = df.withColumn(name, _zeek_unescape_col(c))
         elif base in _ZEEK_TYPES:
             df = df.withColumn(name, c.cast(_ZEEK_TYPES[base]))
     # zed's zeekio nests dotted field names into records
