@@ -47,8 +47,15 @@ HEADLINE = [
     "zq_filter_agg",
 ]
 
-# round-3+ additions, timed and reported separately
-NEW_QUERIES: list[str] = ["dedup_clusters"]
+# round-3+ additions, timed and reported separately. Entries outside
+# the graded 50-query registry resolve via EXTRA_QUERIES.
+NEW_QUERIES: list[str] = ["dedup_clusters", "ann_ivf_topk"]
+
+
+def _extra_queries() -> dict:
+    from zed_spark import queries_text as qt
+
+    return {"ann_ivf_topk": qt.ann_ivf_q}
 
 
 # key columns shifted per copy when synthesizing a scaled dataset, so
@@ -115,6 +122,7 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     queries = entry_mod.queries()
+    queries.update(_extra_queries())
     times: dict[str, float] = {}
     # untimed warm-up pass: JIT-compile the generated code for every
     # query shape (steady-state throughput is what matters at scale —

@@ -88,6 +88,34 @@ def test_ann_contains_topk_of_its_bucket(emb):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_ivf_topk_recall(emb):
+    """IVF cells + nprobe probing recover most of the exact top-k,
+    and the query's own cell is always probed (rank 1 matches)."""
+    from zed_spark.textops.similarity import ivf_topk
+
+    qv = [float(x) for x in emb.first()["embedding"]]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, qv, 10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(emb, qv, 10, nprobe=4).collect()]
+    assert approx[0] == exact[0]
+    assert len(set(approx) & set(exact)) >= 6  # recall@10 ≥ 0.6
+    sims = [r["cosine"] for r in ivf_topk(emb, qv, 10, nprobe=4).collect()]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_assign_partitions_corpus(emb):
+    """Every vector lands in exactly one cluster; cluster count is
+    bounded by k; the assignment column is plan-prunable (an int)."""
+    from zed_spark.textops.similarity import ivf_assign, ivf_train
+
+    C = ivf_train(emb, n_clusters=8)
+    assigned = ivf_assign(emb, C)
+    n = emb.count()
+    assert assigned.count() == n
+    cl = assigned.groupBy("cluster").count().collect()
+    assert 1 <= len(cl) <= 8
+    assert sum(r["count"] for r in cl) == n
+
+
 def test_fast_kernels_match_exact_fold(emb):
     """numpy batch kernels agree with the interpreted fold to float
     tolerance, and the gram-matrix bucketed pairs find the same

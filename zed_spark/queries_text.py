@@ -183,6 +183,20 @@ def ann_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
     return ann_topk(emb, qv, k=10, n_planes=4)
 
 
+def ann_ivf_q(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN scale path #2: IVF (k-means inverted file, the FAISS
+    recipe) — train a coarse quantizer on a bounded sample, assign
+    each vector to its nearest cell (one matmul per Arrow batch
+    against broadcast centroids), probe only the cells nearest the
+    query. No SQL oracle (cell construction is engine-specific);
+    recall vs brute force is pytest-checked."""
+    from zed_spark.textops.similarity import ivf_topk
+
+    emb = read_table(spark, sf, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_topk(emb, qv, k=10, nprobe=4)
+
+
 def text_analysis_q(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document text analysis: language id (stopword-ratio
     n-gram heuristic), token count, quality signals, and a rolling

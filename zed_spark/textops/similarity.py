@@ -355,3 +355,101 @@ def ann_topk(
     q_bucket = int(signs.astype(np.int64) @ weights)
     candidates = corpus.filter(lsh_bucket_fast(F.col(vec_col), n_planes) == q_bucket)
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col, exact_fold=False)
+
+
+# --- IVF (inverted-file) ANN — the k-means-bucketed scale path -------------
+
+
+def ivf_train(
+    corpus: DataFrame,
+    n_clusters: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 8192,
+    iters: int = 8,
+):
+    """Coarse quantizer: Lloyd k-means over a driver-side sample.
+
+    100 TB design: training reads a bounded SAMPLE (first `sample`
+    rows by id — deterministic), which is the standard IVF recipe
+    (FAISS trains on a sample too); only the k×dim centroid matrix
+    ever lives on the driver, and it broadcasts to executors for
+    assignment. Deterministic: evenly-strided init over the sorted
+    sample, no RNG.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(vec_col).orderBy(id_col).limit(sample).collect()
+    )
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    n = len(X)
+    k = n_clusters or max(2, int(np.sqrt(n)))
+    k = min(k, n)
+    C = X[np.linspace(0, n - 1, k).astype(int)].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Tag each vector with its nearest-centroid cluster id — one
+    matmul per Arrow batch against the broadcast centroid matrix.
+    Writing the result partitioned/bucketed by `cluster` makes the
+    probe filter partition-prunable at scale."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = np.einsum("ij,ij->i", C, C)
+
+    @pandas_udf("int")
+    def _assign(s):
+        import pandas as pd
+
+        if len(s) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.stack(s.values).astype(np.float64)
+        # argmin ||x-c||² = argmin c·c - 2 x·c (x·x constant per row)
+        d = c2[None, :] - 2.0 * (M @ C.T)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return corpus.withColumn("cluster", _assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int | None = None,
+    nprobe: int = 4,
+    centroids=None,
+) -> DataFrame:
+    """IVF ANN top-k: assign the corpus to k-means cells, scan only
+    the `nprobe` cells nearest the query, rank those exactly.
+
+    Pass a pre-trained `centroids` matrix to skip training (the
+    at-scale pattern: train once, assign once, store partitioned by
+    cluster; per-query cost is then nprobe partition scans)."""
+    import numpy as np
+
+    if centroids is None:
+        centroids = ivf_train(corpus, n_clusters, id_col, vec_col)
+    C = np.asarray(centroids, dtype=np.float64)
+    qv = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    d2 = ((C - qv[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in d2.argsort()[: max(1, nprobe)]]
+    assigned = ivf_assign(corpus, C, id_col, vec_col)
+    cands = assigned.filter(F.col("cluster").isin(probes))
+    return brute_force_topk(cands, query_vec, k, id_col, vec_col, exact_fold=False)
