@@ -266,8 +266,6 @@ UNSUPPORTED.update(
         for k, v in {
             "enum": "enum types (symbol index + values) are widened "
             "to strings [shape]",
-            "mixed-primitive-alias": "named-type aliases over mixed "
-            "primitives [shape]",
         }.items()
     }
 )
@@ -650,6 +648,7 @@ def _run_script_case(spark, case: dict, path: str):
                 inc_text = "\n".join(files[n] for n in includes)
                 query = f"{inc_text}\n{query}" if query else (inc_text or "pass")
                 vals = []
+                parts = []  # DataFrames from non-ZSON readers (zeek)
                 for f in infiles:
                     if f == "-":
                         if df is not None:
@@ -662,7 +661,7 @@ def _run_script_case(spark, case: dict, path: str):
                         if isinstance(src, str) and src.lstrip().startswith(
                             "#separator"
                         ):
-                            df, wrapped = zeek_df(src), False
+                            parts.append(zeek_df(src))
                             continue
                         vals.extend(blob_vals(src, ifmt))
                     else:
@@ -670,12 +669,22 @@ def _run_script_case(spark, case: dict, path: str):
                         if isinstance(raw, str) and raw.lstrip().startswith(
                             "#separator"
                         ):
-                            df, wrapped = zeek_df(raw), False
+                            parts.append(zeek_df(raw))
                             continue
                         fmt = "zng" if f.endswith(".zng") else ifmt
                         vals.extend(blob_vals(raw, fmt))
+                vw = False
                 if vals:
-                    df, wrapped = _to_df(spark, vals)
+                    vdf, vw = _to_df(spark, vals)
+                    parts.append(vdf)
+                if len(parts) == 1:
+                    df, wrapped = parts[0], vw
+                elif len(parts) > 1:
+                    # mixed-format inputs on one command line: merge
+                    # shapes like the reference's multi-file read
+                    from zed_spark.operators.fuse import fuse_dataframes
+
+                    df, wrapped = fuse_dataframes(parts), False
                 if df is None and not vals and not query.lstrip().startswith("from"):
                     # inputless invocation: the query runs against a
                     # single null value (ztest.go: `super query -c
