@@ -172,12 +172,7 @@ def minhash_lsh_pairs(
     # texts only — so these joins broadcast)
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a_sh = ex.select(F.col("id").alias("id_a"), F.col("sh"))
-    # prune the right side to candidate ids BEFORE the (id, shingle)
-    # shuffle — at scale the candidate set is a sliver of the corpus,
-    # so this turns a full-corpus shuffle into a candidate-only one
-    b_sh = ex.select(F.col("id").alias("id_b"), F.col("sh")).join(
-        F.broadcast(pairs.select("id_b").distinct()), "id_b", "left_semi"
-    )
+    b_sh = ex.select(F.col("id").alias("id_b"), F.col("sh"))
     common = (
         F.broadcast(pairs)
         .join(a_sh, "id_a")
