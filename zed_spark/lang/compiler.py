@@ -198,6 +198,7 @@ class Compiler:
             # (reference cut accepts full assignments, cut.md); exprs
             # are frozen against the INPUT in one withColumns, then
             # everything projects in argument order
+            from zed_spark.schema import path_nullable as _path_nullable
             from zed_spark.schema import path_type
 
             tmps, specs, missing = {}, [], []
@@ -248,13 +249,15 @@ class Compiler:
                     target = alias or e.split(".")[-1]
                     specs.append(f"{target}:={tmp}")
                     missing.append(target)
-                elif isinstance(path_type(df.schema, e), T.StructType):
-                    # struct-typed source: unlike primitives, widening
-                    # PRESERVES per-row presence for records (absent →
-                    # null struct, present-empty → non-null {}), so
-                    # cut can yield the reference's per-row
-                    # error("missing") (ztest op/cut-empty-record)
-                    # as an e-alternative union
+                elif isinstance(path_type(df.schema, e), T.StructType) and _path_nullable(df.schema, e):
+                    # NULLABLE struct source: widening PRESERVES
+                    # per-row presence for records (absent → null
+                    # struct, present-empty → non-null {}), so cut
+                    # yields the reference's per-row error("missing")
+                    # (ztest op/cut-empty-record) as an e-alternative
+                    # union. Non-nullable structs are statically
+                    # always-present — no wrap, so chained nested cuts
+                    # keep resolving (zeekio shared-context-bug-2)
                     st_v = path_type(df.schema, e)
                     c = self.expr(("field", e.split(".")), df)
                     flds = [("v0", st_v), ("e1", T.StringType())]

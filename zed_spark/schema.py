@@ -270,6 +270,23 @@ def path_type(schema: T.StructType, path: str) -> T.DataType | None:
     return cur
 
 
+def path_nullable(schema: T.StructType, path: str) -> bool:
+    """Whether any step of `path` is nullable — i.e. whether a row
+    could be absent/null at this path. Non-nullable paths are
+    statically always-present, so per-row error('missing') handling
+    is provably unnecessary for them."""
+    parts = split_path(path)
+    cur: T.DataType = schema
+    for p in parts:
+        if not isinstance(cur, T.StructType) or p not in cur.fieldNames():
+            return True
+        f = cur[p]
+        if f.nullable:
+            return True
+        cur = f.dataType
+    return False
+
+
 def _set_in(col: Column, dt: T.DataType, parts: list[str], value: Column) -> Column:
     """New value for `col` (of type dt) with `parts` set to value.
     Creates intermediate records through nulls and replaces

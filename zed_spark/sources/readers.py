@@ -136,141 +136,6 @@ def _sniff_format(path: str) -> str:
 
 
 # --- zeek TSV (zio/zeekio) -------------------------------------------------
-
-_ZEEK_TYPES = {
-    "time": T.DoubleType(),      # epoch seconds w/ fraction; converted below
-    "interval": T.LongType(),    # → int64 ns duration (zeek-compat.md)
-    "count": T.LongType(),
-    "int": T.LongType(),
-    "double": T.DoubleType(),
-    "bool": T.StringType(),      # zeek T/F; converted below
-    "string": T.StringType(),
-    "addr": T.StringType(),
-    "port": T.IntegerType(),
-    "enum": T.StringType(),
-}
-
-
-def _zeek_unescape(v: str | None) -> str | None:
-    """Decode zeek's \\xNN byte escapes (ascii writer escaping):
-    escaped bytes join the surrounding text and the result decodes as
-    UTF-8 (multi-byte sequences span several escapes)."""
-    if v is None or "\\x" not in v:
-        return v
-    b = bytearray()
-    i, n = 0, len(v)
-    while i < n:
-        if v[i] == "\\" and i + 3 < n and v[i + 1] == "x":
-            try:
-                b.append(int(v[i + 2 : i + 4], 16))
-                i += 4
-                continue
-            except ValueError:
-                pass
-        b += v[i].encode("utf-8")
-        i += 1
-    try:
-        return b.decode("utf-8")
-    except UnicodeDecodeError:
-        return b.decode("latin-1")
-
-
-def _zeek_unescape_col(c):
-    """Escape decode as a Column: cheap JVM guard (contains '\\x')
-    around an Arrow-batched UDF so clean strings never leave the JVM."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("string")
-    def _un(s):
-        return s.map(_zeek_unescape)
-
-    return F.when(c.contains("\\x"), _un(c)).otherwise(c)
-
-
-def read_zeek_tsv(spark: SparkSession, path: str) -> DataFrame:
-    """Read a zeek TSV log: '#fields'/'#types' header lines define the
-    schema (reference: zio/zeekio/parser.go). Header is sniffed
-    driver-side (first KB of one file); data is read distributed.
-    """
-    import glob as _glob
-
-    files = sorted(_glob.glob(path)) or [path]
-    fields: list[str] = []
-    zpath: str | None = None
-    ztypes: list[str] = []
-    sep = "\t"
-    unset = "-"
-    with open(files[0], "r", errors="replace") as f:
-        for line in f:
-            if not line.startswith("#"):
-                break
-            raw = line[1:].rstrip("\n")
-            if raw.startswith("separator"):
-                # the '#separator \x09' line itself is space-delimited
-                # (zeek ascii writer); accept tab too for tolerance.
-                # All later header lines use the DECLARED separator.
-                rest = raw[len("separator"):].lstrip(" \t")
-                if rest:
-                    sep = (
-                        rest.encode().decode("unicode_escape")
-                        if rest.startswith("\\")
-                        else rest
-                    )
-                continue
-            key, _, rest = raw.partition(sep)
-            if key == "unset_field":
-                unset = rest
-            elif key == "path":
-                zpath = rest
-            elif key == "fields":
-                fields = rest.split(sep)
-            elif key == "types":
-                ztypes = rest.split(sep)
-    if not fields:
-        raise ValueError(f"{files[0]}: no '#fields' header — not a zeek log")
-
-    schema = T.StructType(
-        [T.StructField(n, T.StringType(), True) for n in fields]
-    )
-    df = (
-        spark.read.options(sep=sep, comment="#", nullValue=unset)
-        .schema(schema)
-        .csv(path)
-    )
-    if zpath is not None and "_path" not in fields:
-        # zeek injects _path from the '#path' header as the leading
-        # column (zio/zeekio parser.go; ztest jsonio/format)
-        df = df.select(
-            F.lit(zpath).alias("_path"),
-            *[F.col(f"`{n}`") for n in fields],
-        )
-    # apply zeek types (backticks: zeek names like id.orig_h are
-    # flat column names, not nested paths)
-    for name, zt in zip(fields, ztypes):
-        c = F.col(f"`{name}`")
-        base = zt.split("[", 1)[0]  # vector[...] stays string csv
-        if zt.startswith("set["):
-            # zed's zeekio canonicalizes set element order
-            # (zeek-compat.md; ztest zson/zeek-to-zson)
-            df = df.withColumn(name, F.array_sort(F.split(c, ",")))
-        elif zt.startswith("vector["):
-            df = df.withColumn(name, F.split(c, ","))
-        elif base == "time":
-            df = df.withColumn(name, c.cast("double").cast("timestamp"))
-        elif base == "interval":
-            # zeek interval (seconds) → int64 ns duration, the zed
-            # duration model (zeek-compat.md interval row)
-            df = df.withColumn(
-                name, (c.cast("double") * F.lit(1_000_000_000)).cast("long")
-            )
-        elif base == "bool":
-            df = df.withColumn(name, c == "T")
-        elif base == "string":
-            df = df.withColumn(name, _zeek_unescape_col(c))
-        elif base in _ZEEK_TYPES:
-            df = df.withColumn(name, c.cast(_ZEEK_TYPES[base]))
-    # zed's zeekio nests dotted field names into records
-    # (id.orig_h -> id:{orig_h}) — parser.go builds nested types
-    from zed_spark.functions.flatten import nest_dotted
-
-    return nest_dotted(df)
+# moved to zed_spark/sources/zeek.py (reader + writer, container
+# semantics, multi-block support); re-exported here for callers
+from zed_spark.sources.zeek import read_zeek_tsv  # noqa: E402,F401

@@ -38,6 +38,10 @@ def write_any(
         from zed_spark.sources.arrow_io import write_arrows
 
         write_arrows(df, path, **options)
+    elif fmt == "zeek":
+        from zed_spark.sources.zeek import write_zeek
+
+        write_zeek(df, path)
     else:
         raise ValueError(f"unknown sink format {fmt!r}")
 

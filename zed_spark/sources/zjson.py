@@ -222,15 +222,20 @@ def _decode_value(v, t: dict, registry: dict[int, dict]):
         # Reference encoding is a two-element array [tag-string, value]
         # (zio/zjsonio/writer.go:178; reader.go:170 accepts only that
         # form). The "tag:value" string form from an older spec draft
-        # is kept as a legacy fallback.
+        # is kept as a legacy fallback. Tags index the union's
+        # CANONICAL member order (LookupTypeUnion sorts members with
+        # CompareTypes, context.go:200), not the listing order.
+        members = sorted(
+            t["types"], key=lambda m: _type_key(m, registry)
+        )
         if isinstance(v, list) and len(v) == 2 and isinstance(v[0], str):
             tag, inner = v
             if tag.lstrip("-").isdigit():
-                return _decode_value(inner, t["types"][int(tag)], registry)
+                return _decode_value(inner, members[int(tag)], registry)
         if isinstance(v, str):
             tag, _, inner = v.partition(":")
             if tag.lstrip("-").isdigit():
-                return _decode_value(inner, t["types"][int(tag)], registry)
+                return _decode_value(inner, members[int(tag)], registry)
         return v
     if kind == "enum":
         return t["symbols"][int(v)] if isinstance(v, str) and v.isdigit() else v
@@ -239,6 +244,59 @@ def _decode_value(v, t: dict, registry: dict[int, dict]):
     if kind == "named":
         return _decode_value(v, t["type"], registry)
     return _decode_prim(v, t.get("name", "string"))
+
+
+# zed primary type ids (reference type.go:106-138) and kind ranks
+# (type.go:46-55) — the sort key behind CompareTypes (type.go:396)
+_PRIM_IDS = {
+    "uint8": 0, "uint16": 1, "uint32": 2, "uint64": 3, "uint128": 4,
+    "uint256": 5, "int8": 6, "int16": 7, "int32": 8, "int64": 9,
+    "int128": 10, "int256": 11, "duration": 12, "time": 13,
+    "float16": 14, "float32": 15, "float64": 16, "float128": 17,
+    "float256": 18, "decimal32": 19, "decimal64": 20, "decimal128": 21,
+    "decimal256": 22, "bool": 23, "bytes": 24, "string": 25, "ip": 26,
+    "net": 27, "type": 28, "null": 29,
+}
+_KIND_RANK = {
+    "primitive": 0, "record": 1, "array": 2, "set": 3, "map": 4,
+    "union": 5, "enum": 6, "error": 7,
+}
+
+
+def _type_key(t: dict, registry: dict[int, dict]):
+    """Comparable key replicating CompareTypes (type.go:396): kind
+    rank first, then primitive id / structural recursion."""
+    r = _resolve_type(t, registry)
+    if r.get("kind") == "named":
+        # named types order after their underlying type, by name
+        return _type_key(r["type"], registry) + ((r.get("name", ""),))
+    k = _KIND_RANK.get(r.get("kind"), 9)
+    if k == 0:
+        return (0, _PRIM_IDS.get(r.get("name"), 29))
+    if k == 1:
+        fs = r.get("fields", [])
+        return (
+            1,
+            len(fs),
+            tuple(f["name"] for f in fs),
+            tuple(_type_key(f["type"], registry) for f in fs),
+        )
+    if k in (2, 3):
+        return (k, _type_key(r["type"], registry))
+    if k == 4:
+        return (
+            4,
+            _type_key(r["key_type"], registry),
+            _type_key(r["val_type"], registry),
+        )
+    if k == 5:
+        ms = r.get("types", [])
+        return (5, len(ms), tuple(_type_key(m, registry) for m in ms))
+    if k == 6:
+        return (6, tuple(r.get("symbols", [])))
+    if k == 7:
+        return (7, _type_key(r["type"], registry))
+    return (9,)
 
 
 def _collect_defs(t: dict, registry: dict[int, dict]) -> None:
@@ -253,6 +311,25 @@ def _collect_defs(t: dict, registry: dict[int, dict]) -> None:
         _collect_defs(f["type"], registry)
     for m in t.get("types", []):
         _collect_defs(m, registry)
+
+
+def parse_zjson_values(text: str) -> list:
+    """Driver-side ZJSON decode: each line is a {"type","value"}
+    frame; typedefs register by id and refs resolve within the
+    stream (one type context — single-stream text)."""
+    import json as _json
+
+    registry: dict[int, dict] = {}
+    out = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        frame = _json.loads(line)
+        t = frame["type"]
+        _collect_defs(t, registry)
+        out.append(_decode_value(frame["value"], t, registry))
+    return out
 
 
 def read_zjson(spark: SparkSession, path: str) -> dict[str, DataFrame]:

@@ -48,6 +48,7 @@ _TIME = re.compile(
 )
 _DUR = re.compile(r"^[-+]?(\d+(\.\d+)?(ns|us|ms|s|m|h|d|w|y))+$")
 _INT = re.compile(r"^[-+]?\d+$")
+_HEX_BODY = re.compile(r"(?:[0-9a-fA-F]{2})*")
 # ':' is NOT a terminator for ordinary bare values (times and IPv6
 # contain colons); map KEYS parse with key_mode, where it is
 _BARE_END = set(",}]|)( \t\r\n")
@@ -104,12 +105,21 @@ class TypedNull:
         return f"TypedNull({self.dtype})"
 
 
-def _ztype_to_dtype(s: str):
+def _ztype_to_dtype(s: str, env: dict | None = None):
     """zed type syntax → widened Spark DataType (SURVEY §1.2), or
-    None when the syntax isn't recognized."""
+    None when the syntax isn't recognized. `env` carries inline
+    named-type definitions (port=uint16) so later references within
+    the same type string resolve."""
     s = s.strip()
+    env = {} if env is None else env
     if "=" in s and not s.startswith(("{", "|", "[", "(")):
-        s = s.split("=", 1)[1].strip()
+        name, rhs = s.split("=", 1)
+        dt = _ztype_to_dtype(rhs, env)
+        if dt is not None:
+            env[name.strip()] = dt
+        return dt
+    if s in env:
+        return env[s]
     prim = {
         "string": T.StringType(), "ip": T.StringType(), "net": T.StringType(),
         "bool": T.BooleanType(), "bytes": T.BinaryType(),
@@ -122,13 +132,46 @@ def _ztype_to_dtype(s: str):
         return T.LongType()
     if s.startswith("float") or s.startswith("decimal"):
         return T.DoubleType()
-    if s.startswith("[") and s.endswith("]"):
-        inner = _ztype_to_dtype(s[1:-1])
-        return T.ArrayType(inner) if inner is not None else None
     if s.startswith("|[") and s.endswith("]|"):
-        inner = _ztype_to_dtype(s[2:-2])
+        inner = _ztype_to_dtype(s[2:-2], env)
         return T.ArrayType(inner) if inner is not None else None
+    if s.startswith("[") and s.endswith("]"):
+        inner = _ztype_to_dtype(s[1:-1], env)
+        return T.ArrayType(inner) if inner is not None else None
+    if s.startswith("{") and s.endswith("}"):
+        # record type: null({a:[string],b:{c:int64}}) keeps its
+        # structure so fuse/merge sees the full shape
+        fields = []
+        for part in _split_top(s[1:-1], ","):
+            if not part.strip():
+                continue
+            name, _, typ = part.partition(":")
+            name = name.strip()
+            if name.startswith('"') and name.endswith('"'):
+                name = json.loads(name)
+            dt = _ztype_to_dtype(typ, env)
+            if dt is None:
+                return None
+            fields.append(T.StructField(name, dt, True))
+        return T.StructType(fields)
     return None
+
+
+def _split_top(s: str, sep: str) -> list[str]:
+    """Split on `sep` at nesting depth 0 ({[(|)]} aware)."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "{[(":
+            depth += 1
+        elif ch in "}])":
+            depth -= 1
+        if ch == sep and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return out
 
 
 class ZsonError(ValueError):
@@ -332,8 +375,10 @@ class _Parser:
                     _merge_type(self.named[name], t) if name in self.named else t
                 )
             return v
-        if "=" in typ and not typ.startswith("("):
-            # (name=type): define AND apply the stated type
+        if "=" in typ and not typ.startswith(("(", "{", "[", "|")):
+            # (name=type): define AND apply the stated type — but not
+            # when the '=' is nested inside a record/array type
+            # ({a:port=uint16}), which is a structural decorator
             name, rest = typ.split("=", 1)
             v = _apply_type(v, rest)
             t = _infer_type(v)
@@ -379,7 +424,7 @@ def _classify(tok: str):
         return -math.inf
     if tok == "NaN":
         return math.nan
-    if tok.startswith("0x") and len(tok) > 2:
+    if tok.startswith("0x") and len(tok) >= 2 and _HEX_BODY.fullmatch(tok[2:]):
         return bytes.fromhex(tok[2:])
     if _INT.match(tok):
         return int(tok)
@@ -434,7 +479,15 @@ def _apply_type(v, typ: str):
     if typ in _INT_TYPES:
         return int(v) if v is not None else None
     if typ in _FLOAT_TYPES or typ.startswith("decimal"):
-        return float(v) if v is not None else None
+        if v is None:
+            return None
+        if typ == "float16":
+            # round through half precision so 2.2(float16) carries
+            # the reference's stored value (2.19921875)
+            import numpy as np
+
+            return float(np.float16(float(v)))
+        return float(v)
     if typ == "time" and isinstance(v, str):
         return _parse_time(v)
     if typ == "bool":
@@ -652,6 +705,10 @@ def _conform(v, t: T.DataType):
     if v is None:
         return None
     if isinstance(v, ZError):
+        if v.value is None or isinstance(v.value, TypedNull):
+            # error(null(...)): the inner value is null — render as a
+            # null cell (csvio error ztest: blank, not 'error(null)')
+            return None
         iv = _conform(v.value, _infer_type(v.value))
         if isinstance(iv, str):
             iv = json.dumps(iv)
