@@ -1,55 +1,61 @@
-"""Triage reference ztest yamls: run each through the pytest harness
-machinery and bucket pass / fail / error, printing a summary that
-guides battery expansion (VERDICT r02 item 2).
+"""Triage runner: run reference ztest yamls through the pytest
+harness outside pytest, one line per case, so new directories can be
+swept quickly before being added to tests/test_ztests.py.
 
-Usage: python scripts/ztest_triage.py [dir ...]
+Usage: python tools/ztest_triage.py DIR_OR_YAML [...]
 """
 import glob
+import importlib.util
 import os
 import sys
 import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
 
-DIRS = sys.argv[1:] or [
-    "/root/reference/runtime/sam/expr/ztests",
-    "/root/reference/runtime/sam/expr/function/ztests",
-    "/root/reference/runtime/sam/expr/agg/ztests",
-]
+spec = importlib.util.spec_from_file_location(
+    "tz", os.path.join(os.path.dirname(__file__), "..", "tests", "test_ztests.py")
+)
+tz = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(tz)
+
+from zed_spark.session import build_spark  # noqa: E402
 
 
 def main():
-    from pyspark.sql import SparkSession
-
-    spark = (
-        SparkSession.builder.master("local[4]")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "8g")
-        .appName("ztest-triage")
-        .getOrCreate()
+    paths = []
+    for arg in sys.argv[1:]:
+        if os.path.isdir(arg):
+            paths.extend(sorted(glob.glob(os.path.join(arg, "*.yaml"))))
+        else:
+            paths.append(arg)
+    spark = build_spark(app_name="ztest_triage")
+    results = {"pass": [], "fail": [], "err": []}
+    for p in paths:
+        name = "/".join(p.split("/")[-3:])
+        try:
+            tz._run_case(spark, p)
+            results["pass"].append(p)
+            print(f"PASS {name}", flush=True)
+        except AssertionError as e:
+            results["fail"].append(p)
+            msg = str(e).replace("\n", " ")[:240]
+            print(f"FAIL {name}: {msg}", flush=True)
+        except Exception as e:
+            results["err"].append(p)
+            msg = f"{type(e).__name__}: {e}".replace("\n", " ")[:240]
+            print(f"ERR  {name}: {msg}", flush=True)
+            if os.environ.get("ZTRIAGE_TB"):
+                traceback.print_exc()
+        except BaseException as e:
+            # pytest.skip raises a BaseException subclass
+            if type(e).__name__ in ("Skipped", "Skip"):
+                print(f"SKIP {name}: {e}", flush=True)
+            else:
+                raise
+    print(
+        f"\n== {len(results['pass'])} pass, {len(results['fail'])} fail, "
+        f"{len(results['err'])} err / {len(paths)} total"
     )
-    spark.sparkContext.setLogLevel("ERROR")
-
-    import test_ztests as tz
-
-    ok, bad = [], []
-    for d in DIRS:
-        for path in sorted(glob.glob(os.path.join(d, "*.yaml"))):
-            try:
-                tz._run_case(spark, path)
-                ok.append(path)
-                print(f"PASS {path}", flush=True)
-            except Exception as e:
-                msg = traceback.format_exception_only(type(e), e)[-1].strip()
-                bad.append((path, msg[:200]))
-                print(f"FAIL {path}: {msg[:160]}", flush=True)
-    print(f"\n=== {len(ok)} pass / {len(bad)} fail ===")
-    with open("/tmp/ztest_pass.txt", "w") as f:
-        f.write("\n".join(ok))
-    with open("/tmp/ztest_fail.txt", "w") as f:
-        f.write("\n".join(f"{p}\t{m}" for p, m in bad))
 
 
 if __name__ == "__main__":

@@ -46,6 +46,12 @@ def main():
             print(f"ERR  {name}: {msg}", flush=True)
             if os.environ.get("ZTRIAGE_TB"):
                 traceback.print_exc()
+        except BaseException as e:
+            # pytest.skip raises a BaseException subclass
+            if type(e).__name__ in ("Skipped", "Skip"):
+                print(f"SKIP {name}: {e}", flush=True)
+            else:
+                raise
     print(
         f"\n== {len(results['pass'])} pass, {len(results['fail'])} fail, "
         f"{len(results['err'])} err / {len(paths)} total"

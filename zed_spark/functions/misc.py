@@ -40,7 +40,8 @@ def from_base64(e: Column) -> Column:
 
 
 def to_hex(e: Column) -> Column:
-    return F.hex(e)
+    # reference hex() emits lowercase digits (function/hex.go)
+    return F.lower(F.hex(e))
 
 
 def from_hex(e: Column) -> Column:

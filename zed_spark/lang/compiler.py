@@ -35,7 +35,7 @@ def _fn_table() -> dict[str, Callable[..., Column]]:
         "join": lambda a, sep=F.lit(","): zjoin(a, sep),
         "rune_len": F.length, "levenshtein": F.levenshtein,
         "coalesce": F.coalesce, "now": F.current_timestamp,
-        "base64": F.base64, "hex": F.hex,
+        "base64": F.base64, "hex": lambda c: F.lower(F.hex(c)),
         "cidr_match": cidr_match, "network_of": network_of,
         "parse_uri": parse_uri,
         "bucket": bucket,
@@ -109,13 +109,21 @@ class Compiler:
     def apply(self, df: DataFrame | None, node: tuple) -> DataFrame:
         kind = node[0]
         if kind == "from":
+            if len(node) > 2:
+                # explicit `format X`: resolvers that understand a
+                # format hint take it; legacy ones get the bare name
+                try:
+                    return self.resolve(node[1], node[2])
+                except TypeError:
+                    return self.resolve(node[1])
             return self.resolve(node[1])
         if kind == "frommulti" and df is None:
-            # source position: from ( file a  file b ) — resolve each
-            # leg and combine (combine.go implied merge)
+            # source position: from ( file a [=> ops]  file b ) —
+            # resolve each leg, run its sub-pipeline, and combine
+            # (combine.go implied merge)
             from zed_spark.operators.fuse import fuse_dataframes
 
-            legs = [self.resolve(n) for n in node[1]]
+            legs = self._from_legs(df, node[1])
             self._legs = legs
             return fuse_dataframes(legs, unions="tagged")
         if df is None:
@@ -164,6 +172,26 @@ class Compiler:
             e1 = node[1]
             if e1[0] == "str":
                 return self.apply(df, ("where", e1))
+            if e1[0] == "typeval":
+                # a bare type value is a SEARCH: it matches type
+                # values equal to it (search.go type-value terms;
+                # compiler/ztests/search-type-value). Type values
+                # ride as canonical strings here, so this is string
+                # equality over the string leaves.
+                from pyspark.sql import types as _T2
+
+                s = self._render_ztype(e1[1])
+                conds = [
+                    F.col(f"`{f.name}`") == s
+                    for f in df.schema.fields
+                    if isinstance(f.dataType, _T2.StringType)
+                ]
+                if not conds:
+                    return df.filter(F.lit(False))
+                cond = conds[0]
+                for c in conds[1:]:
+                    cond = cond | c
+                return df.filter(cond)
             dt = self._type_of(e1, df)
             if dt is not None and dt.typeName() not in ("boolean", "void"):
                 return self.apply(df, ("yield", [e1]))
@@ -679,6 +707,20 @@ class Compiler:
                 mapping[p] = a
             expanded = [_subst(op_node, mapping) for op_node in body]
             return self._run_sub(df, expanded)
+        if kind == "scope":
+            # parenthesized lexical scope: local const/func decls
+            # overlay the parent's for the body only
+            sub = Compiler(self.spark, self.resolve, input_df=df)
+            sub.user_funcs = dict(getattr(self, "user_funcs", {}))
+            sub.user_funcs.update(node[3])
+            sub.consts = dict(getattr(self, "consts", {}))
+            sub.consts.update(node[2])
+            sub.user_ops = dict(getattr(self, "user_ops", {}))
+            sub.user_types = dict(getattr(self, "user_types", {}))
+            out = df
+            for sn in node[1]:
+                out = sub.apply(out, sn)
+            return out
         if kind == "switch":
             _, selector, cases = node
             from zed_spark.operators.fuse import fuse_dataframes
@@ -714,7 +756,7 @@ class Compiler:
         if kind == "frommulti":
             from zed_spark.operators.fuse import fuse_dataframes
 
-            legs = [self.resolve(n) for n in node[1]]
+            legs = self._from_legs(df, node[1])
             self._legs = legs
             return fuse_dataframes(legs)
         if kind == "merge":
@@ -798,6 +840,22 @@ class Compiler:
             return out.drop("__jk") if not simple else out
         raise ValueError(f"unsupported operator {kind!r}")
 
+    def _from_legs(self, df, legs) -> list[DataFrame]:
+        """Resolve a frommulti's legs: (source-or-None, subops-or-
+        None) — None source is the incoming stream (`pass` leg)."""
+        out = []
+        for src, sub in legs:
+            if src is None:
+                if df is None:
+                    raise ValueError("'pass' source needs an input stream")
+                leg = df
+            else:
+                leg = self.resolve(src)
+            if sub:
+                leg = self._run_sub(leg, sub)
+            out.append(leg)
+        return out
+
     def _run_sub(self, df: DataFrame, pipeline: list[tuple]) -> DataFrame:
         """Run a leg subpipeline on an input frame, sharing declared
         funcs/consts with the parent scope."""
@@ -826,6 +884,17 @@ class Compiler:
         if kind == "dur":
             return F.expr(f"INTERVAL {duration_interval(e[1])}")
         if kind == "field":
+            explicit_this = (
+                len(e[1]) > 1
+                and e[1][0] == "this"
+                and "this" not in df.columns
+            )
+            if explicit_this:
+                # this.a ≡ field a (zed field refs are this-relative)
+                # and NEVER a const — `this.a` bypasses const
+                # shadowing (compiler/ztests/nested-const); a literal
+                # 'this' column (wrapped frame) still wins
+                e = ("field", e[1][1:])
             binds = getattr(self, "_param_binds", None)
             if binds and e[1][0] in binds:
                 # lambda-parameter binding (map(a, f) element)
@@ -833,7 +902,11 @@ class Compiler:
                 for part in e[1][1:]:
                     c = c.getField(part)
                 return c
-            if len(e[1]) == 1 and e[1][0] in getattr(self, "consts", {}):
+            if (
+                not explicit_this
+                and len(e[1]) == 1
+                and e[1][0] in getattr(self, "consts", {})
+            ):
                 return self.expr(self.consts[e[1][0]], df)
             # absent field → missing: zed yields error("missing")
             # (context.go:494); in the widened model that reads as a
@@ -1044,8 +1117,26 @@ class Compiler:
             # zed arrays are 0-based (eval.go:583 getNthFromContainer);
             # negative indices count from the end (slice.go sliceIndex
             # adds len). Strings index to single characters.
-            base = self.expr(e[1], df)
             idx = e[2]
+            if (
+                idx[0] == "field"
+                and len(idx[1]) == 1
+                and idx[1][0] in getattr(self, "consts", {})
+            ):
+                idx = self.consts[idx[1][0]]
+            if e[1] == ("this",) and idx[0] == "str":
+                # this["x.y"]: a top-level field reference by exact
+                # name (eval.go indexRecord on the root record) —
+                # including names containing dots
+                name = idx[1]
+                if name in df.columns:
+                    return F.col(f"`{name}`")
+                if "this" in df.columns:
+                    dt = df.schema["this"].dataType
+                    if dt.typeName() == "struct" and name in dt.fieldNames():
+                        return F.col("this").getField(name)
+                return F.lit(None)
+            base = self.expr(e[1], df)
             if self._is_string(e[1], df):
                 if idx[0] == "num" and isinstance(idx[1], int) and idx[1] >= 0:
                     return F.substring(base, idx[1] + 1, 1)
@@ -1665,6 +1756,37 @@ class Compiler:
         members = self._union_members(col, dt)
         if members is not None:
             return F.coalesce(*[self._zcast(m, t, ddl) for m, t in members])
+        if ddl.replace(" ", "").startswith("struct<tag:int,v0:"):
+            # cast TO a union: tag the value into the member matching
+            # its type (castval.go union cast; compiler/ztests/cast)
+            from pyspark.sql.types import _parse_datatype_string
+
+            st = _parse_datatype_string(ddl)
+            alts = [f for f in st.fields if f.name != "tag"]
+            idx = None
+            if dt is not None:
+                for i, f in enumerate(alts):
+                    if f.dataType.simpleString() == dt.simpleString():
+                        idx = i
+                        break
+                if idx is None:
+                    num = {"byte", "short", "integer", "long", "float", "double"}
+                    for i, f in enumerate(alts):
+                        if f.dataType.typeName() in num and dt.typeName() in num:
+                            idx = i
+                            break
+            if idx is None:
+                idx = 0
+            parts = [F.lit(idx).alias("tag")]
+            for i, f in enumerate(alts):
+                parts.append(
+                    (
+                        col.cast(f.dataType)
+                        if i == idx
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                )
+            return F.struct(*parts)
         if (
             dt is not None
             and dt.typeName() == "array"
@@ -2245,14 +2367,16 @@ class Compiler:
             from zed_spark.functions.grep import grep as grep_fn
 
             pat = args[0]
-            if pat[0] != "str":
+            if pat[0] not in ("str", "glob"):
                 raise ValueError("grep pattern must be a string literal")
             target = (
                 self.expr(args[1], df)
                 if len(args) > 1
                 else F.struct(*[F.col(c) for c in df.columns])
             )
-            return grep_fn(pat[1], target)
+            return grep_fn(
+                pat[1], target, mode="glob" if pat[0] == "glob" else "substring"
+            )
         if name == "bucket":
             from zed_spark.functions.ztime import bucket
 
@@ -2441,7 +2565,8 @@ class Compiler:
             tn = dt.typeName() if dt is not None else "binary"
             if name == "base64":
                 return F.base64(c) if tn == "binary" else F.unbase64(c)
-            return F.hex(c) if tn != "string" else F.unhex(c)
+            # reference hex() emits lowercase digits (bytes.go)
+            return F.lower(F.hex(c)) if tn != "string" else F.unhex(c)
         if name == "network_of" and len(args) == 1:
             # classful IPv4 default mask (ip.go:24-30: class A /8,
             # B /16, C /24); non-IPv4 input is a first-class error

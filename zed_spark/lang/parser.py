@@ -20,6 +20,31 @@ from __future__ import annotations
 
 from zed_spark.lang.lexer import Token, tokenize
 
+
+_SENTINEL = object()
+
+
+def _const_dep_check(e, consts: dict, funcs: dict, name: str) -> None:
+    """const bodies must be data-independent (semantic/op.go: 'const
+    ... cannot have variable dependency'): field/this references are
+    rejected unless the name is a previously declared const."""
+    if not isinstance(e, tuple):
+        return
+    if e[0] == "this" or (
+        e[0] == "field" and e[1] and ".".join(e[1]) not in consts
+        and e[1][0] not in consts
+    ):
+        raise ValueError(
+            f'const "{name}" cannot have variable dependency'
+        )
+    for sub in e[1:]:
+        if isinstance(sub, tuple):
+            _const_dep_check(sub, consts, funcs, name)
+        elif isinstance(sub, list):
+            for x in sub:
+                if isinstance(x, tuple):
+                    _const_dep_check(x, consts, funcs, name)
+
 AGG_FNS = {
     "count", "sum", "avg", "min", "max", "any", "dcount", "collect",
     "union", "and", "or", "collect_map", "fuse",
@@ -45,6 +70,10 @@ class Parser:
         self.user_ops: dict[str, tuple[list[str], list[tuple]]] = {}
         self.types: dict[str, tuple] = {}
         self.user_op_names: set[str] = set()
+        # names declared in each open lexical scope — redefinition
+        # within ONE scope is an error (semantic/op.go 'symbol
+        # redefined'); an inner scope may shadow an outer name
+        self._scope_decls: list[set[str]] = [set()]
 
     # --- token helpers ----------------------------------------------
     def peek(self, k: int = 0) -> Token:
@@ -96,6 +125,12 @@ class Parser:
                     return self.peek(i + 1).text == "on"
             i += 1
 
+    def _declare(self, name: str) -> None:
+        scope = self._scope_decls[-1]
+        if name in scope:
+            raise ValueError(f'symbol "{name}" redefined')
+        scope.add(name)
+
     def parse_decls(self) -> None:
         """Leading func/const/op/type decls of a scope (reference
         semantic/op.go TypeDecl/OpDecl/FuncDecl; statements.md).
@@ -143,16 +178,46 @@ class Parser:
                 p.expect("(")
                 body = p.parse_expr()
                 p.expect(")")
+                p._declare(name)
                 p.funcs[name] = (params, body)
             else:
                 p.next()
                 name = p.next().text
                 p.expect("=")
-                p.consts[name] = p.parse_expr()
+                e = p.parse_expr()
+                _const_dep_check(e, p.consts, p.funcs, name)
+                p._declare(name)
+                p.consts[name] = e
 
     def parse_op(self) -> tuple:
         t = self.peek()
         word = t.text
+        if word == "(" and self.peek(1).text in ("const", "func", "op", "type"):
+            # parenthesized lexical scope with local decls
+            # (compiler/ztests/const-redefined-scope, nested-const):
+            # inner const/func names shadow the outer scope and are
+            # restored at the closing paren
+            self.next()
+            saved_c, saved_f = dict(self.consts), dict(self.funcs)
+            self._scope_decls.append(set())
+            ops = self.parse_pipeline()
+            self._scope_decls.pop()
+            self.expect(")")
+            local_c = {
+                k: v
+                for k, v in self.consts.items()
+                if saved_c.get(k, _SENTINEL) is not v
+            }
+            local_f = {
+                k: v
+                for k, v in self.funcs.items()
+                if saved_f.get(k, _SENTINEL) is not v
+            }
+            self.consts.clear()
+            self.consts.update(saved_c)
+            self.funcs.clear()
+            self.funcs.update(saved_f)
+            return ("scope", ops, local_c, local_f)
         if word == "from" and self.peek(1).text == "(":
             # multi-source from: `from ( file a file b ) | join ...`
             # — each source is a parallel leg (compiler/parser.peg
@@ -160,18 +225,38 @@ class Parser:
             # the two legs, anything else sees their combination
             self.next()
             self.expect("(")
-            names = []
+            legs: list[tuple] = []
             while self.peek().text != ")":
-                if self.peek().text in ("file", "from"):
+                if self.peek().text == "pass":
+                    # `pass` leg: the incoming stream joins the
+                    # combination (compiler/ztests/from-pass)
                     self.next()
-                names.append(self.parse_source_name())
+                    src = None
+                else:
+                    if self.peek().text in ("file", "from"):
+                        self.next()
+                    src = self.parse_source_name()
+                sub = None
+                if self.accept("=>"):
+                    # per-source sub-pipeline leg
+                    # (compiler/ztests/const-from, fork-from)
+                    sub = self.parse_pipeline()
+                legs.append((src, sub))
             self.expect(")")
-            return ("frommulti", names)
+            return ("frommulti", legs)
         if word == "from" or (word == "file" and self.peek(1).kind in ("ID", "NUM")):
             # `file x.zson` is the reference's file-source form
             # (used inside join subqueries and at pipeline heads)
             self.next()
             name = self.parse_source_name()
+            if self.peek().text == "format" and self.peek(1).kind in (
+                "ID", "STR"
+            ):
+                # `file in.csv format csv` — explicit input format
+                # (compiler/ztests/from-file-format)
+                self.next()
+                fmt = self.next()
+                return ("from", name, fmt.text.strip('"'))
             return ("from", name)
         if word == "pass":
             self.next()
@@ -614,7 +699,12 @@ class Parser:
         while i < len(body):
             c = body[i]
             if c == "\\" and i + 1 < len(body):
-                lit.append(body[i : i + 2])
+                if body[i + 1] in "{}":
+                    # \{ / \} — literal brace, not a replacement
+                    # (expressions.md f-string escapes)
+                    lit.append(body[i + 1])
+                else:
+                    lit.append(body[i : i + 2])
                 i += 2
                 continue
             if c == "{":
@@ -901,6 +991,9 @@ class Parser:
         out = []
         while True:
             path = self.parse_path()
+            if path[0] == "this" and len(path) > 1:
+                # this["x.y"] / this.a targets address the same field
+                path = path[1:]
             self.expect(":=")
             out.append((".".join(path), self.parse_expr()))
             if not self.accept(","):
@@ -921,10 +1014,28 @@ class Parser:
                 parts.append(self.next().text)
             elif self.peek().text == "[" and self.peek(1).kind == "STR":
                 # rec['bar'] — quoted-key path step (same field
-                # reference as rec.bar; docs/language/pipeline-model)
+                # reference as rec.bar; docs/language/pipeline-model).
+                # Names containing dots backtick-quote so the dotted
+                # path string stays unambiguous (schema.split_path)
                 self.next()
-                parts.append(self.next().text[1:-1])
+                name = self.next().text[1:-1]
+                parts.append(f"`{name}`" if "." in name else name)
                 self.expect("]")
+            elif (
+                self.peek().text == "["
+                and self.peek(1).kind == "ID"
+                and self.peek(1).text in self.consts
+                and self.peek(2).text == "]"
+            ):
+                # rec[constName] — const string keys resolve at
+                # compile time (compiler/ztests/path-index-const)
+                self.next()
+                cv = self.consts[self.next().text]
+                self.expect("]")
+                if not (isinstance(cv, tuple) and cv[0] == "str"):
+                    raise SyntaxError("path index const must be a string")
+                name = cv[1]
+                parts.append(f"`{name}`" if "." in name else name)
             else:
                 return parts
 
@@ -1030,6 +1141,13 @@ class Parser:
                     e = ("field", e[1] + [f])
                 else:
                     e = ("getfield", e, f)
+            elif e[0] == "typeval" and self.peek().text == "(":
+                # type-value call <port>(80) ≡ cast(80, <port>)
+                # (expressions.md casts; compiler/ztests/cast.yaml)
+                self.next()
+                arg = self.parse_expr()
+                self.expect(")")
+                e = ("call", "cast", [arg, e])
             else:
                 return e
 
@@ -1137,11 +1255,40 @@ class Parser:
                     if not self.accept(","):
                         break
             self.expect("}")
+            seen = set()
+            for fname, _e in fields:
+                if fname is not None:
+                    if fname in seen:
+                        # semantic/expr.go: record expressions reject
+                        # duplicate fields at compile time
+                        raise SyntaxError(
+                            f'record expression: duplicate field: "{fname}"'
+                        )
+                    seen.add(fname)
             return ("record", fields)
         if t.kind == "ID":
             if self.peek().text == "(":
                 self.next()
                 args = []
+                if t.text == "grep" and self.peek().text != ")" and (
+                    self.peek().text == "*"
+                    or (
+                        self.peek().kind in ("ID", "NUM")
+                        and self.peek(1).text in ("*", "?")
+                    )
+                ):
+                    # bare glob pattern argument: grep(*foo*)
+                    # (search-expr.md grep; compiler/ztests/
+                    # regexp-search) — raw tokens concatenate until
+                    # ',' or ')'
+                    parts = []
+                    while self.peek().text not in (",", ")"):
+                        parts.append(self.next().text)
+                    args.append(("glob", "".join(parts)))
+                    while self.accept(","):
+                        args.append(self.parse_expr())
+                    self.expect(")")
+                    return ("call", t.text, args)
                 if self.peek().text != ")":
                     args.append(self.parse_expr())
                     while self.accept(","):

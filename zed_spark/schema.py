@@ -247,7 +247,23 @@ def path_col(path: str) -> Column:
 
 
 def split_path(path: str) -> list[str]:
-    return path.split(".")
+    """Dot-split honoring backtick-quoted components: `x.y` is one
+    field NAMED x.y (quoted-key paths, this["x.y"])."""
+    if "`" not in path:
+        return path.split(".")
+    parts: list[str] = []
+    cur: list[str] = []
+    inbt = False
+    for ch in path:
+        if ch == "`":
+            inbt = not inbt
+        elif ch == "." and not inbt:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
 
 
 def has_path(schema: T.StructType, path: str) -> bool:
@@ -319,7 +335,9 @@ def set_path(df: DataFrame, path: str, value: Column) -> DataFrame:
     reference: runtime/sam/expr/putter.go)."""
     parts = split_path(path)
     if len(parts) == 1:
-        return df.withColumn(path, value)
+        # parts[0], not path: quoted components arrive as `x.y` and
+        # the real column name has no backticks
+        return df.withColumn(parts[0], value)
     top = parts[0]
     if top not in df.columns:
         # build the nesting from scratch

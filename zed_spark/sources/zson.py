@@ -252,7 +252,12 @@ class _Parser:
             if self.i >= self.n or self.s[self.i] != ":":
                 raise ZsonError(f"expected ':' after field name at {self.i}")
             self.i += 1
-            out[name] = self.parse_value()
+            v = self.parse_value()
+            if name not in out:
+                # zed records are ordered field lists that CAN carry
+                # duplicate names (compiler/ztests/from-pass fixture);
+                # the dict model keeps the first occurrence
+                out[name] = v
             self._ws()
             if self.i < self.n and self.s[self.i] == "}":
                 self.i += 1
