@@ -83,3 +83,33 @@ def test_json_auto(spark, tmp_path):
     p.write_text('{"a": 1}\n{"a": 2, "b": "x"}\n')
     df = read_any(spark, str(p))
     assert df.count() == 2 and set(df.columns) == {"a", "b"}
+
+
+def test_zeek_write_roundtrip(spark, tmp_path):
+    # distributed zeek sink: every part-file is a standalone log
+    # (header + rows) that the reader reads back
+    src = tmp_path / "in.log"
+    src.write_text(
+        "#separator \\x09\n"
+        "#set_separator\t,\n"
+        "#empty_field\t(empty)\n"
+        "#unset_field\t-\n"
+        "#path\tconn\n"
+        "#fields\tts\tuid\tcnt\ttags\n"
+        "#types\ttime\tstring\tcount\tset[string]\n"
+        "10.000000\tC1\t5\tb,a\n"
+        "11.500000\tC2\t-\t(empty)\n"
+    )
+    from zed_spark.sources.zeek import read_zeek_tsv, to_zeek_text, write_zeek
+
+    df = read_zeek_tsv(spark, str(src))
+    out = tmp_path / "out"
+    write_zeek(df, str(out))
+    back = read_zeek_tsv(spark, str(out))
+    assert sorted(
+        r.asDict(recursive=True).items().__str__() for r in back.collect()
+    ) == sorted(r.asDict(recursive=True).items().__str__() for r in df.collect())
+    # the driver-side formatter agrees with the reader's metadata
+    text = to_zeek_text(df.orderBy("ts"))
+    assert "#types\ttime\tstring\tcount\tset[string]" in text
+    assert "10.000000\tC1\t5\ta,b" in text

@@ -390,8 +390,6 @@ UNSUPPORTED.update(
             "decorators) [shape]",
             "f-string": "ip values ride as strings — bytes(ip) is "
             "the address bytes in the reference [shape]",
-            "implied-quiet-assignment": "field access through an "
-            "int|record union operand [union]",
         }.items()
     }
 )
@@ -454,8 +452,6 @@ UNSUPPORTED.update(
             "[errval]",
             "op/sort/sort-types": "sort over type VALUES orders by "
             "type-id [shape]",
-            "expr/dot": "field access on union-of-records + "
-            "error('missing') for absent [union]",
             "expr/index": "index into union-typed containers + "
             "error('missing') out-of-range [union]",
             "expr/record-spread": "spread of a union-typed operand "

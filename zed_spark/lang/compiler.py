@@ -267,6 +267,17 @@ class Compiler:
                 if isinstance(e, tuple):
                     tmp = f"__cut_{i}"
                     tmps[tmp] = self.expr(e, df)
+                    if (
+                        alias is None
+                        and e[0] == "call"
+                        and e[1] == "quiet"
+                        and len(e[2]) == 1
+                        and e[2][0][0] == "field"
+                    ):
+                        # implied assignment: cut quiet(a.b) targets
+                        # a.b (semantic deriveAs skips quiet —
+                        # compiler/ztests/implied-quiet-assignment)
+                        alias = ".".join(e[2][0][1])
                     specs.append(f"{alias}:={tmp}")
                 elif path_type(df.schema, e) is None:
                     # absent field: zed yields error("missing") per
@@ -334,9 +345,24 @@ class Compiler:
                         targets = []
                         break
                 if targets:
+                    from zed_spark.schema import is_union_type as _iut2
+                    from zed_spark.schema import path_type as _pt2
+
                     keep = F.lit(False)
                     for t in targets:
-                        keep = keep | F.col(t).isNotNull()
+                        tdt = _pt2(out.schema, t)
+                        c = F.col(t)
+                        if tdt is not None and _iut2(tdt):
+                            # value|error carrier: only a selected
+                            # VALUE alternative counts as present
+                            vals = [
+                                j
+                                for j, f in enumerate(tdt.fields[1:])
+                                if not f.name.startswith("e")
+                            ]
+                            keep = keep | c.getField("tag").isin(vals)
+                        else:
+                            keep = keep | c.isNotNull()
                     out = out.filter(keep)
             return out
         if kind == "put":
@@ -840,6 +866,59 @@ class Compiler:
             return out.drop("__jk") if not simple else out
         raise ValueError(f"unsupported operator {kind!r}")
 
+    def _union_path(self, base: Column, dt, parts: list[str]) -> Column:
+        """Field access THROUGH a union carrier: per-row member
+        dispatch (reference eval.go dotExpr over unions; ztest
+        expr/dot). Record members containing the path yield the
+        value; every other member — and null carriers — yields
+        error('missing'). The result is a value|error carrier so the
+        missing rows stay first-class error values."""
+        from functools import reduce
+
+        from zed_spark.schema import is_union_type, merge_types
+
+        tag = base.getField("tag")
+        sels = []  # (member index, value expr, value type)
+        for i, f in enumerate(dt.fields[1:]):
+            if f.name.startswith("e"):
+                continue
+            ft, c, ok = f.dataType, base.getField(f.name), True
+            for p in parts:
+                if isinstance(ft, T.StructType) and is_union_type(ft):
+                    ok = False  # nested union hop — single level only
+                    break
+                if isinstance(ft, T.StructType) and p in ft.fieldNames():
+                    c = c.getField(p)
+                    ft = ft[p].dataType
+                else:
+                    ok = False
+                    break
+            if ok:
+                sels.append((i, c, ft))
+        if not sels:
+            return F.struct(
+                F.lit(1).alias("tag"),
+                F.lit(None).cast("string").alias("v0"),
+                F.lit("missing").alias("e1"),
+            )
+        vt = reduce(lambda a, b: merge_types(a, b), [t for _, _, t in sels])
+        val = None
+        present = F.lit(False)
+        for i, c, t in sels:
+            cc = c if t.simpleString() == vt.simpleString() else c.cast(vt)
+            val = F.when(tag == i, cc) if val is None else val.when(tag == i, cc)
+            present = present | (tag == i)
+        tag2 = (
+            F.when(base.isNull() | tag.isNull(), F.lit(1))
+            .when(present, F.lit(0))
+            .otherwise(F.lit(1))
+        )
+        return F.struct(
+            tag2.cast("int").alias("tag"),
+            F.when(tag2 == 0, val).alias("v0"),
+            F.when(tag2 == 1, F.lit("missing")).alias("e1"),
+        )
+
     def _from_legs(self, df, legs) -> list[DataFrame]:
         """Resolve a frommulti's legs: (source-or-None, subops-or-
         None) — None source is the incoming stream (`pass` leg)."""
@@ -913,11 +992,28 @@ class Compiler:
             # typed null, not an analysis error. Walk the schema and
             # stop checking at the first non-struct hop (map/union
             # member access stays dynamic for Spark to resolve).
+            from zed_spark.schema import is_union_type as _iut
+
             cur, miss = df.schema, False
+            consumed: list[str] = []
             for p in e[1]:
+                if (
+                    consumed
+                    and isinstance(cur, T.StructType)
+                    and _iut(cur)
+                ):
+                    # path continues THROUGH a union carrier: per-row
+                    # member dispatch (expr/dot — a.b where a is
+                    # int|record)
+                    return self._union_path(
+                        F.col(".".join(consumed)),
+                        cur,
+                        list(e[1][len(consumed):]),
+                    )
                 if cur.typeName() == "struct":
                     if p in cur.fieldNames():
                         cur = cur[p].dataType
+                        consumed.append(p)
                     else:
                         miss = True
                         break
@@ -929,10 +1025,26 @@ class Compiler:
                 # this.<path>)
                 if "this" in df.columns and e[1][0] != "this":
                     dt = df.schema["this"].dataType
-                    if dt.typeName() == "struct" and e[1][0] in dt.fieldNames():
-                        c = F.col("this")
-                        for p in e[1]:
-                            c = c.getField(p)
+                    if isinstance(dt, T.StructType) and (
+                        _iut(dt) or e[1][0] in dt.fieldNames()
+                    ):
+                        # step through the wrapped record; any union
+                        # carrier hop dispatches per member
+                        # (expr/dot: a.b over record|scalar values)
+                        c, cur2 = F.col("this"), dt
+                        for k, p in enumerate(e[1]):
+                            if isinstance(cur2, T.StructType) and _iut(cur2):
+                                return self._union_path(
+                                    c, cur2, list(e[1][k:])
+                                )
+                            if (
+                                isinstance(cur2, T.StructType)
+                                and p in cur2.fieldNames()
+                            ):
+                                c = c.getField(p)
+                                cur2 = cur2[p].dataType
+                            else:
+                                return F.lit(None)
                         return c
                 return F.lit(None)
             return F.col(".".join(e[1]))

@@ -977,9 +977,20 @@ class Parser:
             elif self.peek().kind == "ID" and self.peek(1).text == "(":
                 # bare call: `cut split(s,".")` names the output after
                 # the function, like the reference's derived-name rule
-                # (semantic/expr.go deriveAs)
+                # (semantic/expr.go deriveAs) — except quiet(a.b),
+                # which is transparent and targets the inner path
+                # (compiler/ztests/implied-quiet-assignment)
                 name = self.peek().text
-                out.append((self.parse_expr(), name))
+                e = self.parse_expr()
+                if (
+                    name == "quiet"
+                    and e[0] == "call"
+                    and e[1] == "quiet"
+                    and len(e[2]) == 1
+                    and e[2][0][0] == "field"
+                ):
+                    name = ".".join(e[2][0][1])
+                out.append((e, name))
             else:
                 path = self.parse_path()
                 out.append((".".join(path), None))

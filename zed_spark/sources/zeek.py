@@ -274,6 +274,8 @@ def read_zeek_tsv(spark: SparkSession, path: str) -> DataFrame:
             f
             for f in _glob.glob(_os.path.join(path, "*"))
             if _os.path.isfile(f)
+            and not _os.path.basename(f).startswith(("_", "."))
+            and not f.endswith(".crc")
         )
     else:
         files = sorted(_glob.glob(path)) or [path]
