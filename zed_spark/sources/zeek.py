@@ -129,16 +129,23 @@ def _decode_lossy(b: bytes) -> str:
 
 
 def _unescape_col(c):
-    """Escape decode as a Column: cheap JVM guard (contains a
-    backslash) around an Arrow-batched UDF so clean strings never
-    leave the JVM."""
+    """Escape decode as a Column. Spark extracts Python UDFs out of
+    CASE WHEN into an unconditional ArrowEvalPython node, so a JVM
+    guard would NOT skip the UDF — instead the batch itself fast-
+    paths: a vectorized (C-speed) backslash scan, python-level
+    decode only for the dirty rows."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
     def _un(s):
-        return s.map(_unescape)
+        mask = s.str.contains("\\", regex=False).fillna(False)
+        if not mask.any():
+            return s
+        out = s.copy()
+        out[mask] = s[mask].map(_unescape)
+        return out
 
-    return F.when(c.contains("\\"), _un(c)).otherwise(c)
+    return _un(c)
 
 
 class _Header:
@@ -401,20 +408,25 @@ def _unescape_col_opt(c):
 
 
 def _unescape_arr(arr, raw):
-    """Element-wise escape decode for a string-array column: JVM
-    guard (raw text has no backslash -> untouched) around one
-    Arrow-batched UDF over the whole array."""
+    """Element-wise escape decode for a string-array column: one
+    Arrow-batched UDF; rows whose RAW text has no backslash pass
+    through untouched (vectorized scan, python only on dirty
+    rows — see _unescape_col on why a JVM CASE guard can't skip
+    the UDF)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(T.ArrayType(T.StringType()))
-    def _un(s):
-        return s.map(
-            lambda xs: None
-            if xs is None
-            else [_unescape(x) for x in xs]
+    def _un(s, rawcol):
+        mask = rawcol.str.contains("\\", regex=False).fillna(False)
+        if not mask.any():
+            return s
+        out = s.copy()
+        out[mask] = s[mask].map(
+            lambda xs: None if xs is None else [_unescape(x) for x in xs]
         )
+        return out
 
-    return F.when(raw.contains("\\"), _un(arr)).otherwise(arr)
+    return _un(arr, raw)
 
 
 def _re_escape(s: str) -> str:
