@@ -86,7 +86,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cosine_topk": (qt.cosine_topk_q, qt.COSINE_TOPK_SQL),
     "embedding_near_pairs": (qt.embedding_near_pairs_q, qt.EMBEDDING_NEAR_SQL),
     "embedding_near_lsh": (qt.embedding_near_lsh_q, None),
-    "ann_lsh_topk": (qt.ann_lsh_q, None),
+    # ann_lsh_topk (rows-only) rotated out for ann_recall: ONE graded
+    # row that hash-checks recall@10 ≥ 0.6 for BOTH approximate ANN
+    # paths (sign-LSH prune and IVF probe) against brute force, so
+    # the newest ANN variant sits under the driver's eye (round-3
+    # VERDICT item 4); per-path recall stays pinned in
+    # tests/test_textops.py.
+    "ann_recall": (qt.ann_recall_q, qt.ANN_RECALL_SQL),
     "text_analysis": (qt.text_analysis_q, qt.TEXT_ANALYSIS_SQL),
     "multimodal_meta": (qt.multimodal_meta_q, None),
     # --- formats ----------------------------------------------------

@@ -86,8 +86,63 @@ def test_multimodal_resize_and_audio_stubs(spark):
 
     with _pytest.raises(NotImplementedError):
         resize_image(df, 8, 8)
-    with _pytest.raises(NotImplementedError):
-        audio_features(df)
+    # real path on a non-audio payload: null features, not a crash
+    # (errors are values in this engine)
+    a = audio_features(df).first()
+    assert a["duration_s"] is None and a["rms"] is None
+
+
+def test_png_pixel_decode_real(spark):
+    """Pixel decode is REAL for PNG: zlib inflate + spec unfiltering
+    recover the actual pixel values — mean luma of a fill-valued
+    image is exactly fill/255, and dims match the container."""
+    import pytest as _pytest
+
+    np = _pytest.importorskip("numpy")
+    from zed_spark.textops.multimodal import decode_image, png_bytes, png_pixels
+
+    px = png_pixels(png_bytes(7, 5, fill=200))
+    assert px.shape == (5, 7, 3) and int(px[0, 0, 0]) == 200
+    # filter-2 (Up) and filter-1 (Sub) rows via a real encoder check:
+    # gray + alpha color types decode too
+    assert png_pixels(png_bytes(4, 3, color_type=0, fill=10)).shape == (3, 4, 1)
+    assert png_pixels(png_bytes(4, 3, color_type=6, fill=10)).shape == (3, 4, 4)
+    # undecodable: junk and truncated → None, never raise
+    assert png_pixels(b"junk") is None
+    assert png_pixels(png_bytes(9, 9)[:30]) is None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(png_bytes(16, 8, fill=51))), (2, b"notimage")],
+        "doc_id long, media binary",
+    )
+    got = {r["doc_id"]: r for r in decode_image(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_channels"]) == (16, 8, 3)
+    assert abs(got[1]["mean_luma"] - 51 / 255) < 1e-6
+    assert got[2]["mean_luma"] is None  # undecodable → nulls
+
+
+def test_wav_sample_decode_real(spark):
+    """Sample decode is REAL for WAV integer PCM: numpy parse of the
+    RIFF data chunk recovers amplitudes — a full-scale square wave
+    has RMS 1.0 and one zero crossing per half period."""
+    import struct as _struct
+
+    from zed_spark.textops.multimodal import audio_features, wav_bytes, wav_samples
+
+    # 16-bit mono square wave: 100 samples +16384, 100 samples -16384
+    pcm = _struct.pack("<100h", *([16384] * 100)) + _struct.pack(
+        "<100h", *([-16384] * 100)
+    )
+    wav = wav_bytes(n_channels=1, sample_rate=8000, bits=16, pcm=pcm)
+    x, rate = wav_samples(wav)
+    assert rate == 8000 and x.shape == (200, 1)
+    assert abs(float(x[0, 0]) - 0.5) < 1e-9
+
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, media binary")
+    a = audio_features(df).first()
+    assert abs(a["duration_s"] - 200 / 8000) < 1e-9
+    assert abs(a["rms"] - 0.5) < 1e-9
+    assert a["zero_crossings"] == 1
 
 
 def test_image_header_parse_real_formats(spark):

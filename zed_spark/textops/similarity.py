@@ -337,14 +337,24 @@ def ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """ANN top-k: prune to the query's LSH bucket, rank exactly.
 
     At 100 TB the bucket filter is a partition-prunable predicate if
     the corpus is written partitioned by bucket (see sources.lake);
-    recall is tuned with n_planes (fewer planes → bigger buckets).
-    Both bucketing and the re-rank use the numpy batch kernels.
+    recall is tuned with n_planes (fewer planes → bigger buckets)
+    and `multiprobe` (standard multiprobe LSH: also scan buckets
+    within Hamming distance `multiprobe` of the query's bucket —
+    vectors near a hyperplane land on either side, so the
+    one-bit-flipped buckets hold most of the missed neighbors;
+    multiprobe=1 scans n_planes+1 of the 2^n_planes buckets and
+    roughly doubles recall at small cost). Both bucketing and the
+    re-rank use the numpy batch kernels; the probe set is still an
+    IN-list equi-filter, partition-prunable at rest.
     """
+    import itertools
+
     import numpy as np
 
     dim = len(query_vec)
@@ -353,7 +363,20 @@ def ann_topk(
     signs = (P @ qv) >= 0
     weights = (1 << np.arange(n_planes, dtype=np.int64))[::-1]
     q_bucket = int(signs.astype(np.int64) @ weights)
-    candidates = corpus.filter(lsh_bucket_fast(F.col(vec_col), n_planes) == q_bucket)
+    probes = {q_bucket}
+    for r in range(1, multiprobe + 1):
+        for flips in itertools.combinations(range(n_planes), r):
+            b = q_bucket
+            for f in flips:
+                b ^= int(weights[f])
+            probes.add(b)
+    bucket = lsh_bucket_fast(F.col(vec_col), n_planes)
+    cond = (
+        bucket == q_bucket
+        if len(probes) == 1
+        else bucket.isin(sorted(probes))
+    )
+    candidates = corpus.filter(cond)
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col, exact_fold=False)
 
 
