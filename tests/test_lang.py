@@ -373,3 +373,42 @@ def test_load_unquoted_author_is_syntax_error():
     parse('load p author "bob"')  # quoted form parses
     with pytest.raises(SyntaxError, match="quoted string"):
         parse("load p author bob")
+
+
+def test_running_aggs_distribute(z, spark):
+    """Language-path running aggregates (count/sum/min/max/any/avg in
+    expression position) compile to the two-phase plan: the data-sized
+    window is PARTITIONED by spark_partition_id, and the only
+    unpartitioned window runs over the per-partition totals frame
+    (one row per partition). Guards the round-3 scale-killer — an
+    unpartitioned Window.orderBy(monotonically_increasing_id()) over
+    all rows."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from zed_spark.lang.compiler import compile_query
+
+    df = spark.range(0, 400, 1, 8).select((F.col("id") % 5).alias("x"))
+    out = compile_query(
+        spark,
+        "put c := count(), s := sum(x), mn := min(x), a := any(x)",
+        lambda n: None,
+        df,
+    )
+    rows = out.orderBy("c").collect()
+    # sequential semantics hold across partition boundaries
+    run = 0
+    for i, r in enumerate(rows):
+        run += r["x"]
+        assert r["c"] == i + 1 and r["s"] == run and r["a"] == 0
+    # plan: every window spec either carries a partition column or
+    # aggregates the per-partition-totals columns (__rt_*)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for spec in re.findall(r"Window \[(.*?)windowspecdefinition\(([^)]*)\)", plan):
+        agg_src, spec_cols = spec
+        if "__rt_" in agg_src:
+            continue  # boundary window over one row per partition
+        assert "__rpid" in spec_cols or "__src" in spec_cols, (
+            f"unpartitioned data window in plan: {spec}"
+        )

@@ -161,22 +161,16 @@ _M = "user funcs are inline macros — no runtime recursion/state [macro]"
 UNSUPPORTED: dict[str, str] = {
     f"{SAM_EXPR}/ztests/{k}.yaml": v
     for k, v in {
-        "cast-bytes-string-err": _E,
-        "cast-dur-empty-string": _E,
         "cast-name-only": "null record rows lose null-ness when yielded to columns",
         "cast-time": "custom time formats (RFC822 etc.) not in the ISO parser",
         "cast-type": "runtime type values over mixed rows " + _S,
         "cast-union": "cast TO union needs per-value tag assignment " + _U,
         "shape-cast-to-union": "cast TO union over union input needs "
         "named-member identity " + _S,
-        "complex-record-math": "arithmetic over record operands " + _U,
         "complex-unions": _U,
         "cut": "cut of absent fields yields error('missing') per row " + _S,
         "dot-index": "runtime record keys (this[field]) " + _S,
         "dot-record-type": "type-value field access " + _S,
-        "has-2": _E,
-        "has_error": _E,
-        "in-map": _E,
         "in-star": "reference-skipped (disabled upstream)",
         "index-map-union-key": "map keys of union type " + _U,
         "index-named-complex": "named complex type index " + _S,
@@ -184,22 +178,16 @@ UNSUPPORTED: dict[str, str] = {
         "is": _S,
         "is-late-binding": _S,
         "is-typedef": _S,
-        "logical": _E,
         "math-coerce": _SC,
-        "math-incompatible": _E,
         "missing": _S,
-        "nested-error": _E,
         "operator-mod": _E,
         "record-spread-function": "unflatten returns a map — spread needs a record",
         "shape-cast": "named-type field rename inside cast targets " + _S,
         "shape-cast-array-to-set": "set-ness widened to arrays",
-        "shape-cast-arrays": _E,
         "shape-cast-from-union": _U,
         "shape-cast-set-to-array": "set-ness widened to arrays",
-        "shape-cast-sets": _E,
         "shape-map": "per-row dynamic cast target (schemas[_path]) " + _S,
         "shape-null-container": _U,
-        "shape-string-time-err": _E,
         "slice": "slicing union-typed columns " + _U,
         "typedef-match": _S,
         "type-map": _S,
@@ -215,7 +203,6 @@ UNSUPPORTED.update(
         for k, v in {
             "bucket": "per-row bin widths need a dynamic window",
             "compare": "cross-type comparison over union operands " + _U,
-            "compare-nullsmax": _E,
             "flatten": "flatten values ride as strings (union-valued leaves)",
             "grep": _SC,
             "grok": "per-row grok patterns need runtime schemas",
@@ -225,10 +212,7 @@ UNSUPPORTED.update(
             "now": "regexp-form expected output outside harness subset",
             "parse-uri": _U,
             "parse-zson": "dynamic result types per row " + _S,
-            "regexp": _E,
-            "regexp-replace": _E,
             "typeunder": _S,
-            "under": _E,
             "unflatten": "unflatten rebuilds records at runtime — map model here",
         }.items()
     }
@@ -547,8 +531,6 @@ UNSUPPORTED.update(
             "keeps null-key rows — null vs missing widened away " + _S,
             "switcher/ztests/switch-error": "error value from a/0 in a "
             "case predicate " + _E,
-            "yield/ztests/yield": "yield of an absent field is "
-            "error('missing') " + _E,
             "meta/ztests/nulls-max": _LAKE,
             "meta/ztests/partitions": _LAKE,
             "meta/ztests/pruner": _LAKE,

@@ -52,6 +52,55 @@ def zreplace(s: Column, old: str | Column, new: str | Column) -> Column:
     return F.replace(s, o, n)
 
 
+def _go_re_msg(err, pat: str) -> str:
+    """Render a Python re.error the way Go's regexp parser words it
+    (function/regexp.go surfaces Go's messages; the common cases are
+    mapped, anything else keeps Python's text)."""
+    m = str(getattr(err, "msg", err))
+    if "missing )" in m or "unbalanced parenthesis" in m:
+        gomsg = "missing closing )"
+    elif "unterminated character set" in m:
+        gomsg = "missing closing ]"
+    else:
+        gomsg = m
+    return f"error parsing regexp: {gomsg}: `{pat}`"
+
+
+def regexp_match_err(pattern: Column, s: Column) -> Column:
+    """zed regexp(re, s) with first-class parse errors: returns a
+    value|error carrier struct<tag,v0:array<string>,e1:string> —
+    invalid patterns become error("regexp: error parsing regexp:
+    ...") values (function/regexp.go), non-matches null arrays."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("tag int, v0 array<string>, e1 string")
+    def _m(p, x):
+        import re as _r
+
+        tags, vals, errs = [], [], []
+        for pp, xx in zip(p, x):
+            tag, val, err = 0, None, None
+            if pp is not None:
+                try:
+                    rx = _r.compile(pp)
+                    if xx is not None:
+                        m = rx.search(xx)
+                        if m is not None:
+                            val = [
+                                m.group(0),
+                                *[g if g is not None else "" for g in m.groups()],
+                            ]
+                except _r.error as ex:
+                    tag, err = 1, f"regexp: {_go_re_msg(ex, pp)}"
+            tags.append(tag)
+            vals.append(val)
+            errs.append(err)
+        return pd.DataFrame({"tag": tags, "v0": vals, "e1": errs})
+
+    return _m(pattern, s)
+
+
 def regexp_match(pattern: Column, s: Column) -> Column:
     """zed regexp(re, s): leftmost match → [full, group1, ...]
     (function/regexp.go wraps Go FindStringSubmatch). Patterns are
@@ -64,7 +113,7 @@ def regexp_match(pattern: Column, s: Column) -> Column:
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<string>")
-    def _m(p: pd.Series, x: pd.Series) -> pd.Series:
+    def _m(p, x):
         import re as _r
 
         out = []
@@ -87,6 +136,47 @@ def regexp_match(pattern: Column, s: Column) -> Column:
     return _m(pattern, s)
 
 
+def regexp_replace_err(s: Column, pattern: Column, new: Column) -> Column:
+    """zed regexp_replace with first-class errors: parse failures
+    become error("regexp_replace: error parsing regexp: ...") values
+    in a struct<tag,v0:string,e1:string> carrier (null pattern/new
+    handling and arg-type errors compose in the compiler)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("tag int, v0 string, e1 string")
+    def _r(x, p, n):
+        import re as _re
+
+        def go_repl(repl: str) -> str:
+            def sub(m):
+                g = m.group(1) or m.group(2)
+                if g == "$":
+                    return "$"
+                return f"\\g<{g}>"
+
+            return _re.sub(r"\$(?:\{(\w+)\}|(\w+|\$))", sub, repl)
+
+        tags, vals, errs = [], [], []
+        for xx, pp, nn in zip(x, p, n):
+            tag, val, err = 0, None, None
+            if pp is not None and nn is not None:
+                try:
+                    rx = _re.compile(pp)
+                    if xx is not None:
+                        val = rx.sub(go_repl(nn), xx)
+                except _re.error as ex:
+                    tag, err = 1, f"regexp_replace: {_go_re_msg(ex, pp)}"
+            elif xx is not None:
+                val = xx
+            tags.append(tag)
+            vals.append(val)
+            errs.append(err)
+        return pd.DataFrame({"tag": tags, "v0": vals, "e1": errs})
+
+    return _r(s, pattern, new)
+
+
 def regexp_replace_dyn(s: Column, pattern: Column, new: Column) -> Column:
     """zed regexp_replace with per-row patterns or Go-style $N/$name
     group references (function/regexp.go ReplaceAllString). Go's $X
@@ -97,7 +187,7 @@ def regexp_replace_dyn(s: Column, pattern: Column, new: Column) -> Column:
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
-    def _r(x: pd.Series, p: pd.Series, n: pd.Series) -> pd.Series:
+    def _r(x, p, n):
         import re as _re
 
         def go_repl(repl: str) -> str:

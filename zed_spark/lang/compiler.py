@@ -164,7 +164,7 @@ class Compiler:
                 "order": S.order_to,
                 "fill": S.fill_to,
             }[node[1]]
-            return fn(df, target)
+            return fn(df, target, zdst=node[2])
         if kind == "exprop":
             # implied operator: boolean-valued expressions filter,
             # anything else yields (pipeline-model.md Implied
@@ -203,8 +203,14 @@ class Compiler:
                 return self.apply(df, ("search", node[1][1]))
             # cast to boolean: zed treats a null predicate as no
             # match (`filter null` drops everything); Spark rejects a
-            # VOID filter expression outright
-            return ops.where(df, self.expr(node[1], df).cast("boolean"))
+            # VOID filter expression outright. An error-carrier
+            # predicate filters on its VALUE part (error → no match).
+            pred = self.expr(node[1], df)
+            pdt = self._type_of(node[1], df)
+            pv, perr = self._bool_parts(pred, pdt)
+            if perr is not None:
+                return ops.where(df, F.coalesce(pv, F.lit(False)))
+            return ops.where(df, pred.cast("boolean"))
         if kind == "search":
             import re as _re3
 
@@ -229,6 +235,10 @@ class Compiler:
             from zed_spark.schema import path_nullable as _path_nullable
             from zed_spark.schema import path_type
 
+            prev_sink, self._runner_sink = (
+                getattr(self, "_runner_sink", None),
+                [],
+            )
             tmps, specs, missing = {}, [], []
             for _e, alias in node[1]:
                 if alias == "this":
@@ -317,6 +327,8 @@ class Compiler:
                     specs.append(f"{target}:={tmp}")
                 else:
                     specs.append(f"{alias}:={e}" if alias else e)
+            df = self._apply_runner_fixups(df)
+            self._runner_sink = prev_sink
             out = ops.cut(df.withColumns(tmps) if tmps else df, *specs)
             if missing:
                 from zed_spark import errors as zerrors
@@ -375,6 +387,10 @@ class Compiler:
             from zed_spark.operators.project import put_path
             from zed_spark.schema import path_type as _pt
 
+            prev_sink, self._runner_sink = (
+                getattr(self, "_runner_sink", None),
+                [],
+            )
             compiled = []
             for path, e in node[1]:
                 if e[0] == "call" and e[1] == "quiet" and len(e[2]) == 1:
@@ -394,11 +410,16 @@ class Compiler:
                     compiled.append((path, col))
                     continue
                 compiled.append((path, self.expr(e, df)))
+            df = self._apply_runner_fixups(df)
+            self._runner_sink = prev_sink
             tmps = {f"__put_{i}": col for i, (_, col) in enumerate(compiled)}
             out = df.withColumns(tmps)
             for i, (path, _) in enumerate(compiled):
                 out = put_path(out, path, F.col(f"__put_{i}"))
-            return out.drop(*tmps.keys())
+            return out.drop(
+                *tmps.keys(),
+                *[c for c in out.columns if c.startswith("__ra")],
+            )
         if kind == "drop":
             return ops.drop(df, *node[1])
         if kind == "rename":
@@ -610,10 +631,117 @@ class Compiler:
                     return ops.yield_(
                         df, nest_dotted_col(self.expr(cargs[0], df), dt)
                     )
+            prev_sink, self._runner_sink = (
+                getattr(self, "_runner_sink", None),
+                [],
+            )
             compiled = []
             for e in node[1]:
                 c = self.expr(e, df)
-                compiled.append((e, c, self._type_of(e, df)))
+                # type probe with the runner sink disabled, so a
+                # running agg compiles to its plain window column
+                # (selectable against df) instead of a placeholder
+                probe_sink, self._runner_sink = self._runner_sink, None
+                dt = self._type_of(e, df)
+                self._runner_sink = probe_sink
+                compiled.append((e, c, dt))
+            from zed_spark.schema import is_union_type as _iuy
+
+            if len(compiled) > 1 and any(
+                dt is not None and isinstance(dt, T.StructType) and _iuy(dt)
+                for _e, _c, dt in compiled
+            ):
+                # multi-yield where some expr is union/carrier-typed
+                # (ztest op/yield/yield: `yield a,123` over mixed
+                # shapes): unify every expr into ONE wide union; a
+                # null carrier from a bare field reads as the field
+                # being absent → first-class error("missing")
+                from zed_spark.schema import merge_types as _mgy
+
+                alts: list[tuple[bool, object]] = []
+
+                def slot_of(flag, t):
+                    for i, (f2, t2) in enumerate(alts):
+                        if f2 == flag and t2.simpleString() == t.simpleString():
+                            return i
+                    for i, (f2, t2) in enumerate(alts):
+                        if f2 == flag:
+                            cand = _mgy(t2, t, unions="tagged")
+                            from zed_spark.schema import is_union_type
+
+                            if not is_union_type(cand):
+                                alts[i] = (f2, cand)
+                                return i
+                    alts.append((flag, t))
+                    return len(alts) - 1
+
+                plans = []  # per expr: list of (src_cond_or_None, col, slot)
+                for e2, c2, dt2 in compiled:
+                    if dt2 is not None and isinstance(dt2, T.StructType) and _iuy(dt2):
+                        plan = []
+                        for pos, f2 in enumerate(dt2.fields[1:]):
+                            plan.append(
+                                (
+                                    c2.getField("tag") == pos,
+                                    c2.getField(f2.name),
+                                    slot_of(f2.name.startswith("e"), f2.dataType),
+                                )
+                            )
+                        if e2[0] == "field":
+                            # null carrier ≡ absent field → missing
+                            plan.append(
+                                (
+                                    c2.isNull() | c2.getField("tag").isNull(),
+                                    F.lit("missing"),
+                                    slot_of(True, T.StringType()),
+                                )
+                            )
+                        plans.append(plan)
+                    else:
+                        t2 = dt2 if dt2 is not None else T.StringType()
+                        plans.append([(None, c2, slot_of(False, t2))])
+                names = [
+                    ("e" if f2 else "v") + str(i)
+                    for i, (f2, _t) in enumerate(alts)
+                ]
+                ut2 = T.StructType(
+                    [T.StructField("tag", T.IntegerType())]
+                    + [
+                        T.StructField(nm, t, True)
+                        for nm, (_f, t) in zip(names, alts)
+                    ]
+                )
+                exprs = []
+                for plan in plans:
+                    tagc = None
+                    for cond, _col, slot in plan:
+                        if cond is None:
+                            tagc = F.lit(slot)
+                            break
+                        w = F.when(cond, F.lit(slot))
+                        tagc = w if tagc is None else F.coalesce(tagc, w)
+                    parts = [tagc.alias("tag")]
+                    for i, (nm, (_f, t)) in enumerate(zip(names, alts)):
+                        vcol = None
+                        for cond, col2, slot in plan:
+                            if slot != i:
+                                continue
+                            cc = col2.cast(t)
+                            w = cc if cond is None else F.when(cond, cc)
+                            vcol = w if vcol is None else F.coalesce(vcol, w)
+                        parts.append(
+                            (
+                                vcol
+                                if vcol is not None
+                                else F.lit(None).cast(t)
+                            ).alias(nm)
+                        )
+                    exprs.append(
+                        F.struct(F.struct(*parts).cast(ut2).alias("this"))
+                    )
+                df = self._apply_runner_fixups(df)
+                self._runner_sink = prev_sink
+                return ops.yield_(df, *exprs)
             # multi-yield of differing scalar types keeps each value's
             # type via a tagged union (zed yields are heterogeneous;
             # Spark would silently coerce long→double etc.)
@@ -668,6 +796,8 @@ class Compiler:
                         # fields as the row, like a record literal
                         c = F.struct(c.alias("this"))
                 exprs.append(c)
+            df = self._apply_runner_fixups(df)
+            self._runner_sink = prev_sink
             return ops.yield_(df, *exprs)
         if kind == "over":
             with_vars = {
@@ -1106,10 +1236,38 @@ class Compiler:
             return self.expr(e[1], df).getField(e[2])
         if kind == "bin":
             op, l, r = e[1], self.expr(e[2], df), self.expr(e[3], df)
-            if op == "and":
-                return l & r
-            if op == "or":
-                return l | r
+            if op in ("and", "or"):
+                # zed logical semantics (ztest expr/logical): null is
+                # falsy (n AND t → false, !n → true, not Spark 3VL),
+                # and error operands follow the reference's
+                # propagation table — AND: a-error wins, then a-false
+                # short-circuits, then b-error; OR: any true wins,
+                # both-error keeps a, a-error-alone reads false,
+                # b-error propagates.
+                lt0, rt0 = self._type_of(e[2], df), self._type_of(e[3], df)
+                la, le = self._bool_parts(l, lt0)
+                ra, re_ = self._bool_parts(r, rt0)
+                lab = F.coalesce(la, F.lit(False))
+                rab = F.coalesce(ra, F.lit(False))
+                if le is None and re_ is None:
+                    return (lab & rab) if op == "and" else (lab | rab)
+                le = le if le is not None else F.lit(None).cast("string")
+                re_ = re_ if re_ is not None else F.lit(None).cast("string")
+                if op == "and":
+                    err = F.coalesce(le, F.when(lab, re_))
+                    val = F.when(err.isNull(), lab & rab)
+                else:
+                    any_true = lab | rab
+                    err = F.when(
+                        ~any_true,
+                        F.when(le.isNotNull() & re_.isNotNull(), le).when(
+                            le.isNull(), re_
+                        ),
+                    )
+                    val = F.when(
+                        err.isNull(), any_true | F.lit(False)
+                    )
+                return self._mk_carrier(T.BooleanType(), val, err)
             # zed comparison semantics (coerce.go/compare.go): a null
             # operand never matches an ordering comparison (false, not
             # null); == is null-safe (null == null → true) and != is
@@ -1126,79 +1284,104 @@ class Compiler:
                 return F.coalesce(l > r, F.lit(False))
             if op == ">=":
                 return F.coalesce(l >= r, F.lit(False))
-            if op == "+":
-                # zed + concatenates strings (expr/arith.go); the
-                # numeric form would cast both sides to double → null
+            if op in ("+", "-", "*", "/", "%"):
                 lt = self._type_of(e[2], df)
                 rt = self._type_of(e[3], df)
-                if (
-                    lt is not None
-                    and rt is not None
-                    and lt.simpleString() == "string"
-                    and rt.simpleString() == "string"
-                ):
-                    return F.concat(l, r)
-                return l + r
-            if op == "-":
-                return l - r
-            if op == "*":
-                return l * r
-            if op in ("/", "%"):
-                ints = {"byte", "short", "integer", "long"}
-                lt = self._type_of(e[2], df)
-                rt = self._type_of(e[3], df)
-                l_int = lt is None or lt.typeName() in ints
-                r_int = rt is None or rt.typeName() in ints
                 if (
                     e[3][0] == "num"
                     and isinstance(e[3][1], int)
                     and e[3][1] == 0
-                    and l_int
+                    and op in ("/", "%")
+                    and (
+                        lt is None
+                        or lt.typeName()
+                        in ("byte", "short", "integer", "long")
+                    )
                 ):
                     # integer division by a literal zero: the
                     # reference's error("divide by zero") value
-                    # (expressions.md:23; ztest op/put-6). Column
-                    # denominators that hit zero at runtime remain a
-                    # documented gap (result type would have to be a
-                    # union for every division).
-                    est = T.StructType(
-                        [
-                            T.StructField("tag", T.IntegerType()),
-                            T.StructField("v0", T.LongType()),
-                            T.StructField("e0", T.StringType()),
-                        ]
+                    # (expressions.md:23; ztest op/put-6) — or
+                    # error("missing") when the numerator itself is
+                    # absent (missing propagates first, has.go). A
+                    # column denominator that hits zero at runtime
+                    # remains a documented gap.
+                    return self._mk_carrier(
+                        T.LongType(),
+                        F.lit(None).cast("long"),
+                        F.when(l.isNull(), F.lit("missing")).otherwise(
+                            F.lit("divide by zero")
+                        ),
                     )
-                    return F.struct(
-                        F.lit(1).alias("tag"),
-                        F.lit(None).cast("long").alias("v0"),
-                        F.lit("divide by zero").alias("e0"),
-                    ).cast(est)
-                if op == "%":
-                    return l % r
-                if l_int and r_int and lt is not None and rt is not None:
-                    # int/int is integer division (Go semantics;
-                    # vam/op/ztests/arith.yaml: int ops stay int)
-                    return (l / r).cast("long")
-                return l / r
+                return self._arith(op, l, lt, r, rt)
         if kind == "un":
             v = self.expr(e[2], df)
-            return ~v if e[1] == "not" else -v
+            if e[1] != "not":
+                return -v
+            dt = self._type_of(e[2], df)
+            va, er = self._bool_parts(v, dt)
+            if er is None:
+                if dt is not None and dt.typeName() == "boolean":
+                    # !null is true (zed null-falsy, ztest logical)
+                    return ~F.coalesce(va, F.lit(False))
+                return ~v
+            return self._mk_carrier(
+                T.BooleanType(),
+                F.when(er.isNull(), ~F.coalesce(va, F.lit(False))),
+                er,
+            )
         if kind == "in":
             # schema-directed membership (containsfn in eval.go):
             # arrays/sets check elements; maps check BOTH keys and
             # values (ztest in-map: "a" in |{"a":1}| and 1 in it are
-            # both true)
+            # both true). A union-typed needle dispatches per member;
+            # a null needle carrier or null container column reads as
+            # missing → first-class error("missing").
             container = self.expr(e[2], df)
             needle = self.expr(e[1], df)
             dt = self._type_of(e[2], df)
-            if dt is not None and dt.typeName() == "map":
-                return F.coalesce(
-                    F.map_contains_key(container, needle.cast(dt.keyType)), F.lit(False)
-                ) | F.coalesce(
-                    F.array_contains(F.map_values(container), needle.cast(dt.valueType)),
-                    F.lit(False),
-                )
-            return F.array_contains(container, needle)
+            ndt = self._type_of(e[1], df)
+
+            def member_in(nc) -> Column:
+                if dt is not None and dt.typeName() == "map":
+                    return F.coalesce(
+                        F.map_contains_key(container, nc.cast(dt.keyType)),
+                        F.lit(False),
+                    ) | F.coalesce(
+                        F.array_contains(
+                            F.map_values(container), nc.cast(dt.valueType)
+                        ),
+                        F.lit(False),
+                    )
+                return F.array_contains(container, nc)
+
+            nv = self._carrier_variants(needle, ndt)
+            cont_is_field = e[2][0] == "field"
+            if len(nv) == 1 and nv[0][3] is None and not cont_is_field:
+                return member_in(needle)
+            val = err = None
+            for cond, v, _t, ec in nv:
+                if ec is not None:
+                    w = F.when(cond, ec)
+                    err = w if err is None else F.coalesce(err, w)
+                else:
+                    w = member_in(v)
+                    w = w if cond is None else F.when(cond, w)
+                    val = w if val is None else F.coalesce(val, w)
+            miss = F.lit(False)
+            if len(nv) > 1 or nv[0][3] is not None:
+                miss = needle.isNull() | needle.getField("tag").isNull()
+            if cont_is_field:
+                miss = miss | container.isNull()
+            err = (
+                F.when(miss, F.lit("missing"))
+                if err is None
+                else F.coalesce(F.when(miss, F.lit("missing")), err)
+            )
+            return self._mk_carrier(
+                T.BooleanType(),
+                F.when(err.isNull(), F.coalesce(val, F.lit(False))),
+                err,
+            )
         if kind == "cond":
             tcol, fcol = self.expr(e[2], df), self.expr(e[3], df)
             tdt, fdt = self._type_of(e[2], df), self._type_of(e[3], df)
@@ -2213,10 +2396,284 @@ class Compiler:
     # typed-function table: fname -> (accept-preds + messages, apply)
     _STR_OK = staticmethod(lambda dt: dt.simpleString() == "string")
 
+    def _mk_carrier(
+        self, vtype: T.DataType, value: Column, err: Column
+    ) -> Column:
+        """Build a value|error carrier struct<tag,v0,e1:string>: rows
+        where `err` is non-null hold the error alternative (zed
+        errors-are-data; e-named fields resolve to error values in
+        the union convention)."""
+        st = T.StructType(
+            [
+                T.StructField("tag", T.IntegerType()),
+                T.StructField("v0", vtype),
+                T.StructField("e1", T.StringType()),
+            ]
+        )
+        return F.struct(
+            F.when(err.isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("tag"),
+            F.when(err.isNull(), value).alias("v0"),
+            err.alias("e1"),
+        ).cast(st)
+
+    def _carrier_variants(self, col: Column, dt):
+        """Expand a (possibly union-typed) operand into its runtime
+        variants: a list of (cond, value, vtype, err) — err non-None
+        marks an error alternative (as a STRING column; {message,on}
+        structs collapse to their message)."""
+        from zed_spark.schema import is_union_type
+
+        if dt is None or not (
+            isinstance(dt, T.StructType) and is_union_type(dt)
+        ):
+            return [(None, col, dt, None)]
+        out = []
+        for pos, f in enumerate(dt.fields[1:]):
+            cond = col.getField("tag") == pos
+            m = col.getField(f.name)
+            if f.name.startswith("e"):
+                ec = (
+                    m.getField("message")
+                    if isinstance(f.dataType, T.StructType)
+                    and "message" in f.dataType.fieldNames()
+                    else m.cast("string")
+                )
+                out.append((cond, None, None, ec))
+            else:
+                out.append((cond, m, f.dataType, None))
+        return out
+
+    def _str_operand(self, e: tuple, df: DataFrame):
+        """Resolve an operand expected to be a STRING: returns
+        (string value Column, type_err (cond, on_col, on_type)|None,
+        prop_err Column|None). Union operands dispatch on the string
+        member; non-string members surface as arg-type error data,
+        e-members as propagated errors."""
+        c = self.expr(e, df)
+        dt = self._type_of(e, df)
+        vs = self._carrier_variants(c, dt)
+        if len(vs) == 1 and vs[0][3] is None:
+            t = vs[0][2]
+            if t is None or t.typeName() == "string":
+                return c, None, None
+            return (
+                F.lit(None).cast("string"),
+                (F.lit(True), c, t),
+                None,
+            )
+        sval = perr = terr = None
+        for cond, v, t, ec in vs:
+            if ec is not None:
+                w = F.when(cond, ec)
+                perr = w if perr is None else F.coalesce(perr, w)
+            elif t.typeName() == "string":
+                w = F.when(cond, v)
+                sval = w if sval is None else F.coalesce(sval, w)
+            elif terr is None:
+                terr = (cond, v, t)
+        if sval is None:
+            sval = F.lit(None).cast("string")
+        return sval, terr, perr
+
+    def _bool_parts(self, col: Column, dt):
+        """Split a (possibly error-carrier) boolean operand into
+        (value Column, error Column|None) — error None when the
+        static type can't hold an error alternative."""
+        vs = self._carrier_variants(col, dt)
+        if len(vs) == 1 and vs[0][3] is None:
+            c = col
+            if dt is not None and dt.typeName() != "boolean":
+                c = col.cast("boolean")
+            return c, None
+        val = err = None
+        for cond, v, _t, ec in vs:
+            if ec is not None:
+                w = F.when(cond, ec)
+                err = w if err is None else F.coalesce(err, w)
+            else:
+                w = F.when(cond, v.cast("boolean"))
+                val = w if val is None else F.coalesce(val, w)
+        if val is None:
+            val = F.lit(None).cast("boolean")
+        return val, err
+
+    @staticmethod
+    def _is_container(t) -> bool:
+        from zed_spark.schema import is_union_type
+
+        if t is None:
+            return False
+        if isinstance(t, (T.ArrayType, T.MapType)):
+            return True
+        return isinstance(t, T.StructType) and not is_union_type(t)
+
+    def _plain_arith(self, op: str, l: Column, lt, r: Column, rt) -> Column:
+        """The well-typed fast path (previous behavior): string+string
+        concatenates, int/int divides integrally, everything else is
+        Spark arithmetic."""
+        ints = ("byte", "short", "integer", "long")
+        tn = lambda t: t.typeName() if t is not None else None
+        if op == "+" and tn(lt) == "string" and tn(rt) == "string":
+            return F.concat(l, r)
+        if op == "/":
+            if lt is not None and rt is not None and tn(lt) in ints and tn(rt) in ints:
+                # int/int is integer division (Go semantics;
+                # vam/op/ztests/arith.yaml: int ops stay int)
+                return (l / r).cast("long")
+            return l / r
+        if op == "%":
+            return l % r
+        return {"+": l + r, "-": l - r, "*": l * r}[op]
+
+    def _arith_pair_err(self, op: str, lt, rt) -> str | None:
+        """Static error message for an operand-type pair, or None if
+        the pair computes (expr/arith.go type checks)."""
+        tn = lambda t: t.typeName() if t is not None else None
+        for t in (lt, rt):
+            if self._is_container(t):
+                from zed_spark.functions.introspect import zed_type_name
+
+                return (
+                    f"type {zed_type_name(t)} incompatible with "
+                    f"'{op}' operator"
+                )
+        if op == "%" and (tn(lt) in ("double", "float") or tn(rt) in ("double", "float")):
+            from zed_spark.functions.introspect import zed_type_name
+
+            bad = lt if tn(lt) in ("double", "float") else rt
+            return (
+                f"type {zed_type_name(bad)} incompatible with '%' operator"
+            )
+        if "string" in (tn(lt), tn(rt)):
+            if op == "+" and tn(lt) == "string" and tn(rt) == "string":
+                return None  # concat
+            if tn(lt) is None or tn(rt) is None:
+                return None  # unknown side: keep the permissive path
+            return "incompatible types"
+        return None
+
+    def _arith(self, op: str, l: Column, lt, r: Column, rt) -> Column:
+        """Error-aware arithmetic (zed errors-are-data,
+        expressions.md:23-45): container operands, string/number
+        mixes, float %, and error-valued operands produce first-class
+        error('...') values as e-alternatives of a result carrier;
+        the all-well-typed case compiles to the plain fast path with
+        zero overhead."""
+        from zed_spark.schema import merge_types
+
+        lv = self._carrier_variants(l, lt)
+        rv = self._carrier_variants(r, rt)
+        no_err = (
+            len(lv) == 1
+            and len(rv) == 1
+            and lv[0][3] is None
+            and rv[0][3] is None
+            and self._arith_pair_err(op, lt, rt) is None
+        )
+        if no_err:
+            return self._plain_arith(op, l, lt, r, rt)
+        cases = []  # (cond|None, value|None, vtype|None, err|None)
+        for lc, lval, ltm, lerr in lv:
+            for rc, rval, rtm, rerr in rv:
+                cond = None
+                for c in (lc, rc):
+                    if c is not None:
+                        cond = c if cond is None else (cond & c)
+                if lerr is not None or rerr is not None:
+                    # error operands propagate unchanged (left first)
+                    cases.append(
+                        (cond, None, None, lerr if lerr is not None else rerr)
+                    )
+                    continue
+                msg = self._arith_pair_err(op, ltm, rtm)
+                if msg is not None:
+                    # a null operand reads as missing, and missing
+                    # propagates BEFORE the type check (zed operand
+                    # resolution order — complex-record-math)
+                    anynull = lval.isNull() | rval.isNull()
+                    cases.append(
+                        (
+                            cond,
+                            None,
+                            None,
+                            F.when(anynull, F.lit("missing")).otherwise(
+                                F.lit(msg)
+                            ),
+                        )
+                    )
+                else:
+                    cases.append(
+                        (cond, self._plain_arith(op, lval, ltm, rval, rtm), ltm, None)
+                    )
+        vtypes = [
+            t
+            for _c, v, t, _e in cases
+            if v is not None and t is not None
+        ]
+        vtype = T.StringType()
+        if vtypes:
+            vtype = vtypes[0]
+            for t in vtypes[1:]:
+                vtype = merge_types(vtype, t)
+            # arithmetic widens int results to double when any
+            # member pair computes in floats
+            if any(t.typeName() in ("double", "float") for t in vtypes):
+                vtype = T.DoubleType()
+            elif vtype.typeName() in ("byte", "short", "integer"):
+                vtype = T.LongType()
+        err = val = None
+        for cond, v, _t, ec in cases:
+            if ec is None:
+                continue
+            this_err = ec if cond is None else F.when(cond, ec)
+            err = this_err if err is None else F.coalesce(err, this_err)
+        for cond, v, _t, ec in cases:
+            if v is None:
+                continue
+            vc = v.cast(vtype) if _t is not None and _t.simpleString() != vtype.simpleString() else v
+            this_val = vc if cond is None else F.when(cond, vc)
+            val = this_val if val is None else F.coalesce(val, this_val)
+        if val is None:
+            val = F.lit(None).cast(vtype)
+        if err is None:
+            return val
+        return self._mk_carrier(vtype, val, err)
+
+    # running aggs with O(1) mergeable state — distributable via the
+    # two-phase per-partition + boundary-offset plan (_apply_runner_
+    # fixups). collect/union/dcount carry O(n) state per row (their
+    # OUTPUT is quadratic), so they keep the sequential window.
+    _DISTRIB_RUNNING = {"count", "sum", "avg", "min", "max", "any", "and", "or"}
+
     def _running_agg(self, name: str, args: list[tuple], df: DataFrame) -> Column:
         from pyspark.sql import Window
 
-        if getattr(self, "_scoped_exclude", None) and self._scoped_exclude[-1]:
+        scoped = bool(
+            getattr(self, "_scoped_exclude", None) and self._scoped_exclude[-1]
+        )
+        arg = self.expr(args[0], df) if args else None
+        where = getattr(self, "_agg_where", None)
+        if where is not None and arg is not None:
+            arg = F.when(where, arg)
+        if (
+            not scoped
+            and getattr(self, "_runner_sink", None) is not None
+            and name in self._DISTRIB_RUNNING
+        ):
+            # DISTRIBUTED running agg (round-3 VERDICT item 2): defer
+            # to the two-phase plan — per-partition running state plus
+            # a boundary-offset fix-up over one row per partition, the
+            # same shape proven by distributed uniq (sorting.py). The
+            # placeholder column is materialized by
+            # _apply_runner_fixups before the operator projects.
+            if name == "count":
+                arg = F.lit(1) if arg is None else arg
+                if where is not None and not args:
+                    arg = F.when(where, F.lit(1))
+            helper = f"__ra{len(self._runner_sink)}"
+            self._runner_sink.append((helper, name, arg))
+            return F.col(helper)
+        if scoped:
             # inside a scoped-over body the running state RESETS per
             # source value (expr resetters, ztest stateful-expr-reset)
             w = (
@@ -2229,10 +2686,6 @@ class Compiler:
                 Window.orderBy(F.monotonically_increasing_id())
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             )
-        arg = self.expr(args[0], df) if args else None
-        where = getattr(self, "_agg_where", None)
-        if where is not None and arg is not None:
-            arg = F.when(where, arg)
         if name == "count":
             src = F.lit(1) if arg is None else arg
             if where is not None and arg is None:
@@ -2258,6 +2711,112 @@ class Compiler:
                 F.array_distinct(F.array_compact(F.collect_list(arg).over(w)))
             ).cast("long")
         raise ValueError(f"running aggregate {name!r} not supported")
+
+    def _apply_runner_fixups(self, df: DataFrame) -> DataFrame:
+        """Materialize deferred running aggregates (two-phase plan).
+
+        Phase 1 — per-partition running state: a window partitioned
+        by spark_partition_id(), so every task streams only its own
+        rows (no all-rows-to-one-task WindowExec).
+        Phase 2 — boundary fix-up: per-partition totals (one row per
+        partition) combined by an ordered window over that tiny frame,
+        then broadcast-joined back; each row's global running value is
+        its local running value merged with the prior-partition
+        offset. Arrival order is (partition, row) — the same order
+        the sequential monotonically_increasing_id window used.
+
+        The annotated input is lazily localCheckpoint'ed: the totals
+        branch and the output branch must see identical partition ids
+        / row order, which a re-computed nondeterministic projection
+        would not guarantee after an upstream shuffle."""
+        pending = getattr(self, "_runner_sink", None)
+        self._runner_sink = None
+        if not pending:
+            return df
+        from pyspark.sql import Window
+
+        ann = df.withColumns(
+            {
+                "__rpid": F.spark_partition_id(),
+                "__rmono": F.monotonically_increasing_id(),
+            }
+        ).localCheckpoint(eager=False)
+        wl = (
+            Window.partitionBy("__rpid")
+            .orderBy("__rmono")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # one row per partition — metadata-sized, like uniq's
+        # boundary window
+        woff = Window.orderBy("__rpid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        tot_aggs, off_cols, final_cols = [], [], {}
+        for helper, name, arg in pending:
+            t, o = f"__rt_{helper}", f"__ro_{helper}"
+            oc = F.col(o)
+            if name == "count":
+                tot_aggs.append(F.count(arg).alias(t))
+                off_cols.append(F.sum(t).over(woff).alias(o))
+                final = F.count(arg).over(wl) + F.coalesce(oc, F.lit(0))
+            elif name == "sum":
+                tot_aggs.append(F.sum(arg).alias(t))
+                off_cols.append(F.sum(t).over(woff).alias(o))
+                lc = F.sum(arg).over(wl)
+                final = F.coalesce(lc + oc, lc, oc)
+            elif name == "avg":
+                t2, o2 = t + "_n", o + "_n"
+                tot_aggs += [F.sum(arg).alias(t), F.count(arg).alias(t2)]
+                off_cols += [
+                    F.sum(t).over(woff).alias(o),
+                    F.sum(t2).over(woff).alias(o2),
+                ]
+                ls, lt = F.sum(arg).over(wl), F.count(arg).over(wl)
+                s = F.coalesce(ls + oc, ls, oc)
+                n = lt + F.coalesce(F.col(o2), F.lit(0))
+                final = F.when(n > 0, s.cast("double") / n)
+            elif name in ("min", "max"):
+                fn = F.min if name == "min" else F.max
+                cmb = F.least if name == "min" else F.greatest
+                tot_aggs.append(fn(arg).alias(t))
+                off_cols.append(fn(t).over(woff).alias(o))
+                lc = fn(arg).over(wl)
+                final = F.coalesce(cmb(lc, oc), lc, oc)
+            elif name == "any":
+                # earliest non-null by (partition, row): struct-min
+                # orders by __rmono first
+                tot_aggs.append(
+                    F.min(
+                        F.when(
+                            arg.isNotNull(),
+                            F.struct(
+                                F.col("__rmono").alias("m"), arg.alias("v")
+                            ),
+                        )
+                    ).alias(t)
+                )
+                off_cols.append(F.first(t, ignorenulls=True).over(woff).alias(o))
+                lc = F.first(arg, ignorenulls=True).over(wl)
+                final = F.coalesce(oc.getField("v"), lc)
+            else:  # and / or
+                fn = F.bool_and if name == "and" else F.bool_or
+                tot_aggs.append(fn(arg).alias(t))
+                off_cols.append(fn(t).over(woff).alias(o))
+                lc = fn(arg).over(wl)
+                pair = (lc & oc) if name == "and" else (lc | oc)
+                final = F.coalesce(pair, lc, oc)
+            final_cols[helper] = final
+        offsets = ann.groupBy("__rpid").agg(*tot_aggs).select(
+            "__rpid", *off_cols
+        )
+        out = ann.join(F.broadcast(offsets), "__rpid", "left").withColumns(
+            final_cols
+        )
+        return out.drop(
+            "__rpid",
+            "__rmono",
+            *[c for c in out.columns if c.startswith(("__rt_", "__ro_"))],
+        )
 
     def _call(self, name: str, args: list[tuple], df: DataFrame) -> Column:
         if name == "quiet" and len(args) == 1:
@@ -2304,11 +2863,17 @@ class Compiler:
                 # (zed casts dispatch on the value's runtime type)
                 return F.coalesce(
                     *[
-                        _project(m, mt, target, **self._SHAPE_FLAGS[name])
+                        _project(
+                            m, mt, target,
+                            **self._SHAPE_FLAGS[name],
+                            zdst=args[-1][1],
+                        )
                         for m, mt in members
                     ]
                 )
-            return _project(col, src_dt, target, **self._SHAPE_FLAGS[name])
+            return _project(
+                col, src_dt, target, **self._SHAPE_FLAGS[name], zdst=args[-1][1]
+            )
         if name == "cast" and len(args) == 2 and args[1][0] == "typeval":
             # cast(v, <[string]>) — type value literal argument
             return self._zcast(
@@ -2316,6 +2881,43 @@ class Compiler:
                 self._type_of(args[0], df),
                 self._type_ddl(args[1][1]),
             )
+        if name == "string" and len(args) == 1:
+            dt0 = self._type_of(args[0], df)
+            if dt0 is not None and dt0.typeName() == "binary":
+                # bytes → string validates UTF-8 (castval.go); invalid
+                # sequences are first-class cast errors (ztest
+                # cast-bytes-string-err)
+                c0 = self.expr(args[0], df)
+                # plain cast replaces invalid sequences (never
+                # throws, unlike decode); re-encoding detects them
+                decoded = c0.cast("string")
+                fail = c0.isNotNull() & (F.encode(decoded, "UTF-8") != c0)
+                est = T.StructType(
+                    [
+                        T.StructField("message", T.StringType()),
+                        T.StructField("on", T.BinaryType()),
+                    ]
+                )
+                ct = T.StructType(
+                    [
+                        T.StructField("tag", T.IntegerType()),
+                        T.StructField("v0", T.StringType()),
+                        T.StructField("e1", est),
+                    ]
+                )
+                return F.struct(
+                    F.when(fail, F.lit(1)).otherwise(F.lit(0)).alias("tag"),
+                    F.when(~fail, decoded).alias("v0"),
+                    F.when(
+                        fail,
+                        F.struct(
+                            F.lit(
+                                "cannot cast to string: invalid UTF-8"
+                            ).alias("message"),
+                            c0.alias("on"),
+                        ),
+                    ).alias("e1"),
+                ).cast(ct)
         if name in self._TYPE_DDL and name not in ("time", "duration") and len(args) == 1:
             # primitive-name cast (int64(x), bool(x), string(x), …):
             # type-directed so unions/arrays/times convert per value
@@ -2365,6 +2967,56 @@ class Compiler:
                     # ts-ts differences arrive as day-time intervals
                     # (seconds when cast) — durations are int64 ns
                     return col.cast("long") * 1_000_000_000
+                if t is not None and t.typeName() == "string":
+                    # duration strings: bare ns counts or single-unit
+                    # suffix forms parse (nano.go ParseDuration);
+                    # anything else is a first-class cast error
+                    # (ztest cast-dur-empty-string)
+                    dre = r"^(-?\d+(?:\.\d+)?)(ns|us|ms|s|m|h|d)$"
+                    num = F.regexp_extract(col, dre, 1)
+                    unit = F.regexp_extract(col, dre, 2)
+                    mult = (
+                        F.when(unit == "ns", F.lit(1))
+                        .when(unit == "us", F.lit(1_000))
+                        .when(unit == "ms", F.lit(1_000_000))
+                        .when(unit == "s", F.lit(1_000_000_000))
+                        .when(unit == "m", F.lit(60_000_000_000))
+                        .when(unit == "h", F.lit(3_600_000_000_000))
+                        .when(unit == "d", F.lit(86_400_000_000_000))
+                    )
+                    ns = F.coalesce(
+                        col.cast("long"),
+                        F.when(
+                            num != "", (num.cast("double") * mult).cast("long")
+                        ),
+                    )
+                    est = T.StructType(
+                        [
+                            T.StructField("message", T.StringType()),
+                            T.StructField("on", T.StringType()),
+                        ]
+                    )
+                    ct = T.StructType(
+                        [
+                            T.StructField("tag", T.IntegerType()),
+                            T.StructField("v0", T.LongType()),
+                            T.StructField("e1", est),
+                        ]
+                    )
+                    fail = col.isNotNull() & ns.isNull()
+                    return F.struct(
+                        F.when(fail, F.lit(1)).otherwise(F.lit(0)).alias("tag"),
+                        F.when(~fail, ns).alias("v0"),
+                        F.when(
+                            fail,
+                            F.struct(
+                                F.lit("cannot cast to duration").alias(
+                                    "message"
+                                ),
+                                col.alias("on"),
+                            ),
+                        ).alias("e1"),
+                    ).cast(ct)
                 return col.cast("long")
 
             members = self._union_members(c, dt)
@@ -2383,17 +3035,44 @@ class Compiler:
             # resolves to a present value. The record model fills
             # absent fields with null, so null-ness is the per-row
             # proxy; an unresolvable path is statically missing.
+            # Error-valued args: error("missing") reads as absent
+            # (false), any OTHER error propagates through has()
+            # unchanged (ztest has-2: has(s/0) is the divide error).
             present = None
+            prop_err = None  # first non-missing error wins
             for a in args:
                 try:
-                    df.select(self.expr(a, df))
-                    c = self.expr(a, df).isNotNull()
+                    c_raw = self.expr(a, df)
+                    df.select(c_raw)
+                    dt = self._type_of(a, df)
+                    variants = self._carrier_variants(c_raw, dt)
+                    if len(variants) > 1 or variants[0][3] is not None:
+                        c = None
+                        for cond, v, _t, ec in variants:
+                            if ec is not None:
+                                bad = cond & (ec != "missing")
+                                e2 = F.when(bad, ec)
+                                prop_err = (
+                                    e2
+                                    if prop_err is None
+                                    else F.coalesce(prop_err, e2)
+                                )
+                                hit = F.when(cond, F.lit(False))
+                            else:
+                                hit = F.when(cond, v.isNotNull())
+                            c = hit if c is None else F.coalesce(c, hit)
+                        c = F.coalesce(c, F.lit(False))
+                    else:
+                        c = c_raw.isNotNull()
                 except Exception:
                     c = F.lit(False)
                 present = c if present is None else (present & c)
             if present is None:
                 present = F.lit(False)
-            return present if name == "has" else ~present
+            out = present if name == "has" else ~present
+            if prop_err is not None:
+                return self._mk_carrier(T.BooleanType(), out, prop_err)
+            return out
         if name == "fields" and len(args) <= 1:
             from zed_spark.functions.introspect import fields_of
 
@@ -2605,14 +3284,57 @@ class Compiler:
             if args[0][0] != "str":
                 raise ValueError("grok pattern must be a string literal")
             return grok_fn(args[0][1], self.expr(args[1], df))
+        if name == "under" and len(args) == 1:
+            # under(e): strip the error/named wrapper (function/
+            # under.go) — an error carrier's e-alternatives become
+            # plain value alternatives of the same union
+            c = self.expr(args[0], df)
+            dt = self._type_of(args[0], df)
+            from zed_spark.schema import is_union_type as _iu2
+
+            if (
+                dt is not None
+                and isinstance(dt, T.StructType)
+                and _iu2(dt)
+                and any(f.name.startswith("e") for f in dt.fields[1:])
+            ):
+                parts = [c.getField("tag").alias("tag")]
+                for i, f in enumerate(dt.fields[1:]):
+                    parts.append(c.getField(f.name).alias(f"v{i}"))
+                return F.when(c.isNotNull(), F.struct(*parts))
+            return c
         if name == "compare" and len(args) == 3:
             # compare(a, b, nullsMax) — third arg is a bool literal
-            # (function/compare.go); non-bool → error value, which the
-            # expression layer can't produce, so reject loudly
+            # (function/compare.go); a non-bool is a first-class
+            # error({message, on}) value (ztest compare-nullsmax)
             from zed_spark.functions.misc import compare as zcompare
 
             if args[2][0] != "bool":
-                raise ValueError("compare: nullsMax arg is not bool")
+                bad = self.expr(args[2], df)
+                bdt = self._type_of(args[2], df) or T.StringType()
+                est = T.StructType(
+                    [
+                        T.StructField("message", T.StringType()),
+                        T.StructField("on", bdt),
+                    ]
+                )
+                ct = T.StructType(
+                    [
+                        T.StructField("tag", T.IntegerType()),
+                        T.StructField("v0", T.LongType()),
+                        T.StructField("e1", est),
+                    ]
+                )
+                return F.struct(
+                    F.lit(1).alias("tag"),
+                    F.lit(None).cast("long").alias("v0"),
+                    F.struct(
+                        F.lit("compare: nullsMax arg is not bool").alias(
+                            "message"
+                        ),
+                        bad.alias("on"),
+                    ).alias("e1"),
+                ).cast(ct)
             return zcompare(
                 self.expr(args[0], df), self.expr(args[1], df), args[2][1]
             )
@@ -2651,9 +3373,11 @@ class Compiler:
             arr = self.expr(args[0], df)
             return F.coalesce(F.array_join(arr, sep), F.lit(""))
         if name == "regexp":
-            from zed_spark.functions.strings import regexp_match
+            from zed_spark.functions.strings import regexp_match_err
 
-            return regexp_match(self.expr(args[0], df), self.expr(args[1], df))
+            re_s, _rt, _rp = self._str_operand(args[0], df)
+            in_s, _it, _ip = self._str_operand(args[1], df)
+            return regexp_match_err(re_s, in_s)
         if name == "regexp_replace" and len(args) == 3:
             pat, rep = args[1], args[2]
             dynamic = (
@@ -2662,12 +3386,85 @@ class Compiler:
                 or "$" in rep[1]
             )
             if dynamic:
-                from zed_spark.functions.strings import regexp_replace_dyn
+                from zed_spark.functions.strings import regexp_replace_err
 
-                return regexp_replace_dyn(
-                    self.expr(args[0], df),
-                    self.expr(pat, df),
-                    self.expr(rep, df),
+                in_s, in_te, _ = self._str_operand(args[0], df)
+                re_s, re_te, _ = self._str_operand(pat, df)
+                new_s, _nt, _ = self._str_operand(rep, df)
+                base = regexp_replace_err(in_s, re_s, new_s)
+                te = in_te or re_te
+                null_cond = re_s.isNull() | new_s.isNull()
+                null_msg = "regexp_replace: 2nd and 3rd args cannot be null"
+                if te is None:
+                    # nulls still error (function/regexp.go); parse
+                    # errors come back from the UDF carrier
+                    return F.when(
+                        null_cond,
+                        F.struct(
+                            F.lit(1).alias("tag"),
+                            F.lit(None).cast("string").alias("v0"),
+                            F.lit(null_msg).alias("e1"),
+                        ),
+                    ).otherwise(base)
+                # arg-type errors (first bad arg wins): an extra
+                # e2 {message, on:<operand>} alternative
+                on_type = te[2]
+                conds = [t for t in (in_te, re_te) if t is not None]
+                te_cond = None
+                on_col = None
+                for cnd, onc, ot in conds:
+                    if ot.simpleString() != on_type.simpleString():
+                        continue
+                    w = F.when(cnd, onc)
+                    on_col = w if on_col is None else F.coalesce(on_col, w)
+                    te_cond = cnd if te_cond is None else (te_cond | cnd)
+                est = T.StructType(
+                    [
+                        T.StructField("message", T.StringType()),
+                        T.StructField("on", on_type),
+                    ]
+                )
+                ct = T.StructType(
+                    [
+                        T.StructField("tag", T.IntegerType()),
+                        T.StructField("v0", T.StringType()),
+                        T.StructField("e1", T.StringType()),
+                        T.StructField("e2", est),
+                    ]
+                )
+                return (
+                    F.when(
+                        F.coalesce(te_cond, F.lit(False)),
+                        F.struct(
+                            F.lit(2).alias("tag"),
+                            F.lit(None).cast("string").alias("v0"),
+                            F.lit(None).cast("string").alias("e1"),
+                            F.struct(
+                                F.lit(
+                                    "regexp_replace: string arg required"
+                                ).alias("message"),
+                                on_col.alias("on"),
+                            ).alias("e2"),
+                        ),
+                    )
+                    .when(
+                        null_cond,
+                        F.struct(
+                            F.lit(1).alias("tag"),
+                            F.lit(None).cast("string").alias("v0"),
+                            F.lit(null_msg).alias("e1"),
+                            F.lit(None).cast(est).alias("e2"),
+                        ),
+                    )
+                    .otherwise(
+                        F.struct(
+                            base.getField("tag").alias("tag"),
+                            base.getField("v0").alias("v0"),
+                            base.getField("e1").alias("e1"),
+                            F.lit(None).cast(est).alias("e2"),
+                        )
+                    )
+                    .cast(ct)
                 )
         if name in ("base64", "hex") and len(args) == 1:
             # type-directed (bytes.go): bytes ENCODE to string,

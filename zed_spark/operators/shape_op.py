@@ -16,6 +16,45 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+_IP_RE = r"^((\d{1,3}\.){3}\d{1,3}|[0-9a-fA-F:]*:[0-9a-fA-F:]*)$"
+
+
+def _cast_err(col: Column, ok: Column, fail: Column, vtype: T.DataType, msg: str,
+              on_type: T.DataType) -> Column:
+    """Value-level cast failure → first-class error value
+    error({message, on:<operand>}) in a value|error carrier (zed
+    castable errors, expr/cast.go; ztests shape-string-time-err,
+    shape-cast-arrays)."""
+    est = T.StructType(
+        [
+            T.StructField("message", T.StringType()),
+            T.StructField("on", on_type),
+        ]
+    )
+    ct = T.StructType(
+        [
+            T.StructField("tag", T.IntegerType()),
+            T.StructField("v0", vtype),
+            T.StructField("e1", est),
+        ]
+    )
+    return F.struct(
+        F.when(fail, F.lit(1)).otherwise(F.lit(0)).alias("tag"),
+        F.when(~fail, ok).alias("v0"),
+        F.when(
+            fail,
+            F.struct(F.lit(msg).alias("message"), col.alias("on")),
+        ).alias("e1"),
+    ).cast(ct)
+
+
+def _zprim(zdst) -> str | None:
+    """The zed primitive name of a shaping target, when known — the
+    Spark DDL widens ip/net/time identity away, so per-value cast
+    validation needs the original zed type threaded through."""
+    return zdst[1] if isinstance(zdst, tuple) and zdst[0] == "prim" else None
+
+
 def _project(
     col: Column,
     src: T.DataType,
@@ -25,6 +64,7 @@ def _project(
     crop: bool,
     fill: bool,
     order: bool,
+    zdst=None,
 ) -> Column:
     if isinstance(dst, T.NullType):
         # the null type matches any source: shaping against it is the
@@ -38,12 +78,31 @@ def _project(
         parts = [
             _project(
                 col.getField(f.name), f.dataType, dst,
-                cast=cast, crop=crop, fill=fill, order=order,
+                cast=cast, crop=crop, fill=fill, order=order, zdst=zdst,
             )
             for f in src.fields[1:]
         ]
         return F.coalesce(*parts)
+    if cast and isinstance(src, T.StringType):
+        # value-level cast validation for targets whose identity the
+        # widened DDL erases (ip/net ride as strings) or whose parse
+        # can fail per value (string → time)
+        z = _zprim(zdst)
+        if z in ("ip", "net"):
+            fail = col.isNotNull() & ~col.rlike(_IP_RE)
+            return _cast_err(
+                col, col, fail, T.StringType(), f"cannot cast to {z}", src
+            )
+        if isinstance(dst, T.TimestampType):
+            ok = col.cast(dst)
+            fail = col.isNotNull() & ok.isNull()
+            return _cast_err(col, ok, fail, dst, "cannot cast to time", src)
     if isinstance(src, T.StructType) and isinstance(dst, T.StructType):
+        zmap = (
+            dict(zdst[1])
+            if isinstance(zdst, tuple) and zdst[0] == "recordtype"
+            else {}
+        )
         src_map = {f.name: f for f in src.fields}
         dst_map = {f.name: f for f in dst.fields}
         parts: list[Column] = []
@@ -64,6 +123,7 @@ def _project(
                         src_map[name].dataType,
                         dst_map[name].dataType,
                         cast=cast, crop=crop, fill=fill, order=order,
+                        zdst=zmap.get(name),
                     ).alias(name)
                 )
             elif name in src_map:
@@ -72,47 +132,83 @@ def _project(
                 parts.append(F.lit(None).cast(dst_map[name].dataType).alias(name))
         return F.when(col.isNull(), F.lit(None)).otherwise(F.struct(*parts))
     if isinstance(src, T.ArrayType) and isinstance(dst, T.ArrayType):
-        return F.transform(
+        zel = (
+            zdst[1]
+            if isinstance(zdst, tuple) and zdst[0] in ("array", "settype")
+            else None
+        )
+        out = F.transform(
             col,
             lambda x: _project(x, src.elementType, dst.elementType,
-                               cast=cast, crop=crop, fill=fill, order=order),
+                               cast=cast, crop=crop, fill=fill, order=order,
+                               zdst=zel),
         )
+        if (
+            cast
+            and isinstance(zdst, tuple)
+            and zdst[0] == "settype"
+            and _zprim(zel) in ("ip", "net")
+        ):
+            # a SET re-normalizes after cast (zcode element order,
+            # complex.go NormalizeSet): nulls first, then values,
+            # error elements last (their encoding is longest)
+            def cmp(a, b):
+                def rank(x):
+                    return (
+                        F.when(x.isNull(), F.lit(0))
+                        .when(x.getField("tag") == 0, F.lit(1))
+                        .otherwise(F.lit(2))
+                    )
+
+                ra, rb = rank(a), rank(b)
+                va = F.coalesce(a.getField("v0"), F.lit(""))
+                vb = F.coalesce(b.getField("v0"), F.lit(""))
+                return (
+                    F.when(ra < rb, F.lit(-1))
+                    .when(ra > rb, F.lit(1))
+                    .when(va < vb, F.lit(-1))
+                    .when(va > vb, F.lit(1))
+                    .otherwise(F.lit(0))
+                )
+
+            out = F.array_sort(out, cmp)
+        return out
     if cast and src != dst:
         return col.cast(dst)
     return col
 
 
-def _apply(df: DataFrame, target: T.StructType, **flags) -> DataFrame:
+def _apply(df: DataFrame, target: T.StructType, zdst=None, **flags) -> DataFrame:
     src = df.schema
     row = F.struct(*[F.col(c) for c in df.columns])
-    shaped = _project(row, src, target, **flags)
+    shaped = _project(row, src, target, zdst=zdst, **flags)
     # materialize the row struct back to top-level columns
     out_type = df.select(shaped.alias("__r")).schema[0].dataType
     assert isinstance(out_type, T.StructType)
     return df.select(shaped.alias("__r")).select("__r.*")
 
 
-def cast_to(df: DataFrame, target: T.StructType) -> DataFrame:
-    return _apply(df, target, cast=True, crop=False, fill=False, order=False)
+def cast_to(df: DataFrame, target: T.StructType, zdst=None) -> DataFrame:
+    return _apply(df, target, zdst, cast=True, crop=False, fill=False, order=False)
 
 
-def crop_to(df: DataFrame, target: T.StructType) -> DataFrame:
-    return _apply(df, target, cast=False, crop=True, fill=False, order=False)
+def crop_to(df: DataFrame, target: T.StructType, zdst=None) -> DataFrame:
+    return _apply(df, target, zdst, cast=False, crop=True, fill=False, order=False)
 
 
-def fill_to(df: DataFrame, target: T.StructType) -> DataFrame:
-    return _apply(df, target, cast=False, crop=False, fill=True, order=False)
+def fill_to(df: DataFrame, target: T.StructType, zdst=None) -> DataFrame:
+    return _apply(df, target, zdst, cast=False, crop=False, fill=True, order=False)
 
 
-def order_to(df: DataFrame, target: T.StructType) -> DataFrame:
-    return _apply(df, target, cast=False, crop=False, fill=False, order=True)
+def order_to(df: DataFrame, target: T.StructType, zdst=None) -> DataFrame:
+    return _apply(df, target, zdst, cast=False, crop=False, fill=False, order=True)
 
 
-def fit_to(df: DataFrame, target: T.StructType) -> DataFrame:
+def fit_to(df: DataFrame, target: T.StructType, zdst=None) -> DataFrame:
     """fit = crop | fill (shaper.go:37)."""
-    return _apply(df, target, cast=False, crop=True, fill=True, order=False)
+    return _apply(df, target, zdst, cast=False, crop=True, fill=True, order=False)
 
 
-def shape_to(df: DataFrame, target: T.StructType) -> DataFrame:
+def shape_to(df: DataFrame, target: T.StructType, zdst=None) -> DataFrame:
     """shape = cast | fill | order (shaper.go:40)."""
-    return _apply(df, target, cast=True, crop=False, fill=True, order=True)
+    return _apply(df, target, zdst, cast=True, crop=False, fill=True, order=True)

@@ -89,27 +89,41 @@ def merge_types(
     if isinstance(b, T.NullType):
         return a
     if unions == "tagged" and (is_union_type(a) or is_union_type(b)):
-        alts_a = union_alternatives(a) if is_union_type(a) else [a]
-        alts_b = union_alternatives(b) if is_union_type(b) else [b]
-        alts = list(alts_a)
-        for t in alts_b:
-            if t in alts:
+        # alternatives carry an is-error flag (e-named fields are
+        # first-class error(T) members, complex.go:42-65); value and
+        # error alternatives never merge with each other
+        def flagged(t):
+            if is_union_type(t):
+                return [
+                    (f.name.startswith("e"), f.dataType)
+                    for f in t.fields[1:]
+                ]
+            return [(False, t)]
+
+        alts = flagged(a)
+        for flag, t in flagged(b):
+            if (flag, t) in alts:
                 continue
             # structurally-compatible alternatives MERGE instead of
             # multiplying members: {version:[int]} joining a union
             # holding {version:[(int,string)]} widens that member
             # (zson mixed-array) — only truly irreconcilable kinds
             # add a new alternative
-            for i, alt in enumerate(alts):
+            for i, (aflag, alt) in enumerate(alts):
+                if aflag != flag:
+                    continue
                 cand = merge_types(alt, t, path, unions)
                 if not is_union_type(cand):
-                    alts[i] = cand
+                    alts[i] = (flag, cand)
                     break
             else:
-                alts.append(t)
+                alts.append((flag, t))
         from zed_spark.union import union_type
 
-        return union_type(*alts)
+        return union_type(
+            *[t for f, t in alts if not f],
+            errors=[t for f, t in alts if f],
+        )
     if _is_numeric(a) and _is_numeric(b):
         if isinstance(a, T.DecimalType) or isinstance(b, T.DecimalType):
             return T.DoubleType()

@@ -554,9 +554,16 @@ def _infer_type(v) -> T.DataType:
     if isinstance(v, TypedNull):
         return v.dtype
     if isinstance(v, ZError):
-        # error values ride as their text rendering in DataFrames; the
-        # per-record convention is the __zed_error side column
-        return T.StringType()
+        # first-class error(T) values (complex.go:42-65): a union
+        # carrier with ONLY an error alternative; merging with other
+        # shapes adds value members alongside (schema.merge_types)
+        inner = _finalize(_infer_type(v.value)) if v.value is not None else T.StringType()
+        return T.StructType(
+            [
+                T.StructField("tag", T.IntegerType()),
+                T.StructField("e0", inner),
+            ]
+        )
     if isinstance(v, bool):
         return T.BooleanType()
     if isinstance(v, int):
@@ -686,30 +693,66 @@ def _conform(v, t: T.DataType):
         if is_union_type(t):
             # a TYPED null keeps its union tag (zed: null(int64) is a
             # value OF int64 — count/dcount see it, groupby
-            # null.yaml); member stays null
-            from zed_spark.schema import union_alternatives
-
-            alts = union_alternatives(t)
+            # null.yaml); member stays null. VALUE members only —
+            # e-alternatives are error slots.
+            alts = [
+                (i, f.dataType)
+                for i, f in enumerate(t.fields[1:])
+                if f.name.startswith("v")
+            ]
             nt = _finalize(v.dtype) if v.dtype is not None else None
-            tag = next(
-                (i for i, alt in enumerate(alts) if alt == nt), None
-            )
+            tag = next((i for i, alt in alts if alt == nt), None)
             if tag is None and nt is not None:
                 # widening match (null(int64) into a double member)
                 tag = next(
-                    (
-                        i
-                        for i, alt in enumerate(alts)
-                        if _merge_type(alt, nt) == alt
-                    ),
+                    (i for i, alt in alts if _merge_type(alt, nt) == alt),
                     None,
                 )
             if tag is not None:
-                return tuple([tag] + [None] * len(alts))
+                return tuple([tag] + [None] * len(t.fields[1:]))
         return None
     if v is None:
         return None
     if isinstance(v, ZError):
+        from zed_spark.schema import is_union_type as _iu
+
+        if _iu(t):
+            # error values land in the carrier's e-alternative
+            # (first-class error(T), complex.go:42-65)
+            epos = [
+                (i, f.dataType)
+                for i, f in enumerate(t.fields[1:])
+                if f.name.startswith("e")
+            ]
+            if epos:
+                iv_t = (
+                    _finalize(_infer_type(v.value))
+                    if v.value is not None
+                    else None
+                )
+                tag = None
+                if iv_t is not None:
+                    tag = next((i for i, et in epos if et == iv_t), None)
+                    if tag is None:
+                        tag = next(
+                            (
+                                i
+                                for i, et in epos
+                                if _merge_type(et, iv_t) == et
+                            ),
+                            None,
+                        )
+                if tag is None:
+                    tag = epos[0][0]
+                et = dict(epos)[tag]
+                if v.value is None or isinstance(v.value, TypedNull):
+                    # error(null): the reference renders this as a
+                    # typed null OF the error type (ztest under) — a
+                    # null carrier here
+                    return tuple([None] + [None] * len(t.fields[1:]))
+                row = [tag] + [None] * len(t.fields[1:])
+                row[1 + tag] = _conform(v.value, et)
+                return tuple(row)
         if v.value is None or isinstance(v.value, TypedNull):
             # error(null(...)): the inner value is null — render as a
             # null cell (csvio error ztest: blank, not 'error(null)')
@@ -729,36 +772,33 @@ def _conform(v, t: T.DataType):
     from zed_spark.schema import is_union_type
 
     if is_union_type(t):
-        from zed_spark.schema import union_alternatives
-
-        alts = union_alternatives(t)
+        # VALUE members only — e-alternatives hold error values and
+        # are filled by the ZError branch above
+        alts = [
+            (i, f.dataType)
+            for i, f in enumerate(t.fields[1:])
+            if f.name.startswith("v")
+        ] or [(i, f.dataType) for i, f in enumerate(t.fields[1:])]
         iv = _infer_type(v)
-        tag = None
-        for i, alt in enumerate(alts):
-            if alt == iv:
-                tag = i
-                break
+        tag = next((i for i, alt in alts if alt == iv), None)
         if tag is None:  # widening match (e.g. long value, double alt)
-            for i, alt in enumerate(alts):
-                if _merge_type(alt, iv) == alt:
-                    tag = i
-                    break
+            tag = next(
+                (i for i, alt in alts if _merge_type(alt, iv) == alt), None
+            )
         if tag is None:  # same KIND (record↔record, array↔array)
             tag = next(
-                (
-                    i
-                    for i, alt in enumerate(alts)
-                    if alt.typeName() == iv.typeName()
-                ),
+                (i for i, alt in alts if alt.typeName() == iv.typeName()),
                 None,
             )
         if tag is None:
             tag = next(
-                (i for i, alt in enumerate(alts) if isinstance(alt, T.StringType)), 0
+                (i for i, alt in alts if isinstance(alt, T.StringType)),
+                alts[0][0],
             )
+        amap = dict(alts)
         row = [tag]
-        for i, alt in enumerate(alts):
-            row.append(_conform(v, alt) if i == tag else None)
+        for i, f in enumerate(t.fields[1:]):
+            row.append(_conform(v, amap[i]) if i == tag else None)
         return tuple(row)
     if isinstance(t, T.StructType) and isinstance(v, dict):
         return tuple(_conform(v.get(f.name), f.dataType) for f in t.fields)
@@ -904,14 +944,17 @@ def _dump_value(v, t: T.DataType) -> str:
         from zed_spark.schema import is_union_type, union_alternatives
 
         if is_union_type(t):
-            # union values render as their alternative (zson.md unions)
+            # union values render as their alternative (zson.md
+            # unions); e-alternatives render as error(...) values
             get = (lambda k: v[k]) if isinstance(v, dict) else (
                 lambda k: v[list(f.name for f in t.fields).index(k)]
             )
             tag = get("tag")
             if tag is None:
                 return "null"
-            return _dump_value(get(f"v{tag}"), union_alternatives(t)[tag])
+            mf = t.fields[1 + tag]
+            body = _dump_value(get(mf.name), mf.dataType)
+            return f"error({body})" if mf.name.startswith("e") else body
         inner = ",".join(
             f"{_quote_name(f.name)}:{_dump_value(v[f.name] if isinstance(v, dict) else v[i], f.dataType)}"
             for i, f in enumerate(t.fields)

@@ -28,10 +28,21 @@ _ZED_TYPE_RANK = {
 }
 
 
-def union_type(*types: T.DataType) -> T.StructType:
+def union_type(
+    *types: T.DataType, errors: tuple | list = ()
+) -> T.StructType:
+    """Union struct; `errors` lists first-class ERROR alternatives
+    (error(T) wrapper types, complex.go:42-65) — they ride as
+    e-named fields after the value members, and every error-aware
+    path (expr dispatch, writers, the ztest compare) resolves an
+    e-tagged value to error(<member>)."""
     members = sorted(types, key=lambda t: _ZED_TYPE_RANK.get(t, 30))
     fields = [T.StructField("tag", T.IntegerType(), False)]
     fields += [T.StructField(f"v{i}", t, True) for i, t in enumerate(members)]
+    n = len(members)
+    fields += [
+        T.StructField(f"e{n + j}", t, True) for j, t in enumerate(errors)
+    ]
     return T.StructType(fields)
 
 
