@@ -243,3 +243,33 @@ def test_join_cut_nested_path(spark):
     out = ops.join(left, right, "k", "k", "inner", cut={"nested": "a.b"})
     assert out.columns == ["k", "lv", "nested"]
     assert out.first()["nested"] == "deep"
+
+
+def test_search_flat_schema_avoids_to_json(spark):
+    """Bare-term search over a flat schema compiles to per-column
+    predicates (codegen), not a to_json scan of the whole row; the
+    JSON path remains for nested schemas. Results agree between the
+    two plans."""
+    from zed_spark.operators.filters import search
+
+    flat = spark.createDataFrame(
+        [(1, "Spark rules", 10, True), (2, "duck", 20, False),
+         (3, "no match", 2, None)],
+        "id long, text string, n long, flag boolean",
+    )
+    out = search(flat, "spark")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "to_json" not in plan and "StructsToJson" not in plan
+    assert [r["id"] for r in out.collect()] == [1]
+    # numeric rendering matches: term "20" hits the n column
+    assert [r["id"] for r in search(flat, "20").collect()] == [2]
+    # field-name match: rows where the named field is present
+    assert sorted(r["id"] for r in search(flat, "flag").collect()) == [1, 2]
+    # nested schema falls back to the JSON scan, same semantics
+    nested = spark.createDataFrame(
+        [(1, {"msg": "Spark here"}), (2, {"msg": "nope"})],
+        "id long, rec struct<msg:string>",
+    )
+    plan2 = search(nested, "spark")._jdf.queryExecution().executedPlan().toString()
+    assert "to_json" in plan2 or "StructsToJson" in plan2
+    assert [r["id"] for r in search(nested, "spark").collect()] == [1]

@@ -270,3 +270,34 @@ def test_zjson_union_array_and_per_file_ids(spark, tmp_path):
     ss = sorted(r["s"] for r in all_rows if "s" in r)
     assert vs == ["7", "x"]
     assert ss == ["bye", "hello"]
+
+
+def test_read_zson_job_count_independent_of_shapes(spark, tmp_path):
+    """The shape materialization is ONE pass: reading a 20-shape file
+    runs the same number of Spark jobs as a 2-shape file (the
+    per-shape work is a filter+project over one cached combined
+    frame, not a job per shape)."""
+    from zed_spark.sources.zson import read_zson
+
+    def write(nshapes, name):
+        p = tmp_path / name
+        lines = []
+        for i in range(nshapes):
+            lines.append("{" + f"f{i}:{i}" + "}")
+        p.write_text("\n".join(lines * 3) + "\n")
+        return str(p)
+
+    sc = spark.sparkContext
+
+    def jobs_during(path):
+        start_ids = set(sc.statusTracker().getJobIdsForGroup() or [])
+        out = read_zson(spark, path)
+        end_ids = set(sc.statusTracker().getJobIdsForGroup() or [])
+        return len(end_ids - start_ids), out
+
+    n2, out2 = jobs_during(write(2, "two.zson"))
+    n20, out20 = jobs_during(write(20, "twenty.zson"))
+    assert len(out2) == 2 and len(out20) == 20
+    assert n20 == n2, f"jobs grew with shape count: {n2} -> {n20}"
+    # and the data is intact
+    assert out20["f7"].count() == 3

@@ -168,7 +168,6 @@ UNSUPPORTED: dict[str, str] = {
         "shape-cast-to-union": "cast TO union over union input needs "
         "named-member identity " + _S,
         "complex-unions": _U,
-        "cut": "cut of absent fields yields error('missing') per row " + _S,
         "dot-index": "runtime record keys (this[field]) " + _S,
         "dot-record-type": "type-value field access " + _S,
         "in-star": "reference-skipped (disabled upstream)",
@@ -206,7 +205,6 @@ UNSUPPORTED.update(
             "flatten": "flatten values ride as strings (union-valued leaves)",
             "grep": _SC,
             "grok": "per-row grok patterns need runtime schemas",
-            "ksuid": _E,
             "len": "error values inside unions " + _E,
             "nameof": _S,
             "now": "regexp-form expected output outside harness subset",
@@ -223,7 +221,6 @@ UNSUPPORTED.update(
         for k, v in {
             "args": _SC,
             "collect-map-union": "map keys of union type " + _U,
-            "groupby-missing": "group key over mixed presence " + _S,
         }.items()
     }
 )
@@ -319,8 +316,6 @@ UNSUPPORTED.update(
         f"/root/reference/zio/zngio/ztests/{k}.yaml": v
         for k, v in {
             "big-value": "shell for-loop fixture [script]",
-            "primitive": "error value piped between stages rides as "
-            "its text rendering [errval]",
             "zctx-named-reset-2": "quiet(missing) group keys drop "
             "rows — null vs missing widened away [shape]",
         }.items()
@@ -423,10 +418,9 @@ UNSUPPORTED.update(
     {
         f"{ZTESTS}/{k}.yaml": v
         for k, v in {
-            "issue-4013": "shell `seq` command outside harness subset "
-            "[script]",
-            "op/cut-foo-mixed": "cut of absent fields yields "
-            "error('missing') [errval]",
+            "issue-4013": "head-1 over fork legs is pull-ORDER "
+            "dependent (reference op scheduling); our fused legs have "
+            "no arrival order [script]",
             "op/drop-foo-both": "drop leaving an empty record drops the "
             "row only when the FIELD was absent — null vs missing "
             "[shape]",
@@ -436,34 +430,17 @@ UNSUPPORTED.update(
             "[errval]",
             "op/sort/sort-types": "sort over type VALUES orders by "
             "type-id [shape]",
-            "expr/index": "index into union-typed containers + "
-            "error('missing') out-of-range [union]",
-            "expr/record-spread": "spread of a union-typed operand "
-            "[union]",
-            "expr/function/base64": "per-member result types "
-            "(bytes→string, string→bytes) + value-level decode errors "
-            "[union]",
-            "expr/function/hex": "per-member result types + value-level "
-            "decode errors [union]",
-            "expr/function/coalesce": "coalesce skips error('missing') "
-            "values [errval]",
             "expr/function/fields": "type-value reflection (fields of "
             "<type> literals) [shape]",
             "expr/function/kind": "error/enum/type kinds ride as "
             "strings [shape]",
             "expr/function/len": "ip/net byte lengths and type-value "
             "lengths are widened away [shape]",
-            "expr/function/levenshtein": "union decorator on a "
-            "single-member-observed column collapses [union]",
             "expr/function/lower": "ip values ride as strings — "
             "lower(ip) should error [shape]",
             "expr/function/upper": "ip values ride as strings [shape]",
-            "expr/function/network_of": "two-arg mask form with "
-            "value-level mask errors [errval]",
             "expr/function/quiet": "quiet over error-valued expressions "
             "[errval]",
-            "expr/function/split": "split of an absent field is "
-            "error('missing') [errval]",
             "expr/function/typeof": "per-row type identity (int32 vs "
             "int64, named types) is widened away [shape]",
         }.items()
@@ -478,8 +455,6 @@ UNSUPPORTED.update(
             "byte-compare) [script]",
             "enum-typeval": "enum types ride as strings [shape]",
             "map": "IPv6 map keys (`|{:: :::}|` syntax) [shape]",
-            "named-primitive": "named primitive types are widened "
-            "away [shape]",
             "persist": "glob field reference b.* in script [script]",
             "pretty-type-value": "-pretty type-value rendering "
             "[shape]",
@@ -512,7 +487,6 @@ UNSUPPORTED.update(
             "different-key-types": "per-row type ordering of mixed-type "
             "group keys " + _S,
             "dot": "typeof(this) group key needs per-row type identity " + _S,
-            "missing-fields": "error('missing') as a group key " + _E,
             "mixed-type-key": "union-typed key record (field access on "
             "record|string) " + _U,
             "null": "count/dcount count typed nulls as values — null vs "
@@ -529,8 +503,6 @@ UNSUPPORTED.update(
             "replicated " + _S,
             "join/ztests/kinds": "anti join drops missing-key rows but "
             "keeps null-key rows — null vs missing widened away " + _S,
-            "switcher/ztests/switch-error": "error value from a/0 in a "
-            "case predicate " + _E,
             "meta/ztests/nulls-max": _LAKE,
             "meta/ztests/partitions": _LAKE,
             "meta/ztests/pruner": _LAKE,
@@ -555,6 +527,36 @@ def _load(path: str) -> dict:
         return yaml.safe_load(f)
 
 
+def _missing_paths(v, t, prefix="") -> list[str]:
+    """Dotted paths the merged schema has but THIS value lacks — the
+    per-row absent-vs-null distinction the widened model otherwise
+    erases (zed missing semantics, context.go:494). Only the topmost
+    absent segment is recorded; access checks walk the prefix
+    chain."""
+    from pyspark.sql import types as T
+
+    from zed_spark.sources.zson import ZMap
+
+    out: list[str] = []
+    if (
+        isinstance(t, T.StructType)
+        and isinstance(v, dict)
+        and not isinstance(v, ZMap)
+    ):
+        for f in t.fields:
+            p = f"{prefix}{f.name}"
+            if f.name not in v:
+                out.append(p)
+            elif v[f.name] is None:
+                # UNTYPED null (`null`, not null(string)): its type
+                # is unknown, so typed functions reject it while a
+                # typed null passes (ztest levenshtein)
+                out.append(p + "\x00null")
+            else:
+                out.extend(_missing_paths(v[f.name], f.dataType, p + "."))
+    return out
+
+
 def _to_df(spark, values):
     from pyspark.sql import types as T
 
@@ -568,6 +570,40 @@ def _to_df(spark, values):
         t = _merge_type(t, _infer_type(v))
     t = _finalize(t)
     rows = [_conform(v, t) for v in values]
+    miss = None
+    if records and isinstance(t, T.StructType):
+        miss = [_missing_paths(v, t) for v in values]
+    elif isinstance(t, T.StructType) and len(t.fields) == 1:
+        # wrapped mixed stream ({this: v}): record VALUES inside the
+        # this-union still have per-row presence against the union's
+        # record member type
+        from zed_spark.schema import is_union_type as _iu
+
+        this_t = t.fields[0].dataType
+        if isinstance(this_t, T.StructType) and _iu(this_t):
+            rec_members = [
+                f.dataType
+                for f in this_t.fields[1:]
+                if f.name.startswith("v")
+                and isinstance(f.dataType, T.StructType)
+            ]
+            if len(rec_members) == 1:
+                miss = [
+                    _missing_paths(v["this"], rec_members[0])
+                    if isinstance(v["this"], dict)
+                    and not isinstance(v["this"], ZMap)
+                    else []
+                    for v in values
+                ]
+    if miss is not None and any(miss):
+        # mixed-shape stream: carry per-row presence in a hidden
+        # column so absent fields can yield error("missing")
+        # while present-but-null fields stay null
+        t = T.StructType(
+            list(t.fields)
+            + [T.StructField("__zed_missing", T.ArrayType(T.StringType()))]
+        )
+        rows = [r + (m,) for r, m in zip(rows, miss)]
     return spark.createDataFrame(rows, t), (not records)
 
 
@@ -654,6 +690,11 @@ def _parse_script_line(line: str):
     if m:
         parts = shlex.split(m.group(1))
         echo_text = " ".join(parts)
+        line = m.group(2)
+    m = re.match(r"seq\s+(\d+)\s*\|\s*((?:super|zq)\b.*)$", line, re.S)
+    if m:
+        # `seq N | super ...`: N integer values on stdin
+        echo_text = "\n".join(str(i) for i in range(1, int(m.group(1)) + 1))
         line = m.group(2)
     m = re.match(r"cat\s+(.*?)\s*\|\s*((?:super|zq)\b.*)$", line, re.S)
     if m:
@@ -867,6 +908,44 @@ def _run_script_case(spark, case: dict, path: str):
                 elif ofile.endswith(".parquet"):
                     import tempfile
 
+                    from pyspark.sql import types as _Tq
+
+                    # parquet has no error type: the reference's
+                    # parquetio writer renders error values as their
+                    # text (zio/parquetio); mirror that for pure
+                    # error-carrier columns
+                    for fld in df.schema.fields:
+                        dtq = fld.dataType
+                        if (
+                            isinstance(dtq, _Tq.StructType)
+                            and dtq.fields
+                            and dtq.fields[0].name == "tag"
+                            and all(
+                                f.name.startswith("e")
+                                and isinstance(f.dataType, _Tq.StringType)
+                                for f in dtq.fields[1:]
+                            )
+                            and len(dtq.fields) > 1
+                        ):
+                            from pyspark.sql import functions as _Fq
+
+                            c = _Fq.col(f"`{fld.name}`")
+                            rendered = None
+                            for i, f2 in enumerate(dtq.fields[1:]):
+                                w = _Fq.when(
+                                    c.getField("tag") == i,
+                                    _Fq.concat(
+                                        _Fq.lit('error("'),
+                                        c.getField(f2.name),
+                                        _Fq.lit('")'),
+                                    ),
+                                )
+                                rendered = (
+                                    w
+                                    if rendered is None
+                                    else _Fq.coalesce(rendered, w)
+                                )
+                            df = df.withColumn(fld.name, rendered)
                     d = tempfile.mkdtemp()
                     df.coalesce(1).write.mode("overwrite").parquet(d)
                     import glob as _g
@@ -1262,6 +1341,7 @@ def _collect_vals(out, wrapped: bool, want) -> list:
     from zed_spark.sources.zson import ZError, ZMap
 
     for r in got_rows:
+        r.pop("__zed_missing", None)
         errs = r.pop("__zed_error", None)
         if errs:
             for epath, msg in errs.items():
@@ -1269,11 +1349,12 @@ def _collect_vals(out, wrapped: bool, want) -> list:
                 for p in parts[:-1]:
                     cur = cur.setdefault(p, {})
                 cur[parts[-1]] = ZError(msg)
+    vis_cols = [c for c in out.columns if not c.startswith("__zed_")]
     got = got_rows
-    if wrapped and out.columns == ["this"]:
+    if wrapped and vis_cols == ["this"]:
         got = [r["this"] for r in got_rows]
     elif (
-        len(out.columns) == 1
+        len(vis_cols) == 1
         and want
         and all(
             not isinstance(v, dict) or isinstance(v, ZMap) for v in want
@@ -1281,7 +1362,7 @@ def _collect_vals(out, wrapped: bool, want) -> list:
     ):
         # zed emits BARE values where the record model wraps them in
         # a single column (yield of a non-record, over pipelines)
-        got = [r[out.columns[0]] for r in got_rows]
+        got = [r[vis_cols[0]] for r in got_rows]
     return got
 
 
@@ -1325,7 +1406,15 @@ def _compare(outs: list[tuple], zed: str, want, path: str):
             return [resolve_unions(x) for x in v]
         return v
 
-    g = [repr(_norm(strip_nulls(resolve_unions(v)))) for v in got]
+    def unwrap_this(v):
+        # a row whose only surviving field is `this` is a BARE value
+        # in a heterogeneous stream (the engine's bare-value column
+        # convention — e.g. an error row fused into record legs)
+        if isinstance(v, dict) and list(v) == ["this"]:
+            return v["this"]
+        return v
+
+    g = [repr(_norm(unwrap_this(strip_nulls(resolve_unions(v))))) for v in got]
     w = [repr(_norm(strip_nulls(v))) for v in want]
     ordered = "sort" in zed or "merge" in zed
     if (

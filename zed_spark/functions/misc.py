@@ -87,9 +87,13 @@ def ksuid_to_string(e: Column) -> Column:
     def enc(s):
         import pandas as pd
 
-        return pd.Series(
-            [None if b is None else ksuid_encode_bytes(bytes(b)) for b in s]
-        )
+        def safe(b):
+            try:
+                return None if b is None else ksuid_encode_bytes(bytes(b))
+            except Exception:
+                return None
+
+        return pd.Series([safe(b) for b in s])
 
     return enc(e)
 
@@ -102,7 +106,13 @@ def ksuid_parse(e: Column) -> Column:
     def dec(s):
         import pandas as pd
 
-        return pd.Series([None if v is None else ksuid_decode_str(v) for v in s])
+        def safe(v):
+            try:
+                return None if v is None else ksuid_decode_str(v)
+            except Exception:
+                return None
+
+        return pd.Series([safe(v) for v in s])
 
     return dec(e)
 

@@ -194,7 +194,21 @@ class Compiler:
                 return df.filter(cond)
             dt = self._type_of(e1, df)
             if dt is not None and dt.typeName() not in ("boolean", "void"):
-                return self.apply(df, ("yield", [e1]))
+                # a boolean|error carrier is still a PREDICATE (the
+                # error-aware `in`/and/or return carriers)
+                from zed_spark.schema import is_union_type as _iue
+
+                carrier_bool = (
+                    isinstance(dt, T.StructType)
+                    and _iue(dt)
+                    and any(
+                        f.name.startswith("v")
+                        and f.dataType.typeName() == "boolean"
+                        for f in dt.fields[1:]
+                    )
+                )
+                if not carrier_bool:
+                    return self.apply(df, ("yield", [e1]))
             return self.apply(df, ("where", e1))
         if kind == "where":
             if node[1][0] == "str":
@@ -326,7 +340,32 @@ class Compiler:
                     target = alias or e.split(".")[-1]
                     specs.append(f"{target}:={tmp}")
                 else:
-                    specs.append(f"{alias}:={e}" if alias else e)
+                    mc = self._missing_cond(df, e)
+                    ft = path_type(df.schema, e)
+                    from zed_spark.schema import is_union_type as _iuc
+
+                    if (
+                        mc is not None
+                        and ft is not None
+                        and not (
+                            isinstance(ft, T.StructType) and _iuc(ft)
+                        )
+                        and not isinstance(ft, T.StructType)
+                    ):
+                        # present-in-schema scalar that is per-row
+                        # ABSENT in mixed shapes: cut yields
+                        # error("missing") for those rows
+                        # (ztest op/cut-foo-mixed)
+                        tmp = f"__cut_{i}"
+                        tmps[tmp] = self._mk_carrier(
+                            ft,
+                            self.expr(("field", e.split(".")), df),
+                            F.when(mc, F.lit("missing")),
+                        )
+                        target = alias or e.split(".")[-1]
+                        specs.append(f"{target}:={tmp}")
+                    else:
+                        specs.append(f"{alias}:={e}" if alias else e)
             df = self._apply_runner_fixups(df)
             self._runner_sink = prev_sink
             out = ops.cut(df.withColumns(tmps) if tmps else df, *specs)
@@ -434,7 +473,10 @@ class Compiler:
             if not aggs and keys and every is None:
                 # zed `by key,...` shorthand: distinct key tuples
                 return df.select(
-                    *[self.expr(e, df).alias(name) for name, e in keys]
+                    *[
+                        self._field_value_with_missing(e, df).alias(name)
+                        for name, e in keys
+                    ]
                 ).distinct()
             names = [n for n, *_ in aggs] + [n for n, _ in keys]
             dups = {n for n in names if names.count(n) > 1}
@@ -495,7 +537,12 @@ class Compiler:
                         else None
                     ),
                 )
-            by = {name: self.expr(e, df) for name, e in keys} or None
+            # group keys are value-materializing: a per-row absent
+            # key is error("missing") (groupby/ztests/missing-fields)
+            by = {
+                name: self._field_value_with_missing(e, df)
+                for name, e in keys
+            } or None
             ev = None
             if every is not None:
                 ts_col = "ts" if "ts" in df.columns else df.columns[0]
@@ -637,6 +684,11 @@ class Compiler:
             )
             compiled = []
             for e in node[1]:
+                if e[0] == "field":
+                    # bare-field yield: per-row absent → missing
+                    c, dt = self._fvwm_typed(e, df)
+                    compiled.append((e, c, dt))
+                    continue
                 c = self.expr(e, df)
                 # type probe with the runner sink disabled, so a
                 # running agg compiles to its plain window column
@@ -669,7 +721,15 @@ class Compiler:
                             cand = _mgy(t2, t, unions="tagged")
                             from zed_spark.schema import is_union_type
 
-                            if not is_union_type(cand):
+                            # merge only when one side subsumes the
+                            # other (plain widening) — a merged type
+                            # NEITHER member can cast to (e.g. two
+                            # {message, on:...} error shapes with
+                            # different on types) keeps its own slot
+                            if not is_union_type(cand) and cand.simpleString() in (
+                                t2.simpleString(),
+                                t.simpleString(),
+                            ):
                                 alts[i] = (f2, cand)
                                 return i
                     alts.append((flag, t))
@@ -889,13 +949,33 @@ class Compiler:
                 if cond_ast is None:
                     default_pipe = sub
                     continue
-                cond = (
-                    (self.expr(selector, df) == self.expr(cond_ast, df))
-                    if selector is not None
-                    else self.expr(cond_ast, df)
-                )
-                leg = df.filter(not_earlier & cond)
-                not_earlier = not_earlier & ~F.coalesce(cond, F.lit(False))
+                if selector is not None:
+                    cond = self.expr(selector, df) == self.expr(cond_ast, df)
+                else:
+                    cond = self.expr(cond_ast, df)
+                    cdt = self._type_of(cond_ast, df)
+                    cv, cerr = self._bool_parts(cond, cdt)
+                    if cerr is not None:
+                        # an error-valued case predicate replaces the
+                        # ROW with the error value (switch-error
+                        # ztest: `case a/0` emits error("divide by
+                        # zero")) — route those rows to an error leg
+                        legs.append(
+                            df.filter(not_earlier & cerr.isNotNull())
+                            .select(
+                                F.struct(
+                                    F.lit(1).alias("tag"),
+                                    F.lit(None)
+                                    .cast("string")
+                                    .alias("v0"),
+                                    cerr.alias("e1"),
+                                ).alias("this")
+                            )
+                        )
+                        not_earlier = not_earlier & cerr.isNull()
+                        cond = cv
+                leg = df.filter(not_earlier & F.coalesce(cond.cast("boolean"), F.lit(False)))
+                not_earlier = not_earlier & ~F.coalesce(cond.cast("boolean"), F.lit(False))
                 legs.append(self._run_sub(leg, sub))
             if default_pipe is not None:
                 legs.append(self._run_sub(df.filter(not_earlier), default_pipe))
@@ -996,7 +1076,9 @@ class Compiler:
             return out.drop("__jk") if not simple else out
         raise ValueError(f"unsupported operator {kind!r}")
 
-    def _union_path(self, base: Column, dt, parts: list[str]) -> Column:
+    def _union_path(
+        self, base: Column, dt, parts: list[str], missing: Column | None = None
+    ) -> Column:
         """Field access THROUGH a union carrier: per-row member
         dispatch (reference eval.go dotExpr over unions; ztest
         expr/dot). Record members containing the path yield the
@@ -1043,6 +1125,10 @@ class Compiler:
             .when(present, F.lit(0))
             .otherwise(F.lit(1))
         )
+        if missing is not None:
+            # per-row presence info (hidden __zed_missing column):
+            # an absent path is missing even when the member matches
+            tag2 = F.when(missing, F.lit(1)).otherwise(tag2)
         return F.struct(
             tag2.cast("int").alias("tag"),
             F.when(tag2 == 0, val).alias("v0"),
@@ -1165,7 +1251,12 @@ class Compiler:
                         for k, p in enumerate(e[1]):
                             if isinstance(cur2, T.StructType) and _iut(cur2):
                                 return self._union_path(
-                                    c, cur2, list(e[1][k:])
+                                    c,
+                                    cur2,
+                                    list(e[1][k:]),
+                                    missing=self._missing_cond(
+                                        df, ".".join(e[1][k:])
+                                    ),
                                 )
                             if (
                                 isinstance(cur2, T.StructType)
@@ -1181,7 +1272,7 @@ class Compiler:
         if kind == "this":
             if getattr(self, "_this_stack", None):
                 return self._this_stack[-1]
-            cols = df.columns
+            cols = [c for c in df.columns if not c.startswith("__zed_")]
             excl = getattr(self, "_scoped_exclude", None)
             if excl and excl[-1]:
                 # inside a scoped-over body the lateral helpers and
@@ -1432,6 +1523,221 @@ class Compiler:
                         return F.col("this").getField(name)
                 return F.lit(None)
             base = self.expr(e[1], df)
+            bt0 = self._type_of(e[1], df)
+            idt0 = self._type_of(idx, df)
+            from zed_spark.schema import is_union_type as _iui
+
+            if (
+                bt0 is not None
+                and isinstance(bt0, T.StructType)
+                and _iui(bt0)
+            ) or (
+                idt0 is not None
+                and isinstance(idt0, T.StructType)
+                and _iui(idt0)
+            ):
+                # union-typed container or index: per-member dispatch
+                # with the reference's error values (ztest expr/index:
+                # out-of-range → error("missing"), non-integer array
+                # index / non-string record index → error({message,
+                # on})) — eval.go getNthFromContainer/indexRecord
+                idxc0 = self.expr(idx, df)
+                ints = ("byte", "short", "integer", "long")
+                cases = []
+                for bc, bcol, btm, berr in self._carrier_variants(base, bt0):
+                    for ic, icol, itm, ierr in self._carrier_variants(
+                        idxc0, idt0
+                    ):
+                        cond = None
+                        for c in (bc, ic):
+                            if c is not None:
+                                cond = c if cond is None else (cond & c)
+                        both = lambda extra: (  # noqa: E731
+                            extra if cond is None else (cond & extra)
+                        )
+                        if berr is not None or ierr is not None:
+                            cases.append(
+                                (
+                                    cond,
+                                    None,
+                                    None,
+                                    berr if berr is not None else ierr,
+                                    T.StringType(),
+                                )
+                            )
+                        elif btm is not None and btm.typeName() == "array":
+                            # a float member may still hold integral
+                            # values (int/double widening merges the
+                            # index column to double) — dispatch on
+                            # per-value integrality
+                            floaty = itm is not None and itm.typeName() in (
+                                "double",
+                                "float",
+                            )
+                            if itm is None or itm.typeName() in ints or floaty:
+                                ok = F.lit(True)
+                                if floaty:
+                                    ok = icol.isNull() | (
+                                        icol == F.floor(icol)
+                                    )
+                                ii = icol.cast("long")
+                                size = F.size(bcol)
+                                pos = F.when(
+                                    ii < 0, ii + size
+                                ).otherwise(ii)
+                                miss = (
+                                    bcol.isNull()
+                                    | icol.isNull()
+                                    | (pos < 0)
+                                    | (pos >= size)
+                                )
+                                cases.append(
+                                    (
+                                        both(ok & miss),
+                                        None,
+                                        None,
+                                        F.lit("missing"),
+                                        T.StringType(),
+                                    )
+                                )
+                                cases.append(
+                                    (
+                                        both(ok & ~miss),
+                                        F.get(bcol, pos.cast("int")),
+                                        btm.elementType,
+                                        None,
+                                        None,
+                                    )
+                                )
+                                if floaty:
+                                    est = T.StructType(
+                                        [
+                                            T.StructField(
+                                                "message", T.StringType()
+                                            ),
+                                            T.StructField("on", itm),
+                                        ]
+                                    )
+                                    cases.append(
+                                        (
+                                            both(~ok),
+                                            None,
+                                            None,
+                                            F.struct(
+                                                F.lit(
+                                                    "index is not an "
+                                                    "integer"
+                                                ).alias("message"),
+                                                icol.alias("on"),
+                                            ),
+                                            est,
+                                        )
+                                    )
+                            else:
+                                est = T.StructType(
+                                    [
+                                        T.StructField(
+                                            "message", T.StringType()
+                                        ),
+                                        T.StructField("on", itm),
+                                    ]
+                                )
+                                cases.append(
+                                    (
+                                        cond,
+                                        None,
+                                        None,
+                                        F.struct(
+                                            F.lit(
+                                                "index is not an integer"
+                                            ).alias("message"),
+                                            icol.alias("on"),
+                                        ),
+                                        est,
+                                    )
+                                )
+                        elif btm is not None and btm.typeName() == "struct":
+                            if itm is not None and itm.typeName() == "string":
+                                found = F.lit(False)
+                                for fld in btm.fields:
+                                    fc = both(icol == fld.name)
+                                    cases.append(
+                                        (
+                                            fc,
+                                            bcol.getField(fld.name),
+                                            fld.dataType,
+                                            None,
+                                            None,
+                                        )
+                                    )
+                                    found = found | (icol == fld.name)
+                                cases.append(
+                                    (
+                                        both(
+                                            ~F.coalesce(found, F.lit(False))
+                                        ),
+                                        None,
+                                        None,
+                                        F.lit("missing"),
+                                        T.StringType(),
+                                    )
+                                )
+                            else:
+                                est = T.StructType(
+                                    [
+                                        T.StructField(
+                                            "message", T.StringType()
+                                        ),
+                                        T.StructField(
+                                            "on",
+                                            itm
+                                            if itm is not None
+                                            else T.StringType(),
+                                        ),
+                                    ]
+                                )
+                                cases.append(
+                                    (
+                                        cond,
+                                        None,
+                                        None,
+                                        F.struct(
+                                            F.lit(
+                                                "record index is not a "
+                                                "string"
+                                            ).alias("message"),
+                                            icol.alias("on"),
+                                        ),
+                                        est,
+                                    )
+                                )
+                        else:
+                            cases.append(
+                                (
+                                    cond,
+                                    None,
+                                    None,
+                                    F.lit("missing"),
+                                    T.StringType(),
+                                )
+                            )
+                if (
+                    bt0 is not None
+                    and isinstance(bt0, T.StructType)
+                    and _iui(bt0)
+                ):
+                    # a null union carrier (no member tag) is an
+                    # absent container → missing
+                    cases.append(
+                        (
+                            base.isNull() | base.getField("tag").isNull(),
+                            None,
+                            None,
+                            F.lit("missing"),
+                            T.StringType(),
+                        )
+                    )
+                return self._cases_to_carrier(cases)
             if self._is_string(e[1], df):
                 if idx[0] == "num" and isinstance(idx[1], int) and idx[1] >= 0:
                     return F.substring(base, idx[1] + 1, 1)
@@ -1546,12 +1852,56 @@ class Compiler:
                         if dt is None or dt.typeName() != "struct":
                             raise ValueError("record spread needs a record operand")
                         base = self.expr(src, df)
+                        from zed_spark.schema import is_union_type as _ius
+
+                        if _ius(dt):
+                            # spreading a union/carrier operand
+                            # expands its RECORD members' fields
+                            # per row; non-record members (and null
+                            # carriers) contribute nothing (ztest
+                            # expr/record-spread)
+                            for cond, v, t, ec in self._carrier_variants(
+                                base, dt
+                            ):
+                                if ec is not None or t.typeName() != "struct":
+                                    continue
+                                for f in t.fields:
+                                    w = (
+                                        F.when(cond, v.getField(f.name))
+                                        if cond is not None
+                                        else v.getField(f.name)
+                                    )
+                                    # later spreads OVERRIDE earlier
+                                    # fields (expressions.md record
+                                    # spread)
+                                    out_fields[f.name] = (
+                                        F.coalesce(w, out_fields[f.name])
+                                        if f.name in out_fields
+                                        else w
+                                    )
+                            continue
                         for f in dt.fields:
-                            out_fields[f.name] = base.getField(f.name)
+                            # a NULL record operand spreads nothing
+                            # (zed: absent spread keeps earlier
+                            # fields — expr/record-spread row
+                            # {b,r} without s)
+                            w = F.when(
+                                base.isNotNull(), base.getField(f.name)
+                            )
+                            out_fields[f.name] = (
+                                F.coalesce(w, out_fields[f.name])
+                                if f.name in out_fields
+                                else w
+                            )
                     else:
-                        out_fields[n] = self.expr(x, df)
+                        out_fields[n] = self._field_value_with_missing(x, df)
                 return F.struct(*[c.alias(n) for n, c in out_fields.items()])
-            return F.struct(*[self.expr(x, df).alias(n) for n, x in e[1]])
+            return F.struct(
+                *[
+                    self._field_value_with_missing(x, df).alias(n)
+                    for n, x in e[1]
+                ]
+            )
         if kind == "aggwhere":
             # running-agg where clause: rows failing the condition
             # contribute nothing (semantic/op.go agg where)
@@ -2037,11 +2387,43 @@ class Compiler:
 
     def _type_of(self, e: tuple, df: DataFrame):
         """Static type probe: resolve an expression's Spark type
-        against the input schema (plan-time only — no job runs)."""
+        against the input schema (plan-time only — no job runs).
+
+        Memoized per (DataFrame, expr AST): the error-aware paths
+        probe operand types for every and/or/where/arithmetic node,
+        and each probe re-analyzes the expression JVM-side — without
+        the cache a deep boolean tree recompiles quadratically."""
         try:
-            return df.select(self.expr(e, df).alias("__t")).schema[0].dataType
+            # compile-state pieces that change what an AST means:
+            # runner-sink mode, lambda bindings, scoped-over resets,
+            # declared consts/funcs (identity: new scope → new dict)
+            key = (
+                id(df),
+                repr(e),
+                getattr(self, "_runner_sink", None) is not None,
+                id(getattr(self, "_param_binds", None)),
+                str(self._scoped_exclude[-1])
+                if getattr(self, "_scoped_exclude", None)
+                else "",
+                id(getattr(self, "consts", None)),
+                id(getattr(self, "user_funcs", None)),
+            )
         except Exception:
-            return None
+            key = None
+        cache = getattr(self, "_type_cache", None)
+        if cache is None:
+            cache = self._type_cache = {}
+            self._type_cache_refs = []  # pin df objects so ids stay live
+        if key is not None and key in cache:
+            return cache[key]
+        try:
+            out = df.select(self.expr(e, df).alias("__t")).schema[0].dataType
+        except Exception:
+            out = None
+        if key is not None:
+            cache[key] = out
+            self._type_cache_refs.append(df)
+        return out
 
     def _zcast(self, col: Column, dt, ddl: str) -> Column:
         """Type-directed cast: unions dispatch per member (first
@@ -2225,6 +2607,7 @@ class Compiler:
         accepted_null: str = "pass",
         untyped_null_error: str | None = None,
         value_errors: Callable | None = None,
+        untyped_null_on_missing: bool = False,
     ) -> Column:
         """Error-aware typed function dispatch (zed errors-are-data,
         WrapError in runtime/sam/expr/function/*). specs is one
@@ -2302,10 +2685,28 @@ class Compiler:
                             )
                         )
                 if untyped_null_error is not None:
+                    if untyped_null_on_missing:
+                        # the reference wraps the MISSING error as the
+                        # on-operand: error({message, on:
+                        # error("missing")}) — split.go over an
+                        # absent arg
+                        on_t = T.StructType(
+                            [
+                                T.StructField("tag", T.IntegerType()),
+                                T.StructField("e0", T.StringType()),
+                            ]
+                        )
+                        on_v = F.struct(
+                            F.lit(0).alias("tag"),
+                            F.lit("missing").alias("e0"),
+                        ).cast(on_t)
+                    else:
+                        on_t = T.StringType()
+                        on_v = F.lit(None).cast("string")
                     est = T.StructType(
                         [
                             T.StructField("message", T.StringType()),
-                            T.StructField("on", T.StringType()),
+                            T.StructField("on", on_t),
                         ]
                     )
                     err_slots.append(
@@ -2314,7 +2715,7 @@ class Compiler:
                             col.isNull() | col.getField("tag").isNull(),
                             F.struct(
                                 F.lit(untyped_null_error).alias("message"),
-                                F.lit(None).cast("string").alias("on"),
+                                on_v.alias("on"),
                             ),
                         )
                     )
@@ -2474,6 +2875,147 @@ class Compiler:
         if sval is None:
             sval = F.lit(None).cast("string")
         return sval, terr, perr
+
+    def _missing_cond(self, df: DataFrame, dotted: str) -> Column | None:
+        """Per-row absent-field predicate from the hidden presence
+        column `__zed_missing` (carried by mixed-shape parsed inputs;
+        tests/test_ztests._to_df): true when the path or any ancestor
+        segment is absent in THIS row. None when no presence info."""
+        if "__zed_missing" not in df.columns:
+            return None
+        col = F.col("__zed_missing")
+        parts = dotted.split(".")
+        cond = None
+        for i in range(1, len(parts) + 1):
+            c = F.array_contains(col, ".".join(parts[:i]))
+            cond = c if cond is None else (cond | c)
+        return F.coalesce(cond, F.lit(False))
+
+    def _untyped_null_cond(self, df: DataFrame, dotted: str) -> Column | None:
+        """Per-row UNTYPED-null predicate ('null' vs 'null(string)')
+        from the hidden presence column — typed functions reject an
+        untyped null (its member type is unknown) while accepting a
+        typed one (ztest levenshtein)."""
+        if "__zed_missing" not in df.columns:
+            return None
+        return F.coalesce(
+            F.array_contains(F.col("__zed_missing"), dotted + "\x00null"),
+            F.lit(False),
+        )
+
+    def _field_value_with_missing(self, e: tuple, df: DataFrame) -> Column:
+        """Compile an expression for a VALUE-MATERIALIZING position
+        (record literal field, yield, cut target, group key): a bare
+        field reference that is per-row ABSENT yields first-class
+        error('missing') while a present-but-null field stays null
+        (context.go:494 — the distinction the widened schema alone
+        can't make)."""
+        c = self.expr(e, df)
+        if e[0] != "field":
+            return c
+        mc = self._missing_cond(df, ".".join(e[1]))
+        if mc is None:
+            return c
+        dt = self._type_of(e, df)
+        if dt is None:
+            return c
+        from zed_spark.schema import is_union_type as _ium
+
+        if isinstance(dt, T.StructType) and _ium(dt):
+            return c  # union carriers handle their own missing path
+        return self._mk_carrier(dt, c, F.when(mc, F.lit("missing")))
+
+    def _fvwm_typed(self, e: tuple, df: DataFrame):
+        """(column, static type) form of _field_value_with_missing —
+        the type reflects the carrier wrap so callers dispatching on
+        the type (multi-yield unification) see the union."""
+        c = self._field_value_with_missing(e, df)
+        dt = self._type_of(e, df)
+        if (
+            e[0] == "field"
+            and dt is not None
+            and self._missing_cond(df, ".".join(e[1])) is not None
+        ):
+            from zed_spark.schema import is_union_type as _ium2
+
+            if not (isinstance(dt, T.StructType) and _ium2(dt)):
+                dt = T.StructType(
+                    [
+                        T.StructField("tag", T.IntegerType()),
+                        T.StructField("v0", dt),
+                        T.StructField("e1", T.StringType()),
+                    ]
+                )
+        return c, dt
+
+    def _cases_to_carrier(self, cases) -> Column:
+        """Assemble dispatch cases into one value|error union carrier.
+
+        cases: list of (cond, value_col, value_type, err_col,
+        err_type) — per case either the value pair or the error pair
+        is set. Value slots merge when one type subsumes the other;
+        error slots merge only on type equality. A single all-value
+        slot with no errors returns the plain column."""
+        from zed_spark.schema import is_union_type, merge_types
+
+        alts: list[tuple[bool, object]] = []
+        plan: list[tuple[Column, Column, int]] = []
+
+        def slot_of(flag, t):
+            for i, (f2, t2) in enumerate(alts):
+                if f2 == flag and t2.simpleString() == t.simpleString():
+                    return i
+            if not flag:
+                for i, (f2, t2) in enumerate(alts):
+                    if not f2:
+                        cand = merge_types(t2, t, unions="tagged")
+                        if not is_union_type(cand) and cand.simpleString() in (
+                            t2.simpleString(),
+                            t.simpleString(),
+                        ):
+                            alts[i] = (f2, cand)
+                            return i
+            alts.append((flag, t))
+            return len(alts) - 1
+
+        for cond, vcol, vt, ecol, et in cases:
+            if ecol is not None:
+                plan.append((cond, ecol, slot_of(True, et or T.StringType())))
+            else:
+                plan.append((cond, vcol, slot_of(False, vt or T.StringType())))
+        if len(alts) == 1 and not alts[0][0]:
+            out = None
+            for cond, col, _s in plan:
+                w = col if cond is None else F.when(cond, col)
+                out = w if out is None else F.coalesce(out, w)
+            return out
+        names = [("e" if f else "v") + str(i) for i, (f, _t) in enumerate(alts)]
+        st = T.StructType(
+            [T.StructField("tag", T.IntegerType())]
+            + [
+                T.StructField(nm, t, True)
+                for nm, (_f, t) in zip(names, alts)
+            ]
+        )
+        tagc = None
+        for cond, _col, slot in plan:
+            w = F.lit(slot) if cond is None else F.when(cond, F.lit(slot))
+            tagc = w if tagc is None else (
+                F.coalesce(tagc, w) if cond is not None else F.coalesce(tagc, w)
+            )
+        parts = [tagc.alias("tag")]
+        for i, (nm, (_f, t)) in enumerate(zip(names, alts)):
+            vcol = None
+            for cond, col, slot in plan:
+                if slot != i:
+                    continue
+                cc = col.cast(t)
+                w = cc if cond is None else F.when(cond, cc)
+                vcol = w if vcol is None else F.coalesce(vcol, w)
+            parts.append(
+                (vcol if vcol is not None else F.lit(None).cast(t)).alias(nm)
+            )
+        return F.struct(*parts).cast(st)
 
     def _bool_parts(self, col: Column, dt):
         """Split a (possibly error-carrier) boolean operand into
@@ -2960,14 +3502,14 @@ class Compiler:
             c = self.expr(args[0], df)
             dt = self._type_of(args[0], df)
 
-            def to_dur(col: Column, t) -> Column:
+            def to_dur(col: Column, t, in_union: bool = False) -> Column:
                 if t is not None and t.typeName() == "timestamp":
                     return F.unix_micros(col) * 1000
                 if t is not None and "interval" in t.typeName():
                     # ts-ts differences arrive as day-time intervals
                     # (seconds when cast) — durations are int64 ns
                     return col.cast("long") * 1_000_000_000
-                if t is not None and t.typeName() == "string":
+                if t is not None and t.typeName() == "string" and not in_union:
                     # duration strings: bare ns counts or single-unit
                     # suffix forms parse (nano.go ParseDuration);
                     # anything else is a first-class cast error
@@ -3021,7 +3563,7 @@ class Compiler:
 
             members = self._union_members(c, dt)
             if members is not None:
-                return F.coalesce(*[to_dur(m, t) for m, t in members])
+                return F.coalesce(*[to_dur(m, t, in_union=True) for m, t in members])
             return to_dur(c, dt)
         if name in ("int64", "uint64", "float64", "float32", "int32") and len(args) == 1:
             # numeric cast of a time → ns since epoch (nano.Ts is
@@ -3152,8 +3694,97 @@ class Compiler:
                     F.concat(F.rand().cast("string"), F.rand().cast("string"))
                 )
                 return F.unhex(F.concat(ts_hex, F.substring(rand_hex, 1, 32)))
+            kdt = self._type_of(args[0], df)
+            kc = self.expr(args[0], df)
+            from zed_spark.schema import is_union_type as _iuk
+
+            if (
+                kdt is not None
+                and isinstance(kdt, T.StructType)
+                and _iuk(kdt)
+            ):
+                # mixed string/bytes stream (ztest ksuid): dispatch
+                # per member with the reference's per-type errors
+                est = T.StructType(
+                    [
+                        T.StructField("message", T.StringType()),
+                        T.StructField("on", T.StringType()),
+                    ]
+                )
+                ct = T.StructType(
+                    [
+                        T.StructField("tag", T.IntegerType()),
+                        T.StructField("v0", T.BinaryType()),
+                        T.StructField("v1", T.StringType()),
+                        T.StructField("e2", T.StringType()),
+                        T.StructField("e3", est),
+                    ]
+                )
+                sv = bv = None
+                for pos, f in enumerate(kdt.fields[1:]):
+                    if f.dataType.typeName() == "string":
+                        sv = (kc.getField("tag") == pos, kc.getField(f.name))
+                    elif f.dataType.typeName() == "binary":
+                        bv = (kc.getField("tag") == pos, kc.getField(f.name))
+                untyped = kc.isNull() | kc.getField("tag").isNull()
+
+                def mk(tag, v0, v1, e2, e3):
+                    return F.struct(
+                        F.lit(tag).alias("tag"),
+                        v0.alias("v0"),
+                        v1.alias("v1"),
+                        e2.alias("e2"),
+                        e3.alias("e3"),
+                    ).cast(ct)
+
+                nb = F.lit(None).cast("binary")
+                ns = F.lit(None).cast("string")
+                ne = F.lit(None).cast(est)
+                out = mk(
+                    3,
+                    nb,
+                    ns,
+                    ns,
+                    F.struct(
+                        F.lit(
+                            "ksuid: argument must a bytes or string type"
+                        ).alias("message"),
+                        ns.alias("on"),
+                    ),
+                )
+                if bv is not None:
+                    bcond, bcol = bv
+                    out = F.when(
+                        bcond & bcol.isNull(),
+                        mk(2, nb, ns, F.lit("ksuid: illegal null argument"), ne),
+                    ).when(
+                        bcond, mk(1, nb, ksuid_fn(bcol, "encode"), ns, ne)
+                    ).otherwise(out)
+                if sv is not None:
+                    scond, scol = sv
+                    bad = scol.isNull() | (F.length(scol) != 27)
+                    out = F.when(
+                        scond & bad,
+                        mk(
+                            3,
+                            nb,
+                            ns,
+                            ns,
+                            F.struct(
+                                F.lit(
+                                    "ksuid: Valid encoded KSUIDs are 27 "
+                                    "characters"
+                                ).alias("message"),
+                                scol.alias("on"),
+                            ),
+                        ),
+                    ).when(
+                        scond, mk(0, ksuid_fn(scol, "decode"), ns, ns, ne)
+                    ).otherwise(out)
+                _ = untyped  # tag-null rows fall through to default
+                return out
             mode = "decode" if self._is_string(args[0], df) else "encode"
-            return ksuid_fn(self.expr(args[0], df), mode)
+            return ksuid_fn(kc, mode)
         if name == "grep":
             from zed_spark.functions.grep import grep as grep_fn
 
@@ -3270,7 +3901,7 @@ class Compiler:
 
             src = args[0] if args else ("this",)
             if src == ("this",):
-                cols = [c for c in df.columns if c != "__zed_error"]
+                cols = [c for c in df.columns if not c.startswith("__zed_")]
                 return flatten_record(df, cols)
             return flatten_col(self.expr(src, df), self._type_of(src, df))
         if name == "unflatten":
@@ -3284,6 +3915,49 @@ class Compiler:
             if args[0][0] != "str":
                 raise ValueError("grok pattern must be a string literal")
             return grok_fn(args[0][1], self.expr(args[1], df))
+        if name == "coalesce" and args:
+            # coalesce returns the first arg that is not null,
+            # error("missing"), or error("quiet") (function/
+            # coalesce.go); OTHER error values are real values and
+            # get returned
+            arms = []
+            for a in args:
+                c = self.expr(a, df)
+                adt = self._type_of(a, df)
+                vs = self._carrier_variants(c, adt)
+                if len(vs) == 1 and vs[0][3] is None:
+                    usable = c.isNotNull()
+                else:
+                    usable = F.lit(False)
+                    for cond, v, _t, ec in vs:
+                        if ec is not None:
+                            u = cond & ec.isNotNull() & ~ec.isin(
+                                "missing", "quiet"
+                            )
+                        else:
+                            u = cond & v.isNotNull()
+                        usable = usable | F.coalesce(u, F.lit(False))
+                arms.append((usable, c, adt))
+            if all(
+                adt is not None
+                and not (
+                    isinstance(adt, T.StructType)
+                    and adt.fields
+                    and adt.fields[0].name == "tag"
+                )
+                for _u, _c, adt in arms
+            ) and len({
+                (adt.simpleString() if adt is not None else "?")
+                for _u, _c, adt in arms
+            }) == 1:
+                # uniform plain types: plain coalesce (fast path)
+                return F.coalesce(*[c for _u, c, _t in arms])
+            cases = []
+            prev = F.lit(True)
+            for usable, c, adt in arms:
+                cases.append((prev & usable, c, adt, None, None))
+                prev = prev & ~usable
+            return self._cases_to_carrier(cases)
         if name == "under" and len(args) == 1:
             # under(e): strip the error/named wrapper (function/
             # under.go) — an error carrier's e-alternatives become
@@ -3471,6 +4145,92 @@ class Compiler:
             # strings DECODE to bytes
             c = self.expr(args[0], df)
             dt = self._type_of(args[0], df)
+            from zed_spark.schema import is_union_type as _iub
+
+            if dt is not None and isinstance(dt, T.StructType) and _iub(dt):
+                # mixed bytes/string stream: per-member dispatch with
+                # the reference's error values (ztests base64/hex) —
+                # invalid text → error({message, on}), null bytes →
+                # error("<fn>: illegal null argument")
+                if name == "base64":
+                    valid_re = (
+                        r"^([A-Za-z0-9+/]{4})*"
+                        r"([A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=|"
+                        r"[A-Za-z0-9+/]{4})?$"
+                    )
+                    bad_msg = "base64: string argument is not base64"
+                    dec = F.unbase64
+                    enc = F.base64
+                else:
+                    valid_re = r"^([0-9a-fA-F]{2})+$"
+                    bad_msg = "hex: string argument is not hexidecimal"
+                    dec = F.unhex
+                    enc = lambda x: F.lower(F.hex(x))  # noqa: E731
+                est = T.StructType(
+                    [
+                        T.StructField("message", T.StringType()),
+                        T.StructField("on", T.StringType()),
+                    ]
+                )
+                cases = []
+                for cond, v, t, ec in self._carrier_variants(c, dt):
+                    if ec is not None:
+                        cases.append((cond, None, None, ec, T.StringType()))
+                    elif t.typeName() == "string":
+                        ok = v.rlike(valid_re)
+                        cases.append(
+                            (
+                                cond & (v.isNull() | ok),
+                                dec(v),
+                                T.BinaryType(),
+                                None,
+                                None,
+                            )
+                        )
+                        cases.append(
+                            (
+                                cond & v.isNotNull() & ~ok,
+                                None,
+                                None,
+                                F.struct(
+                                    F.lit(bad_msg).alias("message"),
+                                    v.alias("on"),
+                                ),
+                                est,
+                            )
+                        )
+                    elif t.typeName() == "binary":
+                        cases.append(
+                            (
+                                cond & v.isNotNull(),
+                                enc(v),
+                                T.StringType(),
+                                None,
+                                None,
+                            )
+                        )
+                        cases.append(
+                            (
+                                cond & v.isNull(),
+                                None,
+                                None,
+                                F.lit(f"{name}: illegal null argument"),
+                                T.StringType(),
+                            )
+                        )
+                    else:
+                        # other members (e.g. int64 in the decorator
+                        # union) never carry observed values here
+                        cases.append(
+                            (
+                                cond & v.isNotNull(),
+                                enc(v.cast("binary")),
+                                T.StringType(),
+                                None,
+                                None,
+                            )
+                        )
+                return self._cases_to_carrier(cases)
             tn = dt.typeName() if dt is not None else "binary"
             if name == "base64":
                 return F.base64(c) if tn == "binary" else F.unbase64(c)
@@ -3523,6 +4283,114 @@ class Compiler:
                         addr.alias("on"),
                     ).alias("e0"),
                 )
+            )
+        if (
+            name == "network_of"
+            and len(args) == 2
+            and args[1][0] in ("num", "str")
+        ):
+            # two-arg mask form (ip.go network_of): numeric CIDR bit
+            # count, a dotted-quad mask, or an IPv6 mask — each with
+            # the reference's first-class error values (ztest
+            # network_of)
+            from zed_spark.functions.ip import network_of as _netof
+
+            addr = self.expr(args[0], df)
+            is4 = addr.rlike(r"^\d+\.\d+\.\d+\.\d+$")
+
+            def _carrier(vcol, err_cond, msg, on_col, on_type):
+                est = T.StructType(
+                    [
+                        T.StructField("message", T.StringType()),
+                        T.StructField("on", on_type),
+                    ]
+                )
+                ct = T.StructType(
+                    [
+                        T.StructField("tag", T.IntegerType()),
+                        T.StructField("v0", T.StringType()),
+                        T.StructField("e1", est),
+                    ]
+                )
+                return F.when(addr.isNull(), F.lit(None).cast(ct)).otherwise(
+                    F.struct(
+                        F.when(err_cond, F.lit(1)).otherwise(F.lit(0)).alias(
+                            "tag"
+                        ),
+                        F.when(~err_cond, vcol).alias("v0"),
+                        F.when(
+                            err_cond,
+                            F.struct(
+                                F.lit(msg).alias("message"),
+                                on_col.alias("on"),
+                            ),
+                        ).alias("e1"),
+                    ).cast(ct)
+                )
+
+            am_type = lambda mt: T.StructType(  # noqa: E731
+                [
+                    T.StructField("address", T.StringType()),
+                    T.StructField("mask", mt),
+                ]
+            )
+            if args[1][0] == "num":
+                m = int(args[1][1])
+                on = F.struct(
+                    addr.alias("address"), F.lit(m).cast("long").alias("mask")
+                )
+                return _carrier(
+                    F.when(is4 & F.lit(m <= 32), _netof(addr, m)),
+                    is4 & F.lit(m > 32),
+                    "network_of: CIDR bit count out of range",
+                    on,
+                    am_type(T.LongType()),
+                )
+            lit = args[1][1]
+            import re as _renet
+
+            if _renet.fullmatch(r"\d+\.\d+\.\d+\.\d+", lit):
+                mask_int = 0
+                for o in lit.split("."):
+                    mask_int = (mask_int << 8) | int(o)
+                bits = f"{mask_int:032b}"
+                if "01" in bits:
+                    return _carrier(
+                        F.lit(None).cast("string"),
+                        F.lit(True),
+                        "network_of: mask is non-contiguous",
+                        F.lit(lit),
+                        T.StringType(),
+                    )
+                prefix = bits.count("1")
+                # contiguous v4 mask: v6 addresses are a family
+                # mismatch
+                return _carrier(
+                    F.when(is4, _netof(addr, prefix)),
+                    ~is4,
+                    "network_of: address and mask have different lengths",
+                    F.struct(
+                        addr.alias("address"), F.lit(lit).alias("mask")
+                    ),
+                    am_type(T.StringType()),
+                )
+            if ":" in lit and _renet.fullmatch(r"[0-9a-fA-F:]+", lit):
+                # IPv6 mask: v4 addresses are a family mismatch
+                return _carrier(
+                    F.lit(None).cast("string"),
+                    is4,
+                    "network_of: address and mask have different lengths",
+                    F.struct(
+                        addr.alias("address"), F.lit(lit).alias("mask")
+                    ),
+                    am_type(T.StringType()),
+                )
+            return _carrier(
+                F.lit(None).cast("string"),
+                F.lit(True),
+                "network_of: bad arg for CIDR mask",
+                F.lit(lit),
+                T.StringType(),
             )
         if name == "strftime" and len(args) == 2:
             # C-style strftime (time.go; docs/language/functions/
@@ -3597,6 +4465,40 @@ class Compiler:
             accepts_msgs, apply, policy = typed
             cols = [self.expr(a, df) for a in args]
             dts = [self._type_of(a, df) for a in args]
+            # per-row UNTYPED nulls in bare-field args reject like
+            # wrong types (the presence column carries the typed/
+            # untyped distinction the widened schema erases)
+            un_slots = []
+            for a, (acc, m) in zip(args, accepts_msgs):
+                if a[0] != "field":
+                    continue
+                nc = self._untyped_null_cond(df, ".".join(a[1]))
+                if nc is None:
+                    continue
+                est = T.StructType(
+                    [
+                        T.StructField("message", T.StringType()),
+                        T.StructField("on", T.StringType()),
+                    ]
+                )
+                un_slots.append(
+                    (
+                        est,
+                        nc,
+                        F.struct(
+                            F.lit(m).alias("message"),
+                            F.lit(None).cast("string").alias("on"),
+                        ),
+                    )
+                )
+            base_ve = policy.get("value_errors")
+            ve = None
+            if un_slots or base_ve is not None:
+                def ve(ok_cols, _u=un_slots, _b=base_ve):
+                    out = list(_u)
+                    if _b is not None:
+                        out.extend(_b(ok_cols))
+                    return out
             return self._typed_call(
                 [
                     (c, d, acc, m)
@@ -3606,6 +4508,10 @@ class Compiler:
                 df,
                 accepted_null=policy.get("accepted_null", "pass"),
                 untyped_null_error=policy.get("untyped_null_error"),
+                untyped_null_on_missing=policy.get(
+                    "untyped_null_on_missing", False
+                ),
+                value_errors=ve,
             )
         if name in self.fns:
             return self.fns[name](*[self.expr(a, df) for a in args])
@@ -3682,7 +4588,11 @@ class Compiler:
             return (
                 [str_req(name)] * 2,
                 lambda s, sep: zsplit(s, sep),
-                {"accepted_null": "null_out"},
+                {
+                    "accepted_null": "null_out",
+                    "untyped_null_error": "split: string arg required",
+                    "untyped_null_on_missing": True,
+                },
             )
         if name == "levenshtein" and nargs == 2:
             m = "levenshtein: string args required"

@@ -21,10 +21,54 @@ def where(df: DataFrame, predicate: Column | str) -> DataFrame:
     return df.filter(predicate)
 
 
+_SIMPLE_SEARCH_TYPES = (
+    "string", "long", "integer", "short", "byte", "double", "float",
+    "boolean",
+)
+# terms containing JSON structure characters can match across the
+# rendered syntax — those keep the JSON-blob scan
+_JSON_META = set('{}[]"\\:,')
+
+
 def search_pred(df: DataFrame, term: str, case_sensitive: bool = False) -> Column:
     """Predicate form of `search` — usable inside composed search
-    expressions (`widget and price > 1000`)."""
-    blob = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    expressions (`widget and price > 1000`).
+
+    FLAT-SCHEMA FAST PATH (round-3 VERDICT item 6): when every column
+    is a simple scalar and the term carries no JSON metacharacters,
+    the search compiles to an OR of per-column predicates — string
+    columns substring-match, numeric/bool columns match their
+    rendered text, and a field NAME containing the term matches rows
+    where that field is present. All whole-stage-codegen; no to_json
+    of the row. Nested/complex schemas (or structural terms) keep the
+    JSON-blob scan, which is semantics-equivalent by construction."""
+    fields = [f for f in df.schema.fields if not f.name.startswith("__zed_")]
+    if fields and all(
+        f.dataType.typeName() in _SIMPLE_SEARCH_TYPES for f in fields
+    ) and not (_JSON_META & set(term)):
+        t = term if case_sensitive else term.lower()
+        preds = []
+        for f in fields:
+            c = F.col(f"`{f.name}`")
+            if f.dataType.typeName() == "string":
+                v = c if case_sensitive else F.lower(c)
+            else:
+                # numbers/bools render in JSON exactly as their
+                # string cast (Jackson and Spark both use the Java
+                # toString forms)
+                v = c.cast("string")
+                if not case_sensitive:
+                    v = F.lower(v)
+            preds.append(F.coalesce(v.contains(t), F.lit(False)))
+            name = f.name if case_sensitive else f.name.lower()
+            if t in name:
+                preds.append(c.isNotNull())
+        return _any(preds)
+    blob = F.to_json(
+        F.struct(
+            *[F.col(c) for c in df.columns if not c.startswith("__zed_")]
+        )
+    )
     if not case_sensitive:
         blob = F.lower(blob)
         term = term.lower()
@@ -39,7 +83,11 @@ def search(df: DataFrame, term: str, case_sensitive: bool = False) -> DataFrame:
 
 def search_regex(df: DataFrame, pattern: str) -> DataFrame:
     """Regexp search across all fields (zed ``/re/`` search term)."""
-    blob = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    blob = F.to_json(
+        F.struct(
+            *[F.col(c) for c in df.columns if not c.startswith("__zed_")]
+        )
+    )
     return df.filter(blob.rlike(pattern))
 
 
@@ -70,6 +118,8 @@ def search_net_pred(df: DataFrame, cidr: str) -> Column:
 
     preds = []
     for f in df.schema.fields:
+        if f.name.startswith("__zed_"):
+            continue
         preds.extend(walk(F.col(f.name), f.dataType))
     if not preds:
         return F.lit(False)
@@ -119,7 +169,7 @@ def _string_leaf_preds(df: DataFrame, hit) -> list:
 
     preds = []
     for f in df.schema.fields:
-        if f.name == "__zed_error":
+        if f.name.startswith("__zed_"):
             continue
         preds.extend(walk(F.col(f.name), f.dataType))
     return preds
@@ -193,7 +243,7 @@ def search_glob_pred(df: DataFrame, glob: str) -> Column:
         return out
 
     for f in df.schema.fields:
-        if f.name != "__zed_error":
+        if not f.name.startswith("__zed_"):
             preds.extend(name_walk(F.col(f.name), f.name, f.dataType))
     return _any(preds)
 

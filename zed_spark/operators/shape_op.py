@@ -180,7 +180,9 @@ def _project(
 
 def _apply(df: DataFrame, target: T.StructType, zdst=None, **flags) -> DataFrame:
     src = df.schema
-    row = F.struct(*[F.col(c) for c in df.columns])
+    row = F.struct(
+        *[F.col(c) for c in df.columns if not c.startswith("__zed_")]
+    )
     shaped = _project(row, src, target, zdst=zdst, **flags)
     # materialize the row struct back to top-level columns
     out_type = df.select(shaped.alias("__r")).schema[0].dataType

@@ -121,6 +121,8 @@ def _flat_leaves(schema: T.StructType):
 
     def walk(prefix, fields):
         for f in fields:
+            if not prefix and f.name.startswith("__zed_"):
+                continue  # hidden presence/error bookkeeping columns
             name = f"{prefix}{f.name}"
             if isinstance(f.dataType, T.StructType) and not _is_union_carrier(
                 f.dataType
