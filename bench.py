@@ -47,9 +47,15 @@ HEADLINE = [
     "zq_filter_agg",
 ]
 
-# round-3+ additions, timed and reported separately. Entries outside
+# round-3 additions folded into the PINNED set in round 4 (their
+# BENCH_r03 `new`-block numbers are the baseline); the r02-comparable
+# 23-key subtotal is still printed as `headline23` for continuity.
+PINNED_R4: list[str] = ["dedup_clusters", "ann_ivf_topk"]
+HEADLINE = HEADLINE + PINNED_R4
+
+# round-4+ additions, timed and reported separately. Entries outside
 # the graded 50-query registry resolve via EXTRA_QUERIES.
-NEW_QUERIES: list[str] = ["dedup_clusters", "ann_ivf_topk"]
+NEW_QUERIES: list[str] = []
 
 
 def _extra_queries() -> dict:
@@ -146,6 +152,10 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        # r02/r03-comparable subtotal (the original 23 pinned keys)
+        "headline23": round(
+            sum(v for k, v in times.items() if k not in PINNED_R4), 4
+        ),
     }
     if new_times:
         out["new"] = new_times

@@ -146,14 +146,19 @@ CASES = list(
 )
 
 # declared gaps: case → reason (the honest boundary of the subset).
-# Families: [errval] expression-level error VALUES (our errors are
-# operator-level null+__zed_error); [shape] per-row shapes / runtime
-# type identity that the widened static model erases (SURVEY §1.2);
+# Families: [errval] residual error-VALUE semantics the round-4
+# carrier model still can't express (most of the family is now green:
+# input error values ride as e-alternatives of tagged unions and the
+# expression layer propagates them); [shape] per-row shapes / runtime
+# type identity that the widened static model erases (SURVEY §1.2 —
+# per-row PRESENCE is now tracked via the hidden __zed_missing
+# column, so the remaining cases need type identity, not presence);
 # [union] mixed-type streams beyond what tagged-union dispatch
-# covers; [script] shell forms (loops, ! negation) outside the
-# harness's script subset; [macro] user funcs expand inline, so
-# runtime recursion/state is out of scope.
-_E = "expression-level error values are operator-level here [errval]"
+# covers; [script] shell forms (network fixtures, stderr goldens,
+# while-loops) outside the harness's script subset — literal
+# for-loops and seq pipes ARE handled; [macro] user funcs expand
+# inline, so runtime recursion/state is out of scope.
+_E = "residual error-value semantics beyond the carrier model [errval]"
 _S = "per-row shape/type identity is widened away [shape]"
 _U = "mixed-type stream beyond tagged-union dispatch [union]"
 _SC = "shell script form (loop/negation/pipe) outside harness subset [script]"
@@ -177,7 +182,6 @@ UNSUPPORTED: dict[str, str] = {
         "is": _S,
         "is-late-binding": _S,
         "is-typedef": _S,
-        "math-coerce": _SC,
         "missing": _S,
         "operator-mod": _E,
         "record-spread-function": "unflatten returns a map — spread needs a record",
@@ -193,7 +197,6 @@ UNSUPPORTED: dict[str, str] = {
         "udf": _M,
         "udf-mutual-recursion": _M,
         "unary-minus": "negation over mixed int widths + overflow errors " + _U,
-        "vector-spread": _U,
     }.items()
 }
 UNSUPPORTED.update(
@@ -201,7 +204,6 @@ UNSUPPORTED.update(
         f"{SAM_EXPR}/function/ztests/{k}.yaml": v
         for k, v in {
             "bucket": "per-row bin widths need a dynamic window",
-            "compare": "cross-type comparison over union operands " + _U,
             "flatten": "flatten values ride as strings (union-valued leaves)",
             "grep": _SC,
             "grok": "per-row grok patterns need runtime schemas",
@@ -219,7 +221,6 @@ UNSUPPORTED.update(
     {
         f"{SAM_EXPR}/agg/ztests/{k}.yaml": v
         for k, v in {
-            "args": _SC,
             "collect-map-union": "map keys of union type " + _U,
         }.items()
     }
@@ -244,14 +245,8 @@ UNSUPPORTED.update(
             "zsonio/ztests/tv": "type-value rendering [shape]",
             "zsonio/ztests/zson-zng": "typeof() output with named "
             "types [shape]",
-            "textio/ztests/flatten": "-f text writer golden [script]",
-            "textio/ztests/nested-record-named": "-f text writer "
-            "golden [script]",
-            "textio/ztests/vals": "-f text writer golden [script]",
             "anyio/ztests/detector-errors": "stderr golden [script]",
             "anyio/ztests/huge": "shell pipeline fixture [script]",
-            "anyio/ztests/parquet": "-f parquet output-file fixture "
-            "[script]",
             "anyio/ztests/vng": "VNG format — documented non-goal "
             "(parquet is the columnar store)",
         }.items()
@@ -395,10 +390,6 @@ UNSUPPORTED.update(
             "s3-notexist": _NET,
             "s3-parquet": _NET,
             "s3-simple": _NET,
-            "j-flag": _CLI,
-            "no-files": _CLI,
-            "sortmem-0": "sort resource-limit rejection — Spark "
-            "spills instead [script]",
             "split": "per-type -split file emitter [shape]",
             "split-o": "per-type -split file emitter [shape]",
             "splitsize": "per-type -split file emitter [shape]",
@@ -424,10 +415,6 @@ UNSUPPORTED.update(
             "op/drop-foo-both": "drop leaving an empty record drops the "
             "row only when the FIELD was absent — null vs missing "
             "[shape]",
-            "op/put-non-record": "put on a non-record value is "
-            "error('put: not a record') [errval]",
-            "op/rename-error-dupe": "rename duplicate-field errors "
-            "[errval]",
             "op/sort/sort-types": "sort over type VALUES orders by "
             "type-id [shape]",
             "expr/function/fields": "type-value reflection (fields of "
@@ -734,10 +721,18 @@ def _parse_script_line(line: str):
                 "-fusemem", "-limit", "-orderby",
                 # resource-limit knobs: the engine's limits are
                 # Spark's (spill/AQE), so the VALUE is ignored but
-                # the query still runs
+                # the query still runs — except a non-positive
+                # value, which the reference's flag parsing rejects
+                # (sortmem-0 ztest)
                 "-sortmem", "-aggmem", "-splitsize",
                 "-csv.delim",
             ):
+                if t in ("-sortmem", "-aggmem", "-fusemem") and toks[
+                    i + 1
+                ] == "0":
+                    raise ValueError(
+                        f"{t[1:]} value must be greater than zero"
+                    )
                 i += 2
             elif t.startswith("-") and t != "-":
                 st["flags"].append(t)
@@ -792,11 +787,53 @@ def _run_script_case(spark, case: dict, path: str):
     ran = 0
     stdout_acc: list[tuple] = []  # (df, wrapped) per un-redirected line
     separators: set[str] = set()
+
+    def _unroll_loops(text: str) -> str:
+        """Expand simple literal `for V in a b c; do ... done` shell
+        loops (one level) — enough for the reference's agg-args
+        sweep. `$(cat name)` lists resolve from the case inputs."""
+        out_lines: list[str] = []
+        lines = text.splitlines()
+        i = 0
+        while i < len(lines):
+            m = _re.match(
+                r"\s*for\s+(\w+)\s+in\s+(.*?);?\s*do\s*$", lines[i]
+            )
+            if not m:
+                out_lines.append(lines[i])
+                i += 1
+                continue
+            var, items_src = m.group(1), m.group(2).strip()
+            cm = _re.fullmatch(r"\$\(cat\s+(\S+)\)", items_src)
+            if cm and cm.group(1) in files:
+                items = str(files[cm.group(1)]).split()
+            else:
+                items = items_src.split()
+            body: list[str] = []
+            depth = 1
+            i += 1
+            while i < len(lines) and depth:
+                if _re.match(r"\s*for\s+\w+\s+in\s+", lines[i]):
+                    depth += 1
+                if _re.match(r"\s*done\s*$", lines[i]):
+                    depth -= 1
+                    if depth == 0:
+                        break
+                body.append(lines[i])
+                i += 1
+            i += 1  # past done
+            inner = _unroll_loops("\n".join(body))
+            for it in items:
+                out_lines.extend(
+                    ln.replace(f"${{{var}}}", it).replace(f"${var}", it)
+                    for ln in inner.splitlines()
+                )
+        return "\n".join(out_lines)
     # merge continuation lines: a quoted -c argument may span lines
     # (ztest scripts are shell; quotes balance across newlines)
     logical: list[str] = []
     buf = ""
-    for raw in case["script"].splitlines():
+    for raw in _unroll_loops(case["script"]).splitlines():
         buf = raw if not buf else buf + "\n" + raw
         s = buf.strip()
         if not s or s.startswith("#"):
@@ -823,7 +860,15 @@ def _run_script_case(spark, case: dict, path: str):
             # so this asserts rejection happens at all — the same
             # weaker, honest check as the errorRE case form.
             line = line[1:].strip()
-        echo_text, cat_files, stages = _parse_script_line(line)
+        try:
+            echo_text, cat_files, stages = _parse_script_line(line)
+        except ValueError:
+            if expect_fail:
+                # flag-validation rejection (e.g. -sortmem 0) IS the
+                # expected failure
+                ran += 1
+                continue
+            raise
 
         def resolve(name, fmt=None):
             raw = files[name]
@@ -882,11 +927,11 @@ def _run_script_case(spark, case: dict, path: str):
                     fh.write(data)
                 return spark.read.parquet(f"{d}/part.parquet")
 
-            def serialize(df, ofile, flags, append=False):
+            def serialize(df, ofile, flags, append=False, ofmt=None):
                 # materialize a stage's output for later invocations
                 # (zng/zson/parquet round-trip fixtures); '>>' appends
                 # another stream (type context resets per stream)
-                if ofile.endswith(".zng"):
+                if ofile.endswith(".zng") or ofmt == "zng":
                     blob = encode_zng(
                         df.collect(),
                         df.schema,
@@ -896,7 +941,7 @@ def _run_script_case(spark, case: dict, path: str):
                         files[ofile] += blob
                     else:
                         files[ofile] = blob
-                elif ofile.endswith(".zson"):
+                elif ofile.endswith(".zson") or ofmt == "zson":
                     from zed_spark.sources.zson import df_to_zson_lines
 
                     text = "\n".join(df_to_zson_lines(df).collect()) + "\n"
@@ -905,7 +950,7 @@ def _run_script_case(spark, case: dict, path: str):
                         if append and isinstance(files.get(ofile), str)
                         else text
                     )
-                elif ofile.endswith(".parquet"):
+                elif ofile.endswith(".parquet") or ofmt == "parquet":
                     import tempfile
 
                     from pyspark.sql import types as _Tq
@@ -959,6 +1004,15 @@ def _run_script_case(spark, case: dict, path: str):
             outfile = last_ofmt = None
             append = False
             for st in stages:
+                if ("-j" in st["flags"] or "-J" in st["flags"]) and (
+                    "-z" in st["flags"]
+                    or "-Z" in st["flags"]
+                    or st["ofmt"] is not None
+                ):
+                    # cmd/super flag validation (j-flag ztest)
+                    raise ValueError(
+                        "cannot use -j or -J with -f, -z, or -Z"
+                    )
                 query, ifmt = st["query"], st["ifmt"]
                 outfile, append, last_ofmt = st["outfile"], st["append"], st["ofmt"]
                 inc_text = "\n".join(files[n] for n in st["includes"])
@@ -1009,9 +1063,28 @@ def _run_script_case(spark, case: dict, path: str):
 
                     df, wrapped = fuse_dataframes(parts), False
                 if df is None and not vals and not query.lstrip().startswith("from"):
-                    # inputless invocation: the query runs against a
-                    # single null value (ztest.go: `super query -c
-                    # 'yield 1'` emits 1)
+                    # inputless invocation: a PRODUCING first op runs
+                    # against a single null value (ztest.go: `super
+                    # query -c 'yield 1'` emits 1); a consuming query
+                    # with no source is the reference's "no data
+                    # source found" error (cmd/super no-files)
+                    from zed_spark.lang.parser import parse as _zparse
+
+                    try:
+                        _ast = _zparse(query)
+                    except Exception:
+                        _ast = None
+                    first = _ast[0][0] if _ast else None
+                    while first in ("constdecl", "funcdecl", "opdecl", "typedecl") and len(_ast) > 1:
+                        _ast = _ast[1:]
+                        first = _ast[0][0]
+                    consuming = first in ("where", "search") or (
+                        first == "exprop"
+                        and _ast[0][1][0]
+                        in ("field", "sterm", "sglob", "sre", "snet")
+                    )
+                    if consuming:
+                        raise ValueError("no data source found")
                     df, wrapped = _to_df(spark, [None])
                 df = compile_query(spark, query, resolve, df, named_types=named)
                 if st["split"] is not None:
@@ -1036,12 +1109,12 @@ def _run_script_case(spark, case: dict, path: str):
                         )
                     df = wrapped = None
                 elif st["ofile"] is not None:
-                    serialize(df, st["ofile"], st["flags"])
+                    serialize(df, st["ofile"], st["flags"], ofmt=st["ofmt"])
                     df = wrapped = None
                 elif outfile is not None and outfile not in outs:
                     # scratch redirect (`> s.zng` / `>> s.zng`): write
                     # for a later invocation, nothing to compare
-                    serialize(df, outfile, st["flags"], append)
+                    serialize(df, outfile, st["flags"], append, ofmt=st["ofmt"])
                     df = wrapped = None
                     outfile = None
             return df, wrapped, outfile, query, last_ofmt
@@ -1256,6 +1329,15 @@ def _compare_case(out, wrapped, case, path):
         want = case["output"]
         assert got.rstrip("\n") == want.rstrip("\n"), (
             f"{path} (zeek text)\n  got:\n{got}\n  want:\n{want}"
+        )
+        return
+    if "-f text" in flags:
+        from zed_spark.sources.textio import to_text_text
+
+        got = to_text_text(out)
+        want = case["output"]
+        assert got.rstrip("\n") == want.rstrip("\n"), (
+            f"{path} (text)\n  got:\n{got}\n  want:\n{want}"
         )
         return
     if "-f csv" in flags:

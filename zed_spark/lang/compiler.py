@@ -426,6 +426,36 @@ class Compiler:
             from zed_spark.operators.project import put_path
             from zed_spark.schema import path_type as _pt
 
+            if "this" in df.columns and not isinstance(
+                df.schema["this"].dataType, T.StructType
+            ):
+                # put on a non-record value: the whole row becomes
+                # error({message:"put: not a record", on:<value>})
+                # (ztest op/put-non-record)
+                vdt = df.schema["this"].dataType
+                est = T.StructType(
+                    [
+                        T.StructField("message", T.StringType()),
+                        T.StructField("on", vdt),
+                    ]
+                )
+                ct = T.StructType(
+                    [
+                        T.StructField("tag", T.IntegerType()),
+                        T.StructField("e0", est),
+                    ]
+                )
+                return df.select(
+                    F.struct(
+                        F.lit(0).alias("tag"),
+                        F.struct(
+                            F.lit("put: not a record").alias("message"),
+                            F.col("this").alias("on"),
+                        ).alias("e0"),
+                    )
+                    .cast(ct)
+                    .alias("this")
+                )
             prev_sink, self._runner_sink = (
                 getattr(self, "_runner_sink", None),
                 [],
@@ -462,6 +492,50 @@ class Compiler:
         if kind == "drop":
             return ops.drop(df, *node[1])
         if kind == "rename":
+            from zed_spark.schema import path_type as _rpt
+
+            for new, old in node[1]:
+                if (
+                    "." not in new
+                    and "." not in old
+                    and _rpt(df.schema, new) is not None
+                    and _rpt(df.schema, old) is not None
+                    and new != old
+                ):
+                    # renaming ONTO an existing field: every row
+                    # becomes error({message:'rename: duplicate
+                    # field: "new"', on:<record>}) (ztest
+                    # op/rename-error-dupe)
+                    cols = [
+                        c for c in df.columns if not c.startswith("__zed_")
+                    ]
+                    rec = F.struct(*[F.col(f"`{c}`") for c in cols])
+                    rdt = df.select(rec.alias("__r")).schema[0].dataType
+                    est = T.StructType(
+                        [
+                            T.StructField("message", T.StringType()),
+                            T.StructField("on", rdt),
+                        ]
+                    )
+                    ct = T.StructType(
+                        [
+                            T.StructField("tag", T.IntegerType()),
+                            T.StructField("e0", est),
+                        ]
+                    )
+                    return df.select(
+                        F.struct(
+                            F.lit(0).alias("tag"),
+                            F.struct(
+                                F.lit(
+                                    f'rename: duplicate field: "{new}"'
+                                ).alias("message"),
+                                rec.alias("on"),
+                            ).alias("e0"),
+                        )
+                        .cast(ct)
+                        .alias("this")
+                    )
             out = df
             for new, old in node[1]:
                 from zed_spark.schema import rename_path
@@ -478,6 +552,11 @@ class Compiler:
                         for name, e in keys
                     ]
                 ).distinct()
+            for _n, fn, arg, _w in aggs:
+                if fn != "count" and arg is None:
+                    # the reference rejects argument-less aggregates
+                    # at compile time (agg ztest args.yaml)
+                    raise ValueError(f"{fn}: argument required")
             names = [n for n, *_ in aggs] + [n for n, _ in keys]
             dups = {n for n in names if names.count(n) > 1}
             if dups:
@@ -1803,7 +1882,44 @@ class Compiler:
                         if chunk:
                             segs.append(F.array(*chunk))
                             chunk = []
-                        segs.append(self.expr(x[1], df))
+                        seg = self.expr(x[1], df)
+                        sdt = self._type_of(x[1], df)
+                        from zed_spark.schema import is_union_type as _ius2
+
+                        if (
+                            sdt is not None
+                            and isinstance(sdt, T.StructType)
+                            and _ius2(sdt)
+                        ):
+                            # spreading a union operand splices its
+                            # ARRAY members; non-array members (and
+                            # null carriers) contribute nothing
+                            # (ztest vector-spread)
+                            arrs = [
+                                (cond, v, t)
+                                for cond, v, t, ec in self._carrier_variants(
+                                    seg, sdt
+                                )
+                                if ec is None and t.typeName() == "array"
+                            ]
+                            if not arrs:
+                                continue
+                            et0 = arrs[0][2]
+                            seg2 = None
+                            for cond, v, t in arrs:
+                                vv = (
+                                    v
+                                    if t.simpleString() == et0.simpleString()
+                                    else v.cast(et0)
+                                )
+                                w = vv if cond is None else F.when(cond, vv)
+                                seg2 = (
+                                    w
+                                    if seg2 is None
+                                    else F.coalesce(seg2, w)
+                                )
+                            seg = F.coalesce(seg2, F.array().cast(et0))
+                        segs.append(seg)
                     else:
                         chunk.append(self.expr(x, df))
                 if chunk:
@@ -3366,6 +3482,14 @@ class Compiler:
             # (function/quiet.go); widened model: missing already
             # reads as null, so outside put/cut targets it's identity
             return self.expr(args[0], df)
+        if (
+            name in self._RUNNING_AGGS
+            and name != "count"
+            and not args
+        ) or (name == "fuse" and not args):
+            # the reference rejects argument-less aggregates at
+            # compile time (agg ztest args.yaml)
+            raise ValueError(f"{name}: argument required")
         if name in self._RUNNING_AGGS and (
             name not in ("min", "max") or len(args) == 1
         ):
@@ -3977,6 +4101,87 @@ class Compiler:
                     parts.append(c.getField(f.name).alias(f"v{i}"))
                 return F.when(c.isNotNull(), F.struct(*parts))
             return c
+        if name == "compare" and len(args) in (2, 3) and (
+            len(args) == 2 or args[2][0] == "bool"
+        ):
+            # union-aware compare (function/compare.go): same-family
+            # members compare by value, cross-type pairs order by the
+            # zed type rank (numbers < strings < ...); nulls sort per
+            # nullsMax (default true → null is largest)
+            l2, r2 = self.expr(args[0], df), self.expr(args[1], df)
+            lt2, rt2 = self._type_of(args[0], df), self._type_of(args[1], df)
+            from zed_spark.schema import is_union_type as _iuc2
+
+            if (
+                lt2 is not None
+                and rt2 is not None
+                and (
+                    (isinstance(lt2, T.StructType) and _iuc2(lt2))
+                    or (isinstance(rt2, T.StructType) and _iuc2(rt2))
+                )
+            ):
+                nulls_max = args[2][1] if len(args) == 3 else True
+                nl = F.lit(1 if nulls_max else -1)
+                num = (
+                    "byte", "short", "integer", "long", "double",
+                    "float", "decimal",
+                )
+
+                def rank(t):
+                    tn = t.typeName()
+                    if tn in num:
+                        return 0
+                    return {"timestamp": 1, "boolean": 2,
+                            "binary": 3, "string": 4}.get(tn, 5)
+
+                out2 = None
+                for lc, lv, ltm, lerr in self._carrier_variants(l2, lt2):
+                    for rc, rv, rtm, rerr in self._carrier_variants(
+                        r2, rt2
+                    ):
+                        if lerr is not None or rerr is not None:
+                            continue
+                        cond = None
+                        for c in (lc, rc):
+                            if c is not None:
+                                cond = c if cond is None else (cond & c)
+                        if (
+                            ltm.typeName() in num
+                            and rtm.typeName() in num
+                        ) or ltm.simpleString() == rtm.simpleString():
+                            lvv, rvv = lv, rv
+                            if ltm.typeName() in num:
+                                lvv = lv.cast("double")
+                                rvv = rv.cast("double")
+                            pr = (
+                                F.when(lvv.isNull() & rvv.isNull(), 0)
+                                .when(lvv.isNull(), nl)
+                                .when(rvv.isNull(), -nl)
+                                .when(lvv < rvv, -1)
+                                .when(lvv > rvv, 1)
+                                .otherwise(0)
+                            )
+                        else:
+                            ra, rb = rank(ltm), rank(rtm)
+                            pr = (
+                                F.when(lv.isNull() & rv.isNull(), 0)
+                                .when(lv.isNull(), nl)
+                                .when(rv.isNull(), -nl)
+                                .otherwise(
+                                    F.lit(-1 if ra < rb else (1 if ra > rb else 0))
+                                )
+                            )
+                        w = pr if cond is None else F.when(cond, pr)
+                        out2 = w if out2 is None else F.coalesce(out2, w)
+                # null carriers (no member tag): null operand rule
+                both_null = l2.isNull() & r2.isNull()
+                out2 = F.coalesce(
+                    out2,
+                    F.when(both_null, 0)
+                    .when(l2.isNull(), nl)
+                    .when(r2.isNull(), -nl),
+                )
+                return out2.cast("long")
         if name == "compare" and len(args) == 3:
             # compare(a, b, nullsMax) — third arg is a bool literal
             # (function/compare.go); a non-bool is a first-class
