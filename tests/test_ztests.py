@@ -173,7 +173,6 @@ UNSUPPORTED: dict[str, str] = {
         "shape-cast-to-union": "cast TO union over union input needs "
         "named-member identity " + _S,
         "complex-unions": _U,
-        "dot-index": "runtime record keys (this[field]) " + _S,
         "dot-record-type": "type-value field access " + _S,
         "in-star": "reference-skipped (disabled upstream)",
         "index-map-union-key": "map keys of union type " + _U,
@@ -311,8 +310,10 @@ UNSUPPORTED.update(
         f"/root/reference/zio/zngio/ztests/{k}.yaml": v
         for k, v in {
             "big-value": "shell for-loop fixture [script]",
-            "zctx-named-reset-2": "quiet(missing) group keys drop "
-            "rows — null vs missing widened away [shape]",
+            "zctx-named-reset-2": "quiet(missing) group keys after a "
+            "ZNG round-trip: our writer encodes the fused schema, so "
+            "absent fields come back as typed nulls (per-row type "
+            "encoding) [shape]",
         }.items()
     }
 )
@@ -412,9 +413,6 @@ UNSUPPORTED.update(
             "issue-4013": "head-1 over fork legs is pull-ORDER "
             "dependent (reference op scheduling); our fused legs have "
             "no arrival order [script]",
-            "op/drop-foo-both": "drop leaving an empty record drops the "
-            "row only when the FIELD was absent — null vs missing "
-            "[shape]",
             "op/sort/sort-types": "sort over type VALUES orders by "
             "type-id [shape]",
             "expr/function/fields": "type-value reflection (fields of "
@@ -474,8 +472,6 @@ UNSUPPORTED.update(
             "different-key-types": "per-row type ordering of mixed-type "
             "group keys " + _S,
             "dot": "typeof(this) group key needs per-row type identity " + _S,
-            "mixed-type-key": "union-typed key record (field access on "
-            "record|string) " + _U,
             "null": "count/dcount count typed nulls as values — null vs "
             "missing widened away " + _S,
         }.items()
@@ -496,8 +492,6 @@ UNSUPPORTED.update(
             "meta/ztests/type-context": _LAKE,
             "ztests/cut-dynamic-field": "runtime field names from data "
             "values (this[expr] targets) " + _S,
-            "ztests/cut-rename-nested": "cut of a union-typed source "
-            "(record|array per row) " + _U,
             "ztests/put-dynamic-field": "runtime field names " + _S,
             "ztests/rename-dynamic-field": "runtime field names " + _S,
             "ztests/user-join": _LAKE,
@@ -928,6 +922,9 @@ def _run_script_case(spark, case: dict, path: str):
                 return spark.read.parquet(f"{d}/part.parquet")
 
             def serialize(df, ofile, flags, append=False, ofmt=None):
+                df = df.drop(
+                    *[c for c in df.columns if c.startswith("__zed_")]
+                )
                 # materialize a stage's output for later invocations
                 # (zng/zson/parquet round-trip fixtures); '>>' appends
                 # another stream (type context resets per stream)

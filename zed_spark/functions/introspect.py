@@ -57,7 +57,13 @@ def typeof_col(df: DataFrame, path: str | None = None) -> Column:
     """typeof(e) → literal type-name string (static per DataFrame)."""
     from zed_spark.schema import path_type
 
-    t: T.DataType = df.schema if path is None else (path_type(df.schema, path) or T.NullType())
+    if path is None:
+        # hidden bookkeeping columns are not part of the row's type
+        t: T.DataType = T.StructType(
+            [f for f in df.schema.fields if not f.name.startswith("__zed_")]
+        )
+    else:
+        t = path_type(df.schema, path) or T.NullType()
     return F.lit(zed_type_name(t))
 
 

@@ -290,7 +290,18 @@ class Compiler:
             for i, (e, alias) in enumerate(node[1]):
                 if isinstance(e, tuple):
                     tmp = f"__cut_{i}"
-                    tmps[tmp] = self.expr(e, df)
+                    col = self.expr(e, df)
+                    if (
+                        e[0] == "call"
+                        and e[1] == "quiet"
+                        and len(e[2]) == 1
+                    ):
+                        # quiet over an error-carrier expression:
+                        # the error reads as absent — null cell
+                        # (ztest cut-rename-nested)
+                        cdt = self._type_of(e[2][0], df)
+                        col, _errc = self._carrier_value_only(col, cdt)
+                    tmps[tmp] = col
                     if (
                         alias is None
                         and e[0] == "call"
@@ -490,7 +501,22 @@ class Compiler:
                 *[c for c in out.columns if c.startswith("__ra")],
             )
         if kind == "drop":
-            return ops.drop(df, *node[1])
+            out = ops.drop(df, *node[1])
+            if "__zed_missing" in out.columns:
+                # a row whose EVERY remaining field was per-row
+                # absent had no value at all — the reference emits
+                # nothing for it (ztest op/drop-foo-both)
+                remain = [
+                    c for c in out.columns if not c.startswith("__zed_")
+                ]
+                if remain:
+                    keep = None
+                    for c in remain:
+                        mc = self._missing_cond(out, c)
+                        pc = ~mc if mc is not None else F.lit(True)
+                        keep = pc if keep is None else (keep | pc)
+                    out = out.filter(keep)
+            return out
         if kind == "rename":
             from zed_spark.schema import path_type as _rpt
 
@@ -557,6 +583,31 @@ class Compiler:
                     # the reference rejects argument-less aggregates
                     # at compile time (agg ztest args.yaml)
                     raise ValueError(f"{fn}: argument required")
+            for kname, ke in keys:
+                if (
+                    ke[0] == "call"
+                    and ke[1] == "quiet"
+                    and len(ke[2]) == 1
+                ):
+                    # quiet(e) group key: rows whose key is an error
+                    # value (missing) are DROPPED, and the key is the
+                    # plain value member (groupby mixed-type-key;
+                    # zngio zctx-named-reset-2)
+                    kc = self.expr(ke[2][0], df)
+                    kdt = self._type_of(ke[2][0], df)
+                    _kv, kerr = self._carrier_value_only(kc, kdt)
+                    if kerr is not None:
+                        df = df.filter(
+                            ~kerr
+                            & kc.isNotNull()
+                            & kc.getField("tag").isNotNull()
+                        )
+                    elif ke[2][0][0] == "field":
+                        mc = self._missing_cond(
+                            df, ".".join(ke[2][0][1])
+                        )
+                        if mc is not None:
+                            df = df.filter(~mc)
             names = [n for n, *_ in aggs] + [n for n, _ in keys]
             dups = {n for n in names if names.count(n) > 1}
             if dups:
@@ -1358,7 +1409,7 @@ class Compiler:
                 # with-vars are NOT part of `this`
                 cols = [c for c in cols if c not in excl[-1]]
             return F.col("this") if "this" in cols else F.struct(
-                *[F.col(c) for c in cols]
+                *[F.col(f"`{c}`") for c in cols]
             )
         if kind in ("sterm", "sglob", "sre", "snet"):
             # search factors inside composed search expressions
@@ -1838,16 +1889,40 @@ class Compiler:
                 and self._union_members(base, bt) is None
             ):
                 # record index: literal string key → static field
-                # (eval.go indexRecord); dynamic keys would need a
-                # runtime shape — documented gap
+                # (eval.go indexRecord); a RUNTIME key dispatches
+                # with a when-chain over the schema's field names
+                # (ztest dot-index) — mixed field types unify in a
+                # value|error carrier, unknown keys are missing
                 if idx[0] == "str":
                     if any(f.name == idx[1] for f in bt.fields):
                         return base.getField(idx[1])
                     return F.lit(None)
-                raise ValueError(
-                    "record index needs a literal string key "
-                    "(runtime keys are a documented gap)"
+                idxc = self.expr(idx, df)
+                cases = []
+                found = F.lit(False)
+                for fld in bt.fields:
+                    if fld.name.startswith("__zed_"):
+                        continue
+                    cases.append(
+                        (
+                            idxc == fld.name,
+                            base.getField(fld.name),
+                            fld.dataType,
+                            None,
+                            None,
+                        )
+                    )
+                    found = found | (idxc == fld.name)
+                cases.append(
+                    (
+                        ~F.coalesce(found, F.lit(False)),
+                        None,
+                        None,
+                        F.lit("missing"),
+                        T.StringType(),
+                    )
                 )
+                return self._cases_to_carrier(cases)
             # maps and other containers: key-based element_at
             return F.element_at(base, self.expr(idx, df))
         if kind == "slice":
@@ -3132,6 +3207,26 @@ class Compiler:
                 (vcol if vcol is not None else F.lit(None).cast(t)).alias(nm)
             )
         return F.struct(*parts).cast(st)
+
+    def _carrier_value_only(self, col: Column, dt):
+        """(value-part Column, err_cond Column|None): collapse a
+        carrier to its value members; e-alternatives read as null.
+        err_cond is true on rows holding an error alternative (None
+        when dt is not a carrier)."""
+        vs = self._carrier_variants(col, dt)
+        if len(vs) == 1 and vs[0][3] is None:
+            return col, None
+        val = err = None
+        for cond, v, _t, ec in vs:
+            if ec is not None:
+                e2 = F.coalesce(cond, F.lit(False))
+                err = e2 if err is None else (err | e2)
+            else:
+                w = F.when(cond, v) if cond is not None else v
+                val = w if val is None else F.coalesce(val, w)
+        if val is None:
+            val = F.lit(None)
+        return val, (err if err is not None else F.lit(False))
 
     def _bool_parts(self, col: Column, dt):
         """Split a (possibly error-carrier) boolean operand into
