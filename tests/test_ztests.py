@@ -175,7 +175,6 @@ UNSUPPORTED: dict[str, str] = {
         "complex-unions": _U,
         "dot-record-type": "type-value field access " + _S,
         "in-star": "reference-skipped (disabled upstream)",
-        "index-map-union-key": "map keys of union type " + _U,
         "index-named-complex": "named complex type index " + _S,
         "ip-len": "ip/net ride as strings — byte/prefix len lost " + _S,
         "is": _S,

@@ -1923,8 +1923,43 @@ class Compiler:
                     )
                 )
                 return self._cases_to_carrier(cases)
-            # maps and other containers: key-based element_at
-            return F.element_at(base, self.expr(idx, df))
+            # maps and other containers: key-based element_at. A map
+            # whose KEYS are union-typed (|{1:"a","foo":"bar"}|)
+            # wraps the lookup key into the union struct at its
+            # member slot (ztest index-map-union-key).
+            idxc2 = self.expr(idx, df)
+            if bt is not None and bt.typeName() == "map":
+                kt = bt.keyType
+                from zed_spark.schema import is_union_type as _iuk2
+
+                if isinstance(kt, T.StructType) and _iuk2(kt):
+                    idt2 = self._type_of(idx, df)
+                    slot = None
+                    for i2, f2 in enumerate(kt.fields[1:]):
+                        if idt2 is not None and (
+                            f2.dataType.simpleString()
+                            == idt2.simpleString()
+                            or (
+                                f2.dataType.typeName()
+                                in ("byte", "short", "integer", "long")
+                                and idt2.typeName()
+                                in ("byte", "short", "integer", "long")
+                            )
+                        ):
+                            slot = i2
+                            break
+                    if slot is not None:
+                        parts2 = [F.lit(slot).alias("tag")]
+                        for i2, f2 in enumerate(kt.fields[1:]):
+                            parts2.append(
+                                (
+                                    idxc2.cast(f2.dataType)
+                                    if i2 == slot
+                                    else F.lit(None).cast(f2.dataType)
+                                ).alias(f2.name)
+                            )
+                        idxc2 = F.struct(*parts2).cast(kt)
+            return F.element_at(base, idxc2)
         if kind == "slice":
             # reference sliceIndex: negative lo/hi add length, then
             # clamp to [0, len] — s[-3:] and a[1:-1] work as in zed
