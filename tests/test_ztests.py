@@ -172,7 +172,6 @@ UNSUPPORTED: dict[str, str] = {
         "cast-union": "cast TO union needs per-value tag assignment " + _U,
         "shape-cast-to-union": "cast TO union over union input needs "
         "named-member identity " + _S,
-        "complex-unions": _U,
         "dot-record-type": "type-value field access " + _S,
         "in-star": "reference-skipped (disabled upstream)",
         "index-named-complex": "named complex type index " + _S,
@@ -632,7 +631,20 @@ def _norm(v):
                 return None
             val = _norm(v[name])
             return ("e", val) if name.startswith("e") else val
-        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+        def nkey(k):
+            # map KEYS survive collection as Row objects (asDict
+            # does not recurse into keys); union-struct keys resolve
+            # to their member value
+            if hasattr(k, "asDict"):
+                return _norm(k.asDict(recursive=True))
+            return _norm(k)
+
+        return tuple(
+            sorted(
+                ((nkey(k), _norm(x)) for k, x in v.items()),
+                key=lambda kv: (type(kv[0]).__name__, repr(kv[0])),
+            )
+        )
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
     if isinstance(v, bool):

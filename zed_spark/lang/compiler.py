@@ -2036,7 +2036,44 @@ class Compiler:
                     segs.append(F.array(*chunk))
                 out = F.concat(*segs) if len(segs) > 1 else segs[0]
             else:
-                out = F.array(*[self.expr(x, df) for x in items])
+                cols = [self.expr(x, df) for x in items]
+                dts = [self._type_of(x, df) for x in items]
+                _numf = (
+                    "byte", "short", "integer", "long", "double",
+                    "float", "decimal",
+                )
+                sigs = {
+                    ("num" if d.typeName() in _numf else d.simpleString())
+                    for d in dts
+                    if d is not None and d.typeName() not in ("void", "null")
+                }
+                if len(sigs) > 1 and all(d is not None for d in dts):
+                    # heterogeneous literal ([1, "a", 2.5]): elements
+                    # keep their types as a tagged union, like zed
+                    # (complex.go mixed arrays)
+                    from zed_spark.union import make_union, union_type
+
+                    ut = union_type(*[
+                        d
+                        for i, d in enumerate(dts)
+                        if d.simpleString()
+                        not in {x.simpleString() for x in dts[:i]}
+                    ])
+                    members = [f.dataType for f in ut.fields[1:]]
+                    msig = [m.simpleString() for m in members]
+                    out = F.array(
+                        *[
+                            make_union(
+                                msig.index(d.simpleString()),
+                                c,
+                                len(members),
+                                members,
+                            )
+                            for c, d in zip(cols, dts)
+                        ]
+                    )
+                else:
+                    out = F.array(*cols)
             # sets ride as arrays; the literal dedups AND sorts into
             # canonical zcode order like the zed set constructor
             # (zson.md sets; complex.go NormalizeSet)
@@ -2058,9 +2095,39 @@ class Compiler:
                 return zset_sort(out, et)
             return out
         if kind == "map":
+            kcols = [self.expr(k, df) for k, _v in e[1]]
+            kdts = [self._type_of(k, df) for k, _v in e[1]]
+            _numk = (
+                "byte", "short", "integer", "long", "double",
+                "float", "decimal",
+            )
+            ksigs = {
+                ("num" if d.typeName() in _numk else d.simpleString())
+                for d in kdts
+                if d is not None and d.typeName() not in ("void", "null")
+            }
+            if len(ksigs) > 1 and all(d is not None for d in kdts):
+                # mixed-type map KEYS (|{1:"a","bar":"baz"}|) become
+                # union-struct keys, like zed (complex-unions)
+                from zed_spark.union import make_union, union_type
+
+                ut = union_type(*[
+                    d
+                    for i, d in enumerate(kdts)
+                    if d.simpleString()
+                    not in {x.simpleString() for x in kdts[:i]}
+                ])
+                members = [f.dataType for f in ut.fields[1:]]
+                msig = [m.simpleString() for m in members]
+                kcols = [
+                    make_union(
+                        msig.index(d.simpleString()), c, len(members), members
+                    )
+                    for c, d in zip(kcols, kdts)
+                ]
             pairs = []
-            for k, v in e[1]:
-                pairs.append(self.expr(k, df))
+            for kc, (_k, v) in zip(kcols, e[1]):
+                pairs.append(kc)
                 pairs.append(self.expr(v, df))
             return F.create_map(*pairs)
         if kind == "regexmatch":
