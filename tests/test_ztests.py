@@ -207,7 +207,6 @@ UNSUPPORTED.update(
             "len": "error values inside unions " + _E,
             "nameof": _S,
             "now": "regexp-form expected output outside harness subset",
-            "parse-uri": _U,
             "parse-zson": "dynamic result types per row " + _S,
             "typeunder": _S,
             "unflatten": "unflatten rebuilds records at runtime — map model here",

@@ -71,6 +71,117 @@ def grok(pattern: str, s: Column) -> Column:
     return F.when(matched, F.struct(*parts))
 
 
+URI_DDL = (
+    "scheme:string,opaque:string,user:string,password:string,"
+    "host:string,port:int,path:string,"
+    "query:map<string,array<string>>,fragment:string"
+)
+
+
+def parse_uri_full(s: Column) -> Column:
+    """Reference-fidelity parse_uri (function/parse.go wraps Go's
+    url.Parse): returns a value|error carrier struct<tag, v0:<uri
+    record>, e1:{message,on:string}> — opaque URIs, userinfo,
+    uint16-validated ports, query as map<string,[string]>, and the
+    reference's error messages (missing scheme, invalid port,
+    non-empty-string requirement). Arrow-batched UDF: URI parsing is
+    per-value string surgery with no vectorizable form."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(f"tag int, v0 struct<{URI_DDL}>, e1 struct<message:string,on:string>")
+    def f(col):
+        import re as _r
+        from urllib.parse import parse_qs
+
+        tags, vals, errs = [], [], []
+
+        def err(msg, on):
+            tags.append(1)
+            vals.append(None)
+            errs.append({"message": msg, "on": on})
+
+        def ok(d):
+            tags.append(0)
+            vals.append(d)
+            errs.append(None)
+
+        empty = {
+            "scheme": None, "opaque": None, "user": None,
+            "password": None, "host": None, "port": None,
+            "path": None, "query": None, "fragment": None,
+        }
+        for v in col:
+            if v is None:
+                err("parse_uri: non-empty string arg required", None)
+                continue
+            if v == "":
+                ok(dict(empty))
+                continue
+            if v.startswith(":"):
+                err(
+                    f'parse_uri: parse "{v}": missing protocol scheme', v
+                )
+                continue
+            d = dict(empty)
+            rest = v
+            m = _r.match(r"^([A-Za-z][A-Za-z0-9+.\-]*):(.*)$", v, _r.S)
+            if m:
+                d["scheme"], rest = m.group(1), m.group(2)
+            frag = None
+            if "#" in rest:
+                rest, frag = rest.split("#", 1)
+            d["fragment"] = frag
+            if m and not rest.startswith("//"):
+                d["opaque"] = rest or None
+                ok(d)
+                continue
+            if rest.startswith("//"):
+                rest = rest[2:]
+                auth, sep, tail = rest.partition("/")
+                rest = sep + tail if sep else ""
+                qpos = auth.find("?")
+                if qpos >= 0:
+                    rest = auth[qpos:] + rest
+                    auth = auth[:qpos]
+                if "@" in auth:
+                    userinfo, auth = auth.rsplit("@", 1)
+                    u, _s2, pw = userinfo.partition(":")
+                    d["user"] = u or None
+                    d["password"] = pw or None
+                if ":" in auth:
+                    h, _s3, p = auth.rpartition(":")
+                    if p and not p.isdigit():
+                        err(
+                            f'parse_uri: parse "{v}": invalid port '
+                            f'":{p}" after host',
+                            v,
+                        )
+                        continue
+                    if p and not 0 <= int(p) <= 65535:
+                        err(f"parse_uri: invalid port: {p}", v)
+                        continue
+                    d["host"] = h or None
+                    d["port"] = int(p) if p else None
+                else:
+                    d["host"] = auth or None
+            q = None
+            if "?" in rest:
+                rest, q = rest.split("?", 1)
+            d["path"] = rest or None
+            if q is not None:
+                d["query"] = {
+                    k: vs
+                    for k, vs in parse_qs(
+                        q, keep_blank_values=True
+                    ).items()
+                }
+            ok(d)
+        return pd.DataFrame({"tag": tags, "v0": vals, "e1": errs})
+
+    return f(s)
+
+
 def parse_uri(s: Column) -> Column:
     """URI → record {scheme, host, port, path, query, fragment}
     (parse.go parse_uri). Query stays a raw string; use

@@ -4279,6 +4279,71 @@ class Compiler:
                 cases.append((prev & usable, c, adt, None, None))
                 prev = prev & ~usable
             return self._cases_to_carrier(cases)
+        if name == "parse_uri" and len(args) == 1:
+            pdt0 = self._type_of(args[0], df)
+            from zed_spark.schema import is_union_type as _iup
+
+            if (
+                pdt0 is not None
+                and isinstance(pdt0, T.StructType)
+                and _iup(pdt0)
+            ):
+                # mixed-type input: string members go through the
+                # reference-fidelity parser (carriers + Go error
+                # messages); non-string members are arg-type errors
+                # (ztest parse-uri)
+                from pyspark.sql.types import _parse_datatype_string
+
+                from zed_spark.functions.parse import URI_DDL, parse_uri_full
+
+                pc = self.expr(args[0], df)
+                sval, terr, _perr = self._str_operand(args[0], df)
+                u = parse_uri_full(sval)
+                ut0 = _parse_datatype_string(f"struct<{URI_DDL}>")
+                e1t = T.StructType(
+                    [
+                        T.StructField("message", T.StringType()),
+                        T.StructField("on", T.StringType()),
+                    ]
+                )
+                on_t = terr[2] if terr is not None else T.LongType()
+                e2t = T.StructType(
+                    [
+                        T.StructField("message", T.StringType()),
+                        T.StructField("on", on_t),
+                    ]
+                )
+                ct = T.StructType(
+                    [
+                        T.StructField("tag", T.IntegerType()),
+                        T.StructField("v0", ut0),
+                        T.StructField("e1", e1t),
+                        T.StructField("e2", e2t),
+                    ]
+                )
+                base2 = F.struct(
+                    u.getField("tag").alias("tag"),
+                    u.getField("v0").alias("v0"),
+                    u.getField("e1").alias("e1"),
+                    F.lit(None).cast(e2t).alias("e2"),
+                ).cast(ct)
+                if terr is None:
+                    return base2
+                tc, onc, _ot = terr
+                return F.when(
+                    F.coalesce(tc, F.lit(False)),
+                    F.struct(
+                        F.lit(2).alias("tag"),
+                        F.lit(None).cast(ut0).alias("v0"),
+                        F.lit(None).cast(e1t).alias("e1"),
+                        F.struct(
+                            F.lit(
+                                "parse_uri: non-empty string arg required"
+                            ).alias("message"),
+                            onc.alias("on"),
+                        ).alias("e2"),
+                    ).cast(ct),
+                ).otherwise(base2)
         if name == "under" and len(args) == 1:
             # under(e): strip the error/named wrapper (function/
             # under.go) — an error carrier's e-alternatives become
