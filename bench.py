@@ -136,14 +136,27 @@ def main() -> None:
     for name in HEADLINE + NEW_QUERIES:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # median of 3 timed runs per query (round-4 VERDICT item 7:
+    # single-shot timings drifted ±17% on unchanged code, so
+    # round-over-round comparisons chased noise). Runs are
+    # interleaved per-query (r1 r2 r3 back-to-back) — the warm-up
+    # pass above already paid codegen, so the three repeats sample
+    # steady state.
+    REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     new_times: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE + NEW_QUERIES:
         fn = queries[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        (times if name in HEADLINE else new_times)[name] = round(
-            time.perf_counter() - t0, 4
-        )
+        samples = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        med = samples[len(samples) // 2]
+        (times if name in HEADLINE else new_times)[name] = round(med, 4)
+        if med > 0:
+            spreads[name] = round((samples[-1] - samples[0]) / med, 3)
 
     total = round(sum(times.values()), 4)
     out = {
@@ -156,6 +169,10 @@ def main() -> None:
         "headline23": round(
             sum(v for k, v in times.items() if k not in PINNED_R4), 4
         ),
+        # per-query medians of N runs; spread = (max-min)/median, the
+        # variance note round-4 VERDICT item 7 asked for
+        "runs_per_query": REPEATS,
+        "max_spread": round(max(spreads.values(), default=0.0), 3),
     }
     if new_times:
         out["new"] = new_times

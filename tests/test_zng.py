@@ -160,3 +160,37 @@ def test_lz4_pure_python():
     data = open(f"{TUTORIALS}/github2.zng", "rb").read()
     # frame codes with the C bit set exist in this file
     assert any(True for _ in decode_zng(data))
+
+
+def test_read_zng_job_count_independent_of_shapes(spark, tmp_path):
+    """Mirror of test_read_zson_job_count_independent_of_shapes: the
+    ZNG reader materializes every shape in ONE pass over a combined
+    shape-tagged frame, so job count at read time does not grow with
+    the number of shapes in the stream."""
+    from zed_spark.sources.zng import encode_zng, read_zng
+    from pyspark.sql import types as T
+
+    def write(nshapes, name):
+        p = tmp_path / name
+        blob = b""
+        for i in range(nshapes):
+            schema = T.StructType([T.StructField(f"f{i}", T.LongType())])
+            rows = [{f"f{i}": i}] * 3
+            blob += encode_zng(rows, schema)
+        p.write_bytes(blob)
+        return str(p)
+
+    sc = spark.sparkContext
+
+    def jobs_during(path):
+        start_ids = set(sc.statusTracker().getJobIdsForGroup() or [])
+        out = read_zng(spark, path)
+        end_ids = set(sc.statusTracker().getJobIdsForGroup() or [])
+        return len(end_ids - start_ids), out
+
+    n2, out2 = jobs_during(write(2, "two.zng"))
+    n10, out10 = jobs_during(write(10, "ten.zng"))
+    assert len(out2) == 2 and len(out10) == 10
+    assert n10 == n2, f"jobs grew with shape count: {n2} -> {n10}"
+    key7 = [s for s in out10 if "f7" in s][0]
+    assert out10[key7].count() == 3

@@ -520,48 +520,58 @@ class Compiler:
         if kind == "rename":
             from zed_spark.schema import path_type as _rpt
 
+            # renames apply LEFT-TO-RIGHT (reference renamer.go), so
+            # the duplicate check must track the evolving field set:
+            # `rename b:=a, a:=c` is fine (step 1 vacates a) while
+            # `rename a:=b, a:=c` collides on the a created by the
+            # first pair.
+            live = {
+                c for c in df.columns if not c.startswith("__zed_")
+            }
+            dupe = None
             for new, old in node[1]:
-                if (
-                    "." not in new
-                    and "." not in old
-                    and _rpt(df.schema, new) is not None
-                    and _rpt(df.schema, old) is not None
-                    and new != old
-                ):
-                    # renaming ONTO an existing field: every row
-                    # becomes error({message:'rename: duplicate
-                    # field: "new"', on:<record>}) (ztest
-                    # op/rename-error-dupe)
-                    cols = [
-                        c for c in df.columns if not c.startswith("__zed_")
+                if "." in new or "." in old or new == old:
+                    continue  # nested paths keep the static check
+                if old in live:
+                    live.discard(old)
+                    if new in live:
+                        dupe = new
+                        break
+                    live.add(new)
+            if dupe is not None:
+                # renaming ONTO a still-live field: every row becomes
+                # error({message:'rename: duplicate field: "new"',
+                # on:<record>}) (ztest op/rename-error-dupe)
+                cols = [
+                    c for c in df.columns if not c.startswith("__zed_")
+                ]
+                rec = F.struct(*[F.col(f"`{c}`") for c in cols])
+                rdt = df.select(rec.alias("__r")).schema[0].dataType
+                est = T.StructType(
+                    [
+                        T.StructField("message", T.StringType()),
+                        T.StructField("on", rdt),
                     ]
-                    rec = F.struct(*[F.col(f"`{c}`") for c in cols])
-                    rdt = df.select(rec.alias("__r")).schema[0].dataType
-                    est = T.StructType(
-                        [
-                            T.StructField("message", T.StringType()),
-                            T.StructField("on", rdt),
-                        ]
-                    )
-                    ct = T.StructType(
-                        [
-                            T.StructField("tag", T.IntegerType()),
-                            T.StructField("e0", est),
-                        ]
-                    )
-                    return df.select(
+                )
+                ct = T.StructType(
+                    [
+                        T.StructField("tag", T.IntegerType()),
+                        T.StructField("e0", est),
+                    ]
+                )
+                return df.select(
+                    F.struct(
+                        F.lit(0).alias("tag"),
                         F.struct(
-                            F.lit(0).alias("tag"),
-                            F.struct(
-                                F.lit(
-                                    f'rename: duplicate field: "{new}"'
-                                ).alias("message"),
-                                rec.alias("on"),
-                            ).alias("e0"),
-                        )
-                        .cast(ct)
-                        .alias("this")
+                            F.lit(
+                                f'rename: duplicate field: "{dupe}"'
+                            ).alias("message"),
+                            rec.alias("on"),
+                        ).alias("e0"),
                     )
+                    .cast(ct)
+                    .alias("this")
+                )
             out = df
             for new, old in node[1]:
                 from zed_spark.schema import rename_path
@@ -2700,6 +2710,14 @@ class Compiler:
                 else "",
                 id(getattr(self, "consts", None)),
                 id(getattr(self, "user_funcs", None)),
+                # over-lambda binding state: the same AST inside an
+                # over-expression body resolves `this` against the
+                # lambda's element, not the outer row — without this
+                # the outer probe's result leaks into the lambda (and
+                # vice versa)
+                tuple(
+                    id(b) for b in getattr(self, "_this_stack", ())
+                ),
             )
         except Exception:
             key = None
@@ -3494,11 +3512,17 @@ class Compiler:
             return val
         return self._mk_carrier(vtype, val, err)
 
-    # running aggs with O(1) mergeable state — distributable via the
-    # two-phase per-partition + boundary-offset plan (_apply_runner_
-    # fixups). collect/union/dcount carry O(n) state per row (their
-    # OUTPUT is quadratic), so they keep the sequential window.
-    _DISTRIB_RUNNING = {"count", "sum", "avg", "min", "max", "any", "and", "or"}
+    # running aggs distributable via the two-phase per-partition +
+    # boundary-offset plan (_apply_runner_fixups). count..or carry
+    # O(1) mergeable state; collect/union/dcount carry order-dependent
+    # ARRAY state, distributed the same way (round-4 VERDICT item 2):
+    # per-partition collect + ordered boundary-array concat — their
+    # OUTPUT is O(n) per row by definition, but no data-sized
+    # unpartitioned window remains.
+    _DISTRIB_RUNNING = {
+        "count", "sum", "avg", "min", "max", "any", "and", "or",
+        "collect", "union", "dcount",
+    }
 
     def _running_agg(self, name: str, args: list[tuple], df: DataFrame) -> Column:
         from pyspark.sql import Window
@@ -3526,7 +3550,12 @@ class Compiler:
                 if where is not None and not args:
                     arg = F.when(where, F.lit(1))
             helper = f"__ra{len(self._runner_sink)}"
-            self._runner_sink.append((helper, name, arg))
+            elem_t = (
+                self._type_of(args[0], df)
+                if name == "union" and args
+                else None
+            )
+            self._runner_sink.append((helper, name, arg, elem_t))
             return F.col(helper)
         if scoped:
             # inside a scoped-over body the running state RESETS per
@@ -3607,7 +3636,8 @@ class Compiler:
             Window.unboundedPreceding, -1
         )
         tot_aggs, off_cols, final_cols = [], [], {}
-        for helper, name, arg in pending:
+        for helper, name, arg, *rest in pending:
+            elem_t = rest[0] if rest else None
             t, o = f"__rt_{helper}", f"__ro_{helper}"
             oc = F.col(o)
             if name == "count":
@@ -3653,6 +3683,46 @@ class Compiler:
                 off_cols.append(F.first(t, ignorenulls=True).over(woff).alias(o))
                 lc = F.first(arg, ignorenulls=True).over(wl)
                 final = F.coalesce(oc.getField("v"), lc)
+            elif name in ("collect", "union", "dcount"):
+                # order-dependent array state: collect each
+                # partition's values WITH their row ids (groupBy
+                # collect_list order is unspecified), sort, and
+                # concat prior-partition arrays in __rpid order; each
+                # row's global array is offset ++ local running list
+                tot_aggs.append(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                arg.isNotNull(),
+                                F.struct(
+                                    F.col("__rmono").alias("m"),
+                                    arg.alias("v"),
+                                ),
+                            )
+                        )
+                    ).alias(t)
+                )
+                off_cols.append(
+                    F.flatten(
+                        F.collect_list(
+                            F.transform(F.col(t), lambda s: s.getField("v"))
+                        ).over(woff)
+                    ).alias(o)
+                )
+                lc = F.collect_list(arg).over(wl)
+                merged = F.coalesce(F.concat(oc, lc), lc)
+                if name == "collect":
+                    final = merged
+                elif name == "dcount":
+                    final = F.size(
+                        F.array_distinct(F.array_compact(merged))
+                    ).cast("long")
+                else:  # union
+                    from zed_spark.functions.zorder import zset_sort
+
+                    final = zset_sort(
+                        F.array_distinct(F.array_compact(merged)), elem_t
+                    )
             else:  # and / or
                 fn = F.bool_and if name == "and" else F.bool_or
                 tot_aggs.append(fn(arg).alias(t))

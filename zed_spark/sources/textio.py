@@ -7,6 +7,7 @@ like to_csv_text); data-sized output belongs in a structured sink.
 
 from __future__ import annotations
 
+import math
 import re as _re
 from datetime import timezone
 
@@ -64,6 +65,12 @@ def _render(v, t, missing: set = frozenset()) -> str:
         return "\t".join(_leaves(v, t, missing, ""))
     if isinstance(t, (T.FloatType, T.DoubleType)):
         f = float(v)
+        if not math.isfinite(f):
+            # int(inf) raises; the reference textio writer renders
+            # non-finite doubles as +Inf/-Inf/NaN
+            if math.isnan(f):
+                return "NaN"
+            return "+Inf" if f > 0 else "-Inf"
         return str(int(f)) if f == int(f) else repr(f)
     return str(v)
 

@@ -417,11 +417,10 @@ def read_zng(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     from pyspark.sql import types as T
 
     from zed_spark.sources.zson import (
-        _conform,
-        _finalize,
-        _infer_type,
-        _merge_type,
+        _ZSON_CACHE,
+        _shape_frames,
         _shape_of,
+        clear_zson_cache,
     )
 
     if _os.path.isdir(path):
@@ -441,27 +440,12 @@ def read_zng(spark: SparkSession, path: str) -> dict[str, DataFrame]:
             for v in decode_zng(row["content"]):
                 yield (_shape_of(v), v)
 
+    cache_key = f"zng:{path}"
+    clear_zson_cache(cache_key)
     shaped = bin_df.rdd.mapPartitions(decode_partition).cache()
-    merged = dict(
-        shaped.aggregateByKey(
-            T.NullType(),
-            lambda acc, v: _merge_type(acc, _infer_type(v)),
-            _merge_type,
-        ).collect()
-    )
-
-    out: dict[str, DataFrame] = {}
-    for shape in sorted(merged):
-        vals = shaped.filter(lambda kv, s=shape: kv[0] == s).values()
-        t = _finalize(merged[shape])
-        if shape == "<value>":
-            schema = T.StructType([T.StructField("this", t)])
-            rows = vals.map(lambda v, tt=t: (_conform(v, tt),))
-        else:
-            schema = t if isinstance(t, T.StructType) else T.StructType()
-            rows = vals.map(lambda v, tt=schema: _conform(v, tt))
-        out[shape] = spark.createDataFrame(rows, schema)
-    return out
+    _ZSON_CACHE.setdefault(cache_key, []).append(shaped)
+    shapes = shaped.keys().distinct().collect()
+    return _shape_frames(spark, shaped, shapes, cache_key)
 
 
 def read_zng_fused(spark: SparkSession, path: str) -> DataFrame:

