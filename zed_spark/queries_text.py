@@ -94,11 +94,15 @@ bands AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+hsets AS (
+  SELECT doc_id, list_distinct(list(b)) AS hs FROM shing GROUP BY doc_id),
 verified AS (
+  -- jaccard over DISTINCT 28-bit shingle-hash sets, mirroring the
+  -- engine's array_intersect verify (same md5-prefix base hashes)
   SELECT id_a, id_b,
-    len(list_intersect(x.shingles, y.shingles)) /
-      (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jaccard
-  FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+    len(list_intersect(x.hs, y.hs)) /
+      (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) AS jaccard
+  FROM cand JOIN hsets x ON x.doc_id = id_a JOIN hsets y ON y.doc_id = id_b)
 SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
 """
 
@@ -320,12 +324,15 @@ def multimodal_meta_q(spark: SparkSession, sf: str) -> DataFrame:
 
 def dedup_clusters_q(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the minhash-LSH
-    pair list (C4/GPT-3 recipe — one representative per duplicate
-    group). Iterative min-label propagation, one shuffle per round."""
-    from zed_spark.textops.dedup import connected_components
+    graph (C4/GPT-3 recipe — one representative per duplicate
+    group). CC runs on the rep (quotient) graph with pointer-doubled
+    min-label propagation; members inherit their rep's label."""
+    from zed_spark.textops.minhash import minhash_lsh_clusters
 
-    pairs = minhash_lsh_q(spark, sf)
-    return connected_components(pairs, id_a="id_a", id_b="id_b")
+    docs = read_table(spark, sf, "documents")
+    return minhash_lsh_clusters(
+        docs, k_shingle=2, num_hashes=16, bands=8, threshold=0.35
+    )
 
 
 # oracle: recursive CTE reachability — cluster_id = min reachable id

@@ -179,10 +179,12 @@ def connected_components(
             F.struct(F.col(id_b).alias("a"), F.col(id_a).alias("b")),
         )
     )
+    # no distinct(): min-label aggregation is insensitive to edge
+    # multiplicity, and the upstream pair lists are already deduped —
+    # a distinct here would just re-shuffle the whole edge list
     edges = (
         pairs.select(both.alias("e"))
         .select("e.a", "e.b")
-        .distinct()
         .localCheckpoint(eager=False)
     )
     labels = (
@@ -190,7 +192,10 @@ def connected_components(
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
+    global _LAST_CC_ROUNDS
+    _LAST_CC_ROUNDS = 0
     for i in range(max_iters):
+        _LAST_CC_ROUNDS = i + 1
         neigh = edges.join(
             labels, edges["b"] == labels["node"]
         ).select(edges["a"].alias("node"), F.col("label"))
@@ -198,7 +203,7 @@ def connected_components(
         # carry null — min(label) is the propagation step, min(old)
         # recovers the previous label, and the two together make
         # convergence detectable from this round's result alone
-        new = (
+        prop = (
             labels.select(
                 "node", "label", F.col("label").alias("old")
             )
@@ -210,8 +215,37 @@ def connected_components(
             )
             .groupBy("node")
             .agg(F.min("label").alias("label"), F.min("old").alias("old"))
-            .localCheckpoint(eager=True)
         )
+        # pointer-doubling shortcut (round-4 VERDICT item 3): label
+        # := label's label. Propagation alone moves a chain's min one
+        # hop per round (O(diameter) rounds); combined with the
+        # shortcut each round roughly squares the reach, so chains
+        # converge in O(log diameter) rounds. Labels are node ids and
+        # only ever decrease, so label's label always exists in the
+        # frame; a left join + coalesce keeps self-rooted nodes.
+        # Round 1 skips the shortcut AND the checkpoint: near-dup
+        # graphs are near-cliques that converge in 2 rounds, so the
+        # first round stays a lazy plan fragment and round 2's
+        # checkpoint executes both rounds in ONE job — halving the
+        # per-round scheduling latency that dominates locally. Chains
+        # still get O(log d) from the shortcut from round 2 on.
+        if i == 0:
+            new = prop
+        else:
+            lbl2 = prop.select(
+                F.col("node").alias("__pn"), F.col("label").alias("__pl")
+            )
+            new = (
+                prop.join(lbl2, prop["label"] == lbl2["__pn"], "left")
+                .select(
+                    "node",
+                    F.coalesce(
+                        F.least("__pl", "label"), F.col("label")
+                    ).alias("label"),
+                    "old",
+                )
+                .localCheckpoint(eager=True)
+            )
         labels = new.select("node", "label")
         if i > 0:
             # round 1 always changes labels (any edge lowers some
@@ -227,3 +261,8 @@ def connected_components(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+# round count of the most recent connected_components call (pinned by
+# tests: pointer doubling must keep chains at O(log diameter))
+_LAST_CC_ROUNDS = 0

@@ -56,28 +56,23 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     )
 
 
-def minhash_lsh_pairs(
+def _lsh_parts(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k_shingle: int = 3,
-    num_hashes: int = 16,
-    bands: int = 4,
-    threshold: float | None = 0.5,
-) -> DataFrame:
-    """Candidate near-dup pairs via MinHash-LSH banding, optionally
-    verified with exact Jaccard (threshold!=None adds the verify
-    join and a `jaccard` column — no false positives).
-
-    Exact duplicates are collapsed FIRST (md5 text groups → one
-    representative each), the LSH + verify pipeline runs on unique
-    texts only, and representative pairs expand back to member pairs
-    at the end. Semantics are unchanged — identical texts have
-    identical shingle sets, so a member pair's jaccard equals its
-    rep pair's, and within-group pairs are exactly 1.0 — but the
-    quadratic candidate/verify cost now scales with UNIQUE docs
-    (the C4/GPT-3 dedup recipe; a 10× corpus of heavy duplication
-    ran 56× slower without this — bench --scale 10 finding)."""
+    text_col: str,
+    id_col: str,
+    k_shingle: int,
+    num_hashes: int,
+    bands: int,
+    threshold: float | None,
+) -> dict:
+    """Shared MinHash-LSH core: exact-dup collapse, shingle hashing,
+    banding, candidate join, and (threshold!=None) exact-Jaccard
+    verification — all at REPRESENTATIVE granularity. Returns the
+    pieces (`members`, `shingled`, `rep_pairs`, `expand`) that
+    minhash_lsh_pairs / minhash_lsh_clusters assemble differently:
+    pairs expand reps→members at the end; clusters run connected
+    components on the rep (quotient) graph and only then broadcast
+    labels to members."""
     rows_per_band = num_hashes // bands
 
     # --- exact-dup collapse ------------------------------------------
@@ -166,31 +161,139 @@ def minhash_lsh_pairs(
         return cross.unionByName(within)
 
     if threshold is None:
-        return expand(pairs, jaccard=False)
-    # verify candidates by counting common shingles through the
-    # exploded index (array-free: the candidate set is small — unique
-    # texts only — so these joins broadcast)
-    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a_sh = ex.select(F.col("id").alias("id_a"), F.col("sh"))
-    b_sh = ex.select(F.col("id").alias("id_b"), F.col("sh"))
-    common = (
-        F.broadcast(pairs)
-        .join(a_sh, "id_a")
-        .join(b_sh, ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+        return {
+            "members": members,
+            "shingled": shingled,
+            "rep_pairs": pairs,
+            "expand": expand,
+            "jaccard": False,
+        }
+    # verify candidates with one codegen array_intersect per pair
+    # over each doc's DISTINCT 28-bit shingle-hash set (the same base
+    # hashes the minhashes are built from, so the oracle replicates
+    # it exactly). This replaced an exploded per-shingle join that
+    # materialized |candidates| × |shingles/doc| rows behind a
+    # broadcast(pairs) hint — a 2× wall-time loss here and a scale
+    # cliff at 100 TB, where the candidate list itself outgrows a
+    # broadcast. Shuffle volume is now |candidates| narrow rows plus
+    # two hash-set joins sized by UNIQUE docs, and AQE still picks
+    # broadcast when the set frame is small.
+    hsets = based.groupBy("id").agg(
+        F.array_sort(F.array_distinct(F.collect_list("b"))).alias("__hs")
+    ).withColumn("n", F.size("__hs"))
     cand = (
-        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        pairs.join(
+            hsets.select(
+                F.col("id").alias("id_a"),
+                F.col("__hs").alias("__sa"),
+                F.col("n").alias("n_a"),
+            ),
+            "id_a",
+        ).join(
+            hsets.select(
+                F.col("id").alias("id_b"),
+                F.col("__hs").alias("__sb"),
+                F.col("n").alias("n_b"),
+            ),
+            "id_b",
+        )
     )
-    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    common = F.size(F.array_intersect("__sa", "__sb"))
+    jac = common / (F.col("n_a") + F.col("n_b") - common)
     verified = (
         cand.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return expand(verified, jaccard=True)
+    return {
+        "members": members,
+        "shingled": shingled,
+        "rep_pairs": verified,
+        "expand": expand,
+        "jaccard": True,
+    }
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float | None = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash-LSH banding, optionally
+    verified with exact Jaccard (threshold!=None adds the verify
+    join and a `jaccard` column — no false positives).
+
+    Exact duplicates are collapsed FIRST (md5 text groups → one
+    representative each), the LSH + verify pipeline runs on unique
+    texts only, and representative pairs expand back to member pairs
+    at the end. Semantics are unchanged — identical texts have
+    identical shingle sets, so a member pair's jaccard equals its
+    rep pair's, and within-group pairs are exactly 1.0 — but the
+    quadratic candidate/verify cost now scales with UNIQUE docs
+    (the C4/GPT-3 dedup recipe; a 10× corpus of heavy duplication
+    ran 56× slower without this — bench --scale 10 finding)."""
+    parts = _lsh_parts(
+        df, text_col, id_col, k_shingle, num_hashes, bands, threshold
+    )
+    return parts["expand"](parts["rep_pairs"], jaccard=parts["jaccard"])
+
+
+def minhash_lsh_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float | None = 0.5,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS (doc_id, cluster_id): connected
+    components computed on the REPRESENTATIVE graph, then labels
+    broadcast to members.
+
+    Equivalent to connected_components(minhash_lsh_pairs(...)) but
+    never materializes the expanded member-pair list: exact-dup
+    groups collapse to one node each, CC runs on the quotient graph
+    (reps + verified rep pairs), and each member inherits its rep's
+    component label. Because a group's rep IS its minimum id, the
+    min-label of a rep component equals the min member id of the
+    expanded component — identical output, and the CC input no
+    longer grows quadratically with duplicate-group size (the 100 TB
+    case where a hot exact-dup group would explode the edge list)."""
+    parts = _lsh_parts(
+        df, text_col, id_col, k_shingle, num_hashes, bands, threshold
+    )
+    members, shingled = parts["members"], parts["shingled"]
+    rep_pairs = parts["rep_pairs"].select("id_a", "id_b")
+
+    from zed_spark.textops.dedup import connected_components
+
+    rep_cc = connected_components(rep_pairs, max_iters=max_iters)
+    # gsz>=2 groups with shingles form within-group pairs even when
+    # their rep has no cross pair: add those reps as self-rooted
+    # singleton components (anti-join keeps CC's labels for the rest)
+    dup_reps = (
+        members.filter(F.col("gsz") >= 2)
+        .select(F.col("rep").alias("doc_id"))
+        .distinct()
+        .join(
+            shingled.select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+        )
+    )
+    singles = dup_reps.join(rep_cc, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    rep_labels = rep_cc.unionByName(singles).select(
+        F.col("doc_id").alias("rep"), F.col("cluster_id")
+    )
+    return members.join(rep_labels, "rep").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
 
 
 def band_sql_exprs(num_hashes: int, bands: int) -> list[str]:
