@@ -73,7 +73,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # --- analytics beyond the reference (windows, grouping sets) ----
     "sessionize": (qa.sessionize_q, qa.SESSIONIZE_SQL),
     "top_per_group": (qa.top_per_group_q, qa.TOP_PER_GROUP_SQL),
-    "pivot_counts": (qa.pivot_q, qa.PIVOT_SQL),
+    # pivot_counts rotated out of the 50-row graded window for
+    # lake_scan_range (the lake layer had zero CORRECTNESS rows —
+    # round-4 VERDICT item 8); pivot parity stays pinned by
+    # tests/test_operators.py::test_pivot_oracle_parity
+    "lake_scan_range": (qc.lake_scan_range, qc.LAKE_SCAN_SQL),
     "rollup_totals": (qa.rollup_q, qa.ROLLUP_SQL),
     "percentiles": (qa.percentiles_q, qa.PERCENTILES_SQL),
     "percentiles_approx": (qa.percentiles_approx_q, None),

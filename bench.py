@@ -55,7 +55,7 @@ HEADLINE = HEADLINE + PINNED_R4
 
 # round-4+ additions, timed and reported separately. Entries outside
 # the graded 50-query registry resolve via EXTRA_QUERIES.
-NEW_QUERIES: list[str] = []
+NEW_QUERIES: list[str] = ["lake_scan_range"]
 
 
 def _extra_queries() -> dict:

@@ -273,3 +273,16 @@ def test_search_flat_schema_avoids_to_json(spark):
     plan2 = search(nested, "spark")._jdf.queryExecution().executedPlan().toString()
     assert "to_json" in plan2 or "StructsToJson" in plan2
     assert [r["id"] for r in search(nested, "spark").collect()] == [1]
+
+
+def test_pivot_oracle_parity(spark):
+    """pivot_counts was rotated out of the 50-row graded registry
+    window for lake_scan_range; its DuckDB parity stays pinned here
+    (same compare as the driver's gate)."""
+    from tests.conftest import SF_DIR
+    from tests.oracle_utils import compare, duckdb_con
+    from zed_spark import queries_analytics as qa
+
+    con = duckdb_con(SF_DIR)
+    res = compare(qa.pivot_q(spark, SF_DIR), con, qa.PIVOT_SQL)
+    assert res["count_match"] and res["schema_match"] and res["approx_match"], res
