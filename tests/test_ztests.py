@@ -168,7 +168,8 @@ UNSUPPORTED: dict[str, str] = {
     for k, v in {
         "cast-name-only": "null record rows lose null-ness when yielded to columns",
         "cast-time": "custom time formats (RFC822 etc.) not in the ISO parser",
-        "cast-type": "runtime type values over mixed rows " + _S,
+        "cast-type": "cast to <type> over a mixed string/type stream "
+        "(per-row cast-failure error values) " + _S,
         "cast-union": "cast TO union needs per-value tag assignment " + _U,
         "shape-cast-to-union": "cast TO union over union input needs "
         "named-member identity " + _S,
@@ -176,10 +177,6 @@ UNSUPPORTED: dict[str, str] = {
         "in-star": "reference-skipped (disabled upstream)",
         "index-named-complex": "named complex type index " + _S,
         "ip-len": "ip/net ride as strings — byte/prefix len lost " + _S,
-        "is": _S,
-        "is-late-binding": _S,
-        "is-typedef": _S,
-        "missing": _S,
         "operator-mod": _E,
         "record-spread-function": "unflatten returns a map — spread needs a record",
         "shape-cast": "named-type field rename inside cast targets " + _S,
@@ -189,7 +186,6 @@ UNSUPPORTED: dict[str, str] = {
         "shape-map": "per-row dynamic cast target (schemas[_path]) " + _S,
         "shape-null-container": _U,
         "slice": "slicing union-typed columns " + _U,
-        "typedef-match": _S,
         "type-map": _S,
         "udf": _M,
         "udf-mutual-recursion": _M,
@@ -205,10 +201,8 @@ UNSUPPORTED.update(
             "grep": _SC,
             "grok": "per-row grok patterns need runtime schemas",
             "len": "error values inside unions " + _E,
-            "nameof": _S,
             "now": "regexp-form expected output outside harness subset",
             "parse-zson": "dynamic result types per row " + _S,
-            "typeunder": _S,
             "unflatten": "unflatten rebuilds records at runtime — map model here",
         }.items()
     }
@@ -239,8 +233,6 @@ UNSUPPORTED.update(
             "jsonio/ztests/map-output": "record/map/set values as MAP "
             "KEYS [shape]",
             "zsonio/ztests/tv": "type-value rendering [shape]",
-            "zsonio/ztests/zson-zng": "typeof() output with named "
-            "types [shape]",
             "anyio/ztests/detector-errors": "stderr golden [script]",
             "anyio/ztests/huge": "shell pipeline fixture [script]",
             "anyio/ztests/vng": "VNG format — documented non-goal "
@@ -354,10 +346,6 @@ UNSUPPORTED.update(
             "merge-filters": _DEV,
             "remove-passops": _DEV,
             "udf-implied-where": _DEV,
-            "is": "per-row type identity (int32 fields) is widened "
-            "away [shape]",
-            "is-field": "per-row type identity [shape]",
-            "const-type-is": "per-row type identity [shape]",
             "quoted-type": "per-value named-type identity (=\"@foo\" "
             "decorators) [shape]",
             "f-string": "ip values ride as strings — bytes(ip) is "
@@ -414,8 +402,6 @@ UNSUPPORTED.update(
             "type-id [shape]",
             "expr/function/fields": "type-value reflection (fields of "
             "<type> literals) [shape]",
-            "expr/function/kind": "error/enum/type kinds ride as "
-            "strings [shape]",
             "expr/function/len": "ip/net byte lengths and type-value "
             "lengths are widened away [shape]",
             "expr/function/lower": "ip values ride as strings — "
@@ -423,8 +409,6 @@ UNSUPPORTED.update(
             "expr/function/upper": "ip values ride as strings [shape]",
             "expr/function/quiet": "quiet over error-valued expressions "
             "[errval]",
-            "expr/function/typeof": "per-row type identity (int32 vs "
-            "int64, named types) is widened away [shape]",
         }.items()
     }
 )
@@ -435,7 +419,6 @@ UNSUPPORTED.update(
         for k, v in {
             "cut-record": "-f zeek OUTPUT format golden (writer "
             "byte-compare) [script]",
-            "enum-typeval": "enum types ride as strings [shape]",
             "map": "IPv6 map keys (`|{:: :::}|` syntax) [shape]",
             "persist": "glob field reference b.* in script [script]",
             "pretty-type-value": "-pretty type-value rendering "
@@ -468,7 +451,6 @@ UNSUPPORTED.update(
         for k, v in {
             "different-key-types": "per-row type ordering of mixed-type "
             "group keys " + _S,
-            "dot": "typeof(this) group key needs per-row type identity " + _S,
             "null": "count/dcount count typed nulls as values — null vs "
             "missing widened away " + _S,
         }.items()
@@ -535,7 +517,7 @@ def _missing_paths(v, t, prefix="") -> list[str]:
     return out
 
 
-def _to_df(spark, values):
+def _to_df(spark, values, tdescs=None):
     from pyspark.sql import types as T
 
     from zed_spark.sources.zson import ZMap, _conform, _finalize, _infer_type, _merge_type
@@ -582,7 +564,66 @@ def _to_df(spark, values):
             + [T.StructField("__zed_missing", T.ArrayType(T.StringType()))]
         )
         rows = [r + (m,) for r, m in zip(rows, miss)]
+    tmaps = _type_maps(values, tdescs, records)
+    if tmaps is not None:
+        # per-row TYPE IDENTITY sidecar (ztypes.py): attached only
+        # when some row's precise type (named types, sized ints,
+        # ip/net/duration identity) differs from what static
+        # inference would say — typeof/is/nameof consult it per row
+        t = T.StructType(
+            list(t.fields)
+            + [
+                T.StructField(
+                    "__zed_types", T.MapType(T.StringType(), T.StringType())
+                )
+            ]
+        )
+        rows = [r + (m,) for r, m in zip(rows, tmaps)]
     return spark.createDataFrame(rows, t), (not records)
+
+
+def _type_maps(values, tdescs, records: bool):
+    """Per-row {dotted path → zed type string} maps, or None when the
+    descriptors add nothing beyond widened static inference."""
+    if tdescs is None or len(tdescs) != len(values):
+        return None
+    from zed_spark.functions.introspect import zed_type_name
+    from zed_spark.sources.zson import _finalize, _infer_type
+    from zed_spark.sources.ztypes import path_descs, render
+
+    need = False
+    renders: set = set()
+    maps: list[dict] = []
+    for v, d in zip(values, tdescs):
+        precise = render(d)
+        renders.add(precise)
+        if not need:
+            try:
+                static = zed_type_name(_finalize(_infer_type(v)))
+            except Exception:
+                static = None
+            # informative when a row's precise type differs from its
+            # own widened static inference (named/sized/ip identity)
+            if precise != static:
+                need = True
+        if records:
+            m = {}
+            for p, dd in path_descs(d).items():
+                m[p] = render(dd)
+                if dd[0] == "typeval":
+                    # type VALUES carry their denoted type under an
+                    # aux key so kind()/nameof() see through them
+                    m["\x00tv:" + p] = render(dd[1])
+        else:
+            m = {"": precise}
+            if d[0] == "typeval":
+                m["\x00tv:"] = render(d[1])
+        maps.append(m)
+    if len(renders) > 1:
+        # rows differ from each other: per-row identity that a single
+        # merged schema erases (const-type-is)
+        need = True
+    return maps if need else None
 
 
 import re as _re
@@ -603,7 +644,8 @@ def _canon_type_str(s: str) -> str:
     s = _TYPE_NAMED.sub("", s)
     s = s.replace("|[", "[").replace("]|", "]")
     s = s.replace("|{", "{").replace("}|", "}")
-    return s.replace(" ", "")
+    # -pretty output wraps type values across lines
+    return s.replace(" ", "").replace("\n", "")
 
 
 def _norm(v):
@@ -1282,17 +1324,25 @@ def _run_case(spark, path: str):
         in_vals, named = parse_zjson_values(case["input"]), {}
     else:
         in_vals, named = parse_zson_typed(case["input"])
+        try:
+            from zed_spark.sources.ztypes import parse_types
+
+            named_descs = {}
+            tdescs = parse_types(case["input"], named_descs)
+        except Exception:
+            tdescs, named_descs = None, {}
     if not in_vals:
         # empty input → empty output, no schema to resolve against
         assert parse_zson(case["output"]) == []
         return
-    df, wrapped = _to_df(spark, in_vals)
+    df, wrapped = _to_df(spark, in_vals, locals().get("tdescs"))
     out = compile_query(
         spark,
         case["zed"],
         lambda n: (_ for _ in ()).throw(ValueError(n)),
         df,
         named_types=named,
+        named_descs=locals().get("named_descs"),
     )
     _compare_case(out, wrapped, case, path)
 
@@ -1431,6 +1481,7 @@ def _collect_vals(out, wrapped: bool, want) -> list:
 
     for r in got_rows:
         r.pop("__zed_missing", None)
+        r.pop("__zed_types", None)
         errs = r.pop("__zed_error", None)
         if errs:
             for epath, msg in errs.items():

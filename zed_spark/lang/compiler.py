@@ -2218,9 +2218,57 @@ class Compiler:
             return self._call(e[1], e[2], df)
         if kind == "typeval":
             # type values ride as their canonical string (same model
-            # as the ZSON reader's <...> handling)
-            return F.lit(self._render_ztype(e[1]))
+            # as the ZSON reader's <...> handling); when the input
+            # carries per-row type descriptors, named refs expand
+            # with the first-occurrence convention so comparisons
+            # against per-row typeof() strings line up
+            return F.lit(self._typeval_str(e[1]))
         raise ValueError(f"unsupported expression {e!r}")
+
+    def _typeval_desc(self, t: tuple):
+        """Type AST → ztypes descriptor, resolving named refs through
+        the input's per-value type registry (`named_descs`)."""
+        from zed_spark.sources import ztypes as _zt
+
+        k = t[0]
+        if k == "prim":
+            n = t[1]
+            nd = getattr(self, "named_descs", None) or {}
+            if n in nd:
+                return ("named", n, nd[n])
+            if n in _zt._PRIMS:
+                return ("prim", n)
+            utypes = getattr(self, "user_types", {})
+            if n in utypes and isinstance(utypes[n], tuple) and utypes[n][0] != "ddl":
+                return ("named", n, self._typeval_desc(utypes[n]))
+            raise ValueError(f"unresolved type name {n!r}")
+        if k == "recordtype":
+            return (
+                "record",
+                tuple((nm, self._typeval_desc(ty)) for nm, ty in t[1]),
+            )
+        if k == "array":
+            return ("array", self._typeval_desc(t[1]))
+        if k == "settype":
+            return ("set", self._typeval_desc(t[1]))
+        if k == "maptype":
+            return ("map", self._typeval_desc(t[1]), self._typeval_desc(t[2]))
+        if k == "uniontype":
+            return ("union", tuple(self._typeval_desc(m) for m in t[1]))
+        raise ValueError(f"bad type expression {t!r}")
+
+    def _typeval_str(self, t: tuple) -> str:
+        """Type AST → zed type string; per-row descriptor rendering
+        (named types expanded at first occurrence) when the input
+        registered descriptors, else the structural static render."""
+        if getattr(self, "named_descs", None):
+            try:
+                from zed_spark.sources.ztypes import render as _ztr
+
+                return _ztr(self._typeval_desc(t))
+            except ValueError:
+                pass
+        return self._render_ztype(t)
 
     def _render_ztype(self, t: tuple) -> str:
         """Type AST → canonical zed type string (zson.md syntax)."""
@@ -2231,6 +2279,8 @@ class Compiler:
                 # widened model is structural — SURVEY §1.2); decls
                 # carry type ASTs, reader-fed named types carry DDL
                 u = utypes[t[1]]
+                if isinstance(u, tuple) and u[0] == "ddl":
+                    u = u[1]  # reader-fed named types carry DDL
                 if isinstance(u, tuple):
                     return self._render_ztype(u)
                 from pyspark.sql.types import _parse_datatype_string
@@ -4015,14 +4065,49 @@ class Compiler:
                 else None
             )
             return fields_of(df, path)
-        if name == "is" and args and args[-1][0] == "typeval":
-            # is(<t>) / is(e, <t>): static schema check against the
-            # type value (function/is.go; late-binding named types
-            # aren't tracked per value — SURVEY §1.2)
+        if name == "is" and args:
+            # const refs resolve to their bound AST first, so
+            # `const t = <...> is(t)` reaches the typeval path
+            # (compiler/ztests/const-type-is)
+            args = [
+                self.consts[a[1][0]]
+                if (
+                    a[0] == "field"
+                    and len(a[1]) == 1
+                    and a[1][0] in getattr(self, "consts", {})
+                )
+                else a
+                for a in args
+            ]
+        if name == "is" and args and (
+            args[-1][0] == "typeval"
+            or (args[-1][0] == "str" and _looks_type_spec(args[-1][1]))
+        ):
+            # is(<t>) / is(e, <t>): type check against the type value
+            # (function/is.go). The string form is('{a:int32}') is
+            # the reference's legacy spelling (compiler/ztests/is).
             from zed_spark.functions.introspect import is_type
 
             target = args[0] if len(args) == 2 else ("this",)
-            tname = self._render_ztype(args[-1][1])
+            if args[-1][0] == "typeval":
+                tname = self._typeval_str(args[-1][1])
+            else:
+                from zed_spark.sources.ztypes import (
+                    parse_type_string as _pts,
+                    render as _ztr,
+                )
+
+                nd = dict(getattr(self, "named_descs", None) or {})
+                tname = _ztr(_pts(args[-1][1], nd))
+            if (
+                "__zed_types" in df.columns
+                and target[0] in ("field", "this")
+                and not getattr(self, "_this_stack", None)
+            ):
+                # per-row nominal type identity from the sidecar
+                key = ".".join(target[1]) if target[0] == "field" else ""
+                per = F.element_at(F.col("__zed_types"), F.lit(key))
+                return F.coalesce(per == F.lit(tname), F.lit(False))
             if target[0] == "field":
                 return is_type(df, ".".join(target[1]), tname)
             if target[0] == "this":
@@ -4242,18 +4327,57 @@ class Compiler:
                 dtype=df.schema[ts_col].dataType,
             )
         if name in ("typeof", "typeunder"):
-            # typeunder strips named types — widened away here, so
-            # both resolve the static type (introspect.py)
             from zed_spark.functions.introspect import typeof_col
 
             path = ".".join(args[0][1]) if args and args[0][0] == "field" else None
-            return typeof_col(df, path)
+            static = typeof_col(df, path)
+            if (
+                "__zed_types" in df.columns
+                and (not args or args[0][0] in ("field", "this"))
+                and not getattr(self, "_this_stack", None)
+            ):
+                # per-row type identity from the __zed_types sidecar
+                # (ztypes.py): typeof sees the value's OWN type
+                # (named wrappers, sized ints, ip/net) instead of the
+                # widened static schema; typeunder strips the outer
+                # named layer(s) (under.go)
+                per = F.element_at(F.col("__zed_types"), F.lit(path or ""))
+                if name == "typeunder":
+                    per = F.regexp_replace(per, r"^([^\W\d][\w$]*=)+", "")
+                return F.coalesce(per, static)
+            return static
         if name == "kind" and len(args) == 1:
             from zed_spark.functions.introspect import kind_expr
 
-            return kind_expr(
+            static = kind_expr(
                 self.expr(args[0], df), self._type_of(args[0], df)
             )
+            if (
+                "__zed_types" in df.columns
+                and args[0][0] in ("field", "this")
+                and not getattr(self, "_this_stack", None)
+            ):
+                # per-row kind from the type sidecar (types.go kind):
+                # type VALUES report the kind of their DENOTED type
+                # (aux \x00tv key), named layers strip first
+                key = ".".join(args[0][1]) if args[0][0] == "field" else ""
+                per = F.element_at(F.col("__zed_types"), F.lit(key))
+                tv = F.element_at(F.col("__zed_types"), F.lit("\x00tv:" + key))
+                eff = F.regexp_replace(
+                    F.coalesce(tv, per), r"^([^\W\d][\w$]*=)+", ""
+                )
+                per_kind = (
+                    F.when(eff.startswith("error("), "error")
+                    .when(eff.startswith("enum("), "enum")
+                    .when(eff.startswith("|["), "set")
+                    .when(eff.startswith("|{"), "map")
+                    .when(eff.startswith("{"), "record")
+                    .when(eff.startswith("["), "array")
+                    .when(eff.startswith("("), "union")
+                    .when(eff.isNotNull(), "primitive")
+                )
+                return F.coalesce(per_kind, static)
+            return static
         if name == "has_error" and len(args) == 1:
             from zed_spark.functions.introspect import has_error_expr
 
@@ -4267,8 +4391,30 @@ class Compiler:
                 self.expr(args[0], df), self._type_of(args[0], df)
             )
         if name == "nameof" and len(args) == 1:
-            # named types are widened away (SURVEY §1.2): the column's
-            # own name is the nearest static analog
+            if (
+                "__zed_types" in df.columns
+                and args[0][0] in ("field", "this")
+                and not getattr(self, "_this_stack", None)
+            ):
+                # per-row named-type identity (function/nameof.go):
+                # the sidecar string leads with `name=` exactly when
+                # the value's type is named; unnamed → error("missing")
+                key = (
+                    ".".join(args[0][1]) if args[0][0] == "field" else ""
+                )
+                per = F.element_at(F.col("__zed_types"), F.lit(key))
+                # a type VALUE reports the name of its DENOTED type
+                # (function/nameof.go) — the aux \x00tv entry
+                tv = F.element_at(F.col("__zed_types"), F.lit("\x00tv:" + key))
+                eff = F.coalesce(tv, per)
+                nm = F.regexp_extract(eff, r"^([^\W\d][\w$]*)=", 1)
+                val = F.when(eff.isNotNull() & (nm != ""), nm)
+                return self._mk_carrier(
+                    T.StringType(), val, F.when(val.isNull(), F.lit("missing"))
+                )
+            # no per-row identity: named types are widened away
+            # (SURVEY §1.2) — the column's own name is the nearest
+            # static analog
             from zed_spark.functions.introspect import nameof as _nameof
 
             if args[0][0] == "field":
@@ -5149,6 +5295,17 @@ class Compiler:
         return None
 
 
+def _looks_type_spec(s: str) -> bool:
+    """True when a string literal reads as a zed type spec — the
+    legacy is('...') argument form (compiler/ztests/is.yaml)."""
+    from zed_spark.sources.ztypes import _PRIMS
+
+    s = s.strip()
+    return bool(s) and (
+        s in _PRIMS or s[0] in "{[|(" or ("=" in s and " " not in s)
+    )
+
+
 def _align_legs(legs: list[DataFrame]) -> list[DataFrame]:
     """Branch outputs in the bare-value regime name their single
     column `this` (pass-through) or `value` (yield of a scalar);
@@ -5245,12 +5402,17 @@ def compile_query(
     input_df: DataFrame | None = None,
     lake=None,
     named_types: dict[str, str] | None = None,
+    named_descs: dict | None = None,
 ) -> DataFrame:
     """named_types: name → Spark DDL for types defined by the INPUT's
-    ZSON decorators (parse_zson_typed), referenceable as <name>."""
+    ZSON decorators (parse_zson_typed), referenceable as <name>.
+    named_descs: name → ztypes descriptor for the same definitions —
+    enables first-occurrence named rendering in type values so they
+    compare equal against per-row typeof() strings (__zed_types)."""
     from zed_spark.lang.parser import parse
 
     c = Compiler(spark, source_resolver, input_df)
     c.lake = lake
     c.input_types = {n: ("ddl", d) for n, d in (named_types or {}).items()}
+    c.named_descs = named_descs or {}
     return c.run(parse(text))

@@ -103,7 +103,14 @@ def uniq(
          spanning partition boundaries; interior runs never shuffle
          again.
     """
-    cmp_cols = compare_cols or [c for c in df.columns if c not in order_by]
+    cmp_cols = compare_cols or [
+        c
+        for c in df.columns
+        if c not in order_by and not c.startswith("__zed_")
+    ]
+    # sidecar bookkeeping columns (__zed_types is a map — not even
+    # comparable) are not part of the compared value
+    cmp_cols = [c for c in cmp_cols if not c.startswith("__zed_")]
     src = df.select(*order_by, *cmp_cols)
 
     # Adaptive: a single-partition input already flows through one

@@ -770,6 +770,7 @@ def to_zeek_text(df: DataFrame) -> str:
     """Render a DataFrame as zeek TSV (zio/zeekio/writer.go). A text
     formatter like to_table_string — collects to the driver; use for
     test/preview-scale output, write_zeek for bulk sinks."""
+    df = df.drop(*[c for c in df.columns if c.startswith("__zed_")])
     fields = _flatten_fields(df.schema)
     lines = list(_render_rows(df.collect(), fields))
     return "\n".join(lines) + ("\n" if lines else "")
