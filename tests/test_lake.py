@@ -104,7 +104,7 @@ def test_delete_compact_vacuum(spark, lake):
 def test_meta_pools(spark, lake):
     lake.create_pool("a", key="x")
     lake.create_pool("b", key="y")
-    rows = {r["name"]: r["key"] for r in lake.meta_pools().collect()}
+    rows = {r["name"]: r["layout"]["keys"][0][0] for r in lake.meta_pools().collect()}
     assert rows == {"a": "x", "b": "y"}
 
 

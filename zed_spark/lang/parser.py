@@ -666,7 +666,9 @@ class Parser:
         # punctuation continues a name: a bare ID after whitespace is
         # the next token stream element (e.g. the `file` keyword of a
         # second source in `from ( file a file b )`).
-        seps = (".", "/", "-", "@", ":")
+        # `*` supports pool patterns (`from *`, `from match*`) and
+        # regex refs (`from /.*/`) — lake/parse.go from-patterns
+        seps = (".", "/", "-", "@", ":", "*")
         while True:
             nxt = self.peek()
             if nxt.text in seps and not self.at_end_of_op():

@@ -37,6 +37,19 @@ import json
 import os
 import time
 import uuid
+
+
+def new_ksuid() -> str:
+    """Fresh ksuid (4-byte seconds-since-ksuid-epoch + 16 random
+    bytes, base62) — the reference's commit/pool id format
+    (segment/ksuid; lake ztests assert \\w{27} ids)."""
+    import os as _os
+    import time as _time
+
+    from zed_spark.functions.misc import KSUID_EPOCH, ksuid_encode_bytes
+
+    ts = max(0, int(_time.time()) - KSUID_EPOCH)
+    return ksuid_encode_bytes(ts.to_bytes(4, "big") + _os.urandom(16))
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -71,6 +84,8 @@ class PoolConfig:
     name: str
     key: str  # pool sort key (dotted path)
     path: str
+    id: str = ""  # pool ksuid (reference: pools are named by ksuid)
+    order: str = "desc"  # key order (reference default: ts desc)
 
 
 class Lake:
@@ -82,26 +97,56 @@ class Lake:
         os.makedirs(root, exist_ok=True)
 
     # --- pool lifecycle ---------------------------------------------
-    def create_pool(self, name: str, key: str) -> "Pool":
+    def create_pool(
+        self, name: str, key: str, order: str = "desc"
+    ) -> "Pool":
         path = os.path.join(self.root, name)
         meta = os.path.join(path, LAKE_META_DIR)
         if os.path.exists(meta):
             raise ValueError(f"pool {name!r} already exists")
         os.makedirs(meta, exist_ok=True)
+        pid = new_ksuid()
         with open(os.path.join(meta, "pool.json"), "w") as f:
-            json.dump({"name": name, "key": key, "version": 1}, f)
-        return Pool(self.spark, PoolConfig(name, key, path))
+            json.dump(
+                {"name": name, "key": key, "version": 1, "id": pid,
+                 "order": order},
+                f,
+            )
+        return Pool(self.spark, PoolConfig(name, key, path, pid, order))
 
     def pool(self, name: str) -> "Pool":
         path = os.path.join(self.root, name)
         with open(os.path.join(path, LAKE_META_DIR, "pool.json")) as f:
             meta = json.load(f)
-        return Pool(self.spark, PoolConfig(meta["name"], meta["key"], path))
+        return Pool(
+            self.spark,
+            PoolConfig(
+                meta["name"], meta["key"], path,
+                meta.get("id", ""), meta.get("order", "desc"),
+            ),
+        )
 
     def drop_pool(self, name: str) -> None:
         import shutil
 
+        if name not in self.pools():
+            raise ValueError(f"pool {name!r} not found")
         shutil.rmtree(os.path.join(self.root, name))
+
+    def rename_pool(self, old: str, new: str) -> None:
+        """`super db rename` (service/core.go pool rename): move the
+        pool directory and rewrite its recorded name."""
+        if old not in self.pools():
+            raise ValueError(f"pool {old!r} not found")
+        if new in self.pools():
+            raise ValueError(f"pool {new!r} already exists")
+        os.rename(os.path.join(self.root, old), os.path.join(self.root, new))
+        meta = os.path.join(self.root, new, LAKE_META_DIR, "pool.json")
+        with open(meta) as f:
+            cfg = json.load(f)
+        cfg["name"] = new
+        with open(meta, "w") as f:
+            json.dump(cfg, f)
 
     def scan_ref(self, ref: str) -> DataFrame:
         """Scan `pool` or `pool@branch` (the reference's from-clause
@@ -116,12 +161,29 @@ class Lake:
         )
 
     def meta_pools(self) -> DataFrame:
-        """`from :pools` — pool metadata as a DataFrame."""
-        schema = "name string, key string, path string, n_commits int"
-        rows = [
-            (name, (p := self.pool(name)).cfg.key, p.cfg.path, len(p.commits()))
-            for name in self.pools()
-        ]
+        """`from :pools` — pool metadata in the reference's config
+        shape (lake/pools.go Config: name, id, layout{order, keys},
+        seek_stride, threshold, ts)."""
+        from datetime import datetime, timezone
+
+        schema = (
+            "name string, id string, "
+            "layout struct<order: string, keys: array<array<string>>>, "
+            "seek_stride int, threshold long, ts timestamp"
+        )
+        rows = []
+        for name in self.pools():
+            c = self.pool(name).cfg
+            rows.append(
+                (
+                    name,
+                    c.id,
+                    (c.order, [c.key.split(".")]),
+                    65536,
+                    524288000,
+                    datetime.now(tz=timezone.utc),
+                )
+            )
         return self.spark.createDataFrame(rows, schema)
 
 
@@ -261,7 +323,7 @@ class Pool:
         dst_live = set(self._live_objects(into))
         adds = [o for o in src_live if o not in base_live and o not in dst_live]
         removes = [o for o in base_live if o not in set(src_live) and o in dst_live]
-        commit_id = uuid.uuid4().hex[:12]
+        commit_id = new_ksuid()
         self._advance(
             into,
             {
@@ -288,7 +350,7 @@ class Pool:
             if o not in live and os.path.isdir(os.path.join(self.cfg.path, o))
         ]
         drop = [o for o in entry.get("add", []) if o in live]
-        new_id = uuid.uuid4().hex[:12]
+        new_id = new_ksuid()
         self._advance(
             branch,
             {
@@ -305,6 +367,12 @@ class Pool:
     # --- load (write a commit) --------------------------------------
     def _write_object(self, df: DataFrame, commit_id: str) -> None:
         obj_dir = os.path.join(self.cfg.path, f"obj_{commit_id}")
+        if self.cfg.key not in df.columns:
+            # batch lacks the pool key (reference pools default to
+            # `ts` but accept any shape — the key is a sort hint, and
+            # keyless rows sort as nulls): write unsorted
+            df.write.mode("overwrite").parquet(obj_dir)
+            return
         n = max(df.rdd.getNumPartitions() // 4, 1)
         (
             df.repartitionByRange(n, F.col(self.cfg.key))
@@ -313,38 +381,89 @@ class Pool:
             .parquet(obj_dir)
         )
 
+    def _key_stats(self, df: DataFrame) -> dict:
+        """min/max/count of the pool key for a batch (the reference
+        records the key range per data object in the commit journal —
+        lake/data/object.go — which is what `:objects` min/max show
+        and what the Lister prunes on). One agg job at load time."""
+        from datetime import datetime
+
+        if self.cfg.key not in df.columns:
+            n = df.count()
+            return {"min": None, "max": None, "count": n}
+        row = df.agg(
+            F.min(self.cfg.key).alias("mn"),
+            F.max(self.cfg.key).alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+
+        def enc(v):
+            if isinstance(v, datetime):
+                return {"t": "time", "v": v.isoformat()}
+            return v
+
+        return {"min": enc(row["mn"]), "max": enc(row["mx"]), "count": row["n"]}
+
     def load(
-        self, df: DataFrame, author: str = "", message: str = "", branch: str = "main"
+        self,
+        df: DataFrame,
+        author: str = "",
+        message: str = "",
+        branch: str = "main",
+        meta=None,
     ) -> str:
         """Commit a batch into the pool: range-partition + sort by
         the pool key so every file covers a disjoint key range (this
         is what makes parquet min/max pruning equal the reference's
-        seek-index object pruning)."""
-        commit_id = uuid.uuid4().hex[:12]
+        seek-index object pruning). `meta` is the reference's -meta
+        app metadata, carried on the commit and exposed by `:log`."""
+        commit_id = new_ksuid()
         self._write_object(df, commit_id)
-        self._advance(
-            branch,
-            {
-                "commit": commit_id,
-                "ts": time.time(),
-                "author": author,
-                "message": message,
-                "add": [f"obj_{commit_id}"],
-                "remove": [],
-            },
-        )
+        entry = {
+            "commit": commit_id,
+            "ts": time.time(),
+            "author": author,
+            "message": message,
+            "add": [f"obj_{commit_id}"],
+            "remove": [],
+            "stats": self._key_stats(df),
+        }
+        if meta is not None:
+            entry["meta"] = meta
+        self._advance(branch, entry)
         return commit_id
 
     # --- scan --------------------------------------------------------
-    def scan(self, branch: str = "main") -> DataFrame:
+    def scan(self, branch: str = "main", ordered: bool = False) -> DataFrame:
         """PoolScan: read a branch's live objects. Filters pushed by
         the caller reach parquet row-group stats; because objects are
-        key-sorted, key-range predicates skip whole files."""
+        key-sorted, key-range predicates skip whole files.
+
+        ordered=True reproduces the reference's key-ordered scan
+        (asc/desc per the pool config). It costs a global sort in
+        Spark, so it is OFF by default — analytical consumers don't
+        need scan order, and at scale an always-on sort would
+        dominate; the ztest harness turns it on for text-golden
+        parity."""
+        if branch not in self.branches():
+            raise ValueError(f'"{branch}": branch not found')
         objs = self._live_objects(branch)
         if not objs:
             raise ValueError(f"pool {self.cfg.name!r} is empty on branch {branch!r}")
         paths = [os.path.join(self.cfg.path, o) for o in objs]
-        return self.spark.read.parquet(*paths)
+        # objects committed at different times may have different
+        # shapes (the reference's pools are heterogeneous): merge
+        # footer schemas so later columns appear instead of silently
+        # adopting the first file's schema
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        if ordered and self.cfg.key in df.columns:
+            key = F.col(self.cfg.key)
+            df = df.orderBy(
+                key.desc_nulls_last()
+                if self.cfg.order == "desc"
+                else key.asc_nulls_first()
+            )
+        return df
 
     def scan_range(self, lo, hi, branch: str = "main") -> DataFrame:
         """Key-range scan (the reference's range pruner applies the
@@ -365,7 +484,7 @@ class Pool:
         (reference: Deleter/DeleteScan, meta/deleter.go:30)."""
         old = self._live_objects(branch)
         kept = self.scan(branch).filter(~predicate)
-        commit_id = uuid.uuid4().hex[:12]
+        commit_id = new_ksuid()
         self._write_object(kept, commit_id)
         self._advance(
             branch,
@@ -402,14 +521,28 @@ class Pool:
 
     # --- meta scans (metadata as data) -------------------------------
     def meta_commits(self) -> DataFrame:
-        """`from <pool>:log`."""
+        """`from <pool>:log` — commit journal as data, including the
+        commit `date` and any -meta app metadata (reference
+        lake/commit records; appmeta ztest greps `meta`)."""
+        from datetime import datetime, timezone
+
         rows = [
-            (c["commit"], float(c["ts"]), c.get("author", ""), c.get("message", ""),
-             len(c.get("add", [])), len(c.get("remove", [])))
+            (
+                c["commit"],
+                float(c["ts"]),
+                datetime.fromtimestamp(float(c["ts"]), tz=timezone.utc),
+                c.get("author", ""),
+                c.get("message", ""),
+                None if c.get("meta") is None else str(c["meta"]),
+                len(c.get("add", [])),
+                len(c.get("remove", [])),
+            )
             for c in self.commits()
         ]
         return self.spark.createDataFrame(
-            rows, "commit string, ts double, author string, message string, n_add int, n_remove int"
+            rows,
+            "commit string, ts double, date timestamp, author string, "
+            "message string, meta string, n_add int, n_remove int",
         )
 
     def meta_branches(self) -> DataFrame:
@@ -428,16 +561,72 @@ class Pool:
             rows, "branch string, tip string, base string, n_commits int, n_objects int"
         )
 
-    def meta_objects(self) -> DataFrame:
-        """`from <pool>:objects` — live objects with file stats."""
+    def meta_objects(self, branch: str = "main") -> DataFrame:
+        """`from <pool>:objects` — live objects with the key range /
+        row count recorded at load time (lake/data/object.go: the
+        reference's object records carry min/max/count/size, which
+        issue-2784-style meta queries project)."""
+        from datetime import datetime
+
+        def dec(v):
+            if isinstance(v, dict) and v.get("t") == "time":
+                return datetime.fromisoformat(v["v"])
+            return v
+
+        stats = {
+            obj: c.get("stats", {})
+            for c in self.commits()
+            for obj in c.get("add", [])
+        }
         rows = []
-        for obj in self._live_objects():
+        for obj in self._live_objects(branch):
             d = os.path.join(self.cfg.path, obj)
             size = sum(
                 os.path.getsize(os.path.join(d, f))
                 for f in os.listdir(d)
                 if f.endswith(".parquet")
             )
-            n_files = len([f for f in os.listdir(d) if f.endswith(".parquet")])
-            rows.append((obj, n_files, size))
-        return self.spark.createDataFrame(rows, "object string, n_files int, bytes long")
+            st = stats.get(obj, {})
+            rows.append(
+                {
+                    "id": obj.removeprefix("obj_"),
+                    "min": dec(st.get("min")),
+                    "max": dec(st.get("max")),
+                    "count": st.get("count"),
+                    "size": size,
+                }
+            )
+        from pyspark.sql import types as T
+
+        def key_t():
+            for r in rows:
+                for v in (r["min"], r["max"]):
+                    if isinstance(v, datetime):
+                        return T.TimestampType()
+                    if isinstance(v, bool):
+                        return T.BooleanType()
+                    if isinstance(v, int):
+                        return T.LongType()
+                    if isinstance(v, float):
+                        return T.DoubleType()
+                    if isinstance(v, str):
+                        return T.StringType()
+            return T.StringType()
+
+        kt = key_t()
+        schema = T.StructType(
+            [
+                T.StructField("id", T.StringType()),
+                T.StructField("min", kt),
+                T.StructField("max", kt),
+                T.StructField("count", T.LongType()),
+                T.StructField("size", T.LongType()),
+            ]
+        )
+        return self.spark.createDataFrame(
+            [
+                (r["id"], r["min"], r["max"], r["count"], r["size"])
+                for r in rows
+            ],
+            schema,
+        )
