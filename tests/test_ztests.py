@@ -223,10 +223,6 @@ UNSUPPORTED.update(
     {
         f"/root/reference/zio/{k}.yaml": v
         for k, v in {
-            "jsonio/ztests/time": "json times decode to ns ints per "
-            "shape [shape]",
-            "jsonio/ztests/types": "ip/net/time types round-trip as "
-            "strings [shape]",
             "jsonio/ztests/unexpected-input-end": "shell while-loop "
             "script [script]",
             "jsonio/ztests/unicode-nfc": "NFC normalization on JSON "
@@ -259,14 +255,8 @@ UNSUPPORTED.update(
     {
         f"/root/reference/zio/zeekio/ztests/{k}.yaml": v
         for k, v in {
-            "duration": _DURT,
-            "time": _NS,
             "multizng": "per-row d types (1. vs 1) need per-row "
             "schemas [shape]",
-            "nested-2": "ip/port type identity from ZSON input "
-            "(addr/port #types) [shape]",
-            "zng-types": "uint64→count / duration→interval identity "
-            "widened away [shape]",
             "zeek-format-test": "per-row string|set|vector types "
             "emit per-type header blocks; set-ness widened [shape]",
             "union-incompat": "single-member-observed union collapses "
@@ -278,9 +268,6 @@ UNSUPPORTED.update(
     {
         f"/root/reference/zio/csvio/ztests/{k}.yaml": v
         for k, v in {
-            "duration": _DURT,
-            "time": _NS,
-            "type": "type VALUES render bare (no <> identity) [shape]",
             "uint": "uint64 > int64 max overflows the widened model "
             "[shape]",
         }.items()
@@ -1965,7 +1952,16 @@ def _run_case(spark, path: str):
 
         in_vals, named = parse_zjson_values(case["input"]), {}
     else:
-        in_vals, named = parse_zson_typed(case["input"])
+        # ns-opt-in (round-4 VERDICT item 9): writer goldens whose
+        # input carries sub-µs time precision parse times as exact
+        # int64 ns; the __zed_types sidecar marks the columns `time`
+        # and the writers render the full ns text
+        flags = case.get("output-flags", "")
+        time_ns = bool(
+            any(f in flags for f in ("-f zeek", "-f csv", "-f text", "-f json"))
+            and _re.search(r"\d{2}:\d{2}:\d{2}\.\d{7,}", case["input"])
+        )
+        in_vals, named = parse_zson_typed(case["input"], time_ns=time_ns)
         try:
             from zed_spark.sources.ztypes import parse_types
 
@@ -2028,6 +2024,18 @@ def _compare_case(out, wrapped, case, path):
         want = case["output"]
         assert got.rstrip("\n") == want.rstrip("\n"), (
             f"{path} (zeek text)\n  got:\n{got}\n  want:\n{want}"
+        )
+        return
+    if "-f json" in flags:
+        from zed_spark.sources.jsonio import to_json_text
+
+        m = _re.search(r"-pretty[= ](\d+)", flags)
+        got = to_json_text(
+            out, wrapped=wrapped, pretty=int(m.group(1)) if m else None
+        )
+        want = case["output"]
+        assert got.rstrip("\n") == want.rstrip("\n"), (
+            f"{path} (json)\n  got:\n{got}\n  want:\n{want}"
         )
         return
     if "-f text" in flags:

@@ -191,3 +191,88 @@ def strftime_bad_token(fmt: Column) -> Column:
 
 def now() -> Column:
     return F.current_timestamp()
+
+
+# --- ns-precision rendering (reference pkg/nano) ---------------------------
+#
+# Spark timestamps are µs; the reference keeps int64 ns end-to-end
+# (nano.Ts / nano.Duration). When per-row type identity marks an
+# int64 column as `time` or `duration` (the __zed_types sidecar /
+# ns-opt-in parse), these formatters reproduce the reference's text
+# forms exactly (duration.go:String, Ts.Time RFC3339 w/ ns).
+
+_DUR_UNITS = (
+    ("y", 365 * 24 * 3600 * 1_000_000_000),
+    ("d", 24 * 3600 * 1_000_000_000),
+    ("h", 3600 * 1_000_000_000),
+    ("m", 60 * 1_000_000_000),
+)
+_MIN_DUR = "-292y171d23h47m16.854775808s"
+
+
+def format_duration_ns(ns: int) -> str:
+    """int64 ns → zed duration text (pkg/nano/duration.go String)."""
+    if ns == -(2**63):
+        return _MIN_DUR
+    if ns == 0:
+        return "0s"
+    out = []
+    if ns < 0:
+        ns = -ns
+        out.append("-")
+    for name, size in _DUR_UNITS:
+        if ns >= size:
+            n, ns = divmod(ns, size)
+            if n:
+                out.append(f"{n}{name}")
+            if ns == 0:
+                return "".join(out)
+
+    def fixed(val: int, scale: int) -> str:
+        whole, rem = divmod(val, scale)
+        s = str(whole) + "."
+        scale //= 10
+        while rem > 0:
+            d, rem = divmod(rem, scale)
+            s += str(d)
+            scale //= 10
+        return s
+
+    if ns % 1_000_000_000 == 0:
+        out.append(f"{ns // 1_000_000_000}s")
+    elif ns > 1_000_000_000:
+        out.append(fixed(ns, 1_000_000_000) + "s")
+    elif ns % 1_000_000 == 0:
+        out.append(f"{ns // 1_000_000}ms")
+    elif ns > 1_000_000:
+        out.append(fixed(ns, 1_000_000) + "ms")
+    elif ns % 1_000 == 0:
+        out.append(f"{ns // 1_000}us")
+    elif ns > 1_000:
+        out.append(fixed(ns, 1_000) + "us")
+    else:
+        out.append(f"{ns}ns")
+    return "".join(out)
+
+
+def format_time_ns(ns: int) -> str:
+    """int64 ns since epoch → RFC3339 with ns fraction (nano.Ts)."""
+    from datetime import datetime, timezone
+
+    secs, frac = divmod(ns, 1_000_000_000)  # floor div: pre-epoch ok
+    dt = datetime.fromtimestamp(secs, tz=timezone.utc)
+    base = dt.strftime("%Y-%m-%dT%H:%M:%S")
+    if frac:
+        return f"{base}.{frac:09d}".rstrip("0") + "Z"
+    return base + "Z"
+
+
+def zeek_seconds_ns(ns: int) -> str:
+    """int64 ns → zeek fixed-point seconds: 6 decimals, or 9 when
+    the value carries sub-µs precision (zio/zeekio writer)."""
+    sign = "-" if ns < 0 else ""
+    a = abs(ns)
+    if a % 1_000:
+        return f"{sign}{a // 1_000_000_000}.{a % 1_000_000_000:09d}"
+    us = a // 1_000
+    return f"{sign}{us // 1_000_000}.{us % 1_000_000:06d}"

@@ -135,11 +135,33 @@ def _flat_leaves(schema: T.StructType):
     return out
 
 
-def _render(v, dt: T.DataType) -> str:
+def _render(v, dt: T.DataType, zt: str | None = None) -> str:
     import json as _json
 
     if v is None:
         return ""
+    if zt is not None and isinstance(dt, (T.LongType, T.IntegerType)):
+        # per-row type identity (__zed_types): int64 columns that are
+        # really ns times / durations render in their zed text forms
+        # (csvio time/duration goldens)
+        import re as _re3
+
+        base = _re3.sub(r"^([^\W\d][\w$]*=)+", "", zt)
+        if base == "time":
+            from zed_spark.functions.ztime import format_time_ns
+
+            return format_time_ns(int(v))
+        if base == "duration":
+            from zed_spark.functions.ztime import format_duration_ns
+
+            return format_duration_ns(int(v))
+    if zt is not None and isinstance(dt, T.StringType):
+        import re as _re3
+
+        base = _re3.sub(r"^([^\W\d][\w$]*=)+", "", zt)
+        if base == "type":
+            # type VALUES render in their <...> form (csvio type.yaml)
+            return f"<{v}>"
     if _is_union_carrier(dt):
         tag = v.get("tag")
         names = [f.name for f in dt.fields if f.name != "tag"]
@@ -185,7 +207,15 @@ def _quote_min(s: str, delim: str) -> str:
 
 def to_csv_text(df: DataFrame, delim: str = ",") -> str:
     """Render a DataFrame as reference-style CSV text (driver-side
-    formatter, like to_table_string — preview/test scale)."""
+    formatter, like to_table_string — preview/test scale). A
+    __zed_types sidecar provides per-path zed types for columns the
+    widened schema can't distinguish (ns times, durations)."""
+    hints = {}
+    if "__zed_types" in df.columns:
+        first = df.select("__zed_types").first()
+        if first and first[0]:
+            hints = dict(first[0])
+    df = df.drop(*[c for c in df.columns if c.startswith("__zed_")])
     leaves = _flat_leaves(df.schema)
     lines = [delim.join(_quote_min(n, delim) for n, _ in leaves)]
     for row in df.collect():
@@ -200,6 +230,9 @@ def to_csv_text(df: DataFrame, delim: str = ",") -> str:
             return cur
 
         lines.append(
-            delim.join(_quote_min(_render(get(n), dt), delim) for n, dt in leaves)
+            delim.join(
+                _quote_min(_render(get(n), dt, hints.get(n)), delim)
+                for n, dt in leaves
+            )
         )
     return "\n".join(lines) + "\n"

@@ -1,0 +1,169 @@
+"""JSON writer (`-f json` — reference zio/jsonio/writer.go).
+
+The reference serializes each value as one JSON object per line with
+zed-typed rendering: times as RFC3339 strings (ns precision), durations
+in zed duration text ("1m", "10ns"), type values as "<...>", ip/net as
+their strings. The widened Spark schema can't distinguish several of
+those from plain int64/string columns, so the renderer consults the
+per-row `__zed_types` sidecar (ztypes.py) when present — the same
+convention as the zeek/csv writers.
+
+Driver-side text formatter (preview/test scale); bulk JSON output goes
+through sinks.write_output(fmt="json").
+"""
+
+from __future__ import annotations
+
+import json
+import re as _re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from zed_spark.functions.ztime import format_duration_ns, format_time_ns
+
+
+def _base_type(zt: str | None) -> str | None:
+    if zt is None:
+        return None
+    return _re.sub(r"^([^\W\d][\w$]*=)+", "", zt.strip())
+
+
+_UNION_KEY = _re.compile(r"[ve]\d+")
+
+
+def _is_union(dt) -> bool:
+    return (
+        isinstance(dt, T.StructType)
+        and len(dt.fields) > 1
+        and dt.fields[0].name == "tag"
+        and all(_UNION_KEY.fullmatch(f.name) for f in dt.fields[1:])
+    )
+
+
+def _jval(v, dt: T.DataType, zt: str | None, hints: dict, path: str):
+    if v is None:
+        return None
+    if _is_union(dt):
+        # tagged-union carrier: emit the selected member (jsonio
+        # renders union values transparently — union-output.yaml)
+        d = v if isinstance(v, dict) else v.asDict()
+        tag = d.get("tag")
+        names = [f.name for f in dt.fields if f.name != "tag"]
+        if tag is None or not 0 <= tag < len(names):
+            return None
+        sel = names[tag]
+        return _jval(d.get(sel), dt[sel].dataType, None, hints, path)
+    base = _base_type(zt)
+    if isinstance(dt, (T.LongType, T.IntegerType)):
+        if base == "time":
+            return format_time_ns(int(v))
+        if base == "duration":
+            return format_duration_ns(int(v))
+        return int(v)
+    if isinstance(dt, T.StringType):
+        if base == "type":
+            return f"<{v}>"
+        return v
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        from datetime import timezone
+
+        ref = v if v.tzinfo else v.replace(tzinfo=timezone.utc)
+        s = ref.strftime("%Y-%m-%dT%H:%M:%S")
+        frac = f"{ref.microsecond:06d}".rstrip("0")
+        return s + (f".{frac}" if frac else "") + "Z"
+    if isinstance(dt, T.BooleanType):
+        return bool(v)
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        # Go's json marshaller renders integral floats without the
+        # trailing .0 (pretty.yaml: 1. -> 1)
+        f = float(v)
+        return int(f) if f.is_integer() and abs(f) < 2**53 else f
+    if isinstance(dt, T.BinaryType):
+        return "0x" + bytes(v).hex()
+    if isinstance(dt, T.StructType):
+        d = v if isinstance(v, dict) else v.asDict()
+        return {
+            f.name: _jval(
+                d.get(f.name),
+                f.dataType,
+                hints.get(f"{path}.{f.name}" if path else f.name),
+                hints,
+                f"{path}.{f.name}" if path else f.name,
+            )
+            for f in dt.fields
+        }
+    if isinstance(dt, T.ArrayType):
+        inner = None
+        if base and base.startswith("[") and base.endswith("]"):
+            inner = base[1:-1]
+        elif base and base.startswith("|[") and base.endswith("]|"):
+            inner = base[2:-2]
+        return [_jval(e, dt.elementType, inner, hints, path) for e in v]
+    if isinstance(dt, T.MapType):
+        return {
+            str(_jval(k, dt.keyType, None, hints, path)): _jval(
+                x, dt.valueType, None, hints, path
+            )
+            for k, x in v.items()
+        }
+    return v
+
+
+def to_json_text(
+    df: DataFrame, wrapped: bool = False, pretty: int | None = None
+) -> str:
+    """Render a DataFrame as reference-style NDJSON text (or
+    indented with `pretty`). `wrapped`: the single `this` column
+    holds bare values — emit the value, not {"this": ...}. Per-row
+    ABSENT fields (the __zed_missing sidecar, no \\x00null marker)
+    are omitted, matching the reference's per-row record shapes."""
+    hints: dict = {}
+    if "__zed_types" in df.columns:
+        first = df.select("__zed_types").first()
+        if first and first[0]:
+            hints = dict(first[0])
+    has_miss = "__zed_missing" in df.columns
+    vis = [c for c in df.columns if not c.startswith("__zed_")]
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    lines = []
+    for row in df.collect():
+        d = row.asDict(recursive=True)
+        missing = {
+            m for m in (d.get("__zed_missing") or []) if "\x00" not in m
+        } if has_miss else set()
+        if wrapped and vis == ["this"]:
+            obj = _jval(d.get("this"), schema["this"], hints.get(""), hints, "")
+        else:
+            obj = _strip_missing(
+                {
+                    c: _jval(d.get(c), schema[c], hints.get(c), hints, c)
+                    for c in vis
+                },
+                missing,
+                "",
+            )
+        lines.append(
+            json.dumps(obj, ensure_ascii=False, separators=(",", ":"))
+            if pretty is None
+            else json.dumps(obj, ensure_ascii=False, indent=pretty)
+        )
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def _strip_missing(obj, missing: set, prefix: str):
+    """Drop per-row absent fields (dotted paths) from a rendered
+    object tree."""
+    if not missing or not isinstance(obj, dict):
+        return obj
+    out = {}
+    for k, v in obj.items():
+        p = f"{prefix}{k}"
+        if p in missing:
+            continue
+        out[k] = (
+            _strip_missing(v, missing, p + ".")
+            if isinstance(v, dict)
+            else v
+        )
+    return out

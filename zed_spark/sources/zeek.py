@@ -640,7 +640,39 @@ def _zeek_type_name(dt: T.DataType, meta: str | None) -> str:
     return "string"
 
 
-def _flatten_fields(schema: T.StructType):
+def _zeek_from_zed(zt: str) -> str | None:
+    """zed type string (__zed_types sidecar) → zeek TSV type
+    (zio/zeekio writer type mapping; zng-types.yaml)."""
+    import re as _re
+
+    zt = zt.strip()
+    if zt == "port" or zt.startswith("port="):
+        # the zed named type `port=uint16` is zeek's port type
+        # (zeek-compat.md)
+        return "port"
+    zt = _re.sub(r"^([^\W\d][\w$]*=)+", "", zt)
+    if zt == "uint64":
+        return "count"
+    if zt.startswith(("int", "uint")) and zt[-1:].isdigit():
+        return "int"
+    if zt.startswith("float"):
+        return "double"
+    prim = {
+        "ip": "addr", "net": "subnet", "duration": "interval",
+        "time": "time", "bool": "bool", "string": "string",
+    }
+    if zt in prim:
+        return prim[zt]
+    if zt.startswith("[") and zt.endswith("]"):
+        inner = _zeek_from_zed(zt[1:-1])
+        return f"vector[{inner}]" if inner else None
+    if zt.startswith("|[") and zt.endswith("]|"):
+        inner = _zeek_from_zed(zt[2:-2])
+        return f"set[{inner}]" if inner else None
+    return None
+
+
+def _flatten_fields(schema: T.StructType, hints: dict | None = None):
     """(dotted-name, DataType, zeek-type-or-None) per leaf; nested
     struct leaves inherit their top column's metadata subtree.
     Raises on types zeek TSV cannot carry (unions, nested
@@ -648,6 +680,7 @@ def _flatten_fields(schema: T.StructType):
     represented' errors."""
     import re as _re2
 
+    hints = hints or {}
     out = []
 
     def unrepresentable(dt: T.DataType) -> bool:
@@ -681,7 +714,10 @@ def _flatten_fields(schema: T.StructType):
             if isinstance(f.dataType, T.StructType):
                 walk(f"{name}.", f.dataType.fields, m)
             else:
-                out.append((name, f.dataType, m if isinstance(m, str) else None))
+                zt = m if isinstance(m, str) else None
+                if zt is None and name in hints:
+                    zt = _zeek_from_zed(hints[name])
+                out.append((name, f.dataType, zt))
 
     walk("", schema.fields, None)
     return out
@@ -699,11 +735,18 @@ def _render_value(v, dt: T.DataType, zt: str, sep: str, set_sep: str) -> str:
             ref = v if v.tzinfo else v.replace(tzinfo=timezone.utc)
             epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
             micros = (ref - epoch) // timedelta(microseconds=1)
+        elif isinstance(dt, T.LongType):
+            # ns-opt-in time column (int64 ns, __zed_types hint)
+            from zed_spark.functions.ztime import zeek_seconds_ns
+
+            return zeek_seconds_ns(int(v))
         else:
             micros = int(v)
         return _fixed_seconds(micros)
     if zt == "interval":
-        return _fixed_seconds(int(v) // 1000)
+        from zed_spark.functions.ztime import zeek_seconds_ns
+
+        return zeek_seconds_ns(int(v))
     if isinstance(dt, T.BooleanType):
         return "T" if v else "F"
     if isinstance(dt, (T.DoubleType, T.FloatType)):
@@ -769,9 +812,19 @@ def _render_rows(rows, fields):
 def to_zeek_text(df: DataFrame) -> str:
     """Render a DataFrame as zeek TSV (zio/zeekio/writer.go). A text
     formatter like to_table_string — collects to the driver; use for
-    test/preview-scale output, write_zeek for bulk sinks."""
+    test/preview-scale output, write_zeek for bulk sinks.
+
+    If the frame carries per-row type identity (__zed_types), the
+    first row's path→zed-type map overrides the widened static
+    column types — uint64 renders as count, duration as interval
+    seconds, ip/net as addr/subnet (zng-types.yaml)."""
+    hints = {}
+    if "__zed_types" in df.columns:
+        first = df.select("__zed_types").first()
+        if first and first[0]:
+            hints = dict(first[0])
     df = df.drop(*[c for c in df.columns if c.startswith("__zed_")])
-    fields = _flatten_fields(df.schema)
+    fields = _flatten_fields(df.schema, hints)
     lines = list(_render_rows(df.collect(), fields))
     return "\n".join(lines) + ("\n" if lines else "")
 

@@ -179,10 +179,15 @@ class ZsonError(ValueError):
 
 
 class _Parser:
-    def __init__(self, s: str):
+    def __init__(self, s: str, time_ns: bool = False):
         self.s = s
         self.i = 0
         self.n = len(s)
+        # ns-opt-in: time values parse to exact int64 ns instead of
+        # µs-truncated datetimes (writer goldens need full ns — the
+        # reference is int64-ns end-to-end, SURVEY §1.2 / round-5
+        # item 9); the __zed_types sidecar marks the columns `time`
+        self.time_ns = time_ns
         # named-type definitions seen in decorators: name -> merged
         # inferred DataType ((=name) defines from the value's shape;
         # (name=prim) from the stated primitive — zson.md named types)
@@ -358,6 +363,8 @@ class _Parser:
         if not tok:
             raise ZsonError(f"empty value at {self.i}")
         self.i = j
+        if self.time_ns and _TIME.match(tok):
+            return _parse_time_ns(tok)
         return _classify(tok)
 
     def _decorators(self, v):
@@ -392,6 +399,8 @@ class _Parser:
             )
             return v
         if v is None:
+            if self.time_ns and typ == "time":
+                return TypedNull(T.LongType())
             dt = _ztype_to_dtype(typ)
             if dt is None and typ in self.named:
                 try:
@@ -460,6 +469,23 @@ def _parse_time(tok: str) -> datetime:
     return dt.replace(microsecond=micros, tzinfo=timezone.utc)
 
 
+def _parse_time_ns(tok: str) -> int:
+    """RFC3339 → exact int64 ns since epoch (nano.Ts — no µs
+    truncation; digit-string math for the fraction)."""
+    from datetime import datetime as _dt
+
+    m = re.match(r"(.*?)(\.\d+)?(Z|[+-]\d{2}:\d{2})$", tok)
+    base, frac, tz = m.group(1), m.group(2) or "", m.group(3)
+    nanos = int((frac[1:] + "000000000")[:9]) if frac else 0
+    dt = _dt.strptime(base, "%Y-%m-%dT%H:%M:%S")
+    if tz != "Z":
+        sign = 1 if tz[0] == "+" else -1
+        off = int(tz[1:3]) * 3600 + int(tz[4:6]) * 60
+        dt = dt - sign * timedelta(seconds=off)
+    secs = int(dt.replace(tzinfo=timezone.utc).timestamp())
+    return secs * 1_000_000_000 + nanos
+
+
 def _parse_duration(tok: str) -> int:
     sign = -1 if tok.startswith("-") else 1
     body = tok.lstrip("+-")
@@ -516,12 +542,13 @@ def parse_zson(text: str) -> list:
     return parse_zson_typed(text)[0]
 
 
-def parse_zson_typed(text: str) -> tuple[list, dict]:
+def parse_zson_typed(text: str, time_ns: bool = False) -> tuple[list, dict]:
     """Parse ZSON text → (values, named_types) where named_types maps
     each decorator-defined type name to its Spark DDL string (types
     widen per SURVEY §1.2). Lets a query reference input-defined
-    named types (<person>, cast(x, <port>), ...)."""
-    p = _Parser(text)
+    named types (<person>, cast(x, <port>), ...). time_ns=True
+    parses time values as exact int64 ns (writer-golden ns carry)."""
+    p = _Parser(text, time_ns=time_ns)
     out = []
     while not p.at_end():
         out.append(p.parse_value())
