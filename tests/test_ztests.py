@@ -173,13 +173,11 @@ UNSUPPORTED: dict[str, str] = {
         "cast-time": "custom time formats (RFC822 etc.) not in the ISO parser",
         "cast-type": "cast to <type> over a mixed string/type stream "
         "(per-row cast-failure error values) " + _S,
-        "cast-union": "cast TO union needs per-value tag assignment " + _U,
         "shape-cast-to-union": "cast TO union over union input needs "
         "named-member identity " + _S,
         "dot-record-type": "type-value field access " + _S,
         "in-star": "reference-skipped (disabled upstream)",
         "index-named-complex": "named complex type index " + _S,
-        "ip-len": "ip/net ride as strings — byte/prefix len lost " + _S,
         "operator-mod": _E,
         "record-spread-function": "unflatten returns a map — spread needs a record",
         "shape-cast": "named-type field rename inside cast targets " + _S,
@@ -392,9 +390,6 @@ UNSUPPORTED.update(
             "<type> literals) [shape]",
             "expr/function/len": "ip/net byte lengths and type-value "
             "lengths are widened away [shape]",
-            "expr/function/lower": "ip values ride as strings — "
-            "lower(ip) should error [shape]",
-            "expr/function/upper": "ip values ride as strings [shape]",
             "expr/function/quiet": "quiet over error-valued expressions "
             "[errval]",
         }.items()

@@ -3858,6 +3858,12 @@ class Compiler:
                 col, src_dt, target, **self._SHAPE_FLAGS[name], zdst=args[-1][1]
             )
         if name == "cast" and len(args) == 2 and args[1][0] == "typeval":
+            if args[1][1][0] == "uniontype":
+                # cast TO union: the value becomes the matching
+                # member of the union (castval.go union assembly) —
+                # in the widened model a union IS its member value,
+                # so the cast is identity on the value (cast-union)
+                return self.expr(args[0], df)
             # cast(v, <[string]>) — type value literal argument
             return self._zcast(
                 self.expr(args[0], df),
@@ -4288,8 +4294,165 @@ class Compiler:
                 "bucket needs a literal duration (per-row bin widths "
                 "are not expressible as a static window)"
             )
+        if name in ("lower", "upper") and len(args) == 1:
+            # per-VALUE string requirement (function/lower.go): a
+            # non-string operand yields error({message:"...: string
+            # arg required",on:<value>}). Dispatch on the union tag
+            # for union operands, and on the __zed_types sidecar for
+            # ip-as-string identity.
+            v = self.expr(args[0], df)
+            dt = self._type_of(args[0], df)
+            fn = F.lower if name == "lower" else F.upper
+            msg = f"{name}: string arg required"
+
+            def _carrier_on(is_str, sval, on_dt):
+                est = T.StructType(
+                    [
+                        T.StructField("message", T.StringType()),
+                        T.StructField("on", on_dt),
+                    ]
+                )
+                ct = T.StructType(
+                    [
+                        T.StructField("tag", T.IntegerType()),
+                        T.StructField("v0", T.StringType()),
+                        T.StructField("e1", est),
+                    ]
+                )
+                return F.struct(
+                    F.when(is_str, F.lit(0)).otherwise(F.lit(1)).alias("tag"),
+                    F.when(is_str, fn(sval)).alias("v0"),
+                    F.when(
+                        ~is_str,
+                        F.struct(F.lit(msg).alias("message"), v.alias("on")),
+                    ).alias("e1"),
+                ).cast(ct)
+
+            from zed_spark.schema import is_union_type as _iut
+
+            if (
+                dt is not None
+                and isinstance(dt, T.StructType)
+                and _iut(dt)
+            ):
+                names = [f.name for f in dt.fields if f.name != "tag"]
+                str_idx = [
+                    i
+                    for i, f in enumerate(
+                        f for f in dt.fields if f.name != "tag"
+                    )
+                    if isinstance(f.dataType, T.StringType)
+                    and f.name.startswith("v")
+                ]
+                if str_idx:
+                    is_str = v.getField("tag").isin(
+                        [int(i) for i in str_idx]
+                    )
+                    if (
+                        "__zed_types" in df.columns
+                        and args[0][0] in ("field", "this")
+                        and not getattr(self, "_this_stack", None)
+                    ):
+                        # ip values ride in the string member — the
+                        # sidecar distinguishes them per row
+                        key = (
+                            ".".join(args[0][1])
+                            if args[0][0] == "field"
+                            else ""
+                        )
+                        per = F.element_at(
+                            F.col("__zed_types"), F.lit(key)
+                        )
+                        base = F.regexp_replace(
+                            per, r"^([^\W\d][\w$]*=)+", ""
+                        )
+                        is_str = is_str & (
+                            per.isNull()
+                            | (base == "string")
+                            | base.startswith("(")
+                        )
+                    sval = F.coalesce(
+                        *[v.getField(names[i]) for i in str_idx]
+                    )
+                    return _carrier_on(is_str, sval, dt)
+            if (
+                dt is not None
+                and isinstance(dt, T.StructType)
+                and [f.name for f in dt.fields[:2]] == ["tag", "v0"]
+                and isinstance(dt["v0"].dataType, T.StringType)
+            ):
+                # carrier input (lower(upper(x))): apply to the value
+                # member, errors pass through
+                return F.struct(
+                    v.getField("tag").alias("tag"),
+                    fn(v.getField("v0")).alias("v0"),
+                    *[
+                        v.getField(f.name).alias(f.name)
+                        for f in dt.fields[2:]
+                    ],
+                ).cast(dt)
+            if (
+                "__zed_types" in df.columns
+                and args[0][0] in ("field", "this")
+                and not getattr(self, "_this_stack", None)
+                and isinstance(dt, T.StringType)
+            ):
+                key = (
+                    ".".join(args[0][1]) if args[0][0] == "field" else ""
+                )
+                per = F.element_at(F.col("__zed_types"), F.lit(key))
+                base = F.regexp_replace(per, r"^([^\W\d][\w$]*=)+", "")
+                # tiny compile-time probe: when every row's recorded
+                # type IS string, skip the carrier entirely so plain
+                # string pipelines (group keys, nested calls) keep
+                # their simple column type
+                try:
+                    bases = {
+                        r[0]
+                        for r in df.select(base.alias("__b")).distinct().collect()
+                    }
+                except Exception:
+                    bases = {"?"}
+                if bases <= {None, "string"}:
+                    return fn(v)
+                is_str = base.isNull() | (base == "string")
+                return _carrier_on(is_str, v.cast("string"), dt)
+            if dt is not None and not isinstance(
+                dt, (T.StringType, T.NullType)
+            ):
+                return _carrier_on(F.lit(False), v.cast("string"), dt)
+            return fn(v)
         if name == "len":
             c = self.expr(args[0], df)
+            if (
+                "__zed_types" in df.columns
+                and args[0][0] in ("field", "this")
+                and not getattr(self, "_this_stack", None)
+            ):
+                # per-row ip/net identity (len.go: ip → address byte
+                # length, net → prefix bits — widened to strings here)
+                key = (
+                    ".".join(args[0][1]) if args[0][0] == "field" else ""
+                )
+                per = F.element_at(F.col("__zed_types"), F.lit(key))
+                base = F.regexp_replace(per, r"^([^\W\d][\w$]*=)+", "")
+                s = c.cast("string")
+                ipnet = (
+                    F.when(
+                        base == "ip",
+                        F.when(s.contains(":"), F.lit(16)).otherwise(4),
+                    )
+                    .when(
+                        base == "net",
+                        F.split(s, "/").getItem(1).cast("long"),
+                    )
+                    .cast("long")
+                )
+                dt0 = self._type_of(args[0], df)
+                if isinstance(dt0, T.StringType):
+                    return F.coalesce(
+                        ipnet, F.length(s).cast("long")
+                    )
 
             def _len_of(col: Column, dt) -> Column:
                 tn = dt.typeName() if dt is not None else "string"
