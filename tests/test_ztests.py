@@ -229,7 +229,6 @@ UNSUPPORTED.update(
             "[errval]",
             "jsonio/ztests/map-output": "record/map/set values as MAP "
             "KEYS [shape]",
-            "zsonio/ztests/tv": "type-value rendering [shape]",
             "anyio/ztests/detector-errors": "stderr golden [script]",
             "anyio/ztests/huge": "shell pipeline fixture [script]",
             "anyio/ztests/vng": "VNG format — documented non-goal "
@@ -241,8 +240,6 @@ UNSUPPORTED.update(
     {
         f"/root/reference/ztests/{k}.yaml": v
         for k, v in {
-            "enum": "enum types (symbol index + values) are widened "
-            "to strings [shape]",
         }.items()
     }
 )
@@ -432,8 +429,6 @@ UNSUPPORTED.update(
         for k, v in {
             "different-key-types": "per-row type ordering of mixed-type "
             "group keys " + _S,
-            "null": "count/dcount count typed nulls as values — null vs "
-            "missing widened away " + _S,
         }.items()
     }
 )

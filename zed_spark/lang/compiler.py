@@ -496,6 +496,38 @@ class Compiler:
             out = df.withColumns(tmps)
             for i, (path, _) in enumerate(compiled):
                 out = put_path(out, path, F.col(f"__put_{i}"))
+            if "__zed_types" in out.columns:
+                # keep the per-row type sidecar truthful for fields a
+                # put (re)creates: typeof()/typeunder() results are
+                # TYPE VALUES (their own type is `type`, their content
+                # the denoted type — zsonio tv.yaml `typeof(typeof(s))`);
+                # any other assignment invalidates a stale entry
+                upd: list = []
+                for path, e in node[1]:
+                    if "." in path:
+                        continue
+                    if e[0] == "call" and e[1] in ("typeof", "typeunder"):
+                        upd += [
+                            F.lit(path), F.lit("type"),
+                            F.lit("\x00tv:" + path),
+                            F.col(path).cast("string"),
+                        ]
+                    else:
+                        upd += [
+                            F.lit(path), F.lit(None).cast("string"),
+                            F.lit("\x00tv:" + path),
+                            F.lit(None).cast("string"),
+                        ]
+                if upd:
+                    out = out.withColumn(
+                        "__zed_types",
+                        F.map_filter(
+                            F.map_concat(
+                                F.col("__zed_types"), F.create_map(*upd)
+                            ),
+                            lambda _k, v: v.isNotNull(),
+                        ),
+                    )
             return out.drop(
                 *tmps.keys(),
                 *[c for c in out.columns if c.startswith("__ra")],
@@ -666,6 +698,49 @@ class Compiler:
                     if members is not None:
                         acol = F.coalesce(
                             *[m.cast("string") for m, _ in members]
+                        )
+                if arg is not None and fn in ("count", "dcount"):
+                    # typed nulls are VALUES (groupby null.yaml):
+                    # count(x) counts per-row PRESENT rows (a typed
+                    # null is present; only per-row absence is
+                    # missing), and dcount distinguishes nulls by
+                    # their per-row type when identity is tracked
+                    adt0 = self._type_of(arg, df)
+                    statically_void = (
+                        adt0 is not None and adt0.typeName() == "void"
+                    )
+                    if fn == "count" and not statically_void:
+                        mc = (
+                            self._missing_cond(df, ".".join(arg[1]))
+                            if arg[0] == "field"
+                            else None
+                        )
+                        present = ~mc if mc is not None else F.lit(True)
+                        acol = F.when(present, F.lit(1))
+                    elif (
+                        fn == "dcount"
+                        and "__zed_types" in df.columns
+                        and arg[0] == "field"
+                        and not statically_void
+                    ):
+                        per = F.element_at(
+                            F.col("__zed_types"),
+                            F.lit(".".join(arg[1])),
+                        )
+                        members = (
+                            self._union_members(acol, adt0)
+                            if adt0 is not None
+                            else None
+                        )
+                        resolved = (
+                            F.coalesce(*[m.cast("string") for m, _ in members])
+                            if members
+                            else acol.cast("string")
+                        )
+                        acol = F.concat_ws(
+                            "\x01",
+                            F.coalesce(resolved, F.lit("")),
+                            F.when(resolved.isNull(), per).otherwise(""),
                         )
                 agg_cols[name] = agg_expr(
                     fn,
@@ -1518,6 +1593,47 @@ class Compiler:
             if op in ("+", "-", "*", "/", "%"):
                 lt = self._type_of(e[2], df)
                 rt = self._type_of(e[3], df)
+                if "__zed_types" in df.columns and not getattr(
+                    self, "_this_stack", None
+                ):
+                    # enum operands compute as their symbol ORDINAL
+                    # (arith over enums — ztests/enum.yaml): when the
+                    # sidecar types a string field enum(...) on every
+                    # row (tiny compile-time probe), the operand
+                    # becomes the symbol's index in the member list
+                    def _enum_ord(ast, col, dt):
+                        if ast[0] != "field" or not isinstance(
+                            dt, T.StringType
+                        ):
+                            return None
+                        per = F.element_at(
+                            F.col("__zed_types"),
+                            F.lit(".".join(ast[1])),
+                        )
+                        try:
+                            bases = {
+                                r[0]
+                                for r in df.select(per.alias("__b"))
+                                .distinct()
+                                .collect()
+                            }
+                        except Exception:
+                            return None
+                        if not bases or not all(
+                            b and b.startswith("enum(") for b in bases
+                        ):
+                            return None
+                        syms = F.regexp_extract(per, r"^enum\((.*)\)$", 1)
+                        return (
+                            F.array_position(F.split(syms, ","), col) - 1
+                        ).cast("long")
+
+                    lo = _enum_ord(e[2], l, lt)
+                    if lo is not None:
+                        l, lt = lo, T.LongType()
+                    ro = _enum_ord(e[3], r, rt)
+                    if ro is not None:
+                        r, rt = ro, T.LongType()
                 if (
                     e[3][0] == "num"
                     and isinstance(e[3][1], int)
