@@ -439,8 +439,6 @@ UNSUPPORTED.update(
             "traverse/ztests/nested-done-tail": "sort over records orders "
             "by zcode byte encoding (length-first containers) — not "
             "replicated " + _S,
-            "join/ztests/kinds": "anti join drops missing-key rows but "
-            "keeps null-key rows — null vs missing widened away " + _S,
             "meta/ztests/nulls-max": _LAKE,
             "meta/ztests/partitions": _LAKE,
             "meta/ztests/pruner": _LAKE,
@@ -2120,9 +2118,9 @@ def _collect_vals(out, wrapped: bool, want) -> list:
     from zed_spark.sources.zson import ZError, ZMap
 
     for r in got_rows:
-        r.pop("__zed_missing", None)
-        r.pop("__zed_types", None)
         errs = r.pop("__zed_error", None)
+        for k in [k for k in r if k.startswith("__zed_")]:
+            r.pop(k)
         if errs:
             for epath, msg in errs.items():
                 cur, parts = r, epath.split(".")

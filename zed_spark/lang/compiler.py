@@ -794,6 +794,11 @@ class Compiler:
                     cols.append(c.desc_nulls_first() if nf else c.desc_nulls_last())
                 else:
                     cols.append(c.asc_nulls_first() if nf else c.asc_nulls_last())
+            for jc in ("__zed_jol", "__zed_jor"):
+                if jc in df.columns:
+                    # stable ties in join arrival order (sort.md:
+                    # zed sort is stable; ztest join/kinds)
+                    cols.append(F.col(jc).asc_nulls_last())
             res = df.orderBy(*cols)
             # note the sort direction for a downstream merge join
             # (join adopts a pre-sorted side's direction, auto-sort)
@@ -1275,6 +1280,27 @@ class Compiler:
                     cut_map[alias or entry.split(".")[-1]] = self.expr(
                         ("field", entry.split(".")), right
                     )
+            # per-row MISSING keys never join (join.go: a missing
+            # key is not a null key — anti join drops such rows,
+            # ztest join/kinds); null keys participate normally
+            if isinstance(lk, str) and "." not in lk:
+                mcl = self._missing_cond(left, lk)
+                if mcl is not None:
+                    left = left.filter(~mcl)
+            if isinstance(rk, str) and "." not in rk:
+                mcr = self._missing_cond(right, rk)
+                if mcr is not None:
+                    right = right.filter(~mcr)
+            # arrival-order ids on both legs: zed's join output is
+            # key-ordered with ties in input order (merge join), and
+            # a later `sort` is STABLE — the hidden __zed_jo* columns
+            # carry that order through as tiebreaks
+            left = left.withColumn("__zed_jol", F.monotonically_increasing_id())
+            if jkind != "anti":
+                right = right.withColumn(
+                    "__zed_jor", F.monotonically_increasing_id()
+                )
+                cut_map["__zed_jor"] = F.col("__zed_jor")
             out = ops.join(
                 left,
                 right,
@@ -1285,9 +1311,13 @@ class Compiler:
                 right_cols=False,
             )
             keyc = F.col(lk)
-            out = out.orderBy(
-                keyc.desc_nulls_last() if desc else keyc.asc_nulls_last()
-            )
+            order = [
+                keyc.desc_nulls_last() if desc else keyc.asc_nulls_last(),
+                F.col("__zed_jol").asc_nulls_last(),
+            ]
+            if "__zed_jor" in out.columns:
+                order.append(F.col("__zed_jor").asc_nulls_last())
+            out = out.orderBy(*order)
             return out.drop("__jk") if not simple else out
         raise ValueError(f"unsupported operator {kind!r}")
 
