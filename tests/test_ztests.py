@@ -263,8 +263,6 @@ UNSUPPORTED.update(
     {
         f"/root/reference/zio/csvio/ztests/{k}.yaml": v
         for k, v in {
-            "uint": "uint64 > int64 max overflows the widened model "
-            "[shape]",
         }.items()
     }
 )

@@ -594,6 +594,10 @@ def _infer_type(v) -> T.DataType:
     if isinstance(v, bool):
         return T.BooleanType()
     if isinstance(v, int):
+        if not -(2**63) <= v < 2**63:
+            # uint64 beyond int64: DecimalType(20,0) carries the full
+            # range exactly (SURVEY §1.2 opt-in; csvio uint golden)
+            return T.DecimalType(20, 0)
         return T.LongType()
     if isinstance(v, float):
         return T.DoubleType()
@@ -642,6 +646,10 @@ def _merge_type(a: T.DataType, b: T.DataType) -> T.DataType:
         return b
     if isinstance(b, T.NullType) or a == b:
         return a
+    if isinstance(a, T.DecimalType) and isinstance(b, T.LongType):
+        return a  # uint64-range decimal absorbs int64 values
+    if isinstance(b, T.DecimalType) and isinstance(a, T.LongType):
+        return b
     num = (T.LongType, T.DoubleType)
     if isinstance(a, num) and isinstance(b, num):
         return T.DoubleType()
@@ -796,6 +804,10 @@ def _conform(v, t: T.DataType):
         return _dump_value(v, _infer_type(v))
     if isinstance(t, T.DoubleType) and isinstance(v, int) and not isinstance(v, bool):
         return float(v)
+    if isinstance(t, T.DecimalType) and isinstance(v, int) and not isinstance(v, bool):
+        from decimal import Decimal
+
+        return Decimal(v)
     from zed_spark.schema import is_union_type
 
     if is_union_type(t):
