@@ -385,8 +385,6 @@ UNSUPPORTED.update(
             "<type> literals) [shape]",
             "expr/function/len": "ip/net byte lengths and type-value "
             "lengths are widened away [shape]",
-            "expr/function/quiet": "quiet over error-valued expressions "
-            "[errval]",
         }.items()
     }
 )
@@ -462,10 +460,8 @@ _LAKE_GAPS = {
     "lake/compact-vectors.yaml": _SUBST,
     "lake/compact.yaml": _SUBST,
     "lake/consecutive-ts.yaml": "reads the lake's internal seek-index files [script]",
-    "lake/create-ksuid-name.yaml": "pool names that lex as ksuid numbers [script]",
     "lake/cross-pool-join.yaml": "`from (pool a => .. pool b => ..)` multi-pool legs [script]",
     "lake/delete-where-missing.yaml": "unquoted-token predicate must reject as empty transaction [errval]",
-    "lake/delete.yaml": _SUBST,
     "lake/group-by-func.yaml": "`head -2 file` shell preprocessing [script]",
     "lake/import-check.yaml": "decorator/value field-count validation on load [shape]",
     "lake/lake-version.yaml": _SH2,
@@ -475,21 +471,15 @@ _LAKE_GAPS = {
     "lake/merge-branch.yaml": "per-shape records across objects (widened to merged schema) [shape]",
     "lake/meta.yaml": "meta rows carry named types (data.Object, lake.BranchTip) [shape]",
     "lake/overlap.yaml": "object listing golden over internal ids [script]",
-    "lake/revert-revert.yaml": _SUBST,
-    "lake/revert.yaml": _SUBST,
     "lake/seek-index-null.yaml": "seek-index internals over null keys [script]",
-    "lake/time-travel.yaml": _SUBST,
-    "lake/vacuum.yaml": _SUBST,
     "lake/vector.yaml": _SUBST,
     "service/accept-header.yaml": _CURL,
     "service/auth.yaml": _SH2,
     "service/compact-vectors.yaml": _SUBST,
     "service/compact.yaml": _SUBST,
     "service/compile.yaml": _CURL,
-    "service/create-ksuid-name.yaml": "pool names that lex as ksuid numbers [script]",
     "service/csv-error.yaml": "csv writer must reject multi-shape pools (shapes fuse here) [shape]",
     "service/default-format.yaml": _CURL,
-    "service/delete.yaml": _SUBST,
     "service/load-garbage.yaml": "malformed-input rejection detail (detector accepts as lines) [script]",
     "service/log.yaml": "git-style log golden incl. exact ZNG byte counts [script]",
     "service/ls-pools.yaml": _FMTG,
@@ -502,11 +492,9 @@ _LAKE_GAPS = {
     "service/query-describe.yaml": _SUBST,
     "service/query-runtime-error-log.yaml": _SH2,
     "service/query-runtime-error.yaml": "empty-record load ({}) has no parquet schema [shape]",
-    "service/revert.yaml": _SUBST,
     "service/rootcontentfile.yaml": _SH2,
     "service/seek-index-null.yaml": "seek-index internals over null keys [script]",
     "service/url-encoded-pool.yaml": _CURL,
-    "service/vacuum.yaml": _SUBST,
     "service/vector.yaml": _SUBST,
     "service/version.yaml": "version-string golden [script]",
 }
@@ -1166,9 +1154,39 @@ def _run_db_script_case(spark, case: dict, path: str):
                     _F.col(pool.cfg.key).isin(keys), branch=branch
                 )
             else:
-                raise ValueError("delete: commit-id form not supported")
+                # delete by object id (the ztest idiom captures an
+                # object ksuid from `:objects` and deletes that data
+                # object — cmd/super/db/delete)
+                if not args:
+                    raise ValueError("delete: no ids given")
+                live = pool._live_objects(branch)
+                drops = []
+                for a in args:
+                    if f"obj_{a}" not in live:
+                        raise ValueError(f"{a}: commit object not found")
+                    drops.append(f"obj_{a}")
+                import time as _t
+
+                cid = new_ksuid()
+                pool._advance(
+                    branch,
+                    {
+                        "commit": cid,
+                        "ts": _t.time(),
+                        "author": "",
+                        "message": "delete",
+                        "add": [],
+                        "remove": drops,
+                    },
+                )
             if not flags["q"]:
                 text_emit(f"{cid} committed")
+            return None
+        if cmd == "revert":
+            name, branch = current(flags["use"])
+            new_id = lake.pool(name).revert(args[0], branch=branch)
+            if not flags["q"]:
+                text_emit(f'"{branch}": {args[0]} reverted in {new_id}')
             return None
         if cmd == "drop":
             lake.drop_pool(args[0])
@@ -1187,7 +1205,11 @@ def _run_db_script_case(spark, case: dict, path: str):
             return None
         if cmd == "vacuum":
             name, _branch = current(flags["use"])
-            lake.pool(name).vacuum()
+            dry = bool(flags.get("dryrun"))
+            objs = lake.pool(name).vacuum(dryrun=dry)
+            verb = "would vacuum" if dry else "vacuumed"
+            s = "" if len(objs) == 1 else "s"
+            text_emit(f"{verb} {len(objs)} object{s}")
             return None
         if cmd == "ls":
             # pool listing: default text matches the reference's
@@ -1218,8 +1240,9 @@ def _run_db_script_case(spark, case: dict, path: str):
     def emit(df, fmt):
         if df is None:
             return
-        if nonlocal_emit[0] is not None:
-            # `> file` redirect active: render the frame as zson text
+        if nonlocal_emit[0] is not None and fmt not in ("csv", "text"):
+            # capture active (`> file` redirect or `$(...)` binding)
+            # on a zson-format frame: render as zson text
             for ln in _zson_render(df):
                 nonlocal_emit[0](ln)
             return
@@ -1267,6 +1290,7 @@ def _run_db_script_case(spark, case: dict, path: str):
         logical.append(s)
         buf = ""
     ran = 0
+    shellvars: dict[str, str] = {}
     for line in logical:
         expect_fail = line.startswith("!")
         if expect_fail:
@@ -1280,6 +1304,51 @@ def _run_db_script_case(spark, case: dict, path: str):
                 return str(files[nm]).rstrip("\n")
             raise ValueError("command substitution outside harness subset")
         line = re.sub(r"\$\(cat\s+(\S+)\)", _cat, line)
+        # shell variables bound by earlier `var=$(...)` lines
+        if shellvars:
+            line = re.sub(
+                r"\$\{?(\w+)\}?",
+                lambda m: shellvars.get(m.group(1), m.group(0)),
+                line,
+            )
+        # `var=$(pipeline [| head -N] [| awk '{print $F}'])`: run the
+        # pipeline with stdout captured, post-process with the head/
+        # awk field picks the reference scripts use to grab commit and
+        # object ids, and bind the result (lake/ztests/revert etc.)
+        am = re.match(r"^(\w+)=\$\((.*)\)\s*$", line, re.S)
+        if am:
+            var, inner = am.group(1), am.group(2)
+            posts: list[tuple] = []
+            while True:
+                hm = re.search(r"\|\s*head\s+-(\d+)\s*$", inner)
+                wm = re.search(r"\|\s*awk\s+'\{print \$(\d+)\}'\s*$", inner)
+                if hm:
+                    posts.append(("head", int(hm.group(1))))
+                    inner = inner[: hm.start()]
+                elif wm:
+                    posts.append(("awk", int(wm.group(1))))
+                    inner = inner[: wm.start()]
+                else:
+                    break
+            posts.reverse()
+            captured: list[str] = []
+            nonlocal_emit[0] = captured.append
+            try:
+                _run_segs(inner, None, None)
+            finally:
+                nonlocal_emit[0] = None
+            out_lines = "\n".join(captured).splitlines()
+            for kind, n in posts:
+                if kind == "head":
+                    out_lines = out_lines[:n]
+                else:
+                    out_lines = [
+                        (ln.split()[n - 1] if len(ln.split()) >= n else "")
+                        for ln in out_lines
+                    ]
+            shellvars[var] = "\n".join(out_lines)
+            ran += 1
+            continue
         if "$(" in line:
             raise ValueError("command substitution outside harness subset")
         line = re.sub(r"\s*\|\s*sort(\s+-\w+)*\s*$", "", line)
@@ -1333,7 +1402,9 @@ def _run_db_script_case(spark, case: dict, path: str):
                 if not toks or toks[0] not in ("super", "zq"):
                     raise ValueError(f"unsupported command {seg!r}")
                 fmt = None
-                if "-f" in toks:
+                if "-f" in toks and toks.index("-f") + 1 < len(toks):
+                    # (`vacuum -f` is force, not format — trailing -f
+                    # has no value and stays a plain flag)
                     fmt = toks[toks.index("-f") + 1]
                 elif "-z" in toks or "-Z" in toks:
                     fmt = "zson"

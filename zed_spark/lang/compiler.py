@@ -884,6 +884,49 @@ class Compiler:
             if (
                 len(node[1]) == 1
                 and node[1][0][0] == "call"
+                and node[1][0][1] == "quiet"
+                and len(node[1][0][2]) == 1
+            ):
+                # yield quiet(e): rows whose value is an UNNAMED
+                # error("missing")/error("quiet") yield nothing;
+                # named error types survive (function/quiet.go —
+                # quiet drops only the bare errors)
+                inner = node[1][0][2][0]
+                c = self.expr(inner, df)
+                dt = self._type_of(inner, df)
+                from zed_spark.schema import is_union_type as _iuq
+
+                if dt is not None and isinstance(dt, T.StructType) and _iuq(dt):
+                    drop = None
+                    for f in dt.fields[1:]:
+                        if f.name.startswith("e") and isinstance(
+                            f.dataType, T.StringType
+                        ):
+                            hit = c.getField(f.name).isin(
+                                "missing", "quiet"
+                            )
+                            drop = hit if drop is None else (drop | hit)
+                    if drop is not None:
+                        if (
+                            "__zed_types" in df.columns
+                            and inner[0] in ("this", "field")
+                        ):
+                            kq = (
+                                ".".join(inner[1])
+                                if inner[0] == "field"
+                                else ""
+                            )
+                            per = F.element_at(
+                                F.col("__zed_types"), F.lit(kq)
+                            )
+                            drop = drop & (
+                                per.isNull() | (per == "error(string)")
+                            )
+                        df = df.filter(~F.coalesce(drop, F.lit(False)))
+                return self.apply(df, ("yield", [inner]))
+            if (
+                len(node[1]) == 1
+                and node[1][0][0] == "call"
                 and node[1][0][1] == "nest_dotted"
             ):
                 # nest_dotted() / nest_dotted(this) restructures the

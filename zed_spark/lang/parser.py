@@ -659,7 +659,9 @@ class Parser:
         return self.parse_cmp(), False, 1
 
     def parse_source_name(self) -> str:
-        parts = [self.next().text]
+        tok = self.next()
+        parts = [tok.text]
+        end = tok.pos + len(tok.text)
         # allow dotted / path-ish names (events.parquet, sf0.01/events)
         # and lake refs (pool@branch, pool:log, :pools — the
         # reference's commitish/meta syntax, lake/parse.go). Only
@@ -672,14 +674,25 @@ class Parser:
         while True:
             nxt = self.peek()
             if nxt.text in seps and not self.at_end_of_op():
-                parts.append(self.next().text)
+                tok = self.next()
             elif parts[-1] in seps and nxt.kind in ("ID", "NUM"):
                 # an ID/NUM continues the name only right after a
                 # separator — a space-separated bare ID is the next
                 # element (`from ( file a file b )`)
-                parts.append(self.next().text)
+                tok = self.next()
+            elif (
+                nxt.kind in ("ID", "NUM")
+                and nxt.pos == end
+                and not self.at_end_of_op()
+            ):
+                # adjacency glue: ksuid commit refs lex as NUM+ID
+                # runs (`from pool@3HvFz...` time travel) — no
+                # whitespace means the run is one name
+                tok = self.next()
             else:
                 break
+            parts.append(tok.text)
+            end = tok.pos + len(tok.text)
         return "".join(parts)
 
     def _fstring(self, raw: str) -> tuple:

@@ -344,11 +344,11 @@ class Pool:
         if entry is None:
             raise ValueError(f"unknown commit {commit_id!r}")
         live = set(self._live_objects(branch))
-        re_add = [
-            o
-            for o in entry.get("remove", [])
-            if o not in live and os.path.isdir(os.path.join(self.cfg.path, o))
-        ]
+        # the inverse patch is applied blindly (db/revert/command.go:
+        # "data in a reverted commit remains in the lake") — if a
+        # re-added object was vacuumed meanwhile, the next scan fails
+        # at read time, exactly like the reference (lake/ztests/vacuum)
+        re_add = [o for o in entry.get("remove", []) if o not in live]
         drop = [o for o in entry.get("add", []) if o in live]
         new_id = new_ksuid()
         self._advance(
@@ -445,9 +445,14 @@ class Pool:
         need scan order, and at scale an always-on sort would
         dominate; the ztest harness turns it on for text-golden
         parity."""
-        if branch not in self.branches():
+        if branch in self.branches():
+            objs = self._live_objects(branch)
+        elif branch in self._commit_index():
+            # time travel: `from pool@<commit-id>` scans the object
+            # set live AT that commit (lake/ztests/time-travel)
+            objs = self._live_at(branch)
+        else:
             raise ValueError(f'"{branch}": branch not found')
-        objs = self._live_objects(branch)
         if not objs:
             raise ValueError(f"pool {self.cfg.name!r} is empty on branch {branch!r}")
         paths = [os.path.join(self.cfg.path, o) for o in objs]
@@ -504,9 +509,10 @@ class Pool:
         (reference: /compact, service/core.go)."""
         return self.delete_where(F.lit(False), author, message, branch)
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, dryrun: bool = False) -> list[str]:
         """Remove object dirs referenced by NO branch (reference:
-        /vacuum). Live sets across every branch are kept."""
+        /vacuum). Live sets across every branch are kept. dryrun
+        lists what would go without deleting (db/vacuum -dryrun)."""
         import shutil
 
         live: set[str] = set()
@@ -515,7 +521,8 @@ class Pool:
         removed = []
         for d in os.listdir(self.cfg.path):
             if d.startswith("obj_") and d not in live:
-                shutil.rmtree(os.path.join(self.cfg.path, d))
+                if not dryrun:
+                    shutil.rmtree(os.path.join(self.cfg.path, d))
                 removed.append(d)
         return removed
 
@@ -587,9 +594,14 @@ class Pool:
                 if f.endswith(".parquet")
             )
             st = stats.get(obj, {})
+            from zed_spark.functions.misc import ksuid_decode_str
+
+            # the reference's object id is a raw 20-byte ksuid
+            # (lake/data/object.go); `ksuid(id)` then renders base62,
+            # `hex(id)` the 0x form — both ztest idioms need bytes
             rows.append(
                 {
-                    "id": obj.removeprefix("obj_"),
+                    "id": ksuid_decode_str(obj.removeprefix("obj_")),
                     "min": dec(st.get("min")),
                     "max": dec(st.get("max")),
                     "count": st.get("count"),
@@ -616,7 +628,7 @@ class Pool:
         kt = key_t()
         schema = T.StructType(
             [
-                T.StructField("id", T.StringType()),
+                T.StructField("id", T.BinaryType()),
                 T.StructField("min", kt),
                 T.StructField("max", kt),
                 T.StructField("count", T.LongType()),
