@@ -460,9 +460,7 @@ _LAKE_GAPS = {
     "lake/compact-vectors.yaml": _SUBST,
     "lake/compact.yaml": _SUBST,
     "lake/consecutive-ts.yaml": "reads the lake's internal seek-index files [script]",
-    "lake/cross-pool-join.yaml": "`from (pool a => .. pool b => ..)` multi-pool legs [script]",
     "lake/delete-where-missing.yaml": "unquoted-token predicate must reject as empty transaction [errval]",
-    "lake/group-by-func.yaml": "`head -2 file` shell preprocessing [script]",
     "lake/import-check.yaml": "decorator/value field-count validation on load [shape]",
     "lake/lake-version.yaml": _SH2,
     "lake/log.yaml": "git-style log golden incl. exact ZNG byte counts [script]",
@@ -1387,6 +1385,19 @@ def _run_db_script_case(spark, case: dict, path: str):
                     # bare echo: a stdout separator line
                     text_emit(pend_text)
                     return
+            if segs:
+                m = re.match(
+                    r"(head|tail)\s+-(\d+)\s+(\S+)\s*$", segs[0].strip()
+                )
+                if m and m.group(3) in files:
+                    # `head -2 in.zson | super db load -` style
+                    # producers (lake/ztests/group-by-func)
+                    n = int(m.group(2))
+                    fl = str(files[m.group(3)]).splitlines()
+                    pend_text = "\n".join(
+                        fl[:n] if m.group(1) == "head" else fl[-n:]
+                    )
+                    segs = segs[1:]
             if segs:
                 m = re.match(r"seq\s+(\d+)(?:\s+(\d+))?\s*$", segs[0].strip())
                 if m:

@@ -233,7 +233,9 @@ class Parser:
                     self.next()
                     src = None
                 else:
-                    if self.peek().text in ("file", "from"):
+                    if self.peek().text in ("file", "from", "pool"):
+                        # `pool X` legs are the lake's multi-pool
+                        # from-block form (lake/ztests/cross-pool-join)
                         self.next()
                     src = self.parse_source_name()
                 sub = None

@@ -60,8 +60,15 @@ def join(
         # a nested right-side path like 'a.b' selects as column 'b',
         # so referencing '__r.a.b' later would fail analysis. Sources
         # may arrive pre-compiled as Columns (language-level cut
-        # expressions / absent fields resolved to null).
-        keep = [F.col(rk)] if isinstance(rk, str) else []
+        # expressions / absent fields resolved to null). The join key
+        # itself needs the same flattening when it is a nested path
+        # (`join on f.flavor=p.likes p:=p`, lake cross-pool-join).
+        if isinstance(rk, str):
+            flat = rk if "." not in rk else "__jkr"
+            keep = [F.col(rk).alias(flat)]
+            rk = flat
+        else:
+            keep = []
         r = right.select(
             *keep,
             *[
