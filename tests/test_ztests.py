@@ -411,7 +411,6 @@ UNSUPPORTED.update(
     {
         f"/root/reference/docs/language/ztests/{k}.yaml": v
         for k, v in {
-            "language-directed-acyclic-flow-graphs-2": _LAKE2,
             "language-operators-1": "`super dev` script command "
             "[script]",
         }.items()
@@ -466,7 +465,6 @@ _LAKE_GAPS = {
     "lake/log.yaml": "git-style log golden incl. exact ZNG byte counts [script]",
     "lake/ls-segments.yaml": _FMTG,
     "lake/ls.yaml": _FMTG,
-    "lake/merge-branch.yaml": "per-shape records across objects (widened to merged schema) [shape]",
     "lake/meta.yaml": "meta rows carry named types (data.Object, lake.BranchTip) [shape]",
     "lake/overlap.yaml": "object listing golden over internal ids [script]",
     "lake/seek-index-null.yaml": "seek-index internals over null keys [script]",
@@ -1051,7 +1049,10 @@ def _run_db_script_case(spark, case: dict, path: str):
             name = args[0]
             ob = flags.get("orderby") or "ts:desc"
             key, _, order = ob.partition(":")
-            pool = lake.create_pool(name, key, order or "desc")
+            # `-orderby k` without a suffix is ASCENDING (db/create
+            # usage: "If no order is given, ascending is assumed");
+            # only the flag DEFAULT is ts:desc
+            pool = lake.create_pool(name, key, order or "asc")
             if flags["usecur"]:
                 state["use"] = name
             if not flags["q"]:
