@@ -311,7 +311,6 @@ UNSUPPORTED.update(
         f"/root/reference/compiler/ztests/{k}.yaml": v
         for k, v in {
             "const-source": _LAKEC,
-            "join-desc": _LAKEC,
             "load": _LAKEC,
             "par-count": _LAKEC,
             "par-groupby-func": _LAKEC,
@@ -442,7 +441,6 @@ UNSUPPORTED.update(
             "values (this[expr] targets) " + _S,
             "ztests/put-dynamic-field": "runtime field names " + _S,
             "ztests/rename-dynamic-field": "runtime field names " + _S,
-            "ztests/user-join": _LAKE,
         }.items()
     }
 )
@@ -1107,7 +1105,16 @@ def _run_db_script_case(spark, case: dict, path: str):
                     # values (service load-empty / load-garbage)
                     raise ValueError("no records found")
                 df, _w = _to_df(spark, vals, descs)
-            df = df.drop(*[c for c in df.columns if c.startswith("__zed_")])
+            # keep __zed_missing through the pool round-trip (pools
+            # are heterogeneous in the reference; presence is part of
+            # the data) — other sidecars stay harness-local
+            df = df.drop(
+                *[
+                    c
+                    for c in df.columns
+                    if c.startswith("__zed_") and c != "__zed_missing"
+                ]
+            )
             meta = None
             if flags.get("meta"):
                 mv = parse_zson(flags["meta"])
@@ -1428,10 +1435,20 @@ def _run_db_script_case(spark, case: dict, path: str):
                 else:
                     # plain `super query` stage over the pipe / files
                     q = toks[toks.index("-c") + 1] if "-c" in toks else "pass"
+                    inc_files: list[str] = []
+                    if "-I" in toks:
+                        # -I includes query text from a case file;
+                        # that file must NOT be read as data
+                        inc = toks[toks.index("-I") + 1]
+                        inc_files.append(inc)
+                        q = f"{files[inc]}\n{q if q != 'pass' else ''}".strip()
                     src_files = [
                         t
                         for t in toks[1:]
-                        if not t.startswith("-") and t != "query" and t in files
+                        if not t.startswith("-")
+                        and t != "query"
+                        and t in files
+                        and t not in inc_files
                     ]
                     if piped is None:
                         if pend_text is not None:
@@ -1524,7 +1541,8 @@ def _run_db_script_case(spark, case: dict, path: str):
 def _zson_render(df) -> list[str]:
     from zed_spark.sources.zson import df_to_zson_lines
 
-    df = df.drop(*[c for c in df.columns if c.startswith("__zed_")])
+    # keep __zed_missing: df_to_zson_lines renders absent fields as
+    # absent (and skips all __zed_* sidecars itself)
     return [r for r in df_to_zson_lines(df).collect()]
 
 

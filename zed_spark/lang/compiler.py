@@ -126,7 +126,11 @@ class Compiler:
             legs = self._from_legs(df, node[1])
             self._legs = legs
             return fuse_dataframes(legs, unions="tagged")
-        if df is None:
+        if df is None and kind not in ("opcall", "scope"):
+            # user-op calls (and scoped bodies) may act as sources
+            # when their expanded pipeline begins with `from` —
+            # ops.md: "an operator that begins with a from is a
+            # source"; _run_sub re-raises if the body needs input
             raise ValueError(f"operator {kind!r} needs an input (start with 'from')")
         if kind == "pass":
             return df
@@ -5729,6 +5733,29 @@ def _subst(e: tuple, mapping: dict[str, tuple]) -> tuple:
                 path = ".".join(parts)
             new.append((path, _subst(ex, mapping)))
         return ("put", new)
+    if e[0] == "join" and len(e) == 6:
+        # join keys and cut-list entries are dotted-path STRINGS in
+        # the AST, so the generic walk below misses them: op
+        # test(lkey, rkey, ldest, rsrc): (... join on lkey=rkey
+        # ldest:=rsrc) must rewrite all four (op/ztests/user-join)
+        def _path(tok):
+            if isinstance(tok, str):
+                parts = tok.split(".")
+                arg = mapping.get(parts[0])
+                if isinstance(arg, tuple) and arg[0] == "field":
+                    return ".".join(list(arg[1]) + parts[1:])
+                if isinstance(arg, tuple) and arg[0] == "str":
+                    return arg[1]
+                return tok
+            return _subst(tok, mapping)
+
+        cut = [(_path(s), _path(d)) for s, d in e[4]]
+        sub = (
+            [_subst(n, mapping) for n in e[5]]
+            if isinstance(e[5], list)
+            else _subst(e[5], mapping)
+        )
+        return ("join", e[1], _path(e[2]), _path(e[3]), cut, sub)
     if e[0] == "from" and isinstance(e[1], str) and e[1] in mapping:
         # op test(path): ( file path | ... ) — a string argument (or
         # string const) names the source (ztest op/user-from)

@@ -463,11 +463,40 @@ class Pool:
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         if ordered and self.cfg.key in df.columns:
             key = F.col(self.cfg.key)
+            # equal keys order by the record's zcode encoding in the
+            # pool's direction: the import comparator appends a
+            # valueAsBytes evaluator to establish a total order
+            # (zbuf/merger.go:20-31 NewComparatorNullsMax). Ordered
+            # scans are the ztest-parity path (small data), so a
+            # Python UDF here is fine — the default unordered scan
+            # never pays it.
+            from pyspark.sql.types import BinaryType
+
+            real = [c for c in df.columns if not c.startswith("__zed_")]
+            sub_schema = df.select(*real).schema
+
+            def _zcode(row) -> bytes:
+                from zed_spark.sources.zng import _encode_body
+
+                body = _encode_body(row, sub_schema)
+                return body if body is not None else b""
+
+            zc = F.udf(_zcode, BinaryType())(F.struct(*real))
+            df = df.withColumn("__zed_zcode", zc)
+            tie = F.col("__zed_zcode")
+            # nulls are the MAX key value in either pool order
+            # (runtime/sam/op/meta/ztests/nulls-max.yaml): asc →
+            # nulls last, desc → nulls first
             df = df.orderBy(
-                key.desc_nulls_last()
-                if self.cfg.order == "desc"
-                else key.asc_nulls_first()
-            )
+                *(
+                    [key.desc_nulls_first(), tie.desc()]
+                    if self.cfg.order == "desc"
+                    else [key.asc_nulls_last(), tie.asc()]
+                )
+            ).drop("__zed_zcode")
+            # note the scan order for a downstream merge join (the
+            # reference join adopts a pre-sorted side's direction)
+            df._zed_sort = (self.cfg.key, self.cfg.order == "desc")
         return df
 
     def scan_range(self, lo, hi, branch: str = "main") -> DataFrame:

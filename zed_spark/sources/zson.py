@@ -1080,12 +1080,34 @@ _DECORATE = {
 
 
 def df_to_zson_lines(df: DataFrame):
-    """RDD[str]: one ZSON record per row (distributed; schema-driven)."""
+    """RDD[str]: one ZSON record per row (distributed; schema-driven).
+
+    Honors the per-row presence sidecar: fields whose dotted path
+    appears in a row's `__zed_missing` list were ABSENT in the input
+    record (vs present-but-null) and are omitted from the rendering,
+    matching the reference zsonio writer on mixed-shape streams."""
     schema = df.schema
+    miss_idx = None
+    fields = list(schema.fields)
+    for i, f in enumerate(fields):
+        if f.name == "__zed_missing":
+            miss_idx = i
+    render_fields = [
+        (i, f)
+        for i, f in enumerate(fields)
+        if not f.name.startswith("__zed_")
+    ]
 
     def render(row) -> str:
+        missing = (
+            {m for m in (row[miss_idx] or []) if "\x00" not in m}
+            if miss_idx is not None
+            else ()
+        )
         parts = []
-        for i, f in enumerate(schema.fields):
+        for i, f in render_fields:
+            if f.name in missing:
+                continue
             val = _dump_value(row[i], f.dataType)
             deco = _DECORATE.get(f.dataType)
             if deco and row[i] is not None:
