@@ -461,7 +461,6 @@ _LAKE_GAPS = {
     "lake/import-check.yaml": "decorator/value field-count validation on load [shape]",
     "lake/lake-version.yaml": _SH2,
     "lake/log.yaml": "git-style log golden incl. exact ZNG byte counts [script]",
-    "lake/ls-segments.yaml": _FMTG,
     "lake/ls.yaml": _FMTG,
     "lake/meta.yaml": "meta rows carry named types (data.Object, lake.BranchTip) [shape]",
     "lake/overlap.yaml": "object listing golden over internal ids [script]",
@@ -476,8 +475,6 @@ _LAKE_GAPS = {
     "service/default-format.yaml": _CURL,
     "service/load-garbage.yaml": "malformed-input rejection detail (detector accepts as lines) [script]",
     "service/log.yaml": "git-style log golden incl. exact ZNG byte counts [script]",
-    "service/ls-pools.yaml": _FMTG,
-    "service/ls-segments.yaml": _FMTG,
     "service/offline-config-updates.yaml": _SH2,
     "service/orphaned-by-zui.yaml": _SH2,
     "service/python-auth.yaml": _SH2,
@@ -1246,10 +1243,22 @@ def _run_db_script_case(spark, case: dict, path: str):
     def emit(df, fmt):
         if df is None:
             return
-        if nonlocal_emit[0] is not None and fmt not in ("csv", "text"):
+        if nonlocal_emit[0] is not None and fmt not in (
+            "csv",
+            "text",
+            "table",
+            "lake",
+        ):
             # capture active (`> file` redirect or `$(...)` binding)
             # on a zson-format frame: render as zson text
-            for ln in _zson_render(df):
+            lines = (
+                __import__(
+                    "zed_spark.sources.zson", fromlist=["df_to_zson_pretty"]
+                ).df_to_zson_pretty(df)
+                if fmt == "zson-pretty"
+                else _zson_render(df)
+            )
+            for ln in lines:
                 nonlocal_emit[0](ln)
             return
         if fmt == "csv":
@@ -1260,6 +1269,17 @@ def _run_db_script_case(spark, case: dict, path: str):
             from zed_spark.sources.textio import to_text_text
 
             text_emit(to_text_text(df).rstrip("\n"))
+        elif fmt == "table":
+            from zed_spark.sources.textio import to_table_text
+
+            text_emit(to_table_text(df).rstrip("\n"))
+        elif fmt == "lake":
+            text_emit(_lake_render(df).rstrip("\n"))
+        elif fmt == "zson-pretty":
+            from zed_spark.sources.zson import df_to_zson_pretty
+
+            for val in df_to_zson_pretty(df):
+                text_emit(val)
         else:
             # pin the rows NOW: later script lines may rewrite or
             # vacuum the very files this lazy plan references
@@ -1425,7 +1445,13 @@ def _run_db_script_case(spark, case: dict, path: str):
                     # (`vacuum -f` is force, not format — trailing -f
                     # has no value and stays a plain flag)
                     fmt = toks[toks.index("-f") + 1]
-                elif "-z" in toks or "-Z" in toks:
+                    if fmt == "zson":
+                        # `-f zson` IS the pretty form (-Z); the
+                        # compact line form is -z (ls-pools golden)
+                        fmt = "zson-pretty"
+                elif "-Z" in toks:
+                    fmt = "zson-pretty"
+                elif "-z" in toks:
                     fmt = "zson"
                 if len(toks) > 1 and toks[1] == "db":
                     if piped is None and pend_text is not None:
@@ -1536,6 +1562,35 @@ def _run_db_script_case(spark, case: dict, path: str):
         assert got_n.rstrip("\n") == want_n.rstrip("\n"), (
             f"{path}\n  got:\n{got}\n  want:\n{want_text}"
         )
+
+
+def _lake_render(df) -> str:
+    """`-f lake` over a `:objects` meta frame (zio/lakeio/writer.go
+    formatDataObject): `<ksuid> <size>B bytes <count> records` with an
+    indented `   min .. max ..` line per object."""
+    from zed_spark.functions.misc import ksuid_encode_bytes
+    from zed_spark.sources.zson import _dump_value
+
+    cols = set(df.columns)
+    if not {"id", "min", "max", "count"} <= cols:
+        raise ValueError("-f lake: not an objects meta frame")
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    lines = []
+    for r in df.collect():
+        oid = r["id"]
+        oid = ksuid_encode_bytes(bytes(oid)) if isinstance(oid, (bytes, bytearray)) else str(oid)
+        size = r["size"] if "size" in cols else 0
+        if size < 1024:
+            sz = f"{size}B"
+        elif size < 1024**2:
+            sz = f"{size / 1024:.4g}KB"
+        else:
+            sz = f"{size / 1024**2:.4g}MB"
+        lines.append(f"{oid} {sz} bytes {r['count']} records")
+        mn = _dump_value(r["min"], schema["min"])
+        mx = _dump_value(r["max"], schema["max"])
+        lines.append(f"   min {mn} max {mx}")
+    return "\n".join(lines) + "\n"
 
 
 def _zson_render(df) -> list[str]:

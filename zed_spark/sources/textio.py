@@ -118,3 +118,51 @@ def to_text_text(df: DataFrame) -> str:
                     cells.append(_render(d.get(p), f.dataType))
             lines.append("\t".join(cells))
     return "\n".join(lines) + "\n"
+
+
+def _flat_names(t: T.StructType, prefix: str = "") -> list[str]:
+    out = []
+    for f in t.fields:
+        if f.name.startswith("__zed_"):
+            continue
+        if isinstance(f.dataType, T.StructType) and not _is_union(f.dataType):
+            out.extend(_flat_names(f.dataType, f"{prefix}{f.name}."))
+        else:
+            out.append(f"{prefix}{f.name}")
+    return out
+
+
+def to_table_text(df: DataFrame) -> str:
+    """The reference's `table` output format (zio/tableio/writer.go):
+    flattened records, a header line of field names, cells aligned
+    with Go's tabwriter(minwidth 0, tabwidth 8, padding 1) — every
+    column padded to its max cell width plus one space, the last
+    column unpadded."""
+    schema = df.schema
+    vis = [f for f in schema.fields if not f.name.startswith("__zed_")]
+    header = _flat_names(T.StructType(vis))
+    rows: list[list[str]] = []
+    for row in df.collect():
+        d = row.asDict(recursive=True)
+        cells: list[str] = []
+        for f in vis:
+            if isinstance(f.dataType, T.StructType) and not _is_union(
+                f.dataType
+            ):
+                cells.extend(_leaves(d.get(f.name), f.dataType, set(), f.name + "."))
+            else:
+                cells.append(_render(d.get(f.name), f.dataType))
+        rows.append(cells)
+    tbl = [header] + rows
+    widths = [
+        max(len(r[i]) for r in tbl if i < len(r))
+        for i in range(max(len(r) for r in tbl))
+    ]
+    out_lines = []
+    for r in tbl:
+        cells = [
+            c if i == len(r) - 1 else c.ljust(widths[i] + 1)
+            for i, c in enumerate(r)
+        ]
+        out_lines.append("".join(cells).rstrip())
+    return "\n".join(out_lines) + "\n"

@@ -1070,6 +1070,77 @@ def _dump_value(v, t: T.DataType) -> str:
     return json.dumps(str(v))
 
 
+def _dump_pretty(v, t: T.DataType, level: int = 0) -> str:
+    """-Z / `-f zson` pretty form: containers break across lines at
+    4-space indents, one field per line, decorators after the value
+    (zio/zsonio formatter with pretty=4; goldens e.g.
+    service/ztests/ls-pools.yaml)."""
+    pad, pad1 = "    " * level, "    " * (level + 1)
+    if v is None:
+        return "null"
+    if isinstance(t, T.StructType):
+        from zed_spark.schema import is_union_type
+
+        if is_union_type(t) or not t.fields:
+            return _dump_value(v, t)
+        parts = []
+        for i, f in enumerate(t.fields):
+            fv = v[f.name] if isinstance(v, dict) else v[i]
+            body = _dump_pretty(fv, f.dataType, level + 1)
+            deco = _DECORATE.get(f.dataType)
+            if deco and fv is not None:
+                body = f"{body} ({deco})"
+            parts.append(f"{pad1}{_quote_name(f.name)}: {body}")
+        return "{\n" + ",\n".join(parts) + "\n" + pad + "}"
+    if isinstance(t, T.ArrayType):
+        if not v:
+            return "[]"
+        parts = [
+            f"{pad1}{_dump_pretty(x, t.elementType, level + 1)}" for x in v
+        ]
+        return "[\n" + ",\n".join(parts) + "\n" + pad + "]"
+    if isinstance(t, T.MapType):
+        if not v:
+            return "|{}|"
+        parts = [
+            f"{pad1}{_dump_pretty(k, t.keyType, level + 1)}: "
+            f"{_dump_pretty(val, t.valueType, level + 1)}"
+            for k, val in v.items()
+        ]
+        return "|{\n" + ",\n".join(parts) + "\n" + pad + "}|"
+    return _dump_value(v, t)
+
+
+def df_to_zson_pretty(df: DataFrame) -> list[str]:
+    """One pretty-printed (multi-line) ZSON value per row. Driver-side
+    collect — this is a display format for small result sets, not a
+    storage sink; honors the __zed_missing presence sidecar like the
+    line writer."""
+    schema = df.schema
+    miss_idx = None
+    for i, f in enumerate(schema.fields):
+        if f.name == "__zed_missing":
+            miss_idx = i
+    out = []
+    for row in df.collect():
+        missing = (
+            {m for m in (row[miss_idx] or []) if "\x00" not in m}
+            if miss_idx is not None
+            else ()
+        )
+        parts = []
+        for i, f in enumerate(schema.fields):
+            if f.name.startswith("__zed_") or f.name in missing:
+                continue
+            body = _dump_pretty(row[i], f.dataType, 1)
+            deco = _DECORATE.get(f.dataType)
+            if deco and row[i] is not None:
+                body = f"{body} ({deco})"
+            parts.append(f"    {_quote_name(f.name)}: {body}")
+        out.append("{\n" + ",\n".join(parts) + "\n}")
+    return out
+
+
 # decorators for non-implied primitive column types
 _DECORATE = {
     T.IntegerType(): "int32",
