@@ -293,7 +293,6 @@ UNSUPPORTED.update(
     {
         f"/root/reference/zio/parquetio/ztests/{k}.yaml": v
         for k, v in {
-            "split": "per-type -split file emitter [shape]",
             "writer-errors": "parquet writer union rejection — our "
             "tagged-struct encoding CAN carry it [union]",
         }.items()
@@ -343,10 +342,6 @@ UNSUPPORTED.update(
             "are Spark's (spill), flag is accepted-and-ignored "
             "[script]",
             "ast": "-C canonical AST print (zfmt domain) [script]",
-            "diropt1": "-split per-path needs per-row type recovery "
-            "from the fused stream [shape]",
-            "diropt2": "-split per-path needs per-row type recovery "
-            "from the fused stream [shape]",
             "error-stdin-name": _CLI,
             "error-stdin-name-auto": _CLI,
             "http-multiple": _NET,
@@ -356,9 +351,6 @@ UNSUPPORTED.update(
             "s3-notexist": _NET,
             "s3-parquet": _NET,
             "s3-simple": _NET,
-            "split": "per-type -split file emitter [shape]",
-            "split-o": "per-type -split file emitter [shape]",
-            "splitsize": "per-type -split file emitter [shape]",
             "stop-on-error-1": "mid-stream undetectable-input error "
             "semantics [script]",
             "stop-on-error-2": "mid-stream undetectable-input error "
@@ -433,7 +425,6 @@ UNSUPPORTED.update(
             "traverse/ztests/nested-done-tail": "sort over records orders "
             "by zcode byte encoding (length-first containers) — not "
             "replicated " + _S,
-            "meta/ztests/nulls-max": _LAKE,
             "meta/ztests/partitions": _LAKE,
             "meta/ztests/pruner": _LAKE,
             "meta/ztests/type-context": _LAKE,
@@ -457,7 +448,6 @@ _LAKE_GAPS = {
     "lake/compact-vectors.yaml": _SUBST,
     "lake/compact.yaml": _SUBST,
     "lake/consecutive-ts.yaml": "reads the lake's internal seek-index files [script]",
-    "lake/delete-where-missing.yaml": "unquoted-token predicate must reject as empty transaction [errval]",
     "lake/import-check.yaml": "decorator/value field-count validation on load [shape]",
     "lake/lake-version.yaml": _SH2,
     "lake/log.yaml": "git-style log golden incl. exact ZNG byte counts [script]",
@@ -471,7 +461,6 @@ _LAKE_GAPS = {
     "service/compact-vectors.yaml": _SUBST,
     "service/compact.yaml": _SUBST,
     "service/compile.yaml": _CURL,
-    "service/csv-error.yaml": "csv writer must reject multi-shape pools (shapes fuse here) [shape]",
     "service/default-format.yaml": _CURL,
     "service/load-garbage.yaml": "malformed-input rejection detail (detector accepts as lines) [script]",
     "service/log.yaml": "git-style log golden incl. exact ZNG byte counts [script]",
@@ -479,7 +468,6 @@ _LAKE_GAPS = {
     "service/orphaned-by-zui.yaml": _SH2,
     "service/python-auth.yaml": _SH2,
     "service/python.yaml": _SH2,
-    "service/query-csv-error.yaml": "csv writer must reject multi-shape pools [shape]",
     "service/query-describe.yaml": _SUBST,
     "service/query-runtime-error-log.yaml": _SH2,
     "service/query-runtime-error.yaml": "empty-record load ({}) has no parquet schema [shape]",
@@ -762,7 +750,7 @@ def _parse_script_line(line: str):
         st = {
             "query": None, "includes": [], "infiles": [], "outfile": None,
             "append": False, "ifmt": None, "ofile": None, "flags": [],
-            "ofmt": None, "split": None,
+            "ofmt": None, "split": None, "splitsize": None,
         }
         i = 0
         while i < len(toks):
@@ -780,6 +768,14 @@ def _parse_script_line(line: str):
                 st["ofmt"], i = toks[i + 1], i + 2
             elif t == "-split":
                 st["split"], i = toks[i + 1], i + 2
+            elif t == "-splitsize":
+                # "2B"/"4KB" etc. (pkg/units) — the goldens use B
+                sz = toks[i + 1].upper().rstrip("B")
+                mult = 1
+                for suf, m2 in (("K", 1024), ("M", 1024**2), ("G", 1024**3)):
+                    if sz.endswith(suf):
+                        sz, mult = sz[:-1], m2
+                st["splitsize"], i = int(float(sz) * mult), i + 2
             elif t in (">", ">>"):
                 st["outfile"], st["append"], i = toks[i + 1], t == ">>", i + 2
             elif t in (
@@ -789,7 +785,7 @@ def _parse_script_line(line: str):
                 # the query still runs — except a non-positive
                 # value, which the reference's flag parsing rejects
                 # (sortmem-0 ztest)
-                "-sortmem", "-aggmem", "-splitsize",
+                "-sortmem", "-aggmem",
                 "-csv.delim",
             ):
                 if t in ("-sortmem", "-aggmem", "-fusemem") and toks[
@@ -1262,9 +1258,16 @@ def _run_db_script_case(spark, case: dict, path: str):
                 nonlocal_emit[0](ln)
             return
         if fmt == "csv":
-            from zed_spark.sources.csv_io import to_csv_text
+            from zed_spark.sources.csv_io import CsvShapeError, to_csv_text
 
-            text_emit(to_csv_text(df).rstrip("\n"))
+            try:
+                text_emit(to_csv_text(df).rstrip("\n"))
+            except CsvShapeError as ex:
+                # the reference csvio writer emits the leading
+                # uniform run THEN fails (service/ztests/csv-error)
+                if ex.partial.strip():
+                    text_emit(ex.partial.rstrip("\n"))
+                raise
         elif fmt == "text":
             from zed_spark.sources.textio import to_text_text
 
@@ -1601,6 +1604,131 @@ def _zson_render(df) -> list[str]:
     return [r for r in df_to_zson_lines(df).collect()]
 
 
+def _emit_split(spark, df, wrapped, st, fmt, files, outs, path, serialize):
+    """`-split DIR [-o PREFIX]`: one output file per zed TYPE in
+    first-appearance order (zio/emitter/split.go) — a `_path` string
+    field names the file, else the type's sequence number. With
+    -splitsize, rotate by rendered byte size instead of type
+    (cli/outputflags: 'split into files at least this big rather than
+    by data type')."""
+    from zed_spark.sources.zson import ZError, _dump_value, _finalize, _infer_type
+
+    ext = {
+        "zson": ".zson",
+        "zeek": ".log",
+        "parquet": ".parquet",
+        "json": ".json",
+        "zng": ".zng",
+        "csv": ".csv",
+    }.get(fmt)
+    if ext is None:
+        raise ValueError(f"-split: unknown format {fmt!r}")
+    prefix = (st["ofile"] + "-") if st["ofile"] else ""
+    sdir = st["split"]
+
+    def fname(uniq: str) -> str:
+        return os.path.normpath(os.path.join(sdir, prefix + uniq + ext))
+
+    # rows → python values with per-row presence applied and unions
+    # resolved to their members (narrow per-type values)
+    def resolve_u(v):
+        if isinstance(v, dict) and "tag" in v and v and all(
+            k == "tag" or _re.fullmatch(r"[ve]\d+", k) for k in v
+        ):
+            tag = v["tag"]
+            names = [k for k in v if k != "tag"]
+            if tag is None or not 0 <= tag < len(names):
+                return None
+            val = resolve_u(v[names[tag]])
+            return ZError(val) if names[tag].startswith("e") else val
+        if isinstance(v, dict):
+            return {k: resolve_u(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [resolve_u(x) for x in v]
+        return v
+
+    vals = []
+    for r in df.collect():
+        d = r.asDict(recursive=True)
+        miss = {m for m in (d.pop("__zed_missing", None) or []) if "\x00" not in m}
+        for k in [k for k in d if k.startswith("__zed_")]:
+            d.pop(k)
+
+        def prune(obj, pfx):
+            if isinstance(obj, dict):
+                return {
+                    k: prune(v, f"{pfx}{k}.")
+                    for k, v in obj.items()
+                    if f"{pfx}{k}" not in miss
+                }
+            return obj
+
+        d = prune(d, "")
+        v = d["this"] if wrapped and list(d) == ["this"] else d
+        vals.append(resolve_u(v))
+
+    def render(v) -> str:
+        return _dump_value(v, _finalize(_infer_type(v)))
+
+    written: dict[str, str] = {}
+    if st["splitsize"]:
+        seq, cur, size = 0, [], 0
+        for v in vals:
+            ln = render(v)
+            cur.append(ln)
+            size += len(ln) + 1
+            if size >= st["splitsize"]:
+                written[fname(str(seq))] = "\n".join(cur) + "\n"
+                seq, cur, size = seq + 1, [], 0
+        if cur:
+            written[fname(str(seq))] = "\n".join(cur) + "\n"
+    else:
+        # group by zed type, first-appearance order
+        groups: dict[str, list] = {}
+        order: list[str] = []
+        for v in vals:
+            sig = repr(_finalize(_infer_type(v)))
+            if sig not in groups:
+                groups[sig] = []
+                order.append(sig)
+            groups[sig].append(v)
+        seen_paths: set[str] = set()
+        for idx, sig in enumerate(order):
+            gv = groups[sig]
+            uniq = str(idx)
+            p0 = gv[0].get("_path") if isinstance(gv[0], dict) else None
+            if isinstance(p0, str) and p0:
+                uniq = f"{p0}-{idx}" if p0 in seen_paths else p0
+                seen_paths.add(p0)
+            out_name = fname(uniq)
+            if fmt in ("zson", "json"):
+                written[out_name] = "\n".join(render(v) for v in gv) + "\n"
+            elif fmt == "zeek":
+                gdf, _w = _to_df(spark, gv)
+                from zed_spark.sources.zeek import to_zeek_text
+
+                written[out_name] = to_zeek_text(gdf)
+            else:
+                gdf, _w = _to_df(spark, gv)
+                serialize(gdf, out_name, st["flags"], ofmt=fmt)
+    for name, text in written.items():
+        files[name] = text
+        if name in outs:
+            assert text.rstrip("\n") == outs[name].rstrip("\n"), (
+                f"{path} (split {name})\n  got:\n{text}\n  want:\n{outs[name]}"
+            )
+    expected = {
+        n
+        for n in outs
+        if os.path.normpath(n).startswith(os.path.normpath(sdir) + os.sep)
+    }
+    produced = set(written) | {
+        n for n in files if isinstance(n, str) and n.startswith(sdir)
+    }
+    missing_outs = {n for n in expected if os.path.normpath(n) not in produced}
+    assert not missing_outs, f"{path}: split never wrote {sorted(missing_outs)}"
+
+
 def _run_script_case(spark, case: dict, path: str):
     """script/inputs/outputs ztest form (ztest/ztest.go): run each
     query invocation against its named input files and compare against
@@ -1860,6 +1988,25 @@ def _run_script_case(spark, case: dict, path: str):
                                 if echo_text is not None
                                 else files.get("stdin", case.get("input", ""))
                             )
+                    elif f not in files and ("*" in f or "?" in f):
+                        # shell glob over case files (parquetio/split
+                        # reads back `out-*.parquet`)
+                        import fnmatch as _fn
+
+                        hits = sorted(
+                            n
+                            for n in files
+                            if isinstance(n, str) and _fn.fnmatch(n, f)
+                        )
+                        if not hits:
+                            raise KeyError(f)
+                        for h in hits:
+                            blob = files[h]
+                            if isinstance(blob, bytes) and blob[:4] == b"PAR1":
+                                parts.append(pq_df(blob))
+                            else:
+                                vals.extend(blob_vals(blob, ifmt))
+                        continue
                     else:
                         src = files[f]
                         if f.endswith(".zng") and ifmt is None:
@@ -1908,25 +2055,22 @@ def _run_script_case(spark, case: dict, path: str):
                     df, wrapped = _to_df(spark, [None])
                 df = compile_query(spark, query, resolve, df, named_types=named)
                 if st["split"] is not None:
-                    # `-split DIR -f zeek`: one output file per _path
-                    # (cmd/super/query diropt); compare each against
-                    # its golden
-                    from pyspark.sql import functions as F
-
-                    from zed_spark.sources.zeek import to_zeek_text
-
-                    if last_ofmt != "zeek":
-                        raise ValueError("-split supported for -f zeek only")
-                    pvals = [
-                        r[0]
-                        for r in df.select("_path").distinct().collect()
-                    ]
-                    for p in sorted(pvals):
-                        got = to_zeek_text(df.filter(F.col("_path") == p))
-                        want = outs[f"{st['split']}/{p}.log"]
-                        assert got.rstrip("\n") == want.rstrip("\n"), (
-                            f"{path} (split {p})\n  got:\n{got}\n  want:\n{want}"
-                        )
+                    fmt2 = last_ofmt or (
+                        "zson"
+                        if "-z" in st["flags"] or "-Z" in st["flags"]
+                        else "zson"
+                    )
+                    _emit_split(
+                        spark,
+                        df,
+                        bool(wrapped or (df.columns == ["this"])),
+                        st,
+                        fmt2,
+                        files,
+                        outs,
+                        path,
+                        serialize,
+                    )
                     df = wrapped = None
                 elif st["ofile"] is not None:
                     serialize(df, st["ofile"], st["flags"], ofmt=st["ofmt"])

@@ -1654,7 +1654,20 @@ class Compiler:
             # zed comparison semantics (coerce.go/compare.go): a null
             # operand never matches an ordering comparison (false, not
             # null); == is null-safe (null == null → true) and != is
-            # its exact negation — ztest compare-null-int64/string
+            # its exact negation — ztest compare-null-int64/string.
+            # A STATICALLY-missing field operand is error("missing"),
+            # not null: comparing to it yields the error, so `where`
+            # drops every row (lake/ztests/delete-where-missing — the
+            # unquoted-token predicate must be an empty transaction)
+            if op in ("==", "!=") and (
+                self._static_missing(e[2], df)
+                or self._static_missing(e[3], df)
+            ):
+                return self._mk_carrier(
+                    T.BooleanType(),
+                    F.lit(None).cast("boolean"),
+                    F.lit("missing"),
+                )
             if op == "==":
                 return l.eqNullSafe(r)
             if op == "!=":
@@ -3429,6 +3442,34 @@ class Compiler:
         if sval is None:
             sval = F.lit(None).cast("string")
         return sval, terr, perr
+
+    def _static_missing(self, e, df: DataFrame) -> bool:
+        """True when `e` is a bare single-segment field reference that
+        no row can resolve: not a column, not a const/param binding,
+        and not reachable through a wrapped `this` record. Such a
+        reference is error('missing') for EVERY row (context.go:494),
+        statically."""
+        if not (isinstance(e, tuple) and e[0] == "field" and len(e[1]) == 1):
+            return False
+        name = e[1][0]
+        if name == "this" or name in df.columns:
+            return False
+        if name in getattr(self, "consts", {}):
+            return False
+        binds = getattr(self, "_param_binds", None)
+        if binds and name in binds:
+            return False
+        if getattr(self, "_this_stack", None):
+            return False  # over-lambda scope: `this` is the element
+        if "this" in df.columns:
+            dt = df.schema["this"].dataType
+            if not isinstance(dt, T.StructType):
+                return False
+            from zed_spark.schema import is_union_type as _iut
+
+            if _iut(dt) or name in dt.fieldNames():
+                return False
+        return True
 
     def _missing_cond(self, df: DataFrame, dotted: str) -> Column | None:
         """Per-row absent-field predicate from the hidden presence

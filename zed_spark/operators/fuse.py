@@ -35,5 +35,11 @@ def fuse_dataframes(dfs: list[DataFrame], unions: str = "string") -> DataFrame:
 
 
 def fuse(df: DataFrame) -> DataFrame:
-    """Single-DataFrame fuse is the identity (one shape already)."""
+    """Single-DataFrame fuse: the schema is already the merged one,
+    but per-row PRESENCE must be erased — fuse rewrites every row to
+    the fused type, so formerly-absent fields become present nulls
+    (fuse.md; pinned by zio/csvio/ztests/null-nested: `fuse | -f csv`
+    must see uniform records)."""
+    if "__zed_missing" in df.columns:
+        df = df.drop("__zed_missing")
     return df

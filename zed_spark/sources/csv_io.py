@@ -205,20 +205,87 @@ def _quote_min(s: str, delim: str) -> str:
     return s
 
 
+class CsvShapeError(ValueError):
+    """Raised when a multi-shape stream reaches the CSV writer
+    (zio/csvio/writer.go: 'CSV output requires uniform records').
+    `partial` carries the text written before the offending record —
+    the reference writer emits then fails, and the ztest goldens pin
+    that partial output."""
+
+    def __init__(self, partial: str):
+        super().__init__(
+            "CSV output requires uniform records but multiple types "
+            "encountered (consider 'fuse')"
+        )
+        self.partial = partial
+
+
 def to_csv_text(df: DataFrame, delim: str = ",") -> str:
     """Render a DataFrame as reference-style CSV text (driver-side
     formatter, like to_table_string — preview/test scale). A
     __zed_types sidecar provides per-path zed types for columns the
-    widened schema can't distinguish (ns times, durations)."""
+    widened schema can't distinguish (ns times, durations).
+
+    Mixed-shape streams (per the __zed_missing presence sidecar)
+    reject like the reference csvio writer: the first row's shape
+    defines the header and rows stream until a different shape
+    appears, then CsvShapeError carries the partial text."""
     hints = {}
     if "__zed_types" in df.columns:
         first = df.select("__zed_types").first()
         if first and first[0]:
             hints = dict(first[0])
+    miss_rows = None
+    if "__zed_missing" in df.columns:
+        miss_rows = [
+            tuple(sorted(m for m in (r[0] or []) if "\x00" not in m))
+            for r in df.select("__zed_missing").collect()
+        ]
+        if miss_rows and any(m != miss_rows[0] for m in miss_rows):
+            return _csv_per_shape(df, miss_rows, hints, delim)
     df = df.drop(*[c for c in df.columns if c.startswith("__zed_")])
     leaves = _flat_leaves(df.schema)
     lines = [delim.join(_quote_min(n, delim) for n, _ in leaves)]
     for row in df.collect():
+        d = row.asDict(recursive=True)
+
+        def get(dotted):
+            cur = d
+            for p in dotted.split("."):
+                if not isinstance(cur, dict):
+                    return None
+                cur = cur.get(p)
+            return cur
+
+        lines.append(
+            delim.join(
+                _quote_min(_render(get(n), dt, hints.get(n)), delim)
+                for n, dt in leaves
+            )
+        )
+    return "\n".join(lines) + "\n"
+
+
+def _csv_per_shape(df: DataFrame, miss_rows, hints, delim: str) -> str:
+    """Reject a mixed-shape stream after emitting the leading run of
+    first-shape rows (csvio writer semantics)."""
+    first_shape = miss_rows[0]
+    absent = set(first_shape)
+    vis = [
+        f
+        for f in df.schema.fields
+        if not f.name.startswith("__zed_") and f.name not in absent
+    ]
+    from pyspark.sql import types as T
+
+    leaves = _flat_leaves(T.StructType(vis))
+    lines = [delim.join(_quote_min(n, delim) for n, _ in leaves)]
+    rows = df.drop(
+        *[c for c in df.columns if c.startswith("__zed_")]
+    ).collect()
+    for row, shape in zip(rows, miss_rows):
+        if shape != first_shape:
+            raise CsvShapeError("\n".join(lines) + "\n")
         d = row.asDict(recursive=True)
 
         def get(dotted):

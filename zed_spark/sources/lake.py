@@ -395,6 +395,9 @@ class Pool:
             F.min(self.cfg.key).alias("mn"),
             F.max(self.cfg.key).alias("mx"),
             F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.col(self.cfg.key).isNull().cast("long")
+            ).alias("nulls"),
         ).first()
 
         def enc(v):
@@ -402,7 +405,10 @@ class Pool:
                 return {"t": "time", "v": v.isoformat()}
             return v
 
-        return {"min": enc(row["mn"]), "max": enc(row["mx"]), "count": row["n"]}
+        # null keys are the MAX key value (meta/ztests/nulls-max): a
+        # batch containing one makes the object's max null
+        mx = None if (row["nulls"] or 0) > 0 else row["mx"]
+        return {"min": enc(row["mn"]), "max": enc(mx), "count": row["n"]}
 
     def load(
         self,
@@ -461,8 +467,7 @@ class Pool:
         # footer schemas so later columns appear instead of silently
         # adopting the first file's schema
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
-        if ordered and self.cfg.key in df.columns:
-            key = F.col(self.cfg.key)
+        if ordered:
             # equal keys order by the record's zcode encoding in the
             # pool's direction: the import comparator appends a
             # valueAsBytes evaluator to establish a total order
@@ -484,19 +489,24 @@ class Pool:
             zc = F.udf(_zcode, BinaryType())(F.struct(*real))
             df = df.withColumn("__zed_zcode", zc)
             tie = F.col("__zed_zcode")
-            # nulls are the MAX key value in either pool order
-            # (runtime/sam/op/meta/ztests/nulls-max.yaml): asc →
-            # nulls last, desc → nulls first
-            df = df.orderBy(
-                *(
-                    [key.desc_nulls_first(), tie.desc()]
-                    if self.cfg.order == "desc"
-                    else [key.asc_nulls_last(), tie.asc()]
+            desc = self.cfg.order == "desc"
+            order = []
+            if self.cfg.key in df.columns:
+                key = F.col(self.cfg.key)
+                # nulls are the MAX key value in either pool order
+                # (runtime/sam/op/meta/ztests/nulls-max.yaml): asc →
+                # nulls last, desc → nulls first
+                order.append(
+                    key.desc_nulls_first() if desc else key.asc_nulls_last()
                 )
-            ).drop("__zed_zcode")
+            # a keyless batch still gets the total order: the key
+            # evaluates missing-as-null on every row, so the bytes
+            # tiebreak decides alone (service/ztests/csv-error)
+            order.append(tie.desc() if desc else tie.asc())
+            df = df.orderBy(*order).drop("__zed_zcode")
             # note the scan order for a downstream merge join (the
             # reference join adopts a pre-sorted side's direction)
-            df._zed_sort = (self.cfg.key, self.cfg.order == "desc")
+            df._zed_sort = (self.cfg.key, desc)
         return df
 
     def scan_range(self, lo, hi, branch: str = "main") -> DataFrame:
