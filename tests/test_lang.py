@@ -509,3 +509,31 @@ def test_text_writer_nonfinite_floats(spark):
     )
     txt = to_text_text(df)
     assert "+Inf" in txt and "-Inf" in txt and "NaN" in txt and "2" in txt
+
+
+def test_recursive_user_funcs_interpret(spark):
+    """Recursive (and mutually recursive) user functions run the
+    row-level AST interpreter instead of inline macro expansion
+    (runtime/sam/expr/ztests/udf.yaml, udf-mutual-recursion.yaml)."""
+    from zed_spark.lang.compiler import compile_query
+
+    df = spark.createDataFrame([(3,), (10,)], "n: bigint")
+    out = compile_query(
+        spark,
+        "func fib(x): ( x <= 1 ? x : fib(x-1) + fib(x-2) ) "
+        "put f:=fib(n)",
+        lambda name: None,
+        df,
+    )
+    assert {(r["n"], r["f"]) for r in out.collect()} == {(3, 2), (10, 55)}
+
+    out2 = compile_query(
+        spark,
+        "func even(x): ( x == 0 ? true : odd(x-1) ) "
+        "func odd(x): ( x == 0 ? false : even(x-1) ) "
+        "put e:=even(n), o:=odd(n)",
+        lambda name: None,
+        df,
+    )
+    got = {(r["n"], r["e"], r["o"]) for r in out2.collect()}
+    assert got == {(3, False, True), (10, True, False)}

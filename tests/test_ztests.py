@@ -159,13 +159,13 @@ CASES = list(
 # [union] mixed-type streams beyond what tagged-union dispatch
 # covers; [script] shell forms (network fixtures, stderr goldens,
 # while-loops) outside the harness's script subset — literal
-# for-loops and seq pipes ARE handled; [macro] user funcs expand
-# inline, so runtime recursion/state is out of scope.
+# for-loops and seq pipes ARE handled. Recursive user funcs run a
+# row-level AST interpreter (lang/interp.py); non-recursive ones
+# expand inline as macros.
 _E = "residual error-value semantics beyond the carrier model [errval]"
 _S = "per-row shape/type identity is widened away [shape]"
 _U = "mixed-type stream beyond tagged-union dispatch [union]"
 _SC = "shell script form (loop/negation/pipe) outside harness subset [script]"
-_M = "user funcs are inline macros — no runtime recursion/state [macro]"
 UNSUPPORTED: dict[str, str] = {
     f"{SAM_EXPR}/ztests/{k}.yaml": v
     for k, v in {
@@ -181,15 +181,12 @@ UNSUPPORTED: dict[str, str] = {
         "operator-mod": _E,
         "record-spread-function": "unflatten returns a map — spread needs a record",
         "shape-cast": "named-type field rename inside cast targets " + _S,
-        "shape-cast-array-to-set": "set-ness widened to arrays",
         "shape-cast-from-union": _U,
-        "shape-cast-set-to-array": "set-ness widened to arrays",
+        "shape-cast-set-to-array": "record-element set order: zcode normalization of container elements after cast [shape]",
         "shape-map": "per-row dynamic cast target (schemas[_path]) " + _S,
         "shape-null-container": _U,
         "slice": "slicing union-typed columns " + _U,
         "type-map": _S,
-        "udf": _M,
-        "udf-mutual-recursion": _M,
         "unary-minus": "negation over mixed int widths + overflow errors " + _U,
     }.items()
 }
@@ -202,7 +199,6 @@ UNSUPPORTED.update(
             "grep": _SC,
             "grok": "per-row grok patterns need runtime schemas",
             "len": "error values inside unions " + _E,
-            "now": "regexp-form expected output outside harness subset",
             "parse-zson": "dynamic result types per row " + _S,
             "unflatten": "unflatten rebuilds records at runtime — map model here",
         }.items()
@@ -254,8 +250,6 @@ UNSUPPORTED.update(
             "schemas [shape]",
             "zeek-format-test": "per-row string|set|vector types "
             "emit per-type header blocks; set-ness widened [shape]",
-            "union-incompat": "single-member-observed union collapses "
-            "to its member, so the writer can't reject it [union]",
         }.items()
     }
 )
@@ -293,14 +287,8 @@ UNSUPPORTED.update(
     {
         f"/root/reference/zio/parquetio/ztests/{k}.yaml": v
         for k, v in {
-            "writer-errors": "parquet writer union rejection — our "
-            "tagged-struct encoding CAN carry it [union]",
         }.items()
     }
-)
-UNSUPPORTED["/root/reference/zio/arrowio/ztests/writer-errors.yaml"] = (
-    "arrow writer map-type rejection — Spark Arrow interop carries "
-    "maps natively, so there is nothing to reject [union]"
 )
 UNSUPPORTED["/root/reference/zio/lakeio/ztests/keyrange.yaml"] = _LAKE2
 _DEV = "`super dev compile` plan-print golden (zfmt domain) [script]"
@@ -392,8 +380,6 @@ UNSUPPORTED.update(
             "[shape]",
             "redefined-named-types": "per-value named-type rebinding "
             "[shape]",
-            "union-cast": "cast to union preserving per-row member "
-            "identity [union]",
             "zson-to-zeek": "zeek OUTPUT format golden [script]",
         }.items()
     }
@@ -1599,6 +1585,14 @@ def _lake_render(df) -> str:
 def _zson_render(df) -> list[str]:
     from zed_spark.sources.zson import df_to_zson_lines
 
+    vis = [c for c in df.columns if not c.startswith("__zed_")]
+    if vis == ["this"]:
+        # bare-value stream (wrapped frame): render the values, not
+        # {this:...} records (function/ztests/now.yaml)
+        from zed_spark.sources.zson import _dump_value
+
+        dt = df.schema["this"].dataType
+        return [_dump_value(r["this"], dt) for r in df.collect()]
     # keep __zed_missing: df_to_zson_lines renders absent fields as
     # absent (and skips all __zed_* sidecars itself)
     return [r for r in df_to_zson_lines(df).collect()]
@@ -1759,12 +1753,16 @@ def _run_script_case(spark, case: dict, path: str):
         except Exception:
             pass
     outs = {}
+    out_res2: dict = {}
     for o in case.get("outputs", []):
         if "data" not in o:
             if o["name"] == "stderr":
                 # stderr regexp goldens pair with `!` expected-fail
                 # lines: our error TEXTS differ, so only the
                 # rejection is asserted — nothing to compare
+                continue
+            if "regexp" in o:
+                out_res2[o["name"]] = o["regexp"]
                 continue
             raise ValueError(f"non-literal output form for {o['name']}")
         outs[o["name"]] = o["data"]
@@ -1827,6 +1825,10 @@ def _run_script_case(spark, case: dict, path: str):
             from zed_spark.sources.zng import encode_zng, parse_zng
 
             def blob_vals(data, ifmt):
+                """→ (values, type_descs_or_None): zson text sources
+                also carry per-value type descriptors so precise-type
+                identity (duration, float16, sized ints) reaches the
+                writers, as in the zq-form runner."""
                 # bytes blobs: gunzip + format-sniff like zio/anyio
                 if isinstance(data, bytes) and data[:2] == b"\x1f\x8b":
                     import gzip
@@ -1834,20 +1836,30 @@ def _run_script_case(spark, case: dict, path: str):
                     data = gzip.decompress(data)
                 if isinstance(data, bytes):
                     if ifmt == "zng":
-                        return parse_zng(data)
+                        return parse_zng(data), None
                     try:
                         data = data.decode("utf-8")
                     except UnicodeDecodeError:
-                        return parse_zng(data)
+                        return parse_zng(data), None
                 elif ifmt == "zng":
-                    return parse_zng(data)
+                    return parse_zng(data), None
                 if ifmt == "csv":
                     from zed_spark.sources.csv_io import parse_csv_values
 
-                    return parse_csv_values(data)
+                    return parse_csv_values(data), None
                 if ifmt == "line":
-                    return data.splitlines()
-                return parse_zson(data)
+                    return data.splitlines(), None
+                vals = parse_zson(data)
+                descs = None
+                try:
+                    from zed_spark.sources.ztypes import parse_types
+
+                    descs = parse_types(data, {})
+                except Exception:
+                    descs = None
+                if descs is not None and len(descs) != len(vals):
+                    descs = None
+                return vals, descs
 
             def zeek_df(text):
                 # zeek TSV blob → temp file through the zeek reader,
@@ -1966,6 +1978,7 @@ def _run_script_case(spark, case: dict, path: str):
                 inc_text = "\n".join(files[n] for n in st["includes"])
                 query = f"{inc_text}\n{query}" if query else (inc_text or "pass")
                 vals = []
+                val_descs = []  # per-value precise-type descriptors
                 parts = []  # DataFrames from non-ZSON readers (zeek)
                 for f in st["infiles"]:
                     if f == "-":
@@ -2005,7 +2018,11 @@ def _run_script_case(spark, case: dict, path: str):
                             if isinstance(blob, bytes) and blob[:4] == b"PAR1":
                                 parts.append(pq_df(blob))
                             else:
-                                vals.extend(blob_vals(blob, ifmt))
+                                bv, bd = blob_vals(blob, ifmt)
+                                vals.extend(bv)
+                                val_descs.extend(
+                                    bd if bd is not None else [None] * len(bv)
+                                )
                         continue
                     else:
                         src = files[f]
@@ -2016,10 +2033,20 @@ def _run_script_case(spark, case: dict, path: str):
                     elif isinstance(src, bytes) and src[:4] == b"PAR1":
                         parts.append(pq_df(src))
                     else:
-                        vals.extend(blob_vals(src, ifmt))
+                        bv, bd = blob_vals(src, ifmt)
+                        vals.extend(bv)
+                        val_descs.extend(
+                            bd if bd is not None else [None] * len(bv)
+                        )
                 vw = False
                 if vals:
-                    vdf, vw = _to_df(spark, vals)
+                    descs2 = (
+                        val_descs
+                        if len(val_descs) == len(vals)
+                        and all(d is not None for d in val_descs)
+                        else None
+                    )
+                    vdf, vw = _to_df(spark, vals, descs2)
                     parts.append(vdf)
                 if len(parts) == 1:
                     df, wrapped = parts[0], vw
@@ -2095,6 +2122,10 @@ def _run_script_case(spark, case: dict, path: str):
                     from zed_spark.sources.csv_io import to_csv_text
 
                     to_csv_text(df)
+                elif _ofmt in ("parquet", "arrows"):
+                    from zed_spark.sources.sinks import ensure_record_stream
+
+                    ensure_record_stream(df, _ofmt)
             except AssertionError:
                 raise
             except Exception:
@@ -2109,7 +2140,17 @@ def _run_script_case(spark, case: dict, path: str):
         elif df is not None:  # None: the stage wrote a -o file instead
             stdout_acc.append((df, bool(wrapped)))
         ran += 1
-    if stdout_acc:
+    if stdout_acc and "stdout" in out_res2:
+        # regexp stdout golden (e.g. function/ztests/now.yaml):
+        # render frames to zson text and match
+        got = "\n".join(
+            ln for df2, _w in stdout_acc for ln in _zson_render(df2)
+        )
+        pat = out_res2["stdout"].strip()
+        assert _re.search(pat, got), (
+            f"{path}: stdout !~ /{pat}/\n  got:\n{got}"
+        )
+    elif stdout_acc:
         sep_tokens = {t for s in separators for t in s.split()}
         want = [
             v

@@ -3443,6 +3443,37 @@ class Compiler:
             sval = F.lit(None).cast("string")
         return sval, terr, perr
 
+    def _func_recursive(self, name: str) -> bool:
+        """True when `name`'s call graph reaches itself (direct or
+        mutual recursion over user functions)."""
+        funcs = getattr(self, "user_funcs", {})
+
+        def calls(e, acc: set):
+            if isinstance(e, tuple):
+                if e and e[0] == "call" and isinstance(e[1], str):
+                    acc.add(e[1])
+                for part in e:
+                    calls(part, acc)
+            elif isinstance(e, list):
+                for x in e:
+                    calls(x, acc)
+
+        seen: set[str] = set()
+        frontier = [name]
+        while frontier:
+            fn = frontier.pop()
+            if fn in seen:
+                continue
+            seen.add(fn)
+            if fn not in funcs:
+                continue
+            acc: set = set()
+            calls(funcs[fn][1], acc)
+            if name in acc:
+                return True
+            frontier.extend(a for a in acc if a in funcs)
+        return False
+
     def _static_missing(self, e, df: DataFrame) -> bool:
         """True when `e` is a bare single-segment field reference that
         no row can resolve: not a column, not a const/param binding,
@@ -4381,15 +4412,34 @@ class Compiler:
             params, body = self.user_funcs[name]
             if len(args) != len(params):
                 raise ValueError(f"{name}() takes {len(params)} args, got {len(args)}")
-            # user funcs are macros expanded inline; recursion has no
-            # base-case evaluation at compile time and would expand
-            # forever (the reference interprets calls at runtime —
-            # a documented non-goal here)
+            if self._func_recursive(name):
+                # a recursive function has no finite inline expansion:
+                # interpret the body per row in a Python UDF (the
+                # reference interprets all calls at runtime —
+                # expr/ztests/udf.yaml, udf-mutual-recursion.yaml).
+                # Only recursive functions pay the Python round-trip.
+                from zed_spark.lang.interp import interp_eval, static_type
+
+                funcs = dict(self.user_funcs)
+                arg_cols = [self.expr(a, df) for a in args]
+                pts = {
+                    p: self._type_of(a, df) for p, a in zip(params, args)
+                }
+                ret_t = static_type(body, pts, funcs) or T.StringType()
+
+                def run(*vals):
+                    out = interp_eval(body, dict(zip(params, vals)), funcs)
+                    if isinstance(ret_t, T.DoubleType) and out is not None:
+                        return float(out)
+                    return out
+
+                return F.udf(run, ret_t)(*arg_cols)
+            # non-recursive user funcs are macros expanded inline
+            # (the reference compiles FuncDecl bodies inline too)
             depth = getattr(self, "_func_depth", 0)
             if depth > 32:
                 raise ValueError(
-                    f"recursive user function {name}() is not supported "
-                    "(functions expand inline at compile time)"
+                    f"user function {name}() expansion too deep"
                 )
             self._func_depth = depth + 1
             try:

@@ -143,6 +143,11 @@ def _project(
                                cast=cast, crop=crop, fill=fill, order=order,
                                zdst=zel),
         )
+        if cast and isinstance(zdst, tuple) and zdst[0] == "settype":
+            # casting an array to a SET deduplicates (complex.go
+            # NormalizeSet; ztest shape-cast-array-to-set keeps the
+            # first of each duplicate)
+            out = F.array_distinct(out)
         if (
             cast
             and isinstance(zdst, tuple)

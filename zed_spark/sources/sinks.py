@@ -11,6 +11,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def ensure_record_stream(df: DataFrame, fmt: str) -> None:
+    """Columnar writers (parquet/arrows) accept only a uniform record
+    stream (zio/parquetio/writer.go, zio/arrowio/writer.go ztests
+    writer-errors): reject bare values, empty records, mixed shapes
+    (per the presence sidecar), and — parquet only — types the format
+    can't carry (duration, float16, per the type sidecar)."""
+    io = {"parquet": "parquetio", "arrows": "arrowio"}.get(fmt, fmt)
+    vis = [c for c in df.columns if not c.startswith("__zed_")]
+    if vis == ["this"]:
+        raise ValueError(f"{io}: not a record")
+    if not vis:
+        raise ValueError(f"{io}: unsupported type: empty record")
+    if "__zed_missing" in df.columns:
+        shapes = {
+            tuple(sorted(m for m in (r[0] or []) if "\x00" not in m))
+            for r in df.select("__zed_missing").collect()
+        }
+        if len(shapes) > 1:
+            raise ValueError(
+                f"{io}: encountered multiple types (consider 'fuse')"
+            )
+    if fmt == "parquet" and "__zed_types" in df.columns:
+        first = df.select("__zed_types").first()
+        tmap = dict(first[0]) if first and first[0] else {}
+        for p, t in tmap.items():
+            if t in ("duration", "float16"):
+                raise ValueError(
+                    f"{io}: unsupported type: not implemented: "
+                    f"support for {t.upper()}"
+                )
+
+
 def write_any(
     df: DataFrame,
     path: str,

@@ -716,7 +716,21 @@ def _flatten_fields(schema: T.StructType, hints: dict | None = None):
             else:
                 zt = m if isinstance(m, str) else None
                 if zt is None and name in hints:
-                    zt = _zeek_from_zed(hints[name])
+                    h = hints[name]
+                    if (
+                        isinstance(h, str)
+                        and h.startswith("(")
+                        and h.endswith(")")
+                        and "," in h
+                    ):
+                        # precise-type sidecar says UNION — zeek has
+                        # no union type even when only one member is
+                        # observed (zeekio/ztests/union-incompat)
+                        raise ValueError(
+                            f"{name}: type cannot be represented in "
+                            "zeek format"
+                        )
+                    zt = _zeek_from_zed(h)
                 out.append((name, f.dataType, zt))
 
     walk("", schema.fields, None)
