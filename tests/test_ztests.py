@@ -178,7 +178,6 @@ UNSUPPORTED: dict[str, str] = {
         "dot-record-type": "type-value field access " + _S,
         "in-star": "reference-skipped (disabled upstream)",
         "index-named-complex": "named complex type index " + _S,
-        "operator-mod": _E,
         "record-spread-function": "unflatten returns a map — spread needs a record",
         "shape-cast": "named-type field rename inside cast targets " + _S,
         "shape-cast-from-union": _U,
@@ -221,8 +220,6 @@ UNSUPPORTED.update(
             "script [script]",
             "jsonio/ztests/unicode-nfc": "NFC normalization on JSON "
             "string decode [format]",
-            "jsonio/ztests/error": "error values in JSON output "
-            "[errval]",
             "jsonio/ztests/map-output": "record/map/set values as MAP "
             "KEYS [shape]",
             "anyio/ztests/detector-errors": "stderr golden [script]",

@@ -1749,6 +1749,67 @@ class Compiler:
                             F.lit("divide by zero")
                         ),
                     )
+                tn2 = lambda t: t.typeName() if t is not None else None
+                ints2 = ("byte", "short", "integer", "long")
+                if (
+                    op == "%"
+                    and "__zed_types" in df.columns
+                    and not getattr(self, "_this_stack", None)
+                ):
+                    # a double column whose type sidecar types SOME
+                    # rows int: dispatch per row — int rows compute
+                    # integer %, float rows are the incompatibility
+                    # error (expr/ztests/operator-mod)
+                    side = None
+                    for ast2, t2 in ((e[2], lt), (e[3], rt)):
+                        if (
+                            tn2(t2) in ("double", "float")
+                            and isinstance(ast2, tuple)
+                            and ast2[0] == "field"
+                        ):
+                            side = F.element_at(
+                                F.col("__zed_types"),
+                                F.lit(".".join(ast2[1])),
+                            )
+                            break
+                    if side is not None:
+                        is_f = F.coalesce(
+                            side.rlike("^float"), F.lit(True)
+                        )
+                        li, ri = l.cast("long"), r.cast("long")
+                        err = F.when(
+                            is_f,
+                            F.concat(
+                                F.lit("type "),
+                                F.coalesce(side, F.lit("float64")),
+                                F.lit(" incompatible with '%' operator"),
+                            ),
+                        ).when(ri == 0, F.lit("divide by zero"))
+                        return self._mk_carrier(
+                            T.LongType(),
+                            F.when(err.isNull(), li % ri),
+                            err,
+                        )
+                if (
+                    op in ("/", "%")
+                    and tn2(lt) in ints2
+                    and tn2(rt) in ints2
+                    and not (e[3][0] == "num" and e[3][1] != 0)
+                ):
+                    # integer division/modulo with a NON-literal
+                    # denominator: a runtime zero is the reference's
+                    # error("divide by zero") value (expressions.md;
+                    # zio/jsonio/ztests/error.yaml) — literal nonzero
+                    # denominators keep the carrier-free fast path
+                    val = (
+                        (l / r).cast("long") if op == "/" else l % r
+                    )
+                    err = F.when(r == 0, F.lit("divide by zero"))
+                    return self._mk_carrier(
+                        T.LongType(),
+                        F.when(err.isNull(), val),
+                        err,
+                    )
                 return self._arith(op, l, lt, r, rt)
         if kind == "un":
             v = self.expr(e[2], df)

@@ -53,7 +53,12 @@ def _jval(v, dt: T.DataType, zt: str | None, hints: dict, path: str):
         if tag is None or not 0 <= tag < len(names):
             return None
         sel = names[tag]
-        return _jval(d.get(sel), dt[sel].dataType, None, hints, path)
+        mv = _jval(d.get(sel), dt[sel].dataType, None, hints, path)
+        if sel.startswith("e"):
+            # error member: the json writer wraps error values as
+            # {"error": ...} (zio/jsonio/ztests/error.yaml)
+            return {"error": mv}
+        return mv
     base = _base_type(zt)
     if isinstance(dt, (T.LongType, T.IntegerType)):
         if base == "time":
