@@ -200,8 +200,8 @@ def test_language_lake_refs(spark, lake):
     pool.load(na.limit(3), branch="dev")
 
     z = ZedSession(spark)
-    assert z.query("from nation | count()", lake=lake).df.first()["count"] == 25
-    assert z.query("from nation@dev | count()", lake=lake).df.first()["count"] == 28
+    assert z.query("from nation | count()", lake=lake).df.first()["this"] == 25
+    assert z.query("from nation@dev | count()", lake=lake).df.first()["this"] == 28
     logs = z.query("from nation:log", lake=lake).df
     assert logs.count() == 2 and "message" in logs.columns
     branches = z.query("from nation:branches | sort branch", lake=lake).df

@@ -84,7 +84,7 @@ def test_agg_where_clause(z):
 def test_time_literal_filter(z):
     got = q(z, "from lineitem | l_shipdate <= 1995-01-01 | count()").df
     want = z.table(SF_DIR, "lineitem").df.filter(F.col("l_shipdate") <= "1995-01-01").count()
-    assert got.first()["count"] == want
+    assert got.first()["this"] == want
 
 
 def test_join_with_subquery(z):
@@ -100,7 +100,7 @@ def test_search_term(z):
         z.table(SF_DIR, "documents").df
         .filter(F.lower(F.to_json(F.struct("*"))).contains("spark")).count()
     )
-    assert got.first()["count"] == want
+    assert got.first()["this"] == want
 
 
 def test_sort_desc_top(z):
@@ -200,7 +200,8 @@ def test_switch_selector(z):
 
 def test_fork_legs_fused(z):
     got = q(z, "from events | fork ( => count() => n2:=count() where value > 100 )").df
-    assert got.count() == 2 and set(got.columns) == {"count", "n2"}
+    # leg 1's lone unassigned count() is a BARE value (this column)
+    assert got.count() == 2 and set(got.columns) == {"this", "n2"}
 
 
 def test_user_func_and_const(z, spark):
@@ -244,7 +245,7 @@ def test_user_op_calls_earlier_op(z, spark):
         "from t | bigcount(100)",
         tables={"t": df},
     ).df
-    assert got.first()["count"] == 1
+    assert got.first()["this"] == 1
 
 
 def test_user_op_arity(z):

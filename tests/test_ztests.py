@@ -170,7 +170,6 @@ UNSUPPORTED: dict[str, str] = {
     f"{SAM_EXPR}/ztests/{k}.yaml": v
     for k, v in {
         "cast-name-only": "null record rows lose null-ness when yielded to columns",
-        "cast-time": "custom time formats (RFC822 etc.) not in the ISO parser",
         "cast-type": "cast to <type> over a mixed string/type stream "
         "(per-row cast-failure error values) " + _S,
         "shape-cast-to-union": "cast TO union over union input needs "
@@ -287,7 +286,6 @@ UNSUPPORTED.update(
         }.items()
     }
 )
-UNSUPPORTED["/root/reference/zio/lakeio/ztests/keyrange.yaml"] = _LAKE2
 _DEV = "`super dev compile` plan-print golden (zfmt domain) [script]"
 _LAKEC = "ZED_LAKE script — the lake layer is exercised by tests/test_lake.py"
 UNSUPPORTED.update(
@@ -408,7 +406,6 @@ UNSUPPORTED.update(
             "traverse/ztests/nested-done-tail": "sort over records orders "
             "by zcode byte encoding (length-first containers) — not "
             "replicated " + _S,
-            "meta/ztests/partitions": _LAKE,
             "meta/ztests/pruner": _LAKE,
             "meta/ztests/type-context": _LAKE,
             "ztests/cut-dynamic-field": "runtime field names from data "
@@ -959,7 +956,7 @@ def _run_db_script_case(spark, case: dict, path: str):
                     "log": pool.meta_commits,
                     "rawlog": pool.meta_commits,
                     "objects": pool.meta_objects,
-                    "partitions": pool.meta_objects,
+                    "partitions": pool.meta_partitions,
                     "vectors": pool.meta_objects,
                     "branches": pool.meta_branches,
                 }[meta]()

@@ -616,6 +616,18 @@ class Compiler:
             return out
         if kind == "summarize":
             _, aggs, keys, every = node
+            # a single UNASSIGNED agg with no keys yields its value
+            # bare (summarize.md `summarize avg(this)` → 2.5); the
+            # engine's bare-value convention is a lone `this` column
+            bare_agg = (
+                len(aggs) == 1
+                and aggs[0][0] is None
+                and not keys
+                and every is None
+            )
+            aggs = [(n or f, f, a, w) for n, f, a, w in aggs]
+            if bare_agg:
+                aggs = [("this", *aggs[0][1:])]
             if not aggs and keys and every is None:
                 # zed `by key,...` shorthand: distinct key tuples
                 return df.select(
@@ -2656,7 +2668,7 @@ class Compiler:
                         "grouped aggregates are not supported in over-expressions"
                     )
                 outs = [
-                    (name, self._over_agg(fn, arg, where, cur, df))
+                    (name or fn, self._over_agg(fn, arg, where, cur, df))
                     for name, fn, arg, where in aggs
                 ]
                 if len(outs) == 1:
@@ -2813,6 +2825,17 @@ class Compiler:
                         raise ValueError(
                             "scoped over summarize: every() not supported per-group"
                         )
+                    # single unassigned agg, no keys → bare value
+                    # (meta/ztests/partitions: `=> (collect(...))`
+                    # yields arrays, not {collect:[...]})
+                    bare2 = (
+                        len(aggs2) == 1
+                        and aggs2[0][0] is None
+                        and not keys2
+                    )
+                    aggs2 = [(n or f, f, a, w) for n, f, a, w in aggs2]
+                    if bare2:
+                        aggs2 = [("this", *aggs2[0][1:])]
                     # materialize key exprs first — a computed key
                     # may carry a running-agg window (by c:=count())
                     key_names = []
@@ -4261,6 +4284,12 @@ class Compiler:
                     return F.coalesce(
                         F.timestamp_micros((num / 1000).cast("long")),
                         F.try_to_timestamp(col),
+                        # the reference's time parser accepts common
+                        # non-ISO layouts (dateparse; ztest cast-time:
+                        # "1/2/2020", "12 Feb 2006 19:17")
+                        F.try_to_timestamp(col, F.lit("M/d/yyyy")),
+                        F.try_to_timestamp(col, F.lit("d MMM yyyy HH:mm")),
+                        F.try_to_timestamp(col, F.lit("dd MMM yyyy HH:mm:ss")),
                     )
                 return col.cast("timestamp")
 

@@ -873,7 +873,10 @@ class Parser:
             self.next()
             self.next()
             self.next()
-        return (name or fn, fn, arg, where)
+        # name None = UNASSIGNED: a single unassigned agg with no
+        # keys yields its value bare (summarize.md: `summarize
+        # avg(this)` → 2.5, not {avg:2.5}); consumers default to fn
+        return (name, fn, arg, where)
 
     def parse_key(self) -> tuple:
         # every(dur) | name:=expr | path

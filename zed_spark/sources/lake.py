@@ -425,6 +425,15 @@ class Pool:
         app metadata, carried on the commit and exposed by `:log`."""
         commit_id = new_ksuid()
         self._write_object(df, commit_id)
+        stats = self._key_stats(df)
+        if not message:
+            # the reference auto-generates load commit messages
+            # (lake/branch.go:81 loadMessage) — `db log` and :rawlog
+            # goldens grep for them (zio/lakeio/ztests/keyrange)
+            message = (
+                f"loaded 1 data object\n\n  {commit_id} "
+                f"{stats.get('count') or 0} records in {stats.get('count') or 0} bytes\n"
+            )
         entry = {
             "commit": commit_id,
             "ts": time.time(),
@@ -432,7 +441,7 @@ class Pool:
             "message": message,
             "add": [f"obj_{commit_id}"],
             "remove": [],
-            "stats": self._key_stats(df),
+            "stats": stats,
         }
         if meta is not None:
             entry["meta"] = meta
@@ -678,6 +687,74 @@ class Pool:
             [
                 (r["id"], r["min"], r["max"], r["count"], r["size"])
                 for r in rows
+            ],
+            schema,
+        )
+
+    def meta_partitions(self, branch: str = "main") -> DataFrame:
+        """`from <pool>:partitions` — overlapping data objects merged
+        into scan partitions (runtime/sam/op/meta: the Lister groups
+        objects whose key ranges overlap transitively so the SeqScan
+        can merge-read each group; meta/ztests/partitions.yaml).
+
+        A null max means a null key rode in the batch (nulls are the
+        max key value), so the object's range is unbounded above."""
+        from pyspark.sql import types as T
+
+        objs = self.meta_objects(branch)
+        rows = [r.asDict() for r in objs.collect()]
+
+        def lo(r):
+            return (r["min"] is None, r["min"])
+
+        rows.sort(key=lo)
+        parts: list[dict] = []
+        for r in rows:
+            cur = parts[-1] if parts else None
+            overlaps = (
+                cur is not None
+                and r["min"] is not None
+                and (cur["max"] is None or r["min"] <= cur["max"])
+            ) or (cur is not None and r["min"] is None)
+            if overlaps:
+                cur["objects"].append(r)
+                if cur["max"] is not None and (
+                    r["max"] is None or r["max"] > cur["max"]
+                ):
+                    cur["max"] = r["max"]
+            else:
+                parts.append(
+                    {"min": r["min"], "max": r["max"], "objects": [r]}
+                )
+        kt = objs.schema["min"].dataType
+        obj_t = T.StructType(
+            [
+                T.StructField("min", kt),
+                T.StructField("max", kt),
+                T.StructField("count", T.LongType()),
+                T.StructField("size", T.LongType()),
+            ]
+        )
+        schema = T.StructType(
+            [
+                T.StructField("min", kt),
+                T.StructField("max", kt),
+                T.StructField("objects", T.ArrayType(obj_t)),
+            ]
+        )
+        if self.cfg.order == "desc":
+            parts.reverse()
+        return self.spark.createDataFrame(
+            [
+                (
+                    p["min"],
+                    p["max"],
+                    [
+                        (o["min"], o["max"], o["count"], o["size"])
+                        for o in p["objects"]
+                    ],
+                )
+                for p in parts
             ],
             schema,
         )

@@ -1117,6 +1117,11 @@ def df_to_zson_pretty(df: DataFrame) -> list[str]:
     storage sink; honors the __zed_missing presence sidecar like the
     line writer."""
     schema = df.schema
+    vis = [f.name for f in schema.fields if not f.name.startswith("__zed_")]
+    if vis == ["this"]:
+        # bare-value stream: pretty-print the values themselves
+        dt = schema["this"].dataType
+        return [_dump_pretty(r["this"], dt, 0) for r in df.collect()]
     miss_idx = None
     for i, f in enumerate(schema.fields):
         if f.name == "__zed_missing":
