@@ -70,6 +70,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "zq_summary": (qc.zq_summary, qc.ZQ_SUMMARY_SQL),
     "zq_join": (qc.zq_join, qc.ZQ_JOIN_SQL),
     "zq_every": (qc.zq_every, qc.ZQ_EVERY_SQL),
+    "zq_recursive_fn": (qc.zq_recursive_fn, qc.ZQ_RECURSIVE_SQL),
     # --- analytics beyond the reference (windows, grouping sets) ----
     "sessionize": (qa.sessionize_q, qa.SESSIONIZE_SQL),
     "top_per_group": (qa.top_per_group_q, qa.TOP_PER_GROUP_SQL),

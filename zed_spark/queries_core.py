@@ -703,6 +703,30 @@ GROUP BY o_orderpriority
 
 zq_every = _zq("from events | count() by every(1h), event_type | put h:=int64(ts) | drop ts")
 
+# runtime-RECURSIVE user function (reference interprets calls at
+# runtime — runtime/sam/expr/ztests/udf.yaml): the call graph reaches
+# itself, so the call compiles to the row-level AST interpreter
+# (lang/interp.py) instead of inline macro expansion
+zq_recursive_fn = _zq(
+    "func fib(x): ( x <= 1 ? x : fib(x-1) + fib(x-2) ) "
+    "from events | put k:=user_id % 12 | n:=count() by k "
+    "| put f:=fib(k) | sort k"
+)
+
+ZQ_RECURSIVE_SQL = """
+WITH RECURSIVE fib(i, a, b) AS (
+  SELECT 0, 0::BIGINT, 1::BIGINT
+  UNION ALL
+  SELECT i + 1, b, a + b FROM fib WHERE i < 11
+),
+grp AS (
+  SELECT user_id % 12 AS k, COUNT(*) AS n FROM events GROUP BY user_id % 12
+)
+SELECT g.k AS k, g.n AS n, f.a AS f
+FROM grp g JOIN fib f ON f.i = g.k
+ORDER BY k
+"""
+
 ZQ_EVERY_SQL = """
 SELECT event_type, COUNT(*) AS count,
   CAST(epoch_ns(date_trunc('hour', ts)) AS BIGINT) AS h
