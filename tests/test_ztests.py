@@ -195,7 +195,6 @@ UNSUPPORTED.update(
             "bucket": "per-row bin widths need a dynamic window",
             "flatten": "flatten values ride as strings (union-valued leaves)",
             "grep": _SC,
-            "grok": "per-row grok patterns need runtime schemas",
             "len": "error values inside unions " + _E,
             "parse-zson": "dynamic result types per row " + _S,
             "unflatten": "unflatten rebuilds records at runtime — map model here",
@@ -407,7 +406,6 @@ UNSUPPORTED.update(
             "by zcode byte encoding (length-first containers) — not "
             "replicated " + _S,
             "meta/ztests/pruner": _LAKE,
-            "meta/ztests/type-context": _LAKE,
             "ztests/cut-dynamic-field": "runtime field names from data "
             "values (this[expr] targets) " + _S,
             "ztests/put-dynamic-field": "runtime field names " + _S,
@@ -952,7 +950,7 @@ def _run_db_script_case(spark, case: dict, path: str):
         if pname in lake.pools():
             if meta in ("log", "objects", "branches", "partitions", "rawlog", "vectors"):
                 pool = lake.pool(pname)
-                return {
+                mdf = {
                     "log": pool.meta_commits,
                     "rawlog": pool.meta_commits,
                     "objects": pool.meta_objects,
@@ -960,6 +958,15 @@ def _run_db_script_case(spark, case: dict, path: str):
                     "vectors": pool.meta_objects,
                     "branches": pool.meta_branches,
                 }[meta]()
+                # meta queries see the lake metadata named types
+                # (meta/ztests/type-context: data queries must NOT)
+                mdf._zed_meta_types = {
+                    "data.Object",
+                    "lake.BranchTip",
+                    "lake.BranchMeta",
+                    "pools.Config",
+                }
+                return mdf
             if meta:
                 raise ValueError(f"unknown meta query {meta!r}")
             try:

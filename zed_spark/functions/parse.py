@@ -37,38 +37,116 @@ GROK_PATTERNS: dict[str, str] = {
     "UUID": r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
 }
 
-_GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
+_GROK_REF = re.compile(r"%\{(\w+)(?::(\w+(?::\w+)?))?\}")
 
 
-def grok_to_regex(pattern: str) -> tuple[str, list[str]]:
-    """Expand %{NAME:field} refs into a plain regex + capture order."""
+def parse_grok_definitions(defs: str) -> dict[str, str]:
+    """`NAME regex` lines (one per line) → extra pattern table, the
+    reference's 3-arg grok(definitions) form (function/grok.go)."""
+    out: dict[str, str] = {}
+    for line in defs.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        name, _, body = line.partition(" ")
+        if not body:
+            raise ValueError(f"grok: bad definition line {line!r}")
+        out[name] = body
+    return out
+
+
+def grok_to_regex(
+    pattern: str, defs: dict[str, str] | None = None
+) -> tuple[str, list[str]]:
+    """Expand %{NAME:field[:type]} refs into a plain regex + capture
+    order. Custom definitions may reference other patterns (incl.
+    other custom ones) — expansion iterates to a fixed point. The
+    `:type` coercion suffix parses but is ignored, like the
+    reference (expr/function/ztests/grok.yaml: 'Ignores type
+    annotation')."""
+    table = dict(GROK_PATTERNS)
+    if defs:
+        table.update(defs)
     fields: list[str] = []
 
     def sub(m: re.Match) -> str:
         name, field = m.group(1), m.group(2)
-        if name not in GROK_PATTERNS:
+        if field and ":" in field:
+            field = field.split(":", 1)[0]  # strip :type coercion
+        if name not in table:
             raise ValueError(f"unknown grok pattern %{{{name}}}")
-        body = GROK_PATTERNS[name]
+        body = table[name]
         if field:
             fields.append(field)
             return f"({body})"
         return f"(?:{body})"
 
-    return _GROK_REF.sub(sub, pattern), fields
+    out = pattern
+    for _ in range(16):  # nested custom refs expand iteratively
+        new = _GROK_REF.sub(sub, out)
+        if new == out:
+            break
+        out = new
+    else:
+        raise ValueError("grok: pattern recursion too deep")
+    return out, fields
 
 
-def grok(pattern: str, s: Column) -> Column:
+def grok(
+    pattern: str,
+    s: Column,
+    definitions: str | None = None,
+    error_value: bool = False,
+) -> Column:
     """Parse s with a grok pattern → struct of captured fields
-    (all strings, like the reference which emits strings unless cast).
-    Unmatched rows → null struct."""
-    regex, fields = grok_to_regex(pattern)
+    (all strings, like the reference which emits strings unless
+    cast). Duplicate capture names squash to the LAST occurrence
+    (grok.yaml). Unmatched rows → null struct, or — with
+    error_value=True, the zed-language surface — a value|error
+    carrier whose error is the reference's
+    'grok(): value does not match pattern'."""
+    defs = parse_grok_definitions(definitions) if definitions else None
+    regex, fields = grok_to_regex(pattern, defs)
     if not fields:
         raise ValueError("grok pattern has no named captures")
+    # duplicate names: keep the LAST capture group per name, field
+    # order = first appearance
+    last_idx: dict[str, int] = {}
+    order: list[str] = []
+    for i, name in enumerate(fields):
+        if name not in last_idx:
+            order.append(name)
+        last_idx[name] = i
     parts = [
-        F.regexp_extract(s, regex, i + 1).alias(name) for i, name in enumerate(fields)
+        F.regexp_extract(s, regex, last_idx[name] + 1).alias(name)
+        for name in order
     ]
     matched = s.rlike(regex)
-    return F.when(matched, F.struct(*parts))
+    if not error_value:
+        return F.when(matched, F.struct(*parts))
+    from pyspark.sql import types as T
+
+    err_t = T.StructType(
+        [
+            T.StructField("message", T.StringType()),
+            T.StructField("on", T.StringType()),
+        ]
+    )
+    return F.struct(
+        F.when(matched, F.lit(0)).otherwise(F.lit(1)).alias("tag"),
+        F.when(matched, F.struct(*parts)).alias("v0"),
+        F.when(
+            ~matched,
+            F.struct(
+                F.lit("grok(): value does not match pattern").alias(
+                    "message"
+                ),
+                s.alias("on"),
+            ),
+        )
+        .cast(err_t)
+        .alias("e1"),
+    )
 
 
 URI_DDL = (

@@ -4866,6 +4866,27 @@ class Compiler:
         if name in ("typeof", "typeunder"):
             from zed_spark.functions.introspect import typeof_col
 
+            if (
+                args
+                and args[0][0] == "typeval"
+                and args[0][1][0] == "prim"
+                and args[0][1][1].startswith('"')
+            ):
+                # <"name">: named-type LOOKUP by string. Defined in
+                # this query's type context (decls, reader-registered
+                # names, or — for meta queries — the lake metadata
+                # types) → a type value, so typeof is <type>;
+                # undefined → the string becomes an error value, so
+                # typeof is <error(string)> (meta/ztests/type-context:
+                # the metadata type context must not leak into the
+                # data flowgraph)
+                tname = args[0][1][1].strip('"')
+                known = (
+                    tname in getattr(self, "user_types", {})
+                    or tname in (getattr(self, "named_descs", None) or {})
+                    or tname in getattr(df, "_zed_meta_types", ())
+                )
+                return F.lit("type" if known else "error(string)")
             path = ".".join(args[0][1]) if args and args[0][0] == "field" else None
             static = typeof_col(df, path)
             if (
@@ -4986,9 +5007,104 @@ class Compiler:
         if name == "grok":
             from zed_spark.functions.parse import grok as grok_fn
 
-            if args[0][0] != "str":
-                raise ValueError("grok pattern must be a string literal")
-            return grok_fn(args[0][1], self.expr(args[1], df))
+            def _unesc(s: str) -> str:
+                # zed string escapes (the lexer keeps literals raw);
+                # grok definitions lean on \n line separators.
+                # Single pass so "\\n" stays a literal backslash+n.
+                import re as _r2
+
+                return _r2.sub(
+                    r"\\(.)",
+                    lambda m2: {"n": "\n", "t": "\t", "\\": "\\"}.get(
+                        m2.group(1), "\\" + m2.group(1)
+                    ),
+                    s,
+                )
+
+            def _const_str(a):
+                # literal, or a const that folds to a string
+                # (string + string concatenation folds too — the
+                # patterns.zed idiom builds definitions with +)
+                if not isinstance(a, tuple):
+                    return None
+                if a[0] == "str":
+                    return _unesc(a[1])
+                if (
+                    a[0] == "field"
+                    and len(a[1]) == 1
+                    and a[1][0] in getattr(self, "consts", {})
+                ):
+                    return _const_str(self.consts[a[1][0]])
+                if a[0] == "bin" and a[1] == "+":
+                    l2, r2 = _const_str(a[2]), _const_str(a[3])
+                    if l2 is not None and r2 is not None:
+                        return l2 + r2
+                return None
+
+            defs = None
+            if len(args) == 3:
+                defs = _const_str(args[2])
+                if defs is None:
+                    raise ValueError(
+                        "grok definitions must fold to a string constant"
+                    )
+            pat = _const_str(args[0])
+            if pat is not None:
+                return grok_fn(
+                    pat,
+                    self.expr(args[1], df),
+                    definitions=defs,
+                    error_value=True,
+                )
+            # pattern from DATA: discover the distinct patterns at
+            # plan time (bounded — the same strategy Spark's own
+            # pivot uses for its value set) and dispatch per row
+            pcol = self.expr(args[0], df)
+            pats = [
+                r[0]
+                for r in df.select(pcol.alias("__p")).distinct().limit(101).collect()
+                if r[0] is not None
+            ]
+            if len(pats) > 100:
+                raise ValueError(
+                    "grok: too many distinct per-row patterns (>100)"
+                )
+            if not pats:
+                return F.lit(None)
+            from zed_spark.functions.parse import (
+                grok_to_regex,
+                parse_grok_definitions,
+            )
+
+            dtab = parse_grok_definitions(defs) if defs else None
+            compiled = []  # (pattern, regex, {field: group_idx})
+            all_fields: list[str] = []
+            for p in pats:
+                regex, fields = grok_to_regex(p, dtab)
+                last: dict[str, int] = {}
+                for i2, fn2 in enumerate(fields):
+                    if fn2 not in last and fn2 not in all_fields:
+                        all_fields.append(fn2)
+                    last[fn2] = i2
+                compiled.append((p, regex, last))
+            sval = self.expr(args[1], df)
+            branches = None
+            for p, regex, last in compiled:
+                # every branch emits the UNION of all patterns'
+                # fields so the per-row dispatch coalesces to one
+                # struct type; fields outside this pattern are null
+                parts = [
+                    (
+                        F.regexp_extract(sval, regex, last[fn2] + 1)
+                        if fn2 in last
+                        else F.lit(None).cast("string")
+                    ).alias(fn2)
+                    for fn2 in all_fields
+                ]
+                g = F.when(sval.rlike(regex), F.struct(*parts))
+                w = F.when(pcol == F.lit(p), g)
+                branches = w if branches is None else F.coalesce(branches, w)
+            return branches
         if name == "coalesce" and args:
             # coalesce returns the first arg that is not null,
             # error("missing"), or error("quiet") (function/
