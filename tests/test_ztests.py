@@ -352,8 +352,6 @@ UNSUPPORTED.update(
             "issue-4013": "head-1 over fork legs is pull-ORDER "
             "dependent (reference op scheduling); our fused legs have "
             "no arrival order [script]",
-            "op/sort/sort-types": "sort over type VALUES orders by "
-            "type-id [shape]",
             "expr/function/fields": "type-value reflection (fields of "
             "<type> literals) [shape]",
             "expr/function/len": "ip/net byte lengths and type-value "
@@ -370,8 +368,6 @@ UNSUPPORTED.update(
             "byte-compare) [script]",
             "map": "IPv6 map keys (`|{:: :::}|` syntax) [shape]",
             "persist": "glob field reference b.* in script [script]",
-            "pretty-type-value": "-pretty type-value rendering "
-            "[shape]",
             "redefined-named-types": "per-value named-type rebinding "
             "[shape]",
             "zson-to-zeek": "zeek OUTPUT format golden [script]",

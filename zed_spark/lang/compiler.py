@@ -801,6 +801,28 @@ class Compiler:
                 is_desc = kdir == "desc" if kdir else desc
                 nf = (nulls == "first") if nulls else is_desc
                 kdt = self._type_of(k, df)
+                if (
+                    "__zed_types" in df.columns
+                    and kdt is not None
+                    and kdt.typeName() == "string"
+                    and k[0] in ("this", "field")
+                ):
+                    # sorting TYPE VALUES: order by the reference's
+                    # CompareTypes total order (type.go:396), not the
+                    # type-string text (runtime/ztests/op/sort/
+                    # sort-types). Detected via the sidecar's
+                    # type-value aux marker on the key path.
+                    kp = ".".join(k[1]) if k[0] == "field" else ""
+                    probe = df.select(
+                        F.array_contains(
+                            F.map_keys(F.col("__zed_types")),
+                            "\x00tv:" + kp,
+                        ).alias("__tv")
+                    ).first()
+                    if probe and probe["__tv"]:
+                        from zed_spark.sources.ztypes import type_sort_key
+
+                        c = F.udf(type_sort_key)(c)
                 if kdt is not None and kdt.typeName() in ("float", "double"):
                     # zed orders NaN FIRST ascending (compareNumbers);
                     # Spark puts it after +Inf — a NaN pre-key fixes it

@@ -345,12 +345,22 @@ class _Parser:
         return json.loads(raw)
 
     def _type_value(self) -> str:
-        # <type> values kept as their canonical string
+        # <type> values kept as their canonical string; union member
+        # order canonicalizes per CompareTypes (the reference's type
+        # context normalizes unions — sort-types golden renders
+        # ({x:string},{x:int64}) as ({x:int64},{x:string}))
         j = self.s.find(">", self.i)
         if j < 0:
             raise ZsonError("unterminated type value")
         v = self.s[self.i + 1 : j]
         self.i = j + 1
+        if "(" in v and "," in v:
+            try:
+                from zed_spark.sources.ztypes import canonical_type_string
+
+                v = canonical_type_string(v)
+            except Exception:
+                pass
         return v
 
     def _bare(self, key_mode: bool = False):

@@ -500,3 +500,91 @@ def parse_types(text: str, named: dict | None = None) -> list:
     while not p.at_end():
         out.append(p.parse_value())
     return out
+
+
+# zed type IDs (reference type.go:105-137) — CompareTypes orders
+# primitives by ID, complex types by Kind then structure
+_TYPE_IDS = {
+    "uint8": 0, "uint16": 1, "uint32": 2, "uint64": 3,
+    "uint128": 4, "uint256": 5,
+    "int8": 6, "int16": 7, "int32": 8, "int64": 9,
+    "int128": 10, "int256": 11,
+    "duration": 12, "time": 13,
+    "float16": 14, "float32": 15, "float64": 16,
+    "float128": 17, "float256": 18,
+    "decimal32": 19, "decimal64": 20, "decimal128": 21,
+    "decimal256": 22,
+    "bool": 23, "bytes": 24, "string": 25, "ip": 26, "net": 27,
+    "type": 28, "null": 29,
+}
+_KIND = {
+    "prim": 0, "record": 1, "array": 2, "set": 3, "map": 4,
+    "union": 5, "enum": 6, "error": 7,
+}
+
+
+def type_sort_key(s: str) -> str:
+    """A string whose lexicographic order reproduces the reference's
+    CompareTypes total order over type VALUES (type.go:396 — kind
+    first, primitives by ID, records by arity/names/field-types,
+    named types after their underlying type then by name). Drives
+    `sort` over type values (runtime/ztests/op/sort/sort-types)."""
+
+    def key(d) -> str:
+        k = d[0]
+        if k == "named":
+            # same ID as the underlying: underlying key, then a
+            # marker that sorts after the plain form, then the name
+            return key(d[2]) + "~" + d[1]
+        if k == "prim":
+            return f"0.{_TYPE_IDS.get(d[1], 99):02d}"
+        if k == "record":
+            names = ".".join(n for n, _t in d[1])
+            types = "".join("(" + key(t) + ")" for _n, t in d[1])
+            return f"1.{len(d[1]):04d}.{names}.{types}"
+        if k == "array":
+            return "2(" + key(d[1]) + ")"
+        if k == "set":
+            return "3(" + key(d[1]) + ")"
+        if k == "map":
+            return "4(" + key(d[1]) + ")(" + key(d[2]) + ")"
+        if k == "union":
+            return f"5.{len(d[1]):04d}" + "".join(
+                "(" + key(m) + ")" for m in d[1]
+            )
+        if k == "enum":
+            return f"6.{len(d[1]):04d}." + ".".join(d[1])
+        if k == "error":
+            return "7(" + key(d[1]) + ")"
+        return "9" + repr(d)
+
+    try:
+        return key(parse_type_string(s))
+    except Exception:
+        return "9" + s
+
+
+def canonical_type_string(s: str) -> str:
+    """Canonicalize a type string: union members sort into
+    CompareTypes order (the reference's type context normalizes
+    union member order — type.go LookupTypeUnion)."""
+
+    def canon(d):
+        k = d[0]
+        if k == "union":
+            ms = tuple(sorted((canon(m) for m in d[1]), key=_desc_key))
+            return ("union", ms)
+        if k == "record":
+            return ("record", tuple((n, canon(t)) for n, t in d[1]))
+        if k in ("array", "set", "error"):
+            return (k, canon(d[1]))
+        if k == "map":
+            return ("map", canon(d[1]), canon(d[2]))
+        if k == "named":
+            return ("named", d[1], canon(d[2]))
+        return d
+
+    def _desc_key(d):
+        return type_sort_key(render(d))
+
+    return render(canon(parse_type_string(s)))
