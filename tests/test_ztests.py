@@ -169,12 +169,10 @@ _SC = "shell script form (loop/negation/pipe) outside harness subset [script]"
 UNSUPPORTED: dict[str, str] = {
     f"{SAM_EXPR}/ztests/{k}.yaml": v
     for k, v in {
-        "cast-name-only": "null record rows lose null-ness when yielded to columns",
         "cast-type": "cast to <type> over a mixed string/type stream "
         "(per-row cast-failure error values) " + _S,
         "shape-cast-to-union": "cast TO union over union input needs "
         "named-member identity " + _S,
-        "dot-record-type": "type-value field access " + _S,
         "in-star": "reference-skipped (disabled upstream)",
         "index-named-complex": "named complex type index " + _S,
         "record-spread-function": "unflatten returns a map — spread needs a record",
@@ -185,7 +183,6 @@ UNSUPPORTED: dict[str, str] = {
         "shape-null-container": _U,
         "slice": "slicing union-typed columns " + _U,
         "type-map": _S,
-        "unary-minus": "negation over mixed int widths + overflow errors " + _U,
     }.items()
 }
 UNSUPPORTED.update(
@@ -216,8 +213,6 @@ UNSUPPORTED.update(
         for k, v in {
             "jsonio/ztests/unexpected-input-end": "shell while-loop "
             "script [script]",
-            "jsonio/ztests/unicode-nfc": "NFC normalization on JSON "
-            "string decode [format]",
             "jsonio/ztests/map-output": "record/map/set values as MAP "
             "KEYS [shape]",
             "anyio/ztests/detector-errors": "stderr golden [script]",
@@ -307,10 +302,6 @@ UNSUPPORTED.update(
             "merge-filters": _DEV,
             "remove-passops": _DEV,
             "udf-implied-where": _DEV,
-            "quoted-type": "per-value named-type identity (=\"@foo\" "
-            "decorators) [shape]",
-            "f-string": "ip values ride as strings — bytes(ip) is "
-            "the address bytes in the reference [shape]",
         }.items()
     }
 )
@@ -389,8 +380,6 @@ UNSUPPORTED.update(
     {
         f"{SAM_OP}/groupby/ztests/{k}.yaml": v
         for k, v in {
-            "different-key-types": "per-row type ordering of mixed-type "
-            "group keys " + _S,
         }.items()
     }
 )
@@ -908,8 +897,14 @@ def _run_db_script_case(spark, case: dict, path: str):
         return vals, named, descs, nd
 
     def df_of(blob):
-        vals, _n, descs, _nd = parse_vals(blob)
-        return _to_df(spark, vals, descs)
+        vals, named, descs, nd = parse_vals(blob)
+        df, w = _to_df(spark, vals, descs)
+        # ride the input's named-type registry on the frame so the
+        # compile stage can resolve quoted named refs (<"@foo">)
+        # against per-row identity (compiler/ztests/quoted-type)
+        df._zed_named_types = named
+        df._zed_named_descs = nd
+        return df, w
 
     def current(use_flag):
         tgt = use_flag or state["use"]
@@ -1468,7 +1463,15 @@ def _run_db_script_case(spark, case: dict, path: str):
                             pend_text = None
                         elif src_files:
                             piped, _w = df_of(files[src_files[0]])
-                    piped = compile_query(spark, q, resolve, piped, lake=lake)
+                    piped = compile_query(
+                        spark,
+                        q,
+                        resolve,
+                        piped,
+                        lake=lake,
+                        named_types=getattr(piped, "_zed_named_types", None),
+                        named_descs=getattr(piped, "_zed_named_descs", None),
+                    )
             emit(piped, fmt)
 
         if expect_fail:
@@ -1744,11 +1747,22 @@ def _run_script_case(spark, case: dict, path: str):
             with open(sib, "rb") as fh:
                 files[i["name"]] = fh.read()
     named: dict = {}
+    named_descs: dict = {}
     for blob in [case.get("input", "")] + list(files.values()):
         try:
             named.update(_pzt(blob)[1])
         except Exception:
             pass
+        if isinstance(blob, str):
+            # named-type DESCRIPTORS (ztypes registry) so quoted
+            # named refs (<"@foo">) resolve to per-row identity
+            # (compiler/ztests/quoted-type)
+            try:
+                from zed_spark.sources.ztypes import parse_types as _ptd
+
+                _ptd(blob, named_descs)
+            except Exception:
+                pass
     outs = {}
     out_res2: dict = {}
     for o in case.get("outputs", []):
@@ -2077,7 +2091,14 @@ def _run_script_case(spark, case: dict, path: str):
                     if consuming:
                         raise ValueError("no data source found")
                     df, wrapped = _to_df(spark, [None])
-                df = compile_query(spark, query, resolve, df, named_types=named)
+                df = compile_query(
+                    spark,
+                    query,
+                    resolve,
+                    df,
+                    named_types=named,
+                    named_descs=named_descs,
+                )
                 if st["split"] is not None:
                     fmt2 = last_ofmt or (
                         "zson"
@@ -2262,13 +2283,27 @@ def _run_case(spark, path: str):
         # is the addressable one)
         import json as _json
 
+        import unicodedata as _ud
+
+        def _nfc(v):
+            # jsonio normalizes decoded strings to NFC (reference
+            # zio/jsonio reader; ztest unicode-nfc: Å in any of its
+            # encodings byte-compares equal after decode)
+            if isinstance(v, str):
+                return _ud.normalize("NFC", v)
+            if isinstance(v, dict):
+                return {_nfc(k): _nfc(x) for k, x in v.items()}
+            if isinstance(v, list):
+                return [_nfc(x) for x in v]
+            return v
+
         dec = _json.JSONDecoder()
         in_vals, named = [], {}
         s = case["input"].strip()
         pos = 0
         while pos < len(s):
             v, pos = dec.raw_decode(s, pos)
-            in_vals.append(v)
+            in_vals.append(_nfc(v))
             while pos < len(s) and s[pos] in " \n\r\t":
                 pos += 1
     elif _looks_zjson(case["input"]):
@@ -2451,8 +2486,12 @@ def _collect_vals(out, wrapped: bool, want) -> list:
     got_rows = [r.asDict(recursive=True) for r in out.collect()]
     # materialize the __zed_error convention back into zed error
     # values (errors.py: null cell + side map of path -> message)
+    from zed_spark.operators.project import NULL_ROW
     from zed_spark.sources.zson import ZError, ZMap
 
+    null_rows = [
+        NULL_ROW in (r.get("__zed_missing") or ()) for r in got_rows
+    ]
     for r in got_rows:
         errs = r.pop("__zed_error", None)
         for k in [k for k in r if k.startswith("__zed_")]:
@@ -2477,7 +2516,9 @@ def _collect_vals(out, wrapped: bool, want) -> list:
         # zed emits BARE values where the record model wraps them in
         # a single column (yield of a non-record, over pipelines)
         got = [r[vis_cols[0]] for r in got_rows]
-    return got
+    # a NULL_ROW-marked row is a bare null VALUE (null record), not
+    # a record of nulls
+    return [None if nn else v for v, nn in zip(got, null_rows)]
 
 
 def _compare(outs: list[tuple], zed: str, want, path: str):

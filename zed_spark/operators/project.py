@@ -65,7 +65,15 @@ def rename(df: DataFrame, **mapping: str) -> DataFrame:
     return out
 
 
-def yield_(df: DataFrame, *exprs: Column) -> DataFrame:
+# root-null marker inside __zed_missing: the row's VALUE is null at
+# the record level (a null record splat erases this otherwise —
+# expr/ztests/cast-name-only yields null(foo), not {x:null})
+NULL_ROW = "\x00nullrow"
+
+
+def yield_(
+    df: DataFrame, *exprs: Column, null_sentinel: bool = False
+) -> DataFrame:
     """Map each input value to one or more outputs.
 
     One expr → plain select. N exprs → each input row produces N
@@ -75,11 +83,21 @@ def yield_(df: DataFrame, *exprs: Column) -> DataFrame:
 
     Each expr should be a struct() column (zed values are records
     here); the exploded struct's fields become the output columns.
+    With null_sentinel, a null record value marks its splatted row
+    via the NULL_ROW entry in __zed_missing so writers/compares can
+    render it as a bare null instead of an all-null-fields record.
     """
     if len(exprs) == 1:
         e = exprs[0]
         out = df.select(e.alias("__y"))
     else:
         out = df.select(F.explode(F.array(*exprs)).alias("__y"))
+    if null_sentinel:
+        return out.select(
+            "__y.*",
+            F.when(
+                F.col("__y").isNull(), F.array(F.lit(NULL_ROW))
+            ).alias("__zed_missing"),
+        )
     # flatten the struct into top-level columns
     return out.select("__y.*")

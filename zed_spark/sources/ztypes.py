@@ -564,6 +564,30 @@ def type_sort_key(s: str) -> str:
         return "9" + s
 
 
+def value_kind_rank(s: str | None) -> int | None:
+    """Cross-type VALUE ordering rank (reference sort.go
+    compareValues): all numbers — type ID ≤ decimal256, which
+    includes duration and time (type.go:162 IsNumber) — compare
+    numerically, so they share rank 0; any other pair of differing
+    types orders by CompareTypes (primitive ID, then complex kind).
+    Drives the per-row pre-key for `sort` over mixed-type streams
+    (groupby/ztests/different-key-types)."""
+    if not s:
+        return None
+    try:
+        d = parse_type_string(s)
+    except Exception:
+        return None
+    while d[0] == "named":
+        d = d[2]
+    if d[0] == "prim":
+        i = _TYPE_IDS.get(d[1], 29)
+        return 0 if i <= 22 else i
+    if d[0] == "typeval":
+        return 28
+    return 30 + _KIND.get(d[0], 9)
+
+
 def canonical_type_string(s: str) -> str:
     """Canonicalize a type string: union members sort into
     CompareTypes order (the reference's type context normalizes
