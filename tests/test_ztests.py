@@ -174,25 +174,20 @@ UNSUPPORTED: dict[str, str] = {
         "shape-cast-to-union": "cast TO union over union input needs "
         "named-member identity " + _S,
         "in-star": "reference-skipped (disabled upstream)",
-        "index-named-complex": "named complex type index " + _S,
         "record-spread-function": "unflatten returns a map — spread needs a record",
         "shape-cast": "named-type field rename inside cast targets " + _S,
         "shape-cast-from-union": _U,
         "shape-cast-set-to-array": "record-element set order: zcode normalization of container elements after cast [shape]",
         "shape-map": "per-row dynamic cast target (schemas[_path]) " + _S,
-        "shape-null-container": _U,
         "slice": "slicing union-typed columns " + _U,
-        "type-map": _S,
     }.items()
 }
 UNSUPPORTED.update(
     {
         f"{SAM_EXPR}/function/ztests/{k}.yaml": v
         for k, v in {
-            "bucket": "per-row bin widths need a dynamic window",
             "flatten": "flatten values ride as strings (union-valued leaves)",
             "grep": _SC,
-            "len": "error values inside unions " + _E,
             "parse-zson": "dynamic result types per row " + _S,
             "unflatten": "unflatten rebuilds records at runtime — map model here",
         }.items()
@@ -236,10 +231,6 @@ UNSUPPORTED.update(
     {
         f"/root/reference/zio/zeekio/ztests/{k}.yaml": v
         for k, v in {
-            "multizng": "per-row d types (1. vs 1) need per-row "
-            "schemas [shape]",
-            "zeek-format-test": "per-row string|set|vector types "
-            "emit per-type header blocks; set-ness widened [shape]",
         }.items()
     }
 )
@@ -266,10 +257,6 @@ UNSUPPORTED.update(
         f"/root/reference/zio/zngio/ztests/{k}.yaml": v
         for k, v in {
             "big-value": "shell for-loop fixture [script]",
-            "zctx-named-reset-2": "quiet(missing) group keys after a "
-            "ZNG round-trip: our writer encodes the fused schema, so "
-            "absent fields come back as typed nulls (per-row type "
-            "encoding) [shape]",
         }.items()
     }
 )
@@ -343,10 +330,6 @@ UNSUPPORTED.update(
             "issue-4013": "head-1 over fork legs is pull-ORDER "
             "dependent (reference op scheduling); our fused legs have "
             "no arrival order [script]",
-            "expr/function/fields": "type-value reflection (fields of "
-            "<type> literals) [shape]",
-            "expr/function/len": "ip/net byte lengths and type-value "
-            "lengths are widened away [shape]",
         }.items()
     }
 )
@@ -1896,13 +1879,21 @@ def _run_script_case(spark, case: dict, path: str):
                 return spark.read.parquet(f"{d}/part.parquet")
 
             def serialize(df, ofile, flags, append=False, ofmt=None):
+                is_zng = ofile.endswith(".zng") or ofmt == "zng"
                 df = df.drop(
-                    *[c for c in df.columns if c.startswith("__zed_")]
+                    *[
+                        c
+                        for c in df.columns
+                        if c.startswith("__zed_")
+                        # the zng writer consumes presence marks to
+                        # emit per-row shapes (zctx-named-reset-2)
+                        and not (is_zng and c == "__zed_missing")
+                    ]
                 )
                 # materialize a stage's output for later invocations
                 # (zng/zson/parquet round-trip fixtures); '>>' appends
                 # another stream (type context resets per stream)
-                if ofile.endswith(".zng") or ofmt == "zng":
+                if is_zng:
                     blob = encode_zng(
                         df.collect(),
                         df.schema,

@@ -127,6 +127,81 @@ def fields_of(df: DataFrame, path: str | None = None) -> Column:
     )
 
 
+def fields_from_type_string(
+    tstr: str | None, tv: str | None, vstr: str | None
+) -> list | None:
+    """Per-row fields(): field-name paths of the value's RECORD type
+    (function/fields.go walks the type, so a typed-null record still
+    yields its paths). tv is the denoted type when the value is a
+    type VALUE (fields(<rec>) reflects the denoted record); for a
+    union-typed row whose member is `type`, vstr (the value text) is
+    the denoted type. Returns None for non-record targets → missing.
+    Driver-light: runs over metadata-sized type strings only."""
+    from zed_spark.sources.ztypes import parse_type_string
+
+    def deref(d):
+        while d[0] == "named":
+            d = d[2]
+        return d
+
+    target = tv
+    if target is None:
+        if not tstr:
+            return None
+        try:
+            d = deref(parse_type_string(tstr))
+        except Exception:
+            return None
+        if d[0] == "union":
+            recs = [
+                m
+                for m in (deref(x) for x in d[1])
+                if m[0] == "record"
+            ]
+            if recs:
+                d = recs[0]
+            elif any(
+                m == ("prim", "type") for m in (deref(x) for x in d[1])
+            ) and vstr:
+                target = vstr
+                d = None
+            else:
+                return None
+        if d is not None and d[0] != "record":
+            return None
+        if d is not None:
+            out: list = []
+
+            def walk(dd, pre):
+                for n, t in dd[1]:
+                    t2 = deref(t)
+                    if t2[0] == "record":
+                        walk(t2, pre + [n])
+                    else:
+                        out.append(pre + [n])
+
+            walk(d, [])
+            return out
+    try:
+        d = deref(parse_type_string(target))
+    except Exception:
+        return None
+    if d[0] != "record":
+        return None
+    out2: list = []
+
+    def walk2(dd, pre):
+        for n, t in dd[1]:
+            t2 = deref(t)
+            if t2[0] == "record":
+                walk2(t2, pre + [n])
+            else:
+                out2.append(pre + [n])
+
+    walk2(d, [])
+    return out2
+
+
 def nameof(df: DataFrame, path: str) -> Column:
     """nameof(v): named-type name — Spark has no named types; the
     column's own name is the nearest analog (documented compromise,

@@ -348,10 +348,25 @@ class Compiler:
                             )
                         return F.struct(*parts)
 
+                    from zed_spark.schema import is_union_type as _iu9
+
                     tmp = f"__cut_{i}"
-                    tmps[tmp] = F.when(c.isNotNull(), _mk(0, c)).otherwise(
-                        _mk(1, F.lit("missing"))
-                    )
+                    if _iu9(st_v):
+                        # a null UNION carrier is a bare null VALUE
+                        # (`{a:null}` cuts to a:null) — only per-row
+                        # ABSENCE is missing (sam len.yaml: cut a
+                        # over {a:null} keeps the null)
+                        mc9 = self._missing_cond(df, e)
+                        if mc9 is None:
+                            specs.append(f"{alias}:={e}" if alias else e)
+                            continue
+                        tmps[tmp] = F.when(
+                            mc9, _mk(1, F.lit("missing"))
+                        ).otherwise(_mk(0, c))
+                    else:
+                        tmps[tmp] = F.when(
+                            c.isNotNull(), _mk(0, c)
+                        ).otherwise(_mk(1, F.lit("missing")))
                     target = alias or e.split(".")[-1]
                     specs.append(f"{target}:={tmp}")
                 else:
@@ -1580,6 +1595,9 @@ class Compiler:
         sub.user_funcs = dict(getattr(self, "user_funcs", {}))
         sub.consts = dict(getattr(self, "consts", {}))
         sub.user_ops = dict(getattr(self, "user_ops", {}))
+        sub.user_types = dict(getattr(self, "user_types", {}))
+        sub.named_descs = dict(getattr(self, "named_descs", {}))
+        sub.lake = getattr(self, "lake", None)
         out = df
         for node in pipeline:
             out = sub.apply(out, node)
@@ -1625,6 +1643,16 @@ class Compiler:
                 and e[1][0] in getattr(self, "consts", {})
             ):
                 return self.expr(self.consts[e[1][0]], df)
+            if (
+                not explicit_this
+                and len(e[1]) == 1
+                and e[1][0] in getattr(self, "user_types", {})
+                and e[1][0] not in df.columns
+            ):
+                # bare named-type reference in expression position
+                # reads as a TYPE VALUE (expr/ztests/type-map: const
+                # schemas = |{"conn": conn}|)
+                return F.lit(self._typeval_str(("prim", e[1][0])))
             # absent field → missing: zed yields error("missing")
             # (context.go:494); in the widened model that reads as a
             # typed null, not an analysis error. Walk the schema and
@@ -2163,6 +2191,56 @@ class Compiler:
                     return F.col(f"`{name}`")
                 if "this" in df.columns:
                     dt = df.schema["this"].dataType
+                    from zed_spark.schema import is_union_type as _iu2
+
+                    if isinstance(dt, T.StructType) and _iu2(dt):
+                        # wrapped MIXED stream: this["x"] is a field
+                        # access per value — record members with the
+                        # field yield it, every other member is
+                        # missing (expr/index-named-complex)
+                        cases = []
+                        for mc, mcol, mtm, merr in self._carrier_variants(
+                            F.col("this"), dt
+                        ):
+                            if merr is not None:
+                                cases.append(
+                                    (mc, None, None, merr, T.StringType())
+                                )
+                            elif (
+                                mtm is not None
+                                and mtm.typeName() == "struct"
+                                and name in mtm.fieldNames()
+                            ):
+                                cases.append(
+                                    (
+                                        mc,
+                                        mcol.getField(name),
+                                        mtm[name].dataType,
+                                        None,
+                                        None,
+                                    )
+                                )
+                            else:
+                                cases.append(
+                                    (
+                                        mc,
+                                        None,
+                                        None,
+                                        F.lit("missing"),
+                                        T.StringType(),
+                                    )
+                                )
+                        cases.append(
+                            (
+                                F.col("this").isNull()
+                                | F.col("this").getField("tag").isNull(),
+                                None,
+                                None,
+                                F.lit("missing"),
+                                T.StringType(),
+                            )
+                        )
+                        return self._cases_to_carrier(cases)
                     if dt.typeName() == "struct" and name in dt.fieldNames():
                         return F.col("this").getField(name)
                 return F.lit(None)
@@ -2353,6 +2431,58 @@ class Compiler:
                                             icol.alias("on"),
                                         ),
                                         est,
+                                    )
+                                )
+                        elif btm is not None and btm.typeName() == "map":
+                            # map member: index by KEY (indexMap,
+                            # eval.go:675) — a wrong-typed or absent
+                            # key is missing, never an error
+                            kt = btm.keyType
+                            ktn = kt.typeName()
+                            itn = (
+                                itm.typeName() if itm is not None else None
+                            )
+                            num_kinds = (
+                                "byte", "short", "integer", "long",
+                                "float", "double",
+                            )
+                            ok_kind = (
+                                itn is None
+                                or itn == ktn
+                                or (itn in num_kinds and ktn in num_kinds)
+                            )
+                            if ok_kind:
+                                kcast = icol.cast(kt)
+                                hit = F.coalesce(
+                                    F.map_contains_key(bcol, kcast),
+                                    F.lit(False),
+                                )
+                                cases.append(
+                                    (
+                                        both(hit),
+                                        F.element_at(bcol, kcast),
+                                        btm.valueType,
+                                        None,
+                                        None,
+                                    )
+                                )
+                                cases.append(
+                                    (
+                                        both(~hit),
+                                        None,
+                                        None,
+                                        F.lit("missing"),
+                                        T.StringType(),
+                                    )
+                                )
+                            else:
+                                cases.append(
+                                    (
+                                        cond,
+                                        None,
+                                        None,
+                                        F.lit("missing"),
+                                        T.StringType(),
                                     )
                                 )
                         else:
@@ -4672,6 +4802,49 @@ class Compiler:
             if prop_err is not None:
                 return self._mk_carrier(T.BooleanType(), out, prop_err)
             return out
+        if (
+            name == "fields"
+            and len(args) <= 1
+            and "__zed_types" in df.columns
+            and (not args or args[0][0] in ("field", "this"))
+            and not getattr(self, "_this_stack", None)
+        ):
+            # per-row fields(): the type sidecar knows each row's
+            # precise record type — incl. typed-null records, type
+            # VALUES (fields of the denoted type), and union-typed
+            # streams (runtime/ztests/expr/function/fields.yaml)
+            from zed_spark.functions.introspect import (
+                fields_from_type_string,
+            )
+
+            key = (
+                ".".join(args[0][1])
+                if args and args[0][0] == "field"
+                else ""
+            )
+            per = F.element_at(F.col("__zed_types"), F.lit(key))
+            tv = F.element_at(
+                F.col("__zed_types"), F.lit("\x00tv:" + key)
+            )
+            c0 = self.expr(args[0] if args else ("this",), df)
+            dt0 = self._type_of(args[0] if args else ("this",), df)
+            vs0 = self._carrier_variants(c0, dt0)
+            vstr = None
+            for _cond, vv, vt, ve in vs0:
+                if ve is None and vt is not None and (
+                    vt.typeName() == "string"
+                ):
+                    vstr = (
+                        vv if vstr is None else F.coalesce(vstr, vv)
+                    )
+            if vstr is None:
+                vstr = F.lit(None).cast("string")
+            rt = T.ArrayType(T.ArrayType(T.StringType()))
+            fu = F.udf(fields_from_type_string, rt)
+            res = fu(per, tv, vstr)
+            return self._mk_carrier(
+                rt, res, F.when(res.isNull(), F.lit("missing"))
+            )
         if name == "fields" and len(args) <= 1:
             from zed_spark.functions.introspect import fields_of
 
@@ -4919,10 +5092,103 @@ class Compiler:
                 return bucket(ts, duration_interval(dur[1]))
             if dur[0] == "str":
                 return bucket(ts, dur[1])
-            raise ValueError(
-                "bucket needs a literal duration (per-row bin widths "
-                "are not expressible as a static window)"
-            )
+            # DYNAMIC bin (function/time.go Bucket): plain ns
+            # arithmetic, no window — bin is a duration value (ns)
+            # or a number of SECONDS; a duration ts truncates to a
+            # duration, anything else coerces to ns and truncates to
+            # a time (expr/function/ztests/bucket.yaml). Fully
+            # distributed: ts - ts % bin per row.
+            tdt = self._type_of(args[0], df)
+            bc = self.expr(dur, df)
+            per_t = per_b = None
+            if (
+                "__zed_types" in df.columns
+                and not getattr(self, "_this_stack", None)
+            ):
+                if args[0][0] in ("field", "this"):
+                    kt = (
+                        ".".join(args[0][1])
+                        if args[0][0] == "field"
+                        else ""
+                    )
+                    per_t = F.element_at(
+                        F.col("__zed_types"), F.lit(kt)
+                    )
+                if dur[0] in ("field", "this"):
+                    kb = (
+                        ".".join(dur[1]) if dur[0] == "field" else ""
+                    )
+                    per_b = F.element_at(
+                        F.col("__zed_types"), F.lit(kb)
+                    )
+            bl = bc.cast("long")
+            if per_b is not None:
+                bin_ns = F.when(per_b == "duration", bl).otherwise(
+                    bl * F.lit(1_000_000_000)
+                )
+            else:
+                # no per-row identity: a numeric bin is SECONDS
+                # (time.go: coerce.ToInt path multiplies by
+                # nano.Second)
+                bin_ns = bl * F.lit(1_000_000_000)
+
+            def _trunc(ns: Column) -> Column:
+                return ns - (ns % bin_ns)
+
+            def _ts_ns(col: Column, dt2) -> Column:
+                tn2 = dt2.typeName() if dt2 is not None else "double"
+                if tn2 == "timestamp":
+                    return F.unix_micros(col) * F.lit(1000)
+                return col.cast("long")
+
+            variants = self._carrier_variants(ts, tdt)
+            cases = []
+            for cond, mcol, mdt, merr in variants:
+                if merr is not None:
+                    cases.append(
+                        (cond, None, None, merr, T.StringType())
+                    )
+                    continue
+                ns = _ts_ns(mcol, mdt)
+                if per_t is not None:
+                    dur_cond = per_t == "duration"
+                    c2 = cond & dur_cond if cond is not None else dur_cond
+                    cases.append(
+                        (c2, _trunc(ns), T.LongType(), None, None)
+                    )
+                    c3 = (
+                        cond & ~F.coalesce(dur_cond, F.lit(False))
+                        if cond is not None
+                        else ~F.coalesce(dur_cond, F.lit(False))
+                    )
+                    cases.append(
+                        (
+                            c3,
+                            F.timestamp_micros(
+                                (_trunc(ns) / F.lit(1000)).cast("long")
+                            ),
+                            T.TimestampType(),
+                            None,
+                            None,
+                        )
+                    )
+                elif mdt is not None and mdt.typeName() == "long":
+                    cases.append(
+                        (cond, _trunc(ns), T.LongType(), None, None)
+                    )
+                else:
+                    cases.append(
+                        (
+                            cond,
+                            F.timestamp_micros(
+                                (_trunc(ns) / F.lit(1000)).cast("long")
+                            ),
+                            T.TimestampType(),
+                            None,
+                            None,
+                        )
+                    )
+            return self._cases_to_carrier(cases)
         if name in ("lower", "upper") and len(args) == 1:
             # per-VALUE string requirement (function/lower.go): a
             # non-string operand yields error({message:"...: string
@@ -5053,64 +5319,197 @@ class Compiler:
             return fn(v)
         if name == "len":
             c = self.expr(args[0], df)
+            per = tv = None
             if (
                 "__zed_types" in df.columns
                 and args[0][0] in ("field", "this")
                 and not getattr(self, "_this_stack", None)
             ):
-                # per-row ip/net identity (len.go: ip → address byte
-                # length, net → prefix bits — widened to strings here)
+                # per-row identity (len.go): ip → 4/16 address
+                # bytes, net → 8/32 (network+mask byte image), type
+                # values → type length; all nulls are 0
                 key = (
                     ".".join(args[0][1]) if args[0][0] == "field" else ""
                 )
-                per = F.element_at(F.col("__zed_types"), F.lit(key))
-                base = F.regexp_replace(per, r"^([^\W\d][\w$]*=)+", "")
-                s = c.cast("string")
-                ipnet = (
-                    F.when(
-                        base == "ip",
-                        F.when(s.contains(":"), F.lit(16)).otherwise(4),
-                    )
-                    .when(
-                        base == "net",
-                        F.split(s, "/").getItem(1).cast("long"),
-                    )
-                    .cast("long")
+                per = F.regexp_replace(
+                    F.element_at(F.col("__zed_types"), F.lit(key)),
+                    r"^([^\W\d][\w$]*=)+",
+                    "",
                 )
-                dt0 = self._type_of(args[0], df)
-                if isinstance(dt0, T.StringType):
-                    return F.coalesce(
-                        ipnet, F.length(s).cast("long")
-                    )
+                tv = F.element_at(
+                    F.col("__zed_types"), F.lit("\x00tv:" + key)
+                )
 
             def _len_of(col: Column, dt) -> Column:
+                # len(null) is 0 in zed for EVERY type (len.go null
+                # case), not Spark's -1/null
                 tn = dt.typeName() if dt is not None else "string"
                 if tn in ("array", "map"):
-                    # len(null container) is 0 in zed, not Spark's -1
-                    return F.when(col.isNull(), F.lit(0)).otherwise(
-                        F.size(col)
-                    ).cast("long")
-                if tn == "binary":
-                    return F.octet_length(col).cast("long")
-                if tn == "struct":
-                    return F.lit(len(dt.fields)).cast("long")
-                return F.length(col.cast("string")).cast("long")
+                    v2 = F.size(col)
+                elif tn == "binary":
+                    v2 = F.octet_length(col)
+                elif tn == "struct":
+                    v2 = F.lit(len(dt.fields))
+                else:
+                    v2 = F.length(col.cast("string"))
+                return (
+                    F.when(col.isNull(), F.lit(0))
+                    .otherwise(v2)
+                    .cast("long")
+                )
 
             try:
                 cdt = df.select(c.alias("__t")).schema[0].dataType
             except Exception:
                 cdt = None
-            members = self._union_members(c, cdt)
-            if members is not None:
-                # len dispatches on each value's runtime type
-                # (len.go) — one branch per union member
-                out = F.lit(None).cast("long")
-                for pos, (mcol, mdt) in enumerate(members):
-                    out = F.when(
-                        c.getField("tag") == pos, _len_of(mcol, mdt)
-                    ).otherwise(out)
-                return out
-            return _len_of(c, cdt)
+
+            def _overrides(val: Column, s: Column) -> Column:
+                if per is None:
+                    return val
+                from zed_spark.sources.ztypes import type_value_len
+
+                tvl = F.udf(type_value_len, T.LongType())
+                zero = F.when(s.isNull(), F.lit(0))
+                return (
+                    F.when(
+                        per == "ip",
+                        F.coalesce(
+                            zero,
+                            F.when(s.contains(":"), F.lit(16)).otherwise(
+                                F.lit(4)
+                            ),
+                        ),
+                    )
+                    .when(
+                        per == "net",
+                        F.coalesce(
+                            zero,
+                            F.when(s.contains(":"), F.lit(32)).otherwise(
+                                F.lit(8)
+                            ),
+                        ),
+                    )
+                    .when(
+                        (per == "type") & tv.isNotNull(),
+                        F.coalesce(zero, tvl(tv)),
+                    )
+                    .otherwise(val)
+                    .cast("long")
+                )
+
+            variants = self._carrier_variants(c, cdt)
+            if len(variants) == 1 and variants[0][3] is None:
+                return _overrides(_len_of(c, cdt), c.cast("string"))
+            # mixed stream: per-member dispatch; error members become
+            # the reference's error({message:"len()", on:<error>})
+            # (runtime/ztests/expr/function/len)
+            cases = []
+            sstr = None
+            for cond, mcol, mdt, merr in variants:
+                if merr is None and mdt is not None and mdt.typeName() == "string":
+                    sstr = mcol if sstr is None else F.coalesce(sstr, mcol)
+            for cond, mcol, mdt, merr in variants:
+                if merr is not None:
+                    on_t = T.StructType(
+                        [
+                            T.StructField("tag", T.IntegerType()),
+                            T.StructField("e0", T.StringType()),
+                        ]
+                    )
+                    est = T.StructType(
+                        [
+                            T.StructField("message", T.StringType()),
+                            T.StructField("on", on_t),
+                        ]
+                    )
+                    on_v = F.when(
+                        merr.isNotNull(),
+                        F.struct(
+                            F.lit(0).alias("tag"), merr.alias("e0")
+                        ).cast(on_t),
+                    )
+                    cases.append(
+                        (
+                            cond,
+                            None,
+                            None,
+                            F.struct(
+                                F.lit("len()").alias("message"),
+                                on_v.alias("on"),
+                            ),
+                            est,
+                        )
+                    )
+                else:
+                    val = _len_of(mcol, mdt)
+                    if mdt is not None and mdt.typeName() == "string":
+                        val = _overrides(val, mcol)
+                    elif (
+                        per is not None
+                        and mdt is not None
+                        and mdt.typeName() == "struct"
+                    ):
+                        # a fused mixed stream widens every record
+                        # member to the superset schema — the
+                        # sidecar holds the row's TRUE record type,
+                        # whose top-level arity is the answer
+                        from zed_spark.sources.ztypes import (
+                            type_value_len,
+                        )
+
+                        tvl2 = F.udf(type_value_len, T.LongType())
+                        val = F.coalesce(
+                            F.when(
+                                per.startswith("{") & mcol.isNotNull(),
+                                tvl2(per),
+                            ),
+                            val,
+                        ).cast("long")
+                    cases.append((cond, val, T.LongType(), None, None))
+            # a bare null union carrier: len(null) = 0 — except
+            # error(null), which the sidecar identifies (it rides
+            # tagless since its message is null): len() error with a
+            # null on-operand
+            null_cond = c.isNull() | c.getField("tag").isNull()
+            if per is not None:
+                is_errnull = F.coalesce(
+                    per.startswith("error"), F.lit(False)
+                )
+                on_t2 = T.StructType(
+                    [
+                        T.StructField("tag", T.IntegerType()),
+                        T.StructField("e0", T.StringType()),
+                    ]
+                )
+                est2 = T.StructType(
+                    [
+                        T.StructField("message", T.StringType()),
+                        T.StructField("on", on_t2),
+                    ]
+                )
+                cases.append(
+                    (
+                        null_cond & is_errnull,
+                        None,
+                        None,
+                        F.struct(
+                            F.lit("len()").alias("message"),
+                            F.lit(None).cast(on_t2).alias("on"),
+                        ),
+                        est2,
+                    )
+                )
+                null_cond = null_cond & ~is_errnull
+            cases.append(
+                (
+                    null_cond,
+                    F.lit(0).cast("long"),
+                    T.LongType(),
+                    None,
+                    None,
+                )
+            )
+            return self._cases_to_carrier(cases)
         if name == "every":
             ts_col = "ts" if "ts" in df.columns else df.columns[0]
             return every_key(

@@ -24,26 +24,31 @@ from zed_spark.lang.lexer import Token, tokenize
 _SENTINEL = object()
 
 
-def _const_dep_check(e, consts: dict, funcs: dict, name: str) -> None:
+def _const_dep_check(
+    e, consts: dict, funcs: dict, name: str, types: dict | None = None
+) -> None:
     """const bodies must be data-independent (semantic/op.go: 'const
     ... cannot have variable dependency'): field/this references are
-    rejected unless the name is a previously declared const."""
+    rejected unless the name is a previously declared const — or a
+    declared named TYPE, which reads as a type value (expr/ztests/
+    type-map: const schemas = |{"conn": conn, ...}|)."""
     if not isinstance(e, tuple):
         return
     if e[0] == "this" or (
         e[0] == "field" and e[1] and ".".join(e[1]) not in consts
         and e[1][0] not in consts
+        and e[1][0] not in (types or {})
     ):
         raise ValueError(
             f'const "{name}" cannot have variable dependency'
         )
     for sub in e[1:]:
         if isinstance(sub, tuple):
-            _const_dep_check(sub, consts, funcs, name)
+            _const_dep_check(sub, consts, funcs, name, types)
         elif isinstance(sub, list):
             for x in sub:
                 if isinstance(x, tuple):
-                    _const_dep_check(x, consts, funcs, name)
+                    _const_dep_check(x, consts, funcs, name, types)
 
 AGG_FNS = {
     "count", "sum", "avg", "min", "max", "any", "dcount", "collect",
@@ -185,7 +190,7 @@ class Parser:
                 name = p.next().text
                 p.expect("=")
                 e = p.parse_expr()
-                _const_dep_check(e, p.consts, p.funcs, name)
+                _const_dep_check(e, p.consts, p.funcs, name, p.types)
                 p._declare(name)
                 p.consts[name] = e
 

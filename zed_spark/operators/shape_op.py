@@ -179,6 +179,19 @@ def _project(
             out = F.array_sort(out, cmp)
         return out
     if cast and src != dst:
+        scalar = (
+            "array", "map", "struct",
+        )
+        if (
+            src.typeName() not in scalar
+            and dst.typeName() in scalar
+        ):
+            # Spark rejects scalar→container casts at ANALYSIS time;
+            # zed-wise these columns only arise from all-null
+            # inference (`{array:null}` against a [string] target) —
+            # the value becomes the typed null
+            # (expr/ztests/shape-null-container)
+            return F.lit(None).cast(dst)
         return col.cast(dst)
     return col
 

@@ -708,6 +708,17 @@ def _flatten_fields(schema: T.StructType, hints: dict | None = None):
                 m = f.metadata["zeek"]
             name = f"{prefix}{f.name}"
             if unrepresentable(f.dataType):
+                h0 = hints.get(name)
+                if (
+                    isinstance(h0, str)
+                    and not (h0.startswith("(") and h0.endswith(")"))
+                ):
+                    # a union COLUMN whose per-row type is concrete
+                    # (mixed string|set|vector stream): this block's
+                    # rows carry one member — representable
+                    # (zeekio/ztests/zeek-format-test)
+                    out.append((name, f.dataType, _zeek_from_zed(h0)))
+                    continue
                 raise ValueError(
                     f"{name}: type cannot be represented in zeek format"
                 )
@@ -740,6 +751,35 @@ def _flatten_fields(schema: T.StructType, hints: dict | None = None):
 def _render_value(v, dt: T.DataType, zt: str, sep: str, set_sep: str) -> str:
     if v is None:
         return "-"
+    if isinstance(v, dict) and "tag" in v and all(
+        k == "tag" or (k[:1] in "ve" and k[1:].isdigit()) for k in v
+    ):
+        # tagged-union cell (mixed-type column): render the active
+        # member under the block's concrete zeek type
+        # (zeekio/ztests/zeek-format-test)
+        mv = next(
+            (
+                x
+                for k, x in v.items()
+                if k != "tag" and x is not None
+            ),
+            None,
+        )
+        if mv is None:
+            return "-"
+        if isinstance(mv, (list, tuple)):
+            if len(mv) == 0:
+                return "(empty)"
+            inner = (
+                zt[zt.index("[") + 1 : -1] if zt and "[" in zt else ""
+            )
+            return set_sep.join(
+                _render_value(
+                    e, T.StringType(), inner, sep + set_sep, set_sep
+                )
+                for e in mv
+            )
+        return _render_value(mv, T.StringType(), zt, sep, set_sep)
     if zt == "time" or isinstance(dt, T.TimestampType):
         from datetime import datetime, timezone
 
@@ -833,10 +873,84 @@ def to_zeek_text(df: DataFrame) -> str:
     column types — uint64 renders as count, duration as interval
     seconds, ip/net as addr/subnet (zng-types.yaml)."""
     hints = {}
-    if "__zed_types" in df.columns:
+    sidecar = "__zed_types" in df.columns
+    if sidecar:
         first = df.select("__zed_types").first()
         if first and first[0]:
             hints = dict(first[0])
+    keep = [c for c in df.columns if not c.startswith("__zed_")]
+    if sidecar:
+        rows = df.select(*keep, "__zed_types").collect()
+        sigs = {
+            tuple(sorted((r["__zed_types"] or {}).items())) for r in rows
+        }
+        if len(sigs) > 1:
+            # per-row record types differ: the reference re-emits
+            # #path/#fields/#types on every type change
+            # (zeekio/ztests/multizng) — render block-by-block with
+            # each block's own type hints
+            import zed_spark.schema as _zs
+
+            schema = df.select(*keep).schema
+            out: list[str] = []
+            started = False
+            cur_sig = object()
+            for r in rows:
+                h = dict(r["__zed_types"] or {})
+                sig = tuple(sorted(h.items()))
+                if sig != cur_sig:
+                    fields = _flatten_fields(schema, h)
+                    # restrict to the row-type's own fields when the
+                    # root descriptor is known (mixed field sets)
+                    if "" in h:
+                        fields = [
+                            f
+                            for f in fields
+                            if f[0] in h or f[0] == "_path"
+                        ]
+                    blk = list(
+                        _render_rows([r], fields)
+                    )
+                    if started:
+                        # drop the per-block preamble except
+                        # #path/#fields/#types (writer.go re-emits
+                        # only those on a type change)
+                        blk = [
+                            ln
+                            for ln in blk
+                            if not ln.startswith(
+                                (
+                                    "#separator",
+                                    "#set_separator",
+                                    "#empty_field",
+                                    "#unset_field",
+                                )
+                            )
+                        ]
+                    out.extend(blk)
+                    cur_sig = sig
+                    started = True
+                else:
+                    body = [
+                        (n, dt, zt) for n, dt, zt in fields if n != "_path"
+                    ]
+                    d = r.asDict(recursive=True)
+
+                    def get(dotted, d=d):
+                        cur = d
+                        for p in dotted.split("."):
+                            if not isinstance(cur, dict):
+                                return None
+                            cur = cur.get(p)
+                        return cur
+
+                    out.append(
+                        "\t".join(
+                            _render_value(get(n), dt, zt or "", "\t", ",")
+                            for n, dt, zt in body
+                        )
+                    )
+            return "\n".join(out) + ("\n" if out else "")
     df = df.drop(*[c for c in df.columns if c.startswith("__zed_")])
     fields = _flatten_fields(df.schema, hints)
     lines = list(_render_rows(df.collect(), fields))

@@ -638,6 +638,75 @@ def encode_zng(rows, schema, compress: bool = True) -> bytes:
     frames are LZ4-compressed by default like the reference writer
     (zio/zngio/writer.go compression default); compress=False matches
     `-zng.compress=false`."""
+    from pyspark.sql import types as T
+
+    miss_idx = next(
+        (
+            i
+            for i, f in enumerate(schema.fields)
+            if f.name == "__zed_missing"
+        ),
+        None,
+    )
+    if miss_idx is not None:
+        # per-row SHAPES: rows carrying presence marks encode under a
+        # sub-schema that omits their absent fields, so a round-trip
+        # preserves absence instead of widening it to typed nulls
+        # (zngio/ztests/zctx-named-reset-2)
+        rows = list(rows)
+        keep = [
+            f for f in schema.fields if not f.name.startswith("__zed_")
+        ]
+
+        def absent_of(row) -> frozenset:
+            d = row.asDict() if hasattr(row, "asDict") else dict(row)
+            m = d.get("__zed_missing") or ()
+            return frozenset(
+                p for p in m if "\x00" not in p
+            )
+
+        def prune(st: T.StructType, absent, prefix="") -> T.StructType:
+            fs = []
+            for f in st.fields:
+                p = prefix + f.name
+                if p in absent:
+                    continue
+                if isinstance(f.dataType, T.StructType):
+                    sub = prune(f.dataType, absent, p + ".")
+                    fs.append(T.StructField(f.name, sub, f.nullable))
+                else:
+                    fs.append(f)
+            return T.StructType(fs)
+
+        defs2: list[bytes] = []
+        memo2: dict[str, int] = {}
+        shape_ids: dict[frozenset, tuple[int, T.StructType]] = {}
+        prepared = []
+        for row in rows:
+            a = absent_of(row)
+            if a not in shape_ids:
+                sub = prune(T.StructType(keep), a)
+                shape_ids[a] = (
+                    _schema_typedefs(sub, defs2, memo2),
+                    sub,
+                )
+            tid, sub = shape_ids[a]
+            d = row.asDict() if hasattr(row, "asDict") else dict(row)
+            prepared.append((tid, sub, d))
+        out = bytearray()
+        if defs2:
+            out += _frame(0, b"".join(defs2))
+        vals = bytearray()
+        for tid, sub, d in prepared:
+            _put_uvarint(vals, tid)
+            _append_tagged(vals, _encode_body(d, sub))
+            if len(vals) >= 512 * 1024:
+                out += _frame(1, bytes(vals), compress)
+                vals = bytearray()
+        if vals:
+            out += _frame(1, bytes(vals), compress)
+        out.append(0xFF)
+        return bytes(out)
     defs: list[bytes] = []
     memo: dict[str, int] = {}
     top = _schema_typedefs(schema, defs, memo)

@@ -459,6 +459,19 @@ def _classify(tok: str):
     try:
         return float(tok)
     except ValueError:
+        if "/" in tok and ":" in tok or (
+            "/" in tok and tok.count(".") == 3
+        ):
+            # net literal: the reference stores the MASKED network
+            # (DecodeNet) — `1::/8` reads back as `::/8`
+            # (expr/function/len ztest)
+            try:
+                import ipaddress
+
+                n = ipaddress.ip_network(tok, strict=False)
+                return f"{n.network_address}/{n.prefixlen}"
+            except ValueError:
+                pass
         # ip / net / enum symbols etc. ride as strings
         return tok
 

@@ -564,6 +564,37 @@ def type_sort_key(s: str) -> str:
         return "9" + s
 
 
+def type_value_len(s: str | None) -> int | None:
+    """len(<type>) — the reference's len over type values
+    (function/len.go TypeOfType case): records count fields, unions
+    count members, arrays/sets recurse into the element, named types
+    defer to the underlying, primitives are 1
+    (runtime/ztests/expr/function/len)."""
+    if not s:
+        return None
+    try:
+        d = parse_type_string(s)
+    except Exception:
+        return None
+
+    def n(d) -> int:
+        while d[0] == "named":
+            d = d[2]
+        if d[0] == "record":
+            return len(d[1])
+        if d[0] == "union":
+            return len(d[1])
+        if d[0] in ("array", "set", "error"):
+            return n(d[1])
+        if d[0] == "map":
+            return n(d[1]) + n(d[2])
+        if d[0] == "enum":
+            return len(d[1])
+        return 1
+
+    return n(d)
+
+
 def value_kind_rank(s: str | None) -> int | None:
     """Cross-type VALUE ordering rank (reference sort.go
     compareValues): all numbers — type ID ≤ decimal256, which
