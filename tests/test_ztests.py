@@ -179,7 +179,6 @@ UNSUPPORTED: dict[str, str] = {
         "shape-cast-from-union": _U,
         "shape-cast-set-to-array": "record-element set order: zcode normalization of container elements after cast [shape]",
         "shape-map": "per-row dynamic cast target (schemas[_path]) " + _S,
-        "slice": "slicing union-typed columns " + _U,
     }.items()
 }
 UNSUPPORTED.update(
@@ -245,10 +244,6 @@ UNSUPPORTED.update(
     {
         f"/root/reference/zio/zjsonio/ztests/{k}.yaml": v
         for k, v in {
-            "empty-records": "zjson writer golden needs int32 "
-            "identity in the emitted type frame [shape]",
-            "type-value": "zjson writer golden with type-valued "
-            "column [shape]",
         }.items()
     }
 )
@@ -394,7 +389,6 @@ _LAKE_GAPS = {
     "lake/compact-vectors.yaml": _SUBST,
     "lake/compact.yaml": _SUBST,
     "lake/consecutive-ts.yaml": "reads the lake's internal seek-index files [script]",
-    "lake/import-check.yaml": "decorator/value field-count validation on load [shape]",
     "lake/lake-version.yaml": _SH2,
     "lake/log.yaml": "git-style log golden incl. exact ZNG byte counts [script]",
     "lake/ls.yaml": _FMTG,
@@ -2367,6 +2361,22 @@ def _compare_case(out, wrapped, case, path):
     from zed_spark.sources.zson import parse_zson
 
     flags = case.get("output-flags", "")
+    if "-f zjson" in flags:
+        import json as _json2
+
+        from zed_spark.sources.zjson import to_zjson_text
+
+        got_lines = to_zjson_text(out)
+        got = [_norm(_json2.loads(ln)) for ln in got_lines]
+        want = [
+            _norm(_json2.loads(ln))
+            for ln in case["output"].splitlines()
+            if ln.strip()
+        ]
+        assert got == want, (
+            f"{path} (zjson)\n  got:  {got}\n  want: {want}"
+        )
+        return
     if "-f zeek" in flags:
         from zed_spark.sources.zeek import to_zeek_text
 

@@ -818,10 +818,26 @@ class Compiler:
                 ts_col = "ts" if "ts" in df.columns else df.columns[0]
                 ev = (ts_col, duration_interval(every))
             out = ops.summarize(df, by=by, aggs=agg_cols, every=ev)
-            if kt_names:
+            tv_keys = [
+                name
+                for name, e in keys
+                if e[0] == "call"
+                and e[1] in ("typeof", "typeunder")
+                and "." not in name
+            ]
+            if kt_names or tv_keys:
                 pairs: list = []
                 for name in kt_names:
                     pairs += [F.lit(name), F.col(f"__zed_kt_{name}")]
+                for name in tv_keys:
+                    # a typeof() group key is a TYPE VALUE: its own
+                    # type is `type`, its content the denoted type —
+                    # writers need both (zjsonio/ztests/type-value)
+                    pairs += [
+                        F.lit(name), F.lit("type"),
+                        F.lit("\x00tv:" + name),
+                        F.col(name).cast("string"),
+                    ]
                 out = out.withColumn(
                     "__zed_types",
                     F.map_filter(
@@ -1852,6 +1868,63 @@ class Compiler:
                 return l.eqNullSafe(r)
             if op == "!=":
                 return ~l.eqNullSafe(r)
+            if op in ("<", "<=", ">", ">="):
+                # ordering over carrier operands (len(a)>0 where
+                # len carries per-member errors): compare the value
+                # members, propagate error alternatives
+                # (expr/ztests/slice a8 guard)
+                def _ord_parts(c0, dt0):
+                    vs0 = self._carrier_variants(c0, dt0)
+                    if len(vs0) == 1 and vs0[0][3] is None:
+                        return c0, None
+                    val0 = err0 = None
+                    for cond0, v0, _t0, ec0 in vs0:
+                        if ec0 is not None:
+                            w0 = F.when(cond0, ec0.cast("string"))
+                            err0 = (
+                                w0
+                                if err0 is None
+                                else F.coalesce(err0, w0)
+                            )
+                        else:
+                            w0 = (
+                                F.when(cond0, v0)
+                                if cond0 is not None
+                                else v0
+                            )
+                            val0 = (
+                                w0
+                                if val0 is None
+                                else F.coalesce(val0, w0)
+                            )
+                    return (
+                        val0 if val0 is not None else F.lit(None)
+                    ), err0
+
+                lv, le2 = _ord_parts(l, self._type_of(e[2], df))
+                rv, re3 = _ord_parts(r, self._type_of(e[3], df))
+                if le2 is not None or re3 is not None:
+                    errs = [x for x in (le2, re3) if x is not None]
+                    err0 = (
+                        errs[0]
+                        if len(errs) == 1
+                        else F.coalesce(*errs)
+                    )
+                    cmpv = {
+                        "<": lv < rv,
+                        "<=": lv <= rv,
+                        ">": lv > rv,
+                        ">=": lv >= rv,
+                    }[op]
+                    return self._mk_carrier(
+                        T.BooleanType(),
+                        F.when(
+                            err0.isNull(),
+                            F.coalesce(cmpv, F.lit(False)),
+                        ),
+                        err0,
+                    )
+                l, r = lv, rv
             if op == "<":
                 return F.coalesce(l < r, F.lit(False))
             if op == "<=":
@@ -2148,6 +2221,20 @@ class Compiler:
         if kind == "cond":
             tcol, fcol = self.expr(e[2], df), self.expr(e[3], df)
             tdt, fdt = self._type_of(e[2], df), self._type_of(e[3], df)
+            cdt0 = self._type_of(e[1], df)
+            ccol0 = None
+            if cdt0 is not None and isinstance(cdt0, T.StructType):
+                from zed_spark.schema import is_union_type as _iuc0
+
+                if _iuc0(cdt0):
+                    # carrier-valued condition (len(a)>0 over a
+                    # mixed stream): the boolean member drives the
+                    # branch; error rows fall to the false branch
+                    # like zed's null-falsy conditions
+                    cv0, _ce0 = self._bool_parts(
+                        self.expr(e[1], df), cdt0
+                    )
+                    ccol0 = F.coalesce(cv0, F.lit(False))
             if (
                 tdt is not None
                 and fdt is not None
@@ -2163,14 +2250,16 @@ class Compiler:
                 ut = union_type(tdt, fdt)
                 members = [fld.dataType for fld in ut.fields[1:]]
                 return F.when(
-                    self.expr(e[1], df),
+                    ccol0 if ccol0 is not None else self.expr(e[1], df),
                     make_union(
                         members.index(tdt), tcol, len(members), members
                     ),
                 ).otherwise(
                     make_union(members.index(fdt), fcol, len(members), members)
                 )
-            return F.when(self.expr(e[1], df), tcol).otherwise(fcol)
+            return F.when(
+                ccol0 if ccol0 is not None else self.expr(e[1], df), tcol
+            ).otherwise(fcol)
         if kind == "index":
             # zed arrays are 0-based (eval.go:583 getNthFromContainer);
             # negative indices count from the end (slice.go sliceIndex
@@ -2608,6 +2697,176 @@ class Compiler:
             # reference sliceIndex: negative lo/hi add length, then
             # clamp to [0, len] — s[-3:] and a[1:-1] work as in zed
             base = self.expr(e[1], df)
+            bdt0 = self._type_of(e[1], df)
+            from zed_spark.schema import is_union_type as _ius9
+
+            if (
+                bdt0 is not None
+                and isinstance(bdt0, T.StructType)
+                and _ius9(bdt0)
+            ):
+                # slicing a MIXED stream (expr/ztests/slice): bytes
+                # slice bytes, strings slice runes, arrays/sets
+                # slice elements; any other member — and a bare
+                # null — is error({message:"sliced value is not
+                # array, set, bytes, or string", on:<value>});
+                # a non-numeric or error-valued bound is
+                # error("slice index is not a number")
+                def bound_parts(b):
+                    ints9 = (
+                        "byte", "short", "integer", "long",
+                        "double", "float",
+                    )
+                    if b is None:
+                        return None, None
+                    c9 = self.expr(b, df)
+                    dt9 = self._type_of(b, df)
+                    vs9 = self._carrier_variants(c9, dt9)
+                    if len(vs9) == 1 and vs9[0][3] is None:
+                        t9 = vs9[0][2]
+                        if t9 is None or t9.typeName() in ints9:
+                            return c9.cast("long"), None
+                        return None, F.lit(True)
+                    val9 = None
+                    err9 = None
+                    for cond9, v9, t9, ec9 in vs9:
+                        if ec9 is not None or (
+                            t9 is not None
+                            and t9.typeName() not in ints9
+                        ):
+                            w9 = F.when(cond9, F.lit(True))
+                            err9 = (
+                                w9
+                                if err9 is None
+                                else F.coalesce(err9, w9)
+                            )
+                        else:
+                            w9 = v9.cast("long")
+                            w9 = (
+                                w9 if cond9 is None else F.when(cond9, w9)
+                            )
+                            val9 = (
+                                w9
+                                if val9 is None
+                                else F.coalesce(val9, w9)
+                            )
+                        # a null carrier bound (missing) errs too
+                    err9 = F.coalesce(
+                        err9,
+                        c9.isNull() | c9.getField("tag").isNull(),
+                        F.lit(False),
+                    )
+                    return val9, err9
+
+                lo_v, lo_e = bound_parts(e[2])
+                hi_v, hi_e = bound_parts(e[3])
+                bad = None
+                for x in (lo_e, hi_e):
+                    if x is not None:
+                        bad = x if bad is None else (bad | x)
+                bad = (
+                    F.coalesce(bad, F.lit(False))
+                    if bad is not None
+                    else F.lit(False)
+                )
+                cases = []
+                for cond, mcol, mdt, merr in self._carrier_variants(
+                    base, bdt0
+                ):
+                    if merr is not None:
+                        cases.append(
+                            (cond, None, None, merr, T.StringType())
+                        )
+                        continue
+                    tn9 = mdt.typeName() if mdt is not None else None
+                    if tn9 in ("binary", "string", "array"):
+                        if tn9 == "binary":
+                            ln9 = F.octet_length(mcol).cast("long")
+                        elif tn9 == "string":
+                            ln9 = F.length(mcol).cast("long")
+                        else:
+                            ln9 = F.size(mcol).cast("long")
+
+                        def clamp(v9, default):
+                            if v9 is None:
+                                return default
+                            v9 = F.when(v9 < 0, v9 + ln9).otherwise(v9)
+                            return F.greatest(
+                                F.lit(0), F.least(v9, ln9)
+                            )
+
+                        lo9 = clamp(lo_v, F.lit(0))
+                        hi9 = clamp(hi_v, ln9)
+                        w9 = F.greatest(hi9 - lo9, F.lit(0))
+                        if tn9 == "array":
+                            val9 = F.slice(
+                                mcol, (lo9 + 1).cast("int"), w9.cast("int")
+                            )
+                        else:
+                            val9 = mcol.substr(
+                                (lo9 + 1).cast("int"), w9.cast("int")
+                            )
+                        cases.append(
+                            (cond & ~bad, val9, mdt, None, None)
+                        )
+                        cases.append(
+                            (
+                                cond & bad,
+                                None,
+                                None,
+                                F.lit("slice index is not a number"),
+                                T.StringType(),
+                            )
+                        )
+                    else:
+                        est9 = T.StructType(
+                            [
+                                T.StructField("message", T.StringType()),
+                                T.StructField(
+                                    "on",
+                                    mdt
+                                    if mdt is not None
+                                    else T.StringType(),
+                                ),
+                            ]
+                        )
+                        cases.append(
+                            (
+                                cond,
+                                None,
+                                None,
+                                F.struct(
+                                    F.lit(
+                                        "sliced value is not array, "
+                                        "set, bytes, or string"
+                                    ).alias("message"),
+                                    mcol.alias("on"),
+                                ),
+                                est9,
+                            )
+                        )
+                est0 = T.StructType(
+                    [
+                        T.StructField("message", T.StringType()),
+                        T.StructField("on", T.StringType()),
+                    ]
+                )
+                cases.append(
+                    (
+                        base.isNull() | base.getField("tag").isNull(),
+                        None,
+                        None,
+                        F.struct(
+                            F.lit(
+                                "sliced value is not array, set, "
+                                "bytes, or string"
+                            ).alias("message"),
+                            F.lit(None).cast("string").alias("on"),
+                        ),
+                        est0,
+                    )
+                )
+                return self._cases_to_carrier(cases)
             is_str = self._is_string(e[1], df)
             ln = F.length(base) if is_str else F.size(base)
 

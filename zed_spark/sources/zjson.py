@@ -169,6 +169,135 @@ def df_to_zjson_lines(df: DataFrame):
     return df.rdd.mapPartitions(render)
 
 
+def _desc_tree(d, enc: "_TypeEncoder", memo: dict):
+    """ztypes descriptor → zjson type tree, allocating ids from the
+    shared per-stream encoder (depth-first post-order, like the
+    reference type context). memo keys rendered type strings so a
+    repeated complex type refs its first definition."""
+    from zed_spark.sources.ztypes import render as _zr
+
+    k = d[0]
+    if k == "prim":
+        return {"kind": "primitive", "name": d[1]}
+    key = _zr(d)
+    if key in memo:
+        return {"kind": "ref", "id": memo[key]}
+    if k == "named":
+        inner = _desc_tree(d[2], enc, memo)
+        tid = enc.next_id
+        enc.next_id += 1
+        memo[key] = tid
+        return {
+            "kind": "named",
+            "id": tid,
+            "name": d[1].strip('"'),
+            "type": inner,
+        }
+    if k == "record":
+        fields = [
+            {"name": n, "type": _desc_tree(t, enc, memo)}
+            for n, t in d[1]
+        ]
+        tid = enc.next_id
+        enc.next_id += 1
+        memo[key] = tid
+        return {"kind": "record", "id": tid, "fields": fields}
+    if k in ("array", "set", "error"):
+        inner = _desc_tree(d[1], enc, memo)
+        tid = enc.next_id
+        enc.next_id += 1
+        memo[key] = tid
+        return {"kind": k, "id": tid, "type": inner}
+    if k == "map":
+        kt = _desc_tree(d[1], enc, memo)
+        vt = _desc_tree(d[2], enc, memo)
+        tid = enc.next_id
+        enc.next_id += 1
+        memo[key] = tid
+        return {"kind": "map", "id": tid, "key_type": kt, "val_type": vt}
+    if k == "union":
+        ms = [_desc_tree(m, enc, memo) for m in d[1]]
+        tid = enc.next_id
+        enc.next_id += 1
+        memo[key] = tid
+        return {"kind": "union", "id": tid, "types": ms}
+    return {"kind": "primitive", "name": "string"}
+
+
+def to_zjson_text(df: DataFrame) -> list[str]:
+    """Driver-side ZJSON line renderer for golden compares (the
+    distributed sink is write_zjson). Consults the __zed_types
+    sidecar: precise primitive names (int32 over the widened int64)
+    and type-VALUED columns, whose values render as type trees in
+    the shared type context (zjsonio/ztests/empty-records,
+    type-value)."""
+    from zed_spark.sources.ztypes import parse_type_string
+
+    keep = [c for c in df.columns if not c.startswith("__zed_")]
+    has_t = "__zed_types" in df.columns
+    rows = df.select(
+        *keep, *(["__zed_types"] if has_t else [])
+    ).collect()
+    schema = df.select(*keep).schema
+    enc = _TypeEncoder()
+    memo: dict = {}
+    outer_ids: dict = {}
+    lines: list[str] = []
+    for r in rows:
+        hints = dict(r["__zed_types"] or {}) if has_t else {}
+
+        def ftree(f):
+            h = hints.get(f.name)
+            if h == "type":
+                return {"kind": "primitive", "name": "type"}
+            if h is not None and "\x00" not in h:
+                try:
+                    d = parse_type_string(h)
+                except Exception:
+                    d = None
+                if d is not None and d[0] == "prim":
+                    return {"kind": "primitive", "name": d[1]}
+            return enc.encode(f.dataType)
+
+        fields = [
+            {"name": f.name, "type": ftree(f)} for f in schema.fields
+        ]
+        key = json.dumps(fields, sort_keys=True)
+        if key in outer_ids:
+            t = {"kind": "ref", "id": outer_ids[key]}
+        else:
+            tid = enc.next_id
+            enc.next_id += 1
+            outer_ids[key] = tid
+            t = {"kind": "record", "id": tid, "fields": fields}
+        vals = []
+        for f in schema.fields:
+            v = r[f.name]
+            if hints.get(f.name) == "type":
+                tvs = hints.get("\x00tv:" + f.name)
+                if tvs is None and v is not None:
+                    tvs = str(v)
+                if tvs is None:
+                    vals.append(None)
+                else:
+                    try:
+                        vals.append(
+                            _desc_tree(
+                                parse_type_string(tvs), enc, memo
+                            )
+                        )
+                    except Exception:
+                        vals.append(str(v))
+            else:
+                vals.append(_encode_value(v, f.dataType))
+        lines.append(
+            json.dumps(
+                {"type": t, "value": vals}, separators=(",", ":")
+            )
+        )
+    return lines
+
+
 def write_zjson(df: DataFrame, path: str, single_file: bool = False) -> None:
     lines = df_to_zjson_lines(df).map(lambda s: (s,))
     out = df.sparkSession.createDataFrame(lines, "value string")

@@ -419,8 +419,21 @@ class _Parser:
                     dt = None
             return TypedNull(dt) if dt is not None else None
         if typ in self.named:
+            reg = self.named[typ]
+            if (
+                isinstance(v, dict)
+                and not isinstance(v, ZMap)
+                and isinstance(reg, T.StructType)
+                and len(reg.fields) != len(v)
+            ):
+                # bare record decorator must match the value's arity
+                # (reference zson reader; lake/ztests/import-check)
+                raise ZsonError(
+                    f"record decorator fields ({len(reg.fields)}) "
+                    f"mismatched with value fields ({len(v)})"
+                )
             # bare named ref (port): conform to the registered type
-            return _apply_type(v, _prim_of(self.named[typ]))
+            return _apply_type(v, _prim_of(reg))
         return _apply_type(v, typ)
 
     def _match_paren(self, start: int) -> int:
