@@ -369,10 +369,6 @@ UNSUPPORTED.update(
             "by zcode byte encoding (length-first containers) — not "
             "replicated " + _S,
             "meta/ztests/pruner": _LAKE,
-            "ztests/cut-dynamic-field": "runtime field names from data "
-            "values (this[expr] targets) " + _S,
-            "ztests/put-dynamic-field": "runtime field names " + _S,
-            "ztests/rename-dynamic-field": "runtime field names " + _S,
         }.items()
     }
 )

@@ -108,6 +108,29 @@ class Compiler:
 
     def apply(self, df: DataFrame | None, node: tuple) -> DataFrame:
         kind = node[0]
+        if kind in ("put", "cut", "rename") and df is not None:
+            if (
+                (
+                    kind == "put"
+                    and any(isinstance(p, tuple) for p, _e in node[1])
+                )
+                or (
+                    kind == "cut"
+                    and any(
+                        isinstance(e2, tuple) and e2[0] == "dyncut"
+                        for e2, _a in node[1]
+                    )
+                )
+                or (
+                    kind == "rename"
+                    and any(
+                        isinstance(x, tuple)
+                        for pair in node[1]
+                        for x in pair
+                    )
+                )
+            ):
+                return self._dynamic_fields(df, node)
         if kind == "from":
             if len(node) > 2:
                 # explicit `format X`: resolvers that understand a
@@ -1602,6 +1625,324 @@ class Compiler:
             if sub:
                 leg = self._run_sub(leg, sub)
             out.append(leg)
+        return out
+
+    def _dynamic_fields(self, df: DataFrame, node: tuple) -> DataFrame:
+        """Runtime field names — `this[expr] := v` targets whose
+        NAMES come from row data (reference op/ztests/
+        {cut,put,rename}-dynamic-field).
+
+        Spark-first shape: the dynamic name expressions resolve to
+        per-row string columns; ONE bounded probe job collects the
+        DISTINCT name tuples (output-schema-sized — the same class of
+        pass as spark.read.json schema inference, never O(rows) on
+        the driver beyond the distinct set), then each distinct
+        combination compiles through the ordinary static operator on
+        its filtered slice and the slices fuse back with per-row
+        presence marks. Rows violating the reference's rules become
+        whole-row error values (duplicate/conflicting targets,
+        missing name)."""
+        kind = node[0]
+
+        def name_col(seg_e):
+            c = self.expr(seg_e, df)
+            dt = self._type_of(seg_e, df)
+            v, _err = self._carrier_value_only(c, dt)
+            return v.cast("string")
+
+        def resolve(target):
+            # → list of per-segment name Columns (static as lits)
+            if isinstance(target, str):
+                return [F.lit(p) for p in target.split(".")]
+            segs = target[1]
+            return [
+                F.lit(v) if k == "s" else name_col(v)
+                for k, v in segs
+            ]
+
+        if kind == "put":
+            raw_targets = [p for p, _e in node[1]]
+        elif kind == "cut":
+            raw_targets = [
+                ("dyn", e2[1])
+                if isinstance(e2, tuple) and e2[0] == "dyncut"
+                else (e2 if isinstance(e2, str) else (a2 or "__x"))
+                for e2, a2 in node[1]
+            ]
+        else:  # rename
+            raw_targets = [x for pair in node[1] for x in pair]
+        targets = [resolve(t2) for t2 in raw_targets]
+        full = [
+            F.concat_ws(".", *cols) if cols else F.lit("")
+            for cols in targets
+        ]
+        tops = [cols[0] for cols in targets]
+
+        # ---- row-level rule violations → whole-row error values
+        err_msg = None
+
+        def add_err(cond, msg_col):
+            nonlocal err_msg
+            w = F.when(cond, msg_col)
+            err_msg = w if err_msg is None else F.coalesce(err_msg, w)
+
+        miss_cond = None
+        for cols in targets:
+            for c2 in cols:
+                mc = c2.isNull()
+                miss_cond = mc if miss_cond is None else (miss_cond | mc)
+        if kind in ("put", "cut") and miss_cond is not None:
+            add_err(miss_cond, F.lit(f"{kind}: missing"))
+        if kind == "cut":
+            for i in range(len(tops)):
+                for j in range(i + 1, len(tops)):
+                    add_err(
+                        tops[i] == tops[j],
+                        F.concat(
+                            F.lit('cut: duplicate field: "'),
+                            tops[i],
+                            F.lit('"'),
+                        ),
+                    )
+        if kind == "put":
+            for i in range(len(full)):
+                for j in range(i + 1, len(full)):
+                    add_err(
+                        full[i] == full[j],
+                        F.concat(
+                            F.lit("put: multiple assignments to "),
+                            full[i],
+                        ),
+                    )
+                    shorter, longer = full[i], full[j]
+                    add_err(
+                        longer.startswith(F.concat(shorter, F.lit("."))),
+                        F.concat(
+                            F.lit(
+                                "put: conflicting nested assignments to "
+                            ),
+                            shorter,
+                            F.lit(" and "),
+                            longer,
+                        ),
+                    )
+                    add_err(
+                        shorter.startswith(F.concat(longer, F.lit("."))),
+                        F.concat(
+                            F.lit(
+                                "put: conflicting nested assignments to "
+                            ),
+                            longer,
+                            F.lit(" and "),
+                            shorter,
+                        ),
+                    )
+        if kind == "rename":
+            for (new, old), ci in zip(
+                node[1], range(0, len(targets), 2)
+            ):
+                ncols, ocols = targets[ci], targets[ci + 1]
+                nd_, od_ = len(ncols), len(ocols)
+                dyn_pair = isinstance(new, tuple) or isinstance(
+                    old, tuple
+                )
+                if not dyn_pair:
+                    continue
+                if nd_ != od_:
+                    add_err(
+                        F.lit(True),
+                        F.concat(
+                            F.lit(
+                                "rename: left-hand side and right-hand "
+                                "side must have the same depth ("
+                            ),
+                            full[ci + 1],
+                            F.lit(" vs "),
+                            full[ci],
+                            F.lit(")"),
+                        ),
+                    )
+                else:
+                    for s in range(nd_ - 1):
+                        add_err(
+                            ncols[s] != ocols[s],
+                            F.concat(
+                                F.lit("rename: cannot rename "),
+                                full[ci + 1],
+                                F.lit(" to "),
+                                full[ci],
+                                F.lit(" (differ in "),
+                                ocols[s],
+                                F.lit(" vs "),
+                                ncols[s],
+                                F.lit(")"),
+                            ),
+                        )
+
+        err_cond = (
+            err_msg.isNotNull() if err_msg is not None else F.lit(False)
+        )
+
+        # ---- probe: distinct dynamic-name tuples over OK rows
+        dyn_exprs: list[Column] = []
+        for cols, target in zip(targets, raw_targets):
+            if isinstance(target, tuple) and target[0] == "dyn":
+                for c2, (k2, _v2) in zip(cols, target[1]):
+                    if k2 == "e":
+                        dyn_exprs.append(c2)
+        probe_df = df.filter(~F.coalesce(err_cond, F.lit(False)))
+        combos = [
+            tuple(r)[:-1]
+            for r in probe_df.select(
+                *[
+                    c2.alias(f"__k{i2}")
+                    for i2, c2 in enumerate(dyn_exprs)
+                ],
+                F.monotonically_increasing_id().alias("__seq"),
+            )
+            .groupBy(*[f"__k{i2}" for i2 in range(len(dyn_exprs))])
+            .agg(F.min("__seq").alias("__seq"))
+            .orderBy("__seq")
+            .collect()
+        ]
+
+        def subst(target, combo_iter):
+            if isinstance(target, str):
+                return target
+            parts = []
+            for k2, v2 in target[1]:
+                parts.append(v2 if k2 == "s" else next(combo_iter))
+            return ".".join(
+                p if "." not in p else f"`{p}`" for p in parts
+            )
+
+        legs: list[DataFrame] = []
+        for combo in combos:
+            if any(v2 is None for v2 in combo):
+                continue
+            it = iter(combo)
+            cond = F.lit(True)
+            for c2, v2 in zip(dyn_exprs, combo):
+                cond = cond & (c2 == F.lit(v2))
+            sub_df = df.filter(
+                cond & ~F.coalesce(err_cond, F.lit(False))
+            )
+            it = iter(combo)
+            if kind == "put":
+                static = (
+                    "put",
+                    [
+                        (
+                            subst(p, it)
+                            if isinstance(p, tuple)
+                            else p,
+                            e2,
+                        )
+                        for p, e2 in node[1]
+                    ],
+                )
+            elif kind == "cut":
+                static_entries = []
+                for e2, a2 in node[1]:
+                    if isinstance(e2, tuple) and e2[0] == "dyncut":
+                        tgt = subst(("dyn", e2[1]), it)
+                        static_entries.append((e2[2], tgt))
+                    else:
+                        static_entries.append((e2, a2))
+                static = ("cut", static_entries)
+            else:
+                pairs2 = []
+                for new, old in node[1]:
+                    pairs2.append(
+                        (
+                            subst(new, it)
+                            if isinstance(new, tuple)
+                            else new,
+                            subst(old, it)
+                            if isinstance(old, tuple)
+                            else old,
+                        )
+                    )
+                static = ("rename", pairs2)
+            legs.append(self.apply(sub_df, static))
+
+        err_leg = None
+        has_err = bool(
+            err_msg is not None
+            and df.filter(err_cond).limit(1).count() > 0
+        )
+        if has_err:
+            data_cols = [
+                c2
+                for c2 in df.columns
+                if not c2.startswith("__zed_")
+            ]
+            rec = F.struct(*[F.col(c2) for c2 in data_cols])
+            rdt = df.select(rec.alias("__r")).schema[0].dataType
+            est = T.StructType(
+                [
+                    T.StructField("message", T.StringType()),
+                    T.StructField("on", rdt),
+                ]
+            )
+            ct = T.StructType(
+                [
+                    T.StructField("tag", T.IntegerType()),
+                    T.StructField("e0", est),
+                ]
+            )
+            err_leg = df.filter(err_cond).select(
+                F.struct(
+                    F.lit(0).alias("tag"),
+                    F.struct(
+                        err_msg.alias("message"), rec.alias("on")
+                    ).alias("e0"),
+                )
+                .cast(ct)
+                .alias("this")
+            )
+        if err_leg is not None and not legs:
+            return err_leg
+        if not legs:
+            # no rows at all: run the first combo statically against
+            # the empty frame to keep a schema
+            return df.limit(0)
+        if len(legs) == 1 and err_leg is None:
+            return legs[0]
+        # fuse slices back, marking fields the other slices created
+        from zed_spark.operators.fuse import fuse_dataframes
+
+        tops_per_leg = [
+            [c2 for c2 in lg.columns if not c2.startswith("__zed_")]
+            for lg in legs
+        ]
+        merged: list[str] = []
+        for tp in tops_per_leg:
+            for c2 in tp:
+                if c2 not in merged:
+                    merged.append(c2)
+        marked = []
+        for lg, tp in zip(legs, tops_per_leg):
+            absent = [c2 for c2 in merged if c2 not in tp]
+            if absent:
+                prev = (
+                    F.col("__zed_missing")
+                    if "__zed_missing" in lg.columns
+                    else F.array().cast("array<string>")
+                )
+                lg = lg.withColumn(
+                    "__zed_missing",
+                    F.array_union(
+                        F.coalesce(
+                            prev, F.array().cast("array<string>")
+                        ),
+                        F.array(*[F.lit(c2) for c2 in absent]),
+                    ),
+                )
+            marked.append(lg)
+        out = fuse_dataframes(marked, unions="tagged")
+        if err_leg is not None:
+            out = fuse_dataframes([out, err_leg], unions="tagged")
         return out
 
     def _run_sub(self, df: DataFrame, pipeline: list[tuple]) -> DataFrame:

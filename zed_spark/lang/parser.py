@@ -371,10 +371,22 @@ class Parser:
             self.next()
             out = []
             while True:
-                new = self.parse_path()
+                def side():
+                    p = self.parse_path()
+                    if self.peek().text == "[":
+                        segs, dyn = self._dyn_segments(p)
+                        if dyn:
+                            return ("dyn", segs)
+                        p = [
+                            n if "." not in n else f"`{n}`"
+                            for _k, n in segs
+                        ] or ["this"]
+                    return ".".join(p)
+
+                new = side()
                 self.expect(":=")
-                old = self.parse_path()
-                out.append((".".join(new), ".".join(old)))
+                old = side()
+                out.append((new, old))
                 if not self.accept(","):
                     break
             return ("rename", out)
@@ -533,7 +545,9 @@ class Parser:
             return self.parse_summarize_if_aggs()
         except _NotAggs:
             self.i = save
-        if self.peek().kind == "ID" and self.peek(1).text == ":=":
+        if self.peek().kind == "ID" and (
+            self.peek(1).text == ":=" or self._looks_assignment()
+        ):
             return ("put", self.parse_put_list())
         if word == "search":
             # explicit search keyword (the long form of the implied
@@ -1018,15 +1032,88 @@ class Parser:
                 out.append((e, name))
             else:
                 path = self.parse_path()
+                if self.peek().text == "[":
+                    segs, dyn = self._dyn_segments(path)
+                    if dyn:
+                        self.expect(":=")
+                        out.append(
+                            (("dyncut", segs, self.parse_expr()), None)
+                        )
+                        if not self.accept(","):
+                            break
+                        continue
+                    path = [
+                        n if "." not in n else f"`{n}`"
+                        for _k, n in segs
+                    ] or ["this"]
                 out.append((".".join(path), None))
             if not self.accept(","):
                 break
         return out
 
+    def _looks_assignment(self) -> bool:
+        """Lookahead: an ID followed by a path (dots, brackets —
+        including dynamic `[expr]` steps) then ':=' is an implied-put
+        assignment (this[a][b] := ...)."""
+        j = 1
+        depth = 0
+        while j < 64:
+            t = self.peek(j)
+            if not t.text:
+                return False
+            if t.text == "[":
+                depth += 1
+            elif t.text == "]":
+                depth -= 1
+                if depth < 0:
+                    return False
+            elif depth == 0:
+                if t.text == ":=":
+                    return True
+                if t.text != "." and t.kind not in ("ID", "STR"):
+                    return False
+            j += 1
+        return False
+
+    def _dyn_segments(self, first_parts: list[str]):
+        """Continue a target path across DYNAMIC `[expr]` steps
+        (runtime field names — op/ztests/*-dynamic-field). Returns
+        (segments, any_dynamic) where each segment is ('s', name) or
+        ('e', expr_ast)."""
+        segs: list[tuple] = [("s", p) for p in first_parts]
+        dyn = False
+        while self.peek().text == "[":
+            self.next()
+            e = self.parse_expr()
+            self.expect("]")
+            if e[0] == "str":
+                segs.append(("s", e[1]))
+            else:
+                segs.append(("e", e))
+                dyn = True
+            while self.peek().text == "." and self.peek(1).kind == "ID":
+                self.next()
+                segs.append(("s", self.next().text))
+        if segs and segs[0] == ("s", "this"):
+            segs = segs[1:]
+        return segs, dyn
+
     def parse_put_list(self) -> list[tuple]:
         out = []
         while True:
             path = self.parse_path()
+            if self.peek().text == "[":
+                segs, dyn = self._dyn_segments(path)
+                if dyn:
+                    self.expect(":=")
+                    out.append((("dyn", segs), self.parse_expr()))
+                    if not self.accept(","):
+                        break
+                    continue
+                path = [
+                    n if "." not in n else f"`{n}`"
+                    for _k, n in segs
+                ] or ["this"]
             if path[0] == "this" and len(path) > 1:
                 # this["x.y"] / this.a targets address the same field
                 path = path[1:]
