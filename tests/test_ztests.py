@@ -169,16 +169,11 @@ _SC = "shell script form (loop/negation/pipe) outside harness subset [script]"
 UNSUPPORTED: dict[str, str] = {
     f"{SAM_EXPR}/ztests/{k}.yaml": v
     for k, v in {
-        "cast-type": "cast to <type> over a mixed string/type stream "
-        "(per-row cast-failure error values) " + _S,
-        "shape-cast-to-union": "cast TO union over union input needs "
-        "named-member identity " + _S,
         "in-star": "reference-skipped (disabled upstream)",
         "record-spread-function": "unflatten returns a map — spread needs a record",
         "shape-cast": "named-type field rename inside cast targets " + _S,
         "shape-cast-from-union": _U,
         "shape-cast-set-to-array": "record-element set order: zcode normalization of container elements after cast [shape]",
-        "shape-map": "per-row dynamic cast target (schemas[_path]) " + _S,
     }.items()
 }
 UNSUPPORTED.update(

@@ -72,6 +72,54 @@ def _project(
         return col
     from zed_spark.schema import is_union_type
 
+    if cast and is_union_type(dst):
+        # cast TO union (castval.go union assembly): the value tags
+        # into the member slot matching its runtime type; a null
+        # stays the null union value (expr/ztests/shape-cast-to-union)
+        dfields = dst.fields[1:]
+
+        def _slot(t: T.DataType):
+            for i2, f2 in enumerate(dfields):
+                if f2.dataType.simpleString() == t.simpleString():
+                    return i2
+            num = ("byte", "short", "integer", "long", "double", "float")
+            for i2, f2 in enumerate(dfields):
+                if (
+                    f2.dataType.typeName() in num
+                    and t.typeName() in num
+                ):
+                    return i2
+            return None
+
+        def _wrap(v: Column, t: T.DataType) -> Column:
+            i2 = _slot(t)
+            if i2 is None:
+                return F.lit(None).cast(dst)
+            s2 = F.struct(
+                F.lit(i2).alias("tag"),
+                *[
+                    (
+                        v.cast(f2.dataType)
+                        if j2 == i2
+                        else F.lit(None).cast(f2.dataType)
+                    ).alias(f2.name)
+                    for j2, f2 in enumerate(dfields)
+                ],
+            ).cast(dst)
+            return F.when(v.isNull(), F.lit(None).cast(dst)).otherwise(s2)
+
+        if is_union_type(src):
+            out = None
+            for i2, f2 in enumerate(src.fields[1:]):
+                cond2 = col.getField("tag") == F.lit(i2)
+                v2 = _wrap(col.getField(f2.name), f2.dataType)
+                out = (
+                    F.when(cond2, v2)
+                    if out is None
+                    else out.when(cond2, v2)
+                )
+            return out.otherwise(F.lit(None).cast(dst))
+        return _wrap(col, src)
     if is_union_type(src):
         # union source: shape each member, first non-null wins (the
         # reference shapes each value by its runtime type)
