@@ -170,7 +170,6 @@ UNSUPPORTED: dict[str, str] = {
     f"{SAM_EXPR}/ztests/{k}.yaml": v
     for k, v in {
         "in-star": "reference-skipped (disabled upstream)",
-        "record-spread-function": "unflatten returns a map — spread needs a record",
         "shape-cast": "named-type field rename inside cast targets " + _S,
         "shape-cast-from-union": _U,
         "shape-cast-set-to-array": "record-element set order: zcode normalization of container elements after cast [shape]",
@@ -180,10 +179,8 @@ UNSUPPORTED.update(
     {
         f"{SAM_EXPR}/function/ztests/{k}.yaml": v
         for k, v in {
-            "flatten": "flatten values ride as strings (union-valued leaves)",
             "grep": _SC,
             "parse-zson": "dynamic result types per row " + _S,
-            "unflatten": "unflatten rebuilds records at runtime — map model here",
         }.items()
     }
 )

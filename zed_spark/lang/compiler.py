@@ -1089,6 +1089,44 @@ class Compiler:
             if (
                 len(node[1]) == 1
                 and node[1][0][0] == "call"
+                and node[1][0][1] == "unflatten"
+                and len(node[1][0][2]) == 1
+            ):
+                # yield unflatten(e): data-driven record rebuild
+                # (function/ztests/unflatten)
+                return self._dynamic_unflatten(df, node[1][0][2][0])
+            if (
+                len(node[1]) == 1
+                and node[1][0][0] == "call"
+                and node[1][0][1] == "flatten"
+                and len(node[1][0][2]) == 1
+                and node[1][0][2][0][0] in ("this", "field")
+                and "__zed_types" in df.columns
+            ):
+                # yield flatten(e) over a mixed stream: per-row-typed
+                # entry arrays (function/ztests/flatten)
+                return self._dynamic_flatten(df, node[1][0][2][0])
+            if (
+                len(node[1]) == 1
+                and node[1][0][0] == "record"
+                and node[1][0][1]
+                and node[1][0][1][0][0] is None
+                and isinstance(node[1][0][1][0][1], tuple)
+                and node[1][0][1][0][1][0] == "spread"
+                and node[1][0][1][0][1][1][0] == "call"
+                and node[1][0][1][0][1][1][1] == "unflatten"
+                and all(n is not None for n, _v in node[1][0][1][1:])
+            ):
+                # {...unflatten(e), extra:v}
+                # (expr/ztests/record-spread-function)
+                return self._dynamic_unflatten(
+                    df,
+                    node[1][0][1][0][1][1][2][0],
+                    extra=list(node[1][0][1][1:]),
+                )
+            if (
+                len(node[1]) == 1
+                and node[1][0][0] == "call"
                 and node[1][0][1] == "quiet"
                 and len(node[1][0][2]) == 1
             ):
@@ -1739,6 +1777,570 @@ class Compiler:
             return legs[0]
         from zed_spark.operators.fuse import fuse_dataframes
 
+        tops_per_leg = [
+            [c2 for c2 in lg.columns if not c2.startswith("__zed_")]
+            for lg in legs
+        ]
+        merged: list[str] = []
+        for tp in tops_per_leg:
+            for c2 in tp:
+                if c2 not in merged:
+                    merged.append(c2)
+        marked = []
+        for lg, tp in zip(legs, tops_per_leg):
+            absent = [c2 for c2 in merged if c2 not in tp]
+            if absent:
+                prev = (
+                    F.col("__zed_missing")
+                    if "__zed_missing" in lg.columns
+                    else F.array().cast("array<string>")
+                )
+                lg = lg.withColumn(
+                    "__zed_missing",
+                    F.array_union(
+                        F.coalesce(
+                            prev, F.array().cast("array<string>")
+                        ),
+                        F.array(*[F.lit(c2) for c2 in absent]),
+                    ),
+                )
+            marked.append(lg)
+        return fuse_dataframes(marked, unions="tagged")
+
+    def _union_of_value_frames(self, frames: list[DataFrame]) -> DataFrame:
+        """Union N single-`this`-column frames of DIFFERENT value
+        types into one frame whose `this` is a hand-built tagged
+        union — one member per frame shape (bare mixed-type output
+        streams: flatten/unflatten legs)."""
+        if len(frames) == 1:
+            return frames[0]
+        member_ts = [fr.schema["this"].dataType for fr in frames]
+        names = [f"v{i3}" for i3 in range(len(frames))]
+        ut = T.StructType(
+            [T.StructField("tag", T.IntegerType())]
+            + [
+                T.StructField(n3, t3)
+                for n3, t3 in zip(names, member_ts)
+            ]
+        )
+        out_frames = []
+        for i3, fr in enumerate(frames):
+            out_frames.append(
+                fr.select(
+                    F.struct(
+                        F.lit(i3).alias("tag"),
+                        *[
+                            (
+                                F.col("this")
+                                if j3 == i3
+                                else F.lit(None).cast(member_ts[j3])
+                            ).alias(names[j3])
+                            for j3 in range(len(frames))
+                        ],
+                    )
+                    .cast(ut)
+                    .alias("this")
+                )
+            )
+        out = out_frames[0]
+        for fr in out_frames[1:]:
+            out = out.unionByName(fr)
+        return out
+
+    def _dynamic_flatten(self, df: DataFrame, arg_ast: tuple) -> DataFrame:
+        """flatten(e) — records become entry arrays
+        [{key:[path...], value:<leaf>}] (reference
+        function/flatten.go); non-records pass through. The entry
+        VALUE type is the union of the row type's leaf types, so the
+        per-row type sidecar drives one slice per distinct root type
+        (bounded probe), each compiling to pure array/struct
+        expressions; null records flatten to a single null-valued
+        entry (value-driven, CASE per field)."""
+        from zed_spark.sources.ztypes import parse_type_string
+        from zed_spark.schema import is_union_type as _iuf
+        from zed_spark.union import make_union, union_type
+
+        if "__zed_types" not in df.columns:
+            return self.apply(df, ("yield", [("call", "flatten", [arg_ast])]))
+        key = ".".join(arg_ast[1]) if arg_ast[0] == "field" else ""
+        per = F.element_at(F.col("__zed_types"), F.lit(key))
+        combos = [
+            r[0]
+            for r in df.select(
+                per.alias("__t"),
+                F.monotonically_increasing_id().alias("__seq"),
+            )
+            .groupBy("__t")
+            .agg(F.min("__seq").alias("__seq"))
+            .orderBy("__seq")
+            .collect()
+        ]
+        nd0 = dict(getattr(self, "named_descs", None) or {})
+        base = self.expr(arg_ast, df)
+        bdt = self._type_of(arg_ast, df)
+
+        def deref(d):
+            while d[0] == "named":
+                d = d[2]
+            return d
+
+        def pick(col, st, d):
+            """Resolve a (possibly union) column to the member
+            matching the descriptor's type."""
+            if not (isinstance(st, T.StructType) and _iuf(st)):
+                return col, st
+            try:
+                from pyspark.sql.types import _parse_datatype_string
+
+                want = _parse_datatype_string(
+                    self._type_ddl(self._desc_to_ast(d))
+                ).simpleString()
+            except Exception:
+                want = None
+            for f2 in st.fields[1:]:
+                if f2.dataType.simpleString() == want:
+                    return col.getField(f2.name), f2.dataType
+            dd = deref(d)
+            for f2 in st.fields[1:]:
+                tn2 = f2.dataType.typeName()
+                if dd[0] == "record" and tn2 == "struct" and not _iuf(
+                    f2.dataType
+                ):
+                    if set(n2 for n2, _t2 in dd[1]) <= set(
+                        f2.dataType.fieldNames()
+                    ):
+                        return col.getField(f2.name), f2.dataType
+                if dd[0] in ("array", "set") and tn2 == "array":
+                    return col.getField(f2.name), f2.dataType
+                if dd[0] == "prim" and tn2 not in ("struct", "array", "map"):
+                    return col.getField(f2.name), f2.dataType
+            return col, st
+
+        legs: list[DataFrame] = []
+        for tstr in combos:
+            if tstr is None:
+                continue
+            try:
+                d0 = deref(parse_type_string(tstr, dict(nd0)))
+            except ValueError:
+                d0 = ("prim", "string")
+            leg = df.filter(per.eqNullSafe(F.lit(tstr)))
+            if d0[0] != "record":
+                legs.append(
+                    self.apply(leg, ("yield", [arg_ast]))
+                )
+                continue
+            # collect leaf (path, col, spark_type) in order;
+            # record-typed nulls emit the null entry per VALUE
+            leaves: list[tuple] = []
+
+            def walk(col, st, d, path):
+                d2 = deref(d)
+                col2, st2 = pick(col, st, d2)
+                if d2[0] != "record":
+                    leaves.append((path, col2, st2))
+                    return [("leaf", len(leaves) - 1)]
+                kids = []
+                for n2, td2 in d2[1]:
+                    if (
+                        isinstance(st2, T.StructType)
+                        and not _iuf(st2)
+                        and n2 in st2.fieldNames()
+                    ):
+                        kids.extend(
+                            walk(
+                                col2.getField(n2),
+                                st2[n2].dataType,
+                                td2,
+                                path + [n2],
+                            )
+                        )
+                    else:
+                        leaves.append((path + [n2], F.lit(None).cast("string"), T.NullType()))
+                        kids.append(("leaf", len(leaves) - 1))
+                if path:
+                    return [("rec", col2, path, kids)]
+                return kids
+
+            plan = walk(base, bdt, d0, [])
+            # leaf value union across this leg
+            ltypes: list[T.DataType] = []
+            for _p, _c, lt3 in leaves:
+                if not any(
+                    lt3.simpleString() == x.simpleString() for x in ltypes
+                ):
+                    if not isinstance(lt3, T.NullType):
+                        ltypes.append(lt3)
+            if not ltypes:
+                ltypes = [T.StringType()]
+            if len(ltypes) == 1:
+                vt = ltypes[0]
+
+                def wrapv(c3, t3):
+                    if isinstance(t3, T.NullType):
+                        return F.lit(None).cast(vt)
+                    return c3
+            else:
+                vt = union_type(*ltypes)
+                slots = {
+                    t3.simpleString(): i3
+                    for i3, t3 in enumerate(ltypes)
+                }
+
+                def wrapv(c3, t3):
+                    if isinstance(t3, T.NullType):
+                        return F.lit(None).cast(vt)
+                    return make_union(
+                        slots[t3.simpleString()], c3, len(ltypes), ltypes
+                    )
+
+            et = T.StructType(
+                [
+                    T.StructField("key", T.ArrayType(T.StringType())),
+                    T.StructField("value", vt),
+                ]
+            )
+
+            def entry(path, vcol):
+                return F.struct(
+                    F.array(*[F.lit(p3) for p3 in path]).alias("key"),
+                    vcol.alias("value"),
+                ).cast(et)
+
+            def emit(nodes) -> Column:
+                arrs = []
+                for nd2 in nodes:
+                    if nd2[0] == "leaf":
+                        p3, c3, t3 = leaves[nd2[1]]
+                        arrs.append(F.array(entry(p3, wrapv(c3, t3))))
+                    else:
+                        _k3, col3, path3, kids3 = nd2
+                        inner = emit(kids3)
+                        arrs.append(
+                            F.when(
+                                col3.isNull(),
+                                F.array(
+                                    entry(path3, F.lit(None).cast(vt))
+                                ),
+                            ).otherwise(inner)
+                        )
+                return (
+                    F.concat(*arrs)
+                    if len(arrs) > 1
+                    else arrs[0]
+                    if arrs
+                    else F.array().cast(T.ArrayType(et))
+                )
+
+            legs.append(leg.select(emit(plan).alias("this")))
+        if not legs:
+            return df.limit(0)
+        return self._union_of_value_frames(legs)
+
+    def _desc_to_ast(self, d):
+        k = d[0]
+        if k == "named":
+            return self._desc_to_ast(d[2])
+        if k == "prim":
+            return ("prim", d[1])
+        if k == "record":
+            return (
+                "recordtype",
+                [(n, self._desc_to_ast(t)) for n, t in d[1]],
+            )
+        if k == "array":
+            return ("array", self._desc_to_ast(d[1]))
+        if k == "set":
+            return ("settype", self._desc_to_ast(d[1]))
+        if k == "map":
+            return (
+                "maptype",
+                self._desc_to_ast(d[1]),
+                self._desc_to_ast(d[2]),
+            )
+        if k == "union":
+            return ("uniontype", [self._desc_to_ast(m) for m in d[1]])
+        if k == "error":
+            return self._desc_to_ast(d[1])
+        raise ValueError(f"bad descriptor {d!r}")
+
+    def _dynamic_unflatten(
+        self, df: DataFrame, arg_ast: tuple, extra: list | None = None
+    ) -> DataFrame:
+        """unflatten(e) — rebuild records from {key,value} entry
+        arrays (reference function/unflatten.go). The result RECORD
+        TYPE is data-driven, so one bounded probe collects the
+        distinct key-path signatures (result-schema-sized); each
+        signature replays the reference's sequential field-builder
+        in Python (consecutive same-name paths replace, later
+        parents drop child leaves), compiles to a static struct on
+        its slice, and the slices fuse back. Signatures that violate
+        the rules become whole-row error values (invalid key type,
+        duplicate field). `extra` appends literal (name, ast) fields
+        after the spread ({...unflatten(this), c:2})."""
+        entries = self.expr(arg_ast, df)
+        edt = self._type_of(arg_ast, df)
+        if (
+            edt is None
+            or edt.typeName() != "array"
+            or edt.elementType.typeName() != "struct"
+            or set(edt.elementType.fieldNames()) < {"key", "value"}
+        ):
+            # non-array input: unflatten is the identity (Call)
+            return self.apply(df, ("yield", [arg_ast]))
+        from zed_spark.functions.introspect import zed_type_name
+        from zed_spark.schema import is_union_type as _iuf
+
+        kdt = edt.elementType["key"].dataType
+
+        def krepr(x):
+            k = x.getField("key")
+            if isinstance(kdt, T.StructType) and _iuf(kdt):
+                out = F.when(k.isNull(), F.lit("\x03"))
+                for i2, f2 in enumerate(kdt.fields[1:]):
+                    m2 = k.getField(f2.name)
+                    tn2 = f2.dataType.typeName()
+                    if tn2 == "string":
+                        v2 = m2
+                    elif tn2 == "array":
+                        v2 = F.concat_ws("\x00", m2)
+                    else:
+                        v2 = F.concat(
+                            F.lit("\x01"),
+                            F.lit(zed_type_name(f2.dataType)),
+                        )
+                    out = out.when(k.getField("tag") == i2, v2)
+                return out.otherwise(F.lit("\x03"))
+            if isinstance(kdt, T.StringType):
+                return F.coalesce(k, F.lit("\x03"))
+            if isinstance(kdt, T.ArrayType):
+                return F.concat_ws("\x00", k)
+            return F.concat(
+                F.lit("\x01"), F.lit(zed_type_name(kdt))
+            )
+
+        sig = F.concat_ws("\x02", F.transform(entries, krepr))
+        combos = [
+            r[0]
+            for r in df.select(
+                sig.alias("__s"),
+                F.monotonically_increasing_id().alias("__seq"),
+            )
+            .groupBy("__s")
+            .agg(F.min("__seq").alias("__seq"))
+            .orderBy("__seq")
+            .collect()
+        ]
+
+        def simulate(paths):
+            """→ ('err', msg, bad_idx|None) | ('ok', tree, leaf_idxs)
+            replaying addPath/build (unflatten.go:136-190)."""
+            for i2, p in enumerate(paths):
+                if p and p[0].startswith("\x01"):
+                    return (
+                        "err",
+                        f"invalid key type {p[0][1:]}: expected "
+                        "either string or [string]",
+                        i2,
+                    )
+
+            class Rec:
+                __slots__ = ("fields",)
+
+                def __init__(self):
+                    self.fields: list = []  # [name, Rec|None]
+
+            def leaves(r):
+                if r is None:
+                    return 1
+                return sum(leaves(ch) for _n, ch in r.fields)
+
+            def add(r, p):
+                if not p:
+                    return 0
+                removed = 0
+                if not r.fields or r.fields[-1][0] != p[0]:
+                    r.fields.append(
+                        [p[0], Rec() if len(p) > 1 else None]
+                    )
+                elif len(p) == 1 or r.fields[-1][1] is None:
+                    removed = leaves(r.fields[-1][1])
+                    r.fields[-1][1] = Rec() if len(p) > 1 else None
+                child = r.fields[-1][1]
+                if len(p) > 1:
+                    removed += add(child, p[1:])
+                return removed
+
+            root = Rec()
+            leaf_idxs: list[int] = []
+            for i2, p in enumerate(paths):
+                if not p:
+                    continue
+                removed = add(root, p)
+                if removed:
+                    leaf_idxs = leaf_idxs[: len(leaf_idxs) - removed]
+                leaf_idxs.append(i2)
+
+            it = iter(leaf_idxs)
+
+            def build(r):
+                names = [n for n, _c in r.fields]
+                for n in names:
+                    if names.count(n) > 1:
+                        raise ValueError(
+                            f'duplicate field: "{n}"'
+                        )
+                out = []
+                for n, ch in r.fields:
+                    out.append(
+                        (n, next(it) if ch is None else build(ch))
+                    )
+                return out
+
+            try:
+                tree = build(root)
+            except ValueError as ve:
+                return ("err", str(ve), None)
+            return ("ok", tree, leaf_idxs)
+
+        legs: list[DataFrame] = []
+        err_legs: list[DataFrame] = []
+        for s3 in combos:
+            if s3 is None:
+                continue
+            paths = [
+                seg.split("\x00") if seg != "\x03" else []
+                for seg in (s3.split("\x02") if s3 else [])
+            ]
+            res = simulate(paths)
+            leg = df.filter(sig.eqNullSafe(F.lit(s3)))
+            if res[0] == "err":
+                _k, msg, bad_idx = res
+                on_col = (
+                    F.get(entries, F.lit(bad_idx))
+                    if bad_idx is not None
+                    else entries
+                )
+                on_dt = (
+                    edt.elementType if bad_idx is not None else edt
+                )
+                est = T.StructType(
+                    [
+                        T.StructField("message", T.StringType()),
+                        T.StructField("on", on_dt),
+                    ]
+                )
+                ct = T.StructType(
+                    [
+                        T.StructField("tag", T.IntegerType()),
+                        T.StructField("e0", est),
+                    ]
+                )
+                err_legs.append(
+                    leg.select(
+                        F.struct(
+                            F.lit(0).alias("tag"),
+                            F.struct(
+                                F.lit(msg).alias("message"),
+                                on_col.alias("on"),
+                            ).alias("e0"),
+                        )
+                        .cast(ct)
+                        .alias("this")
+                    )
+                )
+                continue
+            _k, tree, _li = res
+
+            def build_col(t3) -> Column:
+                parts = []
+                for n, sub in t3:
+                    if isinstance(sub, int):
+                        parts.append(
+                            F.get(entries, F.lit(sub))
+                            .getField("value")
+                            .alias(n)
+                        )
+                    else:
+                        parts.append(build_col(sub).alias(n))
+                return F.struct(*parts)
+
+            cols = []
+            for n, sub in tree:
+                if isinstance(sub, int):
+                    cols.append(
+                        F.get(entries, F.lit(sub))
+                        .getField("value")
+                        .alias(n)
+                    )
+                else:
+                    cols.append(build_col(sub).alias(n))
+            for n, ast3 in extra or []:
+                cols.append(self.expr(ast3, leg).alias(n))
+            if not cols:
+                continue
+            legs.append((leg, cols))
+        if err_legs:
+            # error rows coexist with records: wrap every slice into
+            # ONE hand-built tagged union over `this` so rows are
+            # bare VALUES (records or errors), like the reference's
+            # output stream — one member per slice shape
+            rec_frames = [
+                lg.select(F.struct(*cols).alias("this"))
+                for lg, cols in legs
+            ]
+            member_ts = [
+                fr.schema["this"].dataType for fr in rec_frames
+            ] + [
+                fr.schema["this"].dataType["e0"].dataType
+                for fr in err_legs
+            ]
+            names = [f"v{i3}" for i3 in range(len(rec_frames))] + [
+                f"e{len(rec_frames) + i3}"
+                for i3 in range(len(err_legs))
+            ]
+            ut = T.StructType(
+                [T.StructField("tag", T.IntegerType())]
+                + [
+                    T.StructField(n3, t3)
+                    for n3, t3 in zip(names, member_ts)
+                ]
+            )
+            out_frames = []
+            for i3, fr in enumerate(rec_frames + err_legs):
+                src_col = (
+                    F.col("this")
+                    if i3 < len(rec_frames)
+                    else F.col("this").getField("e0")
+                )
+                out_frames.append(
+                    fr.select(
+                        F.struct(
+                            F.lit(i3).alias("tag"),
+                            *[
+                                (
+                                    src_col
+                                    if j3 == i3
+                                    else F.lit(None).cast(member_ts[j3])
+                                ).alias(names[j3])
+                                for j3 in range(len(names))
+                            ],
+                        )
+                        .cast(ut)
+                        .alias("this")
+                    )
+                )
+            out = out_frames[0]
+            for fr in out_frames[1:]:
+                out = out.unionByName(fr)
+            return out
+        legs = [lg.select(*cols) for lg, cols in legs]
+        all_legs = legs
+        if not all_legs:
+            return df.limit(0)
+        if len(all_legs) == 1:
+            return all_legs[0]
+        from zed_spark.operators.fuse import fuse_dataframes
         tops_per_leg = [
             [c2 for c2 in lg.columns if not c2.startswith("__zed_")]
             for lg in legs
