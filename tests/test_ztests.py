@@ -180,7 +180,6 @@ UNSUPPORTED.update(
         f"{SAM_EXPR}/function/ztests/{k}.yaml": v
         for k, v in {
             "grep": _SC,
-            "parse-zson": "dynamic result types per row " + _S,
         }.items()
     }
 )

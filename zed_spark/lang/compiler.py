@@ -1108,6 +1108,15 @@ class Compiler:
                 return self._dynamic_flatten(df, node[1][0][2][0])
             if (
                 len(node[1]) == 1
+                and node[1][0][0] == "call"
+                and node[1][0][1] == "parse_zson"
+                and len(node[1][0][2]) == 1
+            ):
+                # yield parse_zson(s): data-driven result types
+                # (function/ztests/parse-zson)
+                return self._dynamic_parse_zson(df, node[1][0][2][0])
+            if (
+                len(node[1]) == 1
                 and node[1][0][0] == "record"
                 and node[1][0][1]
                 and node[1][0][1][0][0] is None
@@ -1814,8 +1823,14 @@ class Compiler:
         streams: flatten/unflatten legs)."""
         if len(frames) == 1:
             return frames[0]
+        err_flags = [
+            bool(getattr(fr, "_zed_err_leg", False)) for fr in frames
+        ]
         member_ts = [fr.schema["this"].dataType for fr in frames]
-        names = [f"v{i3}" for i3 in range(len(frames))]
+        names = [
+            (f"e{i3}" if err_flags[i3] else f"v{i3}")
+            for i3 in range(len(frames))
+        ]
         ut = T.StructType(
             [T.StructField("tag", T.IntegerType())]
             + [
@@ -1846,6 +1861,146 @@ class Compiler:
         for fr in out_frames[1:]:
             out = out.unionByName(fr)
         return out
+
+    def _dynamic_parse_zson(
+        self, df: DataFrame, arg_ast: tuple
+    ) -> DataFrame:
+        """parse_zson(s) — each string parses to a value whose TYPE
+        is data-driven (function/ztests/parse-zson). One bounded
+        probe collects the distinct strings (the distinct set IS the
+        result type context); each parses once on the driver and
+        compiles to a literal on its slice. Non-string inputs are
+        error({message:"parse_zson: string arg required", on:v});
+        unparseable strings error with "ZSON syntax error"."""
+        from zed_spark.sources.zson import parse_zson
+
+        c = self.expr(arg_ast, df)
+        dt = self._type_of(arg_ast, df)
+        frames: list[DataFrame] = []
+
+        def err_frame(leg, msg, on_col, on_dt):
+            est = T.StructType(
+                [
+                    T.StructField("message", T.StringType()),
+                    T.StructField("on", on_dt),
+                ]
+            )
+            fr = leg.select(
+                F.struct(
+                    F.lit(msg).alias("message"), on_col.alias("on")
+                )
+                .cast(est)
+                .alias("this")
+            )
+            fr._zed_err_leg = True
+            return fr
+
+        scol = None
+        scond = None
+        other_cond = None
+        for cond, mcol, mdt, merr in self._carrier_variants(c, dt):
+            if merr is not None:
+                continue
+            if mdt is None or mdt.typeName() == "string":
+                scol, scond = mcol, cond
+                continue
+            oc = F.coalesce(cond, F.lit(True)) & mcol.isNotNull()
+            other_cond = (
+                oc if other_cond is None else (other_cond | oc)
+            )
+            frames.append(
+                err_frame(
+                    df.filter(oc),
+                    "parse_zson: string arg required",
+                    mcol,
+                    mdt,
+                )
+            )
+        if scol is not None:
+            not_other = (
+                ~F.coalesce(other_cond, F.lit(False))
+                if other_cond is not None
+                else F.lit(True)
+            )
+            null_leg = df.filter(not_other & scol.isNull())
+            frames.append(
+                null_leg.select(
+                    F.lit(None).cast("string").alias("this")
+                )
+            )
+            svals = [
+                r[0]
+                for r in df.filter(scol.isNotNull())
+                .select(
+                    scol.alias("__s"),
+                    F.monotonically_increasing_id().alias("__seq"),
+                )
+                .groupBy("__s")
+                .agg(F.min("__seq").alias("__seq"))
+                .orderBy("__seq")
+                .collect()
+            ]
+
+            def lit_of(v) -> Column:
+                from zed_spark.sources.zson import (
+                    TypedNull,
+                    ZError,
+                    ZMap,
+                )
+
+                if v is None or isinstance(v, TypedNull):
+                    return F.lit(None).cast("string")
+                if isinstance(v, ZMap):
+                    pairs = []
+                    for k3, x3 in v.items():
+                        pairs += [lit_of(k3), lit_of(x3)]
+                    return F.create_map(*pairs)
+                if isinstance(v, dict):
+                    return F.struct(
+                        *[
+                            lit_of(x3).alias(k3)
+                            for k3, x3 in v.items()
+                        ]
+                    )
+                if isinstance(v, (list, tuple)):
+                    return F.array(*[lit_of(x3) for x3 in v])
+                return F.lit(v)
+
+            for s3 in svals:
+                leg = df.filter(scol.eqNullSafe(F.lit(s3)))
+                try:
+                    vals3 = parse_zson(s3)
+                    if len(vals3) != 1:
+                        raise ValueError("parse_zson: exactly one value")
+                    v0 = vals3[0]
+                    raw3 = s3.strip()
+                    if isinstance(v0, str) and not raw3.startswith(
+                        ('"', "'")
+                    ):
+                        import re as _re9
+
+                        # our reader is lenient (bare tokens ride as
+                        # strings for enum/ip forms); the reference
+                        # rejects anything that isn't real ZSON
+                        if not _re9.fullmatch(
+                            r"[0-9a-fA-F:.]+(/\d+)?", raw3
+                        ):
+                            raise ValueError("ZSON syntax error")
+                    frames.append(
+                        leg.select(lit_of(v0).alias("this"))
+                    )
+                except Exception:
+                    frames.append(
+                        err_frame(
+                            leg,
+                            "parse_zson: ZSON syntax error",
+                            scol,
+                            T.StringType(),
+                        )
+                    )
+        if not frames:
+            return df.limit(0)
+        return self._union_of_value_frames(frames)
 
     def _dynamic_flatten(self, df: DataFrame, arg_ast: tuple) -> DataFrame:
         """flatten(e) — records become entry arrays
