@@ -328,8 +328,6 @@ UNSUPPORTED.update(
             "byte-compare) [script]",
             "map": "IPv6 map keys (`|{:: :::}|` syntax) [shape]",
             "persist": "glob field reference b.* in script [script]",
-            "redefined-named-types": "per-value named-type rebinding "
-            "[shape]",
             "zson-to-zeek": "zeek OUTPUT format golden [script]",
         }.items()
     }

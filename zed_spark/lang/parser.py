@@ -147,6 +147,10 @@ class Parser:
             if p.peek().text == "type":
                 p.next()
                 name = p.next().text
+                if name in p.types:
+                    # the reference rejects redefinition in one scope
+                    # (semantic/scope.go; const-redefined-error)
+                    raise SyntaxError(f'symbol "{name}" redefined')
                 p.expect("=")
                 p.types[name] = p.parse_type_expr()
                 continue

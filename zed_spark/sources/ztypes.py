@@ -246,7 +246,13 @@ def merge_elem_descs(descs: list):
         return ("prim", "null")
     if len(nonnull) == 1:
         return nonnull[0]
-    return ("union", tuple(nonnull))
+    # the reference's type context canonicalizes union member order
+    # (CompareTypes — type.go LookupTypeUnion); redefined named types
+    # keep distinct members (zson/ztests/redefined-named-types)
+    return (
+        "union",
+        tuple(sorted(nonnull, key=lambda d: type_sort_key(render(d)))),
+    )
 
 
 class _TypeParser:
