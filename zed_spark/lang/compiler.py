@@ -1072,6 +1072,12 @@ class Compiler:
                 and not (
                     node[1][0][2][1][0] == "field"
                     and len(node[1][0][2][1][1]) == 1
+                    and (
+                        node[1][0][2][1][1][0]
+                        in getattr(self, "user_types", {})
+                        or node[1][0][2][1][1][0]
+                        in (getattr(self, "named_descs", None) or {})
+                    )
                 )
             ):
                 # DYNAMIC shaping target — cast(this, schemas[_path])
@@ -1712,13 +1718,29 @@ class Compiler:
         tdt = self._type_of(tgt_ast, df)
         tval, _terr = self._carrier_value_only(tcol, tdt)
         tval = tval.cast("string")
+        # the SOURCE's per-row type joins the probe key when the
+        # sidecar knows it: cast(from, to) over union sources needs
+        # the reference's union-compatibility rules per pair
+        # (expr/ztests/shape-cast-from-union)
+        fper = None
+        if (
+            "__zed_types" in df.columns
+            and src_ast[0] in ("field", "this")
+        ):
+            fkey = (
+                ".".join(src_ast[1]) if src_ast[0] == "field" else ""
+            )
+            fper = F.element_at(F.col("__zed_types"), F.lit(fkey))
         combos = [
-            r[0]
+            (r[0], r[1] if fper is not None else None)
             for r in df.select(
                 tval.alias("__t"),
+                (fper if fper is not None else F.lit(None)).alias(
+                    "__f"
+                ),
                 F.monotonically_increasing_id().alias("__seq"),
             )
-            .groupBy("__t")
+            .groupBy("__t", "__f")
             .agg(F.min("__seq").alias("__seq"))
             .orderBy("__seq")
             .collect()
@@ -1748,8 +1770,173 @@ class Compiler:
             raise ValueError(f"bad dynamic cast target {d!r}")
 
         nd0 = dict(getattr(self, "named_descs", None) or {})
+
+        def deref9(d):
+            while d[0] == "named":
+                d = d[2]
+            return d
+
+        from zed_spark.sources.ztypes import render as _zrender
+
+        def _plain_union(d):
+            return (
+                "("
+                + ",".join(
+                    _zrender(deref9(m)) for m in deref9(d)[1]
+                )
+                + ")"
+            )
+
+        def compat(fd, td):
+            """reference shaper createStep: returns the mismatching
+            (from, to) union pair, or None when a step exists."""
+            fd2, td2 = deref9(fd), deref9(td)
+            if td2 == ("prim", "string"):
+                return None  # anything formats to string
+            if fd2[0] == "union" or td2[0] == "union":
+                if fd2[0] != "union" or td2[0] != "union":
+                    return (fd2, td2)
+                fm = [_zrender(m) for m in fd2[1]]
+                tm = [_zrender(m) for m in td2[1]]
+                if sorted(fm) != sorted(tm):
+                    return (fd2, td2)
+                return None
+            if fd2[0] == "record" and td2[0] == "record":
+                tmap = {n: t for n, t in td2[1]}
+                for n, ft in fd2[1]:
+                    if n in tmap:
+                        bad = compat(ft, tmap[n])
+                        if bad:
+                            return bad
+                return None
+            if fd2[0] in ("array", "set") and td2[0] in ("array", "set"):
+                return compat(fd2[1], td2[1])
+            return None
+
+        def fmt_col(col, st, fd) -> Column:
+            """ZSON-text formatting for `cast(v, <string>)` — named
+            members keep their decorator text ("1(=int64_named)"),
+            like the reference's string cast."""
+            fd2 = deref9(fd)
+            if fd2[0] == "union" and isinstance(st, T.StructType):
+                from zed_spark.schema import is_union_type as _iu10
+
+                if _iu10(st):
+                    members = st.fields[1:]
+                    out = None
+                    for m in fd2[1]:
+                        md = deref9(m)
+                        want_kind = (
+                            "string"
+                            if md == ("prim", "string")
+                            else "num"
+                        )
+                        for i4, f4 in enumerate(members):
+                            tn4 = f4.dataType.typeName()
+                            if (
+                                want_kind == "string"
+                                and tn4 == "string"
+                            ) or (
+                                want_kind == "num"
+                                and tn4
+                                in (
+                                    "long", "integer", "short",
+                                    "byte", "double", "float",
+                                )
+                            ):
+                                v4 = col.getField(f4.name).cast(
+                                    "string"
+                                )
+                                if m[0] == "named":
+                                    v4 = F.concat(
+                                        v4, F.lit(f"(={m[1]})")
+                                    )
+                                w4 = F.when(
+                                    (col.getField("tag") == i4)
+                                    & col.getField(
+                                        f4.name
+                                    ).isNotNull(),
+                                    v4,
+                                )
+                                out = (
+                                    w4
+                                    if out is None
+                                    else F.coalesce(out, w4)
+                                )
+                                break
+                    return (
+                        out
+                        if out is not None
+                        else col.cast("string")
+                    )
+            v4 = col.cast("string")
+            if fd[0] == "named":
+                v4 = F.concat(v4, F.lit(f"(={fd[1]})"))
+            return v4
+
+        def cast_col(col, st, fd, td) -> Column:
+            fd2, td2 = deref9(fd), deref9(td)
+            if (
+                fd2[0] in ("record", "array", "set")
+                and isinstance(st, T.StructType)
+            ):
+                # the whole-stream union widens every row shape into
+                # one tagged struct — resolve to the member holding
+                # THIS leg's from-type
+                from zed_spark.schema import is_union_type as _iu11
+
+                if _iu11(st):
+                    for f5 in st.fields[1:]:
+                        tn5 = f5.dataType.typeName()
+                        if fd2[0] in ("array", "set") and tn5 == "array":
+                            col, st = col.getField(f5.name), f5.dataType
+                            break
+                        if (
+                            fd2[0] == "record"
+                            and tn5 == "struct"
+                            and not _iu11(f5.dataType)
+                            and set(n5 for n5, _t5 in fd2[1])
+                            <= set(f5.dataType.fieldNames())
+                        ):
+                            col, st = col.getField(f5.name), f5.dataType
+                            break
+            if td2 == ("prim", "string"):
+                return fmt_col(col, st, fd)
+            if fd2[0] == "record" and td2[0] == "record":
+                tmap = {n: t for n, t in td2[1]}
+                parts = []
+                for n, ft in fd2[1]:
+                    sub = col.getField(n)
+                    sst = (
+                        st[n].dataType
+                        if isinstance(st, T.StructType)
+                        and n in st.fieldNames()
+                        else None
+                    )
+                    parts.append(
+                        (
+                            cast_col(sub, sst, ft, tmap[n])
+                            if n in tmap
+                            else sub
+                        ).alias(n)
+                    )
+                return F.when(
+                    col.isNull(), F.lit(None)
+                ).otherwise(F.struct(*parts))
+            if fd2[0] in ("array", "set") and td2[0] in ("array", "set"):
+                el_st = (
+                    st.elementType
+                    if isinstance(st, T.ArrayType)
+                    else None
+                )
+                return F.transform(
+                    col, lambda x: cast_col(x, el_st, fd2[1], td2[1])
+                )
+            return col  # identical unions / prim passthrough
+
         legs: list[DataFrame] = []
-        for tstr in combos:
+        err_frames: list[DataFrame] = []
+        for tstr, fstr in combos:
             if tstr is None:
                 continue
             s2 = tstr.strip()
@@ -1759,8 +1946,62 @@ class Compiler:
                 d2 = parse_type_string(s2, dict(nd0))
             except ValueError:
                 continue
+            cond9 = tval == F.lit(tstr)
+            if fper is not None:
+                cond9 = cond9 & (
+                    fper.eqNullSafe(F.lit(fstr))
+                    if fstr is not None
+                    else fper.isNull()
+                )
+            leg = df.filter(cond9)
+            try:
+                self._type_ddl(desc_ast(d2))
+            except ValueError:
+                # not a resolvable type: a STRING target names the
+                # output type at runtime (cast(this, s) → (=s)) —
+                # named types widen away, so identity
+                # (expr/ztests/shape-by-name)
+                legs.append(self.apply(leg, ("yield", [src_ast])))
+                continue
+            fd0 = None
+            if fstr is not None:
+                try:
+                    fd0 = parse_type_string(fstr, dict(nd0))
+                except ValueError:
+                    fd0 = None
+            if fd0 is not None:
+                bad = compat(fd0, d2)
+                if bad is not None:
+                    msg9 = (
+                        "createStep: incompatible types "
+                        f"{_plain_union(bad[0]) if deref9(bad[0])[0] == 'union' else _zrender(deref9(bad[0]))}"
+                        " and "
+                        f"{_plain_union(bad[1]) if deref9(bad[1])[0] == 'union' else _zrender(deref9(bad[1]))}"
+                    )
+                    fr9 = leg.select(
+                        self._mk_carrier(
+                            T.StringType(),
+                            F.lit(None).cast("string"),
+                            F.lit(msg9),
+                        ).alias("this")
+                    )
+                    legs.append(fr9)
+                    continue
+                # union-aware step (string formatting with named
+                # decorators, identical-union passthrough)
+                has_u = "union" in repr(fd0) or "(" in fstr
+                if has_u and fn == "cast":
+                    scol9 = self.expr(src_ast, leg)
+                    sdt9 = self._type_of(src_ast, leg)
+                    legs.append(
+                        leg.select(
+                            cast_col(scol9, sdt9, fd0, d2).alias(
+                                "this"
+                            )
+                        )
+                    )
+                    continue
             ast2 = desc_ast(d2)
-            leg = df.filter(tval == F.lit(tstr))
             # `cast(this, <rec>)` is the SHAPER (shaping.md), which
             # compiles through the 1-arg form; other sources keep
             # the 2-arg call
@@ -1784,6 +2025,19 @@ class Compiler:
             return df.limit(0)
         if len(legs) == 1:
             return legs[0]
+        vis_per_leg = [
+            [c2 for c2 in lg.columns if not c2.startswith("__zed_")]
+            for lg in legs
+        ]
+        if all(v9 == ["this"] for v9 in vis_per_leg) and len(
+            {
+                lg.schema["this"].dataType.simpleString()
+                for lg in legs
+            }
+        ) > 1:
+            # bare mixed-type outputs: hand-built tagged union, one
+            # member per slice shape
+            return self._union_of_value_frames(legs)
         from zed_spark.operators.fuse import fuse_dataframes
 
         tops_per_leg = [
@@ -1840,23 +2094,23 @@ class Compiler:
         )
         out_frames = []
         for i3, fr in enumerate(frames):
-            out_frames.append(
-                fr.select(
-                    F.struct(
-                        F.lit(i3).alias("tag"),
-                        *[
-                            (
-                                F.col("this")
-                                if j3 == i3
-                                else F.lit(None).cast(member_ts[j3])
-                            ).alias(names[j3])
-                            for j3 in range(len(frames))
-                        ],
-                    )
-                    .cast(ut)
-                    .alias("this")
-                )
-            )
+            wrapped = F.struct(
+                F.lit(i3).alias("tag"),
+                *[
+                    (
+                        F.col("this")
+                        if j3 == i3
+                        else F.lit(None).cast(member_ts[j3])
+                    ).alias(names[j3])
+                    for j3 in range(len(frames))
+                ],
+            ).cast(ut)
+            # a null slice value is a bare null, not a tagged
+            # all-null member
+            wrapped = F.when(
+                F.col("this").isNull(), F.lit(None).cast(ut)
+            ).otherwise(wrapped)
+            out_frames.append(fr.select(wrapped.alias("this")))
         out = out_frames[0]
         for fr in out_frames[1:]:
             out = out.unionByName(fr)
@@ -4660,6 +4914,32 @@ class Compiler:
                         c = self.expr(k, out)
                         is_desc = kdir == "desc" if kdir else sdesc
                         nf = (snulls == "first") if snulls else is_desc
+                        kdt0 = self._type_of(k, out)
+                        pre_keys: list[Column] = []
+                        # zcode byte order compares containers
+                        # LENGTH-FIRST (zcode tags lead with the
+                        # body length) — records holding arrays sort
+                        # by arity before elements
+                        # (traverse/ztests/nested-done-tail)
+                        if isinstance(kdt0, T.ArrayType):
+                            pre_keys.append(F.size(c))
+                        elif isinstance(kdt0, T.StructType) and not (
+                            kdt0.fieldNames()
+                            and kdt0.fieldNames()[0] == "tag"
+                        ):
+                            for f0 in kdt0.fields:
+                                if isinstance(
+                                    f0.dataType, T.ArrayType
+                                ):
+                                    pre_keys.append(
+                                        F.size(c.getField(f0.name))
+                                    )
+                        for pk in pre_keys:
+                            ocols.append(
+                                pk.desc_nulls_first()
+                                if is_desc
+                                else pk.asc_nulls_last()
+                            )
                         if is_desc:
                             ocols.append(
                                 c.desc_nulls_first() if nf else c.desc_nulls_last()
@@ -6097,6 +6377,34 @@ class Compiler:
                 # in the widened model a union IS its member value,
                 # so the cast is identity on the value (cast-union)
                 return self.expr(args[0], df)
+            if args[1][1][0] in ("recordtype", "namedtype") and (
+                args[1][1][0] != "namedtype"
+                or args[1][1][2][0] == "recordtype"
+            ):
+                # cast(v, <rec>) is the SHAPER on v: fields match by
+                # NAME with per-value cast errors, keeping source
+                # order (expr/ztests/shape-cast)
+                from pyspark.sql.types import _parse_datatype_string
+
+                from zed_spark.operators.shape_op import _project
+
+                tv_ast = args[1][1]
+                if tv_ast[0] == "namedtype":
+                    self._type_ddl(tv_ast)  # registers the name
+                    tv_ast = tv_ast[2]
+                target = _parse_datatype_string(self._type_ddl(tv_ast))
+                col0 = self.expr(args[0], df)
+                sdt0 = self._type_of(args[0], df)
+                return _project(
+                    col0,
+                    sdt0,
+                    target,
+                    cast=True,
+                    crop=False,
+                    fill=False,
+                    order=False,
+                    zdst=tv_ast,
+                )
             # cast(v, <[string]>) — type value literal argument
             return self._zcast(
                 self.expr(args[0], df),

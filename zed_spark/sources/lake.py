@@ -184,7 +184,20 @@ class Lake:
                     datetime.now(tz=timezone.utc),
                 )
             )
-        return self.spark.createDataFrame(rows, schema)
+        out = self.spark.createDataFrame(rows, schema)
+        # named-type identity for the -Z writer: layout fields carry
+        # the reference's order.SortKey/order.Which/field.List/
+        # field.Path names (lake/ztests/meta)
+        return out.withColumn(
+            "__zed_types",
+            F.create_map(
+                F.lit("layout"),
+                F.lit(
+                    "order.SortKey={order:order.Which=string,"
+                    "keys:field.List=[field.Path=[string]]}"
+                ),
+            ),
+        )
 
 
 class Pool:
@@ -636,11 +649,25 @@ class Pool:
         rows = []
         for obj in self._live_objects(branch):
             d = os.path.join(self.cfg.path, obj)
-            size = sum(
-                os.path.getsize(os.path.join(d, f))
-                for f in os.listdir(d)
-                if f.endswith(".parquet")
-            )
+            # the reference reports the object's ZNG stream size
+            # (lake/data/object.go Size); stored parquet bytes differ,
+            # so re-encode — meta queries only, the scan path never
+            # pays this (lake/ztests/meta: size 18 for two int rows)
+            try:
+                from zed_spark.sources.zng import encode_zng
+
+                odf = self.spark.read.parquet(d)
+                size = len(
+                    encode_zng(
+                        odf.collect(), odf.schema, compress=False
+                    )
+                )
+            except Exception:
+                size = sum(
+                    os.path.getsize(os.path.join(d, f))
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet")
+                )
             st = stats.get(obj, {})
             from zed_spark.functions.misc import ksuid_decode_str
 

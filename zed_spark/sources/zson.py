@@ -1106,45 +1106,60 @@ def _dump_value(v, t: T.DataType) -> str:
     return json.dumps(str(v))
 
 
-def _dump_pretty(v, t: T.DataType, level: int = 0) -> str:
+def _dump_pretty(v, t: T.DataType, level: int = 0, zdesc=None) -> str:
     """-Z / `-f zson` pretty form: containers break across lines at
     4-space indents, one field per line, decorators after the value
     (zio/zsonio formatter with pretty=4; goldens e.g.
-    service/ztests/ls-pools.yaml)."""
+    service/ztests/ls-pools.yaml). zdesc (a ztypes descriptor from
+    the __zed_types sidecar) adds named-type decorations at every
+    nesting level — `[...] (=field.Path)` inside `keys`
+    (lake/ztests/meta)."""
     pad, pad1 = "    " * level, "    " * (level + 1)
+    suffix = ""
+    d = zdesc
+    while d is not None and d[0] == "named":
+        suffix = f" (={d[1]})" + suffix
+        d = d[2]
     if v is None:
-        return "null"
+        return "null" + suffix
     if isinstance(t, T.StructType):
         from zed_spark.schema import is_union_type
 
         if is_union_type(t) or not t.fields:
-            return _dump_value(v, t)
+            return _dump_value(v, t) + suffix
+        fdescs = dict(d[1]) if d is not None and d[0] == "record" else {}
         parts = []
         for i, f in enumerate(t.fields):
             fv = v[f.name] if isinstance(v, dict) else v[i]
-            body = _dump_pretty(fv, f.dataType, level + 1)
+            body = _dump_pretty(
+                fv, f.dataType, level + 1, fdescs.get(f.name)
+            )
             deco = _DECORATE.get(f.dataType)
-            if deco and fv is not None:
+            if deco and fv is not None and not fdescs.get(f.name):
                 body = f"{body} ({deco})"
             parts.append(f"{pad1}{_quote_name(f.name)}: {body}")
-        return "{\n" + ",\n".join(parts) + "\n" + pad + "}"
+        return "{\n" + ",\n".join(parts) + "\n" + pad + "}" + suffix
     if isinstance(t, T.ArrayType):
+        el = d[1] if d is not None and d[0] in ("array", "set") else None
         if not v:
-            return "[]"
+            return "[]" + suffix
         parts = [
-            f"{pad1}{_dump_pretty(x, t.elementType, level + 1)}" for x in v
+            f"{pad1}{_dump_pretty(x, t.elementType, level + 1, el)}"
+            for x in v
         ]
-        return "[\n" + ",\n".join(parts) + "\n" + pad + "]"
+        return "[\n" + ",\n".join(parts) + "\n" + pad + "]" + suffix
     if isinstance(t, T.MapType):
+        kd = d[1] if d is not None and d[0] == "map" else None
+        vd = d[2] if d is not None and d[0] == "map" else None
         if not v:
-            return "|{}|"
+            return "|{}|" + suffix
         parts = [
-            f"{pad1}{_dump_pretty(k, t.keyType, level + 1)}: "
-            f"{_dump_pretty(val, t.valueType, level + 1)}"
+            f"{pad1}{_dump_pretty(k, t.keyType, level + 1, kd)}: "
+            f"{_dump_pretty(val, t.valueType, level + 1, vd)}"
             for k, val in v.items()
         ]
-        return "|{\n" + ",\n".join(parts) + "\n" + pad + "}|"
-    return _dump_value(v, t)
+        return "|{\n" + ",\n".join(parts) + "\n" + pad + "}|" + suffix
+    return _dump_value(v, t) + suffix
 
 
 def df_to_zson_pretty(df: DataFrame) -> list[str]:
@@ -1159,9 +1174,12 @@ def df_to_zson_pretty(df: DataFrame) -> list[str]:
         dt = schema["this"].dataType
         return [_dump_pretty(r["this"], dt, 0) for r in df.collect()]
     miss_idx = None
+    types_idx = None
     for i, f in enumerate(schema.fields):
         if f.name == "__zed_missing":
             miss_idx = i
+        if f.name == "__zed_types":
+            types_idx = i
     out = []
     for row in df.collect():
         missing = (
@@ -1169,13 +1187,29 @@ def df_to_zson_pretty(df: DataFrame) -> list[str]:
             if miss_idx is not None
             else ()
         )
+        tmap = (
+            dict(row[types_idx] or {}) if types_idx is not None else {}
+        )
+
+        def fdesc(name):
+            s = tmap.get(name)
+            if not s or "=" not in s:
+                return None
+            try:
+                from zed_spark.sources.ztypes import parse_type_string
+
+                return parse_type_string(s)
+            except Exception:
+                return None
+
         parts = []
         for i, f in enumerate(schema.fields):
             if f.name.startswith("__zed_") or f.name in missing:
                 continue
-            body = _dump_pretty(row[i], f.dataType, 1)
+            d0 = fdesc(f.name)
+            body = _dump_pretty(row[i], f.dataType, 1, d0)
             deco = _DECORATE.get(f.dataType)
-            if deco and row[i] is not None:
+            if deco and row[i] is not None and d0 is None:
                 body = f"{body} ({deco})"
             parts.append(f"    {_quote_name(f.name)}: {body}")
         out.append("{\n" + ",\n".join(parts) + "\n}")
