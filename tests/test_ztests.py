@@ -324,7 +324,9 @@ UNSUPPORTED.update(
         for k, v in {
             "cut-record": "-f zeek OUTPUT format golden (writer "
             "byte-compare) [script]",
-            "map": "IPv6 map keys (`|{:: :::}|` syntax) [shape]",
+            "map": "null map KEYS (null / null(int64) / null(string) "
+            "as distinct keys) — Spark MapType keys are non-nullable "
+            "[shape]",
             "persist": "glob field reference b.* in script [script]",
             "zson-to-zeek": "zeek OUTPUT format golden [script]",
         }.items()

@@ -53,6 +53,7 @@ _HEX_BODY = re.compile(r"(?:[0-9a-fA-F]{2})*")
 # contain colons); map KEYS parse with key_mode, where it is
 _BARE_END = set(",}]|)( \t\r\n")
 _BARE_END_KEY = _BARE_END | {":"}
+_FLOATISH = re.compile(r"[-+]?(\d+\.\d*|\.\d+|\d+)([eE][-+]?\d+)?")
 
 _DUR_NS = {
     "ns": 1,
@@ -370,6 +371,61 @@ class _Parser:
         while j < self.n and s[j] not in end:
             j += 1
         tok = s[self.i : j]
+        if key_mode and (not tok or (j < self.n and s[j] == ":")):
+            # map KEYS may contain ':' (IPv6 addresses, times —
+            # zson.md: whitespace separates such keys from the ':'
+            # separator). Rescan to whitespace and split at the
+            # longest prefix that is a complete primitive
+            # (zson/ztests/map: `|{:: :::}|`, time keys).
+            j2 = self.i
+            while j2 < self.n and s[j2] not in _BARE_END:
+                j2 += 1
+            wide = s[self.i : j2]
+            if j2 < self.n and s[j2] in " \t\n":
+                # whitespace boundary: the whole run is the key
+                if wide:
+                    self.i = j2
+                    if self.time_ns and _TIME.match(wide):
+                        return _parse_time_ns(wide)
+                    return _classify(wide)
+            if ":" in wide:
+                best = None
+                for k2 in range(len(wide), 0, -1):
+                    pre = wide[:k2]
+                    if k2 < len(wide) and wide[k2] != ":":
+                        continue
+                    ok2 = (
+                        _INT.fullmatch(pre)
+                        or _TIME.fullmatch(pre)
+                        or _DUR.fullmatch(pre)
+                        or pre in ("true", "false", "null")
+                        or (
+                            pre.startswith("0x")
+                            and _HEX_BODY.fullmatch(pre[2:])
+                        )
+                        or _FLOATISH.fullmatch(pre)
+                    )
+                    if not ok2 and (":" in pre or "/" in pre):
+                        # ip / net keys (::1/128, 2::/16)
+                        try:
+                            import ipaddress
+
+                            if "/" in pre:
+                                ipaddress.ip_network(pre, strict=False)
+                            else:
+                                ipaddress.ip_address(pre)
+                            ok2 = True
+                        except ValueError:
+                            ok2 = False
+                    if ok2:
+                        best = k2
+                        break
+                if best is not None:
+                    tok = wide[:best]
+                    self.i += best
+                    if self.time_ns and _TIME.match(tok):
+                        return _parse_time_ns(tok)
+                    return _classify(tok)
         if not tok:
             raise ZsonError(f"empty value at {self.i}")
         self.i = j
