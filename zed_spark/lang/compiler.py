@@ -1935,7 +1935,6 @@ class Compiler:
             return col  # identical unions / prim passthrough
 
         legs: list[DataFrame] = []
-        err_frames: list[DataFrame] = []
         for tstr, fstr in combos:
             if tstr is None:
                 continue
@@ -6578,8 +6577,6 @@ class Compiler:
                             est,
                         )
                     )
-            if len(cases) == 1 and cases[0][0] is None:
-                pass
             return self._cases_to_carrier(cases)
         if name in self._TYPE_DDL and name not in ("time", "duration") and len(args) == 1:
             # primitive-name cast (int64(x), bool(x), string(x), …):

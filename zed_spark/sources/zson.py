@@ -382,8 +382,13 @@ class _Parser:
                 j2 += 1
             wide = s[self.i : j2]
             if j2 < self.n and s[j2] in " \t\n":
-                # whitespace boundary: the whole run is the key
-                if wide:
+                # whitespace boundary: the run is the key ONLY when
+                # the separator ':' follows the whitespace (IPv6
+                # `:: :::` style); `1: "one"` keeps the narrow key
+                k3 = j2
+                while k3 < self.n and s[k3] in " \t\n":
+                    k3 += 1
+                if wide and k3 < self.n and s[k3] == ":":
                     self.i = j2
                     if self.time_ns and _TIME.match(wide):
                         return _parse_time_ns(wide)
