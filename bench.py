@@ -59,9 +59,18 @@ NEW_QUERIES: list[str] = ["lake_scan_range"]
 
 
 def _extra_queries() -> dict:
+    """Pinned bench keys whose functions are no longer (or never
+    were) in the graded 50-entry registry — the battery stays
+    byte-identical round-over-round regardless of registry rotation."""
+    from zed_spark import queries_core as qc
     from zed_spark import queries_text as qt
 
-    return {"ann_ivf_topk": qt.ann_ivf_q}
+    return {
+        "ann_ivf_topk": qt.ann_ivf_q,
+        # rotated out of the graded registry in round 6; still timed
+        "json_props": qc.json_props,
+        "embedding_near_lsh": qt.embedding_near_lsh_q,
+    }
 
 
 # key columns shifted per copy when synthesizing a scaled dataset, so

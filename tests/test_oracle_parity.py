@@ -13,6 +13,15 @@ from tests.oracle_utils import compare, duckdb_con
 ORACLE_CASES = sorted(entry_mod.oracle_sql().keys())
 ROWS_ONLY = sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
 
+# queries rotated OUT of the 50-entry graded registry (round-6: slots
+# freed for zson_read/fuse_hetero) keep full oracle parity here
+from zed_spark import queries_core as qc  # noqa: E402
+
+EXTRA_ORACLES = {
+    "json_props": (qc.json_props, qc.JSON_SQL),
+    "zq_summary": (qc.zq_summary, qc.ZQ_SUMMARY_SQL),
+}
+
 
 @pytest.fixture(scope="module")
 def con():
@@ -30,6 +39,15 @@ def test_oracle_parity(spark, con, name):
     assert res["approx_match"], f"{name}: values differ: {res.get('first_diff')}"
     if not res["exact_match"]:
         warnings.warn(f"{name}: only approx match — value-hash risk")
+
+
+@pytest.mark.parametrize("name", sorted(EXTRA_ORACLES))
+def test_rotated_out_parity(spark, con, name):
+    fn, sql = EXTRA_ORACLES[name]
+    res = compare(fn(spark, SF_DIR), con, sql)
+    assert res["count_match"], f"{name}: row count {res['rows_spark']} vs {res['rows_duckdb']}"
+    assert res["schema_match"], f"{name}: cols {res['cols_spark']} vs {res['cols_duckdb']}"
+    assert res["approx_match"], f"{name}: values differ: {res.get('first_diff')}"
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
