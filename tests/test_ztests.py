@@ -367,25 +367,36 @@ _CURL = "raw-HTTP transport form (curl against the service socket) [script]"
 _SUBST = "command substitution over lake internals (object/commit id capture) [script]"
 _FMTG = "reference CLI text-format golden (ls/log/-Z pretty renderings) [script]"
 _SH2 = "shell fixture (mv/kill/venv/env-flag service variants) [script]"
+# object `size` goldens are the pierrec/lz4 v4.1.18 COMPRESSED stream
+# position (lake/data/writer.go:127; zio/zngio/writer.go). The engine
+# now ships a faithful pure-Python port of that compressor
+# (sources/zng.py _lz4_block_compress; calibrated to within ±0.2% of
+# the goldens, e.g. 17051 vs 17073 on overlap.yaml's babble-split1),
+# but BIT-parity with the Go match-finder is unverifiable without the
+# binary, and babble's ns-precision timestamps store as µs in parquet
+# objects, so the re-encoded payload differs in the low time bytes.
+_ZSIZE = (
+    "exact LZ4-compressed byte-size golden (pierrec bit-parity + "
+    "ns-exact object storage required) [script]"
+)
 _LAKE_GAPS = {
-    "lake/compact-vectors.yaml": _SUBST,
-    "lake/compact.yaml": _SUBST,
+    "lake/compact-vectors.yaml": _ZSIZE,
+    "lake/compact.yaml": _ZSIZE,
     "lake/consecutive-ts.yaml": "reads the lake's internal seek-index files [script]",
     "lake/lake-version.yaml": _SH2,
-    "lake/log.yaml": "git-style log golden incl. exact ZNG byte counts [script]",
+    "lake/log.yaml": "git-style log golden incl. exact compressed ZNG byte counts " + _ZSIZE,
     "lake/ls.yaml": _FMTG,
     "lake/meta.yaml": "meta rows carry named types (data.Object, lake.BranchTip) [shape]",
-    "lake/overlap.yaml": "object listing golden over internal ids [script]",
+    "lake/overlap.yaml": _ZSIZE,
     "lake/seek-index-null.yaml": "seek-index internals over null keys [script]",
-    "lake/vector.yaml": _SUBST,
     "service/accept-header.yaml": _CURL,
     "service/auth.yaml": _SH2,
-    "service/compact-vectors.yaml": _SUBST,
-    "service/compact.yaml": _SUBST,
+    "service/compact-vectors.yaml": _ZSIZE,
+    "service/compact.yaml": _ZSIZE,
     "service/compile.yaml": _CURL,
     "service/default-format.yaml": _CURL,
     "service/load-garbage.yaml": "malformed-input rejection detail (detector accepts as lines) [script]",
-    "service/log.yaml": "git-style log golden incl. exact ZNG byte counts [script]",
+    "service/log.yaml": "git-style log golden incl. exact compressed ZNG byte counts " + _ZSIZE,
     "service/offline-config-updates.yaml": _SH2,
     "service/orphaned-by-zui.yaml": _SH2,
     "service/python-auth.yaml": _SH2,
@@ -396,8 +407,6 @@ _LAKE_GAPS = {
     "service/rootcontentfile.yaml": _SH2,
     "service/seek-index-null.yaml": "seek-index internals over null keys [script]",
     "service/url-encoded-pool.yaml": _CURL,
-    "service/vector.yaml": _SUBST,
-    "service/version.yaml": "version-string golden [script]",
 }
 UNSUPPORTED.update(
     {
@@ -905,7 +914,7 @@ def _run_db_script_case(spark, case: dict, path: str):
                     "rawlog": pool.meta_commits,
                     "objects": pool.meta_objects,
                     "partitions": pool.meta_partitions,
-                    "vectors": pool.meta_objects,
+                    "vectors": pool.meta_vectors,
                     "branches": pool.meta_branches,
                 }[meta]()
                 # meta queries see the lake metadata named types
@@ -1171,6 +1180,35 @@ def _run_db_script_case(spark, case: dict, path: str):
                     f"pool {lake.pool(args[1]).cfg.id} renamed from {args[0]} to {args[1]}"
                 )
             return None
+        if cmd == "compact":
+            # args are object ids as `0x<hex>` (the compact.yaml idiom
+            # captures them via `yield f"0x{hex(id)}"`) or base62 ksuids
+            name, branch = current(flags["use"])
+            from zed_spark.functions.misc import ksuid_encode_bytes
+
+            oids = []
+            for a in args:
+                if a.startswith("0x"):
+                    oids.append(ksuid_encode_bytes(bytes.fromhex(a[2:])))
+                else:
+                    oids.append(a)
+            cid = lake.pool(name).compact(branch=branch, ids=oids or None)
+            if not flags["q"]:
+                text_emit(f"{cid} committed")
+            return None
+        if cmd == "vector":
+            # `super db vector add|delete <object-ksuid>`
+            sub, *oids = args
+            name, branch = current(flags["use"])
+            pool = lake.pool(name)
+            for oid in oids:
+                if sub == "add":
+                    pool.vector_add(oid, branch)
+                elif sub == "delete":
+                    pool.vector_delete(oid, branch)
+                else:
+                    raise ValueError(f"vector {sub}: unknown subcommand")
+            return None
         raise ValueError(f"super db {cmd}: not supported by the harness")
 
     def emit(df, fmt):
@@ -1380,6 +1418,11 @@ def _run_db_script_case(spark, case: dict, path: str):
                 toks = shlex.split(seg.strip())
                 if not toks or toks[0] not in ("super", "zq"):
                     raise ValueError(f"unsupported command {seg!r}")
+                if toks == [toks[0], "-version"]:
+                    # `super -version` (service/ztests/version.yaml
+                    # greps /v\d+\.\d+/): this engine's own version
+                    text_emit("v0.6.0 (zed-spark)")
+                    continue
                 fmt = None
                 if "-f" in toks and toks.index("-f") + 1 < len(toks):
                     # (`vacuum -f` is force, not format — trailing -f
@@ -1690,7 +1733,11 @@ def _run_script_case(spark, case: dict, path: str):
     from zed_spark.lang.compiler import compile_query
     from zed_spark.sources.zson import parse_zson
 
-    if "super db" in case["script"] or "zed lake" in case["script"]:
+    if (
+        "super db" in case["script"]
+        or "zed lake" in case["script"]
+        or "source service.sh" in case["script"]
+    ):
         _run_db_script_case(spark, case, path)
         return
     from zed_spark.sources.zson import parse_zson_typed as _pzt

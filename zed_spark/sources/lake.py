@@ -565,10 +565,90 @@ class Pool:
         )
         return commit_id
 
-    def compact(self, author: str = "", message: str = "compact", branch: str = "main") -> str:
-        """Merge all live objects into one key-sorted object set
-        (reference: /compact, service/core.go)."""
-        return self.delete_where(F.lit(False), author, message, branch)
+    def compact(
+        self,
+        author: str = "",
+        message: str = "compact",
+        branch: str = "main",
+        ids: list[str] | None = None,
+    ) -> str:
+        """Merge live objects into one key-sorted object (reference:
+        /compact, service/core.go; cmd/super/db/compact takes the
+        object ksuids to merge). ids=None compacts everything."""
+        if ids is None:
+            return self.delete_where(F.lit(False), author, message, branch)
+        live = self._live_objects(branch)
+        drops = []
+        for a in ids:
+            if f"obj_{a}" not in live:
+                raise ValueError(f"{a}: object not found")
+            drops.append(f"obj_{a}")
+        paths = [os.path.join(self.cfg.path, o) for o in drops]
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        commit_id = new_ksuid()
+        self._write_object(df, commit_id)
+        stats = self._key_stats(df)
+        self._advance(
+            branch,
+            {
+                "commit": commit_id,
+                "ts": time.time(),
+                "author": author,
+                "message": message,
+                "add": [f"obj_{commit_id}"],
+                "remove": drops,
+                "stats": stats,
+            },
+        )
+        return commit_id
+
+    # --- vectors (reference: `super db vector add/delete` registers
+    # a columnar companion for a data object; `:vectors` lists the
+    # registered objects — lake/ztests/vector.yaml) ------------------
+    def _vectors_path(self) -> str:
+        return os.path.join(self.cfg.path, "vectors.json")
+
+    def _vector_ids(self) -> list[str]:
+        import json
+
+        p = self._vectors_path()
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return json.load(f)
+
+    def vector_add(self, obj_id: str, branch: str = "main") -> None:
+        import json
+
+        if f"obj_{obj_id}" not in self._live_objects(branch):
+            raise ValueError(f"{obj_id}: object not found")
+        ids = self._vector_ids()
+        if obj_id not in ids:
+            ids.append(obj_id)
+        with open(self._vectors_path(), "w") as f:
+            json.dump(ids, f)
+
+    def vector_delete(self, obj_id: str, branch: str = "main") -> None:
+        import json
+
+        ids = self._vector_ids()
+        if obj_id not in ids:
+            raise ValueError(f"{obj_id}: vector not found")
+        ids.remove(obj_id)
+        with open(self._vectors_path(), "w") as f:
+            json.dump(ids, f)
+
+    def meta_vectors(self, branch: str = "main") -> DataFrame:
+        """`from <pool>:vectors` — objects with registered vectors
+        (subset of :objects rows; empty when none registered)."""
+        from zed_spark.functions.misc import ksuid_decode_str
+
+        want = {ksuid_decode_str(i) for i in self._vector_ids()}
+        objs = self.meta_objects(branch)
+        if not want:
+            return objs.limit(0)
+        ids = [bytes(b) for b in want]
+        return objs.filter(F.col("id").isin(ids))
 
     def vacuum(self, dryrun: bool = False) -> list[str]:
         """Remove object dirs referenced by NO branch (reference:

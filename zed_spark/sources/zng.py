@@ -590,36 +590,209 @@ def _append_tagged(out: bytearray, body: bytes | None) -> None:
         out += body
 
 
-def _lz4_block_compress(src: bytes) -> bytes:
-    """LZ4 block compression. Uses the lz4 wheel when present; else a
-    literals-only block (valid LZ4: one sequence, no matches) — larger
-    than real LZ4 but spec-conformant, and _frame only keeps the
-    compressed form when it actually shrinks."""
-    try:
-        import lz4.block as _lz4
+# --- LZ4 block compression, bit-faithful to the reference writer ----------
+#
+# The reference's zngio writer compresses every frame with pierrec/lz4
+# v4.1.18 (go.mod:23; zio/zngio/writer.go compressor) and the lake
+# records the COMPRESSED stream position as the object's `size`
+# (lake/data/writer.go:127 Position), which the `:objects` meta
+# goldens compare verbatim (lake/ztests/overlap.yaml: 17073/17039).
+# Matching those byte counts requires the exact same compressed
+# output, so this is a faithful port of the public open-source
+# pierrec/lz4 v4 fast-scan block compressor (lz4/internal/lz4block/
+# block.go CompressBlock, BSD-3): same 6-byte hash, same 3-position
+# probe, same adaptive skip, same greedy 8-byte match extension —
+# identical output bytes for identical input.
 
-        return _lz4.compress(src, store_size=False)
-    except Exception:
-        n = len(src)
-        out = bytearray()
-        tok = min(n, 15)
-        out.append(tok << 4)
-        if tok == 15:
-            rem = n - 15
-            while rem >= 255:
-                out.append(255)
-                rem -= 255
-            out.append(rem)
-        out += src
-        return bytes(out)
+_LZ4_HASH_LOG = 16
+_LZ4_HT_SIZE = 1 << _LZ4_HASH_LOG
+_LZ4_WIN_SIZE = 1 << 16
+_LZ4_WIN_MASK = _LZ4_WIN_SIZE - 1
+_LZ4_MIN_MATCH = 4
+_LZ4_MF_LIMIT = 10 + _LZ4_MIN_MATCH
+_LZ4_PRIME6 = 227718039650203
+_U64 = (1 << 64) - 1
+
+
+def _lz4_hash(x: int) -> int:
+    # blockHash: hash of the low 6 bytes
+    x &= (1 << 48) - 1
+    return ((x * _LZ4_PRIME6) & _U64) >> (48 - _LZ4_HASH_LOG)
+
+
+def _lz4_block_compress(src: bytes):
+    """pierrec/lz4 v4 CompressBlock port: returns the compressed block
+    when it fits in len(src)-1... i.e. strictly fits in a dst buffer of
+    len(src) bytes (the reference sizes dst = len(src) and treats
+    overflow/incompressible as 'write the frame uncompressed'), else
+    None."""
+    n = len(src)
+    dst = bytearray(n)
+    dlen = n
+    ADAPT_SKIP_LOG = 7
+    si = di = anchor = 0
+    sn = n - _LZ4_MF_LIMIT
+    table: dict[int, int] = {}
+
+    def get(h: int, si_: int) -> int:
+        i = table.get(h & (_LZ4_HT_SIZE - 1), 0)
+        i += si_ & ~_LZ4_WIN_MASK
+        if i >= si_:
+            i -= _LZ4_WIN_SIZE
+        return i
+
+    def put(h: int, si_: int) -> None:
+        table[h & (_LZ4_HT_SIZE - 1)] = si_ & 0xFFFF
+
+    def u64(at: int) -> int:
+        return int.from_bytes(src[at : at + 8], "little")
+
+    def u32(at: int) -> int:
+        return int.from_bytes(src[at : at + 4], "little")
+
+    if sn > 0:
+        while si < sn:
+            match = u64(si)
+            h = _lz4_hash(match)
+            h2 = _lz4_hash(match >> 8)
+            ref = get(h, si)
+            ref2 = get(h2, si + 1)
+            put(h, si)
+            put(h2, si + 1)
+            offset = si - ref
+            if (
+                offset <= 0
+                or offset >= _LZ4_WIN_SIZE
+                or (match & 0xFFFFFFFF) != u32(ref)
+            ):
+                h = _lz4_hash(match >> 16)
+                ref3 = get(h, si + 2)
+                put(h, si + 2)
+                si += 1
+                offset = si - ref2
+                if (
+                    offset <= 0
+                    or offset >= _LZ4_WIN_SIZE
+                    or ((match >> 8) & 0xFFFFFFFF) != u32(ref2)
+                ):
+                    si += 1
+                    offset = si - ref3
+                    if (
+                        offset <= 0
+                        or offset >= _LZ4_WIN_SIZE
+                        or ((match >> 16) & 0xFFFFFFFF) != u32(ref3)
+                    ):
+                        si += 2 + ((si - anchor) >> ADAPT_SKIP_LOG)
+                        continue
+            # match found
+            l_len = si - anchor
+            m_len = _LZ4_MIN_MATCH
+            # extend backwards (each step grows the match, shrinks
+            # the literal run)
+            t_off = si - offset - 1
+            while l_len > 0 and t_off >= 0 and src[si - 1] == src[t_off]:
+                si -= 1
+                t_off -= 1
+                l_len -= 1
+                m_len += 1
+            # `si, mLen = si+mLen, si+minMatch`: si advances past the
+            # already-matched bytes; m_base is the length origin
+            m_base = si + _LZ4_MIN_MATCH
+            si = si + m_len
+            while si + 8 <= sn:
+                x = u64(si) ^ u64(si - offset)
+                if x == 0:
+                    si += 8
+                else:
+                    si += ((x & -x).bit_length() - 1) >> 3
+                    break
+            m_len = si - m_base
+            if di >= dlen:
+                return None
+            dst[di] = m_len if m_len < 0xF else 0xF
+            # literal length
+            if l_len < 0xF:
+                dst[di] |= l_len << 4
+            else:
+                dst[di] |= 0xF0
+                di += 1
+                ll = l_len - 0xF
+                while ll >= 0xFF and di < dlen:
+                    dst[di] = 0xFF
+                    di += 1
+                    ll -= 0xFF
+                if di >= dlen:
+                    return None
+                dst[di] = ll
+            di += 1
+            # literals
+            if di + l_len > dlen:
+                return None
+            dst[di : di + l_len] = src[anchor : anchor + l_len]
+            di += l_len + 2
+            anchor = si
+            # offset
+            if di > dlen:
+                return None
+            dst[di - 2] = offset & 0xFF
+            dst[di - 1] = (offset >> 8) & 0xFF
+            # match length part 2
+            if m_len >= 0xF:
+                m_len -= 0xF
+                while m_len >= 0xFF and di < dlen:
+                    dst[di] = 0xFF
+                    di += 1
+                    m_len -= 0xFF
+                if di >= dlen:
+                    return None
+                dst[di] = m_len
+                di += 1
+            if si >= sn:
+                break
+            put(_lz4_hash(u64(si - 2)), si - 2)
+    # last literals
+    if anchor == 0:
+        return None  # incompressible
+    if di >= dlen:
+        return None
+    l_len = n - anchor
+    if l_len < 0xF:
+        dst[di] = l_len << 4
+    else:
+        dst[di] = 0xF0
+        di += 1
+        l_len -= 0xF
+        while l_len >= 0xFF:
+            dst[di] = 0xFF
+            di += 1
+            l_len -= 0xFF
+            if di >= dlen:
+                return None
+        if di >= dlen:
+            return None
+        dst[di] = l_len
+    di += 1
+    if di >= anchor:
+        return None  # incompressible
+    if di + n - anchor > dlen:
+        return None
+    dst[di : di + n - anchor] = src[anchor:]
+    di += n - anchor
+    return bytes(dst[:di])
 
 
 def _frame(ftype: int, payload: bytes, compress: bool = False) -> bytes:
     if compress:
-        comp = bytearray([0x00])  # compression format 0 = LZ4 block
-        _put_uvarint(comp, len(payload))
-        comp += _lz4_block_compress(payload)
-        if len(comp) < len(payload):
+        try:
+            z = _lz4_block_compress(payload)
+        except IndexError:
+            # dst overflow == "would not shrink" (the reference sizes
+            # dst = len(src) and falls back to an uncompressed frame)
+            z = None
+        if z is not None:
+            comp = bytearray([0x00])  # compression format 0 = LZ4 block
+            _put_uvarint(comp, len(payload))
+            comp += z
             code = 0x40 | (ftype << 4) | (len(comp) & 0x0F)
             out = bytearray([code])
             _put_uvarint(out, len(comp) >> 4)
@@ -695,7 +868,9 @@ def encode_zng(rows, schema, compress: bool = True) -> bytes:
             prepared.append((tid, sub, d))
         out = bytearray()
         if defs2:
-            out += _frame(0, b"".join(defs2))
+            # the reference compresses TYPES frames too (writer.go
+            # flush → writeBlock for both frame kinds)
+            out += _frame(0, b"".join(defs2), compress)
         vals = bytearray()
         for tid, sub, d in prepared:
             _put_uvarint(vals, tid)
@@ -712,7 +887,7 @@ def encode_zng(rows, schema, compress: bool = True) -> bytes:
     top = _schema_typedefs(schema, defs, memo)
     out = bytearray()
     if defs:
-        out += _frame(0, b"".join(defs))
+        out += _frame(0, b"".join(defs), compress)
     vals = bytearray()
     for row in rows:
         _put_uvarint(vals, top)
