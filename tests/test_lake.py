@@ -26,7 +26,10 @@ def test_pool_roundtrip(spark, lake):
     pool.load(ev.limit(10), message="more")
     assert pool.scan().count() == ev.count() + 10
     log = pool.meta_commits()
-    assert log.count() == 2
+    # 2 commits + 1 branch-tip row (the reference's :log scan leads
+    # with lake.BranchTip rows — meta/scanner.go:77)
+    assert log.count() == 3
+    assert log.filter("message is not null").count() == 2
     assert set(log.columns) >= {"commit", "author", "message"}
 
 
@@ -155,8 +158,8 @@ def test_revert_is_new_commit(spark, lake):
     assert pool.scan().count() == 28
     pool.revert(bad)
     assert pool.scan().count() == 25
-    # history is append-only: 3 commits now
-    assert pool.meta_commits().count() == 3
+    # history is append-only: 3 commits (+1 branch tip) now
+    assert pool.meta_commits(tips=False).count() == 3
     # vacuum keeps objects still referenced by other branches only
     removed = pool.vacuum()
     assert all(bad not in r for r in removed) or removed
@@ -203,7 +206,8 @@ def test_language_lake_refs(spark, lake):
     assert z.query("from nation | count()", lake=lake).df.first()["this"] == 25
     assert z.query("from nation@dev | count()", lake=lake).df.first()["this"] == 28
     logs = z.query("from nation:log", lake=lake).df
-    assert logs.count() == 2 and "message" in logs.columns
+    # 2 commits + 2 branch tips (main, dev)
+    assert logs.count() == 4 and "message" in logs.columns
     branches = z.query("from nation:branches | sort branch", lake=lake).df
     assert [r["branch"] for r in branches.collect()] == ["dev", "main"]
     pools = z.query("from :pools", lake=lake).df

@@ -385,8 +385,7 @@ _LAKE_GAPS = {
     "lake/consecutive-ts.yaml": "reads the lake's internal seek-index files [script]",
     "lake/lake-version.yaml": _SH2,
     "lake/log.yaml": "git-style log golden incl. exact compressed ZNG byte counts " + _ZSIZE,
-    "lake/ls.yaml": _FMTG,
-    "lake/meta.yaml": "meta rows carry named types (data.Object, lake.BranchTip) [shape]",
+    "lake/ls.yaml": "babble object stats golden: ns-precision min/max (µs parquet storage) + " + _ZSIZE,
     "lake/overlap.yaml": _ZSIZE,
     "lake/seek-index-null.yaml": "seek-index internals over null keys [script]",
     "service/accept-header.yaml": _CURL,
@@ -911,7 +910,8 @@ def _run_db_script_case(spark, case: dict, path: str):
                 pool = lake.pool(pname)
                 mdf = {
                     "log": pool.meta_commits,
-                    "rawlog": pool.meta_commits,
+                    # rawlog is the raw commit journal — no tip rows
+                    "rawlog": lambda: pool.meta_commits(tips=False),
                     "objects": pool.meta_objects,
                     "partitions": pool.meta_partitions,
                     "vectors": pool.meta_vectors,
@@ -1169,7 +1169,7 @@ def _run_db_script_case(spark, case: dict, path: str):
             # commit log of the used pool as a frame (the reference
             # prints `commit <ksuid> ...`; callers here pipe/inspect)
             name, branch = current(flags["use"])
-            df = lake.pool(name).meta_commits()
+            df = lake.pool(name).meta_commits(tips=False)
             for r in df.collect():
                 text_emit(f"commit {r['commit']}")
             return None

@@ -7196,7 +7196,7 @@ class Compiler:
                             F.col("__zed_types"), F.lit(key)
                         )
                         base = F.regexp_replace(
-                            per, r"^([^\W\d][\w$]*=)+", ""
+                            per, r"^([^\W\d][\w$.]*=)+", ""
                         )
                         is_str = is_str & (
                             per.isNull()
@@ -7233,7 +7233,7 @@ class Compiler:
                     ".".join(args[0][1]) if args[0][0] == "field" else ""
                 )
                 per = F.element_at(F.col("__zed_types"), F.lit(key))
-                base = F.regexp_replace(per, r"^([^\W\d][\w$]*=)+", "")
+                base = F.regexp_replace(per, r"^([^\W\d][\w$.]*=)+", "")
                 # tiny compile-time probe: when every row's recorded
                 # type IS string, skip the carrier entirely so plain
                 # string pipelines (group keys, nested calls) keep
@@ -7270,7 +7270,7 @@ class Compiler:
                 )
                 per = F.regexp_replace(
                     F.element_at(F.col("__zed_types"), F.lit(key)),
-                    r"^([^\W\d][\w$]*=)+",
+                    r"^([^\W\d][\w$.]*=)+",
                     "",
                 )
                 tv = F.element_at(
@@ -7492,7 +7492,7 @@ class Compiler:
                 # named layer(s) (under.go)
                 per = F.element_at(F.col("__zed_types"), F.lit(path or ""))
                 if name == "typeunder":
-                    per = F.regexp_replace(per, r"^([^\W\d][\w$]*=)+", "")
+                    per = F.regexp_replace(per, r"^([^\W\d][\w$.]*=)+", "")
                 return F.coalesce(per, static)
             return static
         if name == "kind" and len(args) == 1:
@@ -7513,7 +7513,7 @@ class Compiler:
                 per = F.element_at(F.col("__zed_types"), F.lit(key))
                 tv = F.element_at(F.col("__zed_types"), F.lit("\x00tv:" + key))
                 eff = F.regexp_replace(
-                    F.coalesce(tv, per), r"^([^\W\d][\w$]*=)+", ""
+                    F.coalesce(tv, per), r"^([^\W\d][\w$.]*=)+", ""
                 )
                 per_kind = (
                     F.when(eff.startswith("error("), "error")
@@ -7556,7 +7556,7 @@ class Compiler:
                 # (function/nameof.go) — the aux \x00tv entry
                 tv = F.element_at(F.col("__zed_types"), F.lit("\x00tv:" + key))
                 eff = F.coalesce(tv, per)
-                nm = F.regexp_extract(eff, r"^([^\W\d][\w$]*)=", 1)
+                nm = F.regexp_extract(eff, r"^([^\W\d][\w$.]*)=", 1)
                 val = F.when(eff.isNotNull() & (nm != ""), nm)
                 return self._mk_carrier(
                     T.StringType(), val, F.when(val.isNull(), F.lit("missing"))

@@ -169,7 +169,7 @@ class Lake:
         schema = (
             "name string, id string, "
             "layout struct<order: string, keys: array<array<string>>>, "
-            "seek_stride int, threshold long, ts timestamp"
+            "seek_stride long, threshold long, ts timestamp"
         )
         rows = []
         for name in self.pools():
@@ -668,30 +668,66 @@ class Pool:
         return removed
 
     # --- meta scans (metadata as data) -------------------------------
-    def meta_commits(self) -> DataFrame:
+    def meta_commits(self, tips: bool = True) -> DataFrame:
         """`from <pool>:log` — commit journal as data, including the
         commit `date` and any -meta app metadata (reference
-        lake/commit records; appmeta ztest greps `meta`)."""
+        lake/commit records; appmeta ztest greps `meta`).
+
+        Like the reference's meta scanner (runtime/sam/op/meta/
+        scanner.go:77: `log` prepends BatchifyBranchTips), the stream
+        leads with one `lake.BranchTip` row per branch ({name,
+        commit}; other fields absent via __zed_missing) followed by
+        the `Commit` rows — per-row identity rides the __zed_types
+        sidecar so `nameof(this)` works (lake/ztests/meta.yaml).
+        tips=False gives the commits-only form (`:rawlog`)."""
         from datetime import datetime, timezone
 
-        rows = [
-            (
-                c["commit"],
-                float(c["ts"]),
-                datetime.fromtimestamp(float(c["ts"]), tz=timezone.utc),
-                c.get("author", ""),
-                c.get("message", ""),
-                None if c.get("meta") is None else str(c["meta"]),
-                len(c.get("add", [])),
-                len(c.get("remove", [])),
-            )
-            for c in self.commits()
+        commit_cols = [
+            "ts", "date", "author", "message", "meta", "n_add", "n_remove",
         ]
-        return self.spark.createDataFrame(
+        rows = []
+        if tips:
+            for bname, ref in sorted(self.branches().items()):
+                if not ref.get("tip"):
+                    continue  # unborn branch: no tip row (empty pool)
+                rows.append(
+                    (
+                        ref["tip"],
+                        None, None, None, None, None, None, None,
+                        bname,
+                        list(commit_cols),
+                        {"": "lake.BranchTip={name:string,commit:string}"},
+                    )
+                )
+        for c in self.commits():
+            rows.append(
+                (
+                    c["commit"],
+                    float(c["ts"]),
+                    datetime.fromtimestamp(float(c["ts"]), tz=timezone.utc),
+                    c.get("author", ""),
+                    c.get("message", ""),
+                    None if c.get("meta") is None else str(c["meta"]),
+                    len(c.get("add", [])),
+                    len(c.get("remove", [])),
+                    None,
+                    ["name"],
+                    {
+                        "": "Commit={ts:time,author:string,"
+                        "message:string}"
+                    },
+                )
+            )
+        df = self.spark.createDataFrame(
             rows,
             "commit string, ts double, date timestamp, author string, "
-            "message string, meta string, n_add int, n_remove int",
+            "message string, meta string, n_add int, n_remove int, "
+            "name string, __zed_missing array<string>, "
+            "__zed_types map<string,string>",
         )
+        if not tips:
+            df = df.drop("name", "__zed_missing", "__zed_types")
+        return df
 
     def meta_branches(self) -> DataFrame:
         """`from <pool>:branches` — branch refs as data."""
@@ -790,12 +826,34 @@ class Pool:
                 T.StructField("size", T.LongType()),
             ]
         )
-        return self.spark.createDataFrame(
+        out = self.spark.createDataFrame(
             [
                 (r["id"], r["min"], r["max"], r["count"], r["size"])
                 for r in rows
             ],
             schema,
+        )
+        # per-row identity: the reference marshals data.Object rows
+        # with package-style naming (scanner.go objectReader m.Decorate
+        # StylePackage) — `nameof(this)` must see "data.Object" and
+        # the count field is uint64 (lake/ztests/meta.yaml)
+        kts = {
+            T.TimestampType(): "time", T.LongType(): "int64",
+            T.DoubleType(): "float64", T.BooleanType(): "bool",
+            T.StringType(): "string",
+        }.get(kt, "string")
+        return out.withColumn(
+            "__zed_types",
+            F.create_map(
+                F.lit(""),
+                F.lit(
+                    "data.Object={id:ksuid=bytes,"
+                    f"min:{kts},max:{kts},"
+                    "count:uint64,size:int64}"
+                ),
+                F.lit("count"),
+                F.lit("uint64"),
+            ),
         )
 
     def meta_partitions(self, branch: str = "main") -> DataFrame:

@@ -42,7 +42,10 @@ import re
 #   ("error", inner)
 #   ("enum", (sym, ...))
 
-_IDENT = re.compile(r"[^\W\d][\w$]*", re.UNICODE)
+# dots allowed: the reference's zson marshaler decorates Go types in
+# package style (zson/marshal.go StylePackage → `order.Which`,
+# `data.Object`, `lake.BranchTip` — lake/ztests/meta.yaml)
+_IDENT = re.compile(r"[^\W\d][\w$.]*", re.UNICODE)
 _INT = re.compile(r"[+-]?\d+$")
 _HEX = re.compile(r"0x(?:[0-9a-fA-F]{2})*$")
 _TIME = re.compile(r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}")
