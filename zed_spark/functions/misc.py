@@ -89,7 +89,16 @@ def ksuid_to_string(e: Column) -> Column:
 
         def safe(b):
             try:
-                return None if b is None else ksuid_encode_bytes(bytes(b))
+                if b is None:
+                    return None
+                if isinstance(b, str):
+                    # the service marshals ksuids as 0x<40hex> in
+                    # JSON (api types); ksuid() accepts that form
+                    # (service/ztests/curl-stats.yaml idiom)
+                    if b.startswith("0x"):
+                        return ksuid_encode_bytes(bytes.fromhex(b[2:]))
+                    return b if len(b) == 27 else None
+                return ksuid_encode_bytes(bytes(b))
             except Exception:
                 return None
 

@@ -3116,6 +3116,11 @@ class Compiler:
     def expr(self, e: tuple, df: DataFrame) -> Column:
         kind = e[0]
         if kind == "num":
+            # integer literals are int64 in zed (docs/language:
+            # primitive literals); bare F.lit(int) would plan int32
+            # and leak an (int32) decorator into -Z goldens
+            if isinstance(e[1], int) and not isinstance(e[1], bool):
+                return F.lit(e[1]).cast("long")
             return F.lit(e[1])
         if kind == "str":
             return F.lit(e[1])

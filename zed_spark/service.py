@@ -23,6 +23,45 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pyspark.sql import SparkSession
 
 
+# Accept / Content-Type ↔ engine format (reference: api/queryio and
+# service handlers' MIME table — zio/anyio MediaTypeToFormat)
+_MIME_FMT = {
+    "text/csv": "csv",
+    "text/tab-separated-values": "tsv",
+    "application/json": "json",
+    "application/x-ndjson": "ndjson",
+    "application/x-zeek": "zeek",
+    "application/x-zjson": "zjson",
+    "application/x-zson": "zson",
+    "application/vnd.apache.arrow.stream": "arrows",
+    "application/x-parquet": "parquet",
+    "application/x-zng": "zng",
+    "application/x-line": "line",
+}
+
+
+class ApiError(Exception):
+    def __init__(self, msg: str, kind: str = "invalid operation", code: int = 400):
+        super().__init__(msg)
+        self.kind = kind
+        self.code = code
+
+
+def _pick_accept(header: str, default: str) -> str:
+    """First supported MIME type in the Accept list (the reference
+    scans in order — service/ztests/accept-header.yaml); '' / */*
+    pick the service default; none supported → error."""
+    if not header or not header.strip():
+        return default
+    for part in header.split(","):
+        mt = part.split(";")[0].strip()
+        if mt in ("*/*", ""):
+            return default
+        if mt in _MIME_FMT:
+            return _MIME_FMT[mt]
+    raise ApiError("could not find supported MIME type in Accept header")
+
+
 class QueryService:
     def __init__(
         self,
@@ -31,6 +70,7 @@ class QueryService:
         lake_root: str | None = None,
         tables: dict | None = None,
         max_rows: int = 10_000,
+        default_fmt: str = "zson",
     ):
         self.spark = spark
         self.sf_dir = sf_dir
@@ -40,7 +80,321 @@ class QueryService:
         # `from lineitem` OOM the driver; clients page with
         # {"limit": N} up to this ceiling
         self.max_rows = max_rows
+        # `-defaultfmt` service flag (service/ztests/default-format)
+        self.default_fmt = default_fmt
         self._server: ThreadingHTTPServer | None = None
+
+    # --- reference REST API (service/core.go route table) ------------
+
+    def _lake(self):
+        from zed_spark.sources.lake import Lake
+
+        if not self.lake_root:
+            raise ApiError("service has no lake root")
+        return Lake(self.spark, self.lake_root)
+
+    def _pool_by_ref(self, ref: str):
+        """Pools are addressable by name or by ksuid id (the route
+        params accept either; names arrive URL-encoded)."""
+        from urllib.parse import unquote
+
+        lake = self._lake()
+        ref = unquote(ref)
+        if ref.startswith("0x") and len(ref) == 42:
+            # 0x-hex ksuid (the `-f text` rendering of ksuid bytes —
+            # curl-add-gzip/curl-stats route idiom)
+            from zed_spark.functions.misc import ksuid_encode_bytes
+
+            try:
+                ref = ksuid_encode_bytes(bytes.fromhex(ref[2:]))
+            except ValueError:
+                pass
+        names = lake.pools()
+        if ref in names:
+            return lake.pool(ref)
+        for n in names:
+            if lake.pool(n).cfg.id == ref:
+                return lake.pool(n)
+        raise ApiError(f"{ref}: pool not found", kind="item does not exist", code=404)
+
+    @staticmethod
+    def _ksuid_hex(b62: str) -> str:
+        from zed_spark.functions.misc import ksuid_decode_str
+
+        return "0x" + ksuid_decode_str(b62).hex()
+
+    def _commit_response(self, commit_b62: str, fmt: str, warnings) -> bytes:
+        hexid = self._ksuid_hex(commit_b62)
+        if fmt in ("json", "ndjson"):
+            return (
+                json.dumps({"commit": hexid, "warnings": warnings}, separators=(",", ":")) + "\n"
+            ).encode()
+        w = "null" if warnings is None else "[]"
+        return (
+            f"{{commit:{hexid}(=ksuid.KSUID),warnings:{w}([string])}}"
+            "(=api.CommitResponse)\n"
+        ).encode()
+
+    def _render(self, df, fmt: str, ctrl: bool = False) -> bytes:
+        """DataFrame → response payload in the negotiated format."""
+        import os
+        import tempfile
+
+        if fmt == "csv":
+            from zed_spark.sources.csv_io import to_csv_text
+
+            return to_csv_text(df).encode()
+        if fmt == "tsv":
+            from zed_spark.sources.csv_io import to_csv_text
+
+            return to_csv_text(df, delim="\t").encode()
+        if fmt in ("json", "ndjson"):
+            vis = [c for c in df.columns if not c.startswith("__zed_")]
+
+            def san(v):
+                if isinstance(v, (bytes, bytearray)):
+                    return "0x" + bytes(v).hex()
+                if isinstance(v, dict):
+                    return {k: san(x) for k, x in v.items()}
+                if isinstance(v, list):
+                    return [san(x) for x in v]
+                return v
+
+            rows = [
+                san(r.asDict(recursive=True))
+                for r in df.select(*vis).limit(self.max_rows).collect()
+            ]
+            if fmt == "json":
+                return (json.dumps(rows, default=str, separators=(",", ":")) + "\n").encode()
+            return (
+                "\n".join(json.dumps(r, default=str, separators=(",", ":")) for r in rows) + "\n"
+            ).encode()
+        if fmt == "zeek":
+            from zed_spark.sources.zeek import to_zeek_text
+
+            return to_zeek_text(df).encode()
+        if fmt == "zjson":
+            from zed_spark.sources.zjson import to_zjson_text
+
+            lines = to_zjson_text(df)
+            if ctrl:
+                import time as _t
+
+                now = _t.time()
+                ts = {"sec": int(now), "ns": int((now % 1) * 1e9)}
+                n = df.count()
+                lines = (
+                    [json.dumps({"type": "QueryChannelSet", "value": {"channel": "main"}})]
+                    + list(lines)
+                    + [
+                        json.dumps({"type": "QueryChannelEnd", "value": {"channel": "main"}}),
+                        json.dumps(
+                            {
+                                "type": "QueryStats",
+                                "value": {
+                                    "start_time": ts,
+                                    "update_time": ts,
+                                    "bytes_read": 0,
+                                    "bytes_matched": 0,
+                                    "records_read": n,
+                                    "records_matched": n,
+                                },
+                            }
+                        ),
+                    ]
+                )
+            return ("\n".join(lines) + "\n").encode()
+        if fmt == "zson":
+            from zed_spark.sources.zson import df_to_zson_lines
+
+            return ("\n".join(df_to_zson_lines(df).collect()) + "\n").encode()
+        if fmt in ("arrows", "parquet", "zng"):
+            d = tempfile.mkdtemp(prefix="svc_out_")
+            if fmt == "arrows":
+                from zed_spark.sources.arrow_io import write_arrows
+
+                p = os.path.join(d, "out.arrows")
+                write_arrows(df, p, single_file=True)
+            elif fmt == "zng":
+                from zed_spark.sources.zng import write_zng
+
+                p = os.path.join(d, "out.zng")
+                write_zng(df, p, single_file=True)
+            else:
+                df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "pq"))
+                import glob as _g
+
+                p = _g.glob(os.path.join(d, "pq", "part-*.parquet"))[0]
+            with open(p, "rb") as fh:
+                return fh.read()
+        raise ApiError(f"unsupported MIME type: {fmt}")
+
+    def _load_body(self, body: bytes, ctype: str, params: dict) -> "object":
+        """Request body → DataFrame per Content-Type (gzip sniffed
+        like the reference's auto-uncompress — curl-add-gzip posts
+        gzip bytes with no header)."""
+        import gzip
+        import os
+        import tempfile
+
+        if body[:2] == b"\x1f\x8b":
+            body = gzip.decompress(body)
+        mt = ctype.split(";")[0].strip() if ctype else ""
+        if mt and mt not in _MIME_FMT:
+            raise ApiError(f"unsupported MIME type: {mt}")
+        fmt = _MIME_FMT.get(mt)
+        ext = {
+            "csv": ".csv", "tsv": ".tsv", "json": ".json", "line": ".txt",
+            "zeek": ".log", "zson": ".zson", "zjson": ".zjson",
+            "arrows": ".arrows", "parquet": ".parquet", "zng": ".zng",
+            "ndjson": ".json",
+        }
+        from zed_spark.sources.readers import read_any
+
+        d = tempfile.mkdtemp(prefix="svc_load_")
+        if fmt is None:
+            # auto-detect: zson / zng / json (the reference's anyio
+            # detector order, restricted to self-describing formats —
+            # line/csv need an explicit Content-Type)
+            for trial in ("zson", "zng", "json"):
+                p = os.path.join(d, "body" + ext[trial])
+                mode = "wb"
+                with open(p, mode) as fh:
+                    fh.write(body)
+                try:
+                    df = read_any(self.spark, p, trial)
+                    if df.columns and df.count() > 0:
+                        return df
+                except Exception:
+                    continue
+            raise ApiError("format detection error")
+        p = os.path.join(d, "body" + ext[fmt])
+        with open(p, "wb") as fh:
+            fh.write(body)
+        opts = {}
+        if fmt == "csv" and "csv.delim" in params:
+            opts["sep"] = params["csv.delim"]
+        df = read_any(self.spark, p, fmt, **opts)
+        if fmt == "line":
+            df = df.withColumnRenamed("value", "this") if df.columns == ["value"] else df
+        return df
+
+    def handle_api(self, method: str, path: str, params: dict, headers: dict, body: bytes):
+        """Transport-agnostic REST dispatch. Returns (code, ctype,
+        payload). Raises ApiError for client errors (rendered as the
+        reference's {"type":"Error",...} envelope by the caller)."""
+        from urllib.parse import unquote
+
+        parts = [p for p in path.split("/") if p]
+        accept = headers.get("accept", "")
+        if path == "/pool" and method == "POST":
+            spec = json.loads(body.decode() or "{}")
+            name = spec.get("name")
+            if not name:
+                raise ApiError("no pool name given")
+            layout = spec.get("layout") or {}
+            keys = layout.get("keys") or [["ts"]]
+            order = layout.get("order") or "desc"
+            lake = self._lake()
+            if name in lake.pools():
+                raise ApiError(f"{name}: pool already exists", kind="item already exists", code=409)
+            pool = lake.create_pool(name, ".".join(keys[0]), order)
+            import time as _t
+
+            ts = int(_t.time() * 1e9)
+            out = {
+                "pool": {
+                    "ts": ts,
+                    "name": name,
+                    # ksuid marshals as base62 text in JSON (the
+                    # segmentio MarshalText form the reference uses)
+                    "id": pool.cfg.id,
+                    "layout": {"order": order, "keys": keys},
+                    "seek_stride": 65536,
+                    "threshold": 524288000,
+                },
+                "branch": {
+                    "ts": ts,
+                    "name": "main",
+                    "commit": "0x" + "0" * 40,
+                },
+            }
+            return 200, "application/json", (json.dumps(out, separators=(",", ":")) + "\n").encode()
+        if len(parts) == 2 and parts[0] == "pool" and method == "PUT":
+            spec = json.loads(body.decode() or "{}")
+            pool = self._pool_by_ref(parts[1])
+            self._lake().rename_pool(pool.cfg.name, spec["name"])
+            return 204, "application/json", b""
+        if len(parts) == 2 and parts[0] == "pool" and method == "DELETE":
+            pool = self._pool_by_ref(parts[1])
+            self._lake().drop_pool(pool.cfg.name)
+            return 204, "application/json", b""
+        if (
+            len(parts) == 4
+            and parts[0] == "pool"
+            and parts[2] == "branch"
+            and method == "POST"
+        ):
+            fmt = _pick_accept(accept, self.default_fmt)
+            pool = self._pool_by_ref(parts[1])
+            df = self._load_body(body, headers.get("content-type", ""), params)
+            df = df.drop(
+                *[c for c in df.columns if c.startswith("__zed_") and c != "__zed_missing"]
+            )
+            cid = pool.load(df, branch=unquote(parts[3]))
+            return 200, "application/json", self._commit_response(cid, fmt, [])
+        if (
+            len(parts) == 5
+            and parts[0] == "pool"
+            and parts[2] == "branch"
+            and parts[4] == "delete"
+            and method == "POST"
+        ):
+            from zed_spark.sources.zson import parse_zson
+
+            pool = self._pool_by_ref(parts[1])
+            spec = parse_zson(body.decode())
+            where = (spec[0] or {}).get("where") if spec else None
+            if not where:
+                raise ApiError("no delete predicate given")
+            branch = unquote(parts[3])
+            from pyspark.sql import functions as F
+
+            from zed_spark.lang.compiler import compile_query
+
+            scan = pool.scan(branch)
+            pred = compile_query(self.spark, where, None, scan)
+            keys = [r[0] for r in pred.select(pool.cfg.key).collect()]
+            if not keys:
+                raise ApiError("empty transaction")
+            fmt = _pick_accept(accept, self.default_fmt)
+            cid = pool.delete_where(F.col(pool.cfg.key).isin(keys), branch=branch)
+            return 200, "application/json", self._commit_response(cid, fmt, None)
+        if path == "/query" and method == "POST":
+            spec = json.loads(body.decode() or "{}") if body.strip() else {}
+            text = (spec.get("query") or "").strip()
+            if not text:
+                raise ApiError("no pool name given")
+            fmt = _pick_accept(accept, self.default_fmt)
+            from zed_spark.session import ZedSession
+
+            z = ZedSession(self.spark)
+            df = z.query(text, allow_paths=False, lake=self.lake_root).df
+            ctrl = params.get("ctrl") == "true" and fmt == "zjson"
+            ctype = {
+                "json": "application/json",
+                "ndjson": "application/x-ndjson",
+                "csv": "text/csv",
+                "tsv": "text/tab-separated-values",
+                "zson": "application/x-zson",
+                "zjson": "application/x-zjson",
+                "zeek": "application/x-zeek",
+                "arrows": "application/vnd.apache.arrow.stream",
+                "parquet": "application/x-parquet",
+                "zng": "application/x-zng",
+            }.get(fmt, "text/plain")
+            return 200, ctype, self._render(df, fmt, ctrl=ctrl)
+        raise ApiError("not found", kind="item does not exist", code=404)
 
     def _run_query(
         self, text: str, sf_dir: str | None, limit: int | None = None
@@ -161,7 +515,45 @@ class QueryService:
                     return {"commit": c}
                 raise ValueError(f"unknown pool op {op!r}")
 
+            def _api(self, method):
+                """Reference REST routes (/pool*, /query) via
+                handle_api with the Error envelope on failure."""
+                from urllib.parse import parse_qsl, urlsplit
+
+                u = urlsplit(self.path)
+                params = dict(parse_qsl(u.query))
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n) if n else b""
+                hdrs = {k.lower(): v for k, v in self.headers.items()}
+                try:
+                    code, ctype, payload = svc.handle_api(
+                        method, u.path, params, hdrs, body
+                    )
+                    self._send(code, payload, ctype)
+                except ApiError as exc:
+                    env = {"type": "Error", "kind": exc.kind, "error": str(exc)}
+                    self._send(exc.code, json.dumps(env).encode())
+                except Exception as exc:
+                    env = {"type": "Error", "kind": "error", "error": str(exc)[:500]}
+                    self._send(500, json.dumps(env).encode())
+
+            def do_PUT(self):
+                if self.path.startswith("/pool/"):
+                    self._api("PUT")
+                else:
+                    self._send(404, b'{"error": "not found"}')
+
+            def do_DELETE(self):
+                if self.path.startswith("/pool/"):
+                    self._api("DELETE")
+                else:
+                    self._send(404, b'{"error": "not found"}')
+
             def do_POST(self):
+                # /pool (reference REST) vs /pools (legacy listing)
+                if self.path == "/pool" or self.path.startswith("/pool/"):
+                    self._api("POST")
+                    return
                 if self.path.startswith("/pools/"):
                     parts = self.path[len("/pools/"):].split("/")
                     if len(parts) == 2 and parts[1] in ("branch", "merge", "revert"):

@@ -96,11 +96,19 @@ class Lake:
         self.root = root
         os.makedirs(root, exist_ok=True)
 
+    def _pool_dir(self, name: str) -> str:
+        # pool names may contain any character incl. "/" (the service
+        # routes URL-encode them — service/ztests/url-encoded-pool);
+        # the directory name is the percent-escaped form
+        from urllib.parse import quote
+
+        return os.path.join(self.root, quote(name, safe=""))
+
     # --- pool lifecycle ---------------------------------------------
     def create_pool(
         self, name: str, key: str, order: str = "desc"
     ) -> "Pool":
-        path = os.path.join(self.root, name)
+        path = self._pool_dir(name)
         meta = os.path.join(path, LAKE_META_DIR)
         if os.path.exists(meta):
             raise ValueError(f"pool {name!r} already exists")
@@ -115,7 +123,7 @@ class Lake:
         return Pool(self.spark, PoolConfig(name, key, path, pid, order))
 
     def pool(self, name: str) -> "Pool":
-        path = os.path.join(self.root, name)
+        path = self._pool_dir(name)
         with open(os.path.join(path, LAKE_META_DIR, "pool.json")) as f:
             meta = json.load(f)
         return Pool(
@@ -131,7 +139,7 @@ class Lake:
 
         if name not in self.pools():
             raise ValueError(f"pool {name!r} not found")
-        shutil.rmtree(os.path.join(self.root, name))
+        shutil.rmtree(self._pool_dir(name))
 
     def rename_pool(self, old: str, new: str) -> None:
         """`super db rename` (service/core.go pool rename): move the
@@ -140,8 +148,8 @@ class Lake:
             raise ValueError(f"pool {old!r} not found")
         if new in self.pools():
             raise ValueError(f"pool {new!r} already exists")
-        os.rename(os.path.join(self.root, old), os.path.join(self.root, new))
-        meta = os.path.join(self.root, new, LAKE_META_DIR, "pool.json")
+        os.rename(self._pool_dir(old), self._pool_dir(new))
+        meta = os.path.join(self._pool_dir(new), LAKE_META_DIR, "pool.json")
         with open(meta) as f:
             cfg = json.load(f)
         cfg["name"] = new
@@ -155,8 +163,10 @@ class Lake:
         return self.pool(name).scan(branch or "main")
 
     def pools(self) -> list[str]:
+        from urllib.parse import unquote
+
         return sorted(
-            d for d in os.listdir(self.root)
+            unquote(d) for d in os.listdir(self.root)
             if os.path.isdir(os.path.join(self.root, d, LAKE_META_DIR))
         )
 
@@ -166,22 +176,24 @@ class Lake:
         seek_stride, threshold, ts)."""
         from datetime import datetime, timezone
 
+        # field order matches the reference's pools.Config marshal
+        # (ts leads — service/ztests/curl-pool-rename golden)
         schema = (
-            "name string, id string, "
+            "ts timestamp, name string, id string, "
             "layout struct<order: string, keys: array<array<string>>>, "
-            "seek_stride long, threshold long, ts timestamp"
+            "seek_stride long, threshold long"
         )
         rows = []
         for name in self.pools():
             c = self.pool(name).cfg
             rows.append(
                 (
+                    datetime.now(tz=timezone.utc),
                     name,
                     c.id,
                     (c.order, [c.key.split(".")]),
                     65536,
                     524288000,
-                    datetime.now(tz=timezone.utc),
                 )
             )
         out = self.spark.createDataFrame(rows, schema)
@@ -508,23 +520,25 @@ class Pool:
                 body = _encode_body(row, sub_schema)
                 return body if body is not None else b""
 
+            desc = self.cfg.order == "desc"
+            if self.cfg.key not in df.columns:
+                # fully keyless pool data keeps LOAD order — the
+                # importer's sort is a no-op when every key is
+                # missing (service/ztests/curl-load-line: line rows
+                # come back in input order, not byte order)
+                return df
             zc = F.udf(_zcode, BinaryType())(F.struct(*real))
             df = df.withColumn("__zed_zcode", zc)
             tie = F.col("__zed_zcode")
-            desc = self.cfg.order == "desc"
-            order = []
-            if self.cfg.key in df.columns:
-                key = F.col(self.cfg.key)
-                # nulls are the MAX key value in either pool order
-                # (runtime/sam/op/meta/ztests/nulls-max.yaml): asc →
-                # nulls last, desc → nulls first
-                order.append(
-                    key.desc_nulls_first() if desc else key.asc_nulls_last()
-                )
-            # a keyless batch still gets the total order: the key
-            # evaluates missing-as-null on every row, so the bytes
-            # tiebreak decides alone (service/ztests/csv-error)
-            order.append(tie.desc() if desc else tie.asc())
+            key = F.col(self.cfg.key)
+            # nulls are the MAX key value in either pool order
+            # (runtime/sam/op/meta/ztests/nulls-max.yaml): asc →
+            # nulls last, desc → nulls first; equal keys order by
+            # the record's zcode bytes (zbuf/merger.go:20-31)
+            order = [
+                key.desc_nulls_first() if desc else key.asc_nulls_last(),
+                tie.desc() if desc else tie.asc(),
+            ]
             df = df.orderBy(*order).drop("__zed_zcode")
             # note the scan order for a downstream merge join (the
             # reference join adopts a pre-sorted side's direction)

@@ -47,6 +47,10 @@ def _render(v, t, missing: set = frozenset()) -> str:
         return f'error("{body}")' if name.startswith("e") else body
     if v is None:
         return "-"
+    if isinstance(t, T.BinaryType):
+        # bytes render in the zson 0x form (curl-add-gzip captures a
+        # ksuid's bytes via `-f text` and routes on the 0x string)
+        return "0x" + bytes(v).hex()
     if isinstance(t, T.BooleanType):
         return "T" if v else "F"
     if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
