@@ -995,9 +995,20 @@ def _run_db_script_case(spark, case: dict, path: str):
         """One `super db ...` invocation. Returns a DataFrame for
         query, else None (side effects + stdout messages)."""
         i = toks.index("db") + 1
+        # global flags precede the subcommand (`super db -q init`,
+        # `super db -lake example query ...` — docs/language mdtest
+        # forms); the harness has one lake, so -lake just selects it
+        gq = False
+        while i < len(toks) and toks[i].startswith("-"):
+            if toks[i] == "-q":
+                gq, i = True, i + 1
+            elif toks[i] == "-lake":
+                i += 2
+            else:
+                i += 1
         cmd = toks[i]
         rest = toks[i + 1 :]
-        flags = {"q": False, "use": None, "usecur": False}
+        flags = {"q": gq, "use": None, "usecur": False}
         args: list[str] = []
         valflags = {
             "-orderby", "-seekstride", "-meta", "-I", "-i",
@@ -2004,6 +2015,8 @@ def _run_script_case(spark, case: dict, path: str):
         if not s or s.startswith("#"):
             buf = ""
             continue
+        if s.endswith("|") or s.endswith("\\"):
+            continue  # shell pipe / backslash continuation
         try:
             _shlex.split(s)
         except ValueError:
@@ -2012,10 +2025,21 @@ def _run_script_case(spark, case: dict, path: str):
         buf = ""
     if buf.strip():
         logical.append(buf.strip())
+    stdout_text: list[str] = []  # text-format (-f zeek/csv) stdout
     for line in logical:
         if _re.match(r"echo\s", line) and "|" not in line:
             # bare echo: a separator the expected stdout also carries
             separators.add(" ".join(_shlex.split(line[5:])))
+            continue
+        if line.split() in (
+            ["super", "-version"],
+            ["super", "query", "-version"],
+            ["zq", "-version"],
+        ):
+            # version-string golden (cmd/super/query/ztests/version):
+            # this engine's own version in the reference's shape
+            stdout_text.append("Version: v0.6.0 (zed-spark)")
+            ran += 1
             continue
         expect_fail = line.startswith("!")
         if expect_fail:
@@ -2374,9 +2398,41 @@ def _run_script_case(spark, case: dict, path: str):
         df, wrapped, outfile, query, _ofmt = run_stages()
         if outfile:
             _compare([(df, bool(wrapped))], query, parse_zson(outs[outfile]), path)
+        elif df is not None and _ofmt in ("zeek", "csv", "tsv", "text", "table"):
+            # text OUTPUT formats: stdout is the writer's rendering,
+            # compared as text (zson/ztests/cut-record `-f zeek`)
+            if _ofmt == "zeek":
+                from zed_spark.sources.zeek import to_zeek_text
+
+                stdout_text.append(to_zeek_text(df).rstrip("\n"))
+            elif _ofmt in ("csv", "tsv"):
+                from zed_spark.sources.csv_io import to_csv_text
+
+                stdout_text.append(
+                    to_csv_text(df, delim="\t" if _ofmt == "tsv" else ",").rstrip("\n")
+                )
+            else:
+                from zed_spark.sources.textio import to_table_text, to_text_text
+
+                render = to_table_text if _ofmt == "table" else to_text_text
+                stdout_text.append(render(df).rstrip("\n"))
         elif df is not None:  # None: the stage wrote a -o file instead
             stdout_acc.append((df, bool(wrapped)))
         ran += 1
+    if stdout_text and not stdout_acc:
+        got = "\n".join(stdout_text)
+        if "stdout" in out_res2:
+            pat = out_res2["stdout"].strip()
+            assert _re.search(pat, got), (
+                f"{path}: stdout !~ /{pat}/\n  got:\n{got}"
+            )
+        else:
+            want_txt = outs.get("stdout", "")
+            assert got.rstrip("\n") == want_txt.rstrip("\n"), (
+                f"{path}\n  got:\n{got}\n  want:\n{want_txt}"
+            )
+        assert ran, f"{path}: script had no runnable queries"
+        return
     if stdout_acc and "stdout" in out_res2:
         # regexp stdout golden (e.g. function/ztests/now.yaml):
         # render frames to zson text and match

@@ -7022,9 +7022,13 @@ class Compiler:
                 if len(args) > 1
                 else F.struct(*[F.col(c) for c in df.columns])
             )
-            return grep_fn(
-                pat[1], target, mode="glob" if pat[0] == "glob" else "substring"
-            )
+            if pat[0] == "glob":
+                mode = "glob"
+            elif len(pat) > 2 and pat[2] == "re":
+                mode = "regexp"  # grep(/re/) literal form (grep.md)
+            else:
+                mode = "substring"
+            return grep_fn(pat[1], target, mode=mode)
         if name == "bucket":
             from zed_spark.functions.ztime import bucket
 
@@ -7532,6 +7536,55 @@ class Compiler:
                 )
                 return F.coalesce(per_kind, static)
             return static
+        if name == "typename" and len(args) == 1:
+            # typename(name) → the named type registered by the input
+            # (function/typename.go; docs/language/functions/
+            # typename.md), else error("missing")
+            from zed_spark.sources.ztypes import render as _ztr
+
+            descs = dict(getattr(self, "named_descs", None) or {})
+
+            def rend(nm):
+                try:
+                    return _ztr(("named", nm, descs[nm]))
+                except Exception:
+                    return None
+
+            if args[0][0] == "str":
+                s = rend(args[0][1]) if args[0][1] in descs else None
+                return self._mk_carrier(
+                    T.StringType(),
+                    F.lit(s),
+                    F.lit(None if s is not None else "missing"),
+                )
+            col = self.expr(args[0], df).cast("string")
+            val = F.lit(None).cast("string")
+            for nm in descs:
+                s = rend(nm)
+                if s is not None:
+                    val = F.when(col == F.lit(nm), F.lit(s)).otherwise(val)
+            return self._mk_carrier(
+                T.StringType(), val, F.when(val.isNull(), F.lit("missing"))
+            )
+        if name == "error" and len(args) == 1:
+            # error(val) wraps ANY value as a first-class error
+            # (function/error.go; docs/language/functions/error.md) —
+            # a carrier whose only member is the error alternative,
+            # so is_error() is true and the writers render error(...)
+            vtype = self._type_of(args[0], df)
+            col = self.expr(args[0], df)
+            if vtype is None:
+                vtype = T.StringType()
+                col = col.cast("string")
+            st = T.StructType(
+                [
+                    T.StructField("tag", T.IntegerType()),
+                    T.StructField("e0", vtype),
+                ]
+            )
+            return F.struct(
+                F.lit(0).alias("tag"), col.alias("e0")
+            ).cast(st)
         if name == "has_error" and len(args) == 1:
             from zed_spark.functions.introspect import has_error_expr
 

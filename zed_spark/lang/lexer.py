@@ -15,7 +15,7 @@ _TOKEN_RE = re.compile(
   | (?P<TIME>\d{4}-\d{2}-\d{2}(?:T\d{2}:\d{2}:\d{2}(?:\.\d+)?Z?)?)
   | (?P<IP>\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}(?:/\d{1,2})?
      |(?=[0-9A-Fa-f:]*::)[0-9A-Fa-f]{0,4}(?::[0-9A-Fa-f]{0,4})+(?:/\d{1,3})?)
-  | (?P<DUR>\d+(?:\.\d+)?(?:ns|us|ms|s|m|h|d|w|y))
+  | (?P<DUR>(?:\d+(?:\.\d+)?(?:ns|us|ms|s|m|h|d|w|y))+)
   | (?P<NUM>\d+\.\d+|\.\d+|\d+)
   | (?P<FSTR>f"(?:\\.|[^"\\])*"|f'(?:\\.|[^'\\])*')
   | (?P<STR>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
@@ -54,11 +54,14 @@ def tokenize(src: str) -> list[Token]:
             continue
         if src[pos] == "/" and (
             not out
-            or out[-1].text in ("|", "not", "!", "and", "or", "(", "==", "!=")
+            or out[-1].text
+            in ("|", "not", "!", "and", "or", "(", "==", "!=", ",")
         ):
-            # a regexp literal may open a query, follow a pipe, or
-            # follow a search connective (`not /^APPL/`) — a /re/
-            # search term (parser.peg contextual regex lexing)
+            # a regexp literal may open a query, follow a pipe, a
+            # search connective (`not /^APPL/`), or sit in argument
+            # position (`grep(/foo|baz/)`, `regexp_replace(s, /re/,
+            # t)` — docs/language/functions/regexp*.md); after any of
+            # these a '/' cannot be division (no left operand)
             rm = _REGEX_RE.match(src, pos)
             if rm:
                 out.append(Token("REGEX", rm.group(), pos))
@@ -94,25 +97,34 @@ _DUR_NS = {
 }
 
 
+_DUR_PART = re.compile(r"(\d+(?:\.\d+)?)(ns|us|ms|s|m|h|d|w|y)")
+
+
 def duration_ns(text: str) -> int:
-    m = re.fullmatch(r"(\d+(?:\.\d+)?)(ns|us|ms|s|m|h|d|w|y)", text)
-    if not m:
+    """zed duration literal → int64 ns. Durations compound units
+    ('2h2s', nano.ParseDuration): each part sums."""
+    parts = _DUR_PART.findall(text)
+    if not parts or "".join(n + u for n, u in parts) != text:
         raise SyntaxError(f"bad duration {text!r}")
-    return int(float(m.group(1)) * _DUR_NS[m.group(2)])
+    return sum(int(float(n) * _DUR_NS[u]) for n, u in parts)
 
 
 def duration_interval(text: str) -> str:
-    """zed duration literal → Spark interval string ('5m' → '5 minutes')."""
-    m = re.fullmatch(r"(\d+(?:\.\d+)?)(ns|us|ms|s|m|h|d|w|y)", text)
-    if not m:
+    """zed duration literal → Spark interval string ('5m' →
+    '5 minutes'; compound '2h2s' → '2 hours 2 seconds')."""
+    parts = _DUR_PART.findall(text)
+    if not parts or "".join(n + u for n, u in parts) != text:
         raise SyntaxError(f"bad duration {text!r}")
-    n, unit = m.group(1), m.group(2)
     names = {
         "us": "microseconds", "ms": "milliseconds", "s": "seconds",
         "m": "minutes", "h": "hours", "d": "days", "w": "weeks",
     }
-    if unit == "ns":
-        return f"{max(1, int(float(n)) // 1000)} microseconds"
-    if unit == "y":
-        return f"{int(float(n)) * 365} days"
-    return f"{n} {names[unit]}"
+    out = []
+    for n, unit in parts:
+        if unit == "ns":
+            out.append(f"{max(1, int(float(n)) // 1000)} microseconds")
+        elif unit == "y":
+            out.append(f"{int(float(n)) * 365} days")
+        else:
+            out.append(f"{n} {names[unit]}")
+    return " ".join(out)

@@ -101,8 +101,30 @@ class Parser:
             raise SyntaxError(f"expected {text!r}, got {t.text!r} at {t.pos}")
         return t
 
+    def _const_int(self, e: tuple) -> int:
+        """Fold a constant integer expression (head/tail counts)."""
+        if e[0] == "num":
+            return int(e[1])
+        if e[0] == "bin" and e[1] in ("+", "-", "*", "%", "/"):
+            lo, hi = self._const_int(e[2]), self._const_int(e[3])
+            import operator as _op
+
+            f = {
+                "+": _op.add, "-": _op.sub, "*": _op.mul,
+                "%": _op.mod, "/": _op.floordiv,
+            }[e[1]]
+            return int(f(lo, hi))
+        if e[0] == "un" and e[1] == "-":
+            return -self._const_int(e[2])
+        raise SyntaxError(f"expected a constant count, got {e!r}")
+
     def at_end_of_op(self) -> bool:
-        return self.peek().text in ("|", ")", "=>", "") or self.peek().kind == "EOF"
+        t = self.peek()
+        return (
+            t.text in ("|", ")", "=>", "")
+            or t.kind == "EOF"
+            or t.text in getattr(self, "stop_words", ())
+        )
 
     # --- pipeline ----------------------------------------------------
     def parse_pipeline(self) -> list[tuple]:
@@ -426,14 +448,16 @@ class Parser:
                 while self.accept(","):
                     keys.append(key())
             return ("sort", keys, desc, nulls)
-        if word == "head":
+        if word in ("head", "tail"):
+            # count may be a CONSTANT expression (`head 1+1` —
+            # docs/language/operators/head.md); evaluated at parse
+            # time like the reference's semantic pass
             self.next()
-            n = int(self.next().text) if not self.at_end_of_op() else 1
-            return ("head", n)
-        if word == "tail":
-            self.next()
-            n = int(self.next().text) if not self.at_end_of_op() else 1
-            return ("tail", n)
+            n = 1
+            if not self.at_end_of_op():
+                e = self.parse_expr()
+                n = self._const_int(e)
+            return (word, n)
         if word == "top":
             self.next()
             n = int(self.next().text)
@@ -614,6 +638,8 @@ class Parser:
         l, lt, n = self._search_not()
         while True:
             nxt = self.peek()
+            if nxt.text in getattr(self, "stop_words", ()):
+                break
             if nxt.text == "and":
                 self.next()
             elif self.at_end_of_op() or nxt.text == "or":
@@ -947,17 +973,26 @@ class Parser:
                 selector = self.parse_expr()
         self.expect("(")
         cases: list[tuple] = []
-        while not self.accept(")"):
-            t = self.next()
-            if t.text == "case":
-                cond = self.parse_expr()
-                self.expect("=>")
-                cases.append((cond, self.parse_pipeline()))
-            elif t.text == "default":
-                self.expect("=>")
-                cases.append((None, self.parse_pipeline()))
-            else:
-                raise SyntaxError(f"expected 'case' or 'default', got {t.text!r} at {t.pos}")
+        # inside the switch body, `case`/`default` are keywords: a
+        # case pipeline must stop before them (an implicit-AND search
+        # would otherwise swallow `case <expr>` as bare search terms —
+        # docs/language/operators/switch.md record-literal bodies)
+        saved_stop = getattr(self, "stop_words", set())
+        self.stop_words = saved_stop | {"case", "default"}
+        try:
+            while not self.accept(")"):
+                t = self.next()
+                if t.text == "case":
+                    cond = self.parse_expr()
+                    self.expect("=>")
+                    cases.append((cond, self.parse_pipeline()))
+                elif t.text == "default":
+                    self.expect("=>")
+                    cases.append((None, self.parse_pipeline()))
+                else:
+                    raise SyntaxError(f"expected 'case' or 'default', got {t.text!r} at {t.pos}")
+        finally:
+            self.stop_words = saved_stop
         if not cases:
             raise SyntaxError("switch needs at least one case")
         return ("switch", selector, cases)
@@ -1423,6 +1458,13 @@ class Parser:
                 self.expect(")")
                 return ("call", t.text, args)
             return ("field", [t.text])
+        if t.kind == "REGEX":
+            # /re/ literal in argument position (grep(/foo|baz/),
+            # regexp(/re/, s) — docs/language/functions/regexp.md);
+            # rides as a string node tagged "re" so pattern-consuming
+            # functions keep regex semantics while generic string
+            # contexts see the pattern text
+            return ("str", t.text[1:-1], "re")
         raise SyntaxError(f"unexpected token {t.text!r} at {t.pos}")
 
 

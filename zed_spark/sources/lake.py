@@ -392,11 +392,21 @@ class Pool:
     # --- load (write a commit) --------------------------------------
     def _write_object(self, df: DataFrame, commit_id: str) -> None:
         obj_dir = os.path.join(self.cfg.path, f"obj_{commit_id}")
+        if "__zed_seq" in df.columns:
+            # a recompacted object re-records its own sequence
+            df = df.drop("__zed_seq")
         if self.cfg.key not in df.columns:
             # batch lacks the pool key (reference pools default to
             # `ts` but accept any shape — the key is a sort hint, and
-            # keyless rows sort as nulls): write unsorted
-            df.write.mode("overwrite").parquet(obj_dir)
+            # keyless rows keep LOAD order like the reference
+            # importer). Spark enumerates input splits by size, not
+            # name, so load order must be recorded explicitly: a
+            # monotonic per-row sequence rides in the object and the
+            # ordered scan sorts on it (service/ztests/csv-error,
+            # curl-load-line).
+            df.withColumn(
+                "__zed_seq", F.monotonically_increasing_id()
+            ).write.mode("overwrite").parquet(obj_dir)
             return
         n = max(df.rdd.getNumPartitions() // 4, 1)
         (
@@ -501,6 +511,8 @@ class Pool:
         # footer schemas so later columns appear instead of silently
         # adopting the first file's schema
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        if not ordered and "__zed_seq" in df.columns:
+            df = df.drop("__zed_seq")
         if ordered:
             # equal keys order by the record's zcode encoding in the
             # pool's direction: the import comparator appends a
@@ -525,8 +537,12 @@ class Pool:
                 # fully keyless pool data keeps LOAD order — the
                 # importer's sort is a no-op when every key is
                 # missing (service/ztests/curl-load-line: line rows
-                # come back in input order, not byte order)
-                return df
+                # come back in input order, not byte order). The
+                # order is the recorded per-row sequence, not file
+                # enumeration (Spark lists splits by size).
+                if "__zed_seq" in df.columns:
+                    df = df.orderBy("__zed_seq")
+                return df.drop("__zed_seq")
             zc = F.udf(_zcode, BinaryType())(F.struct(*real))
             df = df.withColumn("__zed_zcode", zc)
             tie = F.col("__zed_zcode")
@@ -539,7 +555,7 @@ class Pool:
                 key.desc_nulls_first() if desc else key.asc_nulls_last(),
                 tie.desc() if desc else tie.asc(),
             ]
-            df = df.orderBy(*order).drop("__zed_zcode")
+            df = df.orderBy(*order).drop("__zed_zcode", "__zed_seq")
             # note the scan order for a downstream merge join (the
             # reference join adopts a pre-sorted side's direction)
             df._zed_sort = (self.cfg.key, desc)
@@ -787,6 +803,9 @@ class Pool:
                 from zed_spark.sources.zng import encode_zng
 
                 odf = self.spark.read.parquet(d)
+                if "__zed_seq" in odf.columns:
+                    # internal load-order sequence, not object data
+                    odf = odf.drop("__zed_seq")
                 size = len(
                     encode_zng(
                         odf.collect(), odf.schema, compress=False
