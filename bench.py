@@ -51,11 +51,17 @@ HEADLINE = [
 # BENCH_r03 `new`-block numbers are the baseline); the r02-comparable
 # 23-key subtotal is still printed as `headline23` for continuity.
 PINNED_R4: list[str] = ["dedup_clusters", "ann_ivf_topk"]
-HEADLINE = HEADLINE + PINNED_R4
+# round-4's `new` entry promoted in round 6 (BENCH_r05 `new` is its
+# baseline: 0.117 s)
+PINNED_R6: list[str] = ["lake_scan_range"]
+HEADLINE = HEADLINE + PINNED_R4 + PINNED_R6
 
-# round-4+ additions, timed and reported separately. Entries outside
+# round-6 additions, timed and reported separately. Entries outside
 # the graded 50-query registry resolve via EXTRA_QUERIES.
-NEW_QUERIES: list[str] = ["lake_scan_range"]
+# (embedding_lsh_agreement is grading-only: it computes the exact
+# all-pairs set as its own truth reference, which is O(n²) by design
+# and belongs at the sf0.01 fixture, not in the timed battery.)
+NEW_QUERIES: list[str] = ["fuse_hetero"]
 
 
 def _extra_queries() -> dict:
@@ -176,7 +182,12 @@ def main() -> None:
         "sf": sf,
         # r02/r03-comparable subtotal (the original 23 pinned keys)
         "headline23": round(
-            sum(v for k, v in times.items() if k not in PINNED_R4), 4
+            sum(
+                v
+                for k, v in times.items()
+                if k not in PINNED_R4 and k not in PINNED_R6
+            ),
+            4,
         ),
         # per-query medians of N runs; spread = (max-min)/median, the
         # variance note round-4 VERDICT item 7 asked for

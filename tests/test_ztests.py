@@ -826,7 +826,7 @@ def _unroll_loops(text: str, files: dict) -> str:
     return "\n".join(out_lines)
 
 
-def _run_db_script_case(spark, case: dict, path: str):
+def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
     """`super db` script ztests (lake/ztests, service/ztests): an
     interpreter over the lake layer. The reference runs these against
     a filesystem lake (or the service's HTTP API over the same core —
@@ -850,7 +850,8 @@ def _run_db_script_case(spark, case: dict, path: str):
             outs[o["name"]] = o["data"]
         elif "regexp" in o:
             out_res[o["name"]] = o["regexp"]
-    root = os.path.join(tempfile.mkdtemp(prefix="ztest_lake_"), "test")
+    if root is None:
+        root = os.path.join(tempfile.mkdtemp(prefix="ztest_lake_"), "test")
     lake = Lake(spark, root)
     state = {"use": None, "svc": None, "defaultfmt": "zson"}
     # `LAKE_EXTRA_FLAGS='-defaultfmt=ndjson'` (service/ztests/
@@ -1954,7 +1955,7 @@ def _run_script_case(spark, case: dict, path: str):
         or "zed lake" in case["script"]
         or "source service.sh" in case["script"]
     ):
-        _run_db_script_case(spark, case, path)
+        _run_db_script_case(spark, case, path, root=case.get("__lake_root"))
         return
     from zed_spark.sources.zson import parse_zson_typed as _pzt
 

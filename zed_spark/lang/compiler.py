@@ -7012,23 +7012,102 @@ class Compiler:
             mode = "decode" if self._is_string(args[0], df) else "encode"
             return ksuid_fn(kc, mode)
         if name == "grep":
-            from zed_spark.functions.grep import grep as grep_fn
+            from zed_spark.functions.grep import glob_to_regex
 
             pat = args[0]
             if pat[0] not in ("str", "glob"):
                 raise ValueError("grep pattern must be a string literal")
-            target = (
-                self.expr(args[1], df)
-                if len(args) > 1
-                else F.struct(*[F.col(c) for c in df.columns])
-            )
             if pat[0] == "glob":
                 mode = "glob"
             elif len(pat) > 2 and pat[2] == "re":
                 mode = "regexp"  # grep(/re/) literal form (grep.md)
             else:
                 mode = "substring"
-            return grep_fn(pat[1], target, mode=mode)
+            # grep == expr.NewSearchString / searchByPred (grep.go:23):
+            # the pattern matches STRING leaves and FIELD NAMES only —
+            # "it only matches string fields" (functions/grep.md), so
+            # an int 10 does NOT match grep("10"). Compile from the
+            # static type: per string leaf a contains/rlike, per
+            # matching field name a presence check.
+            if len(args) > 1:
+                tgt = self.expr(args[1], df)
+                tdt = self._type_of(args[1], df)
+            else:
+                vis = [c for c in df.columns if not c.startswith("__zed_")]
+                tgt = F.struct(*[F.col(c) for c in vis])
+                tdt = T.StructType(
+                    [f for f in df.schema.fields if f.name in vis]
+                )
+            import re as _reg
+
+            if mode == "substring":
+                low = pat[1].lower()
+
+                def shit(c):
+                    return F.lower(c).contains(low)
+
+                def nhit(nm):
+                    return low in nm.lower()
+            elif mode == "glob":
+                rx = "^" + glob_to_regex(pat[1]) + "$"
+                crx = _reg.compile(rx)
+
+                def shit(c):
+                    return c.rlike(rx)
+
+                def nhit(nm):
+                    return bool(crx.fullmatch(nm))
+            else:
+                crx = _reg.compile(pat[1])
+
+                def shit(c):
+                    return c.rlike(pat[1])
+
+                def nhit(nm):
+                    return bool(crx.search(nm))
+
+            preds: list = []
+
+            def gwalk(col, dt):
+                tn = dt.typeName() if dt is not None else "string"
+                if tn == "string":
+                    preds.append(F.coalesce(shit(col), F.lit(False)))
+                elif tn == "struct":
+                    from zed_spark.schema import is_union_type
+
+                    if is_union_type(dt):
+                        for f in dt.fields[1:]:
+                            gwalk(col.getField(f.name), f.dataType)
+                        return
+                    for f in dt.fields:
+                        if f.name.startswith("__zed_"):
+                            continue
+                        if nhit(f.name):
+                            preds.append(col.getField(f.name).isNotNull())
+                        gwalk(col.getField(f.name), f.dataType)
+                elif tn == "array":
+                    if dt.elementType.typeName() == "string":
+                        preds.append(
+                            F.coalesce(
+                                F.exists(col, shit), F.lit(False)
+                            )
+                        )
+                elif tn == "map":
+                    if dt.valueType.typeName() == "string":
+                        preds.append(
+                            F.coalesce(
+                                F.exists(F.map_values(col), shit),
+                                F.lit(False),
+                            )
+                        )
+
+            gwalk(tgt, tdt)
+            if not preds:
+                return F.lit(False)
+            out = preds[0]
+            for p in preds[1:]:
+                out = out | p
+            return out
         if name == "bucket":
             from zed_spark.functions.ztime import bucket
 

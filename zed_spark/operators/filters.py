@@ -222,11 +222,27 @@ def search_glob_pred(df: DataFrame, glob: str) -> Column:
     # field-name side: any schema path segment matching the glob →
     # rows where that field is non-null
     def name_walk(col, name, dt) -> list:
+        from zed_spark.schema import is_union_type
+
         out = []
         if _re.fullmatch(rx, name):
             out.append(col.isNotNull())
         t = dt.typeName()
         if t == "struct":
+            if is_union_type(dt):
+                # union carriers: tag/v0/e1 are representation, not
+                # record field names — walk the members anonymously
+                for f in dt.fields[1:]:
+                    if f.dataType.typeName() == "struct":
+                        for g in f.dataType.fields:
+                            out.extend(
+                                name_walk(
+                                    col.getField(f.name).getField(g.name),
+                                    g.name,
+                                    g.dataType,
+                                )
+                            )
+                return out
             for f in dt.fields:
                 out.extend(name_walk(col.getField(f.name), f.name, f.dataType))
         elif t == "array" and dt.elementType.typeName() == "struct":
@@ -252,9 +268,53 @@ def search_glob(df: DataFrame, glob: str) -> DataFrame:
     return df.filter(search_glob_pred(df, glob))
 
 
+def _field_name_preds(df: DataFrame, matches) -> list[Column]:
+    """Search terms also match FIELD NAMES: the reference's search
+    walks the value's TYPE and matches each record field name
+    (expr/filter.go searchType / search.go FieldNameIter), so
+    `/(foo|bar)/` selects `{foo:1}`. A name match holds for rows
+    where that field is present — isNotNull approximates the
+    reference's per-row shape membership under the widened schema."""
+    from pyspark.sql import types as T
+
+    from zed_spark.schema import is_union_type
+
+    out: list[Column] = []
+
+    def walk(t, prefix="", anon=False):
+        for f in t.fields:
+            if f.name.startswith("__zed_"):
+                continue
+            p = f"{prefix}`{f.name}`"
+            if isinstance(f.dataType, T.StructType) and is_union_type(
+                f.dataType
+            ):
+                # union carrier: tag/v0/e1 are representation, not
+                # record field names — walk members anonymously
+                walk(f.dataType, p + ".", anon=True)
+                continue
+            if not anon and matches(f.name):
+                out.append(F.col(p).isNotNull())
+            if isinstance(f.dataType, T.StructType):
+                walk(f.dataType, p + ".")
+
+    walk(df.schema)
+    return out
+
+
 def search_regex_pred(df: DataFrame, pattern: str) -> Column:
-    """Predicate form of the /re/ search term."""
-    return _any(_string_leaf_preds(df, lambda c: c.rlike(pattern)))
+    """Predicate form of the /re/ search term (values + field
+    names, like the reference's searchByPred)."""
+    import re as _re2
+
+    try:
+        rx = _re2.compile(pattern)
+        name_preds = _field_name_preds(df, lambda n: bool(rx.search(n)))
+    except _re2.error:
+        name_preds = []
+    return _any(
+        _string_leaf_preds(df, lambda c: c.rlike(pattern)) + name_preds
+    )
 
 
 def search_regex_leaves(df: DataFrame, pattern: str) -> DataFrame:
