@@ -43,109 +43,103 @@ _F = "function form beyond the engine's static-type dispatch [func]"
 _SC = "shell form outside the harness script subset [script]"
 
 MD_UNSUPPORTED: dict[str, str] = {
-    # mixed-type streams: one echo carries several primitive types,
-    # so the widened frame can't reproduce per-value dispatch
-    "aggregates/any.md:1": _U,
-    "aggregates/collect.md:1": _U,
-    "aggregates/dcount.md:1": _U,
-    "aggregates/dcount.md:3": "approx dcount exact-count golden on a "
-    "tiny stream (sketch differs) [approx]",
-    "aggregates/fuse.md:1": "fuse agg over mixed shapes: merged-type "
-    "VALUE golden " + _U,
-    "aggregates/union.md:1": _U,
+    # --- widened mixed-type streams: one echo carries several value
+    # types, so per-row dispatch/comparison is lost in the widened
+    # frame (the engine's documented [union] residue)
+    "aggregates/and.md:2": _U,
+    "aggregates/or.md:2": _U,
     "aggregates/union.md:2": _U,
-    "data-types.md:1": _U,
-    "data-types.md:2": _U,
-    "data-types.md:3": _S,
-    "data-types.md:6": _S,
-    "data-types.md:7": _S,
-    "data-types.md:9": _S,
+    "aggregates/fuse.md:1": "fuse AGGREGATE yielding a union type value " + _U,
     "expressions.md:1": _U,
-    "expressions.md:7": _U,
-    "expressions.md:11": _U,
-    "expressions.md:22": _S,
-    "expressions.md:23": _S,
-    "expressions.md:26": _U,
-    "functions/bucket.md:0": "duration-typed bucket result rendering "
-    "(1h vs 3600000000000) [shape]",
-    "functions/cast.md:0": _F,
-    "functions/cast.md:2": _F,
-    "functions/cast.md:3": _F,
-    "functions/ceil.md:0": _U,
-    "functions/compare.md:0": _U,
-    "functions/abs.md:0": _U,
-    "functions/coalesce.md:1": _E,
-    "functions/error.md:2": _E,
-    "functions/error.md:4": _E,
-    "functions/error.md:5": _E,
-    "functions/fields.md:1": _S,
-    "functions/flatten.md:1": _U,
-    "functions/floor.md:0": _U,
-    "functions/grep.md:4": _U,
-    "functions/grep.md:5": _U,
-    "functions/has.md:0": _E,
-    "functions/is.md:1": _S,
-    "functions/kind.md:0": _U,
-    "functions/kind.md:1": _S,
+    "expressions.md:2": _U,
+    "expressions.md:6": _U,
+    "expressions.md:13": _U,
+    "expressions.md:22": _U,
+    "expressions.md:23": _U,
+    "functions/cidr_match.md:0": _U,
+    "functions/cidr_match.md:1": _U,
+    "functions/cidr_match.md:2": _U,
+    "functions/every.md:0": _U,
+    "functions/flatten.md:0": "map values of mixed type " + _U,
+    "functions/unflatten.md:1": "map values of mixed type " + _U,
     "functions/len.md:0": _U,
-    "functions/levenshtein.md:0": _F,
     "functions/log.md:0": _U,
-    "functions/missing.md:0": _E,
-    "functions/nameof.md:0": _S,
-    "functions/nest_dotted.md:0": _S,
-    "functions/over.md:0": _U,
-    "functions/parse_uri.md:0": "full URI struct shape (userinfo/"
-    "fragment members) [func]",
-    "functions/parse_zson.md:0": "parse_zson with per-row dynamic "
-    "result types [shape]",
-    "functions/quiet.md:0": _E,
-    "functions/round.md:0": _U,
-    "functions/shape.md:0": _S,
-    "functions/sqrt.md:0": _U,
-    "functions/typename.md:1": "typename over an expression resolved "
-    "against a FUTURE row's registry [shape]",
-    "functions/typeof.md:0": _S,
-    "functions/typeof.md:1": _S,
-    "functions/under.md:0": _S,
-    "functions/under.md:2": _S,
-    "functions/under.md:3": _S,
-    "lateral-subqueries.md:0": _SC,
-    "lateral-subqueries.md:1": _SC,
-    "lateral-subqueries.md:2": _SC,
-    "operators/assert.md:0": _E,
-    "operators/combine.md:0": _SC,
-    "operators/cut.md:3": _E,
-    "operators/from.md:1": "`file` source keyword inside -c query "
-    "text [script]",
-    "operators/from.md:2": "`file ... format line` source form "
-    "[script]",
-    "operators/from.md:7": "`from https://...` network source "
-    "[script]",
-    "operators/fuse.md:1": _U,
-    "operators/join.md:5": _SC,
-    "operators/load.md:1": "load op writing into a SHARED doc lake "
-    "then re-querying across blocks [script]",
-    "operators/load.md:2": "load op into pool@branch in the shared "
-    "doc lake [script]",
-    "operators/merge.md:0": _SC,
-    "operators/over.md:5": _U,
-    "operators/put.md:4": _E,
-    "operators/rename.md:2": _E,
-    "operators/rename.md:3": _S,
-    "operators/sample.md:0": _S,
-    "operators/search.md:4": _U,
-    "operators/sort.md:2": _U,
-    "operators/summarize.md:3": _U,
-    "operators/yield.md:1": _U,
-    "pipeline-model.md:0": _SC,
-    "search-expressions.md:1": _U,
-    "search-expressions.md:8": _U,
-    "search-expressions.md:15": _U,
-    "search-expressions.md:16": _U,
-    "shaping.md:0": _S,
-    "shaping.md:1": _S,
-    "shaping.md:2": _S,
-    "statements.md:5": _SC,
+    "functions/compare.md:0": "cross-type compare rank over a mixed stream " + _U,
+    "lateral-subqueries.md:4": "spread of a non-record in lateral scope " + _U,
+    "lateral-subqueries.md:5": _U,
+    "lateral-subqueries.md:6": _U,
+    "operators/drop.md:1": "drop over a mixed record/primitive stream " + _U,
+    "operators/over.md:8": "over a map with mixed value types " + _U,
+    "operators/put.md:3": _U,
+    "operators/put.md:4": _U,
+    "operators/search.md:3": _U,
+    "operators/sort.md:10": "cross-type sort rank incl. null " + _U,
+    "operators/summarize.md:6": _U,
+    "operators/summarize.md:7": _U,
+    "shaping.md:9": _U,
+    "shaping.md:13": "fuse golden renders the union type " + _U,
+    # --- per-row shape / named-type identity ([shape] residue)
+    "data-types.md:1": "named-type filter over per-row identity " + _S,
+    "data-types.md:2": "typeof must render the NAMED type of a cast " + _S,
+    "data-types.md:3": _S,
+    "data-types.md:7": "typeof(error value) renders error(string) " + _S,
+    "data-types.md:9": _S,
+    "expressions.md:7": _S,
+    "expressions.md:26": _S,
+    "functions/bucket.md:0": "duration-typed bucket result rendering " + _S,
+    "functions/is.md:2": "is() against a per-row named type " + _S,
+    "functions/typename.md:0": "named PRIMITIVE decorators don't register "
+    "a per-row type (record-level only) " + _S,
+    "functions/typename.md:1": "named PRIMITIVE decorators don't register "
+    "a per-row type (record-level only) " + _S,
+    "functions/typeof.md:1": "typeof of a TYPE value is <type> " + _S,
+    "operators/sample.md:0": "sample emits one exemplar per SHAPE of a "
+    "mixed stream " + _S,
+    "operators/sample.md:1": "sample emits one exemplar per SHAPE of a "
+    "mixed stream " + _S,
+    "shaping.md:0": "shape() to a type with ip/port named members " + _S,
+    "shaping.md:7": _S,
+    "shaping.md:8": _S,
+    "functions/cast.md:0": "cast to <ip> primitive (ip is a string here) " + _S,
+    "functions/crop.md:2": _S,
+    "functions/fill.md:2": _S,
+    "functions/order.md:2": _S,
+    # --- residual error-value semantics ([errval] residue)
+    "data-types.md:6": "error(\"divide by zero\") from a cast chain " + _E,
+    "functions/error.md:3": "is_error over a missing field " + _E,
+    "functions/has_error.md:0": "has_error over a NESTED error member " + _E,
+    "functions/network_of.md:3": "error payload {message,on} struct form " + _E,
+    "functions/quiet.md:2": _E,
+    "functions/map.md:1": "time-overflow arithmetic must yield an error "
+    "value, not raise " + _E,
+    "operators/assert.md:1": "assert failure emits a structured error row " + _E,
+    "operators/cut.md:3": "cut with every field missing errors per row " + _E,
+    "operators/rename.md:5": "duplicate-field rename error shape " + _E,
+    "shaping.md:14": "unrecognized-shape error payload form " + _E,
+    # --- function-form gaps ([func])
+    "aggregates/collect_map.md:1": "collect_map as a FUNCTION over map "
+    "values (aggregate form only) " + _F,
+    "aggregates/dcount.md:3": "approx dcount point-estimate golden (our "
+    "HLL sketch differs; accuracy bound pytest-pinned) [approx]",
+    "functions/cast.md:2": "cast with a type-VALUE expression argument " + _F,
+    "functions/cast.md:3": "cast with a type-VALUE expression argument " + _F,
+    "functions/parse_uri.md:0": "full URI struct shape (userinfo/fragment "
+    "members) " + _F,
+    "functions/parse_zson.md:0": "parse_zson with per-row dynamic result "
+    "types [shape]",
+    "functions/parse_zson.md:1": "parse_zson with per-row dynamic result "
+    "types [shape]",
+    # --- script/source forms outside the harness subset ([script])
+    "expressions.md:11": "nested braces in f-string interpolation [script]",
+    "operators/from.md:2": "`file ... format line` renders each line as "
+    "one string [script]",
+    "operators/load.md:1": "load-op commit golden quotes run-specific "
+    "ksuids [script]",
+    "operators/load.md:2": "`load ... meta` clause form [script]",
+    "operators/from.md:7": "`from https://...` network source [script]",
+    "pipeline-model.md:2": "const-only query with no source (the reference "
+    "emits the const value) [script]",
+    "statements.md:4": "type statement scoping across forked legs [script]",
 }
 
 

@@ -930,6 +930,8 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
     def resolve(name, fmt=None):
         if name == ":pools":
             return lake.meta_pools()
+        if name == ":branches":
+            return lake.meta_branches()
         if "*" in name or (name.startswith("/") and name.endswith("/")):
             # pool patterns: `from *`, `from match*`, `from /re/`
             # (lake/parse.go from-patterns) — fuse matching pools

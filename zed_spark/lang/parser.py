@@ -699,6 +699,13 @@ class Parser:
                     r"[\d.]+/\d+|[0-9a-fA-F:]*:[0-9a-fA-F:]*/\d+", term
                 ):
                     return ("snet", term), True, 1
+                if _re4.fullmatch(r"\w+(?:\*\w+)+", term):
+                    # every star is INFIX between word operands
+                    # (`2*PI*r`): the reference's grammar prefers the
+                    # valid arithmetic parse over a glob
+                    # (docs/language/statements.md const example)
+                    self.i = save
+                    return self.parse_cmp(), False, 1
                 if _re4.search(r"(?<!\\)\*", term):
                     return ("sglob", term), True, 1
                 return (

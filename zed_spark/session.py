@@ -150,6 +150,8 @@ class ZedSession:
                 lk = lake if isinstance(lake, Lake) else Lake(self.spark, lake)
                 if name == ":pools":
                     return lk.meta_pools()
+                if name == ":branches":
+                    return lk.meta_branches()
                 base, _, meta = name.partition(":")
                 if meta in ("log", "objects", "branches") and base in lk.pools():
                     pool = lk.pool(base)

@@ -212,6 +212,25 @@ class Lake:
         )
 
 
+    def meta_branches(self) -> DataFrame:
+        """Lake-level `from :branches` — every branch of every pool
+        as {pool:{name,id}, branch:{name,tip}} rows (the reference's
+        branches meta scan joins pool config and branch ref —
+        docs/language/operators/from.md `from :branches`)."""
+        rows = []
+        for name in self.pools():
+            p = self.pool(name)
+            for bname, ref in sorted(p.branches().items()):
+                rows.append(
+                    ((name, p.cfg.id), (bname, ref.get("tip") or ""))
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "pool struct<name:string,id:string>, "
+            "branch struct<name:string,tip:string>",
+        )
+
+
 class Pool:
     def __init__(self, spark: SparkSession, cfg: PoolConfig):
         self.spark = spark
