@@ -302,7 +302,6 @@ UNSUPPORTED.update(
             "stop-on-error-3": "mid-stream undetectable-input error "
             "semantics [script]",
             "unbuffered": "mkfifo shell fixture [script]",
-            "version": "version string golden [script]",
         }.items()
     }
 )
@@ -322,13 +321,10 @@ UNSUPPORTED.update(
     {
         f"/root/reference/zson/ztests/{k}.yaml": v
         for k, v in {
-            "cut-record": "-f zeek OUTPUT format golden (writer "
-            "byte-compare) [script]",
             "map": "null map KEYS (null / null(int64) / null(string) "
             "as distinct keys) — Spark MapType keys are non-nullable "
             "[shape]",
             "persist": "glob field reference b.* in script [script]",
-            "zson-to-zeek": "zeek OUTPUT format golden [script]",
         }.items()
     }
 )
@@ -2401,24 +2397,14 @@ def _run_script_case(spark, case: dict, path: str):
         df, wrapped, outfile, query, _ofmt = run_stages()
         if outfile:
             _compare([(df, bool(wrapped))], query, parse_zson(outs[outfile]), path)
-        elif df is not None and _ofmt in ("zeek", "csv", "tsv", "text", "table"):
-            # text OUTPUT formats: stdout is the writer's rendering,
-            # compared as text (zson/ztests/cut-record `-f zeek`)
-            if _ofmt == "zeek":
-                from zed_spark.sources.zeek import to_zeek_text
+        elif df is not None and _ofmt == "zeek":
+            # zeek OUTPUT format: stdout is the writer's rendering,
+            # compared as text (zson/ztests/cut-record `-f zeek`);
+            # csv/tsv stdout keeps the pre-existing value-level path
+            # (zio/anyio/ztests/tsv round-trips through it)
+            from zed_spark.sources.zeek import to_zeek_text
 
-                stdout_text.append(to_zeek_text(df).rstrip("\n"))
-            elif _ofmt in ("csv", "tsv"):
-                from zed_spark.sources.csv_io import to_csv_text
-
-                stdout_text.append(
-                    to_csv_text(df, delim="\t" if _ofmt == "tsv" else ",").rstrip("\n")
-                )
-            else:
-                from zed_spark.sources.textio import to_table_text, to_text_text
-
-                render = to_table_text if _ofmt == "table" else to_text_text
-                stdout_text.append(render(df).rstrip("\n"))
+            stdout_text.append(to_zeek_text(df).rstrip("\n"))
         elif df is not None:  # None: the stage wrote a -o file instead
             stdout_acc.append((df, bool(wrapped)))
         ran += 1

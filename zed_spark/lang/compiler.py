@@ -421,6 +421,40 @@ class Compiler:
                         specs.append(f"{alias}:={e}" if alias else e)
             df = self._apply_runner_fixups(df)
             self._runner_sink = prev_sink
+            if "__zed_types" in df.columns:
+                # carry per-row type identity for the KEPT paths (the
+                # zeek writer needs my_record.age → uint64 after
+                # `cut my_record` — zson/ztests/cut-record); renamed
+                # entries re-key their subtree
+                parts = []
+                for e, alias in node[1]:
+                    if not isinstance(e, str):
+                        continue
+                    tgt = alias or e
+
+                    def keep_for(srcp):
+                        return F.map_filter(
+                            F.col("__zed_types"),
+                            lambda k, v: (k == F.lit(srcp))
+                            | k.startswith(srcp + "."),
+                        )
+
+                    m = keep_for(e)
+                    if tgt != e:
+
+                        def rekey(_t, _o):
+                            return lambda k, v: F.concat(
+                                F.lit(_t), k.substr(F.lit(_o), F.lit(1 << 20))
+                            )
+
+                        m = F.transform_keys(m, rekey(tgt, len(e) + 1))
+                    parts.append(m)
+                if parts:
+                    side = parts[0]
+                    for p in parts[1:]:
+                        side = F.map_concat(side, p)
+                    df = df.withColumn("__zed_types_cut", side)
+                    specs.append("__zed_types:=__zed_types_cut")
             out = ops.cut(df.withColumns(tmps) if tmps else df, *specs)
             if missing:
                 from zed_spark import errors as zerrors

@@ -650,7 +650,14 @@ def _zeek_from_zed(zt: str) -> str | None:
         # the zed named type `port=uint16` is zeek's port type
         # (zeek-compat.md)
         return "port"
-    zt = _re.sub(r"^([^\W\d][\w$]*=)+", "", zt)
+    if zt == "zenum" or zt.startswith("zenum="):
+        # zeek enum round-trips as the named string type `zenum`
+        # (zio/zeekio/parser.go:123 reader; types.go:39 writer)
+        return "enum"
+    zt = _re.sub(r"^([^\W\d][\w$.]*=)+", "", zt)
+    if zt.startswith("enum(") or zt == "enum":
+        # zed enum → zeek enum (zeek-compat.md type table)
+        return "enum"
     if zt == "uint64":
         return "count"
     if zt.startswith(("int", "uint")) and zt[-1:].isdigit():
@@ -872,6 +879,37 @@ def to_zeek_text(df: DataFrame) -> str:
     first row's path→zed-type map overrides the widened static
     column types — uint64 renders as count, duration as interval
     seconds, ip/net as addr/subnet (zng-types.yaml)."""
+    from zed_spark.schema import is_union_type
+
+    # value|error CARRIERS (struct<tag, v0, e1...>) unwrap to their
+    # single value member before rendering: `cut my_record` plans a
+    # carrier for missing-field semantics, but a zeek golden only
+    # sees the value side (zson/ztests/cut-record). A row actually
+    # holding the error alternative is unrepresentable, like the
+    # reference writer's error.
+    unwraps = []
+    for f in df.schema.fields:
+        if (
+            isinstance(f.dataType, T.StructType)
+            and is_union_type(f.dataType)
+            and [g.name for g in f.dataType.fields if g.name.startswith("v")]
+            == ["v0"]
+        ):
+            unwraps.append(f.name)
+    if unwraps:
+        bad = F.lit(False)
+        for c in unwraps:
+            bad = bad | (F.col(c).getField("tag") != 0)
+        if df.filter(bad).limit(1).count():
+            raise ValueError(
+                "error value: type cannot be represented in zeek format"
+            )
+        df = df.select(
+            *[
+                F.col(c).getField("v0").alias(c) if c in unwraps else F.col(c)
+                for c in df.columns
+            ]
+        )
     hints = {}
     sidecar = "__zed_types" in df.columns
     if sidecar:
