@@ -492,9 +492,13 @@ def ivf_train(
     k = n_clusters or max(2, int(np.sqrt(n)))
     k = min(k, n)
     C = X[np.linspace(0, n - 1, k).astype(int)].copy()
+    # gram-form distances (argmin ‖x−c‖² = argmin c·c − 2 x·c): one
+    # n×k matmul per iter instead of materializing the n×k×dim
+    # broadcast tensor (which is ~1.5 GB at the 8192-sample cap and
+    # made training the IVF bench's super-linear term at 10×)
     for _ in range(iters):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
+        csq = np.einsum("ij,ij->i", C, C)
+        assign = (csq[None, :] - 2.0 * (X @ C.T)).argmin(axis=1)
         for j in range(k):
             m = assign == j
             if m.any():
