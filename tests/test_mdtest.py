@@ -123,8 +123,6 @@ MD_UNSUPPORTED: dict[str, str] = {
     "HLL sketch differs; accuracy bound pytest-pinned) [approx]",
     "functions/cast.md:2": "cast with a type-VALUE expression argument " + _F,
     "functions/cast.md:3": "cast with a type-VALUE expression argument " + _F,
-    "functions/parse_uri.md:0": "full URI struct shape (userinfo/fragment "
-    "members) " + _F,
     "functions/parse_zson.md:0": "parse_zson with per-row dynamic result "
     "types [shape]",
     "functions/parse_zson.md:1": "parse_zson with per-row dynamic result "
@@ -137,8 +135,8 @@ MD_UNSUPPORTED: dict[str, str] = {
     "ksuids [script]",
     "operators/load.md:2": "`load ... meta` clause form [script]",
     "operators/from.md:7": "`from https://...` network source [script]",
-    "pipeline-model.md:2": "const-only query with no source (the reference "
-    "emits the const value) [script]",
+    "pipeline-model.md:2": "-C canonical AST print (zfmt pretty-printer "
+    "domain, a declared non-goal) [script]",
     "statements.md:4": "type statement scoping across forked legs [script]",
 }
 

@@ -2397,14 +2397,21 @@ def _run_script_case(spark, case: dict, path: str):
         df, wrapped, outfile, query, _ofmt = run_stages()
         if outfile:
             _compare([(df, bool(wrapped))], query, parse_zson(outs[outfile]), path)
-        elif df is not None and _ofmt == "zeek":
-            # zeek OUTPUT format: stdout is the writer's rendering,
-            # compared as text (zson/ztests/cut-record `-f zeek`);
-            # csv/tsv stdout keeps the pre-existing value-level path
-            # (zio/anyio/ztests/tsv round-trips through it)
-            from zed_spark.sources.zeek import to_zeek_text
+        elif df is not None and _ofmt in ("zeek", "table", "text"):
+            # text OUTPUT formats: stdout is the writer's rendering,
+            # compared as text (zson/ztests/cut-record `-f zeek`,
+            # fuse.md `-f table`); csv/tsv stdout keeps the
+            # pre-existing value-level path (zio/anyio/ztests/tsv
+            # round-trips through it)
+            if _ofmt == "zeek":
+                from zed_spark.sources.zeek import to_zeek_text
 
-            stdout_text.append(to_zeek_text(df).rstrip("\n"))
+                stdout_text.append(to_zeek_text(df).rstrip("\n"))
+            else:
+                from zed_spark.sources.textio import to_table_text, to_text_text
+
+                render = to_table_text if _ofmt == "table" else to_text_text
+                stdout_text.append(render(df).rstrip("\n"))
         elif df is not None:  # None: the stage wrote a -o file instead
             stdout_acc.append((df, bool(wrapped)))
         ran += 1

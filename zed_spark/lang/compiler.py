@@ -7914,6 +7914,13 @@ class Compiler:
             pdt0 = self._type_of(args[0], df)
             from zed_spark.schema import is_union_type as _iup
 
+            if pdt0 is not None and isinstance(pdt0, T.StringType):
+                # plain string input: same reference-fidelity parser
+                # as the union path (opaque/userinfo/uint16 port/query
+                # map — docs/language/functions/parse_uri.md)
+                from zed_spark.functions.parse import parse_uri_full
+
+                return parse_uri_full(self.expr(args[0], df))
             if (
                 pdt0 is not None
                 and isinstance(pdt0, T.StructType)
