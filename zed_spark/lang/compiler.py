@@ -3396,18 +3396,21 @@ class Compiler:
                     F.lit(None).cast("boolean"),
                     F.lit("missing"),
                 )
-            if op == "==":
-                return l.eqNullSafe(r)
-            if op == "!=":
-                return ~l.eqNullSafe(r)
-            if op in ("<", "<=", ">", ">="):
-                # ordering over carrier operands (len(a)>0 where
-                # len carries per-member errors): compare the value
-                # members, propagate error alternatives
-                # (expr/ztests/slice a8 guard)
+            if op in ("==", "!=", "<", "<=", ">", ">="):
+                # comparisons over carrier operands (len(a)>0,
+                # badfield==error("missing")): compare the value
+                # members, propagate error alternatives — the
+                # reference propagates error operands through EVERY
+                # comparison (expr/ztests/slice a8 guard;
+                # docs/language/functions/error.md)
                 def _ord_parts(c0, dt0):
                     vs0 = self._carrier_variants(c0, dt0)
-                    if len(vs0) == 1 and vs0[0][3] is None:
+                    if all(ec0 is None for _c, _v, _t, ec0 in vs0):
+                        # no error alternatives: a pure-value union
+                        # compares as the raw carrier struct —
+                        # coalescing members of different types
+                        # (bytes|string) would type-clash (slice.yaml
+                        # `a != null` over the mixed stream)
                         return c0, None
                     val0 = err0 = None
                     for cond0, v0, _t0, ec0 in vs0:
@@ -3435,6 +3438,32 @@ class Compiler:
 
                 lv, le2 = _ord_parts(l, self._type_of(e[2], df))
                 rv, re3 = _ord_parts(r, self._type_of(e[3], df))
+                if op in ("==", "!=") and (le2 is not None or re3 is not None):
+                    # engage propagation for ==/!= only when each
+                    # operand has at most ONE value member — a true
+                    # multi-member union (binary|string) compares as
+                    # the raw carrier struct (slice.yaml), where
+                    # coalescing members would type-clash
+                    def _multi(dt0):
+                        from zed_spark.schema import is_union_type as _iu9
+
+                        return (
+                            dt0 is not None
+                            and isinstance(dt0, T.StructType)
+                            and _iu9(dt0)
+                            and sum(
+                                1
+                                for f in dt0.fields[1:]
+                                if not f.name.startswith("e")
+                            )
+                            > 1
+                        )
+
+                    if _multi(self._type_of(e[2], df)) or _multi(
+                        self._type_of(e[3], df)
+                    ):
+                        le2 = re3 = None
+                        lv, rv = l, r  # raw carrier-struct equality
                 if le2 is not None or re3 is not None:
                     errs = [x for x in (le2, re3) if x is not None]
                     err0 = (
@@ -3442,12 +3471,17 @@ class Compiler:
                         if len(errs) == 1
                         else F.coalesce(*errs)
                     )
-                    cmpv = {
-                        "<": lv < rv,
-                        "<=": lv <= rv,
-                        ">": lv > rv,
-                        ">=": lv >= rv,
-                    }[op]
+                    try:
+                        cmpv = {
+                            "<": lv < rv,
+                            "<=": lv <= rv,
+                            ">": lv > rv,
+                            ">=": lv >= rv,
+                            "==": lv.eqNullSafe(rv),
+                            "!=": ~lv.eqNullSafe(rv),
+                        }[op]
+                    except Exception:
+                        cmpv = F.lit(False)
                     return self._mk_carrier(
                         T.BooleanType(),
                         F.when(
@@ -3457,6 +3491,10 @@ class Compiler:
                         err0,
                     )
                 l, r = lv, rv
+            if op == "==":
+                return l.eqNullSafe(r)
+            if op == "!=":
+                return ~l.eqNullSafe(r)
             if op == "<":
                 return F.coalesce(l < r, F.lit(False))
             if op == "<=":
