@@ -72,7 +72,6 @@ MD_UNSUPPORTED: dict[str, str] = {
     "operators/over.md:8": "over a map with mixed value types " + _U,
     "operators/put.md:3": _U,
     "operators/put.md:4": _U,
-    "operators/search.md:3": _U,
     "operators/sort.md:10": "cross-type sort rank incl. null " + _U,
     "operators/summarize.md:6": _U,
     "operators/summarize.md:7": _U,

@@ -627,8 +627,10 @@ class Parser:
     }
 
     def _search_or(self):
+        # connectives are case-insensitive in search expressions
+        # (search-expressions.md: `a AND b`, `a OR b`)
         l, lt, n = self._search_and()
-        while self.peek().text == "or":
+        while self.peek().text.lower() == "or":
             self.next()
             r, rt, n2 = self._search_and()
             l, lt, n = ("bin", "or", l, r), lt or rt, n + n2
@@ -640,9 +642,9 @@ class Parser:
             nxt = self.peek()
             if nxt.text in getattr(self, "stop_words", ()):
                 break
-            if nxt.text == "and":
+            if nxt.text.lower() == "and":
                 self.next()
-            elif self.at_end_of_op() or nxt.text == "or":
+            elif self.at_end_of_op() or nxt.text.lower() == "or":
                 break
             elif nxt.text not in ("(", "!", "not", "*") and nxt.kind not in (
                 "ID", "NUM", "STR", "BSTR", "REGEX"
@@ -656,7 +658,7 @@ class Parser:
         return l, lt, n
 
     def _search_not(self):
-        if self.peek().text in ("not", "!"):
+        if self.peek().text.lower() in ("not", "!"):
             self.next()
             e, t, n = self._search_not()
             return ("un", "not", e), t, n
