@@ -104,7 +104,6 @@ MD_UNSUPPORTED: dict[str, str] = {
     "functions/fill.md:2": _S,
     "functions/order.md:2": _S,
     # --- residual error-value semantics ([errval] residue)
-    "data-types.md:6": "error(\"divide by zero\") from a cast chain " + _E,
     "functions/has_error.md:0": "has_error over a NESTED error member " + _E,
     "functions/network_of.md:3": "error payload {message,on} struct form " + _E,
     "functions/quiet.md:2": _E,

@@ -701,11 +701,16 @@ class Parser:
                     r"[\d.]+/\d+|[0-9a-fA-F:]*:[0-9a-fA-F:]*/\d+", term
                 ):
                     return ("snet", term), True, 1
-                if _re4.fullmatch(r"\w+(?:\*\w+)+", term):
-                    # every star is INFIX between word operands
-                    # (`2*PI*r`): the reference's grammar prefers the
-                    # valid arithmetic parse over a glob
-                    # (docs/language/statements.md const example)
+                if _re4.fullmatch(r"\w+(?:[*/]\w+)+", term) and not _re4.fullmatch(
+                    r"[\d.:]+(?:[*/][\d.:]+)+", term
+                ):
+                    # every star/slash is INFIX between word operands
+                    # and at least one operand is an identifier
+                    # (`2*PI*r`, `1/this`): the reference's grammar
+                    # prefers the valid arithmetic parse over a
+                    # glob/term (statements.md, data-types.md); pure
+                    # numeric forms stay search terms (net literals,
+                    # date-ish tokens)
                     self.i = save
                     return self.parse_cmp(), False, 1
                 if _re4.search(r"(?<!\\)\*", term):
