@@ -78,19 +78,12 @@ MD_UNSUPPORTED: dict[str, str] = {
     "shaping.md:9": _U,
     "shaping.md:13": "fuse golden renders the union type " + _U,
     # --- per-row shape / named-type identity ([shape] residue)
-    "data-types.md:1": "named-type filter over per-row identity " + _S,
-    "data-types.md:2": "typeof must render the NAMED type of a cast " + _S,
     "data-types.md:3": _S,
     "data-types.md:7": "typeof(error value) renders error(string) " + _S,
     "data-types.md:9": _S,
     "expressions.md:7": _S,
     "expressions.md:26": _S,
     "functions/bucket.md:0": "duration-typed bucket result rendering " + _S,
-    "functions/is.md:2": "is() against a per-row named type " + _S,
-    "functions/typename.md:0": "named PRIMITIVE decorators don't register "
-    "a per-row type (record-level only) " + _S,
-    "functions/typename.md:1": "named PRIMITIVE decorators don't register "
-    "a per-row type (record-level only) " + _S,
     "functions/typeof.md:1": "typeof of a TYPE value is <type> " + _S,
     "operators/sample.md:0": "sample emits one exemplar per SHAPE of a "
     "mixed stream " + _S,

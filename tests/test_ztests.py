@@ -2057,6 +2057,20 @@ def _run_script_case(spark, case: dict, path: str):
                 ran += 1
                 continue
             raise
+        if echo_text is not None:
+            # inline echo data also registers named types (mdtest
+            # blocks carry their fixtures via echo — typename.md's
+            # `80(port=int16)` must resolve typename("port"))
+            try:
+                named.update(_pzt(echo_text)[1])
+            except Exception:
+                pass
+            try:
+                from zed_spark.sources.ztypes import parse_types as _ptd2
+
+                _ptd2(echo_text, named_descs)
+            except Exception:
+                pass
 
         def resolve(name, fmt=None):
             raw = files[name]
