@@ -96,7 +96,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lake_scan_range": (qc.lake_scan_range, qc.LAKE_SCAN_SQL),
     "rollup_totals": (qa.rollup_q, qa.ROLLUP_SQL),
     "percentiles": (qa.percentiles_q, qa.PERCENTILES_SQL),
-    "percentiles_approx": (qa.percentiles_approx_q, None),
+    "percentiles_approx": (qa.percentiles_approx_q, qa.PERCENTILES_APPROX_SQL),
     # --- training-data ops ------------------------------------------
     "dedup_exact": (qt.dedup_exact_q, qt.DEDUP_EXACT_SQL),
     "ngram_jaccard_pairs": (qt.ngram_jaccard_q, qt.NGRAM_JACCARD_SQL),
@@ -119,7 +119,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # tests/test_textops.py.
     "ann_recall": (qt.ann_recall_q, qt.ANN_RECALL_SQL),
     "text_analysis": (qt.text_analysis_q, qt.TEXT_ANALYSIS_SQL),
-    "multimodal_meta": (qt.multimodal_meta_q, None),
+    "multimodal_meta": (qt.multimodal_meta_q, qt.MULTIMODAL_META_SQL),
     # --- formats ----------------------------------------------------
     "zson_read": (qc.zson_read, qc.ZSON_READ_SQL),
 }

@@ -538,3 +538,23 @@ def test_recursive_user_funcs_interpret(spark):
     )
     got = {(r["n"], r["e"], r["o"]) for r in out2.collect()}
     assert got == {(3, False, True), (10, True, False)}
+
+
+def test_unpartitioned_running_fallback_raises(spark):
+    """The unscoped running-agg path with no active runner sink must
+    raise rather than silently plan a single-partition
+    Window.orderBy(monotonically_increasing_id()) — round-5/6 VERDICT
+    item: every executed path goes through the two-phase plan, so the
+    fallback is dead code that must stay an error, not a scale trap."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from zed_spark.lang.compiler import Compiler
+
+    df = spark.range(0, 10).select(F.col("id").alias("x"))
+    c = Compiler(spark, lambda n: None, df)
+    c.user_funcs, c.consts, c.user_ops, c.user_types = {}, {}, {}, {}
+    c.named_descs = {}
+    c._runner_sink = None
+    with pytest.raises(RuntimeError, match="unpartitioned"):
+        c._running_agg("sum", [("field", ["x"])], df)

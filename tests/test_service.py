@@ -164,3 +164,79 @@ def test_not_found(svc):
         raise AssertionError("expected 404")
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_render_caps_every_format(svc, spark):
+    """_render must bound driver memory for EVERY output format, not
+    just json/ndjson (round-6 VERDICT item 1a): the limit is applied
+    once before any materialization."""
+    from pyspark.sql import functions as F
+
+    from zed_spark.service import QueryService
+
+    s = QueryService(spark, sf_dir=SF_DIR, max_rows=5)
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+    )
+    for fmt, data_lines in [("csv", 6), ("tsv", 6), ("zson", 5), ("ndjson", 5)]:
+        out = s._render(df, fmt).decode()
+        n = len([ln for ln in out.splitlines() if ln.strip()])
+        assert n <= data_lines, f"{fmt}: {n} lines rendered, cap is 5"
+    # binary formats round-trip through their own readers
+    import glob
+    import os
+    import tempfile
+
+    zng_bytes = s._render(df, "zng")
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "x.zng")
+    with open(p, "wb") as fh:
+        fh.write(zng_bytes)
+    from zed_spark.sources.zng import read_zng_fused
+
+    assert read_zng_fused(spark, p).count() == 5
+
+
+def test_delete_where_pushes_predicate(svc, spark, tmp_path):
+    """The delete endpoint compiles the where text to a Column that
+    plans as a pushed-down parquet filter — no driver-side key collect
+    (round-6 VERDICT item 1b)."""
+    from pyspark.sql import functions as F
+
+    from zed_spark.lang.compiler import compile_where_column
+    from zed_spark.sources.lake import Lake
+    from zed_spark.sources.readers import read_table
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    pool = lake.create_pool("ev2", key="ts")
+    pool.load(read_table(spark, SF_DIR, "events"))
+    scan = pool.scan("main")
+    pred = compile_where_column(spark, "event_type == 'click'", scan)
+    plan = scan.filter(pred)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "event_type" in plan.split(
+        "PushedFilters"
+    )[1][:120], f"predicate not pushed to scan:\n{plan[:500]}"
+    assert "isin" not in plan.lower()
+    before = scan.count()
+    clicks = scan.filter(pred).count()
+    pool.delete_where(pred)
+    assert pool.scan("main").count() == before - clicks
+    assert pool.scan("main").filter(pred).count() == 0
+
+
+def test_delete_where_null_predicate_keeps_rows(spark, tmp_path):
+    """A predicate that evaluates null on some rows must NOT delete
+    them (zed: null ≡ no match; Spark: ~null is null → filter drops)."""
+    from pyspark.sql import functions as F
+
+    from zed_spark.sources.lake import Lake
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    pool = lake.create_pool("p", key="k")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "k int, v string"
+    )
+    pool.load(df)
+    pool.delete_where(F.col("v") == "a")
+    rows = {r["k"] for r in pool.scan("main").collect()}
+    assert rows == {2, 3}, f"null-predicate row deleted: kept {rows}"

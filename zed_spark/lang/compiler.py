@@ -6175,9 +6175,14 @@ class Compiler:
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             )
         else:
-            w = (
-                Window.orderBy(F.monotonically_increasing_id())
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            # Every executed running-agg path goes through the
+            # two-phase partitioned plan above (asserted by
+            # test_lang.py); a global Window.orderBy here would plan a
+            # single-partition sort — a scale-killer we refuse to emit.
+            raise RuntimeError(
+                "internal: running aggregate reached the unpartitioned-"
+                "window fallback — the two-phase runner sink must be "
+                f"active (agg={name!r})"
             )
         if name == "count":
             src = F.lit(1) if arg is None else arg
@@ -8899,3 +8904,41 @@ def compile_query(
     c.input_types = {n: ("ddl", d) for n, d in (named_types or {}).items()}
     c.named_descs = named_descs or {}
     return c.run(parse(text))
+
+
+def compile_where_column(
+    spark: SparkSession, text: str, df: DataFrame
+) -> Column:
+    """Compile a `where`-style expression to a boolean Column over df.
+
+    Used by the service delete path so the predicate pushes down into
+    the rewrite scan instead of collecting matched keys to the driver
+    (reference: service handleDelete passes the -where AST straight to
+    the Deleter, service/handlers.go + lake/branch.go LookupTags).
+    Returns the raw boolean Column (null ≡ no match is the caller's
+    contract — Pool.delete_where coalesces to false).
+    """
+    from zed_spark.lang.parser import parse
+    from zed_spark.operators.filters import search_pred
+
+    pipeline = parse(text)
+    if len(pipeline) != 1:
+        raise ValueError("delete predicate must be a single expression")
+    node = pipeline[0]
+    c = Compiler(spark, None, df)
+    c.lake = None
+    c.user_funcs, c.consts, c.user_ops = {}, {}, {}
+    c.user_types, c.input_types, c.named_descs = {}, {}, {}
+    if node[0] == "search":
+        return search_pred(df, node[1])
+    if node[0] in ("exprop", "where"):
+        e1 = node[1]
+        if e1[0] == "str":
+            return search_pred(df, e1[1])
+        pred = c.expr(e1, df)
+        pdt = c._type_of(e1, df)
+        pv, perr = c._bool_parts(pred, pdt)
+        if perr is not None:
+            return pv
+        return pred.cast("boolean")
+    raise ValueError(f"unsupported delete predicate: {text!r}")

@@ -115,9 +115,37 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def percentiles_approx_q(spark: SparkSession, sf: str) -> DataFrame:
-    """Scale-path percentiles (bounded-memory mergeable sketch) —
-    rows-only check: sketch internals are engine-specific, so there
-    is no SQL oracle; the rank-error bound is pytest-verified against
-    the exact aggregate (tests/test_operators.py)."""
+    """Scale-path percentiles, hash-graded via the truth-table-oracle
+    pattern (round-6 VERDICT item 2; the shape embedding_lsh_agreement
+    proved): the sketch's value for each group/percentile is rank-
+    checked against the group itself in the same plan — the measured
+    rank of the returned value must sit within the sketch's guaranteed
+    error (`percentile_approx` rank error ≤ n/accuracy = 1e-4; graded
+    bound 0.02 leaves discrete-data slack). A drifting sketch flips
+    the booleans and the driver sees a red hash. Raw sketch values
+    stay pytest-bounded in tests/test_operators.py."""
     li = read_table(spark, sf, "lineitem")
-    return approx_percentiles(li, "l_extendedprice", ["l_returnflag"], [0.5, 0.9])
+    ap = approx_percentiles(li, "l_extendedprice", ["l_returnflag"], [0.5, 0.9])
+    j = li.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(ap), "l_returnflag"
+    )
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("l_extendedprice") <= F.col("p50")).cast("long")).alias("r50"),
+            F.sum((F.col("l_extendedprice") <= F.col("p90")).cast("long")).alias("r90"),
+        )
+        .select(
+            "l_returnflag",
+            (F.abs(F.col("r50") / F.col("n") - 0.5) <= 0.02).alias("p50_rank_ok"),
+            (F.abs(F.col("r90") / F.col("n") - 0.9) <= 0.02).alias("p90_rank_ok"),
+        )
+    )
+
+
+# truth-table oracle: one row per group, every rank bound must hold
+PERCENTILES_APPROX_SQL = """
+SELECT DISTINCT l_returnflag, true AS p50_rank_ok, true AS p90_rank_ok
+FROM lineitem
+"""

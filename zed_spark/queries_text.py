@@ -331,12 +331,16 @@ TEXT_ANALYSIS_SQL = _text_analysis_sql()
 
 
 def multimodal_meta_q(spark: SparkSession, sf: str) -> DataFrame:
-    """Multimodal pipeline: synthesize REAL PNG bytes per document
-    (deterministic dims from doc_id), then decode width/height/
+    """Multimodal pipeline, hash-graded via the truth-table-oracle
+    pattern (round-6 VERDICT item 2): synthesize REAL PNG bytes per
+    document (deterministic dims from doc_id), decode width/height/
     format back out of the actual container headers with the
-    pure-Python parser in mapInPandas — rows-only check (binary
-    synthesis isn't SQL-expressible; fidelity is pytest-verified in
-    tests/test_textops.py)."""
+    pure-Python parser in mapInPandas, and assert every decoded field
+    round-trips — per-field bool_and over ALL rows, plus the doc
+    count, graded against a constant-plus-count oracle. A broken
+    header encode/decode flips a boolean and the driver sees a red
+    hash. Per-row fidelity stays pytest-pinned in
+    tests/test_textops.py."""
     from pyspark.sql.functions import pandas_udf
 
     from zed_spark.textops.multimodal import attach_media_meta, image_meta, png_bytes
@@ -356,7 +360,27 @@ def multimodal_meta_q(spark: SparkSession, sf: str) -> DataFrame:
     meta = attach_media_meta(media).select(
         "doc_id", "media_meta.n_bytes", "media_meta.sha1"
     )
-    return decoded.join(meta, "doc_id")
+    exp_w = (F.lit(16) + F.pmod(F.col("doc_id"), F.lit(48))).cast("int")
+    exp_h = (F.lit(16) + F.pmod(F.col("doc_id") * 7, F.lit(48))).cast("int")
+    return decoded.join(meta, "doc_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.bool_and(F.col("format") == "png").alias("format_ok"),
+        F.bool_and(F.col("width") == exp_w).alias("width_ok"),
+        F.bool_and(F.col("height") == exp_h).alias("height_ok"),
+        F.bool_and(F.col("n_channels") == 3).alias("channels_ok"),
+        # 8 sig + 25 IHDR + 12 IEND + nonempty IDAT ⇒ > 57 bytes
+        F.bool_and(
+            (F.col("n_bytes") > 57) & (F.length("sha1") == 40)
+        ).alias("payload_ok"),
+    )
+
+
+MULTIMODAL_META_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       true AS format_ok, true AS width_ok, true AS height_ok,
+       true AS channels_ok, true AS payload_ok
+FROM documents
+"""
 
 
 def dedup_clusters_q(spark: SparkSession, sf: str) -> DataFrame:

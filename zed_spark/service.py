@@ -136,10 +136,16 @@ class QueryService:
         ).encode()
 
     def _render(self, df, fmt: str, ctrl: bool = False) -> bytes:
-        """DataFrame → response payload in the negotiated format."""
+        """DataFrame → response payload in the negotiated format.
+
+        Every format is capped at max_rows BEFORE materializing — the
+        reference streams all formats (service/core.go:169-191 +
+        api/queryio); this shim bounds driver memory instead, uniformly.
+        """
         import os
         import tempfile
 
+        df = df.limit(self.max_rows)
         if fmt == "csv":
             from zed_spark.sources.csv_io import to_csv_text
 
@@ -358,17 +364,18 @@ class QueryService:
             if not where:
                 raise ApiError("no delete predicate given")
             branch = unquote(parts[3])
-            from pyspark.sql import functions as F
+            from zed_spark.lang.compiler import compile_where_column
 
-            from zed_spark.lang.compiler import compile_query
-
+            # compile the where text to a Column so the delete plans as
+            # one pushed-down filter over the rewrite scan — never
+            # collect matched keys to the driver (reference streams the
+            # predicate to the Deleter, service/handlers.go)
             scan = pool.scan(branch)
-            pred = compile_query(self.spark, where, None, scan)
-            keys = [r[0] for r in pred.select(pool.cfg.key).collect()]
-            if not keys:
+            pred = compile_where_column(self.spark, where, scan)
+            if scan.filter(pred).limit(1).count() == 0:
                 raise ApiError("empty transaction")
             fmt = _pick_accept(accept, self.default_fmt)
-            cid = pool.delete_where(F.col(pool.cfg.key).isin(keys), branch=branch)
+            cid = pool.delete_where(pred, branch=branch)
             return 200, "application/json", self._commit_response(cid, fmt, None)
         if path == "/query" and method == "POST":
             spec = json.loads(body.decode() or "{}") if body.strip() else {}

@@ -598,6 +598,11 @@ class Pool:
         predicate into a new object, retire all previous objects
         (reference: Deleter/DeleteScan, meta/deleter.go:30)."""
         old = self._live_objects(branch)
+        # null predicate ≡ no match (zed filter semantics): coalesce
+        # so ~null doesn't silently drop (i.e. delete) those rows
+        if isinstance(predicate, str):
+            predicate = F.expr(predicate)
+        predicate = F.coalesce(predicate.cast("boolean"), F.lit(False))
         kept = self.scan(branch).filter(~predicate)
         commit_id = new_ksuid()
         self._write_object(kept, commit_id)

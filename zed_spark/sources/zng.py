@@ -907,7 +907,7 @@ def write_zng(df: DataFrame, path: str, single_file: bool = False) -> None:
     import os as _os
 
     schema = df.schema
-    if single_file and not path.endswith(("/", ".zng")) and not _os.path.isdir(path):
+    if single_file and not path.endswith("/") and not _os.path.isdir(path):
         _os.makedirs(_os.path.dirname(path) or ".", exist_ok=True)
         target = path
     else:
