@@ -40,7 +40,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "where_filter": (qc.where_filter, qc.WHERE_SQL),
     "cut_project": (qc.cut_project, qc.CUT_SQL),
     "put_derived": (qc.put_derived, qc.PUT_SQL),
-    "drop_rename": (qc.drop_rename, qc.DROP_RENAME_SQL),
+    # drop_rename rotated out of the 50-row graded window (round-7)
+    # for fuse_union — the union-typed fuse with per-row downstream
+    # dispatch (round-6 VERDICT item 8); drop/rename parity stays
+    # pinned in tests/test_oracle_parity.EXTRA_ORACLES
+    "fuse_union": (qc.fuse_union, qc.FUSE_UNION_SQL),
     "head_tail": (qc.head_tail, qc.HEAD_TAIL_SQL),
     "top_k": (qc.top_k, qc.TOP_SQL),
     "sort_nulls": (qc.sort_nulls, qc.SORT_SQL),

@@ -61,13 +61,14 @@ HEADLINE = HEADLINE + PINNED_R4 + PINNED_R6
 # (embedding_lsh_agreement is grading-only: it computes the exact
 # all-pairs set as its own truth reference, which is O(n²) by design
 # and belongs at the sf0.01 fixture, not in the timed battery.)
-NEW_QUERIES: list[str] = ["fuse_hetero"]
+NEW_QUERIES: list[str] = ["fuse_hetero", "fuse_union"]
 
 
 def _extra_queries() -> dict:
     """Pinned bench keys whose functions are no longer (or never
     were) in the graded 50-entry registry — the battery stays
     byte-identical round-over-round regardless of registry rotation."""
+    from zed_spark import queries_analytics as qa
     from zed_spark import queries_core as qc
     from zed_spark import queries_text as qt
 
@@ -76,6 +77,9 @@ def _extra_queries() -> dict:
         # rotated out of the graded registry in round 6; still timed
         "json_props": qc.json_props,
         "embedding_near_lsh": qt.embedding_near_lsh_q,
+        # the graded registry row became a rank-check truth table in
+        # round 7; the bench keeps timing the raw sketch aggregate
+        "percentiles_approx": qa.percentiles_approx_raw_q,
     }
 
 

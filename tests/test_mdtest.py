@@ -46,37 +46,7 @@ MD_UNSUPPORTED: dict[str, str] = {
     # --- widened mixed-type streams: one echo carries several value
     # types, so per-row dispatch/comparison is lost in the widened
     # frame (the engine's documented [union] residue)
-    "aggregates/and.md:2": _U,
-    "aggregates/or.md:2": _U,
-    "aggregates/union.md:2": _U,
-    "aggregates/fuse.md:1": "fuse AGGREGATE yielding a union type value " + _U,
-    "expressions.md:1": _U,
-    "expressions.md:2": _U,
     "expressions.md:6": _U,
-    "expressions.md:13": _U,
-    "expressions.md:22": _U,
-    "expressions.md:23": _U,
-    "functions/cidr_match.md:0": _U,
-    "functions/cidr_match.md:1": _U,
-    "functions/cidr_match.md:2": _U,
-    "functions/every.md:0": _U,
-    "functions/flatten.md:0": "map values of mixed type " + _U,
-    "functions/unflatten.md:1": "map values of mixed type " + _U,
-    "functions/len.md:0": _U,
-    "functions/log.md:0": _U,
-    "functions/compare.md:0": "cross-type compare rank over a mixed stream " + _U,
-    "lateral-subqueries.md:4": "spread of a non-record in lateral scope " + _U,
-    "lateral-subqueries.md:5": _U,
-    "lateral-subqueries.md:6": _U,
-    "operators/drop.md:1": "drop over a mixed record/primitive stream " + _U,
-    "operators/over.md:8": "over a map with mixed value types " + _U,
-    "operators/put.md:3": _U,
-    "operators/put.md:4": _U,
-    "operators/sort.md:10": "cross-type sort rank incl. null " + _U,
-    "operators/summarize.md:6": _U,
-    "operators/summarize.md:7": _U,
-    "shaping.md:9": _U,
-    "shaping.md:13": "fuse golden renders the union type " + _U,
     # --- per-row shape / named-type identity ([shape] residue)
     "data-types.md:3": _S,
     "data-types.md:7": "typeof(error value) renders error(string) " + _S,

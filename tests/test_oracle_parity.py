@@ -20,6 +20,7 @@ from zed_spark import queries_core as qc  # noqa: E402
 EXTRA_ORACLES = {
     "json_props": (qc.json_props, qc.JSON_SQL),
     "zq_summary": (qc.zq_summary, qc.ZQ_SUMMARY_SQL),
+    "drop_rename": (qc.drop_rename, qc.DROP_RENAME_SQL),
 }
 
 

@@ -240,3 +240,92 @@ def test_delete_where_null_predicate_keeps_rows(spark, tmp_path):
     pool.delete_where(F.col("v") == "a")
     rows = {r["k"] for r in pool.scan("main").collect()}
     assert rows == {2, 3}, f"null-predicate row deleted: kept {rows}"
+
+
+def test_query_describe_endpoint(svc, spark):
+    """POST /query/describe mirrors the reference's describe analysis
+    (compiler/describe/analyze.go; service/ztests/query-describe.yaml
+    fixtures verbatim, ids masked like the ztest does): sources with
+    inferred flags, channels with aggregation keys and sort order."""
+    import tempfile
+
+    from zed_spark.service import QueryService
+    from zed_spark.sources.lake import Lake
+
+    root = str(tempfile.mkdtemp()) + "/lake"
+    lake = Lake(spark, root)
+    lake.create_pool("test1", key="ts")
+    lake.create_pool("test2", key="ts")
+    s = QueryService(spark, lake_root=root)
+
+    def describe(q, head=None):
+        info = s._describe(q, head)
+
+        def mask(src):
+            if isinstance(src, list):
+                for x in src:
+                    mask(x)
+            elif isinstance(src, dict) and "id" in src:
+                src["id"] = "XXX"
+
+        mask(info["sources"])
+        return info
+
+    p = {"kind": "Pool", "id": "XXX", "inferred": False}
+    assert describe(
+        'from (\n pool test1\n pool test2\n) | put foo := "bar"'
+    ) == {
+        "sources": [{**p, "name": "test1"}, {**p, "name": "test2"}],
+        "channels": [
+            {"name": "main", "aggregation_keys": None,
+             "sort": [{"order": "desc", "key": ["ts"]}]}
+        ],
+    }
+    assert describe("count() by key1:=v1, key2", "test1") == {
+        "sources": {**p, "name": "test1", "inferred": True},
+        "channels": [
+            {"name": "main", "aggregation_keys": [["key1"], ["key2"]],
+             "sort": None}
+        ],
+    }
+    assert describe("sum(this)", "test1") == {
+        "sources": {**p, "name": "test1", "inferred": True},
+        "channels": [
+            {"name": "main", "aggregation_keys": [], "sort": None}
+        ],
+    }
+    assert describe(
+        "fork (=> from test1 | sum(y) by key1 | output main"
+        ' => from test2 | put x := "foo" | output secondary)',
+        "test1",
+    ) == {
+        "sources": [{**p, "name": "test1"}, {**p, "name": "test2"}],
+        "channels": [
+            {"name": "main", "aggregation_keys": [["key1"]], "sort": None},
+            {"name": "secondary", "aggregation_keys": None,
+             "sort": [{"order": "desc", "key": ["ts"]}]},
+        ],
+    }
+    assert describe("sum(this) by foo | sort x", "test1") == {
+        "sources": {**p, "name": "test1", "inferred": True},
+        "channels": [
+            {"name": "main", "aggregation_keys": [["foo"]],
+             "sort": [{"order": "asc", "key": ["x"]}]}
+        ],
+    }
+    assert describe(
+        'from test1 | fork (=> output main => yield "bar" | output secondary)'
+    ) == {
+        "sources": {**p, "name": "test1"},
+        "channels": [
+            {"name": "main", "aggregation_keys": None,
+             "sort": [{"order": "desc", "key": ["ts"]}]},
+            {"name": "secondary", "aggregation_keys": None, "sort": None},
+        ],
+    }
+    assert describe("from test1 | fork (=> pass => pass)") == {
+        "sources": {**p, "name": "test1"},
+        "channels": [
+            {"name": "main", "aggregation_keys": None, "sort": None}
+        ],
+    }

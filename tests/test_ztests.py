@@ -395,7 +395,7 @@ _LAKE_GAPS = {
     "service/orphaned-by-zui.yaml": _SH2,
     "service/python-auth.yaml": _SH2,
     "service/python.yaml": _SH2,
-    "service/query-describe.yaml": _SUBST,
+    "service/query-describe.yaml": "bash for-loop + jq command substitution; the /query/describe endpoint itself is implemented and golden-pinned by tests/test_service.py::test_query_describe_endpoint [script]",
     "service/query-runtime-error-log.yaml": _SH2,
     "service/query-runtime-error.yaml": "empty-record load ({}) has no parquet schema [shape]",
     "service/rootcontentfile.yaml": _SH2,

@@ -12,33 +12,70 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from zed_spark.schema import flat_paths
+from zed_spark.schema import flat_paths, path_type
+
+
+def _entry_array(leaves: list[tuple[list[str], Column, T.DataType]]) -> Column:
+    """[(path, col, dtype)] → the zed flatten() value: array of
+    {key: array<string>, value}. A uniform leaf type keeps the value
+    typed; MIXED leaf types form a first-class tagged union (zed's
+    flatten returns array of |(T1,...,Tn)| — flatten.md mixed
+    example: value 1 stays int64 next to value "foo")."""
+    sigs: list[T.DataType] = []
+    seen: set[str] = set()
+    for _p, _c, dt in leaves:
+        if dt.simpleString() not in seen:
+            seen.add(dt.simpleString())
+            sigs.append(dt)
+    if len(sigs) > 1:
+        from zed_spark.union import union_type
+
+        ut = union_type(*sigs)
+        mtypes = [f.dataType for f in ut.fields[1:]]
+
+        def wrap(c: Column, dt: T.DataType) -> Column:
+            idx = next(
+                i
+                for i, mt in enumerate(mtypes)
+                if mt.simpleString() == dt.simpleString()
+            )
+            return F.struct(
+                F.lit(idx).alias("tag"),
+                *[
+                    (c if i == idx else F.lit(None).cast(mt)).alias(f"v{i}")
+                    for i, mt in enumerate(mtypes)
+                ],
+            )
+
+        leaves = [(p, wrap(c, dt), ut) for p, c, dt in leaves]
+    return F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(seg) for seg in p]).alias("key"),
+                c.alias("value"),
+            )
+            for p, c, _dt in leaves
+        ]
+    )
 
 
 def flatten_record(df: DataFrame, columns: list[str] | None = None) -> Column:
-    """Build the zed flatten() value for a row: array of
-    {key: array<string>, value: string} — values rendered as strings
-    (our union-type compromise; zed's array holds a union)."""
+    """Build the zed flatten() value for a row (function/flatten.go)."""
     schema = df.schema
     if columns:
         schema = T.StructType([schema[c] for c in columns])
-    entries = []
-    for path in flat_paths(schema):
-        entries.append(
-            F.struct(
-                F.array(*[F.lit(p) for p in path.split(".")]).alias("key"),
-                F.col(path).cast("string").alias("value"),
-            )
-        )
-    return F.array(*entries)
+    leaves = [
+        (path.split("."), F.col(path), path_type(schema, path))
+        for path in flat_paths(schema)
+    ]
+    return _entry_array(leaves)
 
 
 def flatten_col(col: Column, dt: T.DataType) -> Column:
     """flatten() over an arbitrary record-typed expression: walk the
-    static struct type, emitting {key: array<string>, value} per leaf
-    (values ride as strings — the union-type compromise, as in
-    flatten_record)."""
-    entries: list[Column] = []
+    static struct type, emitting {key: array<string>, value} per
+    leaf, values typed (union when mixed)."""
+    leaves: list[tuple[list[str], Column, T.DataType]] = []
 
     def walk(c: Column, t: T.DataType, path: list[str]):
         if isinstance(t, T.StructType) and not (
@@ -47,15 +84,10 @@ def flatten_col(col: Column, dt: T.DataType) -> Column:
             for f in t.fields:
                 walk(c.getField(f.name), f.dataType, path + [f.name])
             return
-        entries.append(
-            F.struct(
-                F.array(*[F.lit(p) for p in path]).alias("key"),
-                c.cast("string").alias("value"),
-            )
-        )
+        leaves.append((path, c, t))
 
     walk(col, dt, [])
-    return F.array(*entries)
+    return _entry_array(leaves)
 
 
 def unflatten(df: DataFrame, flat: Column) -> Column:

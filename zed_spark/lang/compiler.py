@@ -157,6 +157,11 @@ class Compiler:
             raise ValueError(f"operator {kind!r} needs an input (start with 'from')")
         if kind == "pass":
             return df
+        if kind == "outputop":
+            # `output <name>` labels the channel (dag.Output) — a
+            # pass-through in the single-channel record model; the
+            # name is consumed by /query/describe and fork legs
+            return df
         if kind == "assert":
             from zed_spark.operators.misc_ops import assert_op
 
@@ -543,6 +548,95 @@ class Compiler:
                     .cast(ct)
                     .alias("this")
                 )
+            if "this" in df.columns:
+                from zed_spark.schema import is_union_type as _iup
+
+                _tdt = df.schema["this"].dataType
+                if isinstance(_tdt, T.StructType) and _iup(_tdt):
+                    # put over a MIXED stream (operators/put.md
+                    # `{a:1} 1 | b:=2`): record members take the
+                    # assignments, non-record members become
+                    # error({message:"put: not a record", on:...})
+                    raw = []  # (leg_df_of_one_col, member_dtype, is_err)
+                    for pos, f in enumerate(_tdt.fields[1:]):
+                        cond = F.col("this").getField("tag") == pos
+                        sub = df.filter(cond)
+                        mdt = f.dataType
+                        if isinstance(mdt, T.StructType) and not _iup(mdt):
+                            leg = sub.select(
+                                F.col("this").getField(f.name).alias("__m")
+                            ).select("__m.*")
+                            leg = self.apply(leg, node)
+                            vis9 = [
+                                c
+                                for c in leg.columns
+                                if not c.startswith("__zed_")
+                            ]
+                            leg = leg.select(
+                                F.struct(
+                                    *[F.col(f"`{c}`") for c in vis9]
+                                ).alias("__v")
+                            )
+                            raw.append(
+                                (leg, leg.schema["__v"].dataType, False)
+                            )
+                        else:
+                            est = T.StructType(
+                                [
+                                    T.StructField("message", T.StringType()),
+                                    T.StructField("on", mdt),
+                                ]
+                            )
+                            leg = sub.select(
+                                F.struct(
+                                    F.lit("put: not a record").alias(
+                                        "message"
+                                    ),
+                                    F.col("this")
+                                    .getField(f.name)
+                                    .alias("on"),
+                                ).alias("__v")
+                            )
+                            raw.append((leg, est, True))
+                    # one shared output carrier across all legs
+                    slots: list[tuple[bool, T.DataType]] = []
+                    tags = []
+                    for _leg, mdt9, err9 in raw:
+                        for i, (e8, t8) in enumerate(slots):
+                            if (
+                                e8 == err9
+                                and t8.simpleString() == mdt9.simpleString()
+                            ):
+                                tags.append(i)
+                                break
+                        else:
+                            slots.append((err9, mdt9))
+                            tags.append(len(slots) - 1)
+                    ct = T.StructType(
+                        [T.StructField("tag", T.IntegerType())]
+                        + [
+                            T.StructField(
+                                ("e" if e8 else "v") + str(i), t8, True
+                            )
+                            for i, (e8, t8) in enumerate(slots)
+                        ]
+                    )
+                    out = None
+                    for (leg, mdt9, _e), tg in zip(raw, tags):
+                        parts = [F.lit(tg).alias("tag")]
+                        for i, f8 in enumerate(ct.fields[1:]):
+                            parts.append(
+                                (
+                                    F.col("__v")
+                                    if i == tg
+                                    else F.lit(None).cast(f8.dataType)
+                                ).alias(f8.name)
+                            )
+                        w = leg.select(
+                            F.struct(*parts).cast(ct).alias("this")
+                        )
+                        out = w if out is None else out.unionByName(w)
+                    return out
             prev_sink, self._runner_sink = (
                 getattr(self, "_runner_sink", None),
                 [],
@@ -564,6 +658,20 @@ class Compiler:
                     if _pt(df.schema, path) is not None:
                         col = F.coalesce(col, F.col(path))
                     compiled.append((path, col))
+                    continue
+                if self._static_missing(e, df):
+                    # assigning a field no row can resolve puts the
+                    # first-class error("missing") value, not null
+                    # (operators/put.md `put d:=e`; context.go:494)
+                    compiled.append(
+                        (
+                            path,
+                            F.struct(
+                                F.lit(0).alias("tag"),
+                                F.lit("missing").alias("e0"),
+                            ),
+                        )
+                    )
                     continue
                 compiled.append((path, self.expr(e, df)))
             df = self._apply_runner_fixups(df)
@@ -609,6 +717,55 @@ class Compiler:
                 *[c for c in out.columns if c.startswith("__ra")],
             )
         if kind == "drop":
+            from zed_spark.schema import is_union_type as _iud
+
+            vis = [c for c in df.columns if not c.startswith("__zed_")]
+            tdt = df.schema["this"].dataType if vis == ["this"] else None
+            if (
+                tdt is not None
+                and isinstance(tdt, T.StructType)
+                and _iud(tdt)
+                and all("." not in p for p in node[1])
+            ):
+                # drop over a MIXED stream (docs/language/operators/
+                # drop.md: `1 {a:1,b:2,c:3} | drop a,b`): dispatch per
+                # union member — record members lose the named fields,
+                # non-records pass through untouched (op/drop applies
+                # to each value's own type)
+                gone = set(node[1])
+                parts = [F.col("this").getField("tag").alias("tag")]
+                changed = False
+                for f in tdt.fields[1:]:
+                    src = F.col("this").getField(f.name)
+                    if isinstance(f.dataType, T.StructType) and not _iud(
+                        f.dataType
+                    ):
+                        keep2 = [
+                            sf.name
+                            for sf in f.dataType.fields
+                            if sf.name not in gone
+                        ]
+                        if len(keep2) < len(f.dataType.fields) and keep2:
+                            src = F.when(
+                                src.isNotNull(),
+                                F.struct(
+                                    *[
+                                        src.getField(n).alias(n)
+                                        for n in keep2
+                                    ]
+                                ),
+                            )
+                            changed = True
+                    parts.append(src.alias(f.name))
+                if changed:
+                    return df.select(
+                        F.struct(*parts).alias("this"),
+                        *[
+                            F.col(c)
+                            for c in df.columns
+                            if c.startswith("__zed_")
+                        ],
+                    )
             out = ops.drop(df, *node[1])
             if "__zed_missing" in out.columns:
                 # a row whose EVERY remaining field was per-row
@@ -748,12 +905,40 @@ class Compiler:
             for name, fn, arg, where in aggs:
                 if fn == "fuse":
                     # fuse(e) aggregates e's TYPE across the group
-                    # (agg/fuse.go) — static in the record model: the
-                    # merged column type, as a type value
+                    # (agg/fuse.go): with a per-row type sidecar the
+                    # group's OWN value types merge (numeric widening,
+                    # unions for conflicts — aggregates/fuse.md mixed
+                    # example); without one, the static merged type
                     from zed_spark.functions.introspect import zed_type_name
 
-                    dt = self._type_of(arg if arg is not None else ("this",), df)
-                    agg_cols[name] = F.min(F.lit(zed_type_name(dt)))
+                    farg = arg if arg is not None else ("this",)
+                    dt = self._type_of(farg, df)
+                    static9 = zed_type_name(dt)
+                    if "__zed_types" in df.columns and farg[0] in (
+                        "this",
+                        "field",
+                    ):
+                        from zed_spark.sources.ztypes import (
+                            fuse_type_strings,
+                        )
+
+                        kp9 = (
+                            ".".join(farg[1])
+                            if farg[0] == "field"
+                            else ""
+                        )
+                        per9 = F.coalesce(
+                            F.element_at(
+                                F.col("__zed_types"), F.lit(kp9)
+                            ),
+                            F.lit(static9),
+                        )
+                        fold9 = F.udf(fuse_type_strings, T.StringType())
+                        agg_cols[name] = fold9(
+                            F.array_distinct(F.collect_list(per9))
+                        )
+                    else:
+                        agg_cols[name] = F.min(F.lit(static9))
                     continue
                 acol = self.expr(arg, df) if arg is not None else None
                 if arg is not None and fn in ("sum", "avg", "min", "max"):
@@ -909,20 +1094,32 @@ class Compiler:
                 from zed_spark.functions.flatten import nest_dotted
 
                 out = nest_dotted(out)
+            # group emit order is arbitrary — a downstream sort may
+            # add a deterministic tiebreak over the non-key columns
+            out._zed_grouped = True
             return out
         if kind == "sort":
             _, keys, desc, nulls = (node if len(node) == 4 else (*node, None))
             if not keys:
                 keys = [(("field", _guess_sort_key(df.schema)), None)]
             cols = []
+            # null placement (runtime/sam/op/sort/sort.go:206-214):
+            # nullsMax (null compares LARGEST) defaults true — "the
+            # SQL convention that null values appear last" (sort.md)
+            # — is inverted by -nulls first, and inverted again when
+            # the FIRST key's final direction is desc, so the first
+            # key always puts nulls last by default in EITHER
+            # direction while secondary keys follow the global flag.
+            first_desc = (
+                (keys[0][1] == "desc") if keys[0][1] else desc
+            )
+            nulls_max = (nulls != "first") ^ first_desc
             for k, kdir in keys:
                 c = self.expr(k, df)
                 # per-key asc/desc keywords override the -r flag
-                # (docs/language/operators/sort.md); zed null rule:
-                # nulls last on asc, first on desc; -nulls first|last
-                # overrides the rule for every key
+                # (docs/language/operators/sort.md)
                 is_desc = kdir == "desc" if kdir else desc
-                nf = (nulls == "first") if nulls else is_desc
+                nf = nulls_max if is_desc else not nulls_max
                 kdt = self._type_of(k, df)
                 if (
                     "__zed_types" in df.columns
@@ -985,10 +1182,8 @@ class Compiler:
                             # null VALUES follow the nulls rule, not
                             # their type's rank
                             rankc = F.when(c.isNotNull(), rankc)
-                            is_d = kdir == "desc" if kdir else desc
-                            nf2 = (
-                                (nulls == "first") if nulls else is_d
-                            )
+                            is_d = is_desc
+                            nf2 = nf
                             if is_d:
                                 cols.append(
                                     rankc.desc_nulls_first()
@@ -1015,7 +1210,46 @@ class Compiler:
                     # stable ties in join arrival order (sort.md:
                     # zed sort is stable; ztest join/kinds)
                     cols.append(F.col(jc).asc_nulls_last())
-            res = df.orderBy(*cols)
+            if getattr(df, "_zed_grouped", False):
+                # sorting a GROUPED-aggregation output: group emit
+                # order is arbitrary (hash table), so break key ties
+                # deterministically over the remaining visible
+                # columns (summarize.md: null-sum groups order by
+                # key). Plain streams instead keep INPUT order on
+                # ties below — zed sort is stable (expr/sort.go
+                # SortStable; op/sort/sort-4 goldens).
+                keyed = {
+                    ".".join(k[1]) if k[0] == "field" else None
+                    for k, _ in keys
+                }
+
+                def _orderable(dt):
+                    if isinstance(dt, T.MapType):
+                        return False
+                    if isinstance(dt, T.StructType):
+                        return all(
+                            _orderable(f2.dataType) for f2 in dt.fields
+                        )
+                    if isinstance(dt, T.ArrayType):
+                        return _orderable(dt.elementType)
+                    return True
+
+                for f in df.schema.fields:
+                    if (
+                        f.name.startswith("__zed_")
+                        or f.name in keyed
+                        or not _orderable(f.dataType)
+                    ):
+                        continue
+                    cols.append(F.col(f"`{f.name}`").asc_nulls_last())
+                res = df.orderBy(*cols)
+            else:
+                seq9 = df.withColumn(
+                    "__zsseq", F.monotonically_increasing_id()
+                )
+                res = seq9.orderBy(
+                    *cols, F.col("__zsseq").asc()
+                ).drop("__zsseq")
             # note the sort direction for a downstream merge join
             # (join adopts a pre-sorted side's direction, auto-sort)
             k0, k0dir = keys[0]
@@ -1254,9 +1488,31 @@ class Compiler:
                 compiled.append((e, c, dt))
             from zed_spark.schema import is_union_type as _iuy
 
-            if len(compiled) > 1 and any(
-                dt is not None and isinstance(dt, T.StructType) and _iuy(dt)
+            def _is_carrier(dt):
+                return (
+                    dt is not None
+                    and isinstance(dt, T.StructType)
+                    and _iuy(dt)
+                )
+
+            _rec_sigs = {
+                dt.simpleString()
                 for _e, _c, dt in compiled
+                if dt is not None
+                and isinstance(dt, T.StructType)
+                and not _iuy(dt)
+            }
+            _nonrec = any(
+                dt is None or not isinstance(dt, T.StructType)
+                for _e, _c, dt in compiled
+            )
+            if len(compiled) > 1 and (
+                any(_is_carrier(dt) for _e, _c, dt in compiled)
+                # record branches mixed with scalars, or two distinct
+                # record shapes, also need the union unification —
+                # one explode array can't hold both row types
+                # (docs/language ex.: `yield this, typeof(set)`)
+                or (_rec_sigs and (_nonrec or len(_rec_sigs) > 1))
             ):
                 # multi-yield where some expr is union/carrier-typed
                 # (ztest op/yield/yield: `yield a,123` over mixed
@@ -1290,7 +1546,7 @@ class Compiler:
                     alts.append((flag, t))
                     return len(alts) - 1
 
-                plans = []  # per expr: list of (src_cond_or_None, col, slot)
+                plans = []  # per expr: (src_cond_or_None, col, src_dt, slot)
                 for e2, c2, dt2 in compiled:
                     if dt2 is not None and isinstance(dt2, T.StructType) and _iuy(dt2):
                         plan = []
@@ -1299,6 +1555,7 @@ class Compiler:
                                 (
                                     c2.getField("tag") == pos,
                                     c2.getField(f2.name),
+                                    f2.dataType,
                                     slot_of(f2.name.startswith("e"), f2.dataType),
                                 )
                             )
@@ -1308,13 +1565,14 @@ class Compiler:
                                 (
                                     c2.isNull() | c2.getField("tag").isNull(),
                                     F.lit("missing"),
+                                    T.StringType(),
                                     slot_of(True, T.StringType()),
                                 )
                             )
                         plans.append(plan)
                     else:
                         t2 = dt2 if dt2 is not None else T.StringType()
-                        plans.append([(None, c2, slot_of(False, t2))])
+                        plans.append([(None, c2, t2, slot_of(False, t2))])
                 names = [
                     ("e" if f2 else "v") + str(i)
                     for i, (f2, _t) in enumerate(alts)
@@ -1326,10 +1584,74 @@ class Compiler:
                         for nm, (_f, t) in zip(names, alts)
                     ]
                 )
+                def _conform_col(col, src, dst):
+                    # widen a value column to its (super-)slot type:
+                    # records null-fill absent fields recursively — a
+                    # plain cast can't add struct members (fuse
+                    # semantics, operators/fuse.py conform)
+                    if (
+                        isinstance(src, T.StructType)
+                        and isinstance(dst, T.StructType)
+                        and src.simpleString() != dst.simpleString()
+                    ):
+                        have = {f3.name: f3.dataType for f3 in src.fields}
+                        return F.when(
+                            col.isNotNull(),
+                            F.struct(
+                                *[
+                                    (
+                                        _conform_col(
+                                            col.getField(f3.name),
+                                            have[f3.name],
+                                            f3.dataType,
+                                        )
+                                        if f3.name in have
+                                        else F.lit(None).cast(f3.dataType)
+                                    ).alias(f3.name)
+                                    for f3 in dst.fields
+                                ]
+                            ),
+                        )
+                    if (
+                        isinstance(src, T.ArrayType)
+                        and isinstance(dst, T.ArrayType)
+                        and src.simpleString() != dst.simpleString()
+                    ):
+                        return F.transform(
+                            col,
+                            lambda x: _conform_col(
+                                x, src.elementType, dst.elementType
+                            ),
+                        )
+                    return col.cast(dst)
+
+                if (
+                    len(alts) == 1
+                    and not alts[0][0]
+                    and isinstance(alts[0][1], T.StructType)
+                    and not _iuy(alts[0][1])
+                ):
+                    # every branch conformed into ONE record type —
+                    # no union needed; emit the widened records
+                    # directly so downstream operators see a plain
+                    # record stream (docs/language/functions/every.md
+                    # pipeline: yield {ts,val:0},{ts:ts+1s} | every)
+                    t0 = alts[0][1]
+                    exprs = []
+                    for plan in plans:
+                        vcol = None
+                        for cond, col2, srct, _slot in plan:
+                            cc = _conform_col(col2, srct, t0)
+                            w = cc if cond is None else F.when(cond, cc)
+                            vcol = w if vcol is None else F.coalesce(vcol, w)
+                        exprs.append(vcol)
+                    df = self._apply_runner_fixups(df)
+                    self._runner_sink = prev_sink
+                    return ops.yield_(df, *exprs, null_sentinel=True)
                 exprs = []
                 for plan in plans:
                     tagc = None
-                    for cond, _col, slot in plan:
+                    for cond, _col, _srct, slot in plan:
                         if cond is None:
                             tagc = F.lit(slot)
                             break
@@ -1338,10 +1660,10 @@ class Compiler:
                     parts = [tagc.alias("tag")]
                     for i, (nm, (_f, t)) in enumerate(zip(names, alts)):
                         vcol = None
-                        for cond, col2, slot in plan:
+                        for cond, col2, srct, slot in plan:
                             if slot != i:
                                 continue
-                            cc = col2.cast(t)
+                            cc = _conform_col(col2, srct, t)
                             w = cc if cond is None else F.when(cond, cc)
                             vcol = w if vcol is None else F.coalesce(vcol, w)
                         parts.append(
@@ -3387,7 +3709,7 @@ class Compiler:
             # not null: comparing to it yields the error, so `where`
             # drops every row (lake/ztests/delete-where-missing — the
             # unquoted-token predicate must be an empty transaction)
-            if op in ("==", "!=") and (
+            if op in ("==", "!=", "<", "<=", ">", ">=") and (
                 self._static_missing(e[2], df)
                 or self._static_missing(e[3], df)
             ):
@@ -3491,6 +3813,20 @@ class Compiler:
                         err0,
                     )
                 l, r = lv, rv
+            if op in ("==", "!="):
+                ldt0 = self._type_of(e[2], df)
+                rdt0 = self._type_of(e[3], df)
+                if (
+                    ldt0 is not None
+                    and rdt0 is not None
+                    and isinstance(ldt0, T.StructType)
+                    and isinstance(rdt0, T.StructType)
+                    and ldt0.simpleString() != rdt0.simpleString()
+                ):
+                    # records of DIFFERENT types never compare equal
+                    # (zed equality is type-then-value; shaping.md
+                    # original==cropped over a cropped record)
+                    return F.lit(op == "!=")
             if op == "==":
                 return l.eqNullSafe(r)
             if op == "!=":
@@ -3747,6 +4083,64 @@ class Compiler:
             dt = self._type_of(e[2], df)
             ndt = self._type_of(e[1], df)
 
+            _NUM9 = {
+                "byte", "short", "integer", "long", "float",
+                "double", "decimal",
+            }
+
+            def _contains_any(c, t, nc, nt) -> Column:
+                # recursive membership over records/unions/containers
+                # (containsfn walks the whole value — expressions.md
+                # `1 in this` over mixed record shapes)
+                if isinstance(t, T.StructType):
+                    from zed_spark.schema import is_union_type as _iu7
+
+                    flds = t.fields[1:] if _iu7(t) else t.fields
+                    out7 = F.lit(False)
+                    for f7 in flds:
+                        out7 = out7 | F.coalesce(
+                            _contains_any(
+                                c.getField(f7.name), f7.dataType, nc, nt
+                            ),
+                            F.lit(False),
+                        )
+                    return out7
+                if isinstance(t, T.ArrayType):
+                    return F.coalesce(
+                        F.exists(
+                            c,
+                            lambda x: F.coalesce(
+                                _contains_any(x, t.elementType, nc, nt),
+                                F.lit(False),
+                            ),
+                        ),
+                        F.lit(False),
+                    )
+                if isinstance(t, T.MapType):
+                    return F.coalesce(
+                        F.exists(
+                            F.map_keys(c),
+                            lambda x: F.coalesce(
+                                _contains_any(x, t.keyType, nc, nt),
+                                F.lit(False),
+                            ),
+                        )
+                        | F.exists(
+                            F.map_values(c),
+                            lambda x: F.coalesce(
+                                _contains_any(x, t.valueType, nc, nt),
+                                F.lit(False),
+                            ),
+                        ),
+                        F.lit(False),
+                    )
+                ntn = nt.typeName() if nt is not None else "string"
+                if t.typeName() in _NUM9 and ntn in _NUM9:
+                    return c.cast("double") == nc.cast("double")
+                if nt is not None and t.simpleString() == nt.simpleString():
+                    return c == nc
+                return F.lit(False)
+
             def member_in(nc) -> Column:
                 if dt is not None and dt.typeName() == "map":
                     return F.coalesce(
@@ -3758,6 +4152,8 @@ class Compiler:
                         ),
                         F.lit(False),
                     )
+                if dt is not None and isinstance(dt, T.StructType):
+                    return _contains_any(container, dt, nc, ndt)
                 return F.array_contains(container, nc)
 
             nv = self._carrier_variants(needle, ndt)
@@ -4615,6 +5011,21 @@ class Compiler:
                     if n is None:
                         src = x[1]
                         dt = self._type_of(src, df)
+                        if dt is None:
+                            # not statically probeable (e.g. a lateral
+                            # over-expression with named aggregates —
+                            # lateral-subqueries.md spread example):
+                            # plan-probe the compiled column instead
+                            try:
+                                dt = (
+                                    df.select(
+                                        self.expr(src, df).alias("__t")
+                                    )
+                                    .schema[0]
+                                    .dataType
+                                )
+                            except Exception:
+                                dt = None
                         if dt is None or dt.typeName() != "struct":
                             raise ValueError("record spread needs a record operand")
                         base = self.expr(src, df)
@@ -4790,6 +5201,16 @@ class Compiler:
         if len(head) > 2 and head[2]:
             raise ValueError("`over ... with` is operator-only (use the over op)")
         cur = self.expr(head[1], df)
+        hdt = self._type_of(head[1], df)
+        if hdt is not None and not isinstance(hdt, T.ArrayType):
+            # non-array source (scalar, record, map, union member
+            # mix): normalize to the zed traversal sequence first
+            # (over.go appendOver; lateral-subqueries.md `over x`
+            # with x ∈ int|[int]) — unions traverse the member the
+            # tag selects
+            from zed_spark.operators.traverse import over_entries
+
+            cur = over_entries(cur, hdt)
 
         # single-parameter closure factory: Spark's HOF helpers pass
         # (element, index) to two-parameter lambdas, so a default
@@ -4855,12 +5276,67 @@ class Compiler:
                     (name or fn, self._over_agg(fn, arg, where, cur, df))
                     for name, fn, arg, where in aggs
                 ]
-                if len(outs) == 1:
+                if len(outs) == 1 and aggs[0][0] is None:
+                    # single UNNAMED aggregate folds to the bare value
+                    # (put s:=(over x | sum(this)) assigns the sum);
+                    # a NAMED aggregate yields the summarize RECORD so
+                    # spreads compose (lateral-subqueries.md
+                    # {...(over this | sorted:=collect(this))})
                     return outs[0][1]
                 return F.struct(*[c.alias(n) for n, c in outs])
+            elif op[0] == "sort":
+                # sort inside a lateral sequence (lateral-
+                # subqueries.md `over this | sort this | ...`):
+                # element sort — `this`/keyless asc|desc map to the
+                # native array sort (no shuffle, stays in codegen)
+                _, skeys, sdesc, _snulls = (
+                    op if len(op) == 4 else (*op, None)
+                )
+                if skeys and not (
+                    len(skeys) == 1 and skeys[0][0] == ("this",)
+                ):
+                    raise ValueError(
+                        "over-expression sort supports `sort [this]` only"
+                    )
+                kdir = skeys[0][1] if skeys else None
+                is_d = (kdir == "desc") if kdir else sdesc
+                cur = F.sort_array(cur, asc=not is_d)
             else:
                 raise ValueError(f"unsupported op in over-expression: {op[0]!r}")
-        return cur
+        # a lateral sequence of exactly ONE value is that value
+        # (lateral-subqueries.md: {s:(over x | yield this+1)} gives
+        # s:2 for x:1 but s:[4,5] for x:[3,4]) — per-row dispatch via
+        # a tagged elem|array union
+        try:
+            edt = (
+                df.select(F.get(cur, F.lit(0)).alias("__e"))
+                .schema[0]
+                .dataType
+            )
+            adt = T.ArrayType(edt)
+            ut = T.StructType(
+                [
+                    T.StructField("tag", T.IntegerType()),
+                    T.StructField("v0", edt),
+                    T.StructField("v1", adt),
+                ]
+            )
+            return F.when(
+                F.size(cur) == 1,
+                F.struct(
+                    F.lit(0).alias("tag"),
+                    F.get(cur, F.lit(0)).alias("v0"),
+                    F.lit(None).cast(adt).alias("v1"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.lit(1).alias("tag"),
+                    F.lit(None).cast(edt).alias("v0"),
+                    cur.alias("v1"),
+                )
+            ).cast(ut)
+        except Exception:
+            return cur
 
     def _over_agg(self, fn, arg, where, arr: Column, df: DataFrame) -> Column:
         def bind(expr_ast):
@@ -5789,7 +6265,10 @@ class Compiler:
         if "this" in df.columns:
             dt = df.schema["this"].dataType
             if not isinstance(dt, T.StructType):
-                return False
+                # a SCALAR value stream can never resolve a field
+                # reference — error("missing") on every row
+                # (expressions.md: `1 > x` with no input)
+                return True
             from zed_spark.schema import is_union_type as _iut
 
             if _iut(dt) or name in dt.fieldNames():
@@ -6140,6 +6619,30 @@ class Compiler:
             getattr(self, "_scoped_exclude", None) and self._scoped_exclude[-1]
         )
         arg = self.expr(args[0], df) if args else None
+        if arg is not None and name in ("and", "or"):
+            # and/or over a MIXED stream consume only the boolean
+            # values; other members are ignored (agg/logic.go Consume
+            # skips non-bool; aggregates/and.md mixed example)
+            from zed_spark.schema import is_union_type as _iur
+
+            adt = self._type_of(args[0], df)
+            if (
+                adt is not None
+                and isinstance(adt, T.StructType)
+                and _iur(adt)
+            ):
+                bm = [
+                    f.name
+                    for f in adt.fields[1:]
+                    if isinstance(f.dataType, T.BooleanType)
+                ]
+                arg = (
+                    F.coalesce(*[arg.getField(n) for n in bm])
+                    if len(bm) > 1
+                    else arg.getField(bm[0])
+                    if bm
+                    else F.lit(None).cast("boolean")
+                )
         where = getattr(self, "_agg_where", None)
         if where is not None and arg is not None:
             arg = F.when(where, arg)
@@ -6660,6 +7163,75 @@ class Compiler:
                         )
                     )
             return self._cases_to_carrier(cases)
+        _SIZED_INT = {
+            "int8": (-128, 127, "tinyint"),
+            "int16": (-(2**15), 2**15 - 1, "smallint"),
+            "int32": (-(2**31), 2**31 - 1, "int"),
+            "uint8": (0, 255, "smallint"),
+            "uint16": (0, 2**16 - 1, "int"),
+            "uint32": (0, 2**32 - 1, "bigint"),
+        }
+        if name in _SIZED_INT and len(args) == 1:
+            # sized-int casts RANGE-CHECK: an out-of-range or
+            # unparsable operand is error({message:"cannot cast to
+            # int8", on:<operand>}), never a silent wraparound
+            # (expr/cast.go LookupPrimitiveCaster; expressions.md
+            # int8 example)
+            lo, hi, ddl9 = _SIZED_INT[name]
+            c9 = self.expr(args[0], df)
+            dt9 = self._type_of(args[0], df)
+            variants9 = self._carrier_variants(c9, dt9)
+            cases9 = []
+            for cond, mcol, mdt, merr in variants9:
+                if merr is not None:
+                    continue
+                tn9 = mdt.typeName() if mdt is not None else "string"
+                if tn9 in (
+                    "byte", "short", "integer", "long",
+                    "float", "double", "decimal", "string",
+                ):
+                    p9 = mcol.cast("double")
+                    ok9 = (
+                        p9.isNotNull()
+                        & (p9 >= lo)
+                        & (p9 <= hi)
+                        & (p9 == F.floor(p9))
+                    )
+                    est9 = T.StructType(
+                        [
+                            T.StructField("message", T.StringType()),
+                            T.StructField(
+                                "on", mdt if mdt is not None else T.StringType()
+                            ),
+                        ]
+                    )
+                    base9 = cond if cond is not None else F.lit(True)
+                    cases9.append(
+                        (
+                            base9 & ok9,
+                            mcol.cast(ddl9).cast("long"),
+                            T.LongType(),
+                            None,
+                            None,
+                        )
+                    )
+                    cases9.append(
+                        (
+                            base9 & ~F.coalesce(ok9, F.lit(False))
+                            & mcol.isNotNull(),
+                            None,
+                            None,
+                            F.struct(
+                                F.lit(f"cannot cast to {name}").alias(
+                                    "message"
+                                ),
+                                mcol.alias("on"),
+                            ),
+                            est9,
+                        )
+                    )
+            if cases9:
+                return self._cases_to_carrier(cases9)
         if name in self._TYPE_DDL and name not in ("time", "duration") and len(args) == 1:
             # primitive-name cast (int64(x), bool(x), string(x), …):
             # type-directed so unions/arrays/times convert per value
@@ -6694,6 +7266,17 @@ class Compiler:
                         F.try_to_timestamp(col, F.lit("M/d/yyyy")),
                         F.try_to_timestamp(col, F.lit("d MMM yyyy HH:mm")),
                         F.try_to_timestamp(col, F.lit("dd MMM yyyy HH:mm:ss")),
+                        # "May 8, 2009 5:57:51 PM" / "oct 7, 1970"
+                        # (dateparse layouts; expressions.md time ex.
+                        # — initcap fixes lowercase month names)
+                        F.try_to_timestamp(col, F.lit("MMM d, yyyy h:mm:ss a")),
+                        F.try_to_timestamp(
+                            F.initcap(col), F.lit("MMM d, yyyy h:mm:ss a")
+                        ),
+                        F.try_to_timestamp(col, F.lit("MMM d, yyyy")),
+                        F.try_to_timestamp(
+                            F.initcap(col), F.lit("MMM d, yyyy")
+                        ),
                     )
                 return col.cast("timestamp")
 
@@ -7501,7 +8084,23 @@ class Compiler:
 
             variants = self._carrier_variants(c, cdt)
             if len(variants) == 1 and variants[0][3] is None:
-                return _overrides(_len_of(c, cdt), c.cast("string"))
+                val0 = _len_of(c, cdt)
+                if (
+                    per is not None
+                    and cdt is not None
+                    and cdt.typeName() == "struct"
+                ):
+                    # a widened mixed-shape record: the sidecar holds
+                    # the row's TRUE type — its top-level arity is
+                    # the answer (shaping.md `fuse(this) by
+                    # len(this)`: {x:1} is len 1, not the superset's)
+                    from zed_spark.sources.ztypes import type_value_len
+
+                    tvl0 = F.udf(type_value_len, T.LongType())
+                    val0 = F.coalesce(
+                        F.when(per.startswith("{"), tvl0(per)), val0
+                    ).cast("long")
+                return _overrides(val0, c.cast("string"))
             # mixed stream: per-member dispatch; error members become
             # the reference's error({message:"len()", on:<error>})
             # (runtime/ztests/expr/function/len)
@@ -7540,6 +8139,31 @@ class Compiler:
                                 on_v.alias("on"),
                             ),
                             est,
+                        )
+                    )
+                elif mdt is not None and mdt.typeName() in (
+                    "byte", "short", "integer", "long", "float",
+                    "double", "decimal", "boolean", "timestamp",
+                ):
+                    # len over a non-container primitive member is
+                    # error({message:"len: bad type", on:<value>})
+                    # (function/len.go; functions/len.md mixed ex.)
+                    est3 = T.StructType(
+                        [
+                            T.StructField("message", T.StringType()),
+                            T.StructField("on", mdt),
+                        ]
+                    )
+                    cases.append(
+                        (
+                            cond,
+                            None,
+                            None,
+                            F.struct(
+                                F.lit("len: bad type").alias("message"),
+                                mcol.alias("on"),
+                            ),
+                            est3,
                         )
                     )
                 else:
@@ -8125,6 +8749,32 @@ class Compiler:
                     .when(r2.isNull(), -nl),
                 )
                 return out2.cast("long")
+            if lt2 is not None and rt2 is not None:
+                num2 = (
+                    "byte", "short", "integer", "long", "double",
+                    "float", "decimal",
+                )
+
+                def rank2(t):
+                    tn = t.typeName()
+                    if tn in num2:
+                        return 0
+                    return {"timestamp": 1, "boolean": 2,
+                            "binary": 3, "string": 4}.get(tn, 5)
+
+                ra, rb = rank2(lt2), rank2(rt2)
+                if ra != rb:
+                    # STATIC cross-kind pair (compare(a, b) with a
+                    # int, b string — functions/compare.md): the
+                    # values never compare, only the type rank does
+                    nulls_max = args[2][1] if len(args) == 3 else True
+                    nl = F.lit(1 if nulls_max else -1)
+                    return (
+                        F.when(l2.isNull() & r2.isNull(), 0)
+                        .when(l2.isNull(), nl)
+                        .when(r2.isNull(), -nl)
+                        .otherwise(F.lit(-1 if ra < rb else 1))
+                    ).cast("long")
         if name == "compare" and len(args) == 3:
             # compare(a, b, nullsMax) — third arg is a bool literal
             # (function/compare.go); a non-bool is a first-class
@@ -8661,6 +9311,118 @@ class Compiler:
                 ),
                 value_errors=ve,
             )
+        if name == "log" and len(args) == 1:
+            # log of a non-positive operand is a first-class error
+            # value, not null (function/math.go Log: "illegal
+            # argument"; functions/log.md)
+            lc = self.expr(args[0], df)
+            ldt = self._type_of(args[0], df) or T.DoubleType()
+            from zed_spark.schema import is_union_type as _iul
+
+            if isinstance(ldt, T.StructType) and _iul(ldt):
+                nm = [
+                    f.name
+                    for f in ldt.fields[1:]
+                    if f.dataType.typeName()
+                    in ("byte", "short", "integer", "long", "float", "double")
+                ]
+                lval = (
+                    F.coalesce(*[lc.getField(n).cast("double") for n in nm])
+                    if nm
+                    else F.lit(None).cast("double")
+                )
+                ondt = T.DoubleType()
+            else:
+                lval = lc.cast("double")
+                ondt = ldt
+            est4 = T.StructType(
+                [
+                    T.StructField("message", T.StringType()),
+                    T.StructField("on", ondt),
+                ]
+            )
+            return self._cases_to_carrier(
+                [
+                    (
+                        lval.isNotNull() & (lval <= 0),
+                        None,
+                        None,
+                        F.struct(
+                            F.lit("log: illegal argument").alias("message"),
+                            (lc if not isinstance(ldt, T.StructType) else lval)
+                            .cast(ondt)
+                            .alias("on"),
+                        ),
+                        est4,
+                    ),
+                    (
+                        lval.isNull() | (lval > 0),
+                        F.log(lval),
+                        T.DoubleType(),
+                        None,
+                        None,
+                    ),
+                ]
+            )
+        if name == "cidr_match" and len(args) == 2:
+            # cidr_match(net, val) walks val recursively: TRUE when
+            # ANY ip inside matches the network; a non-net first arg
+            # is error({message:"cidr_match: not a net", on:...})
+            # (function/cidrmatch.go; functions/cidr_match.md)
+            from zed_spark.functions.ip import cidr_match as _cm
+            from zed_spark.schema import is_union_type as _iu8
+
+            ndt = self._type_of(args[0], df)
+            ncol = self.expr(args[0], df)
+            if ndt is not None and not isinstance(ndt, T.StringType):
+                est = T.StructType(
+                    [
+                        T.StructField("message", T.StringType()),
+                        T.StructField("on", ndt),
+                    ]
+                )
+                ct = T.StructType(
+                    [
+                        T.StructField("tag", T.IntegerType()),
+                        T.StructField("e0", est),
+                    ]
+                )
+                return F.struct(
+                    F.lit(0).alias("tag"),
+                    F.struct(
+                        F.lit("cidr_match: not a net").alias("message"),
+                        ncol.alias("on"),
+                    ).alias("e0"),
+                ).cast(ct)
+            vcol = self.expr(args[1], df)
+            vdt = self._type_of(args[1], df)
+
+            def any_ip(c, t):
+                if isinstance(t, T.StructType):
+                    members = (
+                        t.fields[1:] if _iu8(t) else t.fields
+                    )
+                    hit = F.lit(False)
+                    for f9 in members:
+                        hit = hit | F.coalesce(
+                            any_ip(c.getField(f9.name), f9.dataType),
+                            F.lit(False),
+                        )
+                    return hit
+                if isinstance(t, T.ArrayType):
+                    return F.exists(
+                        c,
+                        lambda x: F.coalesce(
+                            any_ip(x, t.elementType), F.lit(False)
+                        ),
+                    )
+                if isinstance(t, T.StringType):
+                    return F.coalesce(_cm(ncol, c), F.lit(False))
+                return F.lit(False)
+
+            if vdt is None:
+                vdt = T.StringType()
+            return any_ip(vcol, vdt)
         if name in self.fns:
             return self.fns[name](*[self.expr(a, df) for a in args])
         raise ValueError(f"unknown function {name!r}")

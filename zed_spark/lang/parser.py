@@ -294,6 +294,12 @@ class Parser:
         if word == "pass":
             self.next()
             return ("pass",)
+        if word == "output":
+            # `output <name>` names the fork leg's channel
+            # (reference dag.Output; used by describe and -split)
+            if self.peek(1).kind == "ID":
+                self.next()
+                return ("outputop", self.next().text)
         if word == "by":
             # `by key,...` — summarize shorthand for distinct keys
             self.next()

@@ -77,7 +77,8 @@ def agg_expr(
             rev,
             lambda x, i: F.array_position(keys, x["key"]) == i + 1,
         )
-        return F.map_from_entries(F.reverse(kept))
+        merged = F.map_from_entries(F.reverse(kept))
+        return F.when(F.size(merged) > 0, merged)
     out = _AGG_FNS[fn](col)
     if fn == "union" and elem_type is not None:
         from zed_spark.functions.zorder import zset_sort
@@ -95,6 +96,11 @@ def agg_expr(
                 ).isNotNull(),
             )
         out = zset_sort(out, elem_type)
+    if fn in ("collect", "union"):
+        # an agg that consumed ZERO values is null, not an empty
+        # container (agg/collect.go Result; summarize.md group with
+        # a never-true where: `array:null`)
+        out = F.when(F.size(out) > 0, out)
     return out
 
 

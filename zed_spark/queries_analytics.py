@@ -144,6 +144,14 @@ def percentiles_approx_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def percentiles_approx_raw_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The raw bounded-memory sketch aggregate — kept as the PINNED
+    bench key so the timed battery stays byte-identical after the
+    graded row became the rank-check truth table (round 7)."""
+    li = read_table(spark, sf, "lineitem")
+    return approx_percentiles(li, "l_extendedprice", ["l_returnflag"], [0.5, 0.9])
+
+
 # truth-table oracle: one row per group, every rank bound must hold
 PERCENTILES_APPROX_SQL = """
 SELECT DISTINCT l_returnflag, true AS p50_rank_ok, true AS p90_rank_ok

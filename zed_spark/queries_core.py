@@ -499,6 +499,52 @@ FROM events WHERE event_id % 2 = 1
 """
 
 
+def fuse_union(spark, sf):
+    """Union-typed fuse, graded (round-6 VERDICT item 8): two shapes
+    whose shared column has IRRECONCILABLE types (string vs long —
+    no widening exists) fuse into a first-class tagged union
+    (runtime/sam/op/fuse/fuser.go:10-38 semantics; union type
+    complex.go:290-330), and the union column is then dispatched
+    PER ROW downstream — the member kind and a member-aware text
+    projection are computed from the tag, exactly how a zed pipeline
+    consumes a union value. The oracle re-expresses the dispatch as
+    the two legs it must equal."""
+    from zed_spark.operators.fuse import fuse_dataframes
+
+    docs = read_table(spark, sf, "documents")
+    a = docs.select("doc_id", F.col("source").alias("v"))
+    b = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.length("text").cast("long").alias("v"),
+    )
+    fused = fuse_dataframes([a, b], unions="tagged")
+    v = F.col("v")
+    vdt = fused.schema["v"].dataType
+    zname = {"string": "string", "bigint": "int64"}
+    kind = None
+    for pos, f in enumerate(vdt.fields[1:]):
+        w = F.when(
+            v.getField("tag") == pos,
+            F.lit(zname[f.dataType.simpleString()]),
+        )
+        kind = w if kind is None else F.coalesce(kind, w)
+    text = F.coalesce(
+        *[v.getField(f.name).cast("string") for f in vdt.fields[1:]]
+    )
+    return fused.select(
+        "doc_id", kind.alias("v_kind"), text.alias("v_text")
+    )
+
+
+FUSE_UNION_SQL = """
+SELECT doc_id, 'string' AS v_kind, source AS v_text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, 'int64' AS v_kind,
+       CAST(length(text) AS VARCHAR) AS v_text
+FROM documents
+"""
+
+
 def string_funcs(spark, sf):
     """String functions — also carries the regexp_extract /
     regexp_replace coverage formerly in `regexp_funcs` (same table;

@@ -135,6 +135,115 @@ class QueryService:
             "(=api.CommitResponse)\n"
         ).encode()
 
+    def _describe(self, text: str, head_pool: str | None) -> dict:
+        """POST /query/describe: static analysis of a query — its
+        sources, output channels, per-channel aggregation keys and
+        sort order (reference compiler/describe/analyze.go via
+        service handleQueryDescribe). No data is read."""
+        from zed_spark.lang.parser import parse
+
+        ast = parse(text)
+        body = [n for n in ast if n[0] != "decls"]
+
+        def pool_src(name: str, inferred: bool) -> dict:
+            pool = self._pool_by_ref(name)
+            return {
+                "kind": "Pool",
+                "name": pool.cfg.name,
+                "id": self._ksuid_hex(pool.cfg.id),
+                "inferred": inferred,
+            }
+
+        sources: list = []
+        rest = body
+        first = body[0] if body else None
+        if first is not None and first[0] == "from":
+            sources = [pool_src(first[1], False)]
+            rest = body[1:]
+        elif first is not None and first[0] == "frommulti":
+            sources = [pool_src(n, False) for n, _sub in first[1]]
+            rest = body[1:]
+        elif (
+            first is not None
+            and first[0] == "fork"
+            and all(leg and leg[0][0] == "from" for leg in first[1])
+        ):
+            sources = [pool_src(leg[0][1], False) for leg in first[1]]
+        else:
+            if not head_pool:
+                raise ApiError("no pool name given")
+            sources = [pool_src(head_pool, True)]
+
+        # channels: fork legs label outputs (`output <name>`);
+        # everything else is the single `main` channel
+        def leg_info(ops, name_default, inherited_keys, inherited_sort):
+            name = name_default
+            keys = inherited_keys
+            sort = inherited_sort
+            for op in ops:
+                if op[0] == "outputop":
+                    name = op[1]
+                elif op[0] == "summarize":
+                    keys = [[n] for n, _e in op[2]]
+                    sort = None
+                elif op[0] == "yield":
+                    # yield replaces the value — inherited order is
+                    # meaningless downstream (optimizer SortKeys)
+                    sort = None
+                elif op[0] == "sort" and op[1]:
+                    k0, kdir = op[1][0]
+                    if k0[0] == "field":
+                        sort = [
+                            {
+                                "order": "desc"
+                                if (kdir == "desc" if kdir else op[2])
+                                else "asc",
+                                "key": list(k0[1]),
+                            }
+                        ]
+            return {"name": name, "aggregation_keys": keys, "sort": sort}
+
+        # the pool's declared order is the inherited sort of a scan
+        psort = None
+        if sources and sources[0].get("kind") == "Pool":
+            p0 = self._pool_by_ref(
+                head_pool
+                if head_pool and sources[0]["inferred"]
+                else sources[0]["name"]
+            )
+            psort = [{"order": p0.cfg.order, "key": p0.cfg.key.split(".")}]
+
+        channels: list = []
+        fork = next((op for op in rest if op[0] == "fork"), None)
+        pre = []
+        for op in rest:
+            if op[0] == "fork":
+                break
+            pre.append(op)
+        base = leg_info(pre, "main", None, psort)
+        if fork is None:
+            channels = [base]
+        else:
+            seen: dict[str, int] = {}
+            for i, leg in enumerate(fork[1]):
+                info = leg_info(
+                    list(leg),
+                    "main",
+                    base["aggregation_keys"],
+                    base["sort"],
+                )
+                if info["name"] in seen:
+                    # duplicate output names combine: the merged
+                    # channel loses per-leg keys/sort (analyze.go)
+                    c = channels[seen[info["name"]]]
+                    c["aggregation_keys"] = None
+                    c["sort"] = None
+                    continue
+                seen[info["name"]] = len(channels)
+                channels.append(info)
+        out_sources = sources[0] if len(sources) == 1 else sources
+        return {"sources": out_sources, "channels": channels}
+
     def _render(self, df, fmt: str, ctrl: bool = False) -> bytes:
         """DataFrame → response payload in the negotiated format.
 
@@ -377,6 +486,14 @@ class QueryService:
             fmt = _pick_accept(accept, self.default_fmt)
             cid = pool.delete_where(pred, branch=branch)
             return 200, "application/json", self._commit_response(cid, fmt, None)
+        if path == "/query/describe" and method == "POST":
+            spec = json.loads(body.decode() or "{}") if body.strip() else {}
+            text = (spec.get("query") or "").strip()
+            head = (spec.get("head") or {}).get("pool")
+            info = self._describe(text, head)
+            return 200, "application/json", (
+                json.dumps(info, indent=4) + "\n"
+            ).encode()
         if path == "/query" and method == "POST":
             spec = json.loads(body.decode() or "{}") if body.strip() else {}
             text = (spec.get("query") or "").strip()

@@ -652,3 +652,77 @@ def canonical_type_string(s: str) -> str:
         return type_sort_key(render(d))
 
     return render(canon(parse_type_string(s)))
+
+
+_NUM_RANK = {
+    "int8": 0, "int16": 1, "int32": 2, "int64": 3,
+    "uint8": 0, "uint16": 1, "uint32": 2, "uint64": 3,
+    "float16": 10, "float32": 11, "float64": 12,
+    "duration": 3, "time": 3,
+}
+
+
+def fuse_descs(a, b):
+    """Fuse two type descriptors the way the fuse AGGREGATE merges
+    value types across a group (agg/fuse.go → runtime fuser
+    semantics): records merge field-wise with numeric widening;
+    irreconcilable pairs form a union in canonical member order."""
+    if a == b:
+        return a
+    if a == ("prim", "null"):
+        return b
+    if b == ("prim", "null"):
+        return a
+    while a[0] == "named":
+        a = a[2]
+    while b[0] == "named":
+        b = b[2]
+    if a == b:
+        return a
+    if a[0] == "prim" and b[0] == "prim":
+        ra, rb = _NUM_RANK.get(a[1]), _NUM_RANK.get(b[1])
+        if ra is not None and rb is not None:
+            hasf = a[1].startswith("float") or b[1].startswith("float")
+            if hasf:
+                return ("prim", "float64")
+            return ("prim", "int64") if max(ra, rb) >= 3 else (
+                a if ra >= rb else b
+            )
+    if a[0] == "record" and b[0] == "record":
+        fields = list(a[1])
+        names = {n for n, _ in fields}
+        bmap = dict(b[1])
+        out = []
+        for n, d in fields:
+            out.append((n, fuse_descs(d, bmap[n]) if n in bmap else d))
+        for n, d in b[1]:
+            if n not in names:
+                out.append((n, d))
+        return ("record", tuple(out))
+    if a[0] in ("array", "set") and b[0] == a[0]:
+        return (a[0], fuse_descs(a[1], b[1]))
+    # irreconcilable → union, flattening nested unions, canonical order
+    members: list = []
+    for d in (a, b):
+        for m in d[1] if d[0] == "union" else (d,):
+            if m not in members:
+                members.append(m)
+    return (
+        "union",
+        tuple(sorted(members, key=lambda d: type_sort_key(render(d)))),
+    )
+
+
+def fuse_type_strings(strings) -> str | None:
+    """Fold fuse_descs over rendered type strings (the __zed_types
+    per-row identities collected in a fuse() aggregate group)."""
+    acc = None
+    for s in strings or []:
+        if not s:
+            continue
+        try:
+            d = parse_type_string(s)
+        except Exception:
+            continue
+        acc = d if acc is None else fuse_descs(acc, d)
+    return render(acc) if acc is not None else None
