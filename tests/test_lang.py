@@ -353,12 +353,21 @@ def test_shape_ops_in_language(z, spark):
 
 
 def test_assert_in_language(z, spark):
-    from zed_spark import errors as E
+    """Failing rows become first-class error({message, expr, on})
+    values; passing rows keep their record member (op/assert.go)."""
+    from pyspark.sql import functions as F
 
     df = spark.createDataFrame([(1,), (20,)], "x long")
     got = z.query("from t | assert x < 10", tables={"t": df}).df
-    bad = got.filter(E.has_error(got))
-    assert bad.count() == 1 and bad.first()["x"] == 20
+    c = F.col("this")
+    bad = got.filter(c.getField("tag") == 1).collect()
+    ok = got.filter(c.getField("tag") == 0).collect()
+    assert len(bad) == 1 and len(ok) == 1
+    e = bad[0]["this"]["e1"]
+    assert e["message"] == "assertion failed"
+    assert e["expr"] == "x < 10"
+    assert e["on"]["x"] == 20
+    assert ok[0]["this"]["v0"]["x"] == 1
 
 
 def test_join_prefix_kinds(z, spark):

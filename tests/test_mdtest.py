@@ -48,49 +48,18 @@ MD_UNSUPPORTED: dict[str, str] = {
     # frame (the engine's documented [union] residue)
     "expressions.md:6": _U,
     # --- per-row shape / named-type identity ([shape] residue)
-    "data-types.md:3": _S,
-    "data-types.md:7": "typeof(error value) renders error(string) " + _S,
-    "data-types.md:9": _S,
-    "expressions.md:7": _S,
-    "expressions.md:26": _S,
-    "functions/bucket.md:0": "duration-typed bucket result rendering " + _S,
-    "functions/typeof.md:1": "typeof of a TYPE value is <type> " + _S,
-    "operators/sample.md:0": "sample emits one exemplar per SHAPE of a "
-    "mixed stream " + _S,
-    "operators/sample.md:1": "sample emits one exemplar per SHAPE of a "
-    "mixed stream " + _S,
-    "shaping.md:0": "shape() to a type with ip/port named members " + _S,
-    "shaping.md:7": _S,
-    "shaping.md:8": _S,
-    "functions/cast.md:0": "cast to <ip> primitive (ip is a string here) " + _S,
-    "functions/crop.md:2": _S,
-    "functions/fill.md:2": _S,
-    "functions/order.md:2": _S,
     # --- residual error-value semantics ([errval] residue)
-    "functions/has_error.md:0": "has_error over a NESTED error member " + _E,
-    "functions/network_of.md:3": "error payload {message,on} struct form " + _E,
-    "functions/quiet.md:2": _E,
-    "functions/map.md:1": "time-overflow arithmetic must yield an error "
-    "value, not raise " + _E,
-    "operators/assert.md:1": "assert failure emits a structured error row " + _E,
-    "operators/cut.md:3": "cut with every field missing errors per row " + _E,
-    "operators/rename.md:5": "duplicate-field rename error shape " + _E,
-    "shaping.md:14": "unrecognized-shape error payload form " + _E,
     # --- function-form gaps ([func])
     "aggregates/collect_map.md:1": "collect_map as a FUNCTION over map "
     "values (aggregate form only) " + _F,
     "aggregates/dcount.md:3": "approx dcount point-estimate golden (our "
     "HLL sketch differs; accuracy bound pytest-pinned) [approx]",
-    "functions/cast.md:2": "cast with a type-VALUE expression argument " + _F,
-    "functions/cast.md:3": "cast with a type-VALUE expression argument " + _F,
     "functions/parse_zson.md:0": "parse_zson with per-row dynamic result "
     "types [shape]",
     "functions/parse_zson.md:1": "parse_zson with per-row dynamic result "
     "types [shape]",
     # --- script/source forms outside the harness subset ([script])
     "expressions.md:11": "nested braces in f-string interpolation [script]",
-    "operators/from.md:2": "`file ... format line` renders each line as "
-    "one string [script]",
     "operators/load.md:1": "load-op commit golden quotes run-specific "
     "ksuids [script]",
     "operators/load.md:2": "`load ... meta` clause form [script]",

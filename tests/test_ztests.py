@@ -606,7 +606,21 @@ def _norm(v):
     if isinstance(v, TypedNull):
         return None
     if isinstance(v, ZError):
-        return ("e", _norm(v.value))
+        # widened absent fields null out inside error payloads too
+        # (the record model can't vary the `on` shape per row) —
+        # strip them on BOTH sides like the top-level compare does
+        def _stripn(x):
+            from zed_spark.sources.zson import TypedNull
+
+            if isinstance(x, dict):
+                return {
+                    k: _stripn(y)
+                    for k, y in x.items()
+                    if y is not None and not isinstance(y, TypedNull)
+                }
+            return x
+
+        return ("e", _norm(_stripn(v.value)))
     if isinstance(v, dict):
         if "tag" in v and v and all(
             k == "tag" or _re.fullmatch(r"[ve]\d+", k) for k in v
@@ -2078,6 +2092,11 @@ def _run_script_case(spark, case: dict, path: str):
                 from zed_spark.sources.csv_io import parse_csv_values
 
                 return _to_df(spark, parse_csv_values(raw))[0]
+            if fmt == "line":
+                # `format line`: each raw line is ONE string value
+                # (operators/from.md `file hello.zson format line`)
+                txt = raw.decode() if isinstance(raw, bytes) else raw
+                return _to_df(spark, txt.splitlines())[0]
             return _to_df(spark, parse_zson(raw))[0]
 
         def run_stages():

@@ -157,15 +157,115 @@ class Compiler:
             raise ValueError(f"operator {kind!r} needs an input (start with 'from')")
         if kind == "pass":
             return df
+        if kind == "sample":
+            # one exemplar (first seen) per value SHAPE
+            # (op/sample/sample.go; operators/sample.md): the shape
+            # key is the row's per-row type when a sidecar exists,
+            # plus the presence signature and the union tag — the
+            # three ways the widened model records per-row identity
+            from pyspark.sql import Window as _W
+
+            parts = []
+            if "__zed_types" in df.columns:
+                parts.append(
+                    F.coalesce(
+                        F.element_at(F.col("__zed_types"), F.lit("")),
+                        F.lit(""),
+                    )
+                )
+            if "__zed_missing" in df.columns:
+                parts.append(
+                    F.coalesce(
+                        F.array_join(
+                            F.array_sort(F.col("__zed_missing")), ","
+                        ),
+                        F.lit(""),
+                    )
+                )
+            vis = [c for c in df.columns if not c.startswith("__zed_")]
+            if vis == ["this"]:
+                tdt = df.schema["this"].dataType
+                from zed_spark.schema import is_union_type as _ius0
+
+                if isinstance(tdt, T.StructType) and _ius0(tdt):
+                    parts.append(
+                        F.coalesce(
+                            F.col("this").getField("tag").cast("string"),
+                            F.lit(""),
+                        )
+                    )
+            if not parts:
+                # a statically-uniform frame is ONE shape
+                return df.limit(1)
+            keyc = F.concat_ws("\x00", *parts)
+            seq0 = df.withColumn(
+                "__smono", F.monotonically_increasing_id()
+            ).withColumn("__skey", keyc)
+            w0 = _W.partitionBy("__skey").orderBy("__smono")
+            return (
+                seq0.withColumn("__srn", F.row_number().over(w0))
+                .filter(F.col("__srn") == 1)
+                .drop("__smono", "__skey", "__srn")
+            )
         if kind == "outputop":
             # `output <name>` labels the channel (dag.Output) — a
             # pass-through in the single-channel record model; the
             # name is consumed by /query/describe and fork legs
             return df
         if kind == "assert":
-            from zed_spark.operators.misc_ops import assert_op
-
-            return assert_op(df, self.expr(node[1], df))
+            # rows failing the predicate become first-class
+            # error({message:"assertion failed", expr:<text>, on:<row>})
+            # values; passing rows flow through unchanged
+            # (op/assert.go; operators/assert.md)
+            cond = F.coalesce(
+                self.expr(node[1], df).cast("boolean"), F.lit(False)
+            )
+            text = node[2] if len(node) > 2 else ""
+            vis = [c for c in df.columns if not c.startswith("__zed_")]
+            rec = (
+                F.col("this")
+                if vis == ["this"]
+                else F.struct(*[F.col(f"`{c}`") for c in vis])
+            )
+            rdt = df.select(rec.alias("__r")).schema[0].dataType
+            est = T.StructType(
+                [
+                    T.StructField("message", T.StringType()),
+                    T.StructField("expr", T.StringType()),
+                    T.StructField("on", rdt),
+                ]
+            )
+            ct = T.StructType(
+                [
+                    T.StructField("tag", T.IntegerType()),
+                    T.StructField("v0", rdt),
+                    T.StructField("e1", est),
+                ]
+            )
+            out = df.select(
+                F.when(
+                    cond,
+                    F.struct(
+                        F.lit(0).alias("tag"),
+                        rec.alias("v0"),
+                        F.lit(None).cast(est).alias("e1"),
+                    ),
+                )
+                .otherwise(
+                    F.struct(
+                        F.lit(1).alias("tag"),
+                        F.lit(None).cast(rdt).alias("v0"),
+                        F.struct(
+                            F.lit("assertion failed").alias("message"),
+                            F.lit(text).alias("expr"),
+                            rec.alias("on"),
+                        ).alias("e1"),
+                    )
+                )
+                .cast(ct)
+                .alias("this")
+            )
+            return out
         if kind == "load":
             # terminal lake write; the commit id comes back as data
             # (metadata-as-data, like the reference's commit response)
@@ -280,6 +380,37 @@ class Compiler:
             # everything projects in argument order
             from zed_spark.schema import path_nullable as _path_nullable
             from zed_spark.schema import path_type
+
+            if "this" in df.columns:
+                from zed_spark.schema import is_union_type as _iuc0
+
+                _ctdt = df.schema["this"].dataType
+                if isinstance(_ctdt, T.StructType) and _iuc0(_ctdt):
+                    # cut over a MIXED stream (cut.md `1 {a,b,c} |
+                    # cut a,b`): record members cut normally;
+                    # non-record members yield every field as
+                    # error("missing")
+                    from zed_spark.operators.fuse import fuse_dataframes
+
+                    legs = []
+                    for pos, f in enumerate(_ctdt.fields[1:]):
+                        cond = F.col("this").getField("tag") == pos
+                        sub = df.filter(cond)
+                        if isinstance(
+                            f.dataType, T.StructType
+                        ) and not _iuc0(f.dataType):
+                            sub = sub.select(
+                                F.col("this").getField(f.name).alias("__m")
+                            ).select("__m.*")
+                        else:
+                            sub = sub.select(
+                                F.col("this").getField(f.name).alias("this")
+                            )
+                        legs.append(self.apply(sub, node))
+                    out = legs[0]
+                    for leg in legs[1:]:
+                        out = fuse_dataframes([out, leg], unions="tagged")
+                    return out
 
             prev_sink, self._runner_sink = (
                 getattr(self, "_runner_sink", None),
@@ -803,6 +934,74 @@ class Compiler:
                         dupe = new
                         break
                     live.add(new)
+            if dupe is not None and "__zed_missing" in df.columns:
+                # MIXED shapes: the duplicate is per ROW — only rows
+                # where BOTH old and new are present error; rows
+                # missing the old field pass unchanged; the rest
+                # rename (operators/rename.md `{b:1} {a:1,b:1} {c:1}`)
+                new0, old0 = next(
+                    (n, o) for n, o in node[1] if n == dupe
+                )
+                mc_old = self._missing_cond(df, old0)
+                mc_new = self._missing_cond(df, dupe)
+                if mc_old is not None and mc_new is not None:
+                    from zed_spark.operators.fuse import fuse_dataframes
+                    from zed_spark.schema import rename_path
+
+                    both = ~mc_old & ~mc_new
+                    skip = mc_old
+                    ren = ~mc_old & mc_new
+                    legs = []
+                    legs.append(df.filter(skip))
+                    # these rows have the target ABSENT: drop the
+                    # widened null column so the rename can land
+                    out_r = df.filter(ren).drop(dupe)
+                    for new, old in node[1]:
+                        out_r = rename_path(out_r, old, new)
+                    legs.append(out_r)
+                    errs = df.filter(both)
+                    cols0 = [
+                        c
+                        for c in errs.columns
+                        if not c.startswith("__zed_")
+                    ]
+                    # the error payload carries the row's OWN fields
+                    # (absent ones null out and strip in rendering)
+                    rec0 = F.struct(*[F.col(f"`{c}`") for c in cols0])
+                    rdt0 = errs.select(rec0.alias("__r")).schema[0].dataType
+                    est0 = T.StructType(
+                        [
+                            T.StructField("message", T.StringType()),
+                            T.StructField("on", rdt0),
+                        ]
+                    )
+                    ct0 = T.StructType(
+                        [
+                            T.StructField("tag", T.IntegerType()),
+                            T.StructField("e0", est0),
+                        ]
+                    )
+                    legs.append(
+                        errs.select(
+                            F.struct(
+                                F.lit(0).alias("tag"),
+                                F.struct(
+                                    F.lit(
+                                        f'rename: duplicate field: "{dupe}"'
+                                    ).alias("message"),
+                                    rec0.alias("on"),
+                                ).alias("e0"),
+                            )
+                            .cast(ct0)
+                            .alias("this")
+                        )
+                    )
+                    out = legs[0]
+                    for leg in legs[1:]:
+                        out = fuse_dataframes(
+                            [out, leg], unions="tagged"
+                        )
+                    return out
             if dupe is not None:
                 # renaming ONTO a still-live field: every row becomes
                 # error({message:'rename: duplicate field: "new"',
@@ -1449,6 +1648,17 @@ class Compiler:
                                 per.isNull() | (per == "error(string)")
                             )
                         df = df.filter(~F.coalesce(drop, F.lit(False)))
+                if inner[0] == "field":
+                    if self._static_missing(inner, df):
+                        # quiet(missing) on every row yields nothing
+                        return df.filter(F.lit(False)).select(
+                            F.lit(None).cast("string").alias("this")
+                        )
+                    mc = self._missing_cond(df, ".".join(inner[1]))
+                    if mc is not None:
+                        # per-row absent field: those rows yield
+                        # nothing (quiet.go; data-types.md quiet ex.)
+                        df = df.filter(~F.coalesce(mc, F.lit(False)))
                 return self.apply(df, ("yield", [inner]))
             if (
                 len(node[1]) == 1
@@ -3840,6 +4050,17 @@ class Compiler:
             if op == ">=":
                 return F.coalesce(l >= r, F.lit(False))
             if op in ("+", "-", "*", "/", "%"):
+                if self._static_missing(e[2], df) or self._static_missing(
+                    e[3], df
+                ):
+                    # arithmetic with a missing operand propagates
+                    # the first-class error (context.go:494;
+                    # quiet.md cut b:=x+1 over {a:1})
+                    return self._mk_carrier(
+                        T.LongType(),
+                        F.lit(None).cast("long"),
+                        F.lit("missing"),
+                    )
                 lt = self._type_of(e[2], df)
                 rt = self._type_of(e[3], df)
                 if "__zed_types" in df.columns and not getattr(
@@ -5096,8 +5317,57 @@ class Compiler:
             # carries per-row type descriptors, named refs expand
             # with the first-occurrence convention so comparisons
             # against per-row typeof() strings line up
+            if (
+                e[1][0] == "prim"
+                and not e[1][1].startswith('"')
+                and e[1][1] not in self._TYPE_DDL
+                and e[1][1]
+                not in (
+                    "null", "type", "float16", "error",
+                )
+                and e[1][1] not in getattr(self, "user_types", {})
+                and e[1][1] not in (getattr(self, "named_descs", None) or {})
+            ):
+                # <foo> with foo undefined: the reference resolves
+                # the name to error("missing") (data-types.md
+                # first-class-types example)
+                return self._mk_carrier(
+                    T.StringType(),
+                    F.lit(None).cast("string"),
+                    F.lit("missing"),
+                )
             return F.lit(self._typeval_str(e[1]))
         raise ValueError(f"unsupported expression {e!r}")
+
+    def _expand_named_ast(self, t: tuple, seen: frozenset = frozenset()):
+        """Deep-resolve named type refs in a type AST so the shaper's
+        per-field zdst descriptors see the real primitives (ip/port
+        inside a named socket — shaping.md shape() with -I types)."""
+        if not isinstance(t, tuple):
+            return t
+        if t[0] == "prim" and t[1] in getattr(self, "user_types", {}) and t[1] not in seen:
+            inner = self.user_types[t[1]]
+            if isinstance(inner, tuple):
+                return self._expand_named_ast(inner, seen | {t[1]})
+            return t
+        if t[0] == "namedtype":
+            return self._expand_named_ast(t[2], seen)
+        if t[0] == "recordtype":
+            return (
+                "recordtype",
+                [(n, self._expand_named_ast(x, seen)) for n, x in t[1]],
+            )
+        if t[0] in ("arraytype", "settype"):
+            return (t[0], self._expand_named_ast(t[1], seen))
+        if t[0] == "maptype":
+            return (
+                t[0],
+                self._expand_named_ast(t[1], seen),
+                self._expand_named_ast(t[2], seen),
+            )
+        if t[0] == "uniontype":
+            return (t[0], tuple(self._expand_named_ast(m, seen) for m in t[1]))
+        return t
 
     def _typeval_desc(self, t: tuple):
         """Type AST → ztypes descriptor, resolving named refs through
@@ -5821,6 +6091,34 @@ class Compiler:
                 col = col.cast("timestamp")
             ns = F.unix_micros(col) * 1000
             return ns.cast(ddl) if ddl in ("double", "float") else ns
+        if ddl == "timestamp":
+            num_kinds = (
+                "long", "integer", "short", "byte",
+                "double", "float", "decimal",
+            )
+            if dt is not None and dt.typeName() in num_kinds:
+                # numeric → time is epoch NANOSECONDS (nano.Ts;
+                # functions/map.md floatToTime: cast(x*1e9, <time>)).
+                # ns counts exceed double's 2^53 precision — go
+                # through decimal so the µs TRUNCATION is exact
+                return F.timestamp_micros(
+                    F.floor(
+                        col.cast("decimal(30,0)") / 1000
+                    ).cast("long")
+                )
+            if dt is None:
+                # unprobeable operand (HOF lambda element): numeric
+                # reads as ns, strings parse
+                from zed_spark.functions.timeparse import flex_to_timestamp
+
+                return F.coalesce(
+                    F.timestamp_micros(
+                        F.floor(
+                            col.cast("string").cast("decimal(30,0)") / 1000
+                        ).cast("long")
+                    ),
+                    flex_to_timestamp(col.cast("string")),
+                )
         return col.cast(ddl)
 
     @staticmethod
@@ -6250,7 +6548,36 @@ class Compiler:
         and not reachable through a wrapped `this` record. Such a
         reference is error('missing') for EVERY row (context.go:494),
         statically."""
-        if not (isinstance(e, tuple) and e[0] == "field" and len(e[1]) == 1):
+        if not (isinstance(e, tuple) and e[0] == "field" and e[1]):
+            return False
+        if len(e[1]) > 1:
+            # dotted path: statically missing when a resolvable
+            # STRUCT prefix lacks the next segment (has_error.md:
+            # `a.x := a.y + 1` with a = {b}) — but only when no
+            # per-row machinery could resolve it differently
+            if (
+                getattr(self, "_this_stack", None)
+                or "__zed_missing" in df.columns
+            ):
+                return False
+            head, rest = e[1][0], e[1][1:]
+            if head in df.columns:
+                dt = df.schema[head].dataType
+            elif "this" in df.columns and isinstance(
+                df.schema["this"].dataType, T.StructType
+            ):
+                dt = df.schema["this"].dataType
+                rest = list(e[1])
+            else:
+                return False
+            from zed_spark.schema import is_union_type as _iutd
+
+            for seg in rest:
+                if not isinstance(dt, T.StructType) or _iutd(dt):
+                    return False
+                if seg not in dt.fieldNames():
+                    return True
+                dt = dt[seg].dataType
             return False
         name = e[1][0]
         if name == "this" or name in df.columns:
@@ -6939,6 +7266,17 @@ class Compiler:
 
             members = self._union_members(col, src_dt)
             if members is not None:
+                if (
+                    name != "cast"
+                    and isinstance(target, T.StructType)
+                    and not any(
+                        isinstance(mt, T.StructType) for _m, mt in members
+                    )
+                ):
+                    # crop/fill/order of NON-record values against a
+                    # record type is the identity (shaper.go: only
+                    # records reshape; functions/crop.md mixed ex.)
+                    return col
                 # union source: shape each member, first non-null wins
                 # (zed casts dispatch on the value's runtime type)
                 return F.coalesce(
@@ -6946,14 +7284,30 @@ class Compiler:
                         _project(
                             m, mt, target,
                             **self._SHAPE_FLAGS[name],
-                            zdst=args[-1][1],
+                            zdst=self._expand_named_ast(args[-1][1]),
                         )
                         for m, mt in members
                     ]
                 )
             return _project(
-                col, src_dt, target, **self._SHAPE_FLAGS[name], zdst=args[-1][1]
+                col, src_dt, target, **self._SHAPE_FLAGS[name],
+                zdst=self._expand_named_ast(args[-1][1]),
             )
+        if name == "cast" and len(args) == 2 and args[1][0] == "str":
+            # cast(v, "name"): NAME the value's type (castval.go
+            # string-arg form — functions/cast.md `cast(this,"foo")`
+            # gives {...}(=foo)). The value itself is unchanged; the
+            # named identity rides the per-row type sidecar when one
+            # exists (typeof sees name=<type>)
+            # the named layer is rendering-only in the widened model
+            # (type-string canon is structural); register the name so
+            # later <name> refs resolve to the operand's static type
+            dN = self._type_of(args[0], df)
+            if dN is not None and args[1][1] not in getattr(
+                self, "user_types", {}
+            ):
+                self.user_types[args[1][1]] = ("ddl", dN.simpleString())
+            return self.expr(args[0], df)
         if name == "cast" and len(args) == 2 and args[1][0] == "typeval":
             if args[1][1][0] == "uniontype":
                 # cast TO union: the value becomes the matching
@@ -6961,6 +7315,17 @@ class Compiler:
                 # in the widened model a union IS its member value,
                 # so the cast is identity on the value (cast-union)
                 return self.expr(args[0], df)
+            if (
+                args[1][1][0] == "prim"
+                and args[1][1][1] in getattr(self, "user_types", {})
+                and isinstance(self.user_types[args[1][1][1]], tuple)
+                and self.user_types[args[1][1][1]][0] == "recordtype"
+            ):
+                # cast to a NAMED record type (<connection> defined
+                # by -I includes): resolve the name and shape by
+                # field NAME — a positional struct cast would cross
+                # fields (shaping.md cast example)
+                args = [args[0], ("typeval", self.user_types[args[1][1][1]])]
             if args[1][1][0] in ("recordtype", "namedtype") and (
                 args[1][1][0] != "namedtype"
                 or args[1][1][2][0] == "recordtype"
@@ -6987,8 +7352,72 @@ class Compiler:
                     crop=False,
                     fill=False,
                     order=False,
-                    zdst=tv_ast,
+                    zdst=self._expand_named_ast(tv_ast),
                 )
+            if args[1][1] == ("prim", "ip"):
+                # cast to <ip> VALIDATES: only strings that parse as
+                # addresses convert; everything else is
+                # error({message:"cannot cast to ip", on:...})
+                # (castval.go ip caster; functions/cast.md mixed ex.)
+                c7 = self.expr(args[0], df)
+                dt7 = self._type_of(args[0], df)
+                ipre = (
+                    r"^(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+                    r"|[0-9a-fA-F:]*:[0-9a-fA-F:.]*)$"
+                )
+                cases7 = []
+                for cond, mcol, mdt, merr in self._carrier_variants(
+                    c7, dt7
+                ):
+                    if merr is not None:
+                        continue
+                    base7 = cond if cond is not None else F.lit(True)
+                    est7 = T.StructType(
+                        [
+                            T.StructField("message", T.StringType()),
+                            T.StructField(
+                                "on",
+                                mdt if mdt is not None else T.StringType(),
+                            ),
+                        ]
+                    )
+                    if mdt is None or isinstance(mdt, T.StringType):
+                        ok7 = mcol.rlike(ipre)
+                        cases7.append(
+                            (base7 & ok7, mcol, T.StringType(), None, None)
+                        )
+                        cases7.append(
+                            (
+                                base7 & ~F.coalesce(ok7, F.lit(False))
+                                & mcol.isNotNull(),
+                                None,
+                                None,
+                                F.struct(
+                                    F.lit("cannot cast to ip").alias(
+                                        "message"
+                                    ),
+                                    mcol.alias("on"),
+                                ),
+                                est7,
+                            )
+                        )
+                    else:
+                        cases7.append(
+                            (
+                                base7 & mcol.isNotNull(),
+                                None,
+                                None,
+                                F.struct(
+                                    F.lit("cannot cast to ip").alias(
+                                        "message"
+                                    ),
+                                    mcol.alias("on"),
+                                ),
+                                est7,
+                            )
+                        )
+                if cases7:
+                    return self._cases_to_carrier(cases7)
             # cast(v, <[string]>) — type value literal argument
             return self._zcast(
                 self.expr(args[0], df),
@@ -7256,27 +7685,16 @@ class Compiler:
                 ):
                     return F.timestamp_micros((col.cast("double") / 1000).cast("long"))
                 if t is not None and t.typeName() == "string":
+                    from zed_spark.functions.timeparse import (
+                        flex_to_timestamp,
+                    )
+
                     num = col.cast("double")
                     return F.coalesce(
                         F.timestamp_micros((num / 1000).cast("long")),
-                        F.try_to_timestamp(col),
                         # the reference's time parser accepts common
-                        # non-ISO layouts (dateparse; ztest cast-time:
-                        # "1/2/2020", "12 Feb 2006 19:17")
-                        F.try_to_timestamp(col, F.lit("M/d/yyyy")),
-                        F.try_to_timestamp(col, F.lit("d MMM yyyy HH:mm")),
-                        F.try_to_timestamp(col, F.lit("dd MMM yyyy HH:mm:ss")),
-                        # "May 8, 2009 5:57:51 PM" / "oct 7, 1970"
-                        # (dateparse layouts; expressions.md time ex.
-                        # — initcap fixes lowercase month names)
-                        F.try_to_timestamp(col, F.lit("MMM d, yyyy h:mm:ss a")),
-                        F.try_to_timestamp(
-                            F.initcap(col), F.lit("MMM d, yyyy h:mm:ss a")
-                        ),
-                        F.try_to_timestamp(col, F.lit("MMM d, yyyy")),
-                        F.try_to_timestamp(
-                            F.initcap(col), F.lit("MMM d, yyyy")
-                        ),
+                        # non-ISO layouts (dateparse; ztest cast-time)
+                        flex_to_timestamp(col),
                     )
                 return col.cast("timestamp")
 
@@ -8267,6 +8685,44 @@ class Compiler:
                     or tname in getattr(df, "_zed_meta_types", ())
                 )
                 return F.lit("type" if known else "error(string)")
+            if args and args[0][0] == "call" and args[0][1] in (
+                "typeof",
+                "typeunder",
+            ):
+                # the type of a TYPE VALUE is <type> (typeof.md:
+                # typeof(typeof(x)))
+                return F.lit("type")
+            if args and args[0][0] not in ("field", "this"):
+                # non-field operand (literal, call): its static type
+                # IS the answer (expressions.md `typeof(1)`); a
+                # carrier-typed expression dispatches per row — an
+                # error row's type is error(string) (data-types.md
+                # `typeof(1/this)` over 0)
+                from zed_spark.functions.introspect import zed_type_name
+                from zed_spark.schema import is_union_type as _iutv
+
+                adt0 = self._type_of(args[0], df)
+                if (
+                    adt0 is not None
+                    and isinstance(adt0, T.StructType)
+                    and _iutv(adt0)
+                ):
+                    c0 = self.expr(args[0], df)
+                    out0 = None
+                    for pos0, f0 in enumerate(adt0.fields[1:]):
+                        nm0 = (
+                            "error(string)"
+                            if f0.name.startswith("e")
+                            and isinstance(f0.dataType, T.StringType)
+                            else zed_type_name(f0.dataType)
+                        )
+                        w0 = F.when(
+                            c0.getField("tag") == pos0, F.lit(nm0)
+                        )
+                        out0 = w0 if out0 is None else F.coalesce(out0, w0)
+                    return out0
+                if adt0 is not None:
+                    return F.lit(zed_type_name(adt0))
             path = ".".join(args[0][1]) if args and args[0][0] == "field" else None
             static = typeof_col(df, path)
             if (
@@ -9041,6 +9497,30 @@ class Compiler:
             from zed_spark.functions.ip import network_of as _netof
 
             addr = self.expr(args[0], df)
+            ndt0 = self._type_of(args[0], df)
+            if ndt0 is not None and not isinstance(ndt0, T.StringType):
+                # a non-ip-kind operand is "not an IP" with the TYPED
+                # operand as the error payload (ip.go:20;
+                # functions/network_of.md `echo 1`)
+                est0 = T.StructType(
+                    [
+                        T.StructField("message", T.StringType()),
+                        T.StructField("on", ndt0),
+                    ]
+                )
+                ct0 = T.StructType(
+                    [
+                        T.StructField("tag", T.IntegerType()),
+                        T.StructField("e0", est0),
+                    ]
+                )
+                return F.struct(
+                    F.lit(0).alias("tag"),
+                    F.struct(
+                        F.lit("network_of: not an IP").alias("message"),
+                        addr.alias("on"),
+                    ).alias("e0"),
+                ).cast(ct0)
             o1 = F.split(addr, "[.]").getItem(0).cast("int")
             plen = (
                 F.when(o1 < 128, 8).when(o1 < 192, 16).otherwise(24)

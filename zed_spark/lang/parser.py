@@ -65,6 +65,7 @@ _KEYWORDS = {
 
 class Parser:
     def __init__(self, src: str):
+        self.src = src
         self.toks = tokenize(src)
         self.i = 0
         # decl accumulators — every lexical scope (`( ... )` body)
@@ -294,6 +295,14 @@ class Parser:
         if word == "pass":
             self.next()
             return ("pass",)
+        if word == "sample" and (
+            self.peek(1).kind == "EOF"
+            or self.peek(1).text in ("|", ")", "=>")
+        ):
+            # bare `sample`: one exemplar per value SHAPE
+            # (op/sample; docs/language/operators/sample.md)
+            self.next()
+            return ("sample",)
         if word == "output":
             # `output <name>` names the fork leg's channel
             # (reference dag.Output; used by describe and -split)
@@ -319,7 +328,12 @@ class Parser:
             return ("where", self.parse_expr())
         if word == "assert":
             self.next()
-            return ("assert", self.parse_expr())
+            start = self.peek().pos
+            e = self.parse_expr()
+            end = self.peek().pos if self.i < len(self.toks) else len(self.src)
+            # the raw expression text rides along: a failing row's
+            # error carries it (op/assert.go: {message, expr, on})
+            return ("assert", e, self.src[start:end].strip())
         if word == "load":
             # terminal lake write: load pool[@branch] [author "a"]
             # [message "m"] (reference load op, docs/language/operators/load.md)

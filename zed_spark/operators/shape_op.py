@@ -121,6 +121,25 @@ def _project(
             return out.otherwise(F.lit(None).cast(dst))
         return _wrap(col, src)
     if is_union_type(src):
+        efields = [f for f in src.fields[1:] if f.name.startswith("e")]
+        if efields:
+            # ERROR-carrying union (a prior cast pass already marked
+            # failures): shapers propagate error values unchanged —
+            # re-project only the value members, keep the carrier
+            # layout (shaping.md re-shape of an already-shaped row)
+            out_parts = [col.getField("tag").alias("tag")]
+            for f in src.fields[1:]:
+                if f.name.startswith("e"):
+                    out_parts.append(col.getField(f.name).alias(f.name))
+                else:
+                    out_parts.append(
+                        _project(
+                            col.getField(f.name), f.dataType, dst,
+                            cast=cast, crop=crop, fill=fill, order=order,
+                            zdst=zdst,
+                        ).alias(f.name)
+                    )
+            return F.when(col.isNotNull(), F.struct(*out_parts))
         # union source: shape each member, first non-null wins (the
         # reference shapes each value by its runtime type)
         parts = [
@@ -142,9 +161,27 @@ def _project(
                 col, col, fail, T.StringType(), f"cannot cast to {z}", src
             )
         if isinstance(dst, T.TimestampType):
-            ok = col.cast(dst)
+            from zed_spark.functions.timeparse import flex_to_timestamp
+
+            ok = flex_to_timestamp(col)
             fail = col.isNotNull() & ok.isNull()
             return _cast_err(col, ok, fail, dst, "cannot cast to time", src)
+        if z in (
+            "int8", "int16", "int32", "uint8", "uint16", "uint32",
+            "uint64",
+        ) and isinstance(
+            dst, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+        ):
+            # string → SIZED-int field cast: unparsable values are
+            # first-class cast errors, not silent nulls (shaping.md
+            # shape() of vlan:"available" to uint16). Widened targets
+            # (int64/float64) keep the plain cast so valid data stays
+            # statically typed (shape-zson-typedef age:"52" → 52)
+            ok = col.cast(dst)
+            fail = col.isNotNull() & ok.isNull()
+            return _cast_err(
+                col, ok, fail, dst, f"cannot cast to {z}", src
+            )
     if isinstance(src, T.StructType) and isinstance(dst, T.StructType):
         zmap = (
             dict(zdst[1])
