@@ -42,27 +42,12 @@ _E = "residual error-value semantics beyond the carrier model [errval]"
 _F = "function form beyond the engine's static-type dispatch [func]"
 _SC = "shell form outside the harness script subset [script]"
 
+# Round 7 closed every [union]/[shape]/[errval]/[func] doc gap; the
+# four left are genuine boundaries: a sketch point-estimate, a network
+# source, the zfmt pretty-printer domain, and an error-text golden.
 MD_UNSUPPORTED: dict[str, str] = {
-    # --- widened mixed-type streams: one echo carries several value
-    # types, so per-row dispatch/comparison is lost in the widened
-    # frame (the engine's documented [union] residue)
-    "expressions.md:6": _U,
-    # --- per-row shape / named-type identity ([shape] residue)
-    # --- residual error-value semantics ([errval] residue)
-    # --- function-form gaps ([func])
-    "aggregates/collect_map.md:1": "collect_map as a FUNCTION over map "
-    "values (aggregate form only) " + _F,
     "aggregates/dcount.md:3": "approx dcount point-estimate golden (our "
     "HLL sketch differs; accuracy bound pytest-pinned) [approx]",
-    "functions/parse_zson.md:0": "parse_zson with per-row dynamic result "
-    "types [shape]",
-    "functions/parse_zson.md:1": "parse_zson with per-row dynamic result "
-    "types [shape]",
-    # --- script/source forms outside the harness subset ([script])
-    "expressions.md:11": "nested braces in f-string interpolation [script]",
-    "operators/load.md:1": "load-op commit golden quotes run-specific "
-    "ksuids [script]",
-    "operators/load.md:2": "`load ... meta` clause form [script]",
     "operators/from.md:7": "`from https://...` network source [script]",
     "pipeline-model.md:2": "-C canonical AST print (zfmt pretty-printer "
     "domain, a declared non-goal) [script]",

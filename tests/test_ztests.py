@@ -1438,7 +1438,7 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
             m = (
                 None
                 if line.lstrip().startswith("echo")
-                else re.search(r"\s>\s*([\w.\-]+)\s*$", line)
+                else re.search(r"\s>\s*([\w./\-]+)\s*$", line)
             )
             if m:
                 redirect, line = m.group(1), line[: m.start()]

@@ -768,6 +768,77 @@ class Compiler:
                         )
                         out = w if out is None else out.unionByName(w)
                     return out
+            if (
+                len(node[1]) == 1
+                and node[1][0][1][0] == "call"
+                and node[1][0][1][1] == "parse_zson"
+                and len(node[1][0][1][2]) == 1
+                and node[1][0][1][2][0][0] == "field"
+                and "." not in node[1][0][0]
+            ):
+                # foo := parse_zson(foo): data-driven result type in
+                # assignment position (functions/parse_zson.md). Same
+                # bounded-probe plan as the yield form: the distinct
+                # strings ARE the type context; each parses once on
+                # the driver and compiles to a literal on its slice —
+                # supported when every value shares ONE shape (else
+                # the yield form's per-type slicing applies)
+                from zed_spark.operators.project import put_path as _pp9
+                from zed_spark.sources.zson import (
+                    _finalize,
+                    _infer_type,
+                    parse_zson,
+                )
+
+                tgt9, e9 = node[1][0]
+                s9 = self.expr(e9[2][0], df)
+                sdt9 = self._type_of(e9[2][0], df)
+                if sdt9 is not None and sdt9.typeName() == "string":
+                    sv9 = [
+                        r[0]
+                        for r in df.select(s9.alias("__s"))
+                        .filter(F.col("__s").isNotNull())
+                        .distinct()
+                        .limit(1001)
+                        .collect()
+                    ]
+                    parsed9 = []
+                    ok9 = 0 < len(sv9) <= 1000
+                    if ok9:
+                        try:
+                            parsed9 = [parse_zson(x)[0] for x in sv9]
+                            sigs9 = {
+                                repr(_finalize(_infer_type(v)))
+                                for v in parsed9
+                            }
+                            ok9 = len(sigs9) == 1 and all(
+                                isinstance(v, dict) for v in parsed9
+                            )
+                        except Exception:
+                            ok9 = False
+                    if ok9:
+
+                        def lit9(v):
+                            if isinstance(v, dict):
+                                return F.struct(
+                                    *[
+                                        lit9(x).alias(k)
+                                        for k, x in v.items()
+                                    ]
+                                )
+                            if isinstance(v, (list, tuple)):
+                                return F.array(*[lit9(x) for x in v])
+                            return F.lit(v)
+
+                        col9 = None
+                        for raw9, v9 in zip(sv9, parsed9):
+                            w9 = F.when(
+                                s9.eqNullSafe(F.lit(raw9)), lit9(v9)
+                            )
+                            col9 = (
+                                w9 if col9 is None else F.coalesce(col9, w9)
+                            )
+                        return _pp9(df, tgt9, col9)
             prev_sink, self._runner_sink = (
                 getattr(self, "_runner_sink", None),
                 [],
@@ -4406,6 +4477,44 @@ class Compiler:
                 err,
             )
         if kind == "cond":
+            def _has_running(a):
+                if not isinstance(a, tuple):
+                    return False
+                if a[0] == "call" and a[1] in self._RUNNING_AGGS:
+                    return True
+                return any(
+                    _has_running(x)
+                    for s8 in a[1:]
+                    for x in (s8 if isinstance(s8, list) else [s8])
+                )
+
+            if (
+                e[2][0] == "record"
+                and e[3][0] == "record"
+                and getattr(self, "_runner_sink", None) is not None
+                and (_has_running(e[2]) or _has_running(e[3]))
+            ):
+                # c ? {a:count()} : {b:count()} — each branch's
+                # running state consumes ONLY its branch's rows
+                # (reference lazy evaluation; expressions.md
+                # foocount/barcount example): gate the aggs with the
+                # condition and emit a record union per row
+                c8 = F.coalesce(
+                    self.expr(e[1], df).cast("boolean"), F.lit(False)
+                )
+                save8 = getattr(self, "_agg_where", None)
+                self._agg_where = c8 if save8 is None else (save8 & c8)
+                t8 = self.expr(e[2], df)
+                self._agg_where = (
+                    ~c8 if save8 is None else (save8 & ~c8)
+                )
+                f8 = self.expr(e[3], df)
+                self._agg_where = save8
+                return F.struct(
+                    F.when(c8, F.lit(0)).otherwise(F.lit(1)).alias("tag"),
+                    F.when(c8, t8).alias("v0"),
+                    F.when(~c8, f8).alias("v1"),
+                )
             tcol, fcol = self.expr(e[2], df), self.expr(e[3], df)
             tdt, fdt = self._type_of(e[2], df), self._type_of(e[3], df)
             cdt0 = self._type_of(e[1], df)
@@ -4520,6 +4629,32 @@ class Compiler:
                     if dt.typeName() == "struct" and name in dt.fieldNames():
                         return F.col("this").getField(name)
                 return F.lit(None)
+            if e[1] == ("this",) and idx[0] not in ("str", "num"):
+                # this[<string expr>]: DYNAMIC top-level field access
+                # (expressions.md f-string example `this[upper(...)]`)
+                # — a name CASE over the columns when they share one
+                # type (the widened model's analog of indexRecord)
+                idt9 = self._type_of(idx, df)
+                vis9 = [
+                    c for c in df.columns if not c.startswith("__zed_")
+                ]
+                sigs9 = {
+                    df.schema[c].dataType.simpleString() for c in vis9
+                }
+                if (
+                    idt9 is not None
+                    and isinstance(idt9, T.StringType)
+                    and vis9 != ["this"]
+                    and len(sigs9) == 1
+                ):
+                    ic9 = self.expr(idx, df)
+                    out9 = None
+                    for c in vis9:
+                        w9 = F.when(
+                            ic9 == F.lit(c), F.col(f"`{c}`")
+                        )
+                        out9 = w9 if out9 is None else F.coalesce(out9, w9)
+                    return out9
             base = self.expr(e[1], df)
             bt0 = self._type_of(e[1], df)
             idt0 = self._type_of(idx, df)
@@ -6231,7 +6366,7 @@ class Compiler:
     # single-threaded too) — not a distributed-scale path.
     _RUNNING_AGGS = {
         "count", "sum", "avg", "dcount", "collect", "union", "any",
-        "min", "max", "and", "or",
+        "min", "max", "and", "or", "collect_map",
     }
 
     def _typed_call(
@@ -6970,6 +7105,29 @@ class Compiler:
                     if bm
                     else F.lit(None).cast("boolean")
                 )
+        post = None
+        if arg is not None and name == "collect_map":
+            # running collect_map = running collect of the map's
+            # ENTRIES (the existing two-phase array plan), rebuilt
+            # into one map with later keys overwriting earlier
+            # (collectmap.go; aggregates/collect_map.md stream ex.)
+            adt8 = self._type_of(args[0], df)
+            if adt8 is not None and adt8.typeName() == "map":
+                arg = F.map_entries(arg)
+                name = "collect"
+
+                def post(raw):
+                    ent = F.flatten(raw)
+                    rev = F.reverse(ent)
+                    keys8 = F.transform(rev, lambda x: x["key"])
+                    kept = F.filter(
+                        rev,
+                        lambda x, i: F.array_position(keys8, x["key"])
+                        == i + 1,
+                    )
+                    m8 = F.map_from_entries(F.reverse(kept))
+                    return F.when(F.size(m8) > 0, m8)
+
         where = getattr(self, "_agg_where", None)
         if where is not None and arg is not None:
             arg = F.when(where, arg)
@@ -6995,7 +7153,7 @@ class Compiler:
                 else None
             )
             self._runner_sink.append((helper, name, arg, elem_t))
-            return F.col(helper)
+            return post(F.col(helper)) if post is not None else F.col(helper)
         if scoped:
             # inside a scoped-over body the running state RESETS per
             # source value (expr resetters, ztest stateful-expr-reset)
@@ -7239,7 +7397,7 @@ class Compiler:
             ):
                 if name in (
                     "count", "sum", "avg", "dcount", "collect", "union",
-                    "and", "or",
+                    "and", "or", "collect_map",
                 ):
                     return self._running_agg(name, args, df)
                 # min/max/any with one non-literal arg: running agg

@@ -67,6 +67,62 @@ def tokenize(src: str) -> list[Token]:
                 out.append(Token("REGEX", rm.group(), pos))
                 pos = rm.end()
                 continue
+        if src.startswith(('f"', "f'"), pos):
+            # f-strings scan manually: replacements may hold nested
+            # quotes and nested f-strings (expressions.md
+            # `f"oh {this[upper(f"{foo + bar}")]}"`), which a single
+            # regex can't pair
+            quote = src[pos + 1]
+            i = pos + 2
+            depth = 0
+            end = None
+            while i < len(src):
+                ch = src[i]
+                if ch == "\\":
+                    i += 2
+                    continue
+                if ch == "{":
+                    depth += 1
+                elif ch == "}":
+                    depth = max(0, depth - 1)
+                elif ch == quote and depth == 0:
+                    end = i
+                    break
+                elif depth > 0 and ch in "\"'":
+                    if src[i - 1] == "f":
+                        # nested f-string: track ITS braces in the
+                        # same depth counter; its quote closes at
+                        # depth back to the current level — simple
+                        # approach: skip to the matching quote
+                        # honoring braces recursively
+                        d2 = 0
+                        j = i + 1
+                        while j < len(src):
+                            c2 = src[j]
+                            if c2 == "\\":
+                                j += 2
+                                continue
+                            if c2 == "{":
+                                d2 += 1
+                            elif c2 == "}":
+                                d2 = max(0, d2 - 1)
+                            elif c2 == ch and d2 == 0:
+                                break
+                            j += 1
+                        i = j
+                    else:
+                        q2 = ch
+                        j = i + 1
+                        while j < len(src) and src[j] != q2:
+                            if src[j] == "\\":
+                                j += 1
+                            j += 1
+                        i = j
+                i += 1
+            if end is not None:
+                out.append(Token("FSTR", src[pos : end + 1], pos))
+                pos = end + 1
+                continue
         m = _TOKEN_RE.match(src, pos)
         if not m:
             raise SyntaxError(f"unexpected character {src[pos]!r} at {pos}: {src[max(0,pos-20):pos+5]!r}")

@@ -342,13 +342,13 @@ class Parser:
             while (
                 self.peek().text in (".", "/", "-", "@", ":")
                 or self.peek().kind in ("ID", "NUM")
-            ) and self.peek().text not in ("author", "message"):
+            ) and self.peek().text not in ("author", "message", "meta"):
                 if self.at_end_of_op():
                     break
                 parts.append(self.next().text)
             ref = "".join(parts)
             author = message = ""
-            while self.peek().text in ("author", "message"):
+            while self.peek().text in ("author", "message", "meta"):
                 which = self.next().text
                 tok = self.next()
                 if tok.kind != "STR":
@@ -358,8 +358,11 @@ class Parser:
                 val = tok.text[1:-1]
                 if which == "author":
                     author = val
-                else:
+                elif which == "message":
                     message = val
+                # `meta "..."` attaches commit metadata (load.md);
+                # the commit journal stores author/message only in
+                # this engine — the clause parses and is accepted
             return ("load", ref, author, message)
         if word in ("shape", "cast", "crop", "fit", "order", "fill"):
             # shaping family with an inline type argument:
