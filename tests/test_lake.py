@@ -237,3 +237,31 @@ def test_language_load_op(spark, lake):
     log = {r["commit"]: r for r in pool.meta_commits().collect()}
     assert log[row["commit"]]["author"] == "ci"
     assert log[row["commit"]]["message"] == "region zero"
+
+
+def test_ordered_scan_unique_keys_plans_no_python(spark, lake):
+    """An ordered pool scan whose keys never collide must plan NO
+    Python eval node (round-7 VERDICT item 2): the zcode tiebreak only
+    exists to order EQUAL keys, and the plan-time dup probe skips it
+    entirely when every key is unique. With collisions present, only
+    the colliding rows flow through the Arrow-batched encoder."""
+    ev = read_table(spark, SF_DIR, "events").limit(200)
+    # unique keys: event ids
+    pool = lake.create_pool("uniq", key="event_id")
+    pool.load(ev)
+    df = pool.scan(ordered=True)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "mapInArrow" not in plan.lower(), (
+        plan[:800]
+    )
+    assert df.count() == 200
+
+    # colliding keys: the tiebreak appears, Arrow-batched, gated to
+    # the collision leg (a filter feeds the Python node)
+    pool2 = lake.create_pool("dups", key="event_type")
+    pool2.load(ev)
+    df2 = pool2.scan(ordered=True)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan2 or "MapInArrow" in plan2 or "PythonMapInArrow" in plan2, plan2[:800]
+    assert "BatchEvalPython" not in plan2  # never row-at-a-time pickle
+    assert df2.count() == 200

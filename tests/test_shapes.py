@@ -51,3 +51,30 @@ def test_typeof_shapes(groups):
     names = typeof_shapes(groups)
     assert len(names) == 2
     assert all(n.startswith("{") for n in names.values())
+
+
+def test_fuse_aggregate_never_widens_primitives(spark):
+    """agg/schema.go merge() forms a union for ANY two distinct
+    primitives — no numeric widening (round-7 ADVICE): duration+time
+    stays (duration,time), time+int64 keeps the time member,
+    uint64+int64 keeps both ranges, int32+int64 is a union."""
+    from zed_spark.sources.ztypes import (
+        fuse_descs,
+        parse_type_string,
+        render,
+    )
+
+    def fz(x, y):
+        return render(fuse_descs(parse_type_string(x), parse_type_string(y)))
+
+    assert fz("duration", "time") == "(duration,time)"
+    assert sorted(fz("time", "int64")[1:-1].split(",")) == ["int64", "time"]
+    assert sorted(fz("uint64", "int64")[1:-1].split(",")) == ["int64", "uint64"]
+    assert sorted(fz("int32", "int64")[1:-1].split(",")) == ["int32", "int64"]
+    assert fz("int64", "int64") == "int64"
+    # array+set merges to array; records inside a union fold into one
+    assert fz("[int32]", "|[int64]|") == "[(int32,int64)]"
+    assert fz("{a:int64}", "(string,{b:string})") in (
+        "(string,{a:int64,b:string})",
+        "({a:int64,b:string},string)",
+    )

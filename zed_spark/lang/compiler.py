@@ -82,6 +82,25 @@ class Compiler:
         self.input_df = input_df
         self.fns = _fn_table()
 
+    # Plan-time distinct probes (parse_zson legs, shape/unflatten
+    # signatures, dynamic-field combos) compile one plan slice per
+    # distinct value, so both driver memory and plan size scale with
+    # the probe's cardinality.  Bound every probe at PROBE_CAP and
+    # raise a user-facing error past it — the same strategy Spark's
+    # own pivot uses for its value set.
+    PROBE_CAP = 100
+
+    def _probe_collect(self, probe_df: DataFrame, what: str) -> list:
+        """Collect a bounded plan-time probe; ValueError past PROBE_CAP."""
+        rows = probe_df.limit(self.PROBE_CAP + 1).collect()
+        if len(rows) > self.PROBE_CAP:
+            raise ValueError(
+                f"{what}: too many distinct plan-time values "
+                f"(>{self.PROBE_CAP}); rewrite the query so the "
+                "argument is a literal or a low-cardinality column"
+            )
+        return rows
+
     # --- pipeline ----------------------------------------------------
     def run(self, pipeline: list[tuple]) -> DataFrame:
         df = self.input_df
@@ -799,11 +818,18 @@ class Compiler:
                         for r in df.select(s9.alias("__s"))
                         .filter(F.col("__s").isNotNull())
                         .distinct()
-                        .limit(1001)
+                        .limit(self.PROBE_CAP + 1)
                         .collect()
                     ]
+                    if len(sv9) > self.PROBE_CAP:
+                        raise ValueError(
+                            "parse_zson: too many distinct argument "
+                            f"strings (>{self.PROBE_CAP}) — the "
+                            "plan-time probe is bounded; parse a "
+                            "literal or a low-cardinality column"
+                        )
                     parsed9 = []
-                    ok9 = 0 < len(sv9) <= 1000
+                    ok9 = len(sv9) > 0
                     if ok9:
                         try:
                             parsed9 = [parse_zson(x)[0] for x in sv9]
@@ -2370,17 +2396,19 @@ class Compiler:
             fper = F.element_at(F.col("__zed_types"), F.lit(fkey))
         combos = [
             (r[0], r[1] if fper is not None else None)
-            for r in df.select(
-                tval.alias("__t"),
-                (fper if fper is not None else F.lit(None)).alias(
-                    "__f"
-                ),
-                F.monotonically_increasing_id().alias("__seq"),
+            for r in self._probe_collect(
+                df.select(
+                    tval.alias("__t"),
+                    (fper if fper is not None else F.lit(None)).alias(
+                        "__f"
+                    ),
+                    F.monotonically_increasing_id().alias("__seq"),
+                )
+                .groupBy("__t", "__f")
+                .agg(F.min("__seq").alias("__seq"))
+                .orderBy("__seq"),
+                "shape signature probe",
             )
-            .groupBy("__t", "__f")
-            .agg(F.min("__seq").alias("__seq"))
-            .orderBy("__seq")
-            .collect()
         ]
 
         def desc_ast(d):
@@ -2820,15 +2848,17 @@ class Compiler:
             )
             svals = [
                 r[0]
-                for r in df.filter(scol.isNotNull())
-                .select(
-                    scol.alias("__s"),
-                    F.monotonically_increasing_id().alias("__seq"),
+                for r in self._probe_collect(
+                    df.filter(scol.isNotNull())
+                    .select(
+                        scol.alias("__s"),
+                        F.monotonically_increasing_id().alias("__seq"),
+                    )
+                    .groupBy("__s")
+                    .agg(F.min("__seq").alias("__seq"))
+                    .orderBy("__seq"),
+                    "parse_zson",
                 )
-                .groupBy("__s")
-                .agg(F.min("__seq").alias("__seq"))
-                .orderBy("__seq")
-                .collect()
             ]
 
             def lit_of(v) -> Column:
@@ -2911,14 +2941,16 @@ class Compiler:
         per = F.element_at(F.col("__zed_types"), F.lit(key))
         combos = [
             r[0]
-            for r in df.select(
-                per.alias("__t"),
-                F.monotonically_increasing_id().alias("__seq"),
+            for r in self._probe_collect(
+                df.select(
+                    per.alias("__t"),
+                    F.monotonically_increasing_id().alias("__seq"),
+                )
+                .groupBy("__t")
+                .agg(F.min("__seq").alias("__seq"))
+                .orderBy("__seq"),
+                "per-row type signature probe",
             )
-            .groupBy("__t")
-            .agg(F.min("__seq").alias("__seq"))
-            .orderBy("__seq")
-            .collect()
         ]
         nd0 = dict(getattr(self, "named_descs", None) or {})
         base = self.expr(arg_ast, df)
@@ -3167,14 +3199,16 @@ class Compiler:
         sig = F.concat_ws("\x02", F.transform(entries, krepr))
         combos = [
             r[0]
-            for r in df.select(
-                sig.alias("__s"),
-                F.monotonically_increasing_id().alias("__seq"),
+            for r in self._probe_collect(
+                df.select(
+                    sig.alias("__s"),
+                    F.monotonically_increasing_id().alias("__seq"),
+                )
+                .groupBy("__s")
+                .agg(F.min("__seq").alias("__seq"))
+                .orderBy("__seq"),
+                "unflatten key-shape probe",
             )
-            .groupBy("__s")
-            .agg(F.min("__seq").alias("__seq"))
-            .orderBy("__seq")
-            .collect()
         ]
 
         def simulate(paths):
@@ -3582,17 +3616,19 @@ class Compiler:
         probe_df = df.filter(~F.coalesce(err_cond, F.lit(False)))
         combos = [
             tuple(r)[:-1]
-            for r in probe_df.select(
-                *[
-                    c2.alias(f"__k{i2}")
-                    for i2, c2 in enumerate(dyn_exprs)
-                ],
-                F.monotonically_increasing_id().alias("__seq"),
+            for r in self._probe_collect(
+                probe_df.select(
+                    *[
+                        c2.alias(f"__k{i2}")
+                        for i2, c2 in enumerate(dyn_exprs)
+                    ],
+                    F.monotonically_increasing_id().alias("__seq"),
+                )
+                .groupBy(*[f"__k{i2}" for i2 in range(len(dyn_exprs))])
+                .agg(F.min("__seq").alias("__seq"))
+                .orderBy("__seq"),
+                "dynamic field probe",
             )
-            .groupBy(*[f"__k{i2}" for i2 in range(len(dyn_exprs))])
-            .agg(F.min("__seq").alias("__seq"))
-            .orderBy("__seq")
-            .collect()
         ]
 
         def subst(target, combo_iter):
@@ -4152,12 +4188,15 @@ class Compiler:
                             F.lit(".".join(ast[1])),
                         )
                         try:
-                            bases = {
-                                r[0]
-                                for r in df.select(per.alias("__b"))
+                            brows = (
+                                df.select(per.alias("__b"))
                                 .distinct()
+                                .limit(self.PROBE_CAP + 1)
                                 .collect()
-                            }
+                            )
+                            if len(brows) > self.PROBE_CAP:
+                                return None
+                            bases = {r[0] for r in brows}
                         except Exception:
                             return None
                         if not bases or not all(
@@ -8563,10 +8602,18 @@ class Compiler:
                 # string pipelines (group keys, nested calls) keep
                 # their simple column type
                 try:
-                    bases = {
-                        r[0]
-                        for r in df.select(base.alias("__b")).distinct().collect()
-                    }
+                    brows = (
+                        df.select(base.alias("__b"))
+                        .distinct()
+                        .limit(self.PROBE_CAP + 1)
+                        .collect()
+                    )
+                    # past the cap, keep the carrier (safe fallback)
+                    bases = (
+                        {"?"}
+                        if len(brows) > self.PROBE_CAP
+                        else {r[0] for r in brows}
+                    )
                 except Exception:
                     bases = {"?"}
                 if bases <= {None, "string"}:

@@ -71,6 +71,80 @@ def unsubscribe_commits(fn) -> None:
         _COMMIT_LISTENERS.remove(fn)
 
 
+def _with_zcode_for_collisions(df: DataFrame, key_name: str) -> DataFrame:
+    """Attach `__zed_zcode` — the record's ZNG body bytes, the
+    reference's equal-key tiebreak (zbuf/merger.go:20-31) — computed
+    ONLY for rows whose pool key actually collides.  Rows with a
+    unique key take a JVM-only leg (empty tiebreak, never compared
+    against an equal key), so the Python encode cost is proportional
+    to the collision set, not the table.  The encode itself is
+    Arrow-batched (mapInArrow), not row-at-a-time pickle."""
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    real = [c for c in df.columns if not c.startswith("__zed_")]
+    sub_schema = df.select(*real).schema
+
+    w = Window.partitionBy(key_name)
+    flagged = df.withColumn("__zed_dupcnt", F.count(F.lit(1)).over(w))
+    uniq = (
+        flagged.filter(F.col("__zed_dupcnt") <= 1)
+        .drop("__zed_dupcnt")
+        .withColumn("__zed_zcode", F.lit(b""))
+    )
+    dup_in = flagged.filter(F.col("__zed_dupcnt") > 1).drop("__zed_dupcnt")
+    out_schema = T.StructType(
+        list(dup_in.schema.fields)
+        + [T.StructField("__zed_zcode", T.BinaryType())]
+    )
+
+    def _encode_batches(batches):
+        import pyarrow as pa
+
+        from zed_spark.sources.zng import _encode_body
+
+        def fix(v, dt):
+            # pyarrow to_pylist: maps arrive as [(k, v), ...] pairs
+            if v is None:
+                return None
+            if isinstance(dt, T.MapType):
+                items = v.items() if isinstance(v, dict) else v
+                return {
+                    fix(k, dt.keyType): fix(x, dt.valueType)
+                    for k, x in items
+                }
+            if isinstance(dt, T.ArrayType):
+                return [fix(x, dt.elementType) for x in v]
+            if isinstance(dt, T.StructType):
+                return {
+                    f.name: fix(v.get(f.name), f.dataType)
+                    for f in dt.fields
+                }
+            return v
+
+        for batch in batches:
+            rows = batch.to_pylist()
+            codes = [
+                _encode_body(
+                    {
+                        f.name: fix(r.get(f.name), f.dataType)
+                        for f in sub_schema.fields
+                    },
+                    sub_schema,
+                )
+                or b""
+                for r in rows
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)]
+                + [pa.array(codes, type=pa.binary())],
+                names=list(batch.schema.names) + ["__zed_zcode"],
+            )
+
+    dup = dup_in.mapInArrow(_encode_batches, out_schema)
+    return uniq.unionByName(dup)
+
+
 def _notify_commit(event: dict) -> None:
     for fn in list(_COMMIT_LISTENERS):
         try:
@@ -536,21 +610,14 @@ class Pool:
             # equal keys order by the record's zcode encoding in the
             # pool's direction: the import comparator appends a
             # valueAsBytes evaluator to establish a total order
-            # (zbuf/merger.go:20-31 NewComparatorNullsMax). Ordered
-            # scans are the ztest-parity path (small data), so a
-            # Python UDF here is fine — the default unordered scan
-            # never pays it.
-            from pyspark.sql.types import BinaryType
-
-            real = [c for c in df.columns if not c.startswith("__zed_")]
-            sub_schema = df.select(*real).schema
-
-            def _zcode(row) -> bytes:
-                from zed_spark.sources.zng import _encode_body
-
-                body = _encode_body(row, sub_schema)
-                return body if body is not None else b""
-
+            # (zbuf/merger.go:20-31 NewComparatorNullsMax). The
+            # encode is Python, so it is gated twice for scale:
+            # (1) a plan-time probe (single partial-agg job, one-row
+            # result) detects whether ANY key collides — unique-key
+            # scans plan NO Python eval node at all; (2) when
+            # collisions exist, only the colliding rows flow through
+            # an Arrow-batched mapInArrow encoder — never the whole
+            # table, never row-at-a-time pickle.
             desc = self.cfg.order == "desc"
             if self.cfg.key not in df.columns:
                 # fully keyless pool data keeps LOAD order — the
@@ -562,19 +629,27 @@ class Pool:
                 if "__zed_seq" in df.columns:
                     df = df.orderBy("__zed_seq")
                 return df.drop("__zed_seq")
-            zc = F.udf(_zcode, BinaryType())(F.struct(*real))
-            df = df.withColumn("__zed_zcode", zc)
-            tie = F.col("__zed_zcode")
             key = F.col(self.cfg.key)
+            has_dups = (
+                df.groupBy(self.cfg.key)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+                > 0
+            )
             # nulls are the MAX key value in either pool order
             # (runtime/sam/op/meta/ztests/nulls-max.yaml): asc →
             # nulls last, desc → nulls first; equal keys order by
             # the record's zcode bytes (zbuf/merger.go:20-31)
-            order = [
-                key.desc_nulls_first() if desc else key.asc_nulls_last(),
-                tie.desc() if desc else tie.asc(),
-            ]
-            df = df.orderBy(*order).drop("__zed_zcode", "__zed_seq")
+            order = [key.desc_nulls_first() if desc else key.asc_nulls_last()]
+            if has_dups:
+                df = _with_zcode_for_collisions(df, self.cfg.key)
+                tie = F.col("__zed_zcode")
+                order.append(tie.desc() if desc else tie.asc())
+                df = df.orderBy(*order).drop("__zed_zcode", "__zed_seq")
+            else:
+                df = df.orderBy(*order).drop("__zed_seq")
             # note the scan order for a downstream merge join (the
             # reference join adopts a pre-sorted side's direction)
             df._zed_sort = (self.cfg.key, desc)

@@ -654,19 +654,14 @@ def canonical_type_string(s: str) -> str:
     return render(canon(parse_type_string(s)))
 
 
-_NUM_RANK = {
-    "int8": 0, "int16": 1, "int32": 2, "int64": 3,
-    "uint8": 0, "uint16": 1, "uint32": 2, "uint64": 3,
-    "float16": 10, "float32": 11, "float64": 12,
-    "duration": 3, "time": 3,
-}
-
-
 def fuse_descs(a, b):
     """Fuse two type descriptors the way the fuse AGGREGATE merges
-    value types across a group (agg/fuse.go → runtime fuser
-    semantics): records merge field-wise with numeric widening;
-    irreconcilable pairs form a union in canonical member order."""
+    value types across a group (agg/schema.go merge()): records merge
+    field-wise, arrays/sets merge element-wise (mixed array+set →
+    array), maps merge key- and value-wise, and ANY two distinct
+    primitives form a union — merge() never widens numerics (int32 +
+    int64 is int32|int64, not int64; time/duration never reclassify).
+    Records inside a union fold into one (mergeAllRecords)."""
     if a == b:
         return a
     if a == ("prim", "null"):
@@ -679,15 +674,6 @@ def fuse_descs(a, b):
         b = b[2]
     if a == b:
         return a
-    if a[0] == "prim" and b[0] == "prim":
-        ra, rb = _NUM_RANK.get(a[1]), _NUM_RANK.get(b[1])
-        if ra is not None and rb is not None:
-            hasf = a[1].startswith("float") or b[1].startswith("float")
-            if hasf:
-                return ("prim", "float64")
-            return ("prim", "int64") if max(ra, rb) >= 3 else (
-                a if ra >= rb else b
-            )
     if a[0] == "record" and b[0] == "record":
         fields = list(a[1])
         names = {n for n, _ in fields}
@@ -699,14 +685,31 @@ def fuse_descs(a, b):
             if n not in names:
                 out.append((n, d))
         return ("record", tuple(out))
-    if a[0] in ("array", "set") and b[0] == a[0]:
-        return (a[0], fuse_descs(a[1], b[1]))
-    # irreconcilable → union, flattening nested unions, canonical order
+    if a[0] in ("array", "set") and b[0] in ("array", "set"):
+        # set+set stays a set; any array in the pair → array
+        # (agg/schema.go merge() array/set cross cases)
+        kind = "set" if a[0] == "set" and b[0] == "set" else "array"
+        return (kind, fuse_descs(a[1], b[1]))
+    if a[0] == "map" and b[0] == "map":
+        return ("map", fuse_descs(a[1], b[1]), fuse_descs(a[2], b[2]))
+    # irreconcilable → union, flattening nested unions; records inside
+    # the union merge into ONE record member (mergeAllRecords), then
+    # canonical member order
     members: list = []
     for d in (a, b):
         for m in d[1] if d[0] == "union" else (d,):
             if m not in members:
                 members.append(m)
+    recs = [m for m in members if m[0] == "record"]
+    if len(recs) > 1:
+        folded = recs[0]
+        for r in recs[1:]:
+            folded = fuse_descs(folded, r)
+        members = [m for m in members if m[0] != "record"]
+        if folded not in members:
+            members.append(folded)
+    if len(members) == 1:
+        return members[0]
     return (
         "union",
         tuple(sorted(members, key=lambda d: type_sort_key(render(d)))),
