@@ -641,3 +641,21 @@ def test_parse_zson_probe_is_capped(spark):
     out = compile_query(spark, "put v := parse_zson(s)", lambda n: None, small)
     ks = sorted(r["v"]["k"] for r in out.collect())
     assert ks == [0, 1, 2, 3, 4]
+
+
+def test_running_agg_in_where_predicate(spark):
+    """`where count() >= N` (expression-position aggregate in a
+    filter) takes the two-phase runner plan, not the unpartitioned
+    window fallback (round-7 ADVICE): results match sequential
+    semantics and the helper columns don't leak."""
+    from pyspark.sql import functions as F
+
+    from zed_spark.lang.compiler import compile_query
+
+    df = spark.range(0, 10, 1, 4).select((F.col("id") % 3).alias("x"))
+    out = compile_query(spark, "where count() >= 4", lambda n: None, df)
+    assert out.columns == ["x"]
+    assert out.count() == 7
+    out2 = compile_query(spark, "where sum(x) > 5", lambda n: None, df)
+    # running sums 0,1,3,3,4,6,6,7,9,9 → 5 rows past 5
+    assert out2.count() == 5

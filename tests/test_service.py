@@ -329,3 +329,79 @@ def test_query_describe_endpoint(svc, spark):
             {"name": "main", "aggregation_keys": None, "sort": None}
         ],
     }
+
+
+def test_truncated_response_signaled(spark):
+    """A /query response capped at max_rows carries X-Zed-Truncated
+    (round-7 ADVICE): clients can distinguish a complete result from
+    a truncated one. Complete results carry no such header."""
+    import tempfile
+    import urllib.request
+
+    from zed_spark.service import QueryService
+    from zed_spark.sources.lake import Lake
+    from zed_spark.sources.readers import read_table
+
+    root = str(tempfile.mkdtemp()) + "/lake"
+    Lake(spark, root).create_pool("events", key="ts").load(
+        read_table(spark, SF_DIR, "events")
+    )
+    s = QueryService(spark, sf_dir=SF_DIR, lake_root=root, max_rows=5)
+    port = s.start()
+    try:
+        url = f"http://127.0.0.1:{port}/query"
+
+        def post(q):
+            req = urllib.request.Request(
+                url,
+                data=json.dumps({"query": q}).encode(),
+                method="POST",
+                headers={"Accept": "application/x-ndjson"},
+            )
+            with urllib.request.urlopen(req) as resp:
+                return resp.headers.get("X-Truncated"), resp.read().decode()
+
+        # legacy ndjson route: X-Truncated true/false
+        trunc, body = post("from events")
+        assert trunc == "true"
+        assert len([ln for ln in body.splitlines() if ln.strip()]) == 5
+        trunc2, body2 = post("from events | head 3")
+        assert trunc2 == "false"
+        assert len([ln for ln in body2.splitlines() if ln.strip()]) == 3
+    finally:
+        s.stop()
+    # reference REST route (handle_api): X-Zed-Truncated only when capped
+    resp = s.handle_api(
+        "POST", "/query", {}, {"accept": "application/x-ndjson"},
+        json.dumps({"query": "from events"}).encode(),
+    )
+    assert resp[0] == 200 and len(resp) > 3 and resp[3] == {
+        "X-Zed-Truncated": "true"
+    }
+    resp2 = s.handle_api(
+        "POST", "/query", {}, {"accept": "application/x-ndjson"},
+        json.dumps({"query": "from events | head 3"}).encode(),
+    )
+    assert resp2[0] == 200 and (len(resp2) < 4 or resp2[3] is None)
+
+
+def test_describe_fork_per_leg_sort(spark):
+    """Each fork leg's inherited sort comes from ITS OWN pool
+    (round-7 ADVICE): legs scanning pools with different keys report
+    different sorts."""
+    import tempfile
+
+    from zed_spark.service import QueryService
+    from zed_spark.sources.lake import Lake
+
+    root = str(tempfile.mkdtemp()) + "/lake"
+    lake = Lake(spark, root)
+    lake.create_pool("pa", key="ts")
+    lake.create_pool("pb", key="uid", order="asc")
+    s = QueryService(spark, lake_root=root)
+    info = s._describe(
+        "fork (=> from pa | output main => from pb | output other)", "pa"
+    )
+    by_name = {c["name"]: c for c in info["channels"]}
+    assert by_name["main"]["sort"] == [{"order": "desc", "key": ["ts"]}]
+    assert by_name["other"]["sort"] == [{"order": "asc", "key": ["uid"]}]

@@ -1571,9 +1571,10 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
             import json as _json
 
             try:
-                code, _ctype, payload = service().handle_api(
+                resp = service().handle_api(
                     method, u.path, params, hdrs, bytes(body)
                 )
+                code, _ctype, payload = resp[:3]
             except ApiError as e:
                 code = e.code
                 payload = (

@@ -370,12 +370,35 @@ class Compiler:
             # match (`filter null` drops everything); Spark rejects a
             # VOID filter expression outright. An error-carrier
             # predicate filters on its VALUE part (error → no match).
+            # Expression-position aggregates in the predicate (e.g.
+            # `where count() >= 2`) take the same two-phase runner
+            # plan as put/cut/yield: install a sink so the running
+            # value materializes partitioned, then drop the helpers.
+            prev_sink, self._runner_sink = (
+                getattr(self, "_runner_sink", None),
+                [],
+            )
             pred = self.expr(node[1], df)
-            pdt = self._type_of(node[1], df)
+            had_runners = bool(self._runner_sink)
+            pdt = None if had_runners else self._type_of(node[1], df)
+            df = self._apply_runner_fixups(df)
+            self._runner_sink = prev_sink
+            if had_runners:
+                # type-probe the materialized predicate (the AST
+                # re-probe can't resolve the runner helper columns)
+                try:
+                    pdt = (
+                        df.select(pred.alias("__t")).schema[0].dataType
+                    )
+                except Exception:
+                    pdt = None
+            helpers = [c for c in df.columns if c.startswith("__ra")]
             pv, perr = self._bool_parts(pred, pdt)
             if perr is not None:
-                return ops.where(df, F.coalesce(pv, F.lit(False)))
-            return ops.where(df, pred.cast("boolean"))
+                out = ops.where(df, F.coalesce(pv, F.lit(False)))
+            else:
+                out = ops.where(df, pred.cast("boolean"))
+            return out.drop(*helpers) if helpers else out
         if kind == "search":
             import re as _re3
 

@@ -226,11 +226,21 @@ class QueryService:
         else:
             seen: dict[str, int] = {}
             for i, leg in enumerate(fork[1]):
+                leg_ops = list(leg)
+                leg_sort = base["sort"]
+                if leg_ops and leg_ops[0][0] == "from":
+                    # a leg scanning its OWN pool inherits THAT
+                    # pool's key/order, not the first source's
+                    # (describe/analyze.go walks per-channel sources)
+                    lp = self._pool_by_ref(leg_ops[0][1])
+                    leg_sort = [
+                        {"order": lp.cfg.order, "key": lp.cfg.key.split(".")}
+                    ]
                 info = leg_info(
-                    list(leg),
+                    leg_ops,
                     "main",
                     base["aggregation_keys"],
-                    base["sort"],
+                    leg_sort,
                 )
                 if info["name"] in seen:
                     # duplicate output names combine: the merged
@@ -244,12 +254,17 @@ class QueryService:
         out_sources = sources[0] if len(sources) == 1 else sources
         return {"sources": out_sources, "channels": channels}
 
-    def _render(self, df, fmt: str, ctrl: bool = False) -> bytes:
+    def _render(
+        self, df, fmt: str, ctrl: bool = False, nrows: int | None = None
+    ) -> bytes:
         """DataFrame → response payload in the negotiated format.
 
         Every format is capped at max_rows BEFORE materializing — the
         reference streams all formats (service/core.go:169-191 +
-        api/queryio); this shim bounds driver memory instead, uniformly.
+        api/queryio); this shim bounds driver memory instead, uniformly
+        (a capped response carries the X-Zed-Truncated header).  nrows,
+        when given, is the already-computed capped row count — the
+        zjson control frames reuse it instead of running another job.
         """
         import os
         import tempfile
@@ -297,7 +312,7 @@ class QueryService:
 
                 now = _t.time()
                 ts = {"sec": int(now), "ns": int((now % 1) * 1e9)}
-                n = df.count()
+                n = nrows if nrows is not None else df.count()
                 lines = (
                     [json.dumps({"type": "QueryChannelSet", "value": {"channel": "main"}})]
                     + list(lines)
@@ -504,6 +519,12 @@ class QueryService:
 
             z = ZedSession(self.spark)
             df = z.query(text, allow_paths=False, lake=self.lake_root).df
+            # ONE bounded count serves both the truncation signal and
+            # the zjson QueryStats frame (the reference streams the
+            # full result; this shim caps at max_rows, so a capped
+            # response must be distinguishable — X-Zed-Truncated)
+            nrows = df.limit(self.max_rows + 1).count()
+            truncated = nrows > self.max_rows
             ctrl = params.get("ctrl") == "true" and fmt == "zjson"
             ctype = {
                 "json": "application/json",
@@ -517,7 +538,11 @@ class QueryService:
                 "parquet": "application/x-parquet",
                 "zng": "application/x-zng",
             }.get(fmt, "text/plain")
-            return 200, ctype, self._render(df, fmt, ctrl=ctrl)
+            payload = self._render(
+                df, fmt, ctrl=ctrl, nrows=min(nrows, self.max_rows)
+            )
+            hdrs_out = {"X-Zed-Truncated": "true"} if truncated else None
+            return 200, ctype, payload, hdrs_out
         raise ApiError("not found", kind="item does not exist", code=404)
 
     def _run_query(
@@ -563,10 +588,18 @@ class QueryService:
             def log_message(self, *args):  # quiet
                 pass
 
-            def _send(self, code: int, payload: bytes, ctype: str = "application/json"):
+            def _send(
+                self,
+                code: int,
+                payload: bytes,
+                ctype: str = "application/json",
+                extra: dict | None = None,
+            ):
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(payload)))
+                for k, v in (extra or {}).items():
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(payload)
 
@@ -650,10 +683,10 @@ class QueryService:
                 body = self.rfile.read(n) if n else b""
                 hdrs = {k.lower(): v for k, v in self.headers.items()}
                 try:
-                    code, ctype, payload = svc.handle_api(
-                        method, u.path, params, hdrs, body
-                    )
-                    self._send(code, payload, ctype)
+                    resp = svc.handle_api(method, u.path, params, hdrs, body)
+                    code, ctype, payload = resp[:3]
+                    extra = resp[3] if len(resp) > 3 else None
+                    self._send(code, payload, ctype, extra)
                 except ApiError as exc:
                     env = {"type": "Error", "kind": exc.kind, "error": str(exc)}
                     self._send(exc.code, json.dumps(env).encode())
