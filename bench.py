@@ -129,6 +129,26 @@ def synthesize_scaled(spark, src_dir: str, factor: int, out_dir: str) -> None:
             ).parquet(dst)
 
 
+def _calibration_run(spark) -> float:
+    """Fixed-work calibration key (round-7 VERDICT item 4): hash and
+    sort 20M longs — constant work, independent of sf_dir and of
+    every query plan. Its round-over-round movement measures AMBIENT
+    machine conditions, so a uniform shift across all query keys can
+    be attributed (or not) to load directly from the artifact."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 20_000_000, 1, 32)
+        .select(F.xxhash64("id").alias("h"))
+        .orderBy("h")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -161,7 +181,10 @@ def main() -> None:
     # interleaved per-query (r1 r2 r3 back-to-back) — the warm-up
     # pass above already paid codegen, so the three repeats sample
     # steady state.
+    # Sub-0.5 s keys get 5 repeats (round-7 VERDICT item 4: their
+    # max_spread was the size of the key itself at 3 repeats).
     REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    SMALL_KEY_REPEATS = max(REPEATS, 5)
     new_times: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE + NEW_QUERIES:
@@ -171,11 +194,21 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
+        if sorted(samples)[len(samples) // 2] < 0.5:
+            for _ in range(SMALL_KEY_REPEATS - REPEATS):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
         samples.sort()
         med = samples[len(samples) // 2]
         (times if name in HEADLINE else new_times)[name] = round(med, 4)
         if med > 0:
             spreads[name] = round((samples[-1] - samples[0]) / med, 3)
+
+    # fixed-work calibration: warm once, median of 5
+    _calibration_run(spark)
+    cal_samples = sorted(_calibration_run(spark) for _ in range(5))
+    cal = cal_samples[2]
 
     total = round(sum(times.values()), 4)
     out = {
@@ -196,7 +229,18 @@ def main() -> None:
         # per-query medians of N runs; spread = (max-min)/median, the
         # variance note round-4 VERDICT item 7 asked for
         "runs_per_query": REPEATS,
+        "runs_per_small_query": SMALL_KEY_REPEATS,
         "max_spread": round(max(spreads.values(), default=0.0), 3),
+        # fixed-work ambient-load signal: constant job, constant data;
+        # compare across rounds to attribute uniform total shifts.
+        # Clean-box reference value recorded in COVERAGE.md.
+        "calibration_sec": round(cal, 4),
+        "calibration_spread": round(
+            (cal_samples[-1] - cal_samples[0]) / cal, 3
+        )
+        if cal > 0
+        else 0.0,
+        "total_per_calibration": round(total / cal, 2) if cal > 0 else None,
     }
     if new_times:
         out["new"] = new_times
