@@ -382,6 +382,19 @@ class QueryService:
         from zed_spark.sources.readers import read_any
 
         d = tempfile.mkdtemp(prefix="svc_load_")
+        if fmt in (None, "zson"):
+            # ns-exact lake loads: a ZSON body with sub-µs times
+            # parses driver-side with int64 ns shadow columns so the
+            # stored object keeps the reference's exact values
+            # (nano.Ts); falls through to the normal reader otherwise
+            try:
+                from zed_spark.sources.zson import zson_to_df_ns
+
+                dfn = zson_to_df_ns(self.spark, body.decode("utf-8"))
+                if dfn is not None:
+                    return dfn
+            except Exception:
+                pass
         if fmt is None:
             # auto-detect: zson / zng / json (the reference's anyio
             # detector order, restricted to self-describing formats —
@@ -469,7 +482,13 @@ class QueryService:
             pool = self._pool_by_ref(parts[1])
             df = self._load_body(body, headers.get("content-type", ""), params)
             df = df.drop(
-                *[c for c in df.columns if c.startswith("__zed_") and c != "__zed_missing"]
+                *[
+                    c
+                    for c in df.columns
+                    if c.startswith("__zed_")
+                    and c != "__zed_missing"
+                    and not c.startswith("__zed_ns_")
+                ]
             )
             cid = pool.load(df, branch=unquote(parts[3]))
             return 200, "application/json", self._commit_response(cid, fmt, [])
@@ -501,6 +520,30 @@ class QueryService:
             fmt = _pick_accept(accept, self.default_fmt)
             cid = pool.delete_where(pred, branch=branch)
             return 200, "application/json", self._commit_response(cid, fmt, None)
+        if (
+            len(parts) == 3
+            and parts[0] == "pool"
+            and parts[2] == "stats"
+            and method == "GET"
+        ):
+            # exec.PoolStats (service/handlers.go handlePoolStats):
+            # total object ZNG size + the key span at ns resolution
+            pool = self._pool_by_ref(parts[1])
+            st = pool.pool_stats()
+            if st["min_ns"] is not None and st["max_ns"] is not None:
+                from zed_spark.functions.ztime import format_time_ns
+
+                span = (
+                    "{ts:%s,dur:%d(=nano.Duration)}(=nano.Span)"
+                    % (format_time_ns(st["min_ns"]),
+                       st["max_ns"] - st["min_ns"] + 1)
+                )
+            else:
+                span = "null(nano.Span)"
+            payload = "{size:%d,span:%s}(=exec.PoolStats)\n" % (
+                st["size"], span
+            )
+            return 200, "application/x-zson", payload.encode()
         if path == "/query/describe" and method == "POST":
             spec = json.loads(body.decode() or "{}") if body.strip() else {}
             text = (spec.get("query") or "").strip()

@@ -71,6 +71,25 @@ def unsubscribe_commits(fn) -> None:
         _COMMIT_LISTENERS.remove(fn)
 
 
+class _Ord:
+    """Direction-aware sort wrapper (None compares equal to None;
+    callers rank nulls separately)."""
+
+    __slots__ = ("v", "desc")
+
+    def __init__(self, v, desc: bool):
+        self.v, self.desc = v, desc
+
+    def __lt__(self, other):
+        a, b = self.v, other.v
+        if a is None or b is None:
+            return False  # grouped by null rank already
+        return (b < a) if self.desc else (a < b)
+
+    def __eq__(self, other):
+        return self.v == other.v
+
+
 def _with_zcode_for_collisions(df: DataFrame, key_name: str) -> DataFrame:
     """Attach `__zed_zcode` — the record's ZNG body bytes, the
     reference's equal-key tiebreak (zbuf/merger.go:20-31) — computed
@@ -519,14 +538,24 @@ class Pool:
         if self.cfg.key not in df.columns:
             n = df.count()
             return {"min": None, "max": None, "count": n}
-        row = df.agg(
+        aggs = [
             F.min(self.cfg.key).alias("mn"),
             F.max(self.cfg.key).alias("mx"),
             F.count(F.lit(1)).alias("n"),
             F.sum(
                 F.col(self.cfg.key).isNull().cast("long")
             ).alias("nulls"),
-        ).first()
+        ]
+        ns_col = f"__zed_ns_{self.cfg.key}"
+        if ns_col in df.columns:
+            # ns-exact key range (nano.Ts, value.go:84) rides a
+            # shadow column through the object; the reference's
+            # span/dur stats are ns-resolution
+            aggs += [
+                F.min(ns_col).alias("mn_ns"),
+                F.max(ns_col).alias("mx_ns"),
+            ]
+        row = df.agg(*aggs).first()
 
         def enc(v):
             if isinstance(v, datetime):
@@ -536,7 +565,12 @@ class Pool:
         # null keys are the MAX key value (meta/ztests/nulls-max): a
         # batch containing one makes the object's max null
         mx = None if (row["nulls"] or 0) > 0 else row["mx"]
-        return {"min": enc(row["mn"]), "max": enc(mx), "count": row["n"]}
+        out = {"min": enc(row["mn"]), "max": enc(mx), "count": row["n"]}
+        if ns_col in df.columns and row["mn"] is not None:
+            out["min_ns"] = row["mn_ns"]
+            if (row["nulls"] or 0) == 0:
+                out["max_ns"] = row["mx_ns"]
+        return out
 
     def load(
         self,
@@ -554,14 +588,10 @@ class Pool:
         commit_id = new_ksuid()
         self._write_object(df, commit_id)
         stats = self._key_stats(df)
-        if not message:
-            # the reference auto-generates load commit messages
-            # (lake/branch.go:81 loadMessage) — `db log` and :rawlog
-            # goldens grep for them (zio/lakeio/ztests/keyrange)
-            message = (
-                f"loaded 1 data object\n\n  {commit_id} "
-                f"{stats.get('count') or 0} records in {stats.get('count') or 0} bytes\n"
-            )
+        # an empty message means the reference's auto load message
+        # (lake/branch.go loadMessage); it embeds the object's exact
+        # ZNG byte size, which would cost a full collect at load time
+        # — renderers (log_text, meta_commits) synthesize it lazily
         entry = {
             "commit": commit_id,
             "ts": time.time(),
@@ -577,7 +607,12 @@ class Pool:
         return commit_id
 
     # --- scan --------------------------------------------------------
-    def scan(self, branch: str = "main", ordered: bool = False) -> DataFrame:
+    def scan(
+        self,
+        branch: str = "main",
+        ordered: bool = False,
+        keep_internal: bool = False,
+    ) -> DataFrame:
         """PoolScan: read a branch's live objects. Filters pushed by
         the caller reach parquet row-group stats; because objects are
         key-sorted, key-range predicates skip whole files.
@@ -604,6 +639,14 @@ class Pool:
         # footer schemas so later columns appear instead of silently
         # adopting the first file's schema
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        if not keep_internal:
+            # ns-exact time shadows are lake-internal (size/stat
+            # parity); the query layer sees µs timestamps only.
+            # Rewrite paths (delete/compact) keep them so rewritten
+            # objects stay ns-exact.
+            ns_cols = [c for c in df.columns if c.startswith("__zed_ns_")]
+            if ns_cols:
+                df = df.drop(*ns_cols)
         if not ordered and "__zed_seq" in df.columns:
             df = df.drop("__zed_seq")
         if ordered:
@@ -678,7 +721,7 @@ class Pool:
         if isinstance(predicate, str):
             predicate = F.expr(predicate)
         predicate = F.coalesce(predicate.cast("boolean"), F.lit(False))
-        kept = self.scan(branch).filter(~predicate)
+        kept = self.scan(branch, keep_internal=True).filter(~predicate)
         commit_id = new_ksuid()
         self._write_object(kept, commit_id)
         self._advance(
@@ -835,7 +878,8 @@ class Pool:
                     float(c["ts"]),
                     datetime.fromtimestamp(float(c["ts"]), tz=timezone.utc),
                     c.get("author", ""),
-                    c.get("message", ""),
+                    c.get("message", "")
+                    or (self._load_message(c) if c.get("add") else ""),
                     None if c.get("meta") is None else str(c["meta"]),
                     len(c.get("add", [])),
                     len(c.get("remove", [])),
@@ -874,6 +918,164 @@ class Pool:
             rows, "branch string, tip string, base string, n_commits int, n_objects int"
         )
 
+    def _object_size(self, obj_dir: str) -> int:
+        """The object's ZNG stream byte count, matching the
+        reference's writer EXACTLY (lake/data/writer.go via
+        zio/zngio/writer.go): rows in pool order (key in the pool
+        direction, nulls max, equal keys by the record's encoded
+        bytes in the same direction — zbuf/merger.go:20-31
+        NewComparatorNullsMax), ns-exact time values restored from
+        their shadow columns, LZ4 per frame (pierrec v4 bit-exact).
+        Meta queries only — the scan path never pays this collect."""
+        from zed_spark.sources.zng import _encode_body, encode_zng
+
+        odf = self.spark.read.parquet(obj_dir)
+        drop = [c for c in odf.columns if c == "__zed_seq"]
+        odf = odf.drop(*drop) if drop else odf
+        shadows = {
+            c[len("__zed_ns_"):]: c
+            for c in odf.columns
+            if c.startswith("__zed_ns_")
+        }
+        enc_schema = odf.drop(*shadows.values()).schema if shadows else odf.schema
+        raw = [r.asDict(recursive=True) for r in odf.collect()]
+        rows = []
+        for r in raw:
+            for col, sc in shadows.items():
+                ns = r.pop(sc, None)
+                if ns is not None:
+                    r[col] = ns  # int ns under TimestampType (encoder)
+            rows.append(r)
+        key = self.cfg.key
+        if key in odf.columns:
+            desc = self.cfg.order == "desc"
+
+            def sort_key(d):
+                v = d.get(key)
+                body = _encode_body(d, enc_schema) or b""
+                # nulls are the MAX key: desc → nulls first, asc →
+                # nulls last; equal keys by encoded bytes in the
+                # pool direction
+                if desc:
+                    null_rank = 0 if v is None else 1
+                else:
+                    null_rank = 1 if v is None else 0
+                return (null_rank, _Ord(v, desc), _Ord(body, desc))
+
+            rows.sort(key=sort_key)
+        return len(encode_zng(rows, enc_schema, compress=True))
+
+    def pool_stats(self, branch: str = "main") -> dict:
+        """GET /pool/<id>/stats (exec.PoolStats): total ZNG byte size
+        of the live objects plus the pool-key span at ns resolution
+        when available (span.dur = max - min + 1ns, nano.Span)."""
+        from datetime import datetime
+
+        by_obj = {
+            obj: c.get("stats", {})
+            for c in self.commits()
+            for obj in c.get("add", [])
+        }
+        size = 0
+        mn_ns = mx_ns = None
+        for obj in self._live_objects(branch):
+            try:
+                size += self._object_size(os.path.join(self.cfg.path, obj))
+            except Exception:
+                pass
+            st = by_obj.get(obj, {})
+
+            def to_ns(v):
+                if isinstance(v, dict) and v.get("t") == "time":
+                    d = datetime.fromisoformat(v["v"])
+                    return int(d.timestamp() * 1_000_000) * 1000
+                return None
+
+            lo = st.get("min_ns")
+            if lo is None:
+                lo = to_ns(st.get("min"))
+            hi = st.get("max_ns")
+            if hi is None:
+                hi = to_ns(st.get("max"))
+            if lo is not None:
+                mn_ns = lo if mn_ns is None else min(mn_ns, lo)
+            if hi is not None:
+                mx_ns = hi if mx_ns is None else max(mx_ns, hi)
+        return {"size": size, "min_ns": mn_ns, "max_ns": mx_ns}
+
+    def _load_message(self, e: dict) -> str:
+        """The reference's auto-generated load commit message
+        (lake/branch.go loadMessage + data/object.go:91), synthesized
+        lazily so loads never pay the exact-size collect."""
+        adds = e.get("add") or []
+        n = len(adds)
+        lines = [f"loaded {n} data object" + ("s" if n != 1 else ""), ""]
+        cnt = (e.get("stats") or {}).get("count", 0)
+        for o in adds:
+            try:
+                size = self._object_size(os.path.join(self.cfg.path, o))
+            except Exception:
+                size = 0
+            plural = "" if cnt == 1 else "s"
+            lines.append(
+                f"  {o.removeprefix('obj_')} {cnt} record{plural}"
+                f" in {size} data bytes"
+            )
+        return "\n".join(lines) + "\n"
+
+    def log_text(self, head_branch: str = "main") -> list[str]:
+        """git-style `db log` rendering (zio/lakeio/writer.go
+        formatCommit): newest-first walk of the branch chain with
+        branch decorations, Author/Date, and the message paragraph at
+        a 4-space indent. A load commit with no message renders the
+        reference's auto message (lake/branch.go loadMessage +
+        data/object.go:91: '<id> N records in S data bytes') — the
+        size is the object's exact ZNG stream byte count, computed
+        lazily here (meta path; never at load time)."""
+        from datetime import datetime, timezone
+
+        b = self.branches()
+        if head_branch not in b:
+            raise ValueError(f'"{head_branch}": branch not found')
+        tip_of: dict = {}
+        for nm, info in b.items():
+            tip_of.setdefault(info["tip"], []).append(nm)
+        idx = {e["commit"]: e for e in self.commits()}
+        lines: list[str] = []
+        cur = b[head_branch]["tip"]
+        while cur:
+            e = idx.get(cur)
+            if e is None:
+                break
+            hdr = f"commit {cur}"
+            names = tip_of.get(cur, [])
+            if names:
+                parts = [
+                    f"HEAD -> {nm}" if nm == head_branch else nm
+                    for nm in sorted(
+                        names, key=lambda x: (x != head_branch, x)
+                    )
+                ]
+                hdr += " (" + ", ".join(parts) + ")"
+            lines.append(hdr)
+            lines.append(f"Author: {e.get('author') or ''}")
+            d = datetime.fromtimestamp(
+                int(e.get("ts") or 0), tz=timezone.utc
+            )
+            lines.append("Date:   " + d.strftime("%Y-%m-%dT%H:%M:%SZ"))
+            lines.append("")
+            msg = e.get("message") or ""
+            if not msg and e.get("add"):
+                msg = self._load_message(e)
+            if msg:
+                for ln in msg.splitlines():
+                    lines.append(f"    {ln.strip()}" if ln.strip() else "")
+                lines.append("")
+            cur = e.get("parent")
+        while lines and lines[-1] == "":
+            lines.pop()
+        return lines
+
     def meta_objects(self, branch: str = "main") -> DataFrame:
         """`from <pool>:objects` — live objects with the key range /
         row count recorded at load time (lake/data/object.go: the
@@ -899,17 +1101,7 @@ class Pool:
             # so re-encode — meta queries only, the scan path never
             # pays this (lake/ztests/meta: size 18 for two int rows)
             try:
-                from zed_spark.sources.zng import encode_zng
-
-                odf = self.spark.read.parquet(d)
-                if "__zed_seq" in odf.columns:
-                    # internal load-order sequence, not object data
-                    odf = odf.drop("__zed_seq")
-                size = len(
-                    encode_zng(
-                        odf.collect(), odf.schema, compress=False
-                    )
-                )
+                size = self._object_size(d)
             except Exception:
                 size = sum(
                     os.path.getsize(os.path.join(d, f))
@@ -929,8 +1121,18 @@ class Pool:
                     "max": dec(st.get("max")),
                     "count": st.get("count"),
                     "size": size,
+                    "min_ns": st.get("min_ns"),
+                    "max_ns": st.get("max_ns"),
                 }
             )
+        # ns-exact stats: when objects recorded their key range at ns
+        # resolution (sub-µs loads), the meta frame KEEPS µs
+        # timestamps for the value/query layer but rides the exact
+        # int64 ns in `__zed_ns_min`/`__zed_ns_max` shadow columns —
+        # the ZSON renderers consult them so `-Z from :objects` prints
+        # the full ns text (ls.yaml golden: min: ...06852324Z) while
+        # projections ({min,max}) still yield plain timestamps
+        ns_exact = any(r["min_ns"] is not None for r in rows)
         from pyspark.sql import types as T
 
         def key_t():
@@ -949,18 +1151,23 @@ class Pool:
             return T.StringType()
 
         kt = key_t()
-        schema = T.StructType(
-            [
-                T.StructField("id", T.BinaryType()),
-                T.StructField("min", kt),
-                T.StructField("max", kt),
-                T.StructField("count", T.LongType()),
-                T.StructField("size", T.LongType()),
+        fields = [
+            T.StructField("id", T.BinaryType()),
+            T.StructField("min", kt),
+            T.StructField("max", kt),
+            T.StructField("count", T.LongType()),
+            T.StructField("size", T.LongType()),
+        ]
+        if ns_exact:
+            fields += [
+                T.StructField("__zed_ns_min", T.LongType()),
+                T.StructField("__zed_ns_max", T.LongType()),
             ]
-        )
+        schema = T.StructType(fields)
         out = self.spark.createDataFrame(
             [
                 (r["id"], r["min"], r["max"], r["count"], r["size"])
+                + ((r["min_ns"], r["max_ns"]) if ns_exact else ())
                 for r in rows
             ],
             schema,

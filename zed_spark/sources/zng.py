@@ -545,6 +545,11 @@ def _encode_body(v, dt) -> bytes | None:
     if isinstance(dt, T.StringType):
         return str(v).encode("utf-8")
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        if isinstance(v, int):
+            # ns-exact int64 (nano.Ts, value.go:84): the lake's size
+            # parity path substitutes the stored ns shadow for the
+            # µs-truncated timestamp — encode the raw ns directly
+            return _int_bytes(v)
         if isinstance(v, datetime):
             ts = v if v.tzinfo else v.replace(tzinfo=timezone.utc)
         else:  # date
@@ -667,7 +672,6 @@ def _lz4_block_compress(src: bytes):
             ):
                 h = _lz4_hash(match >> 16)
                 ref3 = get(h, si + 2)
-                put(h, si + 2)
                 si += 1
                 offset = si - ref2
                 if (
@@ -676,6 +680,11 @@ def _lz4_block_compress(src: bytes):
                     or ((match >> 8) & 0xFFFFFFFF) != u32(ref2)
                 ):
                     si += 1
+                    # pierrec inserts the third-candidate hash ONLY
+                    # when the second candidate also failed (verified
+                    # byte-exact against reference-written .zng
+                    # frames; an eager insert diverges)
+                    put(h, si)
                     offset = si - ref3
                     if (
                         offset <= 0

@@ -1091,6 +1091,57 @@ def read_zson_fused(spark: SparkSession, path: str) -> DataFrame:
     return fuse_shape_groups(read_zson(spark, path))
 
 
+def zson_to_df_ns(spark: SparkSession, text: str) -> DataFrame | None:
+    """Driver-side ZSON → DataFrame carrying `__zed_ns_<field>` int64
+    shadows for top-level time fields with sub-µs precision, so lake
+    loads keep the exact ns the reference stores (nano.Ts,
+    value.go:84). Returns None when the input isn't a uniform record
+    stream (callers fall back to the normal reader)."""
+    import re as _re9
+
+    if not _re9.search(r"\d{2}:\d{2}:\d{2}\.\d{7,}", text):
+        return None
+    try:
+        vals, _ = parse_zson_typed(text)
+        vals_ns, _ = parse_zson_typed(text, time_ns=True)
+    except Exception:
+        return None
+    if not vals or len(vals) != len(vals_ns):
+        return None
+    if not all(isinstance(v, dict) and not isinstance(v, ZMap) for v in vals):
+        return None
+    t = T.NullType()
+    for v in vals:
+        t = _merge_type(t, _infer_type(v))
+    t = _finalize(t)
+    if not isinstance(t, T.StructType):
+        return None
+    from datetime import datetime as _dt
+
+    shadows: dict[str, list] = {}
+    for f in t.fields:
+        if not isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+            continue
+        nsv = [v.get(f.name) for v in vals_ns]
+        if all(x is None or isinstance(x, int) for x in nsv):
+            shadows[f.name] = nsv
+    if not shadows:
+        return None
+    rows = [_conform(v, t) for v in vals]
+    out_t = T.StructType(
+        list(t.fields)
+        + [
+            T.StructField(f"__zed_ns_{c}", T.LongType())
+            for c in shadows
+        ]
+    )
+    rows = [
+        r + tuple(shadows[c][i] for c in shadows)
+        for i, r in enumerate(rows)
+    ]
+    return spark.createDataFrame(rows, out_t)
+
+
 # --- writer ----------------------------------------------------------------
 
 _IMPLIED = (
@@ -1220,6 +1271,22 @@ def _dump_pretty(v, t: T.DataType, level: int = 0, zdesc=None) -> str:
             for k, val in v.items()
         ]
         return "|{\n" + ",\n".join(parts) + "\n" + pad + "}|" + suffix
+    if (
+        d is not None
+        and d[0] == "prim"
+        and isinstance(v, int)
+        and not isinstance(v, bool)
+    ):
+        # ns-opt-in time/duration columns ride as int64 ns with the
+        # sidecar naming the zed type; render full ns text (nano.Ts)
+        if d[1] == "time":
+            from zed_spark.functions.ztime import format_time_ns
+
+            return format_time_ns(v) + suffix
+        if d[1] == "duration":
+            from zed_spark.functions.ztime import format_duration_ns
+
+            return format_duration_ns(v) + suffix
     return _dump_value(v, t) + suffix
 
 
@@ -1236,11 +1303,14 @@ def df_to_zson_pretty(df: DataFrame) -> list[str]:
         return [_dump_pretty(r["this"], dt, 0) for r in df.collect()]
     miss_idx = None
     types_idx = None
+    ns_shadow_idx: dict = {}
     for i, f in enumerate(schema.fields):
         if f.name == "__zed_missing":
             miss_idx = i
         if f.name == "__zed_types":
             types_idx = i
+        if f.name.startswith("__zed_ns_"):
+            ns_shadow_idx[f.name[len("__zed_ns_"):]] = i
     out = []
     for row in df.collect():
         missing = (
@@ -1254,7 +1324,9 @@ def df_to_zson_pretty(df: DataFrame) -> list[str]:
 
         def fdesc(name):
             s = tmap.get(name)
-            if not s or "=" not in s:
+            # named types decorate; bare time/duration marks an
+            # ns-opt-in int64 column (rendered as full-ns text)
+            if not s or ("=" not in s and s not in ("time", "duration")):
                 return None
             try:
                 from zed_spark.sources.ztypes import parse_type_string
@@ -1268,7 +1340,19 @@ def df_to_zson_pretty(df: DataFrame) -> list[str]:
             if f.name.startswith("__zed_") or f.name in missing:
                 continue
             d0 = fdesc(f.name)
-            body = _dump_pretty(row[i], f.dataType, 1, d0)
+            ns_i = ns_shadow_idx.get(f.name)
+            if (
+                ns_i is not None
+                and row[i] is not None
+                and row[ns_i] is not None
+            ):
+                # ns-exact shadow (lake :objects min/max): render the
+                # full ns text instead of the µs-truncated timestamp
+                from zed_spark.functions.ztime import format_time_ns
+
+                body = format_time_ns(row[ns_i])
+            else:
+                body = _dump_pretty(row[i], f.dataType, 1, d0)
             deco = _DECORATE.get(f.dataType)
             if deco and row[i] is not None and d0 is None:
                 body = f"{body} ({deco})"
@@ -1296,9 +1380,12 @@ def df_to_zson_lines(df: DataFrame):
     schema = df.schema
     miss_idx = None
     fields = list(schema.fields)
+    ns_shadow_idx: dict = {}
     for i, f in enumerate(fields):
         if f.name == "__zed_missing":
             miss_idx = i
+        if f.name.startswith("__zed_ns_"):
+            ns_shadow_idx[f.name[len("__zed_ns_"):]] = i
     render_fields = [
         (i, f)
         for i, f in enumerate(fields)
@@ -1315,7 +1402,18 @@ def df_to_zson_lines(df: DataFrame):
         for i, f in render_fields:
             if f.name in missing:
                 continue
-            val = _dump_value(row[i], f.dataType)
+            ns_i = ns_shadow_idx.get(f.name)
+            if (
+                ns_i is not None
+                and row[i] is not None
+                and row[ns_i] is not None
+            ):
+                # ns-exact shadow column: full-ns time text
+                from zed_spark.functions.ztime import format_time_ns
+
+                val = format_time_ns(row[ns_i])
+            else:
+                val = _dump_value(row[i], f.dataType)
             deco = _DECORATE.get(f.dataType)
             if deco and row[i] is not None:
                 val = f"{val} ({deco})"
