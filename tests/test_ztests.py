@@ -134,11 +134,15 @@ for _d in (
     # interpreter (_run_db_script_case)
     "/root/reference/lake/ztests",
     "/root/reference/service/ztests",
+    # round-8: the zfmt pretty-printer corpus (canonical AST + DAG
+    # prints) runs against zed_spark/lang/zfmt.py via the
+    # `super dev compile` script form
+    "/root/reference/zfmt/ztests",
 ):
 # deliberately OUT of the sweep: compiler/parser (super-dev AST
-# goldens), zfmt (language pretty-printer goldens), cmd/super/db
-# (covered via lake/ztests), runtime/vam + vng + vcache (VNG-based —
-# documented non-goal: parquet is this engine's columnar store)
+# goldens), cmd/super/db (covered via lake/ztests),
+# runtime/vam + vng + vcache (VNG-based — documented non-goal:
+# parquet is this engine's columnar store)
     CASES.extend(sorted(_glob.glob(f"{_d}/*.yaml")))
 # normalize to absolute and dedupe (explicit entries are relative
 # to ZTESTS)
@@ -273,12 +277,6 @@ UNSUPPORTED.update(
             "par-ts": _LAKEC,
             "pushdown": _LAKEC,
             "sem-groupby-input-dir": _LAKEC,
-            "head": _DEV,
-            "tail": _DEV,
-            "join-subquery": _DEV,
-            "merge-filters": _DEV,
-            "remove-passops": _DEV,
-            "udf-implied-where": _DEV,
         }.items()
     }
 )
@@ -291,7 +289,6 @@ UNSUPPORTED.update(
             "aggmem": "resource-limit rejection (-aggmem 0): limits "
             "are Spark's (spill), flag is accepted-and-ignored "
             "[script]",
-            "ast": "-C canonical AST print (zfmt domain) [script]",
             "error-stdin-name": _CLI,
             "error-stdin-name-auto": _CLI,
             "http-multiple": _NET,
@@ -838,6 +835,34 @@ def _unroll_loops(text: str, files: dict) -> str:
     lines = text.splitlines()
     i = 0
     while i < len(lines):
+        wm = _re.match(
+            r"\s*while\s+read\s+(?:-r\s+)?(\w+)\s*;?\s*do\s*$", lines[i]
+        )
+        if wm:
+            # `while read -r line; do ... done < file` — unroll over
+            # the input file's lines (zfmt/ztests/precedence.yaml)
+            var = wm.group(1)
+            body: list[str] = []
+            i += 1
+            while i < len(lines) and not _re.match(
+                r"\s*done\s*<\s*(\S+)\s*$", lines[i]
+            ):
+                body.append(lines[i])
+                i += 1
+            dm = _re.match(r"\s*done\s*<\s*(\S+)\s*$", lines[i])
+            i += 1
+            src_name = dm.group(1)
+            data = files.get(src_name, "")
+            if isinstance(data, bytes):
+                data = data.decode()
+            for item in str(data).splitlines():
+                for ln in body:
+                    out_lines.append(
+                        ln.replace(f"${{{var}}}", f"'{item}'").replace(
+                            f"${var}", f"'{item}'"
+                        )
+                    )
+            continue
         m = _re.match(r"\s*for\s+(\w+)\s+in\s+(.*?);?\s*do\s*$", lines[i])
         if not m:
             out_lines.append(lines[i])
@@ -2020,6 +2045,91 @@ def _emit_split(spark, df, wrapped, st, fmt, files, outs, path, serialize):
     assert not missing_outs, f"{path}: split never wrote {sorted(missing_outs)}"
 
 
+def _dev_compile_line(line: str, files: dict, env=None) -> str | None:
+    """Recognize a `super dev compile ...` / `super query -C ...`
+    script line and return its printed output (zfmt domain), or None
+    if the line is not a compile-print invocation.  Trailing
+    `| sed -e ...` stages (the par-*/pushdown ID scrubbers) are
+    applied to the output."""
+    import shlex as _shlex
+
+    from zed_spark.lang.zfmt import dev_compile
+
+    sed_progs: list[tuple[str, str]] = []
+    if "|" in line:
+        # split a trailing sed pipe off (quotes-aware)
+        parts = line.split("|")
+        # find the last top-level pipe whose rhs starts with sed
+        for j in range(len(parts) - 1, 0, -1):
+            lhs = "|".join(parts[:j])
+            rhs = "|".join(parts[j:]).strip()
+            if rhs.startswith("sed "):
+                try:
+                    toks = _shlex.split(lhs)
+                except ValueError:
+                    continue
+                if toks[:3] == ["super", "dev", "compile"] or (
+                    toks[:2] == ["super", "query"] and "-C" in toks
+                ):
+                    for sm in _re.finditer(
+                        r"-e\s+(['\"])(.*?)\1", rhs
+                    ):
+                        prog = sm.group(2)
+                        pm = _re.match(r"s/(.*?)/(.*?)/[g]?$", prog)
+                        if pm:
+                            sed_progs.append((pm.group(1), pm.group(2)))
+                    line = lhs.strip()
+                break
+    try:
+        toks = _shlex.split(line)
+    except ValueError:
+        return None
+    is_dev = toks[:3] == ["super", "dev", "compile"]
+    is_query = toks[:2] == ["super", "query"] and "-C" in toks
+    if not (is_dev or is_query):
+        return None
+    args = toks[3:] if is_dev else toks[2:]
+    canon = sem = opt = False
+    par = 0
+    sources: list[str] = []
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "-C":
+            canon = True
+        elif a == "-s":
+            sem = True
+        elif a == "-O":
+            opt = True
+        elif a == "-P":
+            par = int(args[i + 1])
+            i += 1
+        elif a == "-I":
+            inc = files.get(args[i + 1])
+            if inc is None:
+                raise FileNotFoundError(args[i + 1])
+            if isinstance(inc, bytes):
+                inc = inc.decode()
+            sources.append(inc.strip())
+            i += 1
+        elif a == "-c":
+            sources.append(args[i + 1])
+            i += 1
+        elif a.startswith("-"):
+            pass
+        else:
+            sources.append(a)
+        i += 1
+    src = "\n".join(sources)
+    out = dev_compile(src, canon=canon, sem=sem, opt=opt, par=par, env=env)
+    for pat, repl in sed_progs:
+        out = _re.sub(pat, repl, out)
+    return out
+
+
+_ECHO_MARK = "\x00echo\x00"
+
+
 def _run_script_case(spark, case: dict, path: str):
     """script/inputs/outputs ztest form (ztest/ztest.go): run each
     query invocation against its named input files and compare against
@@ -2107,9 +2217,32 @@ def _run_script_case(spark, case: dict, path: str):
     stdout_text: list[str] = []  # text-format (-f zeek/csv) stdout
     for line in logical:
         if _re.match(r"echo\s", line) and "|" not in line:
-            # bare echo: a separator the expected stdout also carries
-            separators.add(" ".join(_shlex.split(line[5:])))
+            # bare echo: a separator the expected stdout also carries.
+            # Text-mode outputs (dev-compile prints) keep it in
+            # position via the marker; value-mode comparisons filter
+            # it from `want` via `separators`.
+            _etxt = " ".join(_shlex.split(line[5:]))
+            separators.add(_etxt)
+            stdout_text.append(_ECHO_MARK + _etxt)
             continue
+        _devline = line[1:].strip() if line.startswith("!") else line
+        if _devline.startswith("super dev compile") or (
+            _devline.startswith("super query") and " -C" in _devline
+        ):
+            try:
+                _devout = _dev_compile_line(_devline, files)
+            except Exception:
+                if line.startswith("!"):
+                    ran += 1
+                    continue
+                raise
+            if _devout is not None:
+                assert not line.startswith("!"), (
+                    f"{path}: expected-fail compile succeeded: {line}"
+                )
+                stdout_text.append(_devout)
+                ran += 1
+                continue
         if line.split() in (
             ["super", "-version"],
             ["super", "query", "-version"],
@@ -2514,8 +2647,15 @@ def _run_script_case(spark, case: dict, path: str):
         elif df is not None:  # None: the stage wrote a -o file instead
             stdout_acc.append((df, bool(wrapped)))
         ran += 1
+    _has_real_text = any(not t.startswith(_ECHO_MARK) for t in stdout_text)
+    if not _has_real_text:
+        # no text-format output: echo markers were separators only
+        stdout_text = []
     if stdout_text and not stdout_acc:
-        got = "\n".join(stdout_text)
+        got = "\n".join(
+            t[len(_ECHO_MARK):] if t.startswith(_ECHO_MARK) else t
+            for t in stdout_text
+        )
         if "stdout" in out_res2:
             pat = out_res2["stdout"].strip()
             assert _re.search(pat, got), (
