@@ -266,17 +266,11 @@ UNSUPPORTED.update(
     {
         f"/root/reference/compiler/ztests/{k}.yaml": v
         for k, v in {
-            "const-source": _LAKEC,
             "load": "input fixture ../../testdata/edu/schools.zson is "
             "absent from the reference snapshot [script]",
-            "par-count": _LAKEC,
-            "par-groupby-func": _LAKEC,
-            "par-join": _LAKEC,
-            "par-layout-dataflow": _LAKEC,
-            "par-pushdown": _LAKEC,
-            "par-ts": _LAKEC,
-            "pushdown": _LAKEC,
-            "sem-groupby-input-dir": _LAKEC,
+            "par-pushdown": "JSON (non-canonical) DAG print piped "
+            "into a query — needs the reference's dag-package JSON "
+            "marshal shape [script]",
         }.items()
     }
 )
@@ -1516,6 +1510,33 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
         if "$(" in line:
             raise ValueError("command substitution outside harness subset")
         line = re.sub(r"\s*\|\s*sort(\s+-\w+)*\s*$", "", line)
+        if line.startswith("super dev compile"):
+            # zfmt plan-print form over THIS lake's pools
+            def _pinfo(name, lake=lake):
+                try:
+                    p = lake.pool(name)
+                except Exception:
+                    return None
+                return {"id": p.cfg.id, "key": p.cfg.key,
+                        "order": p.cfg.order, "commit": p.cfg.id}
+
+            try:
+                _devout = _dev_compile_line(
+                    line, files, env={"pool_info": _pinfo}
+                )
+            except Exception:
+                if expect_fail:
+                    ran += 1
+                    continue
+                raise
+            if _devout is not None:
+                assert not expect_fail, (
+                    f"{path}: expected-fail compile succeeded: {line}"
+                )
+                for _ln in _devout.splitlines():
+                    text_emit(_ln)
+                ran += 1
+                continue
 
         def run_line(line=line):
             piped = None
@@ -2077,7 +2098,12 @@ def _dev_compile_line(line: str, files: dict, env=None) -> str | None:
                         prog = sm.group(2)
                         pm = _re.match(r"s/(.*?)/(.*?)/[g]?$", prog)
                         if pm:
-                            sed_progs.append((pm.group(1), pm.group(2)))
+                            # BRE escapes → Python re syntax
+                            bre = pm.group(1)
+                            for a, b in (("\\{", "{"), ("\\}", "}"),
+                                         ("\\(", "("), ("\\)", ")")):
+                                bre = bre.replace(a, b)
+                            sed_progs.append((bre, pm.group(2)))
                     line = lhs.strip()
                 break
     try:

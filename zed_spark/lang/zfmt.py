@@ -1817,18 +1817,17 @@ class _Sem:
             return out
         if k == "Pool":
             name = self._resolve_str(p["pool"], "POOL")
-            pools = self.env.get("pools", {})
-            if name in pools:
-                pid = pools[name]
-            elif callable(self.env.get("pool_id")):
-                pid = self.env["pool_id"](name)
-            else:
-                pid = None
-            if pid is None:
+            info = None
+            if callable(self.env.get("pool_info")):
+                info = self.env["pool_info"](name)
+            if info is None:
                 raise ZfmtError("%s: pool not found" % name)
-            node = {"k": "PoolScan", "id": str(pid)}
+            node = {"k": "PoolScan", "id": str(info["id"]),
+                    "key": info.get("key", "ts"),
+                    "order": info.get("order", "asc"),
+                    "commit": str(info.get("commit", ""))}
             if p.get("meta"):
-                node = {"k": "PoolMetaScan", "id": str(pid),
+                node = {"k": "PoolMetaScan", "id": str(info["id"]),
                         "meta": p["meta"]}
             out.append(node)
             return out
@@ -2003,7 +2002,11 @@ class _Sem:
             lhs = a["lhs"]
             if lhs is None:
                 lhs = {"k": "ID", "name": a["rhs"]["name"]}
-            aggs.append((self.expr(lhs), self.expr(a["rhs"])))
+            dl = self.expr(lhs)
+            if dl.get("k") != "This":
+                raise ZfmtError(
+                    "aggregate output field must be static")
+            aggs.append((dl, self.expr(a["rhs"])))
         keys = []
         for a in p["keys"]:
             rhs = a["rhs"]
@@ -2013,7 +2016,10 @@ class _Sem:
                     lhs = {"k": "ID", "name": "ts"}
                 else:
                     lhs = rhs
-            keys.append((self.expr(lhs), self.expr(rhs)))
+            dl = self.expr(lhs)
+            if dl.get("k") != "This":
+                raise ZfmtError("output field must be static")
+            keys.append((dl, self.expr(rhs)))
         node = {"k": "DagSummarize", "aggs": aggs, "keys": keys,
                 "limit": p.get("limit", 0), "partials": "",
                 "sort_dir": 0}
@@ -2845,6 +2851,235 @@ def dev_compile(src: str, canon: bool = True, sem: bool = False,
     dag = _Sem(env).analyze(seq)
     if opt or par:
         dag = optimize_dag(dag)
+        dag = _lower_pool_scans(dag)
     if par:
         dag = parallelize_dag(dag, par)
     return format_dag(dag)
+
+
+# ---------------------------------------------------------------------------
+# lake lowering + parallelizer (-O / -P over pool scans)
+
+
+def _conjuncts(e) -> list:
+    if e["k"] == "DagBin" and e["op"] == "and":
+        return _conjuncts(e["lhs"]) + _conjuncts(e["rhs"])
+    return [e]
+
+
+def _key_pruner(filt, key: str):
+    """Range predicates on the pool key become the object pruner:
+    `key >= L` prunes objects with compare(L, max, true)>0 and
+    `key <= U` with compare(U, min, true)<0, OR-joined (the
+    reference optimizer's inverted-range test)."""
+    if filt is None:
+        return None
+    clauses = []
+    for c in _conjuncts(filt):
+        if c["k"] != "DagBin":
+            continue
+        lhs, rhs, op = c["lhs"], c["rhs"], c["op"]
+        if not (lhs.get("k") == "This" and lhs["path"] == [key]
+                and rhs.get("k") == "Literal"):
+            continue
+        lit = {"k": "Literal", "text": rhs["text"]}
+        if op in (">=", ">"):
+            clauses.append({
+                "k": "DagBin", "op": ">",
+                "lhs": {"k": "DagCall", "name": "compare",
+                        "args": [lit, {"k": "This", "path": ["max"]},
+                                 {"k": "Literal", "text": "true"}]},
+                "rhs": {"k": "Literal", "text": "0"},
+            })
+        elif op in ("<=", "<"):
+            clauses.append({
+                "k": "DagBin", "op": "<",
+                "lhs": {"k": "DagCall", "name": "compare",
+                        "args": [lit, {"k": "This", "path": ["min"]},
+                                 {"k": "Literal", "text": "true"}]},
+                "rhs": {"k": "Literal", "text": "0"},
+            })
+    if not clauses:
+        return None
+    acc = clauses[0]
+    for c in clauses[1:]:
+        acc = {"k": "DagBin", "op": "or", "lhs": acc, "rhs": c}
+    return acc
+
+
+def _lower_pool_scans(seq: list) -> list:
+    """-O/-P: a PoolScan becomes lister | slicer | seqscan, with the
+    following filter pushed into the seqscan and its pool-key range
+    clauses compiled to a pruner on both lister and seqscan; a
+    summarize directly downstream whose keys bucket the pool key
+    (every) runs with sort-dir 1 (sem-groupby-input-dir)."""
+    out: list = []
+    i = 0
+    while i < len(seq):
+        p = seq[i]
+        k = p["k"]
+        if k == "DagScope":
+            out.append(dict(p, body=_lower_pool_scans(p["body"])))
+            i += 1
+            continue
+        if k in ("Fork", "Scatter"):
+            out.append(dict(p, paths=[_lower_pool_scans(s)
+                                      for s in p["paths"]]))
+            i += 1
+            continue
+        if k != "PoolScan":
+            out.append(p)
+            i += 1
+            continue
+        key = p.get("key", "ts")
+        filt = None
+        j = i + 1
+        if j < len(seq) and seq[j]["k"] == "Filter":
+            filt = seq[j]["expr"]
+            j += 1
+        pruner = _key_pruner(filt, key)
+        out.append({"k": "Lister", "pool": p["id"],
+                    "commit": p.get("commit") or p["id"],
+                    "pruner": pruner})
+        out.append({"k": "Slicer"})
+        out.append({"k": "SeqScan", "pool": p["id"], "commit": "",
+                    "pruner": pruner, "filter": filt,
+                    "key": key, "order": p.get("order", "asc")})
+        if j < len(seq) and seq[j]["k"] == "DagSummarize" and any(
+            rhs.get("k") == "DagCall" and rhs["name"] == "every"
+            for _lhs, rhs in seq[j]["keys"]
+        ):
+            seq[j] = dict(seq[j], sort_dir=1)
+        i = j
+    return out
+
+
+def parallelize_dag(seq: list, n: int) -> list:
+    """-P N: split an ordered pool scan into N scatter legs with a
+    merge (order preserved) or combine (order lost), pushing
+    parallelizable ops into the legs and summarizes into
+    partials-out / partials-in pairs (the reference parallelizer's
+    print-visible behavior, compiler/ztests/par-*)."""
+    out: list = []
+    i = 0
+    while i < len(seq):
+        p = seq[i]
+        k = p["k"]
+        if k == "DagScope":
+            out.append(dict(p, body=parallelize_dag(p["body"], n)))
+            i += 1
+            continue
+        if k == "Fork":
+            out.append(dict(p, paths=[parallelize_dag(s, n)
+                                      for s in p["paths"]]))
+            i += 1
+            continue
+        if not (
+            k == "Lister"
+            and i + 2 < len(seq)
+            and seq[i + 1]["k"] == "Slicer"
+            and seq[i + 2]["k"] == "SeqScan"
+        ):
+            out.append(p)
+            i += 1
+            continue
+        lister, scan = p, seq[i + 2]
+        rest = seq[i + 3 :]
+        followers = [o for o in rest if o["k"] != "DagOutput"]
+        if not followers and scan.get("filter") is None:
+            # a bare pool scan is not parallelized (par-join comment)
+            out.extend(seq[i : i + 3])
+            i += 3
+            continue
+        key = [scan.get("key", "ts")]
+        order = scan.get("order", "asc")
+        from_pool = True  # ordering still derives from the pool key
+        legs: list = [scan]
+        post: list = []
+        j = 0
+        while j < len(rest):
+            op = rest[j]
+            ok = op["k"]
+            if ok == "Cut":
+                if key is not None:
+                    newkey = None
+                    for lhs, rhs in op["args"]:
+                        if rhs.get("k") == "This" and rhs["path"] == key:
+                            newkey = lhs["path"]
+                            break
+                    key = newkey
+                legs.append(op)
+            elif ok in ("Put", "Filter", "Drop"):
+                if ok == "Put" and key is not None and any(
+                    lhs.get("k") == "This" and lhs["path"] == key
+                    for lhs, _r in op["args"]
+                ):
+                    key = None
+                if ok == "Drop" and key is not None and any(
+                    e.get("k") == "This" and e["path"] == key
+                    for e in op["args"]
+                ):
+                    key = None
+                legs.append(op)
+            elif ok == "Rename":
+                if key is not None:
+                    for lhs, rhs in op["args"]:
+                        if rhs.get("k") == "This" and rhs["path"] == key:
+                            key = lhs["path"]
+                            break
+                legs.append(op)
+            elif ok == "DagSort":
+                if not op["args"]:
+                    # bare sort destroys order and cannot split
+                    key = None
+                    from_pool = False
+                    break
+                legs.append(op)
+                e0, order = op["args"][0]
+                key = e0["path"] if e0.get("k") == "This" else None
+                from_pool = False
+                j += 1
+                break
+            elif ok == "DagSummarize":
+                sort_dir = op.get("sort_dir", 0)
+                keeps_order = sort_dir == 1 or (
+                    key is not None
+                    and any(lhs.get("k") == "This" and lhs["path"] == key
+                            for lhs, _r in op["keys"])
+                )
+                legs.append(dict(op, partials="out",
+                                 sort_dir=1 if keeps_order else 0))
+                keys_in = [(lhs, {"k": "This", "path": list(lhs["path"])})
+                           for lhs, _r in op["keys"]]
+                post.append(dict(op, partials="in", keys=keys_in,
+                                 sort_dir=1 if keeps_order else 0))
+                if not keeps_order:
+                    key = None
+                    from_pool = False
+                j += 1
+                break
+            elif ok in ("Head", "Tail"):
+                legs.append(op)
+                post.append(op)
+                j += 1
+                break
+            else:
+                break
+            j += 1
+        post += rest[j:]
+        out.append(lister)
+        if key is not None and from_pool:
+            out.append({"k": "Slicer"})
+        out.append({"k": "Scatter", "paths": [list(legs)
+                                              for _ in range(n)]})
+        if key is not None:
+            out.append({"k": "DagMerge",
+                        "expr": {"k": "This", "path": key},
+                        "order": order})
+        else:
+            out.append({"k": "Combine"})
+        out.extend(parallelize_dag(post, n) if any(
+            o["k"] == "Fork" for o in post
+        ) else post)
+        return out
+    return out
