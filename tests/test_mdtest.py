@@ -42,15 +42,14 @@ _E = "residual error-value semantics beyond the carrier model [errval]"
 _F = "function form beyond the engine's static-type dispatch [func]"
 _SC = "shell form outside the harness script subset [script]"
 
-# Round 7 closed every [union]/[shape]/[errval]/[func] doc gap; the
-# four left are genuine boundaries: a sketch point-estimate, a network
-# source, the zfmt pretty-printer domain, and an error-text golden.
+# Round 7 closed every [union]/[shape]/[errval]/[func] doc gap; round
+# 8 took the zfmt canonical print. The three left are genuine
+# boundaries: a sketch point-estimate, a network source, and a
+# fork-scoped type statement.
 MD_UNSUPPORTED: dict[str, str] = {
     "aggregates/dcount.md:3": "approx dcount point-estimate golden (our "
     "HLL sketch differs; accuracy bound pytest-pinned) [approx]",
     "operators/from.md:7": "`from https://...` network source [script]",
-    "pipeline-model.md:2": "-C canonical AST print (zfmt pretty-printer "
-    "domain, a declared non-goal) [script]",
     "statements.md:4": "type statement scoping across forked legs [script]",
 }
 

@@ -373,8 +373,6 @@ _LAKE_GAPS = {
     "lake/lake-version.yaml": _SH2,
     "lake/seek-index-null.yaml": "seek-index internals over null keys [script]",
     "service/auth.yaml": _SH2,
-    "service/compile.yaml": "query/compile endpoint returns the reference's "
-    "serialized AST (zfmt/AST-print domain) [script]",
     "service/offline-config-updates.yaml": _SH2,
     "service/orphaned-by-zui.yaml": _SH2,
     "service/python-auth.yaml": _SH2,

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import queue
+import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -544,6 +545,35 @@ class QueryService:
                 st["size"], span
             )
             return 200, "application/x-zson", payload.encode()
+        if path == "/compile" and method == "POST":
+            # POST /compile (service/handlers.go:166 handleCompile):
+            # parse the query and return the serialized AST; parse
+            # failures respond with the parser ErrorList shape
+            # ({Msg,Pos,End} — compiler/parser/api.go:58).
+            spec = json.loads(body.decode() or "{}") if body.strip() else {}
+            text = spec.get("query") or ""
+            from zed_spark.lang.zfmt import parse_raw
+
+            try:
+                seq = parse_raw(text)
+            except Exception as e:
+                m = re.search(r"(?:at|pos)\s+(\d+)", str(e))
+                pos = int(m.group(1)) if m else 0
+                payload = {
+                    "type": "Error",
+                    "kind": "invalid operation",
+                    "error": "error parsing SuperPipe",
+                    "compilation_errors": [
+                        {"Msg": "error parsing SuperPipe", "Pos": pos,
+                         "End": -1}
+                    ],
+                }
+                return 400, "application/json", (
+                    json.dumps(payload) + "\n"
+                ).encode()
+            return 200, "application/json", (
+                json.dumps(seq, default=str) + "\n"
+            ).encode()
         if path == "/query/describe" and method == "POST":
             spec = json.loads(body.decode() or "{}") if body.strip() else {}
             text = (spec.get("query") or "").strip()
