@@ -268,9 +268,6 @@ UNSUPPORTED.update(
         for k, v in {
             "load": "input fixture ../../testdata/edu/schools.zson is "
             "absent from the reference snapshot [script]",
-            "par-pushdown": "JSON (non-canonical) DAG print piped "
-            "into a query — needs the reference's dag-package JSON "
-            "marshal shape [script]",
         }.items()
     }
 )
@@ -329,8 +326,6 @@ UNSUPPORTED.update(
     {
         f"/root/reference/docs/language/ztests/{k}.yaml": v
         for k, v in {
-            "language-operators-1": "`super dev` script command "
-            "[script]",
         }.items()
     }
 )
@@ -1508,8 +1503,11 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
         if "$(" in line:
             raise ValueError("command substitution outside harness subset")
         line = re.sub(r"\s*\|\s*sort(\s+-\w+)*\s*$", "", line)
-        if line.startswith("super dev compile"):
-            # zfmt plan-print form over THIS lake's pools
+        if line.startswith("super dev compile") and not re.search(
+            r"\|\s*(?:super|zq)\b", line
+        ):
+            # zfmt plan-print form over THIS lake's pools (piped
+            # plan-into-query forms route through _run_segs instead)
             def _pinfo(name, lake=lake):
                 try:
                     p = lake.pool(name)
@@ -1740,6 +1738,26 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
                         str(i) for i in range(lo, hi + 1)
                     )
                     segs = segs[1:]
+            if segs and segs[0].strip().startswith("super dev compile"):
+                # plan-print producer feeding a query stage
+                # (compiler/ztests/par-pushdown pipes the JSON DAG)
+                def _pinfo2(name, lake=lake):
+                    try:
+                        p = lake.pool(name)
+                    except Exception:
+                        return None
+                    return {"id": p.cfg.id, "key": p.cfg.key,
+                            "order": p.cfg.order, "commit": p.cfg.id}
+
+                _devout = _dev_compile_line(
+                    segs[0].strip(), files, env={"pool_info": _pinfo2}
+                )
+                if len(segs) == 1:
+                    for _ln in (_devout or "").splitlines():
+                        text_emit(_ln)
+                    return
+                pend_text = _devout
+                segs = segs[1:]
             fmt = None
             curl_tail = False
             for seg in segs:
@@ -2145,7 +2163,13 @@ def _dev_compile_line(line: str, files: dict, env=None) -> str | None:
             sources.append(a)
         i += 1
     src = "\n".join(sources)
-    out = dev_compile(src, canon=canon, sem=sem, opt=opt, par=par, env=env)
+    if is_dev and not canon:
+        from zed_spark.lang.zfmt import dag_json
+
+        out = dag_json(src, opt=opt, par=par, env=env)
+    else:
+        out = dev_compile(src, canon=canon, sem=sem, opt=opt, par=par,
+                          env=env)
     for pat, repl in sed_progs:
         out = _re.sub(pat, repl, out)
     return out

@@ -3083,3 +3083,64 @@ def parallelize_dag(seq: list, n: int) -> list:
         ) else post)
         return out
     return out
+
+
+# ---------------------------------------------------------------------------
+# JSON DAG marshal (the non-canonical `super dev compile` output — the
+# reference dag package's kind-tagged JSON, subset)
+
+_JSON_KINDS = {
+    "DagScope": "Scope", "Fork": "Fork", "Scatter": "Scatter",
+    "DagSwitch": "Switch", "DagMerge": "Merge", "Combine": "Combine",
+    "DagSummarize": "Summarize", "Cut": "Cut", "Drop": "Drop",
+    "DagSort": "Sort", "Head": "Head", "Tail": "Tail", "Uniq": "Uniq",
+    "Filter": "Filter", "Put": "Put", "Rename": "Rename",
+    "Fuse": "Fuse", "DagJoin": "Join", "Lister": "Lister",
+    "SeqScan": "SeqScan", "Slicer": "Slicer", "DagOver": "Over",
+    "DagYield": "Yield", "DefaultScan": "DefaultScan",
+    "FileScan": "FileScan", "HTTPScan": "HTTPScan",
+    "PoolScan": "PoolScan", "Pass": "Pass", "DagOutput": "Output",
+    "Mirror": "Mirror", "DagTop": "Top", "DagLoad": "Load",
+    # exprs
+    "DagBin": "BinaryExpr", "DagUnary": "UnaryExpr",
+    "DagCall": "Call", "DagAgg": "Agg", "DagCond": "Conditional",
+    "DagIndex": "IndexExpr", "DagSlice": "SliceExpr",
+    "DagRecord": "RecordExpr", "DagArray": "ArrayExpr",
+    "DagSet": "SetExpr", "DagMap": "MapExpr", "DagSearch": "Search",
+    "This": "This", "Literal": "Literal", "Var": "Var",
+    "DagOverExpr": "OverExpr", "DagDot": "DotExpr",
+}
+
+
+def _dag_to_json(node):
+    if isinstance(node, list):
+        return [_dag_to_json(x) for x in node]
+    if isinstance(node, tuple):
+        # assignment pair
+        lhs, rhs = node
+        return {"kind": "Assignment", "lhs": _dag_to_json(lhs),
+                "rhs": _dag_to_json(rhs)}
+    if not isinstance(node, dict):
+        return node
+    k = node.get("k")
+    out = {"kind": _JSON_KINDS.get(k, k)}
+    for key, v in node.items():
+        if key == "k":
+            continue
+        jkey = {"text": "value", "value": "value"}.get(key, key)
+        out[jkey] = _dag_to_json(v)
+    return out
+
+
+def dag_json(src: str, opt: bool = False, par: int = 0, env=None) -> str:
+    """`super dev compile` without -C: the kind-tagged JSON DAG."""
+    import json as _json
+
+    seq = parse_raw(src)
+    dag = _Sem(env).analyze(seq)
+    if opt or par:
+        dag = optimize_dag(dag)
+        dag = _lower_pool_scans(dag)
+    if par:
+        dag = parallelize_dag(dag, par)
+    return _json.dumps(_dag_to_json(dag), indent=4)
