@@ -368,14 +368,9 @@ _LAKE_GAPS = {
     "lake/lake-version.yaml": _SH2,
     "lake/seek-index-null.yaml": "seek-index internals over null keys [script]",
     "service/auth.yaml": _SH2,
-    "service/offline-config-updates.yaml": _SH2,
-    "service/orphaned-by-zui.yaml": _SH2,
     "service/python-auth.yaml": _SH2,
     "service/python.yaml": _SH2,
     "service/query-describe.yaml": "bash for-loop + jq command substitution; the /query/describe endpoint itself is implemented and golden-pinned by tests/test_service.py::test_query_describe_endpoint [script]",
-    "service/query-runtime-error-log.yaml": _SH2,
-    "service/query-runtime-error.yaml": "empty-record load ({}) has no parquet schema [shape]",
-    "service/rootcontentfile.yaml": _SH2,
     "service/seek-index-null.yaml": "seek-index internals over null keys [script]",
 }
 UNSUPPORTED.update(
@@ -921,14 +916,31 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
     m0 = re.search(r"LAKE_EXTRA_FLAGS='[^']*-defaultfmt=(\w+)", case["script"])
     if m0:
         state["defaultfmt"] = m0.group(1)
+    # `LAKE_EXTRA_FLAGS=-rootcontentfile=f` serves that case file at
+    # the service root (service/ztests/rootcontentfile)
+    m1 = re.search(
+        r"LAKE_EXTRA_FLAGS='?-rootcontentfile=(\S+?)'?\s", case["script"]
+    )
+    root_content = (
+        str(files[m1.group(1)]) if m1 and m1.group(1) in files else None
+    )
+    # `-log.path=service.log`: service warnings land in that case
+    # file as JSON lines (query-runtime-error-log reads them back)
+    m2 = re.search(r"-log\.path=([\w.]+)", case["script"])
+    logname = m2.group(1) if m2 else None
 
     def service():
         if state["svc"] is None:
             from zed_spark.service import QueryService
 
             state["svc"] = QueryService(
-                spark, lake_root=root, default_fmt=state["defaultfmt"]
+                spark, lake_root=root, default_fmt=state["defaultfmt"],
+                root_content=root_content,
             )
+            if logname:
+                state["svc"].log_write = lambda t: files.__setitem__(
+                    logname, str(files.get(logname, "")) + t
+                )
         return state["svc"]
     # ordered stdout: ("text", str) message lines / separators and
     # ("frame", df) query results, in script order
@@ -1077,7 +1089,7 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
         args: list[str] = []
         valflags = {
             "-orderby", "-seekstride", "-meta", "-I", "-i",
-            "-user", "-message", "-author", "-where", "-S",
+            "-user", "-message", "-author", "-where", "-S", "-lake",
         }
         if cmd in ("query", "ls", "log"):
             valflags.add("-f")
@@ -1423,13 +1435,21 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
             shlex.split(s)
         except ValueError:
             continue
-        if s.startswith("source "):
-            # `source query.sh 'arg'`: inline the sourced script with
-            # $1..$n substituted (ztest query.sh helpers); the
-            # service.sh transport setup has no analog here
-            toks = shlex.split(s)
+        if s.startswith("source ") or re.match(
+            r"[A-Za-z_][A-Za-z_0-9]*=\S*\s+source\s+\S+", s
+        ):
+            # `source query.sh 'arg'` (possibly behind a VAR=...
+            # env prefix, e.g. LAKE_EXTRA_FLAGS=... source
+            # service.sh): inline the sourced script with $1..$n
+            # substituted (ztest query.sh helpers); the service.sh
+            # transport setup has no analog here
+            toks = shlex.split(s[s.index("source ") :])
             nm = toks[1]
-            if nm != "service.sh" and nm in files and str(files[nm]).strip():
+            if (
+                nm not in ("service.sh", "mockzui.sh")
+                and nm in files
+                and str(files[nm]).strip()
+            ):
                 body = str(files[nm])
                 for k, a in enumerate(toks[2:], start=1):
                     body = body.replace(f"${{{k}}}", a).replace(f"${k}", a)
@@ -1448,6 +1468,10 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
             line = line[1:].strip()
         if re.search(r">\s*&2\s*$", line) or line.rstrip().endswith(">&2"):
             continue  # stderr-only echoes (not compared)
+        if re.match(r"(kill|awaitdeadservice|awaitfile|sleep|trap)\b", line):
+            # process-lifecycle shell forms (mockzui.sh) — the
+            # in-process service has no child process to manage
+            continue
         # inline `$(cat NAME)` substitution from case inputs
         def _cat(m):
             nm = m.group(1)
@@ -1469,6 +1493,24 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
         am = re.match(r"^(\w+)=\$\((.*)\)\s*$", line, re.S)
         if am:
             var, inner = am.group(1), am.group(2)
+            sm = re.match(
+                r"sed\s+-n\s+'s/(.*)/(.*)/p'\s+(\S+)\s*$", inner
+            )
+            if sm and sm.group(3) in files:
+                # `rid=$(sed -n 's/PAT/REP/p' file)` — line-wise
+                # substitute-and-print over a captured case file
+                pat = sm.group(1)
+                for a, b in (("\\{", "{"), ("\\}", "}"),
+                             ("\\(", "("), ("\\)", ")")):
+                    pat = pat.replace(a, b)
+                rep = re.sub(r"\\(\d)", r"\\\1", sm.group(2))
+                hits = []
+                for ln in str(files[sm.group(3)]).splitlines():
+                    if re.search(pat, ln):
+                        hits.append(re.sub(pat, rep, ln))
+                shellvars[var] = "\n".join(hits)
+                ran += 1
+                continue
             posts: list[tuple] = []
             while True:
                 hm = re.search(r"\|\s*head\s+-(\d+)\s*$", inner)
@@ -1596,6 +1638,7 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
             fail = False
             wfmt = None
             ofile = None
+            dumpfile = None
             url = None
             i = 1
             while i < len(ctoks):
@@ -1615,9 +1658,11 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
                     ofile, i = ctoks[i + 1], i + 2
                 elif t == "--fail":
                     fail, i = True, i + 1
+                elif t in ("-D", "-sD"):
+                    # header dump into a named file (query-runtime-
+                    # error captures X-Request-Id from it)
+                    dumpfile, i = ctoks[i + 1], i + 2
                 elif t.startswith("-"):
-                    if t in ("-sD", "-D"):
-                        raise ValueError("curl header-dump form outside harness subset")
                     i += 1
                 else:
                     url, i = t, i + 1
@@ -1655,11 +1700,15 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
             params = dict(parse_qsl(u.query))
             import json as _json
 
+            resp_hdrs: dict = {}
             try:
                 resp = service().handle_api(
                     method, u.path, params, hdrs, bytes(body)
                 )
                 code, _ctype, payload = resp[:3]
+                if len(resp) > 3 and resp[3]:
+                    resp_hdrs = dict(resp[3])
+                resp_hdrs.setdefault("Content-Type", _ctype)
             except ApiError as e:
                 code = e.code
                 payload = (
@@ -1671,6 +1720,11 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
                 ).encode()
             if fail and code >= 400:
                 raise ValueError(f"curl --fail: HTTP {code}")
+            if dumpfile is not None:
+                files[dumpfile] = "HTTP/1.1 %d\r\n%s\r\n\r\n" % (
+                    code,
+                    "\r\n".join(f"{k}: {v}" for k, v in resp_hdrs.items()),
+                )
             text = payload.decode("utf-8", errors="replace")
             for fseg in parts[1:]:
                 ftoks = _shlex.split(fseg)

@@ -72,11 +72,22 @@ class QueryService:
         tables: dict | None = None,
         max_rows: int = 10_000,
         default_fmt: str = "zson",
+        root_content: str | None = None,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
         self.lake_root = lake_root
         self.tables = tables or {}
+        # `-rootcontentfile` flag: static content served at GET /
+        # (service/ztests/rootcontentfile — Zui hosting hook)
+        self.root_content = root_content
+        # per-request render errors, keyed by X-Request-Id (the
+        # reference streams 200 then records mid-stream failures;
+        # GET /query/status/<rid> reports them — service/ztests/
+        # query-runtime-error)
+        self.query_errors: dict[str, str] = {}
+        # `-log.path` sink: a callable receiving JSON log lines
+        self.log_write = None
         # result cap: an unbounded collect() would let one
         # `from lineitem` OOM the driver; clients page with
         # {"limit": N} up to this ceiling
@@ -545,6 +556,8 @@ class QueryService:
                 st["size"], span
             )
             return 200, "application/x-zson", payload.encode()
+        if path in ("", "/") and method == "GET" and self.root_content:
+            return 200, "text/html", self.root_content.encode()
         if path == "/compile" and method == "POST":
             # POST /compile (service/handlers.go:166 handleCompile):
             # parse the query and return the serialized AST; parse
@@ -611,12 +624,64 @@ class QueryService:
                 "parquet": "application/x-parquet",
                 "zng": "application/x-zng",
             }.get(fmt, "text/plain")
-            payload = self._render(
-                df, fmt, ctrl=ctrl, nrows=min(nrows, self.max_rows)
-            )
-            hdrs_out = {"X-Zed-Truncated": "true"} if truncated else None
+            from zed_spark.sources.lake import new_ksuid
+
+            rid = new_ksuid()
+            hdrs_out = {"X-Request-Id": rid}
+            try:
+                payload = self._render(
+                    df, fmt, ctrl=ctrl, nrows=min(nrows, self.max_rows)
+                )
+            except Exception as e:
+                # mid-stream writer failure: the reference has already
+                # sent 200; the error is recorded under the request id
+                # and logged (queryio semantics)
+                msg = self._writer_error(e, fmt, df)
+                self.query_errors[rid] = msg
+                if self.log_write is not None:
+                    self.log_write(
+                        json.dumps(
+                            {"level": "warn", "msg": "Error writing batch",
+                             "error": msg}
+                        )
+                        + "\n"
+                    )
+                payload = b""
+            if truncated:
+                hdrs_out["X-Zed-Truncated"] = "true"
             return 200, ctype, payload, hdrs_out
+        if path.startswith("/query/status/") and method == "GET":
+            rid = path.rsplit("/", 1)[1]
+            err = self.query_errors.get(rid)
+            if err is None:
+                raise ApiError("not found", kind="item does not exist",
+                               code=404)
+            return 200, "application/json", (
+                json.dumps({"error": err}, separators=(",", ":")) + "\n"
+            ).encode()
         raise ApiError("not found", kind="item does not exist", code=404)
+
+    @staticmethod
+    def _writer_error(e: Exception, fmt: str, df) -> str:
+        """Map a render failure to the reference writer's wording
+        (zio/parquetio rejects empty record types)."""
+
+        def has_empty(dt) -> bool:
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            if isinstance(dt, StructType):
+                return not dt.fields or any(
+                    has_empty(f.dataType) for f in dt.fields
+                )
+            if isinstance(dt, ArrayType):
+                return has_empty(dt.elementType)
+            if isinstance(dt, MapType):
+                return has_empty(dt.valueType)
+            return False
+
+        if fmt == "parquet" and has_empty(df.schema):
+            return "parquetio: unsupported type: empty record"
+        return str(e)
 
     def _run_query(
         self, text: str, sf_dir: str | None, limit: int | None = None
