@@ -204,8 +204,6 @@ UNSUPPORTED.update(
             "KEYS [shape]",
             "anyio/ztests/detector-errors": "stderr golden [script]",
             "anyio/ztests/huge": "shell pipeline fixture [script]",
-            "anyio/ztests/vng": "VNG format — documented non-goal "
-            "(parquet is the columnar store)",
         }.items()
     }
 )
@@ -384,8 +382,9 @@ UNSUPPORTED.update(
 # interpreter dispatching into it, so most curl-* forms run. The
 # rest are declared with the precise blocker.
 _CURL_GAPS = {
-    "curl-query.yaml": "Accept matrix includes application/x-vng (VNG is a "
-    "declared non-goal) + bash brace expansion [script]",
+    "curl-query.yaml": "zjson control-frame golden with exact reference "
+    "type-context ids + bash brace expansion (VNG/parquet/arrow legs "
+    "would pass) [script]",
     "curl-query-ctrl.yaml": "zjson control-frame golden w/ exact reference "
     "type-context ids and byte counts [script]",
     "curl-query-split.yaml": "zjson control-frame golden (split channels) [script]",
@@ -395,7 +394,6 @@ _CURL_GAPS = {
     "origin list) [script]",
     "curl-load-error.yaml": "format-detector error-text golden (exact "
     "per-format failure wording) [script]",
-    "curl-load-vng.yaml": "VNG input (declared non-goal) [script]",
 }
 for _c in sorted(_glob.glob("/root/reference/service/ztests/curl-*.yaml")):
     base = os.path.basename(_c)
@@ -2414,6 +2412,15 @@ def _run_script_case(spark, case: dict, path: str):
 
                     data = gzip.decompress(data)
                 if isinstance(data, bytes):
+                    from zed_spark.sources.vng import is_vng, parse_vng
+
+                    if ifmt == "vng" or (ifmt is None and is_vng(data)):
+                        from zed_spark.sources.ztypes import (
+                            parse_type_string,
+                        )
+
+                        vals, tss = parse_vng(data)
+                        return vals, [parse_type_string(t) for t in tss]
                     if ifmt == "zng":
                         return parse_zng(data), None
                     try:
@@ -2488,6 +2495,10 @@ def _run_script_case(spark, case: dict, path: str):
                         files[ofile] += blob
                     else:
                         files[ofile] = blob
+                elif ofile.endswith(".vng") or ofmt == "vng":
+                    from zed_spark.sources.vng import encode_vng
+
+                    files[ofile] = encode_vng(df.collect(), df.schema)
                 elif ofile.endswith(".zson") or ofmt == "zson":
                     from zed_spark.sources.zson import df_to_zson_lines
 

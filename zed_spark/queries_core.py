@@ -719,15 +719,17 @@ FROM events
 def zson_read(spark, sf):
     """Native-format on-ramp proof: write nation + derived typed
     columns as ZSON text (docs/formats/zson.md; zio/zsonio), read it
-    back with the distributed ZSON reader, then round-trip THAT
-    through ZNG binary (docs/formats/zng.md; zio/zngio) — the
-    reference's default at-rest format — and grade the result against
-    the oracle computing the same columns straight from parquet. Both
+    back with the distributed ZSON reader, round-trip THAT through
+    ZNG binary (docs/formats/zng.md; zio/zngio) — the reference's
+    default at-rest format — and finally through VNG columnar
+    (docs/formats/vng.md; vng/) before grading against the oracle
+    computing the same columns straight from parquet. All three
     readers/writers must preserve int, string, float, bool and array
     values exactly for this row to be green."""
     import os
     import tempfile
 
+    from zed_spark.sources.vng import read_vng, write_vng
     from zed_spark.sources.zng import read_zng_fused, write_zng
     from zed_spark.sources.zson import read_zson_fused, write_zson
 
@@ -747,6 +749,9 @@ def zson_read(spark, sf):
     zng_path = os.path.join(tempfile.gettempdir(), f"zng_roundtrip_{tag}.zng")
     write_zng(back, zng_path, single_file=True)
     back = read_zng_fused(spark, zng_path)
+    vng_path = os.path.join(tempfile.gettempdir(), f"vng_roundtrip_{tag}.vng")
+    write_vng(back, vng_path)
+    back = read_vng(spark, vng_path)
     # The driver's canonicalizer (pandas sort over all columns) can't
     # hash raw list cells, so grade a string projection of the array;
     # the raw-array round-trip stays asserted in tests/test_zson.py.

@@ -37,6 +37,7 @@ _MIME_FMT = {
     "application/vnd.apache.arrow.stream": "arrows",
     "application/x-parquet": "parquet",
     "application/x-zng": "zng",
+    "application/x-vng": "vng",
     "application/x-line": "line",
 }
 
@@ -282,6 +283,10 @@ class QueryService:
         import tempfile
 
         df = df.limit(self.max_rows)
+        if fmt == "vng":
+            from zed_spark.sources.vng import encode_vng
+
+            return encode_vng(df.collect(), df.schema)
         if fmt == "csv":
             from zed_spark.sources.csv_io import to_csv_text
 
@@ -389,8 +394,17 @@ class QueryService:
             "csv": ".csv", "tsv": ".tsv", "json": ".json", "line": ".txt",
             "zeek": ".log", "zson": ".zson", "zjson": ".zjson",
             "arrows": ".arrows", "parquet": ".parquet", "zng": ".zng",
-            "ndjson": ".json",
+            "ndjson": ".json", "vng": ".vng",
         }
+        if fmt == "vng" or (fmt is None and body[:2] != b"\x1f\x8b"):
+            from zed_spark.sources.vng import is_vng, read_vng
+
+            if fmt == "vng" or is_vng(body):
+                p = os.path.join(tempfile.mkdtemp(prefix="svc_vng_"),
+                                 "body.vng")
+                with open(p, "wb") as fh:
+                    fh.write(body)
+                return read_vng(self.spark, p)
         from zed_spark.sources.readers import read_any
 
         d = tempfile.mkdtemp(prefix="svc_load_")
@@ -623,6 +637,7 @@ class QueryService:
                 "arrows": "application/vnd.apache.arrow.stream",
                 "parquet": "application/x-parquet",
                 "zng": "application/x-zng",
+                "vng": "application/x-vng",
             }.get(fmt, "text/plain")
             from zed_spark.sources.lake import new_ksuid
 
