@@ -313,9 +313,6 @@ UNSUPPORTED.update(
     {
         f"/root/reference/zson/ztests/{k}.yaml": v
         for k, v in {
-            "map": "null map KEYS (null / null(int64) / null(string) "
-            "as distinct keys) — Spark MapType keys are non-nullable "
-            "[shape]",
             "persist": "glob field reference b.* in script [script]",
         }.items()
     }
@@ -658,7 +655,13 @@ def _norm(v):
         def nkey(k):
             # map KEYS survive collection as Row objects (asDict
             # does not recurse into keys); union-struct keys resolve
-            # to their member value
+            # to their member value; a null key rides as NULL_KEY on
+            # the engine side (Spark map keys are non-nullable), so
+            # the want side's None canonicalizes to the same sentinel
+            from zed_spark.sources.zson import NULL_KEY
+
+            if k is None:
+                return NULL_KEY
             if hasattr(k, "asDict"):
                 return _norm(k.asDict(recursive=True))
             return _norm(k)
@@ -678,8 +681,11 @@ def _norm(v):
             return ("f", "nan")
         if math.isinf(v):
             return ("f", "inf" if v > 0 else "-inf")
-        if v == int(v) and abs(v) < 2**53:
-            return ("n", int(v))  # 2.0 ≡ 2: decorators widen by design
+        if v == int(v) and (abs(v) < 2**53 or v == float(int(v))):
+            # 2.0 ≡ 2: decorators widen by design. Above 2^53 only
+            # exactly-representable integers qualify (a widened
+            # duration like 9y = 283824e12 ns round-trips exactly)
+            return ("n", int(v))
         return ("f", v)
     if isinstance(v, int):
         return ("n", v)

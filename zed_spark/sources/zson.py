@@ -68,6 +68,12 @@ _DUR_NS = {
 }
 
 
+# a zed null map KEY cannot ride Spark's non-nullable MapType keys:
+# it travels as this sentinel string and converts back at the
+# boundaries (writer + harness compare) — zson/ztests/map
+NULL_KEY = "\x00null\x00"
+
+
 class ZMap(dict):
     """Marker: a ZSON map value (vs a record, which is a plain dict)."""
 
@@ -707,7 +713,13 @@ def _infer_type(v) -> T.DataType:
     if isinstance(v, ZMap):
         kt = vt = T.NullType()
         for k, val in v.items():
-            kt = _merge_type(kt, _infer_type(k))
+            # Spark MapType keys are non-nullable; a zed null map KEY
+            # (zson/ztests/map `|{null:null}|`) rides as the sentinel
+            # string NULL_KEY and converts back at compare/render time
+            kt = _merge_type(
+                kt,
+                T.StringType() if k is None else _infer_type(k),
+            )
             vt = _merge_type(vt, _infer_type(val))
         return T.MapType(kt, vt)
     if isinstance(v, dict):
@@ -942,7 +954,10 @@ def _conform(v, t: T.DataType):
         return [_conform(x, t.elementType) for x in v]
     if isinstance(t, T.MapType) and isinstance(v, dict):
         return {
-            _conform(k, t.keyType): _conform(val, t.valueType) for k, val in v.items()
+            _conform(NULL_KEY if k is None else k, t.keyType): _conform(
+                val, t.valueType
+            )
+            for k, val in v.items()
         }
     return v
 
@@ -1211,7 +1226,10 @@ def _dump_value(v, t: T.DataType) -> str:
         return "[" + ",".join(_dump_value(x, t.elementType) for x in v) + "]"
     if isinstance(t, T.MapType):
         inner = ",".join(
-            f"{_dump_value(k, t.keyType)}:{_dump_value(val, t.valueType)}"
+            "%s:%s" % (
+                "null" if k == NULL_KEY else _dump_value(k, t.keyType),
+                _dump_value(val, t.valueType),
+            )
             for k, val in v.items()
         )
         return "|{" + inner + "}|"
