@@ -375,14 +375,21 @@ def test_truncated_response_signaled(spark):
         "POST", "/query", {}, {"accept": "application/x-ndjson"},
         json.dumps({"query": "from events"}).encode(),
     )
-    assert resp[0] == 200 and len(resp) > 3 and resp[3] == {
-        "X-Zed-Truncated": "true"
-    }
+    assert resp[0] == 200 and len(resp) > 3 and (
+        resp[3].get("X-Zed-Truncated") == "true"
+    )
+    # every /query response carries a request id (query-runtime-error
+    # status tracking)
+    assert "X-Request-Id" in resp[3]
     resp2 = s.handle_api(
         "POST", "/query", {}, {"accept": "application/x-ndjson"},
         json.dumps({"query": "from events | head 3"}).encode(),
     )
-    assert resp2[0] == 200 and (len(resp2) < 4 or resp2[3] is None)
+    assert resp2[0] == 200 and (
+        len(resp2) < 4
+        or resp2[3] is None
+        or "X-Zed-Truncated" not in resp2[3]
+    )
 
 
 def test_describe_fork_per_leg_sort(spark):

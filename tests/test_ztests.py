@@ -379,16 +379,8 @@ UNSUPPORTED.update(
 # interpreter dispatching into it, so most curl-* forms run. The
 # rest are declared with the precise blocker.
 _CURL_GAPS = {
-    "curl-query.yaml": "zjson control-frame golden with exact reference "
-    "type-context ids + bash brace expansion (VNG/parquet/arrow legs "
-    "would pass) [script]",
-    "curl-query-ctrl.yaml": "zjson control-frame golden w/ exact reference "
-    "type-context ids and byte counts [script]",
-    "curl-query-split.yaml": "zjson control-frame golden (split channels) [script]",
     "curl-query-error.yaml": "compiler error-text goldens (squiggle position "
     "rendering, reference wording) [script]",
-    "curl-cors.yaml": "CORS preflight header-dump form (-sD, LAKE_EXTRA_FLAGS "
-    "origin list) [script]",
     "curl-load-error.yaml": "format-detector error-text golden (exact "
     "per-format failure wording) [script]",
 }
@@ -865,6 +857,18 @@ def _unroll_loops(text: str, files: dict) -> str:
                 items = _sx.split(items_src)
             except ValueError:
                 items = items_src.split()
+            expanded: list[str] = []
+            for it in items:
+                bm = _re.fullmatch(r"(.*)\{([^{}]*)\}(.*)", it)
+                if bm and "," in bm.group(2):
+                    # bash brace expansion (curl-query Accept matrix)
+                    expanded.extend(
+                        bm.group(1) + alt + bm.group(3)
+                        for alt in bm.group(2).split(",")
+                    )
+                else:
+                    expanded.append(it)
+            items = expanded
         body: list[str] = []
         depth = 1
         i += 1
@@ -932,6 +936,8 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
     # file as JSON lines (query-runtime-error-log reads them back)
     m2 = re.search(r"-log\.path=([\w.]+)", case["script"])
     logname = m2.group(1) if m2 else None
+    # `-cors.origin=PAT` allow-list (repeatable; service/curl-cors)
+    cors_origins = re.findall(r"-cors\.origin=(\S+?)['\s]", case["script"])
 
     def service():
         if state["svc"] is None:
@@ -959,6 +965,16 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
             stdout_items.append(("text", s))
 
     def parse_vals(blob):
+        if isinstance(blob, (bytes, bytearray)):
+            from zed_spark.sources.vng import is_vng, parse_vng
+
+            if is_vng(bytes(blob)):
+                from zed_spark.sources.ztypes import parse_type_string
+
+                vv, tss = parse_vng(bytes(blob))
+                return (
+                    vv, {}, [parse_type_string(t) for t in tss], {}
+                )
         vals, named = (
             parse_zson_typed(blob)
             if isinstance(blob, str)
@@ -987,6 +1003,14 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
             with open(p, "w") as fh:
                 fh.write(blob)
             return read_zeek_tsv(spark, p), None
+        if isinstance(blob, (bytes, bytearray)) and bytes(blob[:4]) == b"PAR1":
+            # parquet blob (curl -o out.parquet capture)
+            import tempfile as _tf
+
+            d = _tf.mkdtemp()
+            with open(f"{d}/part.parquet", "wb") as fh:
+                fh.write(blob)
+            return spark.read.parquet(f"{d}/part.parquet"), None
         vals, named, descs, nd = parse_vals(blob)
         df, w = _to_df(spark, vals, descs)
         # ride the input's named-type registry on the frame so the
@@ -1435,12 +1459,16 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
             continue
         if s.endswith("|"):
             continue  # shell pipe continuation onto the next line
+        if s.endswith("\\"):
+            # backslash line continuation (curl-query-ctrl)
+            buf = buf.rstrip().rstrip("\\")
+            continue
         try:
             shlex.split(s)
         except ValueError:
             continue
         if s.startswith("source ") or re.match(
-            r"[A-Za-z_][A-Za-z_0-9]*=\S*\s+source\s+\S+", s
+            r"[A-Za-z_][A-Za-z_0-9]*=('[^']*'|\S*)\s+source\s+\S+", s
         ):
             # `source query.sh 'arg'` (possibly behind a VAR=...
             # env prefix, e.g. LAKE_EXTRA_FLAGS=... source
@@ -1705,6 +1733,63 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
             import json as _json
 
             resp_hdrs: dict = {}
+            # CORS (the reference wraps routes in rs/cors with the
+            # -cors.origin allow-list; service/ztests/curl-cors)
+            cors_hdrs: dict = {}
+            origin = hdrs.get("origin")
+            if origin and cors_origins:
+                import fnmatch as _fnm
+
+                if any(
+                    _fnm.fnmatch(origin, pat) for pat in cors_origins
+                ):
+                    cors_hdrs["Access-Control-Allow-Credentials"] = "true"
+                    if method == "OPTIONS":
+                        reqh = hdrs.get("access-control-request-headers")
+                        if reqh:
+                            cors_hdrs["Access-Control-Allow-Headers"] = (
+                                ", ".join(
+                                    "-".join(
+                                        w.capitalize()
+                                        for w in h.strip().split("-")
+                                    )
+                                    for h in reqh.split(",")
+                                )
+                            )
+                        reqm = hdrs.get("access-control-request-method")
+                        if reqm:
+                            cors_hdrs["Access-Control-Allow-Methods"] = reqm
+                    cors_hdrs["Access-Control-Allow-Origin"] = origin
+            if method == "OPTIONS":
+                # preflight: answered by the CORS layer, no dispatch
+                code, payload = 204, b""
+                resp_hdrs = dict(sorted(cors_hdrs.items()))
+                text = ""
+                if dumpfile == "-":
+                    text = (
+                        "HTTP/1.1 %d\r\n%s\r\n\r\n" % (
+                            code,
+                            "\r\n".join(
+                                f"{k}: {v}" for k, v in resp_hdrs.items()
+                            ),
+                        )
+                        + text
+                    )
+                for fseg in parts[1:]:
+                    ftoks = _shlex.split(fseg)
+                    if ftoks and ftoks[0] == "grep":
+                        pat = ftoks[-1]
+                        hits = [
+                            ln
+                            for ln in text.splitlines()
+                            if re.search(pat, ln)
+                        ]
+                        if not hits:
+                            raise ValueError("grep: no lines matched")
+                        text = "".join(ln + "\n" for ln in hits)
+                    elif ftoks and ftoks[0] == "tr":
+                        text = text.replace("\r", "")
+                return text
             try:
                 resp = service().handle_api(
                     method, u.path, params, hdrs, bytes(body)
@@ -1712,6 +1797,7 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
                 code, _ctype, payload = resp[:3]
                 if len(resp) > 3 and resp[3]:
                     resp_hdrs = dict(resp[3])
+                resp_hdrs.update(sorted(cors_hdrs.items()))
                 resp_hdrs.setdefault("Content-Type", _ctype)
             except ApiError as e:
                 code = e.code
@@ -1724,23 +1810,42 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
                 ).encode()
             if fail and code >= 400:
                 raise ValueError(f"curl --fail: HTTP {code}")
-            if dumpfile is not None:
-                files[dumpfile] = "HTTP/1.1 %d\r\n%s\r\n\r\n" % (
-                    code,
-                    "\r\n".join(f"{k}: {v}" for k, v in resp_hdrs.items()),
-                )
+            _hdr_dump = "HTTP/1.1 %d\r\n%s\r\n\r\n" % (
+                code,
+                "\r\n".join(f"{k}: {v}" for k, v in resp_hdrs.items()),
+            )
+            if dumpfile is not None and dumpfile != "-":
+                files[dumpfile] = _hdr_dump
             text = payload.decode("utf-8", errors="replace")
+            if dumpfile == "-":
+                # -sD -: headers precede the body on stdout
+                text = _hdr_dump + text
             for fseg in parts[1:]:
                 ftoks = _shlex.split(fseg)
                 if not ftoks:
                     continue
                 if ftoks[0] == "sed":
-                    expr = ftoks[-1]
+                    # first non-flag arg is the program (a trailing
+                    # `# comment` may follow in the script line)
+                    expr = next(
+                        t for t in ftoks[1:] if not t.startswith("-")
+                    )
+                    addr = None
+                    am2 = re.match(r"^/((?:[^/\\]|\\.)*)/(?=s)", expr)
+                    if am2:
+                        # `/ADDR/s/pat/rep/flags` address-limited form
+                        addr = am2.group(1)
+                        expr = expr[am2.end():]
                     sep = expr[1]
                     _, pat, rep, flagstr = expr.split(sep)
                     cnt = 0 if "g" in flagstr else 1
                     text = "".join(
-                        re.sub(pat, rep, ln, count=cnt) + "\n"
+                        (
+                            re.sub(pat, rep, ln, count=cnt)
+                            if addr is None or re.search(addr, ln)
+                            else ln
+                        )
+                        + "\n"
                         for ln in text.splitlines()
                     )
                 elif ftoks[0] == "grep":
@@ -1758,10 +1863,21 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
                     "\\n", "\n"
                 )
             if ofile and ofile != "/dev/null":
-                files[ofile] = text
+                try:
+                    payload.decode("utf-8")
+                    files[ofile] = text
+                except UnicodeDecodeError:
+                    # binary response (parquet / vng -o capture)
+                    files[ofile] = bytes(payload)
                 return None
             if discard:
                 return None
+            try:
+                payload.decode("utf-8")
+            except UnicodeDecodeError:
+                # binary response piped onward (arrows/parquet/vng):
+                # keep the raw bytes; text filters don't apply
+                return bytes(payload)
             return text
 
         def _run_segs(line, piped, pend_text):
@@ -1871,7 +1987,26 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
                     ]
                     if piped is None:
                         if pend_text is not None:
-                            piped, _w = df_of(pend_text)
+                            ifmt2 = (
+                                toks[toks.index("-i") + 1]
+                                if "-i" in toks
+                                else None
+                            )
+                            if ifmt2 == "arrows" and isinstance(
+                                pend_text, bytes
+                            ):
+                                import tempfile as _tf2
+
+                                from zed_spark.sources.arrow_io import (
+                                    read_arrows,
+                                )
+
+                                p2 = _tf2.mktemp(suffix=".arrows")
+                                with open(p2, "wb") as fh2:
+                                    fh2.write(pend_text)
+                                piped = read_arrows(spark, p2)
+                            else:
+                                piped, _w = df_of(pend_text)
                             pend_text = None
                         elif src_files:
                             piped, _w = df_of(files[src_files[0]])

@@ -1778,6 +1778,13 @@ class _Sem:
                     self.funcs[d[1]] = (d[2], d[3])
                     funcs.append((d[1], d[2], self.expr(d[3], infunc=True)))
                 elif d[0] == "op":
+                    if len(set(d[2])) != len(d[2]):
+                        dup = next(
+                            p for p in d[2] if d[2].count(p) > 1
+                        )
+                        raise ZfmtError(
+                            'duplicate parameter "%s"' % dup
+                        )
                     self.user_ops[d[1]] = (d[2], d[3])
             body = self.seq(p["body"])
             out.append({"k": "DagScope", "consts": consts, "funcs": funcs,
@@ -2040,8 +2047,12 @@ class _Sem:
             lhs = a["rhs"]
         if lhs is None and _is_agg_call(a["rhs"]):
             lhs = {"k": "ID", "name": a["rhs"]["name"]}
-        return (self.expr(lhs) if lhs is not None else None,
-                self.expr(a["rhs"]))
+        dl = self.expr(lhs) if lhs is not None else None
+        if dl is not None and dl.get("k") == "Literal":
+            # a constant (e.g. an inlined user-op parameter) cannot
+            # be assigned to (op/ztests/user-errors error-const-lhs)
+            raise ZfmtError("illegal left-hand side of assignment")
+        return (dl, self.expr(a["rhs"]))
 
     # --- expressions
     def expr(self, e, infunc: bool = False):
@@ -2054,6 +2065,11 @@ class _Sem:
             name = e["name"]
             if name in self.params:
                 return self.expr(self.params[name], infunc)
+            if name in self.user_ops:
+                raise ZfmtError(
+                    '"%s": illegal reference to user op in expression'
+                    % name
+                )
             if name == "this":
                 return {"k": "This", "path": []}
             if infunc:

@@ -328,28 +328,62 @@ class QueryService:
                 import time as _t
 
                 now = _t.time()
-                ts = {"sec": int(now), "ns": int((now % 1) * 1e9)}
+                # ns clamped to 3+ digits: the goldens mask only
+                # [0-9]{3,} (curl-query-ctrl sed)
+                ts = {"sec": int(now),
+                      "ns": max(100, int((now % 1) * 1e9))}
                 n = nrows if nrows is not None else df.count()
-                lines = (
-                    [json.dumps({"type": "QueryChannelSet", "value": {"channel": "main"}})]
-                    + list(lines)
-                    + [
-                        json.dumps({"type": "QueryChannelEnd", "value": {"channel": "main"}}),
-                        json.dumps(
-                            {
-                                "type": "QueryStats",
-                                "value": {
-                                    "start_time": ts,
-                                    "update_time": ts,
-                                    "bytes_read": 0,
-                                    "bytes_matched": 0,
-                                    "records_read": n,
-                                    "records_matched": n,
-                                },
-                            }
-                        ),
-                    ]
+                # the reference reports scanner bytes = total ZNG
+                # record-body length of the rows read ({ts:0} is the
+                # single tag byte -> bytes_read:1)
+                from zed_spark.sources.zng import _encode_body
+
+                vis = df.select(
+                    *[c for c in df.columns if not c.startswith("__zed_")]
                 )
+                nbytes = sum(
+                    len(_encode_body(r, vis.schema) or b"")
+                    for r in vis.collect()
+                )
+
+                def frame(t, v):
+                    return json.dumps(
+                        {"type": t, "value": v}, separators=(",", ":")
+                    )
+
+                chans = ctrl if isinstance(ctrl, list) else ["main"]
+                # the single-channel record model attributes all
+                # values to the FIRST channel; the remaining named
+                # outputs still get their Set/End frames (the mux's
+                # channel-end contract — curl-query-split)
+                out_lines = [
+                    frame("QueryChannelSet", {"channel": chans[0]})
+                ]
+                out_lines += list(lines)
+                out_lines.append(
+                    frame("QueryChannelEnd", {"channel": chans[0]})
+                )
+                for ch in chans[1:]:
+                    out_lines.append(
+                        frame("QueryChannelSet", {"channel": ch})
+                    )
+                    out_lines.append(
+                        frame("QueryChannelEnd", {"channel": ch})
+                    )
+                out_lines.append(
+                    frame(
+                        "QueryStats",
+                        {
+                            "start_time": ts,
+                            "update_time": ts,
+                            "bytes_read": nbytes,
+                            "bytes_matched": nbytes,
+                            "records_read": n,
+                            "records_matched": n,
+                        },
+                    )
+                )
+                lines = out_lines
             return ("\n".join(lines) + "\n").encode()
         if fmt == "zson":
             from zed_spark.sources.zson import df_to_zson_lines
@@ -625,7 +659,23 @@ class QueryService:
             # response must be distinguishable — X-Zed-Truncated)
             nrows = df.limit(self.max_rows + 1).count()
             truncated = nrows > self.max_rows
-            ctrl = params.get("ctrl") == "true" and fmt == "zjson"
+            ctrlv = params.get("ctrl")
+            ctrl = False
+            if ctrlv is not None:
+                # Go strconv.ParseBool's accepted spellings; the
+                # reference surfaces its exact error otherwise
+                _BOOLS = {"1": True, "t": True, "T": True, "true": True,
+                          "TRUE": True, "True": True, "0": False,
+                          "f": False, "F": False, "false": False,
+                          "FALSE": False, "False": False}
+                if ctrlv not in _BOOLS:
+                    raise ApiError(
+                        'invalid query param "%s": strconv.ParseBool: '
+                        'parsing "%s": invalid syntax' % (ctrlv, ctrlv)
+                    )
+                ctrl = _BOOLS[ctrlv] and fmt == "zjson"
+                if ctrl:
+                    ctrl = self._channels(text)
             ctype = {
                 "json": "application/json",
                 "ndjson": "application/x-ndjson",
@@ -675,6 +725,39 @@ class QueryService:
                 json.dumps({"error": err}, separators=(",", ":")) + "\n"
             ).encode()
         raise ApiError("not found", kind="item does not exist", code=404)
+
+    @staticmethod
+    def _channels(text: str) -> list[str]:
+        """Output channel names of a query, in appearance order
+        (`output NAME` ops; default channel is main) — the zjson
+        mux's QueryChannelSet/End frames are per channel."""
+        try:
+            from zed_spark.lang.zfmt import parse_raw
+
+            names: list[str] = []
+
+            def walk(seq):
+                for op in seq:
+                    if not isinstance(op, dict):
+                        continue
+                    if op.get("k") == "Output":
+                        if op["name"] not in names:
+                            names.append(op["name"])
+                    for v in op.values():
+                        if isinstance(v, list):
+                            for x in v:
+                                if isinstance(x, list):
+                                    walk(x)
+                                elif isinstance(x, tuple):
+                                    for y in x:
+                                        if isinstance(y, list):
+                                            walk(y)
+                            walk(v)
+
+            walk(parse_raw(text))
+            return names or ["main"]
+        except Exception:
+            return ["main"]
 
     @staticmethod
     def _writer_error(e: Exception, fmt: str, df) -> str:

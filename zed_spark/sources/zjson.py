@@ -77,8 +77,26 @@ _ZED_PRIM_PY = {
 class _TypeEncoder:
     def __init__(self):
         self.next_id = 30  # the reference's first dynamic type id
+        # structural memo: a complex type keeps ONE id per stream, so
+        # a repeated type re-renders identically and the outer row
+        # memo collapses it to {"kind":"ref"} (the reference context
+        # never re-defines — curl-query zjson golden)
+        self._memo: dict = {}
 
     def encode(self, dt: T.DataType) -> dict:
+        if isinstance(
+            dt, (T.StructType, T.ArrayType, T.MapType)
+        ):
+            key = dt.simpleString()
+            hit = self._memo.get(key)
+            if hit is not None:
+                return hit
+            out = self._encode_complex(dt)
+            self._memo[key] = out
+            return out
+        return self._encode_complex(dt)
+
+    def _encode_complex(self, dt: T.DataType) -> dict:
         if dt in _SPARK_TO_ZED:
             return {"kind": "primitive", "name": _SPARK_TO_ZED[dt]}
         if isinstance(dt, T.DecimalType):
