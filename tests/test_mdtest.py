@@ -43,14 +43,13 @@ _F = "function form beyond the engine's static-type dispatch [func]"
 _SC = "shell form outside the harness script subset [script]"
 
 # Round 7 closed every [union]/[shape]/[errval]/[func] doc gap; round
-# 8 took the zfmt canonical print. The three left are genuine
-# boundaries: a sketch point-estimate, a network source, and a
-# fork-scoped type statement.
+# 8 took the zfmt canonical print and the const-LHS op-param error.
+# The two left are genuine boundaries: a sketch point-estimate and a
+# network source.
 MD_UNSUPPORTED: dict[str, str] = {
     "aggregates/dcount.md:3": "approx dcount point-estimate golden (our "
     "HLL sketch differs; accuracy bound pytest-pinned) [approx]",
     "operators/from.md:7": "`from https://...` network source [script]",
-    "statements.md:4": "type statement scoping across forked legs [script]",
 }
 
 

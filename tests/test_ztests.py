@@ -365,7 +365,6 @@ _LAKE_GAPS = {
     "service/auth.yaml": _SH2,
     "service/python-auth.yaml": _SH2,
     "service/python.yaml": _SH2,
-    "service/query-describe.yaml": "bash for-loop + jq command substitution; the /query/describe endpoint itself is implemented and golden-pinned by tests/test_service.py::test_query_describe_endpoint [script]",
     "service/seek-index-null.yaml": "seek-index internals over null keys [script]",
 }
 UNSUPPORTED.update(
@@ -379,8 +378,6 @@ UNSUPPORTED.update(
 # interpreter dispatching into it, so most curl-* forms run. The
 # rest are declared with the precise blocker.
 _CURL_GAPS = {
-    "curl-query-error.yaml": "compiler error-text goldens (squiggle position "
-    "rendering, reference wording) [script]",
     "curl-load-error.yaml": "format-detector error-text golden (exact "
     "per-format failure wording) [script]",
 }
@@ -1443,6 +1440,10 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
 
             for val in df_to_zson_pretty(df):
                 text_emit(val)
+        elif fmt == "json-pretty":
+            from zed_spark.sources.jsonio import to_json_text
+
+            text_emit(to_json_text(df, pretty=4).rstrip("\n"))
         else:
             # pin the rows NOW: later script lines may rewrite or
             # vacuum the very files this lazy plan references
@@ -1511,20 +1512,38 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
                 return str(files[nm]).rstrip("\n")
             raise ValueError("command substitution outside harness subset")
         line = re.sub(r"\$\(cat\s+(\S+)\)", _cat, line)
-        # shell variables bound by earlier `var=$(...)` lines
+        # shell variables bound by earlier `var=$(...)` lines. Values
+        # carrying quotes/newlines would break shlex tokenization —
+        # they ride as placeholders expanded inside _run_curl bodies
+        # (query-describe's jq-encoded query strings)
         if shellvars:
-            line = re.sub(
-                r"\$\{?(\w+)\}?",
-                lambda m: shellvars.get(m.group(1), m.group(0)),
-                line,
-            )
+            def _sub_var(m):
+                v = shellvars.get(m.group(1))
+                if v is None:
+                    return m.group(0)
+                if any(c in v for c in "\"'\n"):
+                    return "\x00var:%s\x00" % m.group(1)
+                return v
+
+            line = re.sub(r"\$\{?(\w+)\}?", _sub_var, line)
         # `var=$(pipeline [| head -N] [| awk '{print $F}'])`: run the
         # pipeline with stdout captured, post-process with the head/
         # awk field picks the reference scripts use to grab commit and
         # object ids, and bind the result (lake/ztests/revert etc.)
-        am = re.match(r"^(\w+)=\$\((.*)\)\s*$", line, re.S)
+        am = re.match(r"^(\w+)=\"?\$\((.*)\)\"?\s*$", line, re.S)
         if am:
             var, inner = am.group(1), am.group(2)
+            jm = re.match(
+                r"cat\s+(\S+)\s*\|\s*jq\s+-Rsa\s+\.\s*$", inner
+            )
+            if jm and jm.group(1) in files:
+                # `$(cat f | jq -Rsa .)`: JSON-encode the raw file
+                # (query-describe builds request bodies this way)
+                import json as _json3
+
+                shellvars[var] = _json3.dumps(str(files[jm.group(1)]))
+                ran += 1
+                continue
             sm = re.match(
                 r"sed\s+-n\s+'s/(.*)/(.*)/p'\s+(\S+)\s*$", inner
             )
@@ -1715,6 +1734,12 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
                     raw = files.get(val[1:], "")
                 else:
                     raw = val
+                if isinstance(raw, str) and "\x00var:" in raw:
+                    raw = re.sub(
+                        r"\x00var:(\w+)\x00",
+                        lambda m: shellvars.get(m.group(1), ""),
+                        raw,
+                    )
                 body = raw if isinstance(raw, (bytes, bytearray)) else str(raw).encode()
                 if kind != "--data-binary":
                     # curl -d strips CR/LF from @file bodies
@@ -1801,12 +1826,12 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
                 resp_hdrs.setdefault("Content-Type", _ctype)
             except ApiError as e:
                 code = e.code
+                err_obj = {"type": "Error", "kind": e.kind,
+                           "error": str(e)}
+                if getattr(e, "compilation_errors", None):
+                    err_obj["compilation_errors"] = e.compilation_errors
                 payload = (
-                    _json.dumps(
-                        {"type": "Error", "kind": e.kind, "error": str(e)},
-                        separators=(",", ":"),
-                    )
-                    + "\n"
+                    _json.dumps(err_obj, separators=(",", ":")) + "\n"
                 ).encode()
             if fail and code >= 400:
                 raise ValueError(f"curl --fail: HTTP {code}")
@@ -1962,6 +1987,8 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
                     fmt = "zson-pretty"
                 elif "-z" in toks:
                     fmt = "zson"
+                elif "-J" in toks:
+                    fmt = "json-pretty"
                 if len(toks) > 1 and toks[1] == "db":
                     if piped is None and pend_text is not None:
                         piped, _w = df_of(pend_text)

@@ -5670,14 +5670,24 @@ class Compiler:
         cur = self.expr(head[1], df)
         hdt = self._type_of(head[1], df)
         if hdt is not None and not isinstance(hdt, T.ArrayType):
-            # non-array source (scalar, record, map, union member
-            # mix): normalize to the zed traversal sequence first
-            # (over.go appendOver; lateral-subqueries.md `over x`
-            # with x ∈ int|[int]) — unions traverse the member the
-            # tag selects
-            from zed_spark.operators.traverse import over_entries
+            from zed_spark.schema import is_union_type
 
-            cur = over_entries(cur, hdt)
+            if isinstance(hdt, T.StructType) and not is_union_type(hdt):
+                # a plain RECORD in lateral-expression position is a
+                # one-value sequence (service/ztests/query-describe:
+                # `sources := (over sources | id := "XXX")` keeps the
+                # single source object); the over OPERATOR keeps the
+                # per-field entry traversal (over.go:112)
+                cur = F.array(cur)
+            else:
+                # non-array source (scalar, map, union member mix):
+                # normalize to the zed traversal sequence first
+                # (over.go appendOver; lateral-subqueries.md `over x`
+                # with x ∈ int|[int]) — unions traverse the member
+                # the tag selects
+                from zed_spark.operators.traverse import over_entries
+
+                cur = over_entries(cur, hdt)
 
         # single-parameter closure factory: Spark's HOF helpers pass
         # (element, index) to two-parameter lambdas, so a default
@@ -5751,6 +5761,20 @@ class Compiler:
                     # {...(over this | sorted:=collect(this))})
                     return outs[0][1]
                 return F.struct(*[c.alias(n) for n, c in outs])
+            elif op[0] == "put":
+                # put inside a lateral sequence: rewrite each struct
+                # element's field(s) in place (query-describe's
+                # `sources := (over sources | id := "XXX")`)
+                def put_fn(pexpr, fname):
+                    # single-parameter closure: a default arg would
+                    # receive Spark's HOF index column (see bind)
+                    return lambda x: x.withField(
+                        fname, self._over_lambda(pexpr, df, x)
+                    )
+
+                for path, pexpr in op[1]:
+                    fname = path if isinstance(path, str) else ".".join(path)
+                    cur = F.transform(cur, put_fn(pexpr, fname))
             elif op[0] == "sort":
                 # sort inside a lateral sequence (lateral-
                 # subqueries.md `over this | sort this | ...`):
@@ -10302,14 +10326,18 @@ def _subst(e: tuple, mapping: dict[str, tuple]) -> tuple:
         new = []
         for path, ex in e[1]:
             parts = path.split(".") if isinstance(path, str) else list(path)
-            if (
-                parts
-                and parts[0] in mapping
-                and isinstance(mapping[parts[0]], tuple)
-                and mapping[parts[0]][0] == "field"
-            ):
-                parts = list(mapping[parts[0]][1]) + parts[1:]
-                path = ".".join(parts)
+            if parts and parts[0] in mapping:
+                arg0 = mapping[parts[0]]
+                if isinstance(arg0, tuple) and arg0[0] == "field":
+                    parts = list(arg0[1]) + parts[1:]
+                    path = ".".join(parts)
+                else:
+                    # a parameter bound to a CONSTANT cannot be
+                    # assigned to (semantic/op.go; statements.md
+                    # params.spq `AddMessage("message", "hello")`)
+                    raise ValueError(
+                        "illegal left-hand side of assignment"
+                    )
             new.append((path, _subst(ex, mapping)))
         return ("put", new)
     if e[0] == "join" and len(e) == 6:

@@ -47,6 +47,30 @@ class ApiError(Exception):
         super().__init__(msg)
         self.kind = kind
         self.code = code
+        # compiler errors carry the parser ErrorList (Msg/Pos/End)
+        # alongside the squiggle-rendered text (srverr.ErrInvalid)
+        self.compilation_errors: list | None = None
+
+
+def _compile_error(msg: str, pos: int, end: int, text: str) -> ApiError:
+    """The reference's compiler-error rendering: message, position
+    (line/column), the source line, and a squiggle underlining
+    [pos, end) (compiler/parser error list formatting)."""
+    upto = text[:pos]
+    line_no = upto.count("\n") + 1
+    col = pos - (upto.rfind("\n") + 1)
+    line_start = upto.rfind("\n") + 1
+    line_end = text.find("\n", pos)
+    if line_end < 0:
+        line_end = len(text)
+    src_line = text[line_start:line_end]
+    n = max(1, min(end, line_end) - pos)
+    rendered = "%s at line %d, column %d:\n%s\n%s%s" % (
+        msg, line_no, col + 1, src_line, " " * col, "~" * n
+    )
+    err = ApiError(rendered)
+    err.compilation_errors = [{"Msg": msg, "Pos": pos, "End": end}]
+    return err
 
 
 def _pick_accept(header: str, default: str) -> str:
@@ -649,6 +673,7 @@ class QueryService:
             if not text:
                 raise ApiError("no pool name given")
             fmt = _pick_accept(accept, self.default_fmt)
+            self._check_from(text)
             from zed_spark.session import ZedSession
 
             z = ZedSession(self.spark)
@@ -725,6 +750,38 @@ class QueryService:
                 json.dumps({"error": err}, separators=(",", ":")) + "\n"
             ).encode()
         raise ApiError("not found", kind="item does not exist", code=404)
+
+    def _check_from(self, text: str) -> None:
+        """Pre-flight `from` source resolution with the reference's
+        squiggle-rendered compile errors (curl-query-error)."""
+        m = re.match(r"\s*from\s+('[^']*'|\S+)", text)
+        if not m:
+            return
+        tok = m.group(1)
+        if tok == "HEAD":
+            raise _compile_error(
+                "pool name missing", m.start(), m.end(), text
+            )
+        if tok.startswith(":"):
+            meta = tok[1:]
+            if meta not in ("pools", "branches", "objects", "log",
+                            "vectors", "tags", "index_rules"):
+                raise _compile_error(
+                    'unknown lake metadata type "%s" in from operator'
+                    % meta,
+                    m.start(), m.end(), text,
+                )
+            return
+        name = tok.strip("'").partition("@")[0]
+        if "*" in name or name.startswith("/") or not self.lake_root:
+            return
+        from zed_spark.sources.lake import Lake
+
+        if name not in Lake(self.spark, self.lake_root).pools():
+            raise _compile_error(
+                "%s: pool not found" % name,
+                m.start(1), m.end(1), text,
+            )
 
     @staticmethod
     def _channels(text: str) -> list[str]:
