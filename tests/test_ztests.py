@@ -198,11 +198,8 @@ UNSUPPORTED.update(
     {
         f"/root/reference/zio/{k}.yaml": v
         for k, v in {
-            "jsonio/ztests/unexpected-input-end": "shell while-loop "
-            "script [script]",
             "jsonio/ztests/map-output": "record/map/set values as MAP "
             "KEYS [shape]",
-            "anyio/ztests/detector-errors": "stderr golden [script]",
             "anyio/ztests/huge": "shell pipeline fixture [script]",
         }.items()
     }
@@ -287,12 +284,6 @@ UNSUPPORTED.update(
             "s3-notexist": _NET,
             "s3-parquet": _NET,
             "s3-simple": _NET,
-            "stop-on-error-1": "mid-stream undetectable-input error "
-            "semantics [script]",
-            "stop-on-error-2": "mid-stream undetectable-input error "
-            "semantics [script]",
-            "stop-on-error-3": "mid-stream undetectable-input error "
-            "semantics [script]",
             "unbuffered": "mkfifo shell fixture [script]",
         }.items()
     }
@@ -697,7 +688,9 @@ def _parse_script_line(line: str):
 
     echo_text = None
     cat_files: list[str] = []
-    m = re.match(r"echo\s+(.*?)\s*\|\s*((?:super|zq)\b.*)$", line, re.S)
+    m = re.match(
+        r"(?:echo|printf)\s+(.*?)\s*\|\s*((?:super|zq)\b.*)$", line, re.S
+    )
     if m:
         parts = shlex.split(m.group(1))
         echo_text = " ".join(parts)
@@ -811,7 +804,8 @@ def _unroll_loops(text: str, files: dict) -> str:
     i = 0
     while i < len(lines):
         wm = _re.match(
-            r"\s*while\s+read\s+(?:-r\s+)?(\w+)\s*;?\s*do\s*$", lines[i]
+            r"\s*while\s+(?:IFS=\S*\s+)?read\s+(?:-r\s+)?(\w+)\s*;?\s*do\s*$",
+            lines[i],
         )
         if wm:
             # `while read -r line; do ... done < file` — unroll over
@@ -830,12 +824,16 @@ def _unroll_loops(text: str, files: dict) -> str:
             data = files.get(src_name, "")
             if isinstance(data, bytes):
                 data = data.decode()
+            import shlex as _sxw
+
             for item in str(data).splitlines():
+                q = _sxw.quote(item)
                 for ln in body:
                     out_lines.append(
-                        ln.replace(f"${{{var}}}", f"'{item}'").replace(
-                            f"${var}", f"'{item}'"
-                        )
+                        ln.replace(f'"${{{var}}}"', q)
+                        .replace(f'"${var}"', q)
+                        .replace(f"${{{var}}}", q)
+                        .replace(f"${var}", q)
                     )
             continue
         m = _re.match(r"\s*for\s+(\w+)\s+in\s+(.*?);?\s*do\s*$", lines[i])
@@ -2461,6 +2459,7 @@ def _run_script_case(spark, case: dict, path: str):
     ran = 0
     stdout_acc: list[tuple] = []  # (df, wrapped) per un-redirected line
     separators: set[str] = set()
+    soft_errors: list[str] = []  # inputs skipped under -e=false
 
     # merge continuation lines: a quoted -c argument may span lines
     # (ztest scripts are shell; quotes balance across newlines)
@@ -2603,7 +2602,38 @@ def _run_script_case(spark, case: dict, path: str):
                     return parse_csv_values(data), None
                 if ifmt == "line":
                     return data.splitlines(), None
+                if ifmt == "json":
+                    # strict JSON decode (zio/jsonio): truncated
+                    # input is an error, never a zson fallback
+                    # (jsonio/ztests/unexpected-input-end)
+                    import json as _json4
+
+                    dec = _json4.JSONDecoder()
+                    vals4: list = []
+                    t4 = data.strip()
+                    pos4 = 0
+                    while pos4 < len(t4):
+                        v4, pos4 = dec.raw_decode(t4, pos4)
+                        vals4.append(v4)
+                        while pos4 < len(t4) and t4[pos4] in " \n\r\t":
+                            pos4 += 1
+                    return vals4, None
                 vals = parse_zson(data)
+                if (
+                    ifmt is None
+                    and vals
+                    and all(isinstance(v, str) for v in vals)
+                    and not any(q in data for q in "\"'{[|<")
+                    and any(
+                        not _re.fullmatch(r"[\w.:/-]+", v) or v[0].isalpha()
+                        for v in vals
+                    )
+                ):
+                    # AUTO-detection must not fall back to bare-word
+                    # strings: prose is a detection error
+                    # (query/ztests/stop-on-error; the lenient ZSON
+                    # token rule is for enum/ip literals only)
+                    raise ValueError("format detection error")
                 descs = None
                 try:
                     from zed_spark.sources.ztypes import parse_types
@@ -2799,7 +2829,16 @@ def _run_script_case(spark, case: dict, path: str):
                     elif isinstance(src, bytes) and src[:4] == b"PAR1":
                         parts.append(pq_df(src))
                     else:
-                        bv, bd = blob_vals(src, ifmt)
+                        try:
+                            bv, bd = blob_vals(src, ifmt)
+                        except ValueError:
+                            if "-e=false" in st["flags"]:
+                                # -e=false: report the bad input and
+                                # continue with the other files
+                                # (query/ztests/stop-on-error-2)
+                                soft_errors.append(f)
+                                continue
+                            raise
                         vals.extend(bv)
                         val_descs.extend(
                             bd if bd is not None else [None] * len(bv)
@@ -2884,8 +2923,18 @@ def _run_script_case(spark, case: dict, path: str):
             return df, wrapped, outfile, query, last_ofmt
 
         if expect_fail:
+            _soft0 = len(soft_errors)
             try:
                 df, _w, _o, _q, _ofmt = run_stages()
+                if len(soft_errors) > _soft0:
+                    # -e=false: the run completes (streaming the good
+                    # inputs' rows) but exits nonzero for the skipped
+                    # ones — `!` is satisfied AND stdout compares
+                    # (query/ztests/stop-on-error-3)
+                    if df is not None:
+                        stdout_acc.append((df, bool(_w)))
+                    ran += 1
+                    continue
                 df.collect()  # failures may surface only at runtime
                 if _ofmt == "zeek":
                     from zed_spark.sources.zeek import to_zeek_text

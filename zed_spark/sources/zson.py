@@ -451,6 +451,12 @@ class _Parser:
                 return v
             j = self._match_paren(self.i)
             typ = self.s[self.i + 1 : j].strip()
+            if re.fullmatch(r"\d+", typ) and typ not in self.named:
+                # integers are legal type names only once DEFINED via
+                # (N=...) (zson/ztests/type-name `{x:4}(0)`); an
+                # undefined bare-integer decorator is a syntax error
+                # (query/ztests/stop-on-error-3 `{...} (1)`)
+                raise ZsonError(f"bad type decorator ({typ})")
             self.i = j + 1
             v = self._apply_decorator(v, typ)
 
