@@ -352,11 +352,9 @@ _ZSIZE = "exact LZ4-compressed byte-size golden [script]"
 _LAKE_GAPS = {
     "lake/consecutive-ts.yaml": "reads the lake's internal seek-index files [script]",
     "lake/lake-version.yaml": _SH2,
-    "lake/seek-index-null.yaml": "seek-index internals over null keys [script]",
     "service/auth.yaml": _SH2,
     "service/python-auth.yaml": _SH2,
     "service/python.yaml": _SH2,
-    "service/seek-index-null.yaml": "seek-index internals over null keys [script]",
 }
 UNSUPPORTED.update(
     {
@@ -1249,6 +1247,13 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
             qtext = args[0] if args else ""
             if inc:
                 qtext = f"{files[inc]}\n{qtext}".strip()
+            if flags["use"] and not re.match(
+                r"\s*(from|const|type|func|op)\b", qtext
+            ):
+                # `query -use POOL`: the pool flag is the source
+                # (lake/ztests/seek-index-null)
+                name, branch = current(flags["use"])
+                qtext = f"from {name}@{branch} | " + qtext
             return run_query(qtext, piped)
         if cmd == "delete":
             name, branch = current(flags["use"])
