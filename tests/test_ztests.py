@@ -350,7 +350,6 @@ _SH2 = "shell fixture (mv/kill/venv/env-flag service variants) [script]"
 # reference's nano.Ts payload byte-for-byte (17073/17039/33493).
 _ZSIZE = "exact LZ4-compressed byte-size golden [script]"
 _LAKE_GAPS = {
-    "lake/consecutive-ts.yaml": "reads the lake's internal seek-index files [script]",
     "lake/lake-version.yaml": _SH2,
     "service/auth.yaml": _SH2,
     "service/python-auth.yaml": _SH2,
@@ -1139,10 +1138,18 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
             name = args[0]
             ob = flags.get("orderby") or "ts:desc"
             key, _, order = ob.partition(":")
+            stride = 65536
+            sv = flags.get("seekstride")
+            if sv:
+                m9 = re.fullmatch(r"(\d+)\s*([KMG]?)I?B?", str(sv).upper())
+                if m9:
+                    stride = int(m9.group(1)) * {
+                        "": 1, "K": 1024, "M": 1024**2, "G": 1024**3,
+                    }[m9.group(2)]
             # `-orderby k` without a suffix is ASCENDING (db/create
             # usage: "If no order is given, ascending is assumed");
             # only the flag DEFAULT is ts:desc
-            pool = lake.create_pool(name, key, order or "asc")
+            pool = lake.create_pool(name, key, order or "asc", stride)
             if flags["usecur"]:
                 state["use"] = name
             if not flags["q"]:
@@ -1524,7 +1531,9 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
                 v = shellvars.get(m.group(1))
                 if v is None:
                     return m.group(0)
-                if any(c in v for c in "\"'\n"):
+                if '"' in v or "'" in v:
+                    # quote-bearing values would break shlex: they
+                    # ride as placeholders expanded in curl bodies
                     return "\x00var:%s\x00" % m.group(1)
                 return v
 
@@ -2015,6 +2024,25 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
                         and t in files
                         and t not in inc_files
                     ]
+                    if not src_files:
+                        # lake-internal file globs resolve on disk
+                        # under the harness lake root (consecutive-ts
+                        # reads test/*/data/*-seek.zng)
+                        for t in toks[1:]:
+                            if "/" in t and ("*" in t or "?" in t):
+                                import glob as _g9
+
+                                disk = sorted(
+                                    _g9.glob(
+                                        os.path.join(
+                                            root, t.split("/", 1)[1]
+                                        )
+                                    )
+                                )
+                                for h in disk:
+                                    with open(h, "rb") as fh9:
+                                        files[h] = fh9.read()
+                                src_files.extend(disk)
                     if piped is None:
                         if pend_text is not None:
                             ifmt2 = (

@@ -179,6 +179,10 @@ class PoolConfig:
     path: str
     id: str = ""  # pool ksuid (reference: pools are named by ksuid)
     order: str = "desc"  # key order (reference default: ts desc)
+    # seek-index stride in bytes (lake/data/writer.go seekIndexStride;
+    # `super db create -seekstride`) — governs the per-object
+    # <id>-seek.zng entry granularity
+    seekstride: int = 65536
 
 
 class Lake:
@@ -199,7 +203,8 @@ class Lake:
 
     # --- pool lifecycle ---------------------------------------------
     def create_pool(
-        self, name: str, key: str, order: str = "desc"
+        self, name: str, key: str, order: str = "desc",
+        seekstride: int = 65536,
     ) -> "Pool":
         path = self._pool_dir(name)
         meta = os.path.join(path, LAKE_META_DIR)
@@ -210,10 +215,12 @@ class Lake:
         with open(os.path.join(meta, "pool.json"), "w") as f:
             json.dump(
                 {"name": name, "key": key, "version": 1, "id": pid,
-                 "order": order},
+                 "order": order, "seekstride": seekstride},
                 f,
             )
-        return Pool(self.spark, PoolConfig(name, key, path, pid, order))
+        return Pool(
+            self.spark, PoolConfig(name, key, path, pid, order, seekstride)
+        )
 
     def pool(self, name: str) -> "Pool":
         path = self._pool_dir(name)
@@ -224,6 +231,7 @@ class Lake:
             PoolConfig(
                 meta["name"], meta["key"], path,
                 meta.get("id", ""), meta.get("order", "desc"),
+                meta.get("seekstride", 65536),
             ),
         )
 
@@ -587,6 +595,13 @@ class Pool:
         app metadata, carried on the commit and exposed by `:log`."""
         commit_id = new_ksuid()
         self._write_object(df, commit_id)
+        if self.cfg.seekstride != 65536:
+            # seek files only for explicitly-strided pools: parquet
+            # footer stats are this engine's pruning index, so the
+            # reference-layout seek file is CLI/ztest parity, and its
+            # driver-side collect must never ride a default-config
+            # (scale-path) load
+            self._write_seek_index(commit_id)
         stats = self._key_stats(df)
         # an empty message means the reference's auto load message
         # (lake/branch.go loadMessage); it embeds the object's exact
@@ -918,16 +933,81 @@ class Pool:
             rows, "branch string, tip string, base string, n_commits int, n_objects int"
         )
 
-    def _object_size(self, obj_dir: str) -> int:
-        """The object's ZNG stream byte count, matching the
-        reference's writer EXACTLY (lake/data/writer.go via
-        zio/zngio/writer.go): rows in pool order (key in the pool
-        direction, nulls max, equal keys by the record's encoded
-        bytes in the same direction — zbuf/merger.go:20-31
-        NewComparatorNullsMax), ns-exact time values restored from
-        their shadow columns, LZ4 per frame (pierrec v4 bit-exact).
-        Meta queries only — the scan path never pays this collect."""
+    def _write_seek_index(self, commit_id: str) -> None:
+        """Per-object seek index (lake/data/writer.go writeIndex +
+        lake/seekindex): walking the object's rows in pool order, the
+        stride trigger accumulates each KEY's encoded byte length;
+        crossing the stride ends the ZNG segment and appends an entry
+        {min,max,val_off,val_cnt,offset,length} (desc pools swap
+        min/max in the entry). Written as <pool>/data/<id>-seek.zng
+        (lake/ztests/consecutive-ts reads it back verbatim)."""
+        from pyspark.sql import types as T
+
         from zed_spark.sources.zng import _encode_body, encode_zng
+
+        key = self.cfg.key
+        obj_dir = os.path.join(self.cfg.path, f"obj_{commit_id}")
+        rows, enc_schema = self._ordered_object_rows(obj_dir)
+        if not rows or key not in enc_schema.fieldNames():
+            return
+        kdt = enc_schema[key].dataType
+        stride = self.cfg.seekstride
+        desc = self.cfg.order == "desc"
+        entries = []
+        group: list = []
+        seek_min = None
+        val_off = 0
+        offset = 0
+        trigger = 0
+
+        def flush(last_key):
+            nonlocal group, seek_min, val_off, offset, trigger
+            if not group:
+                return
+            blob = encode_zng(group, enc_schema, compress=True)
+            mn, mx = seek_min, last_key
+            if desc:
+                mn, mx = mx, mn
+            entries.append(
+                {"min": mn, "max": mx, "val_off": val_off,
+                 "val_cnt": len(group), "offset": offset,
+                 "length": len(blob)}
+            )
+            val_off += len(group)
+            offset += len(blob)
+            group, seek_min, trigger = [], None, 0
+
+        last = None
+        for r in rows:
+            kv = r.get(key)
+            if seek_min is None:
+                seek_min = kv
+            group.append(r)
+            last = kv
+            trigger += len(_encode_body(kv, kdt) or b"")
+            if trigger >= stride:
+                flush(kv)
+        flush(last)
+        ddir = os.path.join(self.cfg.path, "data")
+        os.makedirs(ddir, exist_ok=True)
+        eschema = T.StructType(
+            [
+                T.StructField("min", kdt),
+                T.StructField("max", kdt),
+                T.StructField("val_off", T.LongType()),
+                T.StructField("val_cnt", T.LongType()),
+                T.StructField("offset", T.LongType()),
+                T.StructField("length", T.LongType()),
+            ]
+        )
+        with open(os.path.join(ddir, f"{commit_id}-seek.zng"), "wb") as f:
+            f.write(encode_zng(entries, eschema, compress=True))
+
+    def _ordered_object_rows(self, obj_dir: str):
+        """An object's rows in pool order with ns shadows restored —
+        the exact sequence the reference writer streams (see
+        _object_size for the ordering contract)."""
+        from zed_spark.sources.zng import _encode_body
 
         odf = self.spark.read.parquet(obj_dir)
         drop = [c for c in odf.columns if c == "__zed_seq"]
@@ -963,6 +1043,20 @@ class Pool:
                 return (null_rank, _Ord(v, desc), _Ord(body, desc))
 
             rows.sort(key=sort_key)
+        return rows, enc_schema
+
+    def _object_size(self, obj_dir: str) -> int:
+        """The object's ZNG stream byte count, matching the
+        reference's writer EXACTLY (lake/data/writer.go via
+        zio/zngio/writer.go): rows in pool order (key in the pool
+        direction, nulls max, equal keys by the record's encoded
+        bytes in the same direction — zbuf/merger.go:20-31
+        NewComparatorNullsMax), ns-exact time values restored from
+        their shadow columns, LZ4 per frame (pierrec v4 bit-exact).
+        Meta queries only — the scan path never pays this collect."""
+        from zed_spark.sources.zng import encode_zng
+
+        rows, enc_schema = self._ordered_object_rows(obj_dir)
         return len(encode_zng(rows, enc_schema, compress=True))
 
     def pool_stats(self, branch: str = "main") -> dict:
