@@ -275,8 +275,6 @@ UNSUPPORTED.update(
             "aggmem": "resource-limit rejection (-aggmem 0): limits "
             "are Spark's (spill), flag is accepted-and-ignored "
             "[script]",
-            "error-stdin-name": _CLI,
-            "error-stdin-name-auto": _CLI,
             "http-multiple": _NET,
             "http-notexist": _NET,
             "http-simple": _NET,
