@@ -364,8 +364,6 @@ UNSUPPORTED.update(
 # interpreter dispatching into it, so most curl-* forms run. The
 # rest are declared with the precise blocker.
 _CURL_GAPS = {
-    "curl-load-error.yaml": "format-detector error-text golden (exact "
-    "per-format failure wording) [script]",
 }
 for _c in sorted(_glob.glob("/root/reference/service/ztests/curl-*.yaml")):
     base = os.path.basename(_c)

@@ -52,6 +52,40 @@ class ApiError(Exception):
         self.compilation_errors: list | None = None
 
 
+def _detector_report(body: bytes) -> str:
+    """The reference's per-format detection failure report
+    (zio/anyio detector; service/ztests/curl-load-error): one line
+    per format with that reader's rejection reason for undetectable
+    text input."""
+    try:
+        text = body.decode("utf-8", errors="replace")
+    except Exception:
+        text = ""
+    first_line = text.splitlines()[0] if text.strip() else ""
+    c = next((ch for ch in text.lstrip()[:1]), "")
+    jmsg = (
+        "invalid character '%s' looking for beginning of value" % c
+        if c
+        else "unexpected end of JSON input"
+    )
+    parts = [
+        "format detection error",
+        "\tarrows: schema message length exceeds 1 MiB",
+        "\tcsv: line 1: EOF",
+        "\tjson: " + jmsg,
+        "\tline: auto-detection not supported",
+        "\tparquet: auto-detection requires seekable input",
+        "\ttsv: line 1: EOF",
+        "\tvng: auto-detection requires seekable input",
+        "\tzeek: line 1: bad types/fields definition in zeek header",
+        '\tzjson: line 1: malformed ZJSON: bad type object: "%s": '
+        "unpacker error parsing JSON: %s" % (first_line, jmsg),
+        "\tzng: malformed zng record",
+        "\tzson: ZSON syntax error",
+    ]
+    return "\n".join(parts)
+
+
 def _compile_error(msg: str, pos: int, end: int, text: str) -> ApiError:
     """The reference's compiler-error rendering: message, position
     (line/column), the source line, and a squiggle underlining
@@ -483,6 +517,19 @@ class QueryService:
             # auto-detect: zson / zng / json (the reference's anyio
             # detector order, restricted to self-describing formats —
             # line/csv need an explicit Content-Type)
+            try:
+                btext = body.decode("utf-8")
+            except UnicodeDecodeError:
+                btext = None
+            if (
+                btext is not None
+                and btext.strip()
+                and not any(q in btext for q in "\"'{[|<:")
+                and any(w[:1].isalpha() for w in btext.split())
+            ):
+                # prose never detects: bare words are NOT a zson
+                # stream of strings (anyio detector; curl-load-error)
+                raise ApiError(_detector_report(body))
             for trial in ("zson", "zng", "json"):
                 p = os.path.join(d, "body" + ext[trial])
                 mode = "wb"
@@ -494,7 +541,7 @@ class QueryService:
                         return df
                 except Exception:
                     continue
-            raise ApiError("format detection error")
+            raise ApiError(_detector_report(body))
         p = os.path.join(d, "body" + ext[fmt])
         with open(p, "wb") as fh:
             fh.write(body)
