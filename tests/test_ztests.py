@@ -348,7 +348,6 @@ _SH2 = "shell fixture (mv/kill/venv/env-flag service variants) [script]"
 # reference's nano.Ts payload byte-for-byte (17073/17039/33493).
 _ZSIZE = "exact LZ4-compressed byte-size golden [script]"
 _LAKE_GAPS = {
-    "lake/lake-version.yaml": _SH2,
     "service/auth.yaml": _SH2,
     "service/python-auth.yaml": _SH2,
     "service/python.yaml": _SH2,
@@ -1129,6 +1128,38 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
                 args.append(t)
             j += 1
         if cmd == "init":
+            # the lake root carries a version record (lake.zng); the
+            # reference's serve refuses mismatched versions
+            # (lake/ztests/lake-version)
+            from pyspark.sql import types as _Tv
+
+            from zed_spark.sources.zng import encode_zng
+
+            os.makedirs(root, exist_ok=True)
+            with open(os.path.join(root, "lake.zng"), "wb") as fh:
+                fh.write(
+                    encode_zng(
+                        [{"version": 3}],
+                        _Tv.StructType(
+                            [_Tv.StructField("version", _Tv.LongType())]
+                        ),
+                        compress=False,
+                    )
+                )
+            return None
+        if cmd == "serve":
+            from zed_spark.sources.zng import parse_zng
+
+            vp = os.path.join(root, "lake.zng")
+            if os.path.exists(vp):
+                with open(vp, "rb") as fh:
+                    vals = parse_zng(fh.read())
+                ver = (vals or [{}])[0].get("version")
+                if ver != 3:
+                    raise ValueError(
+                        "unsupported lake version: found version "
+                        f"{ver} while expecting 3"
+                    )
             return None
         if cmd == "create":
             name = args[0]
@@ -1510,6 +1541,32 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
         if re.match(r"(kill|awaitdeadservice|awaitfile|sleep|trap)\b", line):
             # process-lifecycle shell forms (mockzui.sh) — the
             # in-process service has no child process to manage
+            continue
+        mvm = re.match(r"mv\s+(\S+)\s+(\S+)\s*$", line)
+        if mvm:
+            # `mv` between lake-internal disk paths (the exported
+            # lake name prefix maps onto the harness root) and case
+            # files (lake/ztests/lake-version)
+            def _mv_path(p):
+                if "/" in p:
+                    return os.path.join(root, p.split("/", 1)[1])
+                return None
+
+            srcp, dstp = _mv_path(mvm.group(1)), _mv_path(mvm.group(2))
+            if srcp and os.path.exists(srcp):
+                with open(srcp, "rb") as fh:
+                    blob = fh.read()
+                os.unlink(srcp)
+            else:
+                blob = files.get(mvm.group(1))
+            if dstp is not None:
+                with open(dstp, "wb") as fh:
+                    fh.write(
+                        blob if isinstance(blob, bytes) else str(blob).encode()
+                    )
+            else:
+                files[mvm.group(2)] = blob
+            ran += 1
             continue
         # inline `$(cat NAME)` substitution from case inputs
         def _cat(m):
@@ -2073,6 +2130,25 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
                         named_types=getattr(piped, "_zed_named_types", None),
                         named_descs=getattr(piped, "_zed_named_descs", None),
                     )
+                    if "-o" in toks:
+                        # `-o <lake-path>.zng`: rewrite a lake-
+                        # internal file on disk (lake-version)
+                        from zed_spark.sources.zng import encode_zng
+
+                        opath = toks[toks.index("-o") + 1]
+                        if "/" in opath and opath.endswith(".zng"):
+                            dpath = os.path.join(
+                                root, opath.split("/", 1)[1]
+                            )
+                            with open(dpath, "wb") as fh:
+                                fh.write(
+                                    encode_zng(
+                                        piped.collect(),
+                                        piped.schema,
+                                        compress=False,
+                                    )
+                                )
+                            piped = None
             if curl_tail and pend_text is not None:
                 # curl was the last stage: its response IS the stdout
                 for ln in pend_text.rstrip("\n").splitlines():
