@@ -181,7 +181,6 @@ UNSUPPORTED.update(
     {
         f"{SAM_EXPR}/function/ztests/{k}.yaml": v
         for k, v in {
-            "grep": _SC,
         }.items()
     }
 )

@@ -8337,14 +8337,18 @@ class Compiler:
             from zed_spark.functions.grep import glob_to_regex
 
             pat = args[0]
-            if pat[0] not in ("str", "glob"):
-                raise ValueError("grep pattern must be a string literal")
             if pat[0] == "glob":
                 mode = "glob"
-            elif len(pat) > 2 and pat[2] == "re":
+            elif pat[0] == "str" and len(pat) > 2 and pat[2] == "re":
                 mode = "regexp"  # grep(/re/) literal form (grep.md)
-            else:
+            elif pat[0] == "str":
                 mode = "substring"
+            else:
+                # dynamic pattern (function/ztests/grep: "only
+                # happens when the pattern arg is not ... resolvable
+                # to a string at compile time"): per-row substring
+                # match against the evaluated pattern column
+                mode = "dynamic"
             # grep == expr.NewSearchString / searchByPred (grep.go:23):
             # the pattern matches STRING leaves and FIELD NAMES only —
             # "it only matches string fields" (functions/grep.md), so
@@ -8355,14 +8359,32 @@ class Compiler:
                 tgt = self.expr(args[1], df)
                 tdt = self._type_of(args[1], df)
             else:
-                vis = [c for c in df.columns if not c.startswith("__zed_")]
+                # `this` excludes scope helpers: with-vars and group
+                # ids are locals, not data (function/ztests/grep's
+                # `over input with p=pattern => ( grep(p) )`)
+                scoped_ex = set().union(
+                    *getattr(self, "_scoped_exclude", [set()]) or [set()]
+                )
+                vis = [
+                    c
+                    for c in df.columns
+                    if not c.startswith("__zed_") and c not in scoped_ex
+                ]
                 tgt = F.struct(*[F.col(c) for c in vis])
                 tdt = T.StructType(
                     [f for f in df.schema.fields if f.name in vis]
                 )
             import re as _reg
 
-            if mode == "substring":
+            if mode == "dynamic":
+                pcol = F.lower(self.expr(pat, df).cast("string"))
+
+                def shit(c):
+                    return F.lower(c).contains(pcol)
+
+                def nhit(nm):
+                    return F.lit(nm.lower()).contains(pcol)
+            elif mode == "substring":
                 low = pat[1].lower()
 
                 def shit(c):
@@ -8404,7 +8426,13 @@ class Compiler:
                     for f in dt.fields:
                         if f.name.startswith("__zed_"):
                             continue
-                        if nhit(f.name):
+                        nh = nhit(f.name)
+                        if isinstance(nh, Column):
+                            preds.append(
+                                F.coalesce(nh, F.lit(False))
+                                & col.getField(f.name).isNotNull()
+                            )
+                        elif nh:
                             preds.append(col.getField(f.name).isNotNull())
                         gwalk(col.getField(f.name), f.dataType)
                 elif tn == "array":
