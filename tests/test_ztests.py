@@ -238,7 +238,6 @@ UNSUPPORTED.update(
     {
         f"/root/reference/zio/zngio/ztests/{k}.yaml": v
         for k, v in {
-            "big-value": "shell for-loop fixture [script]",
         }.items()
     }
 )
@@ -706,6 +705,7 @@ def _parse_script_line(line: str):
             "query": None, "includes": [], "infiles": [], "outfile": None,
             "append": False, "ifmt": None, "ofile": None, "flags": [],
             "ofmt": None, "split": None, "splitsize": None,
+            "readmax": None,
         }
         i = 0
         while i < len(toks):
@@ -750,6 +750,13 @@ def _parse_script_line(line: str):
                         f"{t[1:]} value must be greater than zero"
                     )
                 i += 2
+            elif t == "-zng.readmax":
+                sz9 = toks[i + 1].upper().rstrip("B")
+                mult9 = 1
+                for suf9, m9 in (("K", 1000), ("M", 1000**2)):
+                    if sz9.endswith(suf9):
+                        sz9, mult9 = sz9[:-1], m9
+                st["readmax"], i = int(float(sz9) * mult9), i + 2
             elif t.startswith("-") and t != "-":
                 st["flags"].append(t)
                 i += 1
@@ -846,7 +853,16 @@ def _unroll_loops(text: str, files: dict) -> str:
             expanded: list[str] = []
             for it in items:
                 bm = _re.fullmatch(r"(.*)\{([^{}]*)\}(.*)", it)
-                if bm and "," in bm.group(2):
+                rm2 = _re.fullmatch(r"(.*)\{(\d+)\.\.(\d+)\}(.*)", it)
+                if rm2:
+                    # bash numeric range {1..7} (zngio/big-value)
+                    expanded.extend(
+                        rm2.group(1) + str(n) + rm2.group(4)
+                        for n in range(
+                            int(rm2.group(2)), int(rm2.group(3)) + 1
+                        )
+                    )
+                elif bm and "," in bm.group(2):
                     # bash brace expansion (curl-query Accept matrix)
                     expanded.extend(
                         bm.group(1) + alt + bm.group(3)
@@ -2596,6 +2612,26 @@ def _run_script_case(spark, case: dict, path: str):
             separators.add(_etxt)
             stdout_text.append(_ECHO_MARK + _etxt)
             continue
+        _catm = _re.match(r"cat\s+((?:\S+\s+)+)>\s*(\S+)\s*$", line)
+        if _catm:
+            # `cat a b c > out`: concatenate case files
+            # (zngio/ztests/big-value doubles a zng stream)
+            srcs = _catm.group(1).split()
+            blobs = [files[s2] for s2 in srcs]
+            if any(isinstance(b2, bytes) for b2 in blobs):
+                files[_catm.group(2)] = b"".join(
+                    b2 if isinstance(b2, bytes) else str(b2).encode()
+                    for b2 in blobs
+                )
+            else:
+                files[_catm.group(2)] = "".join(str(b2) for b2 in blobs)
+            ran += 1
+            continue
+        _mvm = _re.match(r"mv\s+(\S+)\s+(\S+)\s*$", line)
+        if _mvm and _mvm.group(1) in files:
+            files[_mvm.group(2)] = files.pop(_mvm.group(1))
+            ran += 1
+            continue
         _devline = line[1:].strip() if line.startswith("!") else line
         if _devline.startswith("super dev compile") or (
             _devline.startswith("super query") and " -C" in _devline
@@ -2933,6 +2969,29 @@ def _run_script_case(spark, case: dict, path: str):
                     elif isinstance(src, bytes) and src[:4] == b"PAR1":
                         parts.append(pq_df(src))
                     else:
+                        if (
+                            st.get("readmax")
+                            and isinstance(src, (bytes, bytearray))
+                        ):
+                            # -zng.readmax: reject oversized frames
+                            # (zngio/ztests/big-value)
+                            from zed_spark.sources.zng import _uvarint
+
+                            pos9, n9 = 0, len(src)
+                            while pos9 < n9:
+                                code9 = src[pos9]
+                                pos9 += 1
+                                if code9 == 0xFF:
+                                    continue
+                                mult9, pos9 = _uvarint(src, pos9)
+                                size9 = mult9 * 16 + (code9 & 0x0F)
+                                if size9 > st["readmax"]:
+                                    raise ValueError(
+                                        "zngio: frame length (%d) exceeds "
+                                        "maximum allowed (%d)"
+                                        % (size9, st["readmax"])
+                                    )
+                                pos9 += size9
                         try:
                             bv, bd = blob_vals(src, ifmt)
                         except ValueError:
