@@ -146,6 +146,59 @@ def test_events_sse_streams_commits(svc, spark):
     assert "sse_pool" in got[0] and "sse test" in got[0]
 
 
+def test_check_from_no_space_around_pipe(svc, spark, tmp_path_factory):
+    """`from events|head 1` and compound `from ( ... )` must not
+    trip the pre-flight pool check (the source token is split at the
+    first operator punctuation — advice r8)."""
+    from zed_spark.service import ApiError, QueryService
+    from zed_spark.sources.lake import Lake
+    from zed_spark.sources.readers import read_table
+
+    root = str(tmp_path_factory.mktemp("lake_cf"))
+    Lake(spark, root).create_pool("events", key="ts").load(
+        read_table(spark, SF_DIR, "events")
+    )
+    s = QueryService(spark, sf_dir=SF_DIR, lake_root=root)
+    # existing pool, no spaces around the pipe: no error
+    s._check_from("from events|head 1")
+    # compound source: each leg resolved by the real compiler
+    s._check_from("from ( pool events pool events )")
+    # unknown pool with a pipe: squiggle on the pool name only
+    with pytest.raises(ApiError) as ei:
+        s._check_from("from nopool|head 1")
+    err = str(ei.value)
+    assert "nopool: pool not found" in err
+    assert err.rstrip().endswith("~" * len("nopool"))
+    assert "~" * (len("nopool") + 1) not in err
+
+
+def test_load_zson_keyword_scalars(svc, spark):
+    """`true`/`false`/`null` bodies are valid ZSON scalars, not
+    prose — auto-detect must accept them (advice r8)."""
+    from zed_spark.service import QueryService
+
+    s = QueryService(spark, sf_dir=SF_DIR)
+    df = s._load_body(b"true\nfalse\ntrue\n", "", {})
+    vals = [r[df.columns[0]] for r in df.collect()]
+    assert sorted(vals) == [False, True, True]
+    # bare prose still produces the detector report
+    import pytest as _pt
+
+    from zed_spark.service import ApiError
+
+    with _pt.raises(ApiError):
+        s._load_body(b"hello world prose\n", "", {})
+
+
+def test_render_unknown_failure_reraises(svc, spark):
+    """A render failure with no reference-writer equivalent must NOT
+    be swallowed into an empty 200 (advice r8)."""
+    from zed_spark.service import QueryService
+
+    s = QueryService(spark, sf_dir=SF_DIR)
+    assert s._writer_error(ValueError("boom"), "csv", None) is None
+
+
 def test_exec_error_400(svc):
     code, body = _post(svc, "from events | yield {x: nope(1)}")
     assert code == 400 and "unknown function" in json.loads(body)["error"]

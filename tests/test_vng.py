@@ -61,6 +61,44 @@ def test_all_null_column():
     assert vals == rows
 
 
+def test_null_nested_containers():
+    # null complex values INSIDE containers (advice r8: array element
+    # that is itself a null array / null map value) ride a null
+    # length tag in the lengths stream
+    schema = T.StructType(
+        [
+            T.StructField("aa", T.ArrayType(T.ArrayType(T.LongType()))),
+            T.StructField(
+                "am",
+                T.ArrayType(T.MapType(T.StringType(), T.LongType())),
+            ),
+        ]
+    )
+    rows = [
+        {"aa": [[1, 2], None, []], "am": [{"k": 1}, None]},
+        {"aa": None, "am": [None]},
+        {"aa": [None], "am": None},
+    ]
+    vals, _ = _rt(rows, schema)
+    assert vals == rows
+
+
+def test_null_top_level_map_value():
+    schema = T.StructType(
+        [
+            T.StructField(
+                "m",
+                T.MapType(
+                    T.StringType(), T.MapType(T.StringType(), T.LongType())
+                ),
+            )
+        ]
+    )
+    rows = [{"m": {"a": {"x": 1}, "b": None}}, {"m": None}]
+    vals, _ = _rt(rows, schema)
+    assert vals == rows
+
+
 def test_empty_input():
     schema = T.StructType([T.StructField("a", T.LongType())])
     vals, ts = _rt([], schema)

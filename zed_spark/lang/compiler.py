@@ -8377,6 +8377,42 @@ class Compiler:
             import re as _reg
 
             if mode == "dynamic":
+                from zed_spark.schema import is_union_type as _iug
+
+                pdt = self._type_of(pat, df)
+                if pdt is not None and pdt.typeName() != "string" and not (
+                    isinstance(pdt, T.StructType) and _iug(pdt)
+                ):
+                    # grep.go:18 WrapError: a runtime pattern whose
+                    # type is not string yields the error value
+                    # error({message:"grep(): pattern argument must
+                    # be a string",on:<pattern>}) — carried in the
+                    # error() convention (single e0 alternative)
+                    on_col = self.expr(pat, df)
+                    if isinstance(pdt, T.NullType):
+                        pdt = T.StringType()
+                        on_col = on_col.cast("string")
+                    est = T.StructType(
+                        [
+                            T.StructField("message", T.StringType()),
+                            T.StructField("on", pdt),
+                        ]
+                    )
+                    st = T.StructType(
+                        [
+                            T.StructField("tag", T.IntegerType()),
+                            T.StructField("e0", est),
+                        ]
+                    )
+                    return F.struct(
+                        F.lit(0).alias("tag"),
+                        F.struct(
+                            F.lit(
+                                "grep(): pattern argument must be a string"
+                            ).alias("message"),
+                            on_col.alias("on"),
+                        ).alias("e0"),
+                    ).cast(st)
                 pcol = F.lower(self.expr(pat, df).cast("string"))
 
                 def shit(c):

@@ -521,11 +521,17 @@ class QueryService:
                 btext = body.decode("utf-8")
             except UnicodeDecodeError:
                 btext = None
+            # ZSON keyword scalars are valid values, not prose
+            # (anyio accepts `true`/`false`/`null`/NaN/Inf bodies)
+            _zson_kw = {"true", "false", "null", "NaN", "Inf"}
             if (
                 btext is not None
                 and btext.strip()
                 and not any(q in btext for q in "\"'{[|<:")
-                and any(w[:1].isalpha() for w in btext.split())
+                and any(
+                    w[:1].isalpha() and w not in _zson_kw
+                    for w in btext.split()
+                )
             ):
                 # prose never detects: bare words are NOT a zson
                 # stream of strings (anyio detector; curl-load-error)
@@ -772,8 +778,18 @@ class QueryService:
             except Exception as e:
                 # mid-stream writer failure: the reference has already
                 # sent 200; the error is recorded under the request id
-                # and logged (queryio semantics)
+                # and logged (queryio semantics). Only recognized
+                # writer-parity failures take this path — anything
+                # else is a real bug and must surface as an error
+                # response, not a silent empty 200.
                 msg = self._writer_error(e, fmt, df)
+                if msg is None:
+                    raise
+                if len(self.query_errors) >= 256:
+                    # bounded across the process lifetime: drop the
+                    # oldest recorded ids (insertion-ordered dict)
+                    for old in list(self.query_errors)[:128]:
+                        del self.query_errors[old]
                 self.query_errors[rid] = msg
                 if self.log_write is not None:
                     self.log_write(
@@ -805,6 +821,21 @@ class QueryService:
         if not m:
             return
         tok = m.group(1)
+        if tok.startswith("("):
+            # compound source `from ( pool a pool b )`: each leg is
+            # resolved by the real compiler, not this pre-flight
+            return
+        if not tok.startswith("'"):
+            # `from pool1|head 1` (no spaces around the pipe): the
+            # source token ends at the first operator punctuation
+            cut = len(tok)
+            for ch in "|;(":
+                i = tok.find(ch)
+                if i != -1:
+                    cut = min(cut, i)
+            tok = tok[:cut]
+            if not tok:
+                return
         if tok == "HEAD":
             raise _compile_error(
                 "pool name missing", m.start(), m.end(), text
@@ -827,7 +858,7 @@ class QueryService:
         if name not in Lake(self.spark, self.lake_root).pools():
             raise _compile_error(
                 "%s: pool not found" % name,
-                m.start(1), m.end(1), text,
+                m.start(1), m.start(1) + len(tok), text,
             )
 
     @staticmethod
@@ -864,9 +895,11 @@ class QueryService:
             return ["main"]
 
     @staticmethod
-    def _writer_error(e: Exception, fmt: str, df) -> str:
+    def _writer_error(e: Exception, fmt: str, df) -> str | None:
         """Map a render failure to the reference writer's wording
-        (zio/parquetio rejects empty record types)."""
+        (zio/parquetio rejects empty record types). Returns None for
+        failures with no reference-writer equivalent — the caller
+        re-raises those."""
 
         def has_empty(dt) -> bool:
             from pyspark.sql.types import ArrayType, MapType, StructType
@@ -883,7 +916,7 @@ class QueryService:
 
         if fmt == "parquet" and has_empty(df.schema):
             return "parquetio: unsupported type: empty record"
-        return str(e)
+        return None
 
     def _run_query(
         self, text: str, sf_dir: str | None, limit: int | None = None

@@ -120,7 +120,12 @@ def _int_stream(ints) -> bytes:
     tags, the super column)."""
     out = bytearray()
     for i in ints:
-        _append_tagged(out, _encode_body(int(i), T.LongType()))
+        # a None entry marks a null container value (documented
+        # divergence: the reference wraps whole columns in a Nulls
+        # encoder; this format rides a null length tag instead)
+        _append_tagged(
+            out, None if i is None else _encode_body(int(i), T.LongType())
+        )
     return bytes(out)
 
 
@@ -187,8 +192,11 @@ def _encode_column(dt, values, data: _Data):
         lengths = []
         flat = []
         for v in values:
-            lengths.append(len(v))
-            flat.extend(list(v))
+            if v is None:
+                lengths.append(None)
+            else:
+                lengths.append(len(v))
+                flat.extend(list(v))
         col, cschema = (
             _encode_column(dt.elementType, flat, data)
             if flat
@@ -210,6 +218,9 @@ def _encode_column(dt, values, data: _Data):
         keys = []
         vals = []
         for v in values:
+            if v is None:
+                lengths.append(None)
+                continue
             items = sorted(v.items(), key=lambda kv: str(kv[0]))
             lengths.append(len(items))
             keys.extend(k for k, _ in items)
@@ -427,10 +438,16 @@ class _ColReader:
                     out[fname] = sub.next()
             return out
         if self.kind == "array":
-            n = int(_decode_prim("int64", self.lengths.next()))
+            body = self.lengths.next()
+            if body is None:
+                return None  # null container (null length tag)
+            n = int(_decode_prim("int64", body))
             return [self.values.next() for _ in range(n)]
         if self.kind == "map":
-            n = int(_decode_prim("int64", self.lengths.next()))
+            body = self.lengths.next()
+            if body is None:
+                return None
+            n = int(_decode_prim("int64", body))
             return {
                 self.keys.next(): self.vals.next() for _ in range(n)
             }
