@@ -346,9 +346,10 @@ _SH2 = "shell fixture (mv/kill/venv/env-flag service variants) [script]"
 # reference's nano.Ts payload byte-for-byte (17073/17039/33493).
 _ZSIZE = "exact LZ4-compressed byte-size golden [script]"
 _LAKE_GAPS = {
-    "service/auth.yaml": _SH2,
-    "service/python-auth.yaml": _SH2,
-    "service/python.yaml": _SH2,
+    "service/python.yaml": (
+        "zjson per-row shape restoration through the fused pool "
+        "schema (in progress this round)"
+    ),
 }
 UNSUPPORTED.update(
     {
@@ -940,6 +941,26 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
     logname = m2.group(1) if m2 else None
     # `-cors.origin=PAT` allow-list (repeatable; service/curl-cors)
     cors_origins = re.findall(r"-cors\.origin=(\S+?)['\s]", case["script"])
+    # `-auth.enabled=true -auth.audience=... -auth.clientid=...
+    # -auth.domain=... -auth.jwkspath=...` (service/ztests/auth):
+    # JWT-gated service; tokens are stored per config dir by
+    # `super db auth store` and sent with each command
+    auth_cfg = None
+    if re.search(r"-auth\.enabled=(?:true|t|1)\b", case["script"]):
+        import json as _ja
+
+        fl = dict(
+            re.findall(r"-auth\.(\w+)=([^\s'\"]+)", case["script"])
+        )
+        jw = fl.get("jwkspath", "")
+        auth_cfg = {
+            "enabled": True,
+            "audience": fl.get("audience", ""),
+            "clientid": fl.get("clientid", ""),
+            "domain": fl.get("domain", ""),
+            "jwkspath": _ja.loads(str(files.get(jw, "{}"))),
+        }
+    state_tokens: dict = {}  # config dir → stored access token
 
     def service():
         if state["svc"] is None:
@@ -947,7 +968,7 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
 
             state["svc"] = QueryService(
                 spark, lake_root=root, default_fmt=state["defaultfmt"],
-                root_content=root_content,
+                root_content=root_content, auth=auth_cfg,
             )
             if logname:
                 state["svc"].log_write = lambda t: files.__setitem__(
@@ -1120,6 +1141,7 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
         valflags = {
             "-orderby", "-seekstride", "-meta", "-I", "-i",
             "-user", "-message", "-author", "-where", "-S", "-lake",
+            "-configdir", "-access",
         }
         if cmd in ("query", "ls", "log"):
             valflags.add("-f")
@@ -1142,6 +1164,73 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
             else:
                 args.append(t)
             j += 1
+        if cmd == "auth":
+            # `super db auth store -access TOKEN [-configdir D]` /
+            # `auth verify` (cmd/super/db/auth; verify round-trips
+            # GET /auth/identity through the service's validator)
+            sub = args[0] if args else ""
+            cdir = flags.get("configdir", "") or ""
+            if sub == "store":
+                state_tokens[cdir] = flags.get("access", "")
+                # the CLI persists tokens in <configdir>/
+                # credentials.json keyed by service URL — the python
+                # client reads the same store
+                import json as _js
+
+                cd_path = os.path.join(sandbox_home, cdir or ".zed")
+                os.makedirs(cd_path, exist_ok=True)
+                with open(
+                    os.path.join(cd_path, "credentials.json"), "w"
+                ) as fh:
+                    _js.dump(
+                        {
+                            "services": {
+                                service_url(): {
+                                    "access": flags.get("access", "")
+                                }
+                            }
+                        },
+                        fh,
+                    )
+                return None
+            if sub == "verify":
+                tok = state_tokens.get(cdir)
+                hdrs = (
+                    {"authorization": "Bearer " + tok} if tok else {}
+                )
+                code, _ct, payload = service().handle_api(
+                    "GET", "/auth/identity", {}, hdrs, b""
+                )
+                if code >= 400:
+                    raise ValueError(f"status code {code}")
+                import json as _jv
+
+                for ln in _jv.dumps(
+                    _jv.loads(payload.decode()), indent="\t"
+                ).splitlines():
+                    text_emit(ln)
+                return None
+            if sub == "method":
+                code, _ct, payload = service().handle_api(
+                    "GET", "/auth/method", {}, {}, b""
+                )
+                for ln in payload.decode().splitlines():
+                    text_emit(ln)
+                return None
+            raise ValueError(f"auth {sub}: unknown subcommand")
+        if auth_cfg is not None and cmd not in ("serve",):
+            # every authenticated route rejects token-less requests
+            # (service/auth.go Middleware; the Go client surfaces the
+            # 401 as `status code 401: <msg>`)
+            from zed_spark.auth import AuthError
+
+            tok = state_tokens.get(flags.get("configdir", "") or "")
+            try:
+                if not tok:
+                    raise AuthError("no token present in request")
+                service().auth_validator.validate(tok)
+            except AuthError as e:
+                raise ValueError(f"status code 401: {e}") from None
         if cmd == "init":
             # the lake root carries a version record (lake.zng); the
             # reference's serve refuses mismatched versions
@@ -1504,7 +1593,28 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
     # logical lines (quotes may span lines)
     logical: list[str] = []
     buf = ""
+    heredoc: list | None = None  # [interp, body_lines, terminator]
     for raw in _unroll_loops(case["script"], files).splitlines():
+        if heredoc is not None:
+            if raw.strip() == heredoc[2]:
+                import json as _jh
+
+                logical.append(
+                    "\x00heredoc\x00"
+                    + _jh.dumps(
+                        {"interp": heredoc[0], "body": "\n".join(heredoc[1])}
+                    )
+                )
+                heredoc = None
+            else:
+                heredoc[1].append(raw)
+            continue
+        hm = re.match(r"\s*(python3?)\s*<<-?\s*'?(\w+)'?\s*$", raw)
+        if hm:
+            # `python <<EOF ... EOF` heredoc (service/ztests/python*):
+            # the body execs against the real client + live socket
+            heredoc = [hm.group(1), [], hm.group(2)]
+            continue
         buf = raw if not buf else buf + "\n" + raw
         s = buf.strip()
         if not s or s.startswith("#") or s.startswith("export "):
@@ -1521,7 +1631,8 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
         except ValueError:
             continue
         if s.startswith("source ") or re.match(
-            r"[A-Za-z_][A-Za-z_0-9]*=('[^']*'|\S*)\s+source\s+\S+", s
+            r"[A-Za-z_][A-Za-z_0-9]*=('[^']*'|\"[^\"]*\"|\S*)\s+source\s+\S+",
+            s,
         ):
             # `source query.sh 'arg'` (possibly behind a VAR=...
             # env prefix, e.g. LAKE_EXTRA_FLAGS=... source
@@ -1547,7 +1658,80 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
         buf = ""
     ran = 0
     shellvars: dict[str, str] = {}
+    sandbox_home = tempfile.mkdtemp(prefix="ztest_home_")
+
+    def service_url() -> str:
+        if state.get("url") is None:
+            port = service().start()
+            state["url"] = f"http://127.0.0.1:{port}"
+        return state["url"]
+
+    def run_heredoc(spec: str) -> None:
+        """Exec a `python <<EOF` body with `superdb` resolving to the
+        repo's client (zed_spark.client) against the live service
+        socket; stdout prints become script stdout."""
+        import contextlib
+        import io
+        import json as _jh
+        import sys as _sys
+
+        import zed_spark.client as _client_mod
+
+        body = _jh.loads(spec)["body"]
+        url = service_url()
+        body = body.replace("${SUPER_DB_LAKE}", url).replace(
+            "$SUPER_DB_LAKE", url
+        )
+        for k, v in shellvars.items():
+            body = body.replace(f"${{{k}}}", v).replace(f"${k}", v)
+        # ztest.go copies case inputs into the script working dir —
+        # heredocs open them by name (python.yaml's in.zson)
+        workdir = os.path.join(sandbox_home, "work")
+        os.makedirs(workdir, exist_ok=True)
+        for nm, blob in files.items():
+            if "/" in nm:
+                continue
+            p = os.path.join(workdir, nm)
+            if isinstance(blob, bytes):
+                with open(p, "wb") as fh:
+                    fh.write(blob)
+            else:
+                with open(p, "w") as fh:
+                    fh.write(str(blob))
+        cap = io.StringIO()
+        old_home = os.environ.get("HOME")
+        old_cwd = os.getcwd()
+        old_mod = _sys.modules.get("superdb")
+        os.environ["HOME"] = sandbox_home
+        os.chdir(workdir)
+        _sys.modules["superdb"] = _client_mod
+        try:
+            with contextlib.redirect_stdout(cap):
+                exec(compile(body, "<heredoc>", "exec"), {})
+        finally:
+            os.chdir(old_cwd)
+            if old_home is not None:
+                os.environ["HOME"] = old_home
+            if old_mod is not None:
+                _sys.modules["superdb"] = old_mod
+            else:
+                _sys.modules.pop("superdb", None)
+        for ln in cap.getvalue().splitlines():
+            text_emit(ln)
+
     for line in logical:
+        if line.startswith("\x00heredoc\x00"):
+            run_heredoc(line[len("\x00heredoc\x00"):])
+            ran += 1
+            continue
+        if re.match(
+            r"(python3?\s+-m\s+venv|\.\s+\S+/activate|pip3?\s+install|"
+            r"mkdir\s|mv\s+setup\.py\s)", line
+        ):
+            # venv scaffolding for the python-client ztests — the
+            # heredoc exec above replaces the pip-installed package
+            ran += 1
+            continue
         expect_fail = line.startswith("!")
         if expect_fail:
             line = line[1:].strip()
@@ -1583,6 +1767,39 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
                 files[mvm.group(2)] = blob
             ran += 1
             continue
+        # inline `$(gentoken ...)` substitution: the reference's
+        # token generator for auth tests (cmd/gentoken/main.go)
+        def _gentoken(m):
+            toks = shlex.split(m.group(1))
+            fl = {}
+            i = 0
+            while i < len(toks):
+                if toks[i].startswith("-") and i + 1 < len(toks):
+                    fl[toks[i][1:]] = toks[i + 1]
+                    i += 2
+                else:
+                    i += 1
+            from zed_spark.auth import generate_access_token
+
+            exp = fl.get("expiration", "4h")
+            em = re.fullmatch(r"(-?\d+(?:\.\d+)?)(h|m|s|ms)", exp)
+            secs = (
+                float(em.group(1))
+                * {"h": 3600, "m": 60, "s": 1, "ms": 0.001}[em.group(2)]
+                if em
+                else 4 * 3600
+            )
+            return generate_access_token(
+                fl.get("keyid", ""),
+                str(files[fl["privatekeyfile"]]),
+                secs,
+                fl.get("audience", ""),
+                fl.get("domain", ""),
+                fl.get("tenantid", ""),
+                fl.get("userid", ""),
+            )
+
+        line = re.sub(r"\$\(gentoken\s+([^)]*)\)", _gentoken, line)
         # inline `$(cat NAME)` substitution from case inputs
         def _cat(m):
             nm = m.group(1)
@@ -1671,6 +1888,12 @@ def _run_db_script_case(spark, case: dict, path: str, root: str | None = None):
                         for ln in out_lines
                     ]
             shellvars[var] = "\n".join(out_lines)
+            ran += 1
+            continue
+        pm = re.match(r"^(\w+)=(\S+)\s*$", line)
+        if pm:
+            # plain `var=value` binding (python-auth's token=...)
+            shellvars[pm.group(1)] = pm.group(2)
             ran += 1
             continue
         if "$(" in line:

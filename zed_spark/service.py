@@ -132,11 +132,29 @@ class QueryService:
         max_rows: int = 10_000,
         default_fmt: str = "zson",
         root_content: str | None = None,
+        auth: dict | None = None,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
         self.lake_root = lake_root
         self.tables = tables or {}
+        # `-auth.enabled` + audience/clientid/domain/jwkspath flags
+        # (service/auth.go AuthConfig): when enabled, every API route
+        # except /auth/method requires a valid RS256 bearer token
+        self.auth_config = auth
+        self.auth_validator = None
+        if auth and auth.get("enabled"):
+            from zed_spark.auth import TokenValidator
+
+            for k in ("audience", "clientid", "domain", "jwkspath"):
+                if not auth.get(k):
+                    raise ValueError(
+                        "auth.audience, auth.clientid, auth.domain, and "
+                        "auth.jwkspath must be set when auth enabled"
+                    )
+            self.auth_validator = TokenValidator(
+                auth["audience"], auth["domain"], auth["jwkspath"]
+            )
         # `-rootcontentfile` flag: static content served at GET /
         # (service/ztests/rootcontentfile — Zui hosting hook)
         self.root_content = root_content
@@ -567,6 +585,42 @@ class QueryService:
 
         parts = [p for p in path.split("/") if p]
         accept = headers.get("accept", "")
+        # /auth/method intentionally requires no authentication
+        # (service/core.go:170-171)
+        if path == "/auth/method" and method == "GET":
+            if self.auth_validator is None:
+                out = {"kind": ""}
+            else:
+                out = {
+                    "kind": "auth0",
+                    "auth0": {
+                        "audience": self.auth_config["audience"],
+                        "client_id": self.auth_config["clientid"],
+                        "domain": self.auth_config["domain"],
+                    },
+                }
+            return 200, "application/json", (
+                json.dumps(out, separators=(",", ":")) + "\n"
+            ).encode()
+        ident = None
+        if self.auth_validator is not None:
+            from zed_spark.auth import AuthError
+
+            try:
+                ident = self.auth_validator.validate_request(headers)
+            except AuthError as e:
+                raise ApiError(str(e), kind="no credentials", code=401)
+        if path == "/auth/identity" and method == "GET":
+            from zed_spark.auth import Identity
+
+            ident = ident or Identity()
+            return 200, "application/json", (
+                json.dumps(
+                    {"tenant_id": ident.tenant_id, "user_id": ident.user_id},
+                    separators=(",", ":"),
+                )
+                + "\n"
+            ).encode()
         if path == "/pool" and method == "POST":
             spec = json.loads(body.decode() or "{}")
             name = spec.get("name")
@@ -977,7 +1031,9 @@ class QueryService:
                 self.wfile.write(payload)
 
             def do_GET(self):
-                if self.path == "/pools":
+                if self.path.startswith(("/auth/", "/query/status/")):
+                    self._api("GET")
+                elif self.path == "/pools":
                     self._send(200, json.dumps(svc._pools()).encode())
                 elif self.path == "/status":
                     self._send(200, b'{"ok": true}')
@@ -1082,6 +1138,17 @@ class QueryService:
             def do_POST(self):
                 # /pool (reference REST) vs /pools (legacy listing)
                 if self.path == "/pool" or self.path.startswith("/pool/"):
+                    self._api("POST")
+                    return
+                # a client that names an Accept type speaks the
+                # reference protocol — route /query through the REST
+                # layer (zjson control frames, auth, JSON envelope);
+                # Accept-less posts keep the legacy ndjson contract
+                if (
+                    self.path.split("?")[0] == "/query"
+                    and svc.lake_root
+                    and self.headers.get("Accept")
+                ):
                     self._api("POST")
                     return
                 if self.path.startswith("/pools/"):
