@@ -412,14 +412,16 @@ def test_truncated_response_signaled(spark):
                 headers={"Accept": "application/x-ndjson"},
             )
             with urllib.request.urlopen(req) as resp:
-                return resp.headers.get("X-Truncated"), resp.read().decode()
+                return resp.headers.get("X-Zed-Truncated"), resp.read().decode()
 
-        # legacy ndjson route: X-Truncated true/false
+        # an Accept-bearing /query speaks the reference protocol over
+        # the live socket (routed through handle_api since r9):
+        # X-Zed-Truncated only when capped
         trunc, body = post("from events")
         assert trunc == "true"
         assert len([ln for ln in body.splitlines() if ln.strip()]) == 5
         trunc2, body2 = post("from events | head 3")
-        assert trunc2 == "false"
+        assert trunc2 is None
         assert len([ln for ln in body2.splitlines() if ln.strip()]) == 3
     finally:
         s.stop()

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 import os
+import re as _re
 from datetime import datetime
 
 import pytest
@@ -345,12 +346,7 @@ _SH2 = "shell fixture (mv/kill/venv/env-flag service variants) [script]"
 # times carry int64 ns shadow columns so re-encoded objects match the
 # reference's nano.Ts payload byte-for-byte (17073/17039/33493).
 _ZSIZE = "exact LZ4-compressed byte-size golden [script]"
-_LAKE_GAPS = {
-    "service/python.yaml": (
-        "zjson per-row shape restoration through the fused pool "
-        "schema (in progress this round)"
-    ),
-}
+_LAKE_GAPS = {}
 UNSUPPORTED.update(
     {
         f"/root/reference/{k.replace('/', '/ztests/', 1)}": v
@@ -376,194 +372,13 @@ def _load(path: str) -> dict:
         return yaml.safe_load(f)
 
 
-def _missing_paths(v, t, prefix="") -> list[str]:
-    """Dotted paths the merged schema has but THIS value lacks — the
-    per-row absent-vs-null distinction the widened model otherwise
-    erases (zed missing semantics, context.go:494). Only the topmost
-    absent segment is recorded; access checks walk the prefix
-    chain."""
-    from pyspark.sql import types as T
+from zed_spark.sources.ingest import (  # promoted to product code r9
+    missing_paths as _missing_paths,
+    ns_shadows_of as _ns_shadows,
+    to_df as _to_df,
+    type_maps as _type_maps,
+)
 
-    from zed_spark.sources.zson import ZMap
-
-    out: list[str] = []
-    if (
-        isinstance(t, T.StructType)
-        and isinstance(v, dict)
-        and not isinstance(v, ZMap)
-    ):
-        for f in t.fields:
-            p = f"{prefix}{f.name}"
-            if f.name not in v:
-                out.append(p)
-            elif v[f.name] is None:
-                # UNTYPED null (`null`, not null(string)): its type
-                # is unknown, so typed functions reject it while a
-                # typed null passes (ztest levenshtein)
-                out.append(p + "\x00null")
-            else:
-                out.extend(_missing_paths(v[f.name], f.dataType, p + "."))
-    return out
-
-
-def _to_df(spark, values, tdescs=None, ns_shadows=None):
-    from pyspark.sql import types as T
-
-    from zed_spark.sources.zson import ZMap, _conform, _finalize, _infer_type, _merge_type
-
-    records = all(isinstance(v, dict) and not isinstance(v, ZMap) for v in values)
-    if not records:
-        values = [{"this": v} for v in values]
-    t = T.NullType()
-    for v in values:
-        t = _merge_type(t, _infer_type(v))
-    t = _finalize(t)
-    rows = [_conform(v, t) for v in values]
-    miss = None
-    if records and isinstance(t, T.StructType):
-        miss = [_missing_paths(v, t) for v in values]
-    elif isinstance(t, T.StructType) and len(t.fields) == 1:
-        # wrapped mixed stream ({this: v}): record VALUES inside the
-        # this-union still have per-row presence against the union's
-        # record member type
-        from zed_spark.schema import is_union_type as _iu
-
-        this_t = t.fields[0].dataType
-        if isinstance(this_t, T.StructType) and _iu(this_t):
-            rec_members = [
-                f.dataType
-                for f in this_t.fields[1:]
-                if f.name.startswith("v")
-                and isinstance(f.dataType, T.StructType)
-            ]
-            if len(rec_members) == 1:
-                miss = [
-                    _missing_paths(v["this"], rec_members[0])
-                    if isinstance(v["this"], dict)
-                    and not isinstance(v["this"], ZMap)
-                    else []
-                    for v in values
-                ]
-    if miss is not None and any(miss):
-        # mixed-shape stream: carry per-row presence in a hidden
-        # column so absent fields can yield error("missing")
-        # while present-but-null fields stay null
-        t = T.StructType(
-            list(t.fields)
-            + [T.StructField("__zed_missing", T.ArrayType(T.StringType()))]
-        )
-        rows = [r + (m,) for r, m in zip(rows, miss)]
-    tmaps = _type_maps(values, tdescs, records)
-    if tmaps is not None:
-        # per-row TYPE IDENTITY sidecar (ztypes.py): attached only
-        # when some row's precise type (named types, sized ints,
-        # ip/net/duration identity) differs from what static
-        # inference would say — typeof/is/nameof consult it per row
-        t = T.StructType(
-            list(t.fields)
-            + [
-                T.StructField(
-                    "__zed_types", T.MapType(T.StringType(), T.StringType())
-                )
-            ]
-        )
-        rows = [r + (m,) for r, m in zip(rows, tmaps)]
-    if ns_shadows:
-        # ns-exact int64 time shadows for the lake load path: object
-        # size/stat goldens are ns-resolution (nano.Ts, value.go:84)
-        # while Spark timestamps truncate to µs
-        for col, ns_vals in ns_shadows.items():
-            t = T.StructType(
-                list(t.fields)
-                + [T.StructField(f"__zed_ns_{col}", T.LongType())]
-            )
-            rows = [r + (nv,) for r, nv in zip(rows, ns_vals)]
-    return spark.createDataFrame(rows, t), (not records)
-
-
-def _ns_shadows(blob, vals) -> dict | None:
-    """For a lake-load input with sub-µs time precision, re-parse at
-    ns and return {top-level time field → [int64 ns per row]} so the
-    object keeps the exact ns values the reference stores (nano.Ts)."""
-    from datetime import datetime as _dt
-
-    if not (
-        isinstance(blob, str)
-        and _re.search(r"\d{2}:\d{2}:\d{2}\.\d{7,}", blob)
-    ):
-        return None
-    try:
-        from zed_spark.sources.zson import parse_zson_typed as _pzt9
-
-        vals_ns, _ = _pzt9(blob, time_ns=True)
-    except Exception:
-        return None
-    if len(vals_ns) != len(vals) or not all(
-        isinstance(v, dict) for v in vals
-    ):
-        return None
-    cols: dict = {}
-    names = {k for v in vals for k in v}
-    for c in sorted(names):
-        has_time = any(isinstance(v.get(c), _dt) for v in vals)
-        clean = all(
-            v.get(c) is None or isinstance(v.get(c), _dt) for v in vals
-        )
-        if not (has_time and clean):
-            continue
-        nsv = [
-            v.get(c) if isinstance(v, dict) else None for v in vals_ns
-        ]
-        if all(x is None or isinstance(x, int) for x in nsv):
-            cols[c] = nsv
-    return cols or None
-
-
-def _type_maps(values, tdescs, records: bool):
-    """Per-row {dotted path → zed type string} maps, or None when the
-    descriptors add nothing beyond widened static inference."""
-    if tdescs is None or len(tdescs) != len(values):
-        return None
-    from zed_spark.functions.introspect import zed_type_name
-    from zed_spark.sources.zson import _finalize, _infer_type
-    from zed_spark.sources.ztypes import path_descs, render
-
-    need = False
-    renders: set = set()
-    maps: list[dict] = []
-    for v, d in zip(values, tdescs):
-        precise = render(d)
-        renders.add(precise)
-        if not need:
-            try:
-                static = zed_type_name(_finalize(_infer_type(v)))
-            except Exception:
-                static = None
-            # informative when a row's precise type differs from its
-            # own widened static inference (named/sized/ip identity)
-            if precise != static:
-                need = True
-        if records:
-            m = {}
-            for p, dd in path_descs(d).items():
-                m[p] = render(dd)
-                if dd[0] == "typeval":
-                    # type VALUES carry their denoted type under an
-                    # aux key so kind()/nameof() see through them
-                    m["\x00tv:" + p] = render(dd[1])
-        else:
-            m = {"": precise}
-            if d[0] == "typeval":
-                m["\x00tv:"] = render(d[1])
-        maps.append(m)
-    if len(renders) > 1:
-        # rows differ from each other: per-row identity that a single
-        # merged schema erases (const-type-is)
-        need = True
-    return maps if need else None
-
-
-import re as _re
 
 # type-value strings compare under the engine's documented widening
 # (SURVEY §1.2): int8/16/32 and uint* ride as int64, float16/32 as

@@ -372,26 +372,16 @@ class QueryService:
 
             return to_csv_text(df, delim="\t").encode()
         if fmt in ("json", "ndjson"):
+            from zed_spark.sources.jsonio import to_json_text
+
             vis = [c for c in df.columns if not c.startswith("__zed_")]
-
-            def san(v):
-                if isinstance(v, (bytes, bytearray)):
-                    return "0x" + bytes(v).hex()
-                if isinstance(v, dict):
-                    return {k: san(x) for k, x in v.items()}
-                if isinstance(v, list):
-                    return [san(x) for x in v]
-                return v
-
-            rows = [
-                san(r.asDict(recursive=True))
-                for r in df.select(*vis).limit(self.max_rows).collect()
-            ]
-            if fmt == "json":
-                return (json.dumps(rows, default=str, separators=(",", ":")) + "\n").encode()
-            return (
-                "\n".join(json.dumps(r, default=str, separators=(",", ":")) for r in rows) + "\n"
-            ).encode()
+            txt = to_json_text(df, wrapped=(vis == ["this"]))
+            if fmt == "ndjson":
+                return txt.encode()
+            # the reference's json writer emits ONE array
+            # (zio/jsonio/writer.go)
+            rows = [ln for ln in txt.splitlines() if ln]
+            return ("[" + ",".join(rows) + "]\n").encode()
         if fmt == "zeek":
             from zed_spark.sources.zeek import to_zeek_text
 
@@ -518,19 +508,6 @@ class QueryService:
         from zed_spark.sources.readers import read_any
 
         d = tempfile.mkdtemp(prefix="svc_load_")
-        if fmt in (None, "zson"):
-            # ns-exact lake loads: a ZSON body with sub-µs times
-            # parses driver-side with int64 ns shadow columns so the
-            # stored object keeps the reference's exact values
-            # (nano.Ts); falls through to the normal reader otherwise
-            try:
-                from zed_spark.sources.zson import zson_to_df_ns
-
-                dfn = zson_to_df_ns(self.spark, body.decode("utf-8"))
-                if dfn is not None:
-                    return dfn
-            except Exception:
-                pass
         if fmt is None:
             # auto-detect: zson / zng / json (the reference's anyio
             # detector order, restricted to self-describing formats —
@@ -554,6 +531,20 @@ class QueryService:
                 # prose never detects: bare words are NOT a zson
                 # stream of strings (anyio detector; curl-load-error)
                 raise ApiError(_detector_report(body))
+        if fmt in (None, "zson") and len(body) <= (32 << 20):
+            # full-fidelity driver-side ZSON ingest: per-row presence
+            # (__zed_missing), precise type identity (__zed_types),
+            # and ns-exact time shadows (__zed_ns_*) ride the frame so
+            # mixed-shape loads round-trip per-record types through
+            # the lake (zed missing semantics; nano.Ts).  Bodies past
+            # the size gate take the distributed reader below.
+            try:
+                from zed_spark.sources.ingest import zson_text_to_df
+
+                return zson_text_to_df(self.spark, body.decode("utf-8"))[0]
+            except Exception:
+                pass
+        if fmt is None:
             for trial in ("zson", "zng", "json"):
                 p = os.path.join(d, "body" + ext[trial])
                 mode = "wb"
@@ -672,12 +663,16 @@ class QueryService:
             fmt = _pick_accept(accept, self.default_fmt)
             pool = self._pool_by_ref(parts[1])
             df = self._load_body(body, headers.get("content-type", ""), params)
+            # presence (__zed_missing), per-row type identity
+            # (__zed_types), and ns shadows are part of the data —
+            # pools are heterogeneous in the reference; other
+            # sidecars stay request-local
             df = df.drop(
                 *[
                     c
                     for c in df.columns
                     if c.startswith("__zed_")
-                    and c != "__zed_missing"
+                    and c not in ("__zed_missing", "__zed_types")
                     and not c.startswith("__zed_ns_")
                 ]
             )

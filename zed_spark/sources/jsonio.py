@@ -123,27 +123,33 @@ def to_json_text(
     holds bare values — emit the value, not {"this": ...}. Per-row
     ABSENT fields (the __zed_missing sidecar, no \\x00null marker)
     are omitted, matching the reference's per-row record shapes."""
-    hints: dict = {}
-    if "__zed_types" in df.columns:
-        first = df.select("__zed_types").first()
-        if first and first[0]:
-            hints = dict(first[0])
+    has_hints = "__zed_types" in df.columns
     has_miss = "__zed_missing" in df.columns
     vis = [c for c in df.columns if not c.startswith("__zed_")]
     schema = {f.name: f.dataType for f in df.schema.fields}
     lines = []
     for row in df.collect():
         d = row.asDict(recursive=True)
+        # hints are PER ROW: each value carries its own precise type
+        hints = (
+            dict(d.get("__zed_types") or {}) if has_hints else {}
+        )
         missing = {
             m for m in (d.get("__zed_missing") or []) if "\x00" not in m
         } if has_miss else set()
+        cols = vis
+        order = hints.get("\x00order")
+        if order is not None:
+            # the record's own field order, not the fused merge order
+            pos = {n: i for i, n in enumerate(order.split(","))}
+            cols = sorted(vis, key=lambda c: pos.get(c, len(pos)))
         if wrapped and vis == ["this"]:
             obj = _jval(d.get("this"), schema["this"], hints.get(""), hints, "")
         else:
             obj = _strip_missing(
                 {
                     c: _jval(d.get(c), schema[c], hints.get(c), hints, c)
-                    for c in vis
+                    for c in cols
                 },
                 missing,
                 "",

@@ -90,28 +90,44 @@ class _Ord:
         return self.v == other.v
 
 
-def _with_zcode_for_collisions(df: DataFrame, key_name: str) -> DataFrame:
+def _with_zcode_for_collisions(
+    df: DataFrame, key_name: str | None
+) -> DataFrame:
     """Attach `__zed_zcode` — the record's ZNG body bytes, the
     reference's equal-key tiebreak (zbuf/merger.go:20-31) — computed
     ONLY for rows whose pool key actually collides.  Rows with a
     unique key take a JVM-only leg (empty tiebreak, never compared
     against an equal key), so the Python encode cost is proportional
     to the collision set, not the table.  The encode itself is
-    Arrow-batched (mapInArrow), not row-at-a-time pickle."""
+    Arrow-batched (mapInArrow), not row-at-a-time pickle.
+
+    key_name None = TOTAL collision (the pool key is missing from
+    every row): every row is encoded — that IS the reference cost
+    there too, its comparator evaluates valueAsBytes on every tie."""
     from pyspark.sql import types as T
     from pyspark.sql.window import Window
 
     real = [c for c in df.columns if not c.startswith("__zed_")]
+    names_all = list(df.columns)
     sub_schema = df.select(*real).schema
+    # a lone `this` column wraps a BARE value stream: the comparator
+    # sees the value itself, not a {this:...} record
+    bare = real == ["this"]
 
-    w = Window.partitionBy(key_name)
-    flagged = df.withColumn("__zed_dupcnt", F.count(F.lit(1)).over(w))
-    uniq = (
-        flagged.filter(F.col("__zed_dupcnt") <= 1)
-        .drop("__zed_dupcnt")
-        .withColumn("__zed_zcode", F.lit(b""))
-    )
-    dup_in = flagged.filter(F.col("__zed_dupcnt") > 1).drop("__zed_dupcnt")
+    if key_name is None:
+        uniq = None
+        dup_in = df
+    else:
+        w = Window.partitionBy(key_name)
+        flagged = df.withColumn("__zed_dupcnt", F.count(F.lit(1)).over(w))
+        uniq = (
+            flagged.filter(F.col("__zed_dupcnt") <= 1)
+            .drop("__zed_dupcnt")
+            .withColumn("__zed_zcode", F.lit(b""))
+        )
+        dup_in = flagged.filter(F.col("__zed_dupcnt") > 1).drop(
+            "__zed_dupcnt"
+        )
     out_schema = T.StructType(
         list(dup_in.schema.fields)
         + [T.StructField("__zed_zcode", T.BinaryType())]
@@ -141,19 +157,83 @@ def _with_zcode_for_collisions(df: DataFrame, key_name: str) -> DataFrame:
                 }
             return v
 
+        from zed_spark.sources.restore import row_zcode
+        from zed_spark.sources.ztypes import parse_type_string
+
+        sidecars = any(
+            c in names_all for c in ("__zed_missing", "__zed_types")
+        ) or any(c.startswith("__zed_ns_") for c in names_all)
+        desc_cache: dict = {}
+
+        def hint_desc(h):
+            d = desc_cache.get(h)
+            if d is None:
+                from zed_spark.sources.ztypes import canon_desc
+
+                try:
+                    d = canon_desc(parse_type_string(h))
+                except Exception:
+                    d = ("prim", "string")
+                desc_cache[h] = d
+            return d
+
+        ns_cols = {
+            c[len("__zed_ns_"):]: c
+            for c in names_all
+            if c.startswith("__zed_ns_")
+        }
+
+        def code_of(r: dict) -> bytes:
+            fixed = {
+                f.name: fix(r.get(f.name), f.dataType)
+                for f in sub_schema.fields
+            }
+            if bare:
+                from zed_spark.sources.restore import (
+                    convert as _rconv,
+                    desc_of_spark as _rdesc,
+                )
+                from zed_spark.sources.zng import encode_body_desc
+
+                f0 = sub_schema.fields[0]
+                h = dict(r.get("__zed_types") or {}).get("")
+                d0 = hint_desc(h) if h else _rdesc(f0.dataType)
+                try:
+                    return (
+                        encode_body_desc(
+                            _rconv(fixed["this"], f0.dataType, d0), d0
+                        )
+                        or b""
+                    )
+                except Exception:
+                    return _encode_body(fixed["this"], f0.dataType) or b""
+            if not sidecars:
+                return _encode_body(fixed, sub_schema) or b""
+            # restore the record's own zed type from the sidecars so
+            # the tiebreak bytes match the reference's valueAsBytes
+            # (per-row presence, unions, sets, enums, ns times)
+            missing = {
+                m
+                for m in (r.get("__zed_missing") or [])
+                if "\x00" not in m
+            }
+            hints = dict(r.get("__zed_types") or {})
+            ns = {
+                c: r.get(nc)
+                for c, nc in ns_cols.items()
+                if r.get(nc) is not None
+            }
+            try:
+                return row_zcode(
+                    fixed.get, sub_schema.fields, hints, missing, ns,
+                    hint_desc,
+                )
+            except Exception:
+                return _encode_body(fixed, sub_schema) or b""
+
         for batch in batches:
             rows = batch.to_pylist()
-            codes = [
-                _encode_body(
-                    {
-                        f.name: fix(r.get(f.name), f.dataType)
-                        for f in sub_schema.fields
-                    },
-                    sub_schema,
-                )
-                or b""
-                for r in rows
-            ]
+            codes = [code_of(r) for r in rows]
             yield pa.RecordBatch.from_arrays(
                 [batch.column(i) for i in range(batch.num_columns)]
                 + [pa.array(codes, type=pa.binary())],
@@ -161,7 +241,7 @@ def _with_zcode_for_collisions(df: DataFrame, key_name: str) -> DataFrame:
             )
 
     dup = dup_in.mapInArrow(_encode_batches, out_schema)
-    return uniq.unionByName(dup)
+    return dup if uniq is None else uniq.unionByName(dup)
 
 
 def _notify_commit(event: dict) -> None:
@@ -259,9 +339,12 @@ class Lake:
 
     def scan_ref(self, ref: str) -> DataFrame:
         """Scan `pool` or `pool@branch` (the reference's from-clause
-        commitish syntax, lake/parse.go)."""
+        commitish syntax, lake/parse.go).  Query-facing: the
+        reference's seqscan streams in pool-key order, so this entry
+        is ordered; analytical callers that don't need order use
+        Pool.scan directly (ordered=False default)."""
         name, _, branch = ref.partition("@")
-        return self.pool(name).scan(branch or "main")
+        return self.pool(name).scan(branch or "main", ordered=True)
 
     def pools(self) -> list[str]:
         from urllib.parse import unquote
@@ -678,15 +761,20 @@ class Pool:
             # table, never row-at-a-time pickle.
             desc = self.cfg.order == "desc"
             if self.cfg.key not in df.columns:
-                # fully keyless pool data keeps LOAD order — the
-                # importer's sort is a no-op when every key is
-                # missing (service/ztests/curl-load-line: line rows
-                # come back in input order, not byte order). The
-                # order is the recorded per-row sequence, not file
-                # enumeration (Spark lists splits by size).
+                # fully keyless pool data: every key is missing, so
+                # every row ties and the import comparator's
+                # valueAsBytes evaluator orders the WHOLE object by
+                # its encoded bytes in the pool direction
+                # (zbuf/merger.go:29-31); equal bytes keep load
+                # order (sort.SliceStable via __zed_seq)
+                df = _with_zcode_for_collisions(df, None)
+                tie = F.col("__zed_zcode")
+                order = [tie.desc() if desc else tie.asc()]
                 if "__zed_seq" in df.columns:
-                    df = df.orderBy("__zed_seq")
-                return df.drop("__zed_seq")
+                    order.append(F.col("__zed_seq").asc())
+                return df.orderBy(*order).drop(
+                    "__zed_zcode", "__zed_seq"
+                )
             key = F.col(self.cfg.key)
             has_dups = (
                 df.groupBy(self.cfg.key)

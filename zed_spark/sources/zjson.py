@@ -239,7 +239,118 @@ def _desc_tree(d, enc: "_TypeEncoder", memo: dict):
         enc.next_id += 1
         memo[key] = tid
         return {"kind": "union", "id": tid, "types": ms}
+    if k == "enum":
+        tid = enc.next_id
+        enc.next_id += 1
+        memo[key] = tid
+        return {"kind": "enum", "id": tid, "symbols": list(d[1])}
+    if k == "typeval":
+        return {"kind": "primitive", "name": "type"}
     return {"kind": "primitive", "name": "string"}
+
+
+def _desc_prim_str(v, name: str) -> str:
+    """Primitive value → its ZSON text form (what zjson values carry,
+    docs/formats/zjson.md §values)."""
+    import datetime
+    import math as _m
+
+    if name == "bool":
+        return "true" if v else "false"
+    if name == "duration":
+        from zed_spark.functions.ztime import format_duration_ns
+
+        return format_duration_ns(int(v))
+    if name == "time":
+        if isinstance(v, int):  # NsTime shadow
+            from zed_spark.functions.ztime import format_time_ns
+
+            return format_time_ns(int(v))
+        if isinstance(v, datetime.datetime):
+            us = v.microsecond
+            frac = f".{us:06d}".rstrip("0") if us else ""
+            return v.strftime("%Y-%m-%dT%H:%M:%S") + frac + "Z"
+        return str(v)
+    if name == "bytes":
+        return "0x" + bytes(v).hex()
+    if name.startswith(("int", "uint")):
+        return str(int(v))
+    if name.startswith("float") or name == "decimal":
+        f = float(v)
+        if _m.isnan(f):
+            return "NaN"
+        if _m.isinf(f):
+            return "+Inf" if f > 0 else "-Inf"
+        if f == int(f) and abs(f) < 1e15:
+            return str(int(f))
+        return repr(f)
+    return str(v)
+
+
+def _desc_value(v, d, enc, memo):
+    """Restored value + descriptor → zjson value tree."""
+    from zed_spark.sources.restore import ZUnion
+    from zed_spark.sources.zson import ZError, ZMap
+
+    if v is None:
+        return None
+    k = d[0]
+    if k == "named":
+        return _desc_value(v, d[2], enc, memo)
+    if k == "prim":
+        return _desc_prim_str(v, d[1])
+    if k == "typeval":
+        return _desc_tree(d[1], enc, memo)
+    if k == "record":
+        dd = v.asDict() if hasattr(v, "asDict") else v
+        return [
+            _desc_value(dd.get(n), fd, enc, memo) for n, fd in d[1]
+        ]
+    if k in ("array", "set"):
+        return [_desc_value(x, d[1], enc, memo) for x in v]
+    if k == "map":
+        items = v.items() if isinstance(v, (dict, ZMap)) else v
+        return [
+            [
+                _desc_value(mk, d[1], enc, memo),
+                _desc_value(mv, d[2], enc, memo),
+            ]
+            for mk, mv in items
+        ]
+    if k == "union":
+        if isinstance(v, ZUnion):
+            return [
+                str(v.tag),
+                _desc_value(v.value, d[1][v.tag], enc, memo),
+            ]
+        return None
+    if k == "enum":
+        sym = v[1:] if isinstance(v, str) and v.startswith("%") else v
+        try:
+            return str(list(d[1]).index(sym))
+        except ValueError:
+            return "0"
+    if k == "error":
+        inner = v.value if isinstance(v, ZError) else v
+        return _desc_value(inner, d[1], enc, memo)
+    return str(v)
+
+
+def zjson_lines_restored(pairs) -> list[str]:
+    """ZJSON lines from restored (value, descriptor) pairs
+    (zed_spark.sources.restore.restore_rows): each row carries its
+    OWN record type — per-row presence and precise types survive the
+    fused frame."""
+    enc = _TypeEncoder()
+    memo: dict = {}
+    lines: list[str] = []
+    for v, d in pairs:
+        tree = _desc_tree(d, enc, memo)
+        val = _desc_value(v, d, enc, memo)
+        lines.append(
+            json.dumps({"type": tree, "value": val}, separators=(",", ":"))
+        )
+    return lines
 
 
 def to_zjson_text(df: DataFrame) -> list[str]:
@@ -251,6 +362,12 @@ def to_zjson_text(df: DataFrame) -> list[str]:
     type-value)."""
     from zed_spark.sources.ztypes import parse_type_string
 
+    if "__zed_missing" in df.columns:
+        # mixed-shape frame: restore each row's own record type
+        # (presence + precise types) and render from descriptors
+        from zed_spark.sources.restore import restore_rows
+
+        return zjson_lines_restored(restore_rows(df))
     keep = [c for c in df.columns if not c.startswith("__zed_")]
     has_t = "__zed_types" in df.columns
     rows = df.select(

@@ -587,6 +587,126 @@ def _encode_body(v, dt) -> bytes | None:
     raise ValueError(f"zng writer: unsupported Spark type {dt}")
 
 
+def _uint_bytes(v: int) -> bytes:
+    """EncodeUint (primitive.go:193): minimal little-endian, no
+    zigzag — uint bodies, enum indexes."""
+    return int(v).to_bytes((int(v).bit_length() + 7) // 8, "little")
+
+
+def encode_body_desc(v, desc) -> bytes | None:
+    """Value body bytes driven by a zed TYPE DESCRIPTOR (ztypes form)
+    over a RESTORED value (zed_spark.sources.restore) — the exact
+    bytes the reference's zcode builder produces (complex.go
+    BuildUnion; zng.md §2.2 container encodings).  This is what the
+    lake's valueAsBytes import tiebreak compares
+    (zbuf/merger.go:29-31)."""
+    from zed_spark.sources.restore import ZUnion
+    from zed_spark.sources.zson import ZError, ZMap
+
+    if v is None:
+        return None
+    k = desc[0]
+    if k == "named":
+        return encode_body_desc(v, desc[2])
+    if k == "prim":
+        name = desc[1]
+        if name.startswith("uint"):
+            return _uint_bytes(int(v))
+        if name.startswith("int") or name == "duration":
+            return _int_bytes(int(v))
+        if name in ("float64", "decimal"):
+            return struct.pack("<d", float(v))
+        if name == "float32":
+            return struct.pack("<f", float(v))
+        if name == "float16":
+            import numpy as _np
+
+            return _np.float16(float(v)).tobytes()
+        if name == "bool":
+            return b"\x01" if v else b"\x00"
+        if name == "bytes":
+            return bytes(v)
+        if name == "time":
+            from pyspark.sql import types as _Tz
+
+            return _encode_body(v, _Tz.TimestampType())
+        if name == "ip":
+            import ipaddress
+
+            return ipaddress.ip_address(str(v)).packed
+        if name == "net":
+            import ipaddress
+
+            n = ipaddress.ip_network(str(v), strict=False)
+            return n.network_address.packed + n.netmask.packed
+        if name == "null":
+            return b""
+        return str(v).encode("utf-8")
+    if k == "typeval":
+        # type VALUES encode as their type-value form; for the byte
+        # tiebreak the canonical string is a stable stand-in only if
+        # never compared against a reference stream — acceptable: the
+        # tiebreak compares within one load
+        return str(v).encode("utf-8")
+    if k == "record":
+        out = bytearray()
+        d = v.asDict() if hasattr(v, "asDict") else v
+        for name, fd in desc[1]:
+            _append_tagged(out, encode_body_desc(d.get(name), fd))
+        return bytes(out)
+    if k == "array":
+        out = bytearray()
+        for el in v:
+            _append_tagged(out, encode_body_desc(el, desc[1]))
+        return bytes(out)
+    if k == "set":
+        elems = []
+        for el in v:
+            b = bytearray()
+            _append_tagged(b, encode_body_desc(el, desc[1]))
+            elems.append(bytes(b))
+        # normalized: tag-counted values in ascending byte order,
+        # deduplicated (zng.md §2.2 set normalization)
+        out = bytearray()
+        for b in sorted(set(elems)):
+            out += b
+        return bytes(out)
+    if k == "map":
+        items = v.items() if isinstance(v, (dict, ZMap)) else v
+        pairs = []
+        for mk, mv in items:
+            kb = bytearray()
+            _append_tagged(kb, encode_body_desc(mk, desc[1]))
+            vb = bytearray()
+            _append_tagged(vb, encode_body_desc(mv, desc[2]))
+            pairs.append((bytes(kb), bytes(vb)))
+        pairs.sort(key=lambda p: p[0])
+        out = bytearray()
+        for kb, vb in pairs:
+            out += kb + vb
+        return bytes(out)
+    if k == "union":
+        if isinstance(v, ZUnion):
+            tag, inner, idesc = v.tag, v.value, desc[1][v.tag]
+        else:
+            return None
+        out = bytearray()
+        _append_tagged(out, _int_bytes(tag))
+        _append_tagged(out, encode_body_desc(inner, idesc))
+        return bytes(out)
+    if k == "enum":
+        sym = v[1:] if isinstance(v, str) and v.startswith("%") else v
+        try:
+            i = list(desc[1]).index(sym)
+        except ValueError:
+            i = 0
+        return _uint_bytes(i)
+    if k == "error":
+        inner = v.value if isinstance(v, ZError) else v
+        return encode_body_desc(inner, desc[1])
+    raise ValueError(f"zng writer: unsupported descriptor {desc!r}")
+
+
 def _append_tagged(out: bytearray, body: bytes | None) -> None:
     if body is None:
         out.append(0)

@@ -217,6 +217,117 @@ def render(desc, defined: set | None = None) -> str:
     raise ValueError(f"bad descriptor {desc!r}")
 
 
+# zed primitive type IDs (reference type.go:107-138) — the CompareTypes
+# tiebreak for primitives
+_PRIM_ID = {
+    "uint8": 0, "uint16": 1, "uint32": 2, "uint64": 3, "uint128": 4,
+    "uint256": 5, "int8": 6, "int16": 7, "int32": 8, "int64": 9,
+    "int128": 10, "int256": 11, "duration": 12, "time": 13,
+    "float16": 14, "float32": 15, "float64": 16, "float128": 17,
+    "float256": 18, "decimal32": 19, "decimal64": 20, "decimal128": 21,
+    "decimal256": 22, "bool": 23, "bytes": 24, "string": 25, "ip": 26,
+    "net": 27, "type": 28, "null": 29,
+}
+# Kind ordering (reference type.go:46-55)
+_KIND_RANK = {
+    "prim": 0, "typeval": 0, "record": 1, "array": 2, "set": 3,
+    "map": 4, "union": 5, "enum": 6, "error": 7,
+}
+
+
+def compare_descs(a, b) -> int:
+    """Port of the reference's CompareTypes (type.go:396-470): total
+    order over types — kind rank first, then per-kind details; a
+    named type orders after its underlying type, two named types
+    sharing an underlying order by name."""
+    if a == b:
+        return 0
+    au = a[2] if a[0] == "named" else a
+    bu = b[2] if b[0] == "named" else b
+    if render(au) == render(bu):
+        # same underlying type id (type.go:398-413)
+        if a[0] == "named" and b[0] == "named":
+            return (a[1] > b[1]) - (a[1] < b[1])
+        if a[0] == "named":
+            return 1
+        if b[0] == "named":
+            return -1
+        return 0
+    ra, rb = _KIND_RANK.get(au[0], 0), _KIND_RANK.get(bu[0], 0)
+    if ra != rb:
+        return (ra > rb) - (ra < rb)
+    k = au[0]
+    if k in ("prim", "typeval"):
+        ia = _PRIM_ID.get(au[1] if k == "prim" else "type", 30)
+        ib = _PRIM_ID.get(bu[1] if bu[0] == "prim" else "type", 30)
+        return (ia > ib) - (ia < ib)
+    if k == "record":
+        fa, fb = au[1], bu[1]
+        if len(fa) != len(fb):
+            return (len(fa) > len(fb)) - (len(fa) < len(fb))
+        for (na, _), (nb, _) in zip(fa, fb):
+            if na != nb:
+                return (na > nb) - (na < nb)
+        for (_, ta), (_, tb) in zip(fa, fb):
+            c = compare_descs(ta, tb)
+            if c:
+                return c
+        return 0
+    if k in ("array", "set", "error"):
+        return compare_descs(au[1], bu[1])
+    if k == "map":
+        c = compare_descs(au[1], bu[1])
+        return c or compare_descs(au[2], bu[2])
+    if k == "union":
+        ma, mb = au[1], bu[1]
+        if len(ma) != len(mb):
+            return (len(ma) > len(mb)) - (len(ma) < len(mb))
+        for ta, tb in zip(ma, mb):
+            c = compare_descs(ta, tb)
+            if c:
+                return c
+        return 0
+    if k == "enum":
+        sa, sb = au[1], bu[1]
+        if len(sa) != len(sb):
+            return (len(sa) > len(sb)) - (len(sa) < len(sb))
+        for x, y in zip(sa, sb):
+            if x != y:
+                return (x > y) - (x < y)
+        return 0
+    return 0
+
+
+def canon_desc(d):
+    """Canonicalize a descriptor the way the reference type context
+    does: union members sort by CompareTypes at type-creation time
+    (context.go:200-203 LookupTypeUnion) — union value tags refer to
+    the CANONICAL member order."""
+    import functools
+
+    k = d[0]
+    if k in ("prim", "enum"):
+        return d
+    if k == "named":
+        return ("named", d[1], canon_desc(d[2]))
+    if k == "record":
+        return (
+            "record",
+            tuple((n, canon_desc(t)) for n, t in d[1]),
+        )
+    if k in ("array", "set", "error"):
+        return (k, canon_desc(d[1]))
+    if k == "map":
+        return ("map", canon_desc(d[1]), canon_desc(d[2]))
+    if k == "union":
+        members = [canon_desc(m) for m in d[1]]
+        members.sort(key=functools.cmp_to_key(compare_descs))
+        return ("union", tuple(members))
+    if k == "typeval":
+        return ("typeval", canon_desc(d[1]))
+    return d
+
+
 def path_descs(desc, prefix: str = "") -> dict[str, object]:
     """Dotted path → descriptor for the value and every record
     subfield (named wrappers are kept at the path where they apply
