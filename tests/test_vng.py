@@ -105,6 +105,44 @@ def test_empty_input():
     assert vals == [] and ts == []
 
 
+def test_driver_size_gates():
+    """The VNG on-ramp is driver-side by design (single sectioned
+    file); oversized inputs/outputs must ERROR with conversion
+    advice, never silently materialize (round-8 verdict item 2)."""
+    import tempfile
+
+    import zed_spark.sources.vng as vng_mod
+
+    p = tempfile.mktemp(suffix=".vng")
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    with open(p, "wb") as f:
+        f.write(encode_vng([{"a": 1}], schema))
+    old = vng_mod.VNG_MAX_BYTES
+    vng_mod.VNG_MAX_BYTES = 4
+    try:
+        with pytest.raises(ValueError, match="gated|parquet"):
+            vng_mod.read_vng(None, p)
+    finally:
+        vng_mod.VNG_MAX_BYTES = old
+
+    class _FakeDF:
+        schema = T.StructType([T.StructField("a", T.LongType())])
+
+        def limit(self, n):
+            return self
+
+        def collect(self):
+            return [{"a": i} for i in range(5)]
+
+    old_rows = vng_mod._VNG_MAX_ROWS
+    vng_mod._VNG_MAX_ROWS = 3
+    try:
+        with pytest.raises(ValueError, match="exceeds"):
+            vng_mod.write_vng(_FakeDF(), tempfile.mktemp(suffix=".vng"))
+    finally:
+        vng_mod._VNG_MAX_ROWS = old_rows
+
+
 def test_is_vng_negatives():
     assert not is_vng(b"")
     assert not is_vng(b"PAR1not a vng file")

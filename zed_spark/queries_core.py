@@ -439,6 +439,9 @@ def fuse_shapes(spark, sf):
     )
 
 
+# fixture paths already materialized by THIS process (fuse_hetero)
+_FUSE_HETERO_READY: set = set()
+
 FUSE_SQL = """
 SELECT COUNT(*) AS n_rows, COUNT(event_type) AS n_type, COUNT(value) AS n_value
 FROM (SELECT event_id, event_type, NULL::DOUBLE AS value FROM events
@@ -479,8 +482,13 @@ def fuse_hetero(spark, sf):
     )
     tag = os.path.basename(sf.rstrip("/"))
     path = os.path.join(tempfile.gettempdir(), f"fuse_hetero_{tag}")
-    shape_a.write.mode("overwrite").json(path)
-    shape_b.write.mode("append").json(path)
+    # the mixed-stream fixture is INPUT, not query work: write it
+    # once per process (round-8 verdict item 7 — the bench key must
+    # measure the shape-discovery read + fuse, not tempfile I/O)
+    if path not in _FUSE_HETERO_READY:
+        shape_a.write.mode("overwrite").json(path)
+        shape_b.write.mode("append").json(path)
+        _FUSE_HETERO_READY.add(path)
     fused = fuse_shape_groups(shape_groups(spark, path))
     return fused.select(
         "event_id",

@@ -324,8 +324,24 @@ def encode_vng(rows, schema) -> bytes:
 
 
 def write_vng(df, path: str) -> None:
+    """Single-file VNG writer.  Collects on the driver (the format
+    is one sectioned file with a trailing reassembly map — it cannot
+    be written as independent partitions), so the write is bounded:
+    the row gate mirrors similarity.py's driver-side cap."""
+    rows = df.limit(_VNG_MAX_ROWS + 1).collect()
+    if len(rows) > _VNG_MAX_ROWS:
+        raise ValueError(
+            f"vng: result exceeds {_VNG_MAX_ROWS} rows — the VNG "
+            f"writer materializes on the driver; write parquet or "
+            f"zng for data at scale (or raise SPARK_GRAFT_VNG_MAX_ROWS)"
+        )
     with open(path, "wb") as f:
-        f.write(encode_vng(df.collect(), df.schema))
+        f.write(encode_vng(rows, df.schema))
+
+
+_VNG_MAX_ROWS = int(
+    __import__("os").environ.get("SPARK_GRAFT_VNG_MAX_ROWS", "2000000")
+)
 
 
 # --- decoding ---------------------------------------------------------------
@@ -568,6 +584,18 @@ def render_zson(v, desc) -> str:
     return txt if name == "int64" else "%s(%s)" % (txt, name)
 
 
+# the VNG on-ramp decodes on the DRIVER (the format's segmaps are a
+# single-file random-access layout; a distributed decode would ship
+# the whole data section to every task anyway).  Interop-sized files
+# only — past the gate, callers convert once to parquet/ZNG, the
+# scale formats.  Override with SPARK_GRAFT_VNG_MAX_BYTES.
+VNG_MAX_BYTES = int(
+    __import__("os").environ.get(
+        "SPARK_GRAFT_VNG_MAX_BYTES", str(512 << 20)
+    )
+)
+
+
 def read_vng(spark, path: str):
     """VNG file → DataFrame: decode then re-enter through the fused
     ZSON reader so precise types and per-row shapes ride the same
@@ -575,6 +603,14 @@ def read_vng(spark, path: str):
     import os
     import tempfile
 
+    size = os.path.getsize(path)
+    if size > VNG_MAX_BYTES:
+        raise ValueError(
+            f"vng: {path} is {size} bytes — the VNG reader "
+            f"materializes on the driver and is gated at "
+            f"{VNG_MAX_BYTES} bytes; convert to parquet or zng for "
+            f"data at scale (or raise SPARK_GRAFT_VNG_MAX_BYTES)"
+        )
     with open(path, "rb") as f:
         data = f.read()
     vals, typestrs = parse_vng(data)
