@@ -175,7 +175,6 @@ UNSUPPORTED: dict[str, str] = {
     f"{SAM_EXPR}/ztests/{k}.yaml": v
     for k, v in {
         "in-star": "reference-skipped (disabled upstream)",
-        "shape-cast-set-to-array": "record-element set order: zcode normalization of container elements after cast [shape]",
     }.items()
 }
 UNSUPPORTED.update(

@@ -237,6 +237,52 @@ def _project(
             cast
             and isinstance(zdst, tuple)
             and zdst[0] == "settype"
+            and isinstance(zel, tuple)
+            and zel[0] == "recordtype"
+            and len(zel[1]) == 1
+            and _zprim(dict(zel[1])[zel[1][0][0]]) in ("ip", "net")
+        ):
+            # set of single-field records: the post-cast zcode order
+            # is null element < {f:null} < {f:value} < {f:error}
+            # (shaper.go:501 NormalizeSet after the cast walk;
+            # ztest shape-cast-sets row 4/5)
+            fn = zel[1][0][0]
+
+            def rcmp(a, b):
+                def rank(x):
+                    fld = x.getField(fn)
+                    v0 = fld.getField("v0")
+                    return (
+                        F.when(x.isNull(), F.lit(0))
+                        .when(
+                            fld.isNull()
+                            | ((fld.getField("tag") == 0) & v0.isNull()),
+                            F.lit(1),
+                        )
+                        .when(fld.getField("tag") == 0, F.lit(2))
+                        .otherwise(F.lit(3))
+                    )
+
+                ra, rb = rank(a), rank(b)
+                va = F.coalesce(
+                    a.getField(fn).getField("v0"), F.lit("")
+                )
+                vb = F.coalesce(
+                    b.getField(fn).getField("v0"), F.lit("")
+                )
+                return (
+                    F.when(ra < rb, F.lit(-1))
+                    .when(ra > rb, F.lit(1))
+                    .when(va < vb, F.lit(-1))
+                    .when(va > vb, F.lit(1))
+                    .otherwise(F.lit(0))
+                )
+
+            out = F.array_sort(out, rcmp)
+        if (
+            cast
+            and isinstance(zdst, tuple)
+            and zdst[0] == "settype"
             and _zprim(zel) in ("ip", "net")
         ):
             # a SET re-normalizes after cast (zcode element order,

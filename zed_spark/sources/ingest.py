@@ -56,6 +56,17 @@ def to_df(spark, values, tdescs=None, ns_shadows=None):
 
     from zed_spark.sources.zson import ZMap, _conform, _finalize, _infer_type, _merge_type
 
+    if tdescs is not None and len(tdescs) == len(values):
+        # ZNG set normalization happens at value-creation time in the
+        # reference (complex.go NormalizeSet): stored set order is
+        # the element encoding order, union-resolved per element
+        from zed_spark.sources.restore import normalize_sets_in_place
+
+        for v, d in zip(values, tdescs):
+            try:
+                normalize_sets_in_place(v, d)
+            except Exception:
+                pass
     records = all(isinstance(v, dict) and not isinstance(v, ZMap) for v in values)
     if not records:
         values = [{"this": v} for v in values]

@@ -96,6 +96,155 @@ def _as_dict(v):
     return v.asDict() if hasattr(v, "asDict") else v
 
 
+def _is_typed_null(v) -> bool:
+    from zed_spark.sources.zson import TypedNull
+
+    return isinstance(v, TypedNull)
+
+
+def _widen_prim(name: str) -> str:
+    """The engine's documented widening (SURVEY §1.2): how a precise
+    primitive name stores in the Spark model."""
+    if name.startswith(("int", "uint")) or name == "duration":
+        return "int64"
+    if name.startswith("float") or name.startswith("decimal"):
+        return "float64"
+    if name in ("ip", "net"):
+        return "string"
+    return name
+
+
+def _matches_strict(v, d) -> bool:
+    """Parse-domain value vs descriptor: EXACT type-of-value match —
+    an untyped null only IS the null type, a typed null IS its own
+    type (zed: the value's type is part of the value).  Used to pick
+    the right union member before the lenient convert()."""
+    if d[0] == "named":
+        return _matches_strict(v, d[2])
+    k = d[0]
+    if v is None:
+        return k == "prim" and d[1] == "null"
+    if _is_typed_null(v):
+        sd = desc_of_spark(v.dtype)
+        if k == "prim" and sd[0] == "prim":
+            return d[1] == sd[1] or _widen_prim(d[1]) == sd[1]
+        return k == sd[0]
+    if k == "union":
+        return any(_matches_strict(v, m) for m in d[1])
+    if k == "error":
+        return isinstance(v, ZError) and _matches_strict(v.value, d[1])
+    if isinstance(v, ZError):
+        return False
+    if k == "record":
+        if not isinstance(v, dict) or isinstance(v, ZMap):
+            return False
+        names = [n for n, _ in d[1]]
+        if list(v.keys()) != names:
+            return False
+        return all(_matches_strict(v[n], fd) for n, fd in d[1])
+    if k in ("array", "set"):
+        return isinstance(v, (list, tuple)) and all(
+            _matches_strict(x, d[1]) for x in v
+        )
+    if k == "map":
+        return isinstance(v, dict) and not (
+            isinstance(v, dict) and not isinstance(v, ZMap) and v
+        ) or isinstance(v, ZMap)
+    if k == "enum":
+        s = v[1:] if isinstance(v, str) and v.startswith("%") else v
+        return isinstance(v, str) and s in d[1]
+    if k == "typeval":
+        return isinstance(v, str)
+    # prim
+    try:
+        _convert_prim(v, d[1])
+        return True
+    except _Mismatch:
+        return False
+
+
+def pick_union_member(v, members):
+    """The union member a parse-domain value instantiates: exact
+    type-of-value first, lenient conformance second."""
+    for m in members:
+        if _matches_strict(v, m):
+            return m
+    for m in members:
+        try:
+            convert(v, None, m)
+            return m
+        except Exception:
+            continue
+    return None
+
+
+def normalize_sets_in_place(v, desc) -> None:
+    """ZNG set normalization at PARSE time (complex.go:263-288
+    NormalizeSet): each set's elements sort ascending by their
+    tag-counted encoded bytes under the set's element type — with
+    union element types resolved per element (mixed record shapes in
+    one set literal).  Mutates lists in place; duplicate encodings
+    dedupe.  The ztest shape-cast-set-to-array depends on stored set
+    order surviving an elementwise cast to array."""
+    from zed_spark.sources.zng import _append_tagged, encode_body_desc
+
+    if v is None or _is_typed_null(v):
+        return
+    k = desc[0]
+    if k == "named":
+        normalize_sets_in_place(v, desc[2])
+        return
+    if k == "record":
+        d = _as_dict(v)
+        if isinstance(d, dict):
+            for name, fd in desc[1]:
+                if name in d:
+                    normalize_sets_in_place(d[name], fd)
+        return
+    if k == "array":
+        if isinstance(v, list):
+            for x in v:
+                normalize_sets_in_place(x, desc[1])
+        return
+    if k == "map":
+        if isinstance(v, dict):
+            for mv in v.values():
+                normalize_sets_in_place(mv, desc[2])
+        return
+    if k == "error":
+        inner = v.value if isinstance(v, ZError) else v
+        normalize_sets_in_place(inner, desc[1])
+        return
+    if k == "union":
+        m = pick_union_member(v, desc[1])
+        if m is not None:
+            normalize_sets_in_place(v, m)
+        return
+    if k != "set" or not isinstance(v, list):
+        return
+    for x in v:
+        normalize_sets_in_place(x, desc[1])
+    keyed = []
+    for x in v:
+        try:
+            b = bytearray()
+            _append_tagged(
+                b, encode_body_desc(convert(x, None, desc[1]), desc[1])
+            )
+            keyed.append((bytes(b), x))
+        except Exception:
+            return  # unencodable element: leave written order
+    keyed.sort(key=lambda kx: kx[0])
+    out = []
+    seen = None
+    for kb, x in keyed:
+        if kb == seen:
+            continue  # spec: duplicates dedupe
+        seen = kb
+        out.append(x)
+    v[:] = out
+
+
 def convert(v, dt, desc):
     """Storage value (Spark collect() shape, type dt) → the value the
     descriptor describes.  Raises _Mismatch when v cannot be that
@@ -105,12 +254,22 @@ def convert(v, dt, desc):
     k = desc[0]
     if k == "named":
         return convert(v, dt, desc[2])
+    if _is_typed_null(v):
+        if k == "union":
+            # a TYPED null of a union member encodes as a [tag, null]
+            # container, distinct from the bare untyped null
+            # (zson/ztests/set.yaml: |[null,null(string),null(int64)]|
+            # keeps three elements)
+            for i, md in enumerate(desc[1]):
+                if _matches_strict(v, md):
+                    return ZUnion(i, None)
+        return None
     if v is None:
         return None
     if k != "union":
         from zed_spark.schema import is_union_type as _iu
 
-        if isinstance(dt, T.StructType) and _iu(dt) and k != "record":
+        if dt is not None and isinstance(dt, T.StructType) and _iu(dt) and k != "record":
             # storage widened this position into a tagged union but
             # the descriptor says one concrete type: unwrap the
             # active member and convert it
@@ -179,10 +338,19 @@ def convert(v, dt, desc):
             out[rk] = convert(mv, vt, desc[2])
         return out
     if k == "record":
-        if not isinstance(dt, T.StructType):
-            raise _Mismatch("not a record")
         d = _as_dict(v)
-        if not isinstance(d, dict):
+        if not isinstance(d, dict) or isinstance(d, ZMap):
+            raise _Mismatch("not a record")
+        if dt is None:
+            # parse-domain value (no storage schema): fields come
+            # straight from the dict
+            out = {}
+            for name, fd in desc[1]:
+                if name not in d:
+                    raise _Mismatch(f"no field {name}")
+                out[name] = convert(d.get(name), None, fd)
+            return out
+        if not isinstance(dt, T.StructType):
             raise _Mismatch("not a record")
         sub = {f.name: f.dataType for f in dt.fields}
         out = {}
@@ -243,9 +411,14 @@ def _convert_prim(v, name: str):
 
 def _probe_union(mv, mdt, udesc) -> ZUnion | None:
     """Find which DECLARED union member this storage value conforms
-    to; first structural match wins."""
+    to: exact type-of-value first (parse domain), then first
+    structural match."""
     if mv is None:
         return None
+    if mdt is None:
+        for i, md in enumerate(udesc[1]):
+            if _matches_strict(mv, md):
+                return ZUnion(i, convert(mv, None, md))
     last = None
     for i, md in enumerate(udesc[1]):
         try:
