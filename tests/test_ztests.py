@@ -188,7 +188,6 @@ UNSUPPORTED.update(
     {
         f"{SAM_EXPR}/agg/ztests/{k}.yaml": v
         for k, v in {
-            "collect-map-union": "map keys of union type " + _U,
         }.items()
     }
 )
@@ -197,8 +196,6 @@ UNSUPPORTED.update(
     {
         f"/root/reference/zio/{k}.yaml": v
         for k, v in {
-            "jsonio/ztests/map-output": "record/map/set values as MAP "
-            "KEYS [shape]",
             "anyio/ztests/huge": "shell pipeline fixture [script]",
         }.items()
     }
@@ -449,11 +446,30 @@ def _norm(v):
                 return NULL_KEY
             if hasattr(k, "asDict"):
                 return _norm(k.asDict(recursive=True))
+            from zed_spark.sources.zson import TEXT_KEY, parse_zson
+
+            if isinstance(k, str) and k.startswith(TEXT_KEY):
+                try:
+                    return _norm(parse_zson(k[len(TEXT_KEY):])[0])
+                except Exception:
+                    return _canon_type_str(k[len(TEXT_KEY):])
             return _norm(k)
+
+        def nv(x):
+            # canonical-text sentinel VALUES (collect_map over
+            # union-typed maps) compare as their parsed value
+            from zed_spark.sources.zson import TEXT_KEY, parse_zson
+
+            if isinstance(x, str) and x.startswith(TEXT_KEY):
+                try:
+                    return _norm(parse_zson(x[len(TEXT_KEY):])[0])
+                except Exception:
+                    return _canon_type_str(x[len(TEXT_KEY):])
+            return _norm(x)
 
         return tuple(
             sorted(
-                ((nkey(k), _norm(x)) for k, x in v.items()),
+                ((nkey(k), nv(x)) for k, x in v.items()),
                 key=lambda kv: (type(kv[0]).__name__, repr(kv[0])),
             )
         )

@@ -1334,15 +1334,31 @@ class Compiler:
                             F.coalesce(resolved, F.lit("")),
                             F.when(resolved.isNull(), per).otherwise(""),
                         )
+                etype = (
+                    self._type_of(arg, df)
+                    if fn in ("union", "collect_map") and arg is not None
+                    else None
+                )
+                if (
+                    fn == "collect_map"
+                    and etype is not None
+                    and etype.typeName() == "map"
+                    and etype.keyType.typeName()
+                    in ("array", "map", "struct")
+                ):
+                    # union/complex keys ride as canonical-text
+                    # entries (see _collect_map_text_entries)
+                    acol = F.map_from_entries(
+                        self._collect_map_text_entries(
+                            acol, etype, arg, df
+                        )
+                    )
+                    etype = T.MapType(T.StringType(), T.StringType())
                 agg_cols[name] = agg_expr(
                     fn,
                     acol,
                     self.expr(where, df) if where is not None else None,
-                    elem_type=(
-                        self._type_of(arg, df)
-                        if fn in ("union", "collect_map") and arg is not None
-                        else None
-                    ),
+                    elem_type=etype,
                 )
             # group keys are value-materializing: a per-row absent
             # key is error("missing") (groupby/ztests/missing-fields)
@@ -6653,6 +6669,157 @@ class Compiler:
     # typed-function table: fname -> (accept-preds + messages, apply)
     _STR_OK = staticmethod(lambda dt: dt.simpleString() == "string")
 
+    def _collect_map_text_entries(self, col, mdt, arg_ast, df):
+        """Map column → array of (key,value) entry structs whose
+        both sides are canonical-ZSON-text sentinels — the
+        collect_map shape for union/complex key types (collectmap.go
+        keys its table by typeval+key bytes; text carries the same
+        identity where python/Spark cannot hash the key)."""
+        from zed_spark.sources.zson import TEXT_KEY
+
+        def _hp(ast):
+            return (
+                ".".join(ast[1])
+                if isinstance(ast, tuple) and ast[0] == "field"
+                else None
+            )
+
+        kh = vh = None
+        if (
+            isinstance(arg_ast, tuple)
+            and arg_ast[0] == "map"
+            and len(arg_ast[1]) == 1
+        ):
+            kh = _hp(arg_ast[1][0][0])
+            vh = _hp(arg_ast[1][0][1])
+        hc = (
+            F.col("__zed_types")
+            if "__zed_types" in df.columns
+            else None
+        )
+        khint = hc.getItem(kh) if (hc is not None and kh) else None
+        vhint = hc.getItem(vh) if (hc is not None and vh) else None
+        return F.transform(
+            F.map_entries(col),
+            lambda x: F.struct(
+                F.concat(
+                    F.lit(TEXT_KEY),
+                    self._zson_text_expr(x["key"], mdt.keyType, khint),
+                ).alias("key"),
+                F.concat(
+                    F.lit(TEXT_KEY),
+                    self._zson_text_expr(x["value"], mdt.valueType, vhint),
+                ).alias("value"),
+            ),
+        )
+
+    def _zson_text_expr(
+        self, col: Column, dt: T.DataType, hint: Column | None
+    ) -> Column:
+        """Canonical ZSON text of a value, built as JVM expressions —
+        used where type identity must survive a collection the
+        widened model can't hold (collect_map with union/complex
+        keys).  `hint` is the per-row precise-type string for this
+        position (__zed_types): named types decorate, ip/net render
+        bare, union-typed rows untag (collectmap.go valueUnder)."""
+        from zed_spark.schema import is_union_type
+
+        if isinstance(dt, T.StructType) and is_union_type(dt):
+            out = F.lit("null")
+            for i, f in enumerate(dt.fields[1:]):
+                mt = self._zson_text_expr(
+                    col.getField(f.name), f.dataType, hint
+                )
+                out = F.when(col.getField("tag") == i, mt).otherwise(out)
+            return F.when(col.isNull(), F.lit("null")).otherwise(out)
+        decor = F.lit("")
+        if hint is not None:
+            # `name=<non-union>` decorates; `name=(...)` is a union
+            # the value untags out of (no decorator)
+            nm = F.regexp_extract(hint, r"^([A-Za-z_][\w.$]*)=", 1)
+            under = F.regexp_replace(
+                hint, r"^([A-Za-z_][\w.$]*=)+", ""
+            )
+            decor = F.when(
+                (nm != "") & ~under.startswith("("),
+                F.concat(F.lit("(="), nm, F.lit(")")),
+            ).otherwise(F.lit(""))
+        tn = dt.typeName()
+        if tn == "string":
+            quoted = F.concat(
+                F.lit('"'),
+                F.regexp_replace(
+                    F.regexp_replace(col, r"\\", r"\\\\"),
+                    '"',
+                    '\\\\"',
+                ),
+                F.lit('"'),
+            )
+            body = quoted
+            if hint is not None:
+                under = F.regexp_replace(
+                    hint, r"^([A-Za-z_][\w.$]*=)+", ""
+                )
+                body = F.when(
+                    under.isin("ip", "net", "duration", "time", "type"),
+                    col,
+                ).otherwise(quoted)
+            out = F.concat(body, decor)
+        elif tn in ("long", "integer", "short", "byte"):
+            out = F.concat(col.cast("string"), decor)
+        elif tn in ("double", "float", "decimal"):
+            i64 = col.cast("long")
+            out = F.concat(
+                F.when(
+                    col == i64.cast(dt), F.concat(i64.cast("string"), F.lit("."))
+                ).otherwise(col.cast("string")),
+                decor,
+            )
+        elif tn == "boolean":
+            out = F.concat(
+                F.when(col, F.lit("true")).otherwise(F.lit("false")), decor
+            )
+        elif tn == "binary":
+            out = F.concat(F.lit("0x"), F.lower(F.hex(col)), decor)
+        elif tn in ("timestamp", "timestamp_ntz"):
+            out = F.concat(
+                F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss"),
+                F.lit("Z"),
+                decor,
+            )
+        elif tn == "array":
+            out = F.concat(
+                F.lit("["),
+                F.array_join(
+                    F.transform(
+                        col,
+                        lambda x: self._zson_text_expr(
+                            x, dt.elementType, None
+                        ),
+                    ),
+                    ",",
+                ),
+                F.lit("]"),
+                decor,
+            )
+        elif tn == "struct":
+            parts = []
+            for f in dt.fields:
+                parts.append(F.lit(f"{f.name}:"))
+                parts.append(
+                    self._zson_text_expr(
+                        col.getField(f.name), f.dataType, None
+                    )
+                )
+                parts.append(F.lit(","))
+            out = F.concat(
+                F.lit("{"), *(parts[:-1] if parts else []), F.lit("}"),
+                decor,
+            )
+        else:
+            out = F.concat(col.cast("string"), decor)
+        return F.when(col.isNull(), F.lit("null")).otherwise(out)
+
     def _mk_carrier(
         self, vtype: T.DataType, value: Column, err: Column
     ) -> Column:
@@ -7199,7 +7366,66 @@ class Compiler:
             # (collectmap.go; aggregates/collect_map.md stream ex.)
             adt8 = self._type_of(args[0], df)
             if adt8 is not None and adt8.typeName() == "map":
-                arg = F.map_entries(arg)
+                ktype = adt8.keyType
+                if ktype.typeName() in ("array", "map", "struct"):
+                    # union/complex map KEYS: python can't hash the
+                    # collected keys and the widened model erases
+                    # their type identity — entries ride as canonical
+                    # ZSON TEXT sentinels instead (collectmap.go keys
+                    # its entry table by typeval+key bytes; the text
+                    # form carries the same identity).  All JVM-side.
+                    from zed_spark.sources.zson import TEXT_KEY
+
+                    def _hp(ast):
+                        return (
+                            ".".join(ast[1])
+                            if isinstance(ast, tuple)
+                            and ast[0] == "field"
+                            else None
+                        )
+
+                    kh = vh = None
+                    if (
+                        isinstance(args[0], tuple)
+                        and args[0][0] == "map"
+                        and len(args[0][1]) == 1
+                    ):
+                        kh = _hp(args[0][1][0][0])
+                        vh = _hp(args[0][1][0][1])
+                    hc = (
+                        F.col("__zed_types")
+                        if "__zed_types" in df.columns
+                        else None
+                    )
+                    khint = (
+                        hc.getItem(kh)
+                        if hc is not None and kh
+                        else None
+                    )
+                    vhint = (
+                        hc.getItem(vh)
+                        if hc is not None and vh
+                        else None
+                    )
+                    arg = F.transform(
+                        F.map_entries(arg),
+                        lambda x: F.struct(
+                            F.concat(
+                                F.lit(TEXT_KEY),
+                                self._zson_text_expr(
+                                    x["key"], adt8.keyType, khint
+                                ),
+                            ).alias("key"),
+                            F.concat(
+                                F.lit(TEXT_KEY),
+                                self._zson_text_expr(
+                                    x["value"], adt8.valueType, vhint
+                                ),
+                            ).alias("value"),
+                        ),
+                    )
+                else:
+                    arg = F.map_entries(arg)
                 name = "collect"
 
                 def post(raw):

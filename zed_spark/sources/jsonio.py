@@ -53,7 +53,9 @@ def _jval(v, dt: T.DataType, zt: str | None, hints: dict, path: str):
         if tag is None or not 0 <= tag < len(names):
             return None
         sel = names[tag]
-        mv = _jval(d.get(sel), dt[sel].dataType, None, hints, path)
+        # the zt hint describes the VALUE itself; the active member
+        # IS the value (map-key hints must survive the unwrap)
+        mv = _jval(d.get(sel), dt[sel].dataType, zt, hints, path)
         if sel.startswith("e"):
             # error member: the json writer wraps error values as
             # {"error": ...} (zio/jsonio/ztests/error.yaml)
@@ -106,13 +108,97 @@ def _jval(v, dt: T.DataType, zt: str | None, hints: dict, path: str):
             inner = base[2:-2]
         return [_jval(e, dt.elementType, inner, hints, path) for e in v]
     if isinstance(dt, T.MapType):
-        return {
-            str(_jval(k, dt.keyType, None, hints, path)): _jval(
-                x, dt.valueType, None, hints, path
+        kd = vd = None
+        if base and base.startswith("|{"):
+            from zed_spark.sources.ztypes import parse_type_string, render
+
+            try:
+                md = parse_type_string(base)
+                if md[0] == "map":
+                    kd = md[1]
+                    vd = render(md[2])
+            except Exception:
+                pass
+        from zed_spark.sources.zson import order_text_keys
+
+        rendered = []  # (raw-or-None, key string, value)
+        for k, x in v.items():
+            ks, raw = _json_map_key(k, dt.keyType, kd, hints, path)
+            rendered.append(
+                (raw, ks, _jval(x, dt.valueType, vd, hints, path))
             )
-            for k, x in v.items()
-        }
+        if any(raw is not None for raw, _k, _x in rendered):
+            # Spark MapType does not preserve entry order: recompute
+            # the ZNG normalized order from the canonical key texts
+            by_raw = {raw: (ks, x) for raw, ks, x in rendered}
+            return {
+                by_raw[raw][0]: by_raw[raw][1]
+                for raw in order_text_keys(list(by_raw))
+            }
+        return {ks: x for _raw, ks, x in rendered}
     return v
+
+
+def _json_map_key(k, kdt, kd, hints, path):
+    """Map key → (JSON object key, canonical-text-or-None) — the
+    reference's mapKey semantics (zio/jsonio/writer.go:151): strings
+    raw, other primitives in their ZSON primitive form (no
+    decorator), union keys as DECORATED ZSON text (unique keys for
+    |{0:1,0(uint64):2,...}|), enums as the symbol, complex keys as
+    ZSON text.  The second element is the key's canonical ZSON text
+    when it rode a sentinel (order recomputation)."""
+    from zed_spark.sources.zson import NULL_KEY, TEXT_KEY
+
+    # unwrap storage first: merged maps widen the key position into
+    # a tagged union; the sentinel/text checks need the member value
+    plain = _jval(k, kdt, None, hints, path)
+    if plain == NULL_KEY:
+        return "null", None
+    if isinstance(plain, str) and plain.startswith(TEXT_KEY):
+        raw = plain[len(TEXT_KEY):]
+        d = kd
+        while d is not None and d[0] == "named":
+            d = d[2]
+        if d is None or d[0] == "union":
+            return raw, raw  # decorated ZSON text, unique per type
+        if d[0] == "enum":
+            s = raw[1:] if raw.startswith("%") else raw
+            return s.split("(", 1)[0], raw
+        if d[0] == "prim":
+            if d[1] == "string":
+                import json as _j
+
+                try:
+                    return _j.loads(raw.split("(", 1)[0].strip()), raw
+                except Exception:
+                    return raw, raw
+            # strip a trailing (type) decorator off the literal
+            import re as _r
+
+            return _r.sub(r"\s*\([^()]*\)\s*$", "", raw), raw
+        return raw, raw  # complex key: ZSON text
+    # plain key rendered per the key descriptor
+    d = kd
+    while d is not None and d[0] == "named":
+        d = d[2]
+    if d is not None and d[0] == "prim":
+        name = d[1]
+        if name == "duration" and isinstance(plain, int):
+            return format_duration_ns(int(plain)), None
+        if name == "type":
+            return f"<{plain}>", None
+        if name.startswith("float") and isinstance(plain, (int, float)):
+            f = float(plain)
+            if f == int(f) and abs(f) < 1e15:
+                return f"{int(f)}.", None
+            return repr(f), None
+    if d is not None and d[0] == "enum" and isinstance(plain, str):
+        return (
+            plain[1:] if plain.startswith("%") else plain
+        ), None
+    if isinstance(plain, bool):
+        return ("true" if plain else "false"), None
+    return str(plain), None
 
 
 def to_json_text(

@@ -72,6 +72,84 @@ _DUR_NS = {
 # it travels as this sentinel string and converts back at the
 # boundaries (writer + harness compare) — zson/ztests/map
 NULL_KEY = "\x00null\x00"
+# a map key whose type identity matters (complex keys; same-value
+# keys of distinct types) rides as its canonical ZSON text behind
+# this sentinel prefix; writers unwrap it (jsonio mapKey semantics,
+# zio/jsonio/writer.go:151)
+TEXT_KEY = "\x00zk:"
+
+
+def order_text_keys(raws: list) -> list:
+    """ZNG normalized order for canonical-text map keys: ascending
+    tag-counted encoded key bytes with the key type union-resolved
+    per entry (the reference map normalization, zng.md §2.2).
+    Returns the raw texts in stored order — reusable at render time
+    because Spark's MapType does not preserve entry order."""
+    from zed_spark.sources.zng import _append_tagged, encode_body_desc
+    from zed_spark.sources.ztypes import canon_desc, parse_types
+
+    keyed = []
+    descs = []
+    for raw in raws:
+        try:
+            d = canon_desc(parse_types(raw)[0])
+            k = parse_zson(raw)[0]
+        except Exception:
+            d, k = ("prim", "string"), raw
+        descs.append(d)
+        keyed.append([raw, k, d, b""])
+    uniq = []
+    for d in descs:
+        if d not in uniq:
+            uniq.append(d)
+    from zed_spark.sources.restore import ZUnion, convert
+
+    if len(uniq) > 1:
+        import functools
+
+        from zed_spark.sources.ztypes import compare_descs
+
+        uniq.sort(key=functools.cmp_to_key(compare_descs))
+        udesc = ("union", tuple(uniq))
+        for e in keyed:
+            try:
+                tag = uniq.index(e[2])
+                b = bytearray()
+                _append_tagged(
+                    b,
+                    encode_body_desc(
+                        ZUnion(tag, convert(e[1], None, e[2])), udesc
+                    ),
+                )
+                e[3] = bytes(b)
+            except Exception:
+                e[3] = b"\xff" + e[0].encode()
+    else:
+        for e in keyed:
+            try:
+                b = bytearray()
+                _append_tagged(
+                    b, encode_body_desc(convert(e[1], None, e[2]), e[2])
+                )
+                e[3] = bytes(b)
+            except Exception:
+                e[3] = b"\xff" + e[0].encode()
+    keyed.sort(key=lambda e: e[3])
+    return [e[0] for e in keyed]
+
+
+def _is_typed_null_like(k) -> bool:
+    return isinstance(k, TypedNull)
+
+
+def _text_key_map(entries):
+    """Rebuild a map with ALL keys as canonical-text sentinels, in
+    ZNG normalized entry order."""
+    by_raw = {raw: v for raw, _k, v in entries}
+    out = ZMap()
+    for raw in order_text_keys([raw for raw, _k, _v in entries]):
+        out[TEXT_KEY + raw] = by_raw[raw]
+    return out
 
 
 class ZMap(dict):
@@ -310,19 +388,44 @@ class _Parser:
         if self.s.startswith("|{", self.i):
             self.i += 2
             out = ZMap()
+            entries: list = []  # (raw key text, key, value)
+            text_keys = False
             while True:
                 self._ws()
                 if self.s.startswith("}|", self.i):
                     self.i += 2
-                    return out
+                    break
                 if self.i >= self.n:
                     raise ZsonError("unterminated map")
+                k0 = self.i
                 k = self.parse_value(key_mode=True)
+                raw = self.s[k0:self.i].strip()
                 self._ws()
                 if self.i >= self.n or self.s[self.i] != ":":
                     raise ZsonError(f"expected ':' in map at {self.i}")
                 self.i += 1
-                out[k] = self.parse_value()
+                v = self.parse_value()
+                try:
+                    hash(k)
+                    collide = k in out or (
+                        k is None and NULL_KEY in out
+                    )
+                    if isinstance(k, ZError) or _is_typed_null_like(k):
+                        collide = True  # type-bearing key
+                except TypeError:
+                    collide = True  # complex key: no python hash
+                if collide:
+                    # map keys whose TYPE IDENTITY matters (complex
+                    # keys, or same-value keys of different types:
+                    # |{0:1,0(uint64):2}|) ride as canonical-text
+                    # sentinels — the null-key pattern generalized
+                    # (jsonio/ztests/map-output)
+                    text_keys = True
+                entries.append((raw, k, v))
+                out[NULL_KEY if k is None else (k if not collide else TEXT_KEY + raw)] = v
+            if not text_keys:
+                return out
+            return _text_key_map(entries)
         raise ZsonError(f"unexpected '|' at {self.i}")
 
     def _string(self, quote: str) -> str:
