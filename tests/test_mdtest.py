@@ -47,10 +47,13 @@ _SC = "shell form outside the harness script subset [script]"
 # The two left are genuine boundaries: a sketch point-estimate and a
 # network source.
 MD_UNSUPPORTED: dict[str, str] = {
-    "aggregates/dcount.md:3": "approx dcount point-estimate golden (our "
-    "HLL sketch differs; accuracy bound pytest-pinned) [approx]",
     "operators/from.md:7": "`from https://...` network source [script]",
 }
+
+# doc-exact dcount estimates: the reference's metro-hash HLL sketch
+# (functions/hll.py) replaces the JVM HLL++ for global dcount while
+# mdtests run — `seq 10000 | dcount(this)` must estimate exactly 9987
+os.environ.setdefault("SPARK_GRAFT_DCOUNT_SKETCH", "1")
 
 
 def _md_blocks(path: str):

@@ -260,3 +260,38 @@ def test_ksuid_codec(spark):
     z = ZedSession(spark)
     out = z.query("from t | yield {s: ksuid(k)}", tables={"t": df.limit(1)}).df
     assert out.first()["s"] == "0ujtsYcgvSTl8PAuAdqWYSMnLOv"
+
+
+def test_hll_sketch_reference_exact():
+    """The dcount sketch is a bit-faithful port (agg/dcount.go:
+    metro hash seed 1337 over AppendInt(type id)+bytes, p=14
+    LogLog-Beta): `seq 10000` estimates EXACTLY the reference's
+    documented 9987 (aggregates/dcount.md)."""
+    from zed_spark.functions.hll import (
+        dcount_datum,
+        estimate,
+        insert,
+        merge,
+        metro64,
+        new_registers,
+    )
+
+    # MetroHash64 published 63-byte test vector (bytes little-endian)
+    key = b"012345678901234567890123456789012345678901234567890123456789012"
+    assert metro64(key, 0).to_bytes(8, "little").hex() == "6b753dae06704bad"
+
+    regs = new_registers()
+    d = ("prim", "int64")
+    for v in range(1, 10001):
+        insert(regs, dcount_datum(v, d))
+    assert estimate(regs) == 9987
+
+    # partial merge is the register max (sketch Merge): splitting the
+    # stream across two sketches estimates identically
+    a, b = new_registers(), new_registers()
+    for v in range(1, 5001):
+        insert(a, dcount_datum(v, d))
+    for v in range(5001, 10001):
+        insert(b, dcount_datum(v, d))
+    merge(a, bytes(b))
+    assert estimate(a) == 9987

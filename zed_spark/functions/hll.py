@@ -1,0 +1,146 @@
+"""Reference-faithful HyperLogLog for dcount.
+
+The reference's dcount (runtime/sam/expr/agg/dcount.go:13-49) feeds
+`AppendInt(type id) + value bytes` into an axiomhq-style
+hyperloglog sketch: precision 14, 64-bit metro hash (seed 1337),
+LogLog-Beta estimation.  This module is a bit-faithful port built
+from the published algorithms (MetroHash64 spec; the LogLog-Beta
+paper's p=14 coefficients) — `seq 10000 | dcount(this)` estimates
+exactly 9987, the doc golden (docs/language/aggregates/dcount.md).
+
+The sketch path is the REFERENCE-EXACT estimator: per-row Python
+hashing, used when doc-exact estimates are demanded
+(SPARK_GRAFT_DCOUNT_SKETCH=1).  The default dcount stays Spark's
+JVM HyperLogLog++ (approx_count_distinct) — same accuracy class,
+vectorized, the right choice at scale.
+"""
+
+from __future__ import annotations
+
+import math
+
+_M64 = (1 << 64) - 1
+_P = 14
+_m = 1 << _P
+
+
+def _rotr(x: int, r: int) -> int:
+    return ((x >> r) | (x << (64 - r))) & _M64
+
+
+def metro64(data: bytes, seed: int) -> int:
+    """MetroHash64 (J. Andrew Rogers' public spec; the go-metro port
+    the reference's sketch hashes with).  Verified against the
+    published 63-byte test vector."""
+    k0, k1, k2, k3 = 0xD6D018F5, 0xA2AA033B, 0x62992FC1, 0x30BC5B29
+    h = ((seed + k2) * k0) & _M64
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v = [h, h, h, h]
+        while n - i >= 32:
+            for j, k in enumerate((k0, k1, k2, k3)):
+                v[j] = (
+                    v[j]
+                    + int.from_bytes(data[i + 8 * j : i + 8 * j + 8], "little")
+                    * k
+                ) & _M64
+                v[j] = (_rotr(v[j], 29) + v[(j + 2) % 4]) & _M64
+            i += 32
+        v[2] ^= (_rotr(((v[0] + v[3]) * k0 + v[1]) & _M64, 37) * k1) & _M64
+        v[3] ^= (_rotr(((v[1] + v[2]) * k1 + v[0]) & _M64, 37) * k0) & _M64
+        v[0] ^= (_rotr(((v[0] + v[2]) * k0 + v[3]) & _M64, 37) * k1) & _M64
+        v[1] ^= (_rotr(((v[1] + v[3]) * k1 + v[2]) & _M64, 37) * k0) & _M64
+        h = (h + (v[0] ^ v[1])) & _M64
+    if n - i >= 16:
+        v0 = (h + int.from_bytes(data[i : i + 8], "little") * k2) & _M64
+        v0 = (_rotr(v0, 29) * k3) & _M64
+        v1 = (h + int.from_bytes(data[i + 8 : i + 16], "little") * k2) & _M64
+        v1 = (_rotr(v1, 29) * k3) & _M64
+        v0 ^= (_rotr((v0 * k0) & _M64, 21) + v1) & _M64
+        v0 &= _M64
+        v1 ^= (_rotr((v1 * k3) & _M64, 21) + v0) & _M64
+        v1 &= _M64
+        h = (h + v1) & _M64
+        i += 16
+    if n - i >= 8:
+        h = (h + int.from_bytes(data[i : i + 8], "little") * k3) & _M64
+        h ^= (_rotr(h, 55) * k1) & _M64
+        i += 8
+    if n - i >= 4:
+        h = (h + int.from_bytes(data[i : i + 4], "little") * k3) & _M64
+        h ^= (_rotr(h, 26) * k1) & _M64
+        i += 4
+    if n - i >= 2:
+        h = (h + int.from_bytes(data[i : i + 2], "little") * k3) & _M64
+        h ^= (_rotr(h, 48) * k1) & _M64
+        i += 2
+    if n - i >= 1:
+        h = (h + data[i] * k3) & _M64
+        h ^= (_rotr(h, 37) * k1) & _M64
+    h ^= _rotr(h, 28)
+    h = (h * k0) & _M64
+    h ^= _rotr(h, 29)
+    return h
+
+
+def _beta14(ez: float) -> float:
+    """LogLog-Beta bias polynomial at precision 14 (Qin, Kim, Tung,
+    Wang: 'LogLog-Beta and More', 2016)."""
+    zl = math.log(ez + 1)
+    return (
+        -0.370393911 * ez
+        + 0.070471823 * zl
+        + 0.17393686 * zl**2
+        + 0.16339839 * zl**3
+        + -0.09237745 * zl**4
+        + 0.03738027 * zl**5
+        + -0.005384159 * zl**6
+        + 0.00042419 * zl**7
+    )
+
+
+def new_registers() -> bytearray:
+    return bytearray(_m)
+
+
+def insert(regs: bytearray, datum: bytes) -> None:
+    x = metro64(datum, 1337)
+    i = x >> (64 - _P)
+    w = ((x << _P) & _M64) | (1 << (_P - 1))
+    rho = 64 - w.bit_length() + 1
+    if rho > regs[i]:
+        regs[i] = rho
+
+
+def merge(into: bytearray, other: bytes) -> None:
+    for i, r in enumerate(other):
+        if r > into[i]:
+            into[i] = r
+
+
+def estimate(regs) -> int:
+    s = 0.0
+    ez = 0.0
+    for r in regs:
+        if r == 0:
+            ez += 1.0
+        s += 1.0 / (1 << r)
+    alpha = 0.7213 / (1 + 1.079 / _m)
+    est = alpha * _m * (_m - ez) / (_beta14(ez) + s)
+    return int(est + 0.5)
+
+
+def dcount_datum(value, desc) -> bytes | None:
+    """dcount.go Consume: AppendInt(type id) + the value's ZNG body.
+    Nulls contribute a typed empty body like the reference (a null's
+    bytes are nil; AppendInt still tags the type)."""
+    from zed_spark.sources.zng import _int_bytes, encode_body_desc
+    from zed_spark.sources.ztypes import _PRIM_ID
+
+    d = desc
+    while d[0] == "named":
+        d = d[2]
+    tid = _PRIM_ID.get(d[1], 30) if d[0] == "prim" else 30
+    body = encode_body_desc(value, desc) if value is not None else b""
+    return _int_bytes(tid) + (body or b"")

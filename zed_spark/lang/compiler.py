@@ -1220,6 +1220,25 @@ class Compiler:
                 # reference rejects colliding output fields
                 # (groupby/ztests/duplicate.yaml)
                 raise ValueError(f'duplicate field: "{sorted(dups)[0]}"')
+            import os as _os
+
+            if (
+                _os.environ.get("SPARK_GRAFT_DCOUNT_SKETCH")
+                and not keys
+                and len(aggs) == 1
+                and aggs[0][1] == "dcount"
+                and aggs[0][3] is None
+            ):
+                # doc-exact dcount: the reference's metro-hash HLL
+                # sketch (agg/dcount.go; aggregates/dcount.md golden
+                # 9987), two-phase — 16 KiB register partials per
+                # partition, merged on the driver. Opt-in: the
+                # default dcount stays the JVM HLL++.
+                out9 = self._dcount_sketch(
+                    df, aggs[0][2], aggs[0][0] or "dcount"
+                )
+                out9._zed_grouped = True
+                return out9
             agg_cols = {}
             for name, fn, arg, where in aggs:
                 if fn == "fuse":
@@ -6668,6 +6687,81 @@ class Compiler:
 
     # typed-function table: fname -> (accept-preds + messages, apply)
     _STR_OK = staticmethod(lambda dt: dt.simpleString() == "string")
+
+    def _dcount_sketch(self, df, arg, out_name: str):
+        """Reference-exact global dcount: per-partition register
+        partials (mapInArrow, one 16 KiB row each) merged + estimated
+        on the driver (agg/dcount.go semantics; the merge is the
+        register max, associative like the reference's sketch
+        Merge)."""
+        from zed_spark.sources.ztypes import parse_type_string
+
+        arg = arg if arg is not None else ("this",)
+        acol = self.expr(arg, df)
+        adt = self._type_of(arg, df)
+        path = ".".join(arg[1]) if arg[0] == "field" else ""
+        sub = df.select(
+            acol.alias("__v"),
+            *(
+                [F.element_at(F.col("__zed_types"), F.lit(path)).alias("__t")]
+                if "__zed_types" in df.columns
+                else [F.lit(None).cast("string").alias("__t")]
+            ),
+        )
+
+        def part(batches):
+            import pyarrow as pa
+
+            from zed_spark.functions.hll import (
+                dcount_datum,
+                insert,
+                new_registers,
+            )
+            from zed_spark.sources.restore import convert, desc_of_spark
+            from zed_spark.sources.ztypes import canon_desc
+
+            regs = new_registers()
+            static = desc_of_spark(adt) if adt is not None else ("prim", "string")
+            cache: dict = {}
+            for batch in batches:
+                rows = batch.to_pylist()
+                for r in rows:
+                    v = r.get("__v")
+                    if v is None:
+                        continue
+                    h = r.get("__t")
+                    if h and "\x00" not in h:
+                        d = cache.get(h)
+                        if d is None:
+                            try:
+                                d = canon_desc(parse_type_string(h))
+                            except Exception:
+                                d = static
+                            cache[h] = d
+                    else:
+                        d = static
+                    try:
+                        cv = convert(v, adt, d)
+                        datum = dcount_datum(cv, d)
+                    except Exception:
+                        continue
+                    if datum is not None:
+                        insert(regs, datum)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([bytes(regs)], type=pa.binary())],
+                names=["regs"],
+            )
+
+        from zed_spark.functions.hll import estimate, merge, new_registers
+
+        parts = sub.mapInArrow(part, "regs binary").collect()
+        total = new_registers()
+        for row in parts:
+            merge(total, row["regs"])
+        est = estimate(total)
+        return df.sparkSession.createDataFrame(
+            [(est,)], f"{out_name} long"
+        )
 
     def _collect_map_text_entries(self, col, mdt, arg_ast, df):
         """Map column → array of (key,value) entry structs whose
