@@ -61,7 +61,12 @@ HEADLINE = HEADLINE + PINNED_R4 + PINNED_R6
 # (embedding_lsh_agreement is grading-only: it computes the exact
 # all-pairs set as its own truth reference, which is O(n²) by design
 # and belongs at the sf0.01 fixture, not in the timed battery.)
-NEW_QUERIES: list[str] = ["fuse_hetero", "fuse_union"]
+NEW_QUERIES: list[str] = [
+    "fuse_hetero", "fuse_union",
+    # round-9 training-data additions (codegen-only corpus filters;
+    # oracle-pinned in tests/test_oracle_parity.EXTRA_ORACLES)
+    "repetition_filter", "pii_scan",
+]
 
 
 def _extra_queries() -> dict:
@@ -80,6 +85,9 @@ def _extra_queries() -> dict:
         # the graded registry row became a rank-check truth table in
         # round 7; the bench keeps timing the raw sketch aggregate
         "percentiles_approx": qa.percentiles_approx_raw_q,
+        # round-9 corpus filters (NEW_QUERIES block)
+        "repetition_filter": qt.repetition_filter_q,
+        "pii_scan": qt.pii_scan_q,
     }
 
 

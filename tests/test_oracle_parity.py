@@ -16,11 +16,16 @@ ROWS_ONLY = sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
 # queries rotated OUT of the 50-entry graded registry (round-6: slots
 # freed for zson_read/fuse_hetero) keep full oracle parity here
 from zed_spark import queries_core as qc  # noqa: E402
+from zed_spark import queries_text as qt  # noqa: E402
 
 EXTRA_ORACLES = {
     "json_props": (qc.json_props, qc.JSON_SQL),
     "zq_summary": (qc.zq_summary, qc.ZQ_SUMMARY_SQL),
     "drop_rename": (qc.drop_rename, qc.DROP_RENAME_SQL),
+    # round-9 training-data additions (pinned 50-entry registry is
+    # frozen; extras carry their own oracle here)
+    "repetition_filter": (qt.repetition_filter_q, qt.REPETITION_SQL),
+    "pii_scan": (qt.pii_scan_q, qt.PII_SQL),
 }
 
 

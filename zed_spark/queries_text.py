@@ -410,3 +410,78 @@ reach(node, r) AS (
   SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node)
 SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
 """
+
+
+def repetition_filter_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition metrics per document (duplicate-word
+    fraction + top-bigram coverage) with keep decisions — the first
+    filter a pretraining corpus pass runs. Pure codegen higher-order
+    expressions; one scan, no shuffle."""
+    from zed_spark.textops.filters import repetition_report
+
+    docs = read_table(spark, sf, "documents")
+    # the documents table is a single parquet file at test scales —
+    # fan the per-document codegen across all cores (the shuffle
+    # moves raw text once; the projection is the expensive part)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return repetition_report(docs).orderBy("doc_id")
+
+
+REPETITION_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+),
+stats AS (
+  SELECT doc_id,
+         len(ws) AS n,
+         CASE WHEN len(ws) > 0
+              THEN 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+              ELSE 0.0 END AS dupf
+  FROM w
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS g
+  FROM w WHERE len(ws) >= 2
+),
+modec AS (
+  SELECT doc_id, MAX(c) AS mode FROM (
+    SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+m AS (
+  SELECT s.doc_id, s.dupf,
+         CASE WHEN s.n >= 2
+              THEN CAST(2 * mc.mode AS DOUBLE) / s.n
+              ELSE 0.0 END AS cov
+  FROM stats s LEFT JOIN modec mc USING (doc_id)
+)
+SELECT doc_id,
+       ROUND(dupf, 4) AS dup_word_frac,
+       ROUND(cov, 4) AS top_bigram_cov,
+       (dupf <= 0.5 AND cov <= 0.5) AS keep
+FROM m ORDER BY doc_id
+"""
+
+
+def pii_scan_q(spark: SparkSession, sf: str) -> DataFrame:
+    """PII detection counts per document (e-mail / phone / IPv4
+    regex matches) — detection only, payloads never leave the row.
+    regexp_count is JVM codegen; one scan."""
+    from zed_spark.textops.filters import pii_report
+
+    docs = read_table(spark, sf, "documents")
+    return pii_report(docs).orderBy("doc_id")
+
+
+PII_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(text, '\+?\d{3}[-. ]\d{3,4}[-. ]\d{4}')) AS n_phone,
+       len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+       (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        + len(regexp_extract_all(text, '\+?\d{3}[-. ]\d{3,4}[-. ]\d{4}'))
+        + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) > 0 AS has_pii
+FROM documents ORDER BY doc_id
+"""
