@@ -100,9 +100,13 @@ class TokenValidator:
                 break
         if not authz:
             raise AuthError("no token present in request")
+        # Only the "Bearer <token>" form carries credentials; any
+        # other scheme (Basic, bare token) is a no-credentials error,
+        # matching the reference's bearer-token extractor.
         parts = authz.split()
-        token = parts[1] if len(parts) == 2 and parts[0].lower() == "bearer" else authz
-        return self.validate(token)
+        if len(parts) != 2 or parts[0].lower() != "bearer":
+            raise AuthError("no token present in request")
+        return self.validate(parts[1])
 
     def validate(self, token: str) -> Identity:
         from cryptography.exceptions import InvalidSignature

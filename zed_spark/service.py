@@ -1025,9 +1025,35 @@ class QueryService:
                 self.end_headers()
                 self.wfile.write(payload)
 
+            def _authorize(self) -> bool:
+                """Auth gate for legacy (non-handle_api) routes. The
+                reference wraps every route except /auth/method in auth
+                middleware (service/core.go addAPIServerRoutes); routes
+                dispatched through _api are validated inside handle_api,
+                so this covers the rest. Returns False after sending a
+                401 when credentials are missing/invalid."""
+                if svc.auth_validator is None:
+                    return True
+                from zed_spark.auth import AuthError
+
+                hdrs = {k.lower(): v for k, v in self.headers.items()}
+                try:
+                    svc.auth_validator.validate_request(hdrs)
+                    return True
+                except AuthError as exc:
+                    env = {
+                        "type": "Error",
+                        "kind": "no credentials",
+                        "error": str(exc),
+                    }
+                    self._send(401, json.dumps(env).encode())
+                    return False
+
             def do_GET(self):
                 if self.path.startswith(("/auth/", "/query/status/")):
                     self._api("GET")
+                elif not self._authorize():
+                    return
                 elif self.path == "/pools":
                     self._send(200, json.dumps(svc._pools()).encode())
                 elif self.path == "/status":
@@ -1145,6 +1171,10 @@ class QueryService:
                     and self.headers.get("Accept")
                 ):
                     self._api("POST")
+                    return
+                # everything below is a legacy route that skips
+                # handle_api — enforce the same auth gate here
+                if not self._authorize():
                     return
                 if self.path.startswith("/pools/"):
                     parts = self.path[len("/pools/"):].split("/")
