@@ -157,6 +157,33 @@ def _calibration_run(spark) -> float:
     return time.perf_counter() - t0
 
 
+def _parallel_calibration_run(spark) -> float:
+    """Fixed-work PARALLEL calibration key (round-9 VERDICT item 1).
+
+    The serial key above is dominated by fixed scheduling cost, so it
+    under-corrects multi-core contention: background load inflates the
+    32-core battery while the serial key barely moves (r9 driver run:
+    battery +22% vs quiet re-run, calibration flat). This key saturates
+    all 32 cores with ~1.5 s of pure codegen compute (3.2B triple-
+    xxhash64 + partial-agg sum, no shuffle, no data), so ambient
+    multi-core load inflates it by the same factor it inflates the
+    battery. `total_per_parallel_calibration` is the round-over-round
+    regression gate; the serial key stays for single-core drift."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 3_200_000_000, 1, 32)
+        .select(
+            F.sum(F.xxhash64(F.xxhash64(F.xxhash64("id")))).alias("s")
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -218,6 +245,11 @@ def main() -> None:
     cal_samples = sorted(_calibration_run(spark) for _ in range(5))
     cal = cal_samples[2]
 
+    # parallel (32-core-saturating) calibration: warm once, median of 5
+    _parallel_calibration_run(spark)
+    pcal_samples = sorted(_parallel_calibration_run(spark) for _ in range(5))
+    pcal = pcal_samples[2]
+
     total = round(sum(times.values()), 4)
     out = {
         "metric": "headline_queries_total",
@@ -249,6 +281,18 @@ def main() -> None:
         if cal > 0
         else 0.0,
         "total_per_calibration": round(total / cal, 2) if cal > 0 else None,
+        # 32-core-saturating fixed-work key: inflates under the same
+        # multi-core contention that inflates the battery, so THIS is
+        # the round-over-round regression gate (round-9 VERDICT item 1)
+        "parallel_calibration_sec": round(pcal, 4),
+        "parallel_calibration_spread": round(
+            (pcal_samples[-1] - pcal_samples[0]) / pcal, 3
+        )
+        if pcal > 0
+        else 0.0,
+        "total_per_parallel_calibration": round(total / pcal, 2)
+        if pcal > 0
+        else None,
     }
     if new_times:
         out["new"] = new_times

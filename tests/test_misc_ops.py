@@ -295,3 +295,28 @@ def test_hll_sketch_reference_exact():
         insert(b, dcount_datum(v, d))
     merge(a, bytes(b))
     assert estimate(a) == 9987
+
+
+def test_dcount_distinct_types_equal_bodies_do_not_collide():
+    """{a:1} and [1] share ZNG body bytes; the type tag must keep
+    them distinct (agg/dcount.go feeds the context type id). Complex
+    types ride the canonical rendered type string — deterministic
+    across sketch partials, injective per type."""
+    from zed_spark.functions.hll import (
+        dcount_datum,
+        estimate,
+        insert,
+        new_registers,
+    )
+
+    d_rec = ("record", [("a", ("prim", "int64"))])
+    d_arr = ("array", ("prim", "int64"))
+    d_rec2 = ("record", [("b", ("prim", "int64"))])
+    a = dcount_datum({"a": 1}, d_rec)
+    b = dcount_datum([1], d_arr)
+    c = dcount_datum({"b": 1}, d_rec2)
+    assert len({a, b, c}) == 3
+    regs = new_registers()
+    for x in (a, b, c):
+        insert(regs, x)
+    assert estimate(regs) == 3

@@ -467,3 +467,16 @@ def test_describe_fork_per_leg_sort(spark):
     by_name = {c["name"]: c for c in info["channels"]}
     assert by_name["main"]["sort"] == [{"order": "desc", "key": ["ts"]}]
     assert by_name["other"]["sort"] == [{"order": "asc", "key": ["uid"]}]
+
+
+def test_zson_ingest_size_gate(spark, monkeypatch):
+    """ZSON text parses on the driver — the gate keeps a bulk-sized
+    POST from pinning it (mirrors the VNG read/write gates)."""
+    import zed_spark.sources.ingest as ing
+
+    monkeypatch.setattr(ing, "_ZSON_INGEST_MAX_BYTES", 64)
+    with pytest.raises(ValueError, match="parses on the driver"):
+        ing.zson_text_to_df(spark, "{a:1}\n" * 32)
+    # under the gate still works
+    df, wrapped = ing.zson_text_to_df(spark, "{a:1}")
+    assert df.count() == 1 and not wrapped

@@ -266,3 +266,44 @@ def test_minhash_clusters_match_expanded_cc(spark):
     o = {(r["doc_id"], r["cluster_id"]) for r in expanded.collect()}
     n = {(r["doc_id"], r["cluster_id"]) for r in quotient.collect()}
     assert o == n and len(o) > 0
+
+
+def test_top_bigram_coverage_clamped(spark):
+    """Overlapping-run counting can exceed the word count on
+    degenerate docs ('a a a' → run 2 over 3 words → 4/3); coverage is
+    a fraction of the document, so it clamps at 1.0."""
+    from zed_spark.textops.filters import repetition_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a"),  # degenerate: would be 4/3 unclamped
+            (2, "the cat sat on the mat"),  # all bigrams unique
+            (3, "x"),  # single word: no bigram
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_report(df).collect()}
+    assert rows[1]["top_bigram_cov"] == 1.0
+    assert 0.0 < rows[2]["top_bigram_cov"] < 0.5
+    assert rows[3]["top_bigram_cov"] == 0.0
+    assert not rows[1]["keep"] and rows[2]["keep"]
+
+
+def test_repetition_filter_no_shuffle_when_input_split(spark, tmp_path):
+    """Scale safety: the query wrapper fans out ONLY when the scan has
+    fewer splits than cores — an already-split input (the 100 TB case)
+    must plan zero Exchange before the projection."""
+    from zed_spark.queries_text import repetition_filter_q
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wide = str(tmp_path / "docs_wide")
+    par = spark.sparkContext.defaultParallelism
+    src.repartition(par).write.parquet(wide)
+    import os
+
+    sfdir = str(tmp_path)
+    os.symlink(wide, os.path.join(sfdir, "documents.parquet"))
+    plan = repetition_filter_q(spark, sfdir)._jdf.queryExecution().executedPlan().toString()
+    # the orderBy adds one Exchange AFTER the projection (rangepartitioning)
+    # — assert no roundrobin fan-out Exchange was inserted
+    assert "roundrobinpartitioning" not in plan.lower()

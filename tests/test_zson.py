@@ -301,3 +301,18 @@ def test_read_zson_job_count_independent_of_shapes(spark, tmp_path):
     assert n20 == n2, f"jobs grew with shape count: {n2} -> {n20}"
     # and the data is intact
     assert out20["f7"].count() == 3
+
+
+def test_json_map_key_with_paren(spark):
+    """A string map key containing '(' must render as the key text —
+    the (type) decorator strip applies only OUTSIDE the closing quote
+    (zio/jsonio writer semantics)."""
+    from zed_spark import ZedSession
+    from zed_spark.sources.jsonio import to_json_text
+
+    z = ZedSession(spark)
+    d = spark.createDataFrame([(1,)], "x int")
+    out = z.query(
+        'from t | yield |{"a(b": 1, "plain": 2}|', tables={"t": d}
+    ).df
+    assert to_json_text(out, wrapped=True).strip() == '{"a(b":1,"plain":2}'

@@ -140,36 +140,25 @@ class Client:
 
 def decode_zjson(lines):
     """Generator over decoded values from an iterable of parsed ZJSON
-    frames ({"type": ..., "value": ...}); data frames carry inline
-    type definitions that later frames reference by id."""
-    types: dict = {}
+    frames ({"type": ..., "value": ...}).
+
+    Type resolution rides the repo's own ZJSON machinery
+    (sources/zjson.py registry model: defs collected per frame,
+    refs resolved lazily at each node) — only the native-Python
+    coercions live here. The Client API surface itself mirrors the
+    reference's public BSD-3-licensed Python client
+    (python/superdb/superdb.py) because the service ztests exec
+    scripts against exactly that surface."""
+    from zed_spark.sources.zjson import _collect_defs
+
+    registry: dict = {}
     for msg in lines:
         typ, value = msg.get("type"), msg.get("value")
         if isinstance(typ, dict):
-            yield _decode_value(_resolve_type(types, typ), value)
+            _collect_defs(typ, registry)
+            yield _to_native(value, typ, registry)
         elif typ == "QueryError":
             raise QueryError(value["error"])
-
-
-def _resolve_type(types, typ):
-    kind = typ["kind"]
-    if kind == "ref":
-        return types[typ["id"]]
-    if kind == "record":
-        for f in typ.get("fields") or []:
-            f["type"] = _resolve_type(types, f["type"])
-    elif kind in ("array", "set", "error", "named"):
-        typ["type"] = _resolve_type(types, typ["type"])
-    elif kind == "map":
-        typ["key_type"] = _resolve_type(types, typ["key_type"])
-        typ["val_type"] = _resolve_type(types, typ["val_type"])
-    elif kind == "union":
-        typ["types"] = [_resolve_type(types, t) for t in typ["types"]]
-    elif kind not in ("primitive", "enum"):
-        raise QueryError(f"unknown type kind {kind}")
-    if "id" in typ:
-        types[typ["id"]] = typ
-    return typ
 
 
 def _parse_go_duration(s: str) -> timedelta:
@@ -178,60 +167,68 @@ def _parse_go_duration(s: str) -> timedelta:
     return timedelta(microseconds=_parse_duration(s) / 1000)
 
 
-def _decode_value(typ, value):
+def _parse_iso_time(s: str):
+    import dateutil.parser
+
+    return dateutil.parser.isoparse(s)
+
+
+# primitive name -> native coercion (zjson.md "Primitive Values")
+_PRIM_NATIVE = {
+    **{n: int for n in (
+        "uint8", "uint16", "uint32", "uint64",
+        "int8", "int16", "int32", "int64",
+    )},
+    **{n: float for n in ("float16", "float32", "float64")},
+    "duration": _parse_go_duration,
+    "time": _parse_iso_time,
+    "decimal": decimal.Decimal,
+    "bool": lambda s: s == "true",
+    "bytes": lambda s: binascii.a2b_hex(s[2:]),
+    "string": lambda s: s,
+    "type": lambda s: s,
+    "ip": ipaddress.ip_address,
+    "net": ipaddress.ip_network,
+    "null": lambda s: None,
+}
+
+
+def _to_native(value, typ: dict, registry: dict):
+    """ZJSON value -> native Python, per the kind of its (possibly
+    ref-indirected) type node."""
+    from zed_spark.sources.zjson import _resolve_type
+
+    typ = _resolve_type(typ, registry)
     if value is None:
         return None
-    kind = typ["kind"]
+    kind = typ.get("kind")
     if kind == "primitive":
-        name = typ["name"]
-        if name in (
-            "uint8", "uint16", "uint32", "uint64",
-            "int8", "int16", "int32", "int64",
-        ):
-            return int(value)
-        if name == "duration":
-            return _parse_go_duration(value)
-        if name == "time":
-            import dateutil.parser
-
-            return dateutil.parser.isoparse(value)
-        if name in ("float16", "float32", "float64"):
-            return float(value)
-        if name == "decimal":
-            return decimal.Decimal(value)
-        if name == "bool":
-            return value == "true"
-        if name == "bytes":
-            return binascii.a2b_hex(value[2:])
-        if name in ("string", "type"):
-            return value
-        if name == "ip":
-            return ipaddress.ip_address(value)
-        if name == "net":
-            return ipaddress.ip_network(value)
-        if name == "null":
-            return None
-        raise QueryError(f"unknown primitive name {name}")
+        try:
+            fn = _PRIM_NATIVE[typ["name"]]
+        except KeyError:
+            raise QueryError(f"unknown primitive name {typ['name']}") from None
+        return fn(value)
+    if kind in ("named", "error"):
+        return _to_native(value, typ["type"], registry)
     if kind == "record":
         return {
-            f["name"]: _decode_value(f["type"], v)
+            f["name"]: _to_native(v, f["type"], registry)
             for f, v in zip(typ.get("fields") or [], value)
         }
     if kind == "array":
-        return [_decode_value(typ["type"], v) for v in value]
+        return [_to_native(v, typ["type"], registry) for v in value]
     if kind == "set":
-        return {_decode_value(typ["type"], v) for v in value}
+        return {_to_native(v, typ["type"], registry) for v in value}
     if kind == "map":
-        kt, vt = typ["key_type"], typ["val_type"]
         return {
-            _decode_value(kt, kv[0]): _decode_value(vt, kv[1])
-            for kv in value
+            _to_native(k, typ["key_type"], registry): _to_native(
+                v, typ["val_type"], registry
+            )
+            for k, v in value
         }
     if kind == "union":
-        tag, val = value
-        return _decode_value(typ["types"][int(tag)], val)
+        tag, inner = value
+        return _to_native(inner, typ["types"][int(tag)], registry)
     if kind == "enum":
         return typ["symbols"][int(value)]
-    if kind in ("error", "named"):
-        return _decode_value(typ["type"], value)
     raise QueryError(f"unknown type kind {kind}")

@@ -134,13 +134,30 @@ def estimate(regs) -> int:
 def dcount_datum(value, desc) -> bytes | None:
     """dcount.go Consume: AppendInt(type id) + the value's ZNG body.
     Nulls contribute a typed empty body like the reference (a null's
-    bytes are nil; AppendInt still tags the type)."""
+    bytes are nil; AppendInt still tags the type).
+
+    Primitive types feed their fixed ZNG id, matching the reference
+    bit-for-bit. Complex types get context-assigned ids (>=30) in the
+    reference; those ids are session-local there, so bit-parity is
+    impossible by construction — what matters is that DISTINCT types
+    never collide (e.g. {a:1} vs [1] share body bytes). We feed the
+    canonical rendered type string instead of an id: deterministic
+    across partitions (a per-partition id map would make the same
+    type hash differently in different sketch partials and
+    overcount), and injective per type."""
     from zed_spark.sources.zng import _int_bytes, encode_body_desc
-    from zed_spark.sources.ztypes import _PRIM_ID
+    from zed_spark.sources.ztypes import _PRIM_ID, render
 
     d = desc
     while d[0] == "named":
         d = d[2]
-    tid = _PRIM_ID.get(d[1], 30) if d[0] == "prim" else 30
+    if d[0] == "prim" and d[1] in _PRIM_ID:
+        tag = _int_bytes(_PRIM_ID[d[1]])
+    else:
+        # 0xff cannot start a ZNG varint id byte sequence produced by
+        # _int_bytes for ids < 2^6, so the tag space stays disjoint
+        # from primitive tags; NUL-terminate so type-string/body
+        # boundaries cannot alias across different types
+        tag = b"\xff" + render(d).encode() + b"\x00"
     body = encode_body_desc(value, desc) if value is not None else b""
-    return _int_bytes(tid) + (body or b"")
+    return tag + (body or b"")

@@ -416,14 +416,20 @@ def repetition_filter_q(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition metrics per document (duplicate-word
     fraction + top-bigram coverage) with keep decisions — the first
     filter a pretraining corpus pass runs. Pure codegen higher-order
-    expressions; one scan, no shuffle."""
+    expressions over one scan; a fan-out repartition is added ONLY
+    when the input has fewer splits than the cluster has cores."""
     from zed_spark.textops.filters import repetition_report
 
     docs = read_table(spark, sf, "documents")
-    # the documents table is a single parquet file at test scales —
-    # fan the per-document codegen across all cores (the shuffle
-    # moves raw text once; the projection is the expensive part)
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # the documents table is a single parquet file at test scales, so
+    # the scan would serialize the per-document codegen onto one core
+    # (18 s → 2.3 s with a fan-out). At 100 TB the input already has
+    # thousands of splits and a full shuffle of raw text would be the
+    # bottleneck — only repartition when the scan is narrower than the
+    # cluster.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     return repetition_report(docs).orderBy("doc_id")
 
 
@@ -453,7 +459,7 @@ modec AS (
 m AS (
   SELECT s.doc_id, s.dupf,
          CASE WHEN s.n >= 2
-              THEN CAST(2 * mc.mode AS DOUBLE) / s.n
+              THEN LEAST(CAST(2 * mc.mode AS DOUBLE) / s.n, 1.0)
               ELSE 0.0 END AS cov
   FROM stats s LEFT JOIN modec mc USING (doc_id)
 )

@@ -247,14 +247,34 @@ _TYPE_NAMED = _re.compile(r"\b[A-Za-z_]\w*=")
 
 
 
+_ZSON_INGEST_MAX_BYTES = int(
+    __import__("os").environ.get(
+        "SPARK_GRAFT_ZSON_INGEST_MAX_BYTES", str(256 * 1024 * 1024)
+    )
+)
+
+
 def zson_text_to_df(spark, text: str):
     """One-stop driver-side ZSON ingest: parse + sidecars.
 
     Returns (DataFrame, wrapped) where wrapped is True when the input
-    was a non-record value stream carried in a ``this`` column."""
+    was a non-record value stream carried in a ``this`` column.
+
+    ZSON is a human-readable text format parsed row-by-row on the
+    driver (the reference parses it single-goroutine too,
+    zson/parser.go) — fine for request-bounded HTTP loads, wrong for
+    bulk data. The size gate mirrors the VNG gates: past it, the
+    parquet/CSV/JSON readers stay fully distributed."""
     from zed_spark.sources.zson import parse_zson_typed
     from zed_spark.sources.ztypes import parse_types
 
+    if len(text) > _ZSON_INGEST_MAX_BYTES:
+        raise ValueError(
+            f"zson ingest: input exceeds {_ZSON_INGEST_MAX_BYTES} bytes "
+            f"— ZSON text parses on the driver; load parquet/csv/json "
+            f"for data at scale (or raise "
+            f"SPARK_GRAFT_ZSON_INGEST_MAX_BYTES)"
+        )
     vals, _named = parse_zson_typed(text)
     if not vals:
         raise ValueError("no records found")

@@ -168,8 +168,19 @@ def _json_map_key(k, kdt, kd, hints, path):
             if d[1] == "string":
                 import json as _j
 
+                # the quoted literal itself may contain '(' (e.g.
+                # "a(b") — parse the full text first and only then
+                # try stripping a trailing (type) decorator that
+                # sits OUTSIDE the closing quote
                 try:
-                    return _j.loads(raw.split("(", 1)[0].strip()), raw
+                    return _j.loads(raw.strip()), raw
+                except Exception:
+                    pass
+                import re as _r
+
+                stripped = _r.sub(r"\s*\([^()]*\)\s*$", "", raw.strip())
+                try:
+                    return _j.loads(stripped), raw
                 except Exception:
                     return raw, raw
             # strip a trailing (type) decorator off the literal

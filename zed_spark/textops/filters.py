@@ -12,9 +12,10 @@ Two families a 100 TB text pipeline runs before anything else:
 Everything here is built from pyspark.sql.functions higher-order
 expressions — whole-stage-codegen JVM execution, zero Python in the
 row path, so the filter costs one scan at any scale.  The per-doc
-bigram mode is O(words²) WITHIN a document (documents are KB-sized;
-the quadratic term is a few thousand codegen comparisons per row,
-no shuffle) — at cluster scale the work parallelizes per row.
+bigram mode is sort + longest-equal-run, O(n log n) WITHIN a
+document and shuffle-free — at cluster scale the work parallelizes
+per row.  (Query wrappers may add a fan-out repartition when the
+input has fewer splits than cores; see queries_text.py.)
 """
 
 from __future__ import annotations
@@ -79,8 +80,12 @@ def top_bigram_coverage(text: Column) -> Column:
         )
 
     mode_count = F.aggregate(grams, acc0, step, lambda acc: acc["best"])
+    # the run counts OVERLAPPING occurrences, so degenerate docs
+    # ('a a a' → run 2 over 3 words) can push 2·run/n past 1.0 —
+    # clamp: "coverage" is a fraction of the document by definition
     return F.when(
-        n >= 2, (mode_count * 2).cast("double") / n
+        n >= 2,
+        F.least((mode_count * 2).cast("double") / n, F.lit(1.0)),
     ).otherwise(F.lit(0.0))
 
 
