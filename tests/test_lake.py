@@ -307,3 +307,46 @@ def test_key_dups_answered_from_import_stats(spark, lake):
     # simulate by asking over an object absent from the journal
     assert pool._key_dups_from_stats(["obj_nonexistent"]) is None
     _ = _j
+
+
+def test_lake_on_file_uri_root(spark, tmp_path):
+    """Object-storage mechanics: a lake root given as a URI routes
+    ALL metadata I/O through Hadoop FileSystem (reference scheme
+    router, pkg/storage/router.go:16). file:// rides Hadoop's
+    LocalFileSystem — the exact code path s3a:// takes in production
+    (no object store in the sandbox)."""
+    from zed_spark.sources.lake import Lake
+    from zed_spark.sources.readers import read_table
+
+    root = f"file://{tmp_path}/urilake"
+    lake = Lake(spark, root)
+    pool = lake.create_pool("events", key="ts")
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    pool.load(ev, author="uri", message="load via file://")
+    assert "events" in lake.pools()
+    # commit log + branches round-trip through the Hadoop path
+    assert len(pool.commits()) == 1
+    assert pool.commits()[0]["author"] == "uri"
+    got = lake.pool("events").scan("main").count()
+    assert got == ev.count()
+    # branch + merge exercise branches.json writes
+    pool.create_branch("dev", "main")
+    assert set(pool.branches()) == {"main", "dev"}
+    # rename + drop exercise rename/rmtree on the Hadoop path
+    lake.rename_pool("events", "events2")
+    assert lake.pools() == ["events2"]
+    lake.drop_pool("events2")
+    assert lake.pools() == []
+
+
+def test_lake_s3_uri_normalized(spark, tmp_path, monkeypatch):
+    """s3:// is normalized to s3a:// (the maintained Hadoop S3
+    connector) before any filesystem call."""
+    from zed_spark.sources import fsio
+
+    assert fsio.normalize_uri("s3://bucket/lake") == "s3a://bucket/lake"
+    assert fsio.normalize_uri("/plain/path") == "/plain/path"
+    assert fsio.join("s3a://bucket/lake", "pool", "x.json") == (
+        "s3a://bucket/lake/pool/x.json"
+    )
+    assert fsio.is_uri("file:///x") and not fsio.is_uri("/x")

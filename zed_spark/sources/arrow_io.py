@@ -52,24 +52,18 @@ def _iter_batches(reader):
 def read_arrows(spark: SparkSession, path: str) -> DataFrame:
     """Read Arrow IPC file(s) → DataFrame. `path` may be a file, a
     directory, or a glob; each file is one task."""
-    import glob as _glob
-
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    if os.path.isdir(path):
-        files = sorted(
-            f
-            for f in _glob.glob(os.path.join(path, "*"))
-            if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
-        )
-    elif any(c in path for c in "*?["):
-        files = sorted(_glob.glob(path))
-    else:
-        files = [path]
+    from zed_spark.sources import fsio
+
+    files = [
+        f
+        for f in fsio.expand(path)
+        if not fsio.basename(f).startswith(("_", "."))
+    ]
     if not files:
         raise ValueError(f"{path}: no Arrow files found")
-    with open(files[0], "rb") as fh:
-        arrow_schema = _open_ipc(fh.read()).schema
+    arrow_schema = _open_ipc(fsio.read_bytes(files[0])).schema
     spark_schema = from_arrow_schema(arrow_schema)
 
     bin_df = spark.read.format("binaryFile").load(files).select("content")

@@ -208,3 +208,59 @@ def append_text(path: str, text: str) -> None:
         return
     old = read_bytes(path) if exists(path) else b""
     write_bytes(path, old + text.encode())
+
+
+def read_head(path: str, n: int = 4096) -> bytes:
+    """First n bytes — format sniffing without pulling whole objects."""
+    if not is_uri(path):
+        with open(path, "rb") as f:
+            return f.read(n)
+    jvm, fs, p = _hadoop(path)
+    # py4j passes Python buffers to Java BY VALUE — a Java-side read
+    # into them never copies back. Copy a bounded count through a
+    # Java ByteArrayOutputStream instead.
+    stream = fs.open(p)
+    try:
+        bounded = jvm.org.apache.commons.io.input.BoundedInputStream(
+            stream, n
+        )
+        bos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(bounded, bos, 65536, False)
+        return bytes(bos.toByteArray())
+    finally:
+        stream.close()
+
+
+def _uri_str(jpath) -> str:
+    """Hadoop Path → canonical scheme://authority/path string that
+    round-trips through this module's scheme detection."""
+    u = jpath.toUri()
+    scheme = u.getScheme() or ""
+    auth = u.getAuthority() or ""
+    return f"{scheme}://{auth}{u.getPath()}"
+
+
+def expand(path: str) -> list[str]:
+    """Path → ordered list of data files: directory children, glob
+    matches, or the path itself (the driver-side text readers' file
+    enumeration). URIs route through Hadoop; globStatus handles
+    wildcards on any scheme."""
+    if not is_uri(path):
+        import glob
+
+        if os.path.isdir(path):
+            return sorted(glob.glob(os.path.join(path, "*")))
+        if any(c in path for c in "*?["):
+            return sorted(glob.glob(path))
+        return [path]
+    jvm, fs, p = _hadoop(path)
+    if fs.exists(p) and fs.getFileStatus(p).isDirectory():
+        return sorted(
+            _uri_str(st.getPath())
+            for st in fs.listStatus(p)
+            if st.isFile()
+        )
+    if any(c in path for c in "*?["):
+        sts = fs.globStatus(p)
+        return sorted(_uri_str(st.getPath()) for st in sts) if sts else []
+    return [normalize_uri(path)]

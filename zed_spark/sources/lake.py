@@ -35,6 +35,8 @@ from __future__ import annotations
 
 import json
 import os
+
+from zed_spark.sources import fsio
 import time
 import uuid
 
@@ -270,8 +272,11 @@ class Lake:
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
-        self.root = root
-        os.makedirs(root, exist_ok=True)
+        # scheme-routed storage (reference pkg/storage/router.go:16):
+        # plain paths and file:// use the local engine; s3a://…
+        # rides the session's Hadoop connectors (s3:// → s3a://)
+        self.root = fsio.normalize_uri(root)
+        fsio.makedirs(self.root)
 
     def _pool_dir(self, name: str) -> str:
         # pool names may contain any character incl. "/" (the service
@@ -279,7 +284,7 @@ class Lake:
         # the directory name is the percent-escaped form
         from urllib.parse import quote
 
-        return os.path.join(self.root, quote(name, safe=""))
+        return fsio.join(self.root, quote(name, safe=""))
 
     # --- pool lifecycle ---------------------------------------------
     def create_pool(
@@ -287,25 +292,25 @@ class Lake:
         seekstride: int = 65536,
     ) -> "Pool":
         path = self._pool_dir(name)
-        meta = os.path.join(path, LAKE_META_DIR)
-        if os.path.exists(meta):
+        meta = fsio.join(path, LAKE_META_DIR)
+        if fsio.exists(meta):
             raise ValueError(f"pool {name!r} already exists")
-        os.makedirs(meta, exist_ok=True)
+        fsio.makedirs(meta)
         pid = new_ksuid()
-        with open(os.path.join(meta, "pool.json"), "w") as f:
-            json.dump(
+        fsio.write_text(
+            fsio.join(meta, "pool.json"),
+            json.dumps(
                 {"name": name, "key": key, "version": 1, "id": pid,
-                 "order": order, "seekstride": seekstride},
-                f,
-            )
+                 "order": order, "seekstride": seekstride}
+            ),
+        )
         return Pool(
             self.spark, PoolConfig(name, key, path, pid, order, seekstride)
         )
 
     def pool(self, name: str) -> "Pool":
         path = self._pool_dir(name)
-        with open(os.path.join(path, LAKE_META_DIR, "pool.json")) as f:
-            meta = json.load(f)
+        meta = json.loads(fsio.read_text(fsio.join(path, LAKE_META_DIR, "pool.json")))
         return Pool(
             self.spark,
             PoolConfig(
@@ -316,11 +321,9 @@ class Lake:
         )
 
     def drop_pool(self, name: str) -> None:
-        import shutil
-
         if name not in self.pools():
             raise ValueError(f"pool {name!r} not found")
-        shutil.rmtree(self._pool_dir(name))
+        fsio.rmtree(self._pool_dir(name))
 
     def rename_pool(self, old: str, new: str) -> None:
         """`super db rename` (service/core.go pool rename): move the
@@ -329,13 +332,11 @@ class Lake:
             raise ValueError(f"pool {old!r} not found")
         if new in self.pools():
             raise ValueError(f"pool {new!r} already exists")
-        os.rename(self._pool_dir(old), self._pool_dir(new))
-        meta = os.path.join(self._pool_dir(new), LAKE_META_DIR, "pool.json")
-        with open(meta) as f:
-            cfg = json.load(f)
+        fsio.rename(self._pool_dir(old), self._pool_dir(new))
+        meta = fsio.join(self._pool_dir(new), LAKE_META_DIR, "pool.json")
+        cfg = json.loads(fsio.read_text(meta))
         cfg["name"] = new
-        with open(meta, "w") as f:
-            json.dump(cfg, f)
+        fsio.write_text(meta, json.dumps(cfg))
 
     def scan_ref(self, ref: str) -> DataFrame:
         """Scan `pool` or `pool@branch` (the reference's from-clause
@@ -350,8 +351,8 @@ class Lake:
         from urllib.parse import unquote
 
         return sorted(
-            unquote(d) for d in os.listdir(self.root)
-            if os.path.isdir(os.path.join(self.root, d, LAKE_META_DIR))
+            unquote(d) for d in fsio.listdir(self.root)
+            if fsio.is_dir(fsio.join(self.root, d, LAKE_META_DIR))
         )
 
     def meta_pools(self) -> DataFrame:
@@ -419,22 +420,24 @@ class Pool:
     def __init__(self, spark: SparkSession, cfg: PoolConfig):
         self.spark = spark
         self.cfg = cfg
-        self.meta_dir = os.path.join(cfg.path, LAKE_META_DIR)
+        self.meta_dir = fsio.join(cfg.path, LAKE_META_DIR)
 
     # --- commit log --------------------------------------------------
     def _log_path(self) -> str:
-        return os.path.join(self.meta_dir, "commits.jsonl")
+        return fsio.join(self.meta_dir, "commits.jsonl")
 
     def commits(self) -> list[dict]:
         path = self._log_path()
-        if not os.path.exists(path):
+        if not fsio.exists(path):
             return []
-        with open(path) as f:
-            return [json.loads(line) for line in f if line.strip()]
+        return [
+            json.loads(line)
+            for line in fsio.read_text(path).splitlines()
+            if line.strip()
+        ]
 
     def _append_commit(self, entry: dict) -> None:
-        with open(self._log_path(), "a") as f:
-            f.write(json.dumps(entry) + "\n")
+        fsio.append_text(self._log_path(), json.dumps(entry) + "\n")
         _notify_commit(
             {
                 "type": "commit",
@@ -447,22 +450,20 @@ class Pool:
 
     # --- branches ----------------------------------------------------
     def _branches_path(self) -> str:
-        return os.path.join(self.meta_dir, "branches.json")
+        return fsio.join(self.meta_dir, "branches.json")
 
     def branches(self) -> dict[str, dict]:
         """{branch: {"tip": commit|None, "base": commit|None}}.
         A log written before branching existed implies main's tip is
         the last entry in file order."""
         path = self._branches_path()
-        if os.path.exists(path):
-            with open(path) as f:
-                return json.load(f)
+        if fsio.exists(path):
+            return json.loads(fsio.read_text(path))
         cs = self.commits()
         return {"main": {"tip": cs[-1]["commit"] if cs else None, "base": None}}
 
     def _save_branches(self, b: dict) -> None:
-        with open(self._branches_path(), "w") as f:
-            json.dump(b, f)
+        fsio.write_text(self._branches_path(), json.dumps(b))
 
     def _commit_index(self) -> dict[str, dict]:
         """id → entry with parent links; legacy entries (no parent
@@ -594,7 +595,7 @@ class Pool:
 
     # --- load (write a commit) --------------------------------------
     def _write_object(self, df: DataFrame, commit_id: str) -> None:
-        obj_dir = os.path.join(self.cfg.path, f"obj_{commit_id}")
+        obj_dir = fsio.join(self.cfg.path, f"obj_{commit_id}")
         if "__zed_seq" in df.columns:
             # a recompacted object re-records its own sequence
             df = df.drop("__zed_seq")
@@ -798,7 +799,7 @@ class Pool:
             raise ValueError(f'"{branch}": branch not found')
         if not objs:
             raise ValueError(f"pool {self.cfg.name!r} is empty on branch {branch!r}")
-        paths = [os.path.join(self.cfg.path, o) for o in objs]
+        paths = [fsio.join(self.cfg.path, o) for o in objs]
         # objects committed at different times may have different
         # shapes (the reference's pools are heterogeneous): merge
         # footer schemas so later columns appear instead of silently
@@ -930,7 +931,7 @@ class Pool:
             if f"obj_{a}" not in live:
                 raise ValueError(f"{a}: object not found")
             drops.append(f"obj_{a}")
-        paths = [os.path.join(self.cfg.path, o) for o in drops]
+        paths = [fsio.join(self.cfg.path, o) for o in drops]
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         commit_id = new_ksuid()
         self._write_object(df, commit_id)
@@ -953,16 +954,15 @@ class Pool:
     # a columnar companion for a data object; `:vectors` lists the
     # registered objects — lake/ztests/vector.yaml) ------------------
     def _vectors_path(self) -> str:
-        return os.path.join(self.cfg.path, "vectors.json")
+        return fsio.join(self.cfg.path, "vectors.json")
 
     def _vector_ids(self) -> list[str]:
         import json
 
         p = self._vectors_path()
-        if not os.path.exists(p):
+        if not fsio.exists(p):
             return []
-        with open(p) as f:
-            return json.load(f)
+        return json.loads(fsio.read_text(p))
 
     def vector_add(self, obj_id: str, branch: str = "main") -> None:
         import json
@@ -972,8 +972,7 @@ class Pool:
         ids = self._vector_ids()
         if obj_id not in ids:
             ids.append(obj_id)
-        with open(self._vectors_path(), "w") as f:
-            json.dump(ids, f)
+        fsio.write_text(self._vectors_path(), json.dumps(ids))
 
     def vector_delete(self, obj_id: str, branch: str = "main") -> None:
         import json
@@ -982,8 +981,7 @@ class Pool:
         if obj_id not in ids:
             raise ValueError(f"{obj_id}: vector not found")
         ids.remove(obj_id)
-        with open(self._vectors_path(), "w") as f:
-            json.dump(ids, f)
+        fsio.write_text(self._vectors_path(), json.dumps(ids))
 
     def meta_vectors(self, branch: str = "main") -> DataFrame:
         """`from <pool>:vectors` — objects with registered vectors
@@ -1001,16 +999,14 @@ class Pool:
         """Remove object dirs referenced by NO branch (reference:
         /vacuum). Live sets across every branch are kept. dryrun
         lists what would go without deleting (db/vacuum -dryrun)."""
-        import shutil
-
         live: set[str] = set()
         for name in self.branches():
             live |= set(self._live_objects(name))
         removed = []
-        for d in os.listdir(self.cfg.path):
+        for d in fsio.listdir(self.cfg.path):
             if d.startswith("obj_") and d not in live:
                 if not dryrun:
-                    shutil.rmtree(os.path.join(self.cfg.path, d))
+                    fsio.rmtree(fsio.join(self.cfg.path, d))
                 removed.append(d)
         return removed
 
@@ -1106,7 +1102,7 @@ class Pool:
         from zed_spark.sources.zng import _encode_body, encode_zng
 
         key = self.cfg.key
-        obj_dir = os.path.join(self.cfg.path, f"obj_{commit_id}")
+        obj_dir = fsio.join(self.cfg.path, f"obj_{commit_id}")
         rows, enc_schema = self._ordered_object_rows(obj_dir)
         if not rows or key not in enc_schema.fieldNames():
             return
@@ -1148,8 +1144,8 @@ class Pool:
             if trigger >= stride:
                 flush(kv)
         flush(last)
-        ddir = os.path.join(self.cfg.path, "data")
-        os.makedirs(ddir, exist_ok=True)
+        ddir = fsio.join(self.cfg.path, "data")
+        fsio.makedirs(ddir)
         eschema = T.StructType(
             [
                 T.StructField("min", kdt),
@@ -1160,8 +1156,10 @@ class Pool:
                 T.StructField("length", T.LongType()),
             ]
         )
-        with open(os.path.join(ddir, f"{commit_id}-seek.zng"), "wb") as f:
-            f.write(encode_zng(entries, eschema, compress=True))
+        fsio.write_bytes(
+            fsio.join(ddir, f"{commit_id}-seek.zng"),
+            encode_zng(entries, eschema, compress=True),
+        )
 
     def _ordered_object_rows(self, obj_dir: str):
         """An object's rows in pool order with ns shadows restored —
@@ -1234,7 +1232,7 @@ class Pool:
         mn_ns = mx_ns = None
         for obj in self._live_objects(branch):
             try:
-                size += self._object_size(os.path.join(self.cfg.path, obj))
+                size += self._object_size(fsio.join(self.cfg.path, obj))
             except Exception:
                 pass
             st = by_obj.get(obj, {})
@@ -1267,7 +1265,7 @@ class Pool:
         cnt = (e.get("stats") or {}).get("count", 0)
         for o in adds:
             try:
-                size = self._object_size(os.path.join(self.cfg.path, o))
+                size = self._object_size(fsio.join(self.cfg.path, o))
             except Exception:
                 size = 0
             plural = "" if cnt == 1 else "s"
@@ -1349,7 +1347,7 @@ class Pool:
         }
         rows = []
         for obj in self._live_objects(branch):
-            d = os.path.join(self.cfg.path, obj)
+            d = fsio.join(self.cfg.path, obj)
             # the reference reports the object's ZNG stream size
             # (lake/data/object.go Size); stored parquet bytes differ,
             # so re-encode — meta queries only, the scan path never
@@ -1358,8 +1356,8 @@ class Pool:
                 size = self._object_size(d)
             except Exception:
                 size = sum(
-                    os.path.getsize(os.path.join(d, f))
-                    for f in os.listdir(d)
+                    fsio.getsize(fsio.join(d, f))
+                    for f in fsio.listdir(d)
                     if f.endswith(".parquet")
                 )
             st = stats.get(obj, {})

@@ -43,6 +43,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def read_any(spark: SparkSession, path: str, fmt: str = "auto", **options) -> DataFrame:
+    from zed_spark.sources import fsio
+
+    path = fsio.normalize_uri(path)
     if fmt == "auto":
         fmt = _sniff_format(path)
     if fmt == "parquet":
@@ -94,25 +97,25 @@ def _sniff_format(path: str) -> str:
         if path.endswith(ext):
             return fmt
     # extension-less directory (a Spark text/parquet output dir, a
-    # lake object, a ZSON export): sniff the first data file's content
-    import glob as _glob
+    # lake object, a ZSON export): sniff the first data file's
+    # content. fsio routes URIs (s3a://, file://) through Hadoop
+    # FileSystem, so sniffing works on object storage too.
     import json as _json
-    import os as _os
 
-    if _os.path.isdir(path):
+    from zed_spark.sources import fsio
+
+    if fsio.is_dir(path):
         files = [
-            f
-            for f in sorted(_glob.glob(_os.path.join(path, "*")))
-            if _os.path.isfile(f)
-            and not _os.path.basename(f).startswith(("_", "."))
-            and not f.endswith(".crc")
+            fsio.join(path, name)
+            for name in sorted(fsio.listdir(path))
+            if not name.startswith(("_", ".")) and not name.endswith(".crc")
         ]
+        files = [f for f in files if fsio.is_file(f)]
         if files:
             for ext, fmt in _EXT_FORMATS:
                 if files[0].endswith(ext) and ext != ".txt":
                     return fmt
-            with open(files[0], "rb") as fh:
-                head = fh.read(4096)
+            head = fsio.read_head(files[0], 4096)
             if head[:4] == b"PAR1":
                 return "parquet"
             if head[:6] == b"ARROW1" or head[:4] == b"\xff\xff\xff\xff":

@@ -273,25 +273,19 @@ def _merge_block_type(a: str, b: str) -> str:
 
 def read_zeek_tsv(spark: SparkSession, path: str) -> DataFrame:
     """Read zeek TSV logs (glob ok) into one typed DataFrame."""
-    import glob as _glob
-    import os as _os
+    from zed_spark.sources import fsio
 
-    if _os.path.isdir(path):
-        files = sorted(
-            f
-            for f in _glob.glob(_os.path.join(path, "*"))
-            if _os.path.isfile(f)
-            and not _os.path.basename(f).startswith(("_", "."))
-            and not f.endswith(".crc")
-        )
-    else:
-        files = sorted(_glob.glob(path)) or [path]
+    files = [
+        f
+        for f in fsio.expand(path)
+        if not fsio.basename(f).startswith(("_", "."))
+        and not f.endswith(".crc")
+    ] or [path]
 
     # sniff the first file's head: single header block (the layout
     # zeek itself writes) takes the vectorized path; anything else
     # (mid-file '#' blocks, headerless '#fields') parses per file
-    with open(files[0], "r", errors="replace") as f:
-        head = f.read(1 << 20)
+    head = fsio.read_head(files[0], 1 << 20).decode(errors="replace")
     lines = head.splitlines()
     saw_data = multi = False
     h = _Header()
@@ -308,18 +302,31 @@ def read_zeek_tsv(spark: SparkSession, path: str) -> DataFrame:
     if not h.fields and not multi:
         raise ValueError(f"{files[0]}: no '#fields' header — not a zeek log")
     if multi or len(files) > 1 and _heads_differ(files, h):
+        if any(fsio.is_uri(f) for f in files):
+            # the multi-block parser opens files inside executor
+            # Python (one task per file) where no JVM gateway exists
+            # to route object-store URIs; zeek's own writer emits
+            # single-header files, which stream fine from any URI
+            raise ValueError(
+                f"{path}: multi-header-block zeek logs are not "
+                f"readable from object-store URIs — localize the "
+                f"files first or re-emit them as single-block logs"
+            )
         return _read_blocks(spark, files)
     return _read_vectorized(spark, path, h)
 
 
 def _heads_differ(files: list[str], h: _Header) -> bool:
+    from zed_spark.sources import fsio
+
     for f in files[1:]:
         h2 = _Header()
-        with open(f, "r", errors="replace") as fh:
-            for ln in fh:
-                if not ln.startswith("#"):
-                    break
-                h2.directive(ln)
+        for ln in fsio.read_head(f, 1 << 20).decode(errors="replace").splitlines(
+            keepends=True
+        ):
+            if not ln.startswith("#"):
+                break
+            h2.directive(ln)
         if h2.fields != h.fields or h2.types != h.types or h2.path != h.path:
             return True
     return False

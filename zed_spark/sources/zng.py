@@ -411,11 +411,9 @@ def read_zng(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     """Read ZNG file(s) → {shape: DataFrame}, sharing the ZSON
     reader's shape-group machinery. One task per file (binaryFile);
     per-shape schemas merge over ALL values in one aggregateByKey."""
-    import glob as _glob
-    import os as _os
-
     from pyspark.sql import types as T
 
+    from zed_spark.sources import fsio
     from zed_spark.sources.zson import (
         _ZSON_CACHE,
         _shape_frames,
@@ -423,16 +421,11 @@ def read_zng(spark: SparkSession, path: str) -> dict[str, DataFrame]:
         clear_zson_cache,
     )
 
-    if _os.path.isdir(path):
-        load = [
-            f
-            for f in sorted(_glob.glob(_os.path.join(path, "*")))
-            if _os.path.isfile(f) and not _os.path.basename(f).startswith(("_", "."))
-        ]
-    elif any(c in path for c in "*?["):
-        load = sorted(_glob.glob(path))
-    else:
-        load = [path]
+    load = [
+        f
+        for f in fsio.expand(path)
+        if not fsio.basename(f).startswith(("_", "."))
+    ]
     bin_df = spark.read.format("binaryFile").load(load).select("content")
 
     def decode_partition(rows):

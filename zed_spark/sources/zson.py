@@ -1126,19 +1126,11 @@ def read_zson(spark: SparkSession, path: str) -> dict[str, DataFrame]:
         shapes = shaped.keys().distinct().collect()
     except Exception:
         # multi-line values: whole-text fallback on the driver
-        import glob
-        import os
+        from zed_spark.sources import fsio
 
-        if os.path.isdir(path):
-            files = sorted(glob.glob(os.path.join(path, "*")))
-        elif any(c in path for c in "*?["):
-            files = sorted(glob.glob(path))
-        else:
-            files = [path]
         text = ""
-        for f in files:
-            with open(f, "r") as fh:
-                text += fh.read() + "\n"
+        for f in fsio.expand(path):
+            text += fsio.read_text(f) + "\n"
         values = parse_zson(text)
         sc = spark.sparkContext
         shaped = sc.parallelize([(_shape_of(v), v) for v in values]).cache()
