@@ -222,7 +222,15 @@ def main() -> None:
     SMALL_KEY_REPEATS = max(REPEATS, 5)
     new_times: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    for name in HEADLINE + NEW_QUERIES:
+    # parallel calibration samples INTERLEAVED with the battery: the
+    # shared host's ambient load swings within one bench run, so
+    # end-of-run calibration misses the load the battery actually
+    # experienced. One warm-up here; a sample lands every ~6 keys.
+    _parallel_calibration_run(spark)
+    pcal_samples: list[float] = [_parallel_calibration_run(spark)]
+    for qi, name in enumerate(HEADLINE + NEW_QUERIES):
+        if qi % 6 == 5:
+            pcal_samples.append(_parallel_calibration_run(spark))
         fn = queries[name]
         samples = []
         for _ in range(REPEATS):
@@ -245,10 +253,11 @@ def main() -> None:
     cal_samples = sorted(_calibration_run(spark) for _ in range(5))
     cal = cal_samples[2]
 
-    # parallel (32-core-saturating) calibration: warm once, median of 5
-    _parallel_calibration_run(spark)
-    pcal_samples = sorted(_parallel_calibration_run(spark) for _ in range(5))
-    pcal = pcal_samples[2]
+    # final parallel calibration sample, then the median over the
+    # whole battery window
+    pcal_samples.append(_parallel_calibration_run(spark))
+    pcal_samples.sort()
+    pcal = pcal_samples[len(pcal_samples) // 2]
 
     total = round(sum(times.values()), 4)
     out = {
