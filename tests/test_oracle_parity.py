@@ -26,6 +26,9 @@ EXTRA_ORACLES = {
     # frozen; extras carry their own oracle here)
     "repetition_filter": (qt.repetition_filter_q, qt.REPETITION_SQL),
     "pii_scan": (qt.pii_scan_q, qt.PII_SQL),
+    # round-10 training-data additions
+    "corpus_sample": (qt.corpus_sample_q, qt.CORPUS_SAMPLE_SQL),
+    "shard_pack": (qt.shard_pack_q, qt.SHARD_PACK_SQL),
 }
 
 

@@ -480,3 +480,27 @@ def test_zson_ingest_size_gate(spark, monkeypatch):
     # under the gate still works
     df, wrapped = ing.zson_text_to_df(spark, "{a:1}")
     assert df.count() == 1 and not wrapped
+
+
+def test_root_content_served_over_http(spark):
+    """-rootcontentfile: GET / returns the static content through the
+    live HTTP server (service/ztests/rootcontentfile exercises
+    handle_api; this pins the server routing)."""
+    s = QueryService(spark, sf_dir=SF_DIR, root_content="<html>zui</html>")
+    port = s.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=10
+        ) as r:
+            assert r.status == 200 and b"zui" in r.read()
+    finally:
+        s.stop()
+
+
+def test_pool_stats_over_http(svc, spark):
+    """GET /pool/<ref>/stats reaches handle_api through the live
+    server (service/handlers.go handlePoolStats)."""
+    req = urllib.request.Request(f"{svc}/pool/events/stats")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        body = r.read().decode()
+    assert r.status == 200 and body.startswith("{size:")

@@ -307,3 +307,48 @@ def test_repetition_filter_no_shuffle_when_input_split(spark, tmp_path):
     # the orderBy adds one Exchange AFTER the projection (rangepartitioning)
     # — assert no roundrobin fan-out Exchange was inserted
     assert "roundrobinpartitioning" not in plan.lower()
+
+
+def test_hash_sample_deterministic_and_stable(spark):
+    """The sample is a pure function of the id: re-running gives the
+    same rows, appending new rows never flips old decisions, and
+    different salts give (near-)independent samples."""
+    from zed_spark.textops.sampling import hash_sample
+
+    base = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"] for r in hash_sample(base, 0.3).collect()}
+    s2 = {r["doc_id"] for r in hash_sample(base, 0.3).collect()}
+    assert s1 == s2 and 0.2 < len(s1) / 2000 < 0.4
+    # append stability: the old ids' membership is unchanged
+    bigger = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+    s3 = {r["doc_id"] for r in hash_sample(bigger, 0.3).collect()}
+    assert {i for i in s3 if i < 2000} == s1
+    # a salted sample is a different (roughly independent) subset
+    s4 = {r["doc_id"] for r in hash_sample(base, 0.3, salt="v2").collect()}
+    assert s4 != s1 and 0.2 < len(s4) / 2000 < 0.4
+    overlap = len(s1 & s4) / len(s1)
+    assert 0.1 < overlap < 0.5  # ~rate if independent
+
+
+def test_pack_shards_budget_and_oversize(spark):
+    from zed_spark.textops.sampling import pack_shards
+
+    rows = [(1, 100), (2, 100), (3, 5000), (4, 100), (5, 100)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = {r["doc_id"]: r["shard"] for r in pack_shards(df, 250).collect()}
+    # docs 1,2 fill shard 0 (200 < 250); doc 3 starts at cum 200 ->
+    # shard 0 is where it STARTS (exclusive sum 200 // 250 = 0), and
+    # it blows past the budget alone; doc 4 lands at cum 5200 -> 20
+    assert out[1] == 0 and out[2] == 0
+    assert out[4] == (200 + 5000) // 250
+    assert out[5] == (200 + 5000 + 100) // 250
+    # per-group packing restarts the running sum per key
+    df2 = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 100), (3, "b", 100), (4, "b", 100)],
+        ["doc_id", "lang", "n_tokens"],
+    )
+    out2 = {
+        r["doc_id"]: r["shard"]
+        for r in pack_shards(df2, 150, by="lang").collect()
+    }
+    assert out2 == {1: 0, 2: 0, 3: 0, 4: 0}

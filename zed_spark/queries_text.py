@@ -491,3 +491,59 @@ SELECT doc_id,
         + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) > 0 AS has_pii
 FROM documents ORDER BY doc_id
 """
+
+
+def corpus_sample_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 20% corpus sample: reproducible across runs,
+    engines, and partitionings (pure function of doc_id), stable
+    under appends, zero shuffle — the sampling a training pipeline
+    uses for held-out evals and ablation subsets."""
+    from zed_spark.textops.sampling import hash_sample
+
+    docs = read_table(spark, sf, "documents")
+    return (
+        hash_sample(docs, 0.2)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+      < {int(0.2 * (1 << 28))}
+ORDER BY doc_id
+"""
+
+
+def shard_pack_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget shard packing per language: documents fill
+    ~4000-token shards in doc_id order WITHIN each language (per-group
+    windows parallelize across groups — the 100 TB layout, since
+    training shards are domain-pure and mixing weights apply across
+    domains)."""
+    from zed_spark.textops.analysis import token_count
+    from zed_spark.textops.sampling import pack_shards
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    out = pack_shards(docs, 4000, by="lang")
+    return out.select("doc_id", "lang", "n_tokens", "shard").orderBy("doc_id")
+
+
+SHARD_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(FLOOR((SUM(n_tokens) OVER (
+              PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) - n_tokens) / 4000.0) AS BIGINT) AS shard
+FROM t ORDER BY doc_id
+"""

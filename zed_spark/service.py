@@ -1050,7 +1050,9 @@ class QueryService:
                     return False
 
             def do_GET(self):
-                if self.path.startswith(("/auth/", "/query/status/")):
+                if self.path.startswith(
+                    ("/auth/", "/query/status/", "/pool/")
+                ) or (self.path == "/" and svc.root_content):
                     self._api("GET")
                 elif not self._authorize():
                     return

@@ -335,8 +335,9 @@ def write_vng(df, path: str) -> None:
             f"writer materializes on the driver; write parquet or "
             f"zng for data at scale (or raise SPARK_GRAFT_VNG_MAX_ROWS)"
         )
-    with open(path, "wb") as f:
-        f.write(encode_vng(rows, df.schema))
+    from zed_spark.sources import fsio
+
+    fsio.write_bytes(path, encode_vng(rows, df.schema))
 
 
 _VNG_MAX_ROWS = int(
@@ -603,7 +604,9 @@ def read_vng(spark, path: str):
     import os
     import tempfile
 
-    size = os.path.getsize(path)
+    from zed_spark.sources import fsio
+
+    size = fsio.getsize(path)
     if size > VNG_MAX_BYTES:
         raise ValueError(
             f"vng: {path} is {size} bytes — the VNG reader "
@@ -611,8 +614,7 @@ def read_vng(spark, path: str):
             f"{VNG_MAX_BYTES} bytes; convert to parquet or zng for "
             f"data at scale (or raise SPARK_GRAFT_VNG_MAX_BYTES)"
         )
-    with open(path, "rb") as f:
-        data = f.read()
+    data = fsio.read_bytes(path)
     vals, typestrs = parse_vng(data)
     from zed_spark.sources.zson import read_zson_fused
     from zed_spark.sources.ztypes import parse_type_string

@@ -1,0 +1,70 @@
+"""Reproducible corpus sampling and token-budget shard packing.
+
+Two bookkeeping operators every pretraining pipeline runs after
+filtering/dedup:
+
+- **Deterministic hash sampling**: keep a row iff a 28-bit
+  md5-derived hash of its id lands under rate·2^28. Unlike
+  `df.sample()`, the decision is a pure function of the id, so the
+  sample is reproducible across runs, engines, and partitionings,
+  stable under data appends (old rows never flip), and composable
+  (different salts give independent samples). It compiles to a
+  single codegen filter — no shuffle, no RNG state, pushable at the
+  scan.
+- **Shard packing**: assign documents to training shards of ~budget
+  tokens via an exclusive running sum over a deterministic order.
+  The global form is a single total-order window — fine for
+  shard-manifest metadata, serial at corpus scale — so the scale
+  path packs WITHIN a partition key (language, source, date bucket):
+  one window per group, all groups in parallel, which is how
+  training mixtures are laid out anyway (shards are per-domain and
+  mixing weights are applied across domains).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HASH_SPACE = 1 << 28  # md5 7-hex-digit prefix
+
+
+def hash_bucket(col: Column, salt: str = "") -> Column:
+    """28-bit deterministic bucket of a column's string form (the
+    same md5-prefix construction the minhash base hash uses, so the
+    DuckDB oracle replicates it verbatim)."""
+    key = F.concat(col.cast("string"), F.lit(salt)) if salt else col.cast("string")
+    return F.conv(F.substring(F.md5(key), 1, 7), 16, 10).cast("long")
+
+
+def hash_sample(
+    df: DataFrame, rate: float, id_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Deterministic sample of ~rate of the rows, decided per id."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return df.filter(hash_bucket(F.col(id_col), salt) < int(rate * _HASH_SPACE))
+
+
+def pack_shards(
+    df: DataFrame,
+    budget: int,
+    tokens_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    by: str | None = None,
+) -> DataFrame:
+    """Assign a `shard` id so consecutive documents (in `order_col`
+    order) fill ~`budget` tokens per shard: shard = exclusive running
+    token sum div budget. A document larger than the budget gets its
+    own shard (the running sum just skips past it).
+
+    `by=None` is a TOTAL order — one serial window task, metadata
+    scale only. Pass `by` (language/source/date bucket) for the
+    100 TB path: per-group windows parallelize across groups and
+    shards stay domain-pure."""
+    part = Window.partitionBy(by) if by else Window.partitionBy()
+    w = part.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    return df.withColumn("shard", (cum / F.lit(budget)).cast("long"))
