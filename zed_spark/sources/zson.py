@@ -367,6 +367,7 @@ class _Parser:
     def _array(self, is_set: bool = False) -> list:
         self.i += 1  # [ (caller consumed any leading |)
         out = []
+        quoted = []
         while True:
             self._ws()
             if self.i >= self.n:
@@ -377,9 +378,11 @@ class _Parser:
                     if self.s[self.i : self.i + 1] != "|":
                         raise ZsonError("unterminated set (expected ']|')")
                     self.i += 1
-                    return _normalize_set(out)
+                    return _normalize_set(out, quoted)
                 return out
+            self._quoted = False
             out.append(self.parse_value())
+            quoted.append(getattr(self, "_quoted", False))
 
     def _set_or_map(self):
         if self.s.startswith("|[", self.i):
@@ -429,6 +432,8 @@ class _Parser:
         raise ZsonError(f"unexpected '|' at {self.i}")
 
     def _string(self, quote: str) -> str:
+        self._quoted = True  # set-normalization: quoted text is a
+        # STRING even when it looks like an ip/net literal
         if quote == "`":
             j = self.s.find("`", self.i + 1)
             if j < 0:
@@ -474,6 +479,7 @@ class _Parser:
         return v
 
     def _bare(self, key_mode: bool = False):
+        self._quoted = False
         end = _BARE_END_KEY if key_mode else _BARE_END
         j = self.i
         s = self.s
@@ -895,10 +901,14 @@ def _merge_type(a: T.DataType, b: T.DataType) -> T.DataType:
     return union_type(a, b)
 
 
-def _zcode_key(v):
+def _zcode_key(v, quoted: bool = True):
     """Approximate zcode element order: (encoded byte length, body
     bytes) — NormalizeSet sorts encoded elements with bytes.Compare
-    (complex.go:268; zcode tag is uvarint(len+1))."""
+    (complex.go:268; zcode tag is uvarint(len+1)). `quoted=False`
+    marks a BARE token that rode through as str — ip/net literals
+    there sort by their packed ZNG bodies (primitive.go EncodeIP
+    AsSlice / DecodeNet), not their text (runtime sort-1 ztest:
+    192.168.1.10 < 192.179.1.1 bytewise)."""
     import struct as _struct
 
     if v is None or isinstance(v, TypedNull):
@@ -915,23 +925,37 @@ def _zcode_key(v):
     if isinstance(v, float):
         return (8, _struct.pack("<d", v))
     if isinstance(v, str):
+        if not quoted and (":" in v or v.count(".") == 3):
+            import ipaddress
+
+            try:
+                if "/" in v:
+                    n = ipaddress.ip_network(v, strict=False)
+                    b = n.network_address.packed + n.netmask.packed
+                else:
+                    b = ipaddress.ip_address(v).packed
+                return (len(b), b)
+            except ValueError:
+                pass
         enc = v.encode("utf-8")
         return (len(enc), enc)
     return None
 
 
-def _normalize_set(vals: list) -> list:
+def _normalize_set(vals: list, quoted: list | None = None) -> list:
     """Set bodies dedupe and sort into canonical zcode order at parse
     time (zson set.yaml: |[1,1,5]| reads as |[1,5]|). Elements whose
     encoding isn't replicated keep first-seen order after the
     sortable ones."""
+    if quoted is None or len(quoted) != len(vals):
+        quoted = [True] * len(vals)
     seen: dict = {}
     for i, v in enumerate(vals):
         k = repr(v)
         if k not in seen:
-            seen[k] = (i, v)
+            seen[k] = (i, v, quoted[i])
     items = list(seen.values())
-    keyed = [( _zcode_key(v), i, v) for i, v in items]
+    keyed = [(_zcode_key(v, q), i, v) for i, v, q in items]
     sortable = all(k is not None for k, _i, _v in keyed)
     if sortable:
         keyed.sort(key=lambda t: t[0])
