@@ -316,3 +316,24 @@ def test_json_map_key_with_paren(spark):
         'from t | yield |{"a(b": 1, "plain": 2}|', tables={"t": d}
     ).df
     assert to_json_text(out, wrapped=True).strip() == '{"a(b":1,"plain":2}'
+
+
+def test_set_normalization_zng_byte_order():
+    """Parse-time set normalization matches NormalizeSet
+    (complex.go:268): bare ip elements sort by packed EncodeIP bytes,
+    bytes by raw body, durations by counted-varint zigzag LE; quoted
+    strings keep tag-counted text order."""
+    from zed_spark.sources.zson import parse_zson
+
+    assert parse_zson("|[192.168.1.2,192.168.1.10,192.179.1.1]|") == [
+        ["192.168.1.2", "192.168.1.10", "192.179.1.1"]
+    ]
+    assert parse_zson("|[0x0202,0x01]|") == [[b"\x01", b"\x02\x02"]]
+    # 2m's zigzag-LE bytes compare below 3s's (byte 1: 0x60 < 0xbc)
+    assert parse_zson("|[3s,1s,2m]|") == [
+        [1_000_000_000, 120_000_000_000, 3_000_000_000]
+    ]
+    # quoted ip-shaped STRINGS are strings: tag-counted text order
+    assert parse_zson('|["192.168.1.10","192.168.1.2"]|') == [
+        ["192.168.1.2", "192.168.1.10"]
+    ]

@@ -924,6 +924,8 @@ def _zcode_key(v, quoted: bool = True):
         return (len(b), bytes(b))
     if isinstance(v, float):
         return (8, _struct.pack("<d", v))
+    if isinstance(v, (bytes, bytearray)):
+        return (len(v), bytes(v))
     if isinstance(v, str):
         if not quoted and (":" in v or v.count(".") == 3):
             import ipaddress
