@@ -155,3 +155,19 @@ def test_text_formats_read_file_uri(spark, tmp_path):
     zk.write_text("\n".join(hdr) + "\n")
     df = read_any(spark, f"file://{zk}", fmt="zeek")
     assert df.count() == 1
+
+
+def test_executor_side_writers_reject_uris(spark, tmp_path):
+    """zng/arrows part files open in executor Python where no JVM
+    gateway can route object-store URIs — both writers fail fast
+    with conversion advice instead of a worker-side FileNotFound."""
+    import pytest
+
+    from zed_spark.sources.arrow_io import write_arrows
+    from zed_spark.sources.zng import write_zng
+
+    df = spark.range(3).toDF("x")
+    with pytest.raises(ValueError, match="local paths only"):
+        write_zng(df, f"file://{tmp_path}/out_zng")
+    with pytest.raises(ValueError, match="local paths only"):
+        write_arrows(df, f"file://{tmp_path}/out_arrows")

@@ -87,6 +87,16 @@ def write_arrows(df: DataFrame, path: str, single_file: bool = False) -> None:
     """
     import pyarrow as pa
 
+    from zed_spark.sources import fsio
+
+    if fsio.is_uri(path):
+        # part files open in executor Python (no JVM gateway on
+        # workers for object-store URIs); arrows is an interop
+        # export — parquet is the at-scale writer
+        raise ValueError(
+            f"{path}: arrows writes to local paths only — write "
+            f"parquet for object storage, or localize the output"
+        )
     if single_file:
         table = df.toArrow()
         if os.path.isdir(path):

@@ -1028,6 +1028,16 @@ def write_zng(df: DataFrame, path: str, single_file: bool = False) -> None:
     partition, encoded in the executors. single_file coalesces."""
     import os as _os
 
+    from zed_spark.sources import fsio
+
+    if fsio.is_uri(path):
+        # part files open in executor Python, where no JVM gateway
+        # exists to route object-store URIs — ZNG is a single-node
+        # export format; parquet is the at-scale writer
+        raise ValueError(
+            f"{path}: zng writes to local paths only — write parquet "
+            f"for object storage, or localize the output directory"
+        )
     schema = df.schema
     if single_file and not path.endswith("/") and not _os.path.isdir(path):
         _os.makedirs(_os.path.dirname(path) or ".", exist_ok=True)
