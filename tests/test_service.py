@@ -504,3 +504,35 @@ def test_pool_stats_over_http(svc, spark):
     with urllib.request.urlopen(req, timeout=10) as r:
         body = r.read().decode()
     assert r.status == 200 and body.startswith("{size:")
+
+
+def test_service_on_file_uri_lake_root(spark, tmp_path_factory):
+    """The service stack works when the lake root is a URI — pool
+    create + load + query all route metadata through the Hadoop path
+    (the s3a:// deployment shape, pinned with file://)."""
+    root = f"file://{tmp_path_factory.mktemp('urisvc')}/lake"
+    s = QueryService(spark, sf_dir=SF_DIR, lake_root=root)
+    port = s.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        req = urllib.request.Request(
+            f"{base}/pool",
+            data=json.dumps({"name": "p1", "layout": {"keys": [["a"]], "order": "asc"}}).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert r.status == 200
+        req = urllib.request.Request(
+            f"{base}/pool/p1/branch/main",
+            data=b'{a:1}\n{a:2}\n',
+            headers={"Content-Type": "application/x-zson"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert r.status == 200
+        code, out = _post(base, "from p1 | sort a")
+        assert code == 200
+        rows = [json.loads(ln) for ln in out.splitlines() if ln]
+        assert [r["a"] for r in rows] == [1, 2]
+    finally:
+        s.stop()

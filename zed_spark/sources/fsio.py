@@ -76,7 +76,11 @@ def _hadoop(path: str):
     Hadoop configuration — the same config Spark's readers use."""
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.getActiveSession()
+    # getActiveSession is THREAD-LOCAL — service handler threads see
+    # None; fall back to the process-wide instantiated session
+    spark = SparkSession.getActiveSession() or getattr(
+        SparkSession, "_instantiatedSession", None
+    )
     if spark is None:
         raise RuntimeError(
             f"no active SparkSession to route URI {path!r}; build the "
