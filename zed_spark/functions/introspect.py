@@ -334,9 +334,10 @@ def is_error_expr(col: Column, t: T.DataType | None) -> Column:
 
 
 def parse_zson(spark, s: Column, schema: str) -> Column:
-    """parse_zson analog: parse a serialized text value into a typed
-    value. ZSON itself is not ported (SURVEY §1.4); the engine's
-    text form is JSON → from_json with an explicit schema."""
+    """Column-level parse_zson analog for JSON-shaped text: from_json
+    with an explicit schema (stays in codegen). Full ZSON text parses
+    through sources/zson.py (driver-side); the zed-language
+    `parse_zson` function routes there via the compiler."""
     return F.from_json(s, schema)
 
 

@@ -1,9 +1,11 @@
 """File readers — the engine's input formats.
 
 Reference format dispatch: zio/anyio/lookup.go:24-56 (arrows, csv,
-json, line, parquet, tsv, zeek, …). Our binary columnar format IS
-parquet (the reference's VNG spec, docs/formats/vng.md, explicitly
-compares itself to parquet); ZNG binary and ZSON/ZJSON text are read natively; VNG is not ported.
+json, line, parquet, tsv, zeek, …). Our at-scale binary columnar
+format IS parquet (the reference's VNG spec, docs/formats/vng.md,
+explicitly compares itself to parquet); ZNG binary and ZSON/ZJSON
+text are read natively; VNG reads/writes through sources/vng.py as a
+driver-side interop on-ramp behind size gates.
 
 Formats here:
   parquet   — spark.read.parquet (pushdown + pruning)
