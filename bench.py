@@ -66,9 +66,10 @@ NEW_QUERIES: list[str] = [
     # round-9 training-data additions (codegen-only corpus filters;
     # oracle-pinned in tests/test_oracle_parity.EXTRA_ORACLES)
     "repetition_filter", "pii_scan",
-    # round-10: deterministic sampling + shard packing (oracle-pinned
-    # in EXTRA_ORACLES)
-    "corpus_sample", "shard_pack",
+    # round-10: deterministic sampling + shard packing + end-to-end
+    # corpus dedup + mixture construction (oracle-pinned in
+    # EXTRA_ORACLES)
+    "corpus_sample", "shard_pack", "dedup_corpus", "mixture_sample",
 ]
 
 
@@ -91,9 +92,11 @@ def _extra_queries() -> dict:
         # round-9 corpus filters (NEW_QUERIES block)
         "repetition_filter": qt.repetition_filter_q,
         "pii_scan": qt.pii_scan_q,
-        # round-10 sampling/packing (NEW_QUERIES block)
+        # round-10 sampling/packing + corpus ops (NEW_QUERIES block)
         "corpus_sample": qt.corpus_sample_q,
         "shard_pack": qt.shard_pack_q,
+        "dedup_corpus": qt.dedup_corpus_q,
+        "mixture_sample": qt.mixture_sample_q,
     }
 
 

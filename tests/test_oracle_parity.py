@@ -29,6 +29,8 @@ EXTRA_ORACLES = {
     # round-10 training-data additions
     "corpus_sample": (qt.corpus_sample_q, qt.CORPUS_SAMPLE_SQL),
     "shard_pack": (qt.shard_pack_q, qt.SHARD_PACK_SQL),
+    "dedup_corpus": (qt.dedup_corpus_q, qt.DEDUP_CORPUS_SQL),
+    "mixture_sample": (qt.mixture_sample_q, qt.MIXTURE_SAMPLE_SQL),
 }
 
 

@@ -352,3 +352,45 @@ def test_pack_shards_budget_and_oversize(spark):
         for r in pack_shards(df2, 150, by="lang").collect()
     }
     assert out2 == {1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def test_dedup_corpus_keeps_representatives(spark, docs):
+    """dedup_corpus = original corpus minus non-representative
+    cluster members; the kept set contains every cluster label and
+    no doc appears twice."""
+    from zed_spark.textops.minhash import dedup_corpus, minhash_lsh_clusters
+
+    kw = dict(k_shingle=2, num_hashes=16, bands=8, threshold=0.35)
+    kept = {r["doc_id"] for r in dedup_corpus(docs, **kw).select("doc_id").collect()}
+    clusters = minhash_lsh_clusters(docs, **kw).collect()
+    labels = {r["cluster_id"] for r in clusters}
+    dropped = {r["doc_id"] for r in clusters if r["doc_id"] != r["cluster_id"]}
+    n = docs.count()
+    assert labels <= kept
+    assert not (dropped & kept)
+    assert len(kept) == n - len(dropped)
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    """Per-source rates honor the weighted budget (rate caps at 1.0),
+    unknown sources drop, and the sample is reproducible."""
+    from zed_spark.textops.sampling import mixture_sample
+
+    rows = [(i, "a" if i < 800 else "b", 100) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    # budget 40_000 tokens at weights a=0.5, b=0.5: a has 80_000
+    # tokens -> rate 0.25; b has 20_000 -> rate 1.0 (capped)
+    out = mixture_sample(df, {"a": 0.5, "b": 0.5}, 40_000)
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src["b"] == 200           # rate 1.0 keeps all of b
+    assert 120 < by_src["a"] < 280      # ~0.25 of 800
+    again = mixture_sample(df, {"a": 0.5, "b": 0.5}, 40_000)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # a source with no weight entry is dropped
+    out2 = mixture_sample(df, {"a": 1.0}, 40_000)
+    assert out2.filter("source = 'b'").count() == 0

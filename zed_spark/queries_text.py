@@ -547,3 +547,56 @@ SELECT doc_id, lang, n_tokens,
             ) - n_tokens) / 4000.0) AS BIGINT) AS shard
 FROM t ORDER BY doc_id
 """
+
+
+def dedup_corpus_q(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end corpus dedup: the cleaned documents table after
+    dropping every non-representative near-dup cluster member — the
+    operation a pretraining pipeline actually runs (C4/GPT-3 recipe:
+    keep one doc per duplicate group)."""
+    from zed_spark.textops.minhash import dedup_corpus
+
+    docs = read_table(spark, sf, "documents")
+    return (
+        dedup_corpus(docs, k_shingle=2, num_hashes=16, bands=8, threshold=0.35)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CORPUS_SQL = f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id NOT IN (
+  SELECT doc_id FROM ({DEDUP_CLUSTERS_SQL}) WHERE doc_id != cluster_id
+)
+ORDER BY doc_id
+"""
+
+
+def mixture_sample_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixture construction: sample three sources toward a
+    60/30/10 char-weighted budget — per-source rates from one
+    partial-agg pass, membership from the deterministic id hash."""
+    from zed_spark.textops.sampling import mixture_sample
+
+    docs = read_table(spark, sf, "documents")
+    out = mixture_sample(
+        docs,
+        {"src0": 0.6, "src1": 0.3, "src2": 0.1},
+        token_budget=8000,
+        tokens_col="n_chars",
+    )
+    return out.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
+MIXTURE_SAMPLE_SQL = f"""
+WITH w(source, wt) AS (VALUES ('src0', 0.6), ('src1', 0.3), ('src2', 0.1)),
+tot AS (SELECT source, SUM(n_chars) AS tot FROM documents GROUP BY source),
+r AS (SELECT source, LEAST(1.0, 8000.0 * wt / tot) AS rate
+      FROM tot JOIN w USING (source))
+SELECT doc_id, source, n_chars
+FROM documents JOIN r USING (source)
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+      < rate * {1 << 28}
+ORDER BY doc_id
+"""

@@ -329,3 +329,31 @@ def band_sql_exprs(num_hashes: int, bands: int) -> list[str]:
                 expr = f"(({expr} + m{b * rows_per_band + r}) % {P})"
         out.append(expr)
     return out
+
+
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float | None = 0.5,
+    max_iters: int = 20,
+) -> DataFrame:
+    """The end-to-end corpus dedup a pretraining pipeline actually
+    runs: drop every non-representative member of a near-duplicate
+    cluster and return the CLEANED corpus (all original columns).
+
+    A document survives iff it is unclustered OR it is its cluster's
+    minimum id (the cluster label, by construction of the min-label
+    CC). One left-anti join against the non-representative cluster
+    members — no second scan of the text."""
+    clusters = minhash_lsh_clusters(
+        df, text_col, id_col, k_shingle, num_hashes, bands, threshold,
+        max_iters,
+    )
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

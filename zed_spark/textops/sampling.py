@@ -68,3 +68,39 @@ def pack_shards(
     )
     cum = F.sum(tokens_col).over(w) - F.col(tokens_col)
     return df.withColumn("shard", (cum / F.lit(budget)).cast("long"))
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Training-mixture construction: sample each source toward
+    ~weight_s · token_budget tokens. Per-source rate =
+    min(1, weight_s · budget / tokens_s); membership decided by the
+    deterministic id hash, so the mixture is reproducible and stable
+    under re-runs. Sources missing from `weights` are dropped.
+
+    Scale shape: one partial-agg pass for per-source token totals
+    (one row per source), broadcast-joined back, then one codegen
+    filter — no driver collect, no shuffle of the data itself."""
+    spark = df.sparkSession
+    w = spark.createDataFrame(
+        list(weights.items()), f"{source_col} string, __w double"
+    )
+    totals = df.groupBy(source_col).agg(F.sum(tokens_col).alias("__tot"))
+    rates = totals.join(F.broadcast(w), source_col).select(
+        source_col,
+        F.least(
+            F.lit(1.0), F.lit(float(token_budget)) * F.col("__w") / F.col("__tot")
+        ).alias("__rate"),
+    )
+    out = df.join(F.broadcast(rates), source_col)
+    keep = hash_bucket(F.col(id_col), salt) < (
+        F.col("__rate") * F.lit(float(_HASH_SPACE))
+    )
+    return out.filter(keep).drop("__rate")
