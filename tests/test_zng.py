@@ -284,3 +284,18 @@ def test_babble_object_sizes_byte_exact():
         vals.sort(key=lambda d: d["ts"], reverse=True)
         got = len(encode_zng(vals, schema, compress=True))
         assert got == want, f"{name}: {got} != {want}"
+
+
+def test_zigzag_reference_vectors():
+    """zcode/counted.go zigzag: i>=0 -> 2i; i<0 -> uint64(-i)<<1|1,
+    MinInt64 wraps to code 1. NOT protobuf zigzag (-1 -> 1); the
+    reference maps -1 -> 3. A protobuf-style codec here misreads
+    every negative int in reference-produced ZNG by one."""
+    from zed_spark.sources.zng import _zigzag, _zigzag_enc
+
+    vectors = {0: 0, 1: 2, -1: 3, 2: 4, -2: 5, -(1 << 63): 1}
+    for v, code in vectors.items():
+        assert _zigzag_enc(v) == code, v
+        assert _zigzag(code) == v, code
+    for v in (8388609, -17792640, (1 << 63) - 1, -(1 << 62)):
+        assert _zigzag(_zigzag_enc(v)) == v

@@ -58,7 +58,17 @@ def _uvarint(buf, pos: int) -> tuple[int, int]:
 
 
 def _zigzag(u: int) -> int:
-    return (u >> 1) ^ -(u & 1)
+    """Reference zigzag decode (zcode/counted.go DecodeCountedVarint):
+    odd codes are negatives as (-i)<<1|1, with code 1 = MinInt64
+    (uint64(-MinInt64) wraps to 0). NOT protobuf zigzag — protobuf
+    maps -1 to 1; the reference maps -1 to 3 and reserves 1 for
+    MinInt64. The old protobuf-style decode here misread every
+    negative int/duration/pre-epoch time in reference-produced ZNG
+    by one."""
+    if u & 1:
+        h = u >> 1
+        return -(1 << 63) if h == 0 else -h
+    return u >> 1
 
 
 def _decode_int(body) -> int:
@@ -465,7 +475,12 @@ def _put_uvarint(out: bytearray, v: int) -> None:
 
 
 def _zigzag_enc(v: int) -> int:
-    return v * 2 if v >= 0 else -v * 2 - 1
+    """Reference zigzag encode (zcode/counted.go AppendCountedVarint):
+    i >= 0 -> 2i; i < 0 -> uint64(-i)<<1 | 1 (64-bit wrap makes
+    MinInt64 encode as 1)."""
+    if v >= 0:
+        return v * 2
+    return (((-v) << 1) & ((1 << 64) - 1)) | 1
 
 
 def _int_bytes(v: int) -> bytes:
