@@ -82,14 +82,37 @@ def test_multimodal_resize_and_audio_stubs(spark):
     assert len(r["resized"]) == 8 * 8 * 3 and r["width"] == 8
     a = audio_features(df, fake=True).first()
     assert a["duration_s"] > 0 and a["rms"] > 0
-    import pytest as _pytest
-
-    with _pytest.raises(NotImplementedError):
-        resize_image(df, 8, 8)
-    # real path on a non-audio payload: null features, not a crash
-    # (errors are values in this engine)
+    # real path on non-image/non-audio payloads: null features, not a
+    # crash (errors are values in this engine)
+    r = resize_image(df, 8, 8).first()
+    assert r["resized"] is None and r["width"] == 8
     a = audio_features(df).first()
     assert a["duration_s"] is None and a["rms"] is None
+
+
+def test_resize_real_png(spark):
+    """resize_image is REAL for PNG without any library: pure-Python
+    pixel decode + nearest-neighbor resampling to raw RGB bytes. With
+    PIL installed the same call routes through PIL for every format
+    it knows (optional, probed at call time)."""
+    from zed_spark.textops.multimodal import _real_resize, png_bytes, resize_image
+
+    df = spark.createDataFrame(
+        [(1, bytearray(png_bytes(16, 8, fill=77))), (2, b"notimage")],
+        "doc_id long, media binary",
+    )
+    got = {r["doc_id"]: r for r in resize_image(df, 4, 4).collect()}
+    assert got[1]["resized"] == bytes([77]) * (4 * 4 * 3)  # real pixels
+    assert got[2]["resized"] is None
+    # gray input replicates to 3 channels; upscale works too
+    assert _real_resize(png_bytes(2, 2, color_type=0, fill=9), 5, 3) == (
+        bytes([9]) * (5 * 3 * 3)
+    )
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        return  # PIL branch covered only where PIL exists
+    assert len(_real_resize(png_bytes(6, 6, fill=10), 3, 3)) == 27
 
 
 def test_png_pixel_decode_real(spark):

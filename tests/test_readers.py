@@ -157,17 +157,44 @@ def test_text_formats_read_file_uri(spark, tmp_path):
     assert df.count() == 1
 
 
-def test_executor_side_writers_reject_uris(spark, tmp_path):
-    """zng/arrows part files open in executor Python where no JVM
-    gateway can route object-store URIs — both writers fail fast
-    with conversion advice instead of a worker-side FileNotFound."""
+def test_executor_side_writers_accept_uris(spark, tmp_path):
+    """zng/arrows part files open inside the executors through
+    pyarrow.fs for URI paths (the reference writes every format
+    through its scheme-routed storage engine, pkg/storage/s3.go:11-34).
+    file:// rides pyarrow's LocalFileSystem — the exact code path
+    s3:// takes in production — and the readers round-trip it."""
+    from pyspark.sql import functions as F
+
+    from zed_spark.sources.arrow_io import read_arrows, write_arrows
+    from zed_spark.sources.zng import read_zng_fused, write_zng
+
+    df = spark.range(10).select(
+        F.col("id").alias("x"), (-F.col("id")).alias("neg")
+    )
+    zdir = f"file://{tmp_path}/out_zng"
+    write_zng(df, zdir)
+    back = read_zng_fused(spark, zdir)
+    assert sorted((r["x"], r["neg"]) for r in back.collect()) == [
+        (i, -i) for i in range(10)
+    ]
+
+    adir = f"file://{tmp_path}/out_arrows"
+    write_arrows(df, adir)
+    back = read_arrows(spark, adir)
+    assert sorted((r["x"], r["neg"]) for r in back.collect()) == [
+        (i, -i) for i in range(10)
+    ]
+
+    # single-file variants write through the same URI stream path
+    zf = f"file://{tmp_path}/single.zng"
+    write_zng(df, zf, single_file=True)
+    assert read_zng_fused(spark, zf).count() == 10
+    af = f"file://{tmp_path}/single.arrows"
+    write_arrows(df, af, single_file=True)
+    assert read_arrows(spark, af).count() == 10
+
+    # unsupported schemes still fail fast at plan time, driver-side
     import pytest
 
-    from zed_spark.sources.arrow_io import write_arrows
-    from zed_spark.sources.zng import write_zng
-
-    df = spark.range(3).toDF("x")
-    with pytest.raises(ValueError, match="local paths only"):
-        write_zng(df, f"file://{tmp_path}/out_zng")
-    with pytest.raises(ValueError, match="local paths only"):
-        write_arrows(df, f"file://{tmp_path}/out_arrows")
+    with pytest.raises(ValueError, match="no executor-side filesystem"):
+        write_zng(df, "nosuchscheme://bucket/x")

@@ -90,37 +90,41 @@ def write_arrows(df: DataFrame, path: str, single_file: bool = False) -> None:
     from zed_spark.sources import fsio
 
     if fsio.is_uri(path):
-        # part files open in executor Python (no JVM gateway on
-        # workers for object-store URIs); arrows is an interop
-        # export — parquet is the at-scale writer
-        raise ValueError(
-            f"{path}: arrows writes to local paths only — write "
-            f"parquet for object storage, or localize the output"
-        )
+        path = fsio.normalize_uri(path)
+        fsio.check_executor_fs(path)  # plan-time scheme probe
     if single_file:
         table = df.toArrow()
-        if os.path.isdir(path):
-            path = os.path.join(path, "part-0.arrows")
-        with pa.ipc.new_stream(path, table.schema) as w:
-            w.write_table(table)
+        if fsio.is_dir(path):
+            path = fsio.join(path, "part-0.arrows")
+        with fsio.open_output(path) as sink:
+            with pa.ipc.new_stream(sink, table.schema) as w:
+                w.write_table(table)
         return
 
-    os.makedirs(path, exist_ok=True)
+    fsio.makedirs(path)
 
     def write_part(batches):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        out = os.path.join(path, f"part-{pid:05d}.arrows")
+        out = fsio.join(path, f"part-{pid:05d}.arrows")
         writer = None
+        sink = None
         try:
             for b in batches:
                 if writer is None:
-                    writer = pa.ipc.new_stream(out, b.schema)
+                    # part files open inside the executors through
+                    # pyarrow.fs (URIs) or plain open (local) — the
+                    # reference's scheme-routed storage engine
+                    # (pkg/storage/s3.go:11-34), worker-side
+                    sink = fsio.open_output(out)
+                    writer = pa.ipc.new_stream(sink, b.schema)
                 writer.write_batch(b)
         finally:
             if writer is not None:
                 writer.close()
+            if sink is not None:
+                sink.close()
         if False:
             yield  # generator with no output rows
 

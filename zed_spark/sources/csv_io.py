@@ -230,6 +230,9 @@ def to_csv_text(df: DataFrame, delim: str = ",") -> str:
     reject like the reference csvio writer: the first row's shape
     defines the header and rows stream until a different shape
     appears, then CsvShapeError carries the partial text."""
+    from zed_spark.sources.gates import gate_driver_rows
+
+    gate_driver_rows(df, "csv text format")
     hints = {}
     if "__zed_types" in df.columns:
         first = df.select("__zed_types").first()

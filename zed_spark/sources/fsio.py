@@ -68,6 +68,64 @@ def basename(path: str) -> str:
     return posixpath.basename(path.rstrip("/")) if is_uri(path) else os.path.basename(path)
 
 
+def dirname(path: str) -> str:
+    return posixpath.dirname(path.rstrip("/")) if is_uri(path) else os.path.dirname(path)
+
+
+# --- executor-side output streams (pyarrow.fs) -------------------------------
+#
+# Per-partition format writers (ZNG/arrows part files) open their
+# outputs in EXECUTOR Python, where no py4j gateway exists — the
+# Hadoop FileSystem bridge above is driver-only. pyarrow.fs carries
+# its own filesystem implementations (local, s3, gcs, hdfs-via-
+# libhdfs) that work in any Python process, mirroring the reference's
+# scheme-routed storage engine (pkg/storage/router.go:16,
+# pkg/storage/s3.go:11-34) on the worker side. file:// rides
+# pyarrow's LocalFileSystem, so a file:// test exercises exactly the
+# code path s3:// takes in production.
+
+
+def _pa_uri(path: str) -> str:
+    """Normalize a URI for pyarrow.fs: Hadoop's s3a:// connector name
+    maps back to pyarrow's s3://."""
+    p = normalize_uri(path)
+    if p.startswith("s3a://"):
+        p = "s3://" + p[len("s3a://"):]
+    return p
+
+
+def _pa_fs(path: str):
+    """(pyarrow FileSystem, in-fs path) for a URI — usable in executor
+    Python (no JVM). Raises with scheme advice if pyarrow lacks the
+    scheme (e.g. hdfs without libhdfs)."""
+    from pyarrow import fs as pafs
+
+    try:
+        return pafs.FileSystem.from_uri(_pa_uri(path))
+    except Exception as e:
+        raise ValueError(
+            f"{path}: no executor-side filesystem for this scheme "
+            f"(pyarrow.fs: {e}) — write parquet for Hadoop-only "
+            f"schemes, or localize the output"
+        ) from e
+
+
+def check_executor_fs(path: str) -> None:
+    """Driver-side plan-time probe: fail fast (before launching the
+    job) when a URI's scheme has no executor-side filesystem."""
+    if is_uri(path):
+        _pa_fs(path)
+
+
+def open_output(path: str):
+    """Binary output stream for a local path or URI; EXECUTOR-safe
+    (pyarrow.fs for URIs, plain open otherwise)."""
+    if not is_uri(path):
+        return open(path, "wb")
+    fs, within = _pa_fs(path)
+    return fs.open_output_stream(within)
+
+
 # --- Hadoop FileSystem bridge (URI paths) -----------------------------------
 
 

@@ -219,7 +219,12 @@ def to_json_text(
     indented with `pretty`). `wrapped`: the single `this` column
     holds bare values — emit the value, not {"this": ...}. Per-row
     ABSENT fields (the __zed_missing sidecar, no \\x00null marker)
-    are omitted, matching the reference's per-row record shapes."""
+    are omitted, matching the reference's per-row record shapes.
+    Driver-side (gated): a display/export format for bounded
+    results; the distributed JSON sink handles data at scale."""
+    from zed_spark.sources.gates import gate_driver_rows
+
+    gate_driver_rows(df, "json text format")
     has_hints = "__zed_types" in df.columns
     has_miss = "__zed_missing" in df.columns
     vis = [c for c in df.columns if not c.startswith("__zed_")]

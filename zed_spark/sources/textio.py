@@ -96,7 +96,11 @@ def _leaves(v, t: T.StructType, missing: set, prefix: str) -> list[str]:
 
 
 def to_text_text(df: DataFrame) -> str:
-    """Render a DataFrame as reference-style text lines."""
+    """Render a DataFrame as reference-style text lines. Driver-side
+    (gated): a display format, not a storage sink."""
+    from zed_spark.sources.gates import gate_driver_rows
+
+    gate_driver_rows(df, "text format")
     schema = df.schema
     vis = [f for f in schema.fields if not f.name.startswith("__zed_")]
     lines = []
@@ -141,7 +145,10 @@ def to_table_text(df: DataFrame) -> str:
     flattened records, a header line of field names, cells aligned
     with Go's tabwriter(minwidth 0, tabwidth 8, padding 1) — every
     column padded to its max cell width plus one space, the last
-    column unpadded."""
+    column unpadded. Driver-side (gated): a display format."""
+    from zed_spark.sources.gates import gate_driver_rows
+
+    gate_driver_rows(df, "table format")
     schema = df.schema
     vis = [f for f in schema.fields if not f.name.startswith("__zed_")]
     header = _flat_names(T.StructType(vis))

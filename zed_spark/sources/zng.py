@@ -1040,25 +1040,29 @@ def encode_zng(rows, schema, compress: bool = True) -> bytes:
 
 def write_zng(df: DataFrame, path: str, single_file: bool = False) -> None:
     """Write a DataFrame as ZNG: one part file (= one ZNG stream) per
-    partition, encoded in the executors. single_file coalesces."""
+    partition, encoded in the executors. single_file coalesces.
+
+    `path` may be any URI with an executor-side filesystem (s3://,
+    gs://, file://) — part files open through pyarrow.fs inside the
+    executors, matching the reference's scheme-routed storage engine
+    (pkg/storage/s3.go:11-34); local paths use plain open."""
     import os as _os
 
     from zed_spark.sources import fsio
 
     if fsio.is_uri(path):
-        # part files open in executor Python, where no JVM gateway
-        # exists to route object-store URIs — ZNG is a single-node
-        # export format; parquet is the at-scale writer
-        raise ValueError(
-            f"{path}: zng writes to local paths only — write parquet "
-            f"for object storage, or localize the output directory"
-        )
+        path = fsio.normalize_uri(path)
+        fsio.check_executor_fs(path)  # plan-time scheme probe
     schema = df.schema
-    if single_file and not path.endswith("/") and not _os.path.isdir(path):
-        _os.makedirs(_os.path.dirname(path) or ".", exist_ok=True)
+    if single_file and not path.endswith("/") and not fsio.is_dir(path):
+        parent = fsio.dirname(path)
+        if parent:
+            fsio.makedirs(parent)
+        elif not fsio.is_uri(path):
+            _os.makedirs(".", exist_ok=True)
         target = path
     else:
-        _os.makedirs(path, exist_ok=True)
+        fsio.makedirs(path)
         target = None
 
     src = df.coalesce(1) if single_file else df
@@ -1067,13 +1071,11 @@ def write_zng(df: DataFrame, path: str, single_file: bool = False) -> None:
         from pyspark import TaskContext
 
         data = encode_zng(rows, schema)
-        if target is not None:
-            with open(target, "wb") as fh:
-                fh.write(data)
-        else:
-            pid = TaskContext.get().partitionId()
-            with open(_os.path.join(path, f"part-{pid:05d}.zng"), "wb") as fh:
-                fh.write(data)
+        out = target if target is not None else fsio.join(
+            path, f"part-{TaskContext.get().partitionId():05d}.zng"
+        )
+        with fsio.open_output(out) as fh:
+            fh.write(data)
         return iter(())
 
     src.rdd.mapPartitions(write_part).count()

@@ -1439,7 +1439,10 @@ def df_to_zson_pretty(df: DataFrame) -> list[str]:
     """One pretty-printed (multi-line) ZSON value per row. Driver-side
     collect — this is a display format for small result sets, not a
     storage sink; honors the __zed_missing presence sidecar like the
-    line writer."""
+    line writer. Gated like the other driver-side formatters."""
+    from zed_spark.sources.gates import gate_driver_rows
+
+    gate_driver_rows(df, "pretty zson format")
     schema = df.schema
     vis = [f.name for f in schema.fields if not f.name.startswith("__zed_")]
     if vis == ["this"]:

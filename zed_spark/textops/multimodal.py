@@ -1,15 +1,18 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, processed with Arrow-batched mapInPandas.
 
-Two decode tiers:
+Decode tiers:
   - `image_meta` — REAL: pure-Python container-header parsing for
     PNG/JPEG/GIF/BMP (public file formats: PNG IHDR chunk, JPEG SOFn
     markers, GIF/BMP fixed headers). Width/height/channels/format
     come from the actual bytes; no external library needed.
-  - pixel-level decode (`decode_image` luma, `resize_image`,
-    `audio_features`) — STUBBED: needs an image/audio library the
-    container lacks; raises NotImplementedError unless `fake=True`
-    (deterministic fake, real batch plumbing).
+  - pixel-level decode (`decode_image` luma, `resize_image`) — REAL
+    for PNG via the pure-Python decoder (`png_pixels`: zlib inflate +
+    spec unfiltering), and for every PIL-known format when PIL is
+    importable (optional, probed at call time). Payloads no real
+    path can decode yield NULL feature columns (errors-as-values);
+    `fake=True` keeps the deterministic plumbing stub for synthetic
+    payloads.
 
 Scale design:
   - binary payloads stay in parquet binary columns; metadata is a
@@ -292,29 +295,64 @@ def decode_image(df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
     return df.select(id_col, media_col).mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
+def _real_resize(payload, width: int, height: int) -> bytes | None:
+    """REAL resize → raw RGB bytes (width·height·3): PIL when
+    importable (any format it knows, bilinear); else the pure-Python
+    PNG path (png_pixels) + numpy nearest-neighbor. None when no real
+    path can decode the payload — errors are values here."""
+    import numpy as np
+
+    if payload is None:
+        return None
+    b = bytes(payload)
+    try:
+        import io
+
+        from PIL import Image  # optional — resize for real when present
+
+        img = Image.open(io.BytesIO(b)).convert("RGB")
+        return np.asarray(
+            img.resize((width, height), Image.BILINEAR), dtype=np.uint8
+        ).tobytes()
+    except ImportError:
+        pass
+    except Exception:
+        return None
+    px = png_pixels(b)
+    if px is None:
+        return None
+    h, w, c = px.shape
+    rgb = px[..., :3] if c >= 3 else np.repeat(px[..., :1], 3, axis=-1)
+    # nearest-neighbor index maps — exact, library-free resampling
+    ys = np.minimum((np.arange(height) * h) // height, h - 1)
+    xs = np.minimum((np.arange(width) * w) // width, w - 1)
+    return rgb[np.ix_(ys, xs)].astype(np.uint8).tobytes()
+
+
 def resize_image(df: DataFrame, width: int, height: int,
                  media_col: str = "media", id_col: str = "doc_id",
                  fake: bool = False) -> DataFrame:
-    """Resize STUB: real impl needs an image library. The fake path
-    re-encodes a deterministic payload of the target size so the
-    batch shape / schema plumbing is real."""
-    if not fake:
-        raise NotImplementedError(
-            "image resize needs an image library (PIL/cv2) — not available "
-            "in this environment; pass fake=True for the deterministic stub"
-        )
+    """Resize image binaries → raw RGB bytes via mapInPandas.
 
+    REAL path: PIL at call time when installed (any format, bilinear),
+    else the pure-Python PNG decoder + nearest-neighbor resampling —
+    no library needed for PNG. Undecodable payloads yield NULL
+    `resized` (errors-as-values). fake=True keeps the deterministic
+    plumbing stub for synthetic (non-image) payloads."""
     target = width * height * 3
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
             for payload in pdf[media_col]:
-                if payload is None:
-                    out.append(None)
-                    continue
-                reps = (target // max(len(payload), 1)) + 1
-                out.append((bytes(payload) * reps)[:target])
+                if fake:
+                    if payload is None:
+                        out.append(None)
+                        continue
+                    reps = (target // max(len(payload), 1)) + 1
+                    out.append((bytes(payload) * reps)[:target])
+                else:
+                    out.append(_real_resize(payload, width, height))
             yield pd.DataFrame({id_col: pdf[id_col], "resized": out,
                                 "width": width, "height": height})
 

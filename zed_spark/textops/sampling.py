@@ -52,6 +52,7 @@ def pack_shards(
     tokens_col: str = "n_tokens",
     order_col: str = "doc_id",
     by: str | None = None,
+    allow_serial: bool = False,
 ) -> DataFrame:
     """Assign a `shard` id so consecutive documents (in `order_col`
     order) fill ~`budget` tokens per shard: shard = exclusive running
@@ -59,9 +60,27 @@ def pack_shards(
     own shard (the running sum just skips past it).
 
     `by=None` is a TOTAL order — one serial window task, metadata
-    scale only. Pass `by` (language/source/date bucket) for the
-    100 TB path: per-group windows parallelize across groups and
-    shards stay domain-pure."""
+    scale only, so it is GATED like the engine's other unpartitioned
+    windows (the running-agg path refuses them outright): above
+    SPARK_GRAFT_PACK_SHARDS_MAX_SERIAL_ROWS (default 1M) it raises
+    unless `allow_serial=True`. Pass `by` (language/source/date
+    bucket) for the 100 TB path: per-group windows parallelize across
+    groups and shards stay domain-pure."""
+    if by is None and not allow_serial:
+        import os
+
+        gate = int(
+            os.environ.get("SPARK_GRAFT_PACK_SHARDS_MAX_SERIAL_ROWS", "1000000")
+        )
+        # CollectLimit short-circuits: an oversized frame fails after
+        # touching a fraction of its input
+        if df.limit(gate + 1).count() > gate:
+            raise ValueError(
+                f"pack_shards(by=None): input exceeds {gate} rows — a "
+                f"total order plans ONE serial window task; pass "
+                f"by=<group col> for the parallel path, or "
+                f"allow_serial=True for metadata-scale manifests"
+            )
     part = Window.partitionBy(by) if by else Window.partitionBy()
     w = part.orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
