@@ -70,6 +70,9 @@ NEW_QUERIES: list[str] = [
     # corpus dedup + mixture construction (oracle-pinned in
     # EXTRA_ORACLES)
     "corpus_sample", "shard_pack", "dedup_corpus", "mixture_sample",
+    # round-11: cross-snapshot incremental dedup (lake-persisted
+    # signatures; oracle-pinned equal to full dedup in EXTRA_ORACLES)
+    "incremental_dedup",
 ]
 
 
@@ -97,6 +100,7 @@ def _extra_queries() -> dict:
         "shard_pack": qt.shard_pack_q,
         "dedup_corpus": qt.dedup_corpus_q,
         "mixture_sample": qt.mixture_sample_q,
+        "incremental_dedup": qt.incremental_dedup_q,
     }
 
 

@@ -31,6 +31,11 @@ EXTRA_ORACLES = {
     "shard_pack": (qt.shard_pack_q, qt.SHARD_PACK_SQL),
     "dedup_corpus": (qt.dedup_corpus_q, qt.DEDUP_CORPUS_SQL),
     "mixture_sample": (qt.mixture_sample_q, qt.MIXTURE_SAMPLE_SQL),
+    # round-11: incremental (cross-snapshot) dedup — output-equal to
+    # full-corpus dedup, so it shares that oracle; the Spark side
+    # persists+rereads minhash signatures through a lake pool and
+    # never rescans old text
+    "incremental_dedup": (qt.incremental_dedup_q, qt.DEDUP_CORPUS_SQL),
 }
 
 

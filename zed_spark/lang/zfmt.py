@@ -2304,10 +2304,9 @@ def _zson_literal(e) -> str:
     if t == "string":
         return _quoted_string(text)
     if t == "float64":
-        f = float(text)
-        if f == int(f) and abs(f) < 1e15:
-            return "%d." % int(f)
-        return repr(f)
+        from zed_spark.functions.zfloat import format_float64
+
+        return format_float64(float(text))
     return text
 
 

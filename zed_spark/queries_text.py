@@ -573,6 +573,44 @@ ORDER BY doc_id
 """
 
 
+def incremental_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-snapshot INCREMENTAL dedup (round-11): treat the first
+    70% of documents (by id) as the already-deduped corpus, persist
+    its minhash signatures to a lake pool, then dedup the remaining
+    30% "new crawl" against the STORED signatures only — old text is
+    never rescanned. Output-equal to full-corpus dedup by
+    construction, so the oracle is DEDUP_CORPUS_SQL verbatim."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from zed_spark.sources.lake import Lake
+    from zed_spark.textops.incremental import (
+        build_signatures,
+        incremental_dedup,
+        read_signatures,
+        write_signatures,
+    )
+    from zed_spark.textops.minhash import dedup_corpus
+
+    kw = dict(k_shingle=2, num_hashes=16, bands=8, threshold=0.35)
+    docs = read_table(spark, sf, "documents")
+    cut = docs.approxQuantile("doc_id", [0.7], 0.0)[0]
+    old = docs.filter(F.col("doc_id") <= cut)
+    new = docs.filter(F.col("doc_id") > cut)
+
+    lake = Lake(spark, tempfile.mkdtemp(prefix="zed_spark_incsig_"))
+    write_signatures(lake, "minhash_sigs", build_signatures(old, **kw))
+    stored = read_signatures(lake, "minhash_sigs")
+
+    assembled = incremental_dedup(
+        new, stored, old_deduped=dedup_corpus(old, **kw), **kw
+    )
+    return assembled.select("doc_id", "lang", "source", "n_chars").orderBy(
+        "doc_id"
+    )
+
+
 def mixture_sample_q(spark: SparkSession, sf: str) -> DataFrame:
     """Mixture construction: sample three sources toward a
     60/30/10 char-weighted budget — per-source rates from one

@@ -199,10 +199,9 @@ def _json_map_key(k, kdt, kd, hints, path):
         if name == "type":
             return f"<{plain}>", None
         if name.startswith("float") and isinstance(plain, (int, float)):
-            f = float(plain)
-            if f == int(f) and abs(f) < 1e15:
-                return f"{int(f)}.", None
-            return repr(f), None
+            from zed_spark.functions.zfloat import format_float64
+
+            return format_float64(plain), None
     if d is not None and d[0] == "enum" and isinstance(plain, str):
         return (
             plain[1:] if plain.startswith("%") else plain

@@ -68,14 +68,12 @@ def _render(v, t, missing: set = frozenset()) -> str:
     if isinstance(t, T.StructType):
         return "\t".join(_leaves(v, t, missing, ""))
     if isinstance(t, (T.FloatType, T.DoubleType)):
-        f = float(v)
-        if not math.isfinite(f):
-            # int(inf) raises; the reference textio writer renders
-            # non-finite doubles as +Inf/-Inf/NaN
-            if math.isnan(f):
-                return "NaN"
-            return "+Inf" if f > 0 else "-Inf"
-        return str(int(f)) if f == int(f) else repr(f)
+        # textio/tableio render through zeekio.FormatValue → Go
+        # 'f' -1: shortest digits, always positional
+        # (zio/textio/writer.go:34,54; zio/zeekio/format.go:35-38)
+        from zed_spark.functions.zfloat import format_float_positional
+
+        return format_float_positional(float(v))
     return str(v)
 
 

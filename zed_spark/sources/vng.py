@@ -563,8 +563,9 @@ def render_zson(v, desc) -> str:
     if name == "bool":
         return "true" if v else "false"
     if name in ("float64", "float32", "float16"):
-        f = float(v)
-        txt = ("%d." % int(f)) if f == int(f) and abs(f) < 1e15 else repr(f)
+        from zed_spark.functions.zfloat import format_float64
+
+        txt = format_float64(float(v))
         return txt if name == "float64" else "%s(%s)" % (txt, name)
     if name == "time":
         from datetime import datetime, timezone

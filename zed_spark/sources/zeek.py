@@ -818,7 +818,11 @@ def _render_value(v, dt: T.DataType, zt: str, sep: str, set_sep: str) -> str:
     if isinstance(dt, T.BooleanType):
         return "T" if v else "F"
     if isinstance(dt, (T.DoubleType, T.FloatType)):
-        return _go_float(float(v))
+        # zeekio renders floats with Go 'f' -1 (always positional,
+        # format.go:35-38), unlike csvio's 'g'-derived form
+        from zed_spark.functions.zfloat import format_float_positional
+
+        return format_float_positional(float(v))
     if isinstance(dt, T.ArrayType):
         if len(v) == 0:
             return "(empty)"

@@ -130,13 +130,9 @@ def _prim_str(v, dt: T.DataType):
     if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
         return str(int(v))
     if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
-        f = float(v)
-        if math.isnan(f):
-            return "NaN"
-        if math.isinf(f):
-            return "Inf" if f > 0 else "-Inf"
-        r = repr(f)
-        return r if any(c in r for c in ".e") else r + "."
+        from zed_spark.functions.zfloat import format_float64
+
+        return format_float64(v)
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         us = v.microsecond
         frac = f".{us:06d}".rstrip("0") if us else ""
@@ -276,14 +272,9 @@ def _desc_prim_str(v, name: str) -> str:
     if name.startswith(("int", "uint")):
         return str(int(v))
     if name.startswith("float") or name == "decimal":
-        f = float(v)
-        if _m.isnan(f):
-            return "NaN"
-        if _m.isinf(f):
-            return "+Inf" if f > 0 else "-Inf"
-        if f == int(f) and abs(f) < 1e15:
-            return str(int(f))
-        return repr(f)
+        from zed_spark.functions.zfloat import format_float64
+
+        return format_float64(v)
     return str(v)
 
 

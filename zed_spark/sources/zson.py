@@ -1310,13 +1310,9 @@ def _dump_value(v, t: T.DataType) -> str:
     if isinstance(t, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
         return str(int(v))
     if isinstance(t, (T.DoubleType, T.FloatType)):
-        f = float(v)
-        if math.isnan(f):
-            return "NaN"
-        if math.isinf(f):
-            return "Inf" if f > 0 else "-Inf"
-        r = repr(f)
-        return r if any(c in r for c in ".e") else r + "."
+        from zed_spark.functions.zfloat import format_float64
+
+        return format_float64(v)
     if isinstance(t, T.DecimalType):
         return f"{v} (decimal128)"
     if isinstance(t, T.StringType):
