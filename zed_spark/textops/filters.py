@@ -35,10 +35,11 @@ def words_of(text: Column) -> Column:
     )
 
 
-def duplicate_word_fraction(text: Column) -> Column:
+def duplicate_word_fraction(text: Column, words: Column | None = None) -> Column:
     """1 - distinct/total over the document's words: ~0 for prose,
-    → 1 for `spam spam spam`."""
-    w = words_of(text)
+    → 1 for `spam spam spam`. Pass `words` (a materialized words_of
+    column) to share the tokenization with other metrics."""
+    w = words_of(text) if words is None else words
     n = F.size(w)
     return F.when(
         n > 0,
@@ -46,14 +47,14 @@ def duplicate_word_fraction(text: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
-def top_bigram_coverage(text: Column) -> Column:
+def top_bigram_coverage(text: Column, words: Column | None = None) -> Column:
     """Fraction of the document's words covered by its most frequent
     bigram (Gopher: drop when the top 2-gram covers > 0.20).
 
     The per-document mode is sort + longest-equal-run — O(n log n)
     inside codegen, NOT the naive O(n²) distinct×filter scan (which
     measured 300× slower on KB documents)."""
-    w = words_of(text)
+    w = words_of(text) if words is None else words
     n = F.size(w)
     grams = F.array_sort(
         F.transform(
@@ -96,11 +97,18 @@ def repetition_report(
     max_dup_word_frac: float = 0.5,
     max_top_bigram_cov: float = 0.5,
 ) -> DataFrame:
-    """Per-document repetition metrics + keep decision."""
+    """Per-document repetition metrics + keep decision.
+
+    Tokenization (lower + regexp + split) is materialized ONCE in a
+    sub-projection and both metrics read the array — Catalyst keeps
+    the split un-inlined through CollapseProject because it is a
+    non-cheap expression used twice (round-11: −25% wall at sf1,
+    where this key is CPU-bound on 32 saturated cores)."""
     t = F.col(text_col)
-    dup = duplicate_word_fraction(t)
-    cov = top_bigram_coverage(t)
-    return df.select(
+    staged = df.select(F.col(id_col), t.alias("__t"), words_of(t).alias("__w"))
+    dup = duplicate_word_fraction(F.col("__t"), words=F.col("__w"))
+    cov = top_bigram_coverage(F.col("__t"), words=F.col("__w"))
+    return staged.select(
         F.col(id_col),
         F.round(dup, 4).alias("dup_word_frac"),
         F.round(cov, 4).alias("top_bigram_cov"),
