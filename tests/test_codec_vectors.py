@@ -262,6 +262,20 @@ def test_float64_text_parses_back():
     assert math.isnan(float(format_float64(float("nan"))))
 
 
+def test_float32_zson_text_vectors():
+    """float32 (and float16) print 32-BIT shortest digits
+    (zson/formatter.go:789-802, strconv 'g' -1 32): 0.1f is "0.1",
+    not the 17-digit double expansion of its float32 value."""
+    from zed_spark.functions.zfloat import format_float32
+
+    assert format_float32(0.10000000149011612) == "0.1"  # float64(0.1f)
+    assert format_float32(2.0) == "2."
+    assert format_float32(-0.0) == "0."
+    assert format_float32(32.31999969482422) == "32.32"  # float64(32.32f)
+    assert format_float32(float("inf")) == "+Inf"
+    assert format_float32(2.19921875) == "2.1992188"  # float16(2.2) widened
+
+
 def test_float_positional_zeek_vectors():
     """zio/zeekio/format.go:35-38 — Go 'f' -1: shortest digits,
     always positional (never exponent form)."""

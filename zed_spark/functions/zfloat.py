@@ -47,6 +47,25 @@ def format_float64(f: float) -> str:
     return repr(f)
 
 
+def format_float32(f: float) -> str:
+    """float32 (and float16 — the reference formats both with 32-bit
+    shortest, zson/formatter.go:789-802): '%d.' when the value equals
+    an int64, else Go strconv 'g' -1 32 — the shortest digits that
+    round-trip through FLOAT32, so 0.1f prints "0.1", not the
+    17-digit double expansion. numpy repr is the 32-bit shortest
+    analog."""
+    f = float(f)
+    if math.isnan(f):
+        return "NaN"
+    if math.isinf(f):
+        return "+Inf" if f > 0 else "-Inf"
+    if f == int(f) and _INT64_MIN <= f < _INT64_MAX:
+        return f"{int(f)}."
+    import numpy as np
+
+    return repr(np.float32(f))
+
+
 def format_float_positional(f: float, bits: int = 64) -> str:
     """Go strconv.FormatFloat(f, 'f', -1, bits): shortest round-trip
     digits rendered POSITIONALLY, never exponent form — what the

@@ -73,7 +73,8 @@ def _render(v, t, missing: set = frozenset()) -> str:
         # (zio/textio/writer.go:34,54; zio/zeekio/format.go:35-38)
         from zed_spark.functions.zfloat import format_float_positional
 
-        return format_float_positional(float(v))
+        bits = 32 if isinstance(t, T.FloatType) else 64
+        return format_float_positional(float(v), bits=bits)
     return str(v)
 
 

@@ -563,9 +563,10 @@ def render_zson(v, desc) -> str:
     if name == "bool":
         return "true" if v else "false"
     if name in ("float64", "float32", "float16"):
-        from zed_spark.functions.zfloat import format_float64
+        from zed_spark.functions.zfloat import format_float32, format_float64
 
-        txt = format_float64(float(v))
+        fmt = format_float64 if name == "float64" else format_float32
+        txt = fmt(float(v))
         return txt if name == "float64" else "%s(%s)" % (txt, name)
     if name == "time":
         from datetime import datetime, timezone

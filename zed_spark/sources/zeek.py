@@ -819,10 +819,12 @@ def _render_value(v, dt: T.DataType, zt: str, sep: str, set_sep: str) -> str:
         return "T" if v else "F"
     if isinstance(dt, (T.DoubleType, T.FloatType)):
         # zeekio renders floats with Go 'f' -1 (always positional,
-        # format.go:35-38), unlike csvio's 'g'-derived form
+        # format.go:35-38; 32-bit shortest for float columns), unlike
+        # csvio's 'g'-derived form
         from zed_spark.functions.zfloat import format_float_positional
 
-        return format_float_positional(float(v))
+        bits = 32 if isinstance(dt, T.FloatType) else 64
+        return format_float_positional(float(v), bits=bits)
     if isinstance(dt, T.ArrayType):
         if len(v) == 0:
             return "(empty)"

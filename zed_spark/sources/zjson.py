@@ -130,8 +130,10 @@ def _prim_str(v, dt: T.DataType):
     if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
         return str(int(v))
     if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
-        from zed_spark.functions.zfloat import format_float64
+        from zed_spark.functions.zfloat import format_float32, format_float64
 
+        if isinstance(dt, T.FloatType):
+            return format_float32(v)
         return format_float64(v)
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         us = v.microsecond
@@ -272,8 +274,10 @@ def _desc_prim_str(v, name: str) -> str:
     if name.startswith(("int", "uint")):
         return str(int(v))
     if name.startswith("float") or name == "decimal":
-        from zed_spark.functions.zfloat import format_float64
+        from zed_spark.functions.zfloat import format_float32, format_float64
 
+        if name in ("float16", "float32"):
+            return format_float32(v)
         return format_float64(v)
     return str(v)
 

@@ -1310,8 +1310,12 @@ def _dump_value(v, t: T.DataType) -> str:
     if isinstance(t, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
         return str(int(v))
     if isinstance(t, (T.DoubleType, T.FloatType)):
-        from zed_spark.functions.zfloat import format_float64
+        from zed_spark.functions.zfloat import format_float32, format_float64
 
+        # float32 columns print 32-bit shortest digits (0.1, not the
+        # 17-digit double expansion) — zson/formatter.go:796-802
+        if isinstance(t, T.FloatType):
+            return format_float32(v)
         return format_float64(v)
     if isinstance(t, T.DecimalType):
         return f"{v} (decimal128)"
