@@ -297,6 +297,43 @@ def test_float_positional_zeek_vectors():
     assert format_float_positional(0.10000000149011612, bits=32) == "0.1"
 
 
+def test_float_json_vectors():
+    """Go encoding/json float text (the reference `-f json` writer
+    marshals through it): ES6 positional within [1e-6, 1e21),
+    trimmed-exponent 'e' form outside."""
+    from zed_spark.functions.zfloat import format_float_json
+
+    vectors = [
+        (3.0, "3"),
+        (1.5, "1.5"),
+        (1e-5, "0.00001"),          # Python repr says 1e-05
+        (0.000001, "0.000001"),     # boundary: still positional
+        (1e-7, "1e-7"),             # exponent leading zero trimmed
+        (1.5e-7, "1.5e-7"),
+        (1.23e-10, "1.23e-10"),
+        (1e17, "100000000000000000"),
+        (1e21, "1e+21"),
+        (2.5e22, "2.5e+22"),
+        (-0.0, "-0"),
+    ]
+    for f, want in vectors:
+        assert format_float_json(f) == want, (f, format_float_json(f))
+
+
+def test_json_compact_serializer_matches_dumps():
+    """_dumps_compact is byte-identical to json.dumps(compact) except
+    for the Go float form."""
+    import json
+
+    from zed_spark.sources.jsonio import _dumps_compact
+
+    obj = {"a": [1, "x\"y", None, True, {"k": "日本"}], "b": {"n": -5}}
+    assert _dumps_compact(obj) == json.dumps(
+        obj, ensure_ascii=False, separators=(",", ":")
+    )
+    assert _dumps_compact({"f": 1e-5}) == '{"f":0.00001}'
+
+
 def test_time_duration_text_vectors():
     """RFC3339Nano times (incl. pre-epoch) and pkg/nano durations."""
     from zed_spark.functions.ztime import format_duration_ns, format_time_ns

@@ -66,6 +66,26 @@ def format_float32(f: float) -> str:
     return repr(np.float32(f))
 
 
+def format_float_json(f: float) -> str:
+    """Go encoding/json float64 text (the reference's `-f json`
+    writer marshals floats through it, zio/jsonio/writer.go:215,234):
+    shortest positional form for |f| in [1e-6, 1e21) (ES6-style —
+    0.00001, not 1e-05), else shortest 'e' form with the exponent's
+    leading zero trimmed (1e-7, not 1e-07). NaN/Inf keep Python
+    json's spellings (Go json refuses them outright; errors are
+    values in this engine)."""
+    f = float(f)
+    if math.isnan(f):
+        return "NaN"
+    if math.isinf(f):
+        return "Infinity" if f > 0 else "-Infinity"
+    a = abs(f)
+    if a == 0.0 or 1e-6 <= a < 1e21:
+        return format_float_positional(f)
+    s = repr(f)  # always exponent form out here; e±NN like Go 'e'
+    return s.replace("e-0", "e-", 1)
+
+
 def format_float_positional(f: float, bits: int = 64) -> str:
     """Go strconv.FormatFloat(f, 'f', -1, bits): shortest round-trip
     digits rendered POSITIONALLY, never exponent form — what the

@@ -32,6 +32,40 @@ def _base_type(zt: str | None) -> str | None:
 _UNION_KEY = _re.compile(r"[ve]\d+")
 
 
+def _dumps_compact(obj) -> str:
+    """Compact JSON with Go encoding/json float text (ES6 form:
+    positional within [1e-6, 1e21), trimmed exponents outside —
+    zio/jsonio/writer.go:234 marshals through encoding/json, whose
+    float form differs from Python repr at the magnitude extremes).
+    Everything else matches json.dumps(separators=(',', ':'),
+    ensure_ascii=False) byte for byte."""
+    from zed_spark.functions.zfloat import format_float_json
+
+    def ser(o):
+        if o is None:
+            return "null"
+        if o is True:
+            return "true"
+        if o is False:
+            return "false"
+        if isinstance(o, str):
+            return json.dumps(o, ensure_ascii=False)
+        if isinstance(o, float):
+            return format_float_json(o)
+        if isinstance(o, int):
+            return str(o)
+        if isinstance(o, (list, tuple)):
+            return "[" + ",".join(ser(x) for x in o) + "]"
+        if isinstance(o, dict):
+            return "{" + ",".join(
+                f"{json.dumps(str(k), ensure_ascii=False)}:{ser(v)}"
+                for k, v in o.items()
+            ) + "}"
+        return json.dumps(o, ensure_ascii=False)
+
+    return ser(obj)
+
+
 def _is_union(dt) -> bool:
     return (
         isinstance(dt, T.StructType)
@@ -83,7 +117,9 @@ def _jval(v, dt: T.DataType, zt: str | None, hints: dict, path: str):
         return bool(v)
     if isinstance(dt, (T.DoubleType, T.FloatType)):
         # Go's json marshaller renders integral floats without the
-        # trailing .0 (pretty.yaml: 1. -> 1)
+        # trailing .0 (pretty.yaml: 1. -> 1); the full ES6 form
+        # (positional to 1e21/1e-6, trimmed exponents) is applied by
+        # _dumps_compact at serialization time
         f = float(v)
         return int(f) if f.is_integer() and abs(f) < 2**53 else f
     if isinstance(dt, T.BinaryType):
@@ -256,7 +292,7 @@ def to_json_text(
                 "",
             )
         lines.append(
-            json.dumps(obj, ensure_ascii=False, separators=(",", ":"))
+            _dumps_compact(obj)
             if pretty is None
             else json.dumps(obj, ensure_ascii=False, indent=pretty)
         )
