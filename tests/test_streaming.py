@@ -80,3 +80,67 @@ def test_streaming_exact_dedup(spark, tmp_path):
     ids = sorted(r["doc_id"] for r in got)
     assert 3 in ids and len(ids) == 2
     assert 1 in ids or 2 in ids  # one of the duplicate pair survives
+
+
+def test_streaming_incremental_dedup(spark, tmp_path):
+    """The stateless streaming filter agrees with the batch
+    incremental op on crawls with no stream-internal duplicates
+    (which the streaming contract passes through by design)."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from zed_spark.streaming.dedup import streaming_incremental_dedup
+    from zed_spark.textops.incremental import build_signatures, incremental_dedup
+
+    base = [
+        (10, "the quick brown fox jumps over the lazy dog today"),
+        (11, "the quick brown fox jumps over the lazy dog tonight"),
+        (20, "pack my box with five dozen fresh liquor jugs now"),
+        (30, "completely unrelated text about distributed query engines"),
+        (40, "tiny"),
+    ]
+    new = [
+        (50, "the quick brown fox jumps over the lazy dog today"),  # exact dup
+        (51, "the quick brown fox jumps over the lazy dog sometime"),  # near dup
+        (52, "an entirely fresh document about columnar formats and arrows"),
+        (53, "tiny"),  # copy of a shingle-less text: never clusters, kept
+    ]
+    old_df = spark.createDataFrame(base, "doc_id long, text string")
+    sigs = build_signatures(old_df, k_shingle=2, bands=8, threshold=0.35)
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in new)
+    )
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = streaming_incremental_dedup(
+        stream, sigs, k_shingle=2, bands=8, threshold=0.35
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("inc_dedup_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            r["doc_id"] for r in spark.sql("select doc_id from inc_dedup_sink").collect()
+        )
+    finally:
+        q.stop()
+    assert got == [52, 53]
+
+    # batch reference: same kept set (new ids all larger, no
+    # stream-internal dups, so the contracts coincide)
+    new_df = spark.createDataFrame(new, "doc_id long, text string")
+    kept, _retired = incremental_dedup(
+        new_df, sigs, k_shingle=2, bands=8, threshold=0.35
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == got

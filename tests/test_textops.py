@@ -394,3 +394,32 @@ def test_mixture_sample_rates_and_determinism(spark):
     # a source with no weight entry is dropped
     out2 = mixture_sample(df, {"a": 1.0}, 40_000)
     assert out2.filter("source = 'b'").count() == 0
+
+
+def test_minhash_signature_column_form(spark):
+    """The column-level minhash form (minhash_signature) runs and
+    agrees with the pipeline's explode+aggregate minhashes (round-11:
+    the old two-arg transform lambda took pyspark's array INDEX as
+    its seed and raised at plan time)."""
+    from pyspark.sql import functions as F
+
+    from zed_spark.textops.dedup import word_shingles
+    from zed_spark.textops.minhash import hash_params, minhash_signature, shingle_base, P
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    col_form = docs.select(
+        minhash_signature(word_shingles(F.col("text"), 3), 4).alias("sig")
+    ).first()["sig"]
+    base = docs.select(
+        F.explode(word_shingles(F.col("text"), 3)).alias("sh")
+    ).select(shingle_base(F.col("sh")).alias("b"))
+    want = [
+        base.agg(
+            F.min((F.lit(hash_params(i)[0]) * F.col("b") + F.lit(hash_params(i)[1])) % P)
+        ).first()[0]
+        for i in range(4)
+    ]
+    assert col_form == want

@@ -46,3 +46,87 @@ def streaming_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     from zed_spark.textops.simhash import simhash_col
 
     return docs.withColumn("simhash", simhash_col(F.col(text_col)))
+
+
+def streaming_incremental_dedup(
+    docs: DataFrame,
+    signatures: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float | None = 0.5,
+) -> DataFrame:
+    """Filter a streaming crawl against an already-deduped corpus's
+    signature store (textops/incremental.py), entirely STATELESS:
+    every per-doc signature (md5, minhashes, band keys, verify
+    hash-set) is a pure column expression, and membership tests are
+    stream-static anti joins — no watermark, no state store.
+
+    Semantics: drop a stream doc iff it exactly matches a stored
+    SHINGLED text (shingle-less texts never cluster, matching the
+    batch pipeline) or its verified jaccard against any stored text
+    reaches `threshold`. Stream-internal duplicates pass through —
+    dedup among the new crawl itself is the batch incremental op's
+    job (the standard lambda split, like streaming_simhash above).
+
+    Scale: the exact leg is an equi anti join (shuffle-safe at any
+    store size); the near leg needs the banded signature store
+    broadcast (arrays_overlap + jaccard is a non-equi condition), so
+    it fits stores up to broadcast size — at 100 TB corpus scale run
+    the batch incremental op, which shuffles on band keys instead."""
+    from zed_spark.textops.dedup import word_shingles
+    from zed_spark.textops.incremental import _bands_of_array
+    from zed_spark.textops.minhash import P, hash_params, shingle_base
+
+    hs = F.array_distinct(
+        F.transform(
+            word_shingles(F.col(text_col), k_shingle),
+            lambda sh: shingle_base(sh),
+        )
+    )
+    def _mh(i: int):
+        # closure factory, NOT a two-arg lambda: pyspark passes the
+        # array INDEX to transform lambdas of arity 2, clobbering a
+        # default-bound seed
+        a, b = hash_params(i)
+        return F.array_min(
+            F.transform(F.col("__hs"), lambda h: (F.lit(a) * h + F.lit(b)) % P)
+        )
+
+    minh = F.array(*[_mh(i) for i in range(num_hashes)])
+    staged = docs.withColumn("__h", F.md5(F.col(text_col))).withColumn(
+        "__hs", hs
+    ).withColumn("minhashes", minh)
+    band_key = [
+        F.concat_ws(":", F.lit(i), b.cast("string"))
+        for i, b in enumerate(_bands_of_array(num_hashes, bands))
+    ]
+    staged = staged.withColumn(
+        "__bk",
+        F.when(F.size("__hs") > 0, F.array(*band_key)).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+
+    shingled_store = signatures.filter(F.col("minhashes").isNotNull())
+    exact_store = shingled_store.select("__h")
+    near_store = shingled_store.select(
+        F.array(
+            *[
+                F.concat_ws(":", F.lit(i), b.cast("string"))
+                for i, b in enumerate(_bands_of_array(num_hashes, bands))
+            ]
+        ).alias("__sbk"),
+        F.col("hashset").alias("__shs"),
+    )
+
+    out = staged.join(exact_store, "__h", "left_anti")
+    cond = F.arrays_overlap(F.col("__bk"), F.col("__sbk"))
+    if threshold is not None:
+        common = F.size(F.array_intersect(F.col("__hs"), F.col("__shs")))
+        jac = common / (F.size("__hs") + F.size("__shs") - common)
+        cond = cond & (jac >= threshold)
+    out = out.join(F.broadcast(near_store), cond, "left_anti")
+    return out.drop("__h", "__hs", "minhashes", "__bk")

@@ -46,14 +46,16 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     level form; the DataFrame pipeline below uses the faster
     explode+aggregate formulation)."""
     base = F.transform(shingles, shingle_base)
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(base, lambda h, i=i: (F.lit(hash_params(i)[0]) * h + F.lit(hash_params(i)[1])) % P)
-            )
-            for i in range(num_hashes)
-        ]
-    )
+
+    def _mh(i: int):
+        # closure factory, NOT a two-arg lambda: pyspark passes the
+        # array INDEX to transform lambdas of arity 2, clobbering a
+        # default-bound seed (round-11 catch: the old `lambda h, i=i`
+        # form raised CANNOT_CONVERT_COLUMN_INTO_BOOL at plan time)
+        a, b = hash_params(i)
+        return F.array_min(F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % P))
+
+    return F.array(*[_mh(i) for i in range(num_hashes)])
 
 
 def _lsh_parts(
