@@ -366,3 +366,52 @@ def test_zjson_value_text_vectors():
     assert _desc_prim_str(-(2**63), "int64") == "-9223372036854775808"
     assert _desc_prim_str(-1, "time") == "1969-12-31T23:59:59.999999999Z"
     assert _desc_prim_str(-90 * 10**9, "duration") == "-1m30s"
+
+
+def test_zjson_encoder_parser_cross_property():
+    """ZJSON value text: the writer's renderer (_desc_prim_str) and
+    the reader's classifier (_decode_prim) are independent
+    implementations — every rendered int/float/time/duration must
+    reparse to the identical value (the parser-vs-encoder shape the
+    round-10 verdict asked for per codec)."""
+    pytest.importorskip("hypothesis")
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zed_spark.sources.zjson import _decode_prim, _desc_prim_str
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+    def ints(i):
+        assert _decode_prim(_desc_prim_str(i, "int64"), "int64") == i
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.floats(allow_nan=False))
+    def floats(f):
+        got = _decode_prim(_desc_prim_str(f, "float64"), "float64")
+        assert float(got) == f
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=-(2**62), max_value=2**62))
+    def times(ns):
+        # text is RFC3339Nano; the parser lands on Spark's µs-precision
+        # timestamp (ns precision rides shadow columns elsewhere), so
+        # compare at the µs floor
+        from datetime import datetime, timedelta, timezone
+
+        got = _decode_prim(_desc_prim_str(ns, "time"), "time")
+        want = datetime(1970, 1, 1, tzinfo=timezone.utc) + timedelta(
+            microseconds=ns // 1000
+        )
+        assert got == want
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=-(2**63) + 1, max_value=2**63 - 1))
+    def durations(ns):
+        got = _decode_prim(_desc_prim_str(ns, "duration"), "duration")
+        assert got == ns
+
+    ints()
+    floats()
+    times()
+    durations()

@@ -709,11 +709,14 @@ def _parse_duration(tok: str) -> int:
     body = tok.lstrip("+-")
     total = 0
     for num, frac, unit in re.findall(r"(\d+(\.\d+)?)(ns|us|ms|s|m|h|d|w|y)", body):
-        # exact integer ns: float math loses precision above 2^53 ns
-        # (the reference keeps int64 ns throughout — nano.go)
+        # exact integer ns throughout: float math loses ns precision
+        # even BELOW 2^53 (0.125644711*1e9 -> ...710.9999), caught by
+        # the round-11 encoder↔parser property test. The reference
+        # keeps int64 ns end to end (pkg/nano).
         whole = int(num.split(".")[0]) * _DUR_NS[unit]
         if frac:
-            whole += int(float(frac) * _DUR_NS[unit])
+            digits = frac[1:]  # drop the dot
+            whole += int(digits) * _DUR_NS[unit] // 10 ** len(digits)
         total += whole
     return sign * total
 
