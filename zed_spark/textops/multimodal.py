@@ -7,12 +7,12 @@ Decode tiers:
     markers, GIF/BMP fixed headers). Width/height/channels/format
     come from the actual bytes; no external library needed.
   - pixel-level decode (`decode_image` luma, `resize_image`) — REAL
-    for PNG via the pure-Python decoder (`png_pixels`: zlib inflate +
-    spec unfiltering), and for every PIL-known format when PIL is
-    importable (optional, probed at call time). Payloads no real
-    path can decode yield NULL feature columns (errors-as-values);
-    `fake=True` keeps the deterministic plumbing stub for synthetic
-    payloads.
+    for PNG (zlib inflate + spec unfiltering), BMP (BI_RGB rows) and
+    GIF (spec LZW) via pure-Python decoders, and for every PIL-known
+    format (JPEG's entropy decode included) when PIL is importable
+    (optional, probed at call time). Payloads no real path can decode
+    yield NULL feature columns (errors-as-values); `fake=True` keeps
+    the deterministic plumbing stub for synthetic payloads.
 
 Scale design:
   - binary payloads stay in parquet binary columns; metadata is a
@@ -228,9 +228,191 @@ def png_pixels(b: bytes | None):
     return out.reshape(h, w, c)
 
 
+def bmp_bytes(width: int, height: int, fill: int = 0) -> bytes:
+    """A minimal REAL 24-bit BI_RGB BMP (bottom-up) — genuine image
+    bytes for tests without any library."""
+    row = bytes([fill, fill, fill]) * width
+    row += b"\x00" * ((-len(row)) % 4)  # rows pad to 4 bytes
+    data = row * height
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(data), 2835, 2835, 0, 0)
+    return hdr + info + data
+
+
+def bmp_pixels(b: bytes | None):
+    """REAL BMP pixel decode, pure Python + numpy: uncompressed
+    (BI_RGB) 24/32-bit rows, bottom-up or top-down → (h, w, 3) uint8
+    RGB array, or None for anything else."""
+    import numpy as np
+
+    if not b or len(b) < 54 or bytes(b[:2]) != b"BM":
+        return None
+    b = bytes(b)
+    off = struct.unpack("<I", b[10:14])[0]
+    w, h = struct.unpack("<ii", b[18:26])
+    bpp = struct.unpack("<H", b[28:30])[0]
+    comp = struct.unpack("<I", b[30:34])[0]
+    if comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        return None
+    nch = bpp // 8
+    top_down = h < 0
+    h = abs(h)
+    rowsize = ((bpp * w + 31) // 32) * 4
+    if off + rowsize * h > len(b):
+        return None
+    rows = np.frombuffer(b, dtype=np.uint8, count=rowsize * h, offset=off)
+    rows = rows.reshape(h, rowsize)[:, : w * nch].reshape(h, w, nch)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[..., 2::-1].copy()  # BGR(A) -> RGB
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, npix: int) -> list | None:
+    """GIF LZW (the public GIF89a spec, appendix F): variable-width
+    codes LSB-first, dictionary reset on CLEAR, width grows to 12."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out: list = []
+    table = [(i,) for i in range(clear)] + [(), ()]
+    width = min_code + 1
+    buf = bits = 0
+    prev = None
+    for byte in data:
+        buf |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = buf & ((1 << width) - 1)
+            buf >>= width
+            bits -= width
+            if code == clear:
+                table = [(i,) for i in range(clear)] + [(), ()]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return out[:npix]
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(table[prev] + (entry[0],))
+            elif code == len(table):
+                entry = table[prev] + (table[prev][0],)
+                table.append(entry)
+            else:
+                return None
+            out.extend(entry)
+            if len(out) >= npix:
+                return out[:npix]
+            prev = code
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out[:npix] if len(out) >= npix else None
+
+
+def gif_bytes(width: int, height: int, fill: int = 0) -> bytes:
+    """A minimal REAL GIF89a (grayscale palette, genuinely
+    LZW-encoded with a CLEAR per code so the table never grows) —
+    real image bytes for tests without any library."""
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0xF7, 0, 0])  # GCT present, 256 entries
+    for i in range(256):
+        out += bytes([i, i, i])
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out += bytes([8])  # LZW min code size
+    # 9-bit codes LSB-first: CLEAR before every pixel keeps width at 9
+    buf = bits = 0
+    coded = bytearray()
+    stream = []
+    for _ in range(width * height):
+        stream += [256, fill]  # CLEAR, pixel
+    stream.append(257)  # END
+    for code in stream:
+        buf |= code << bits
+        bits += 9
+        while bits >= 8:
+            coded.append(buf & 0xFF)
+            buf >>= 8
+            bits -= 8
+    if bits:
+        coded.append(buf & 0xFF)
+    for i in range(0, len(coded), 255):
+        chunk = coded[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def gif_pixels(b: bytes | None):
+    """REAL GIF pixel decode, pure Python + numpy: LZW decompression
+    + palette lookup of the first (non-interlaced) frame → (h, w, 3)
+    uint8 RGB array, or None for anything else."""
+    import numpy as np
+
+    if not b or len(b) < 13 or bytes(b[:6]) not in (b"GIF87a", b"GIF89a"):
+        return None
+    b = bytes(b)
+    packed = b[10]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(b, np.uint8, n * 3, i).reshape(n, 3)
+        i += n * 3
+    while i < len(b):
+        blk = b[i]
+        if blk == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(b) and b[i]:
+                i += 1 + b[i]
+            i += 1
+        elif blk == 0x2C:  # image descriptor
+            _l, _t, w, h = struct.unpack("<HHHH", b[i + 1 : i + 9])
+            ip = b[i + 9]
+            i += 10
+            table = gct
+            if ip & 0x80:
+                n = 2 << (ip & 7)
+                table = np.frombuffer(b, np.uint8, n * 3, i).reshape(n, 3)
+                i += n * 3
+            if ip & 0x40 or table is None:  # interlaced: not supported
+                return None
+            min_code = b[i]
+            i += 1
+            data = bytearray()
+            while i < len(b) and b[i]:
+                data += b[i + 1 : i + 1 + b[i]]
+                i += 1 + b[i]
+            idx = _gif_lzw_decode(bytes(data), min_code, w * h)
+            if idx is None or len(idx) < w * h:
+                return None
+            arr = np.asarray(idx, dtype=np.int64).reshape(h, w)
+            if int(arr.max()) >= len(table):
+                return None
+            return table[arr]
+        else:
+            break
+    return None
+
+
+def any_pixels(b: bytes | None):
+    """Pure-Python pixel decode for every container it can: PNG,
+    BMP (BI_RGB), GIF (non-interlaced). JPEG entropy decode genuinely
+    needs an image library (PIL handles it when importable)."""
+    for dec in (png_pixels, bmp_pixels, gif_pixels):
+        px = dec(b)
+        if px is not None:
+            return px
+    return None
+
+
 def _real_decode(payload) -> tuple[int, int, int, float] | None:
     """REAL pixel decode: PIL when importable (any format it knows),
-    else the pure-Python PNG path. Returns (w, h, channels,
+    else the pure-Python PNG/BMP/GIF paths. Returns (w, h, channels,
     mean_luma in [0,1]) or None if no real path can decode it."""
     import numpy as np
 
@@ -250,7 +432,7 @@ def _real_decode(payload) -> tuple[int, int, int, float] | None:
         pass
     except Exception:
         return None
-    px = png_pixels(b)
+    px = any_pixels(b)
     if px is None:
         return None
     h, w, c = px.shape
@@ -318,7 +500,7 @@ def _real_resize(payload, width: int, height: int) -> bytes | None:
         pass
     except Exception:
         return None
-    px = png_pixels(b)
+    px = any_pixels(b)
     if px is None:
         return None
     h, w, c = px.shape
