@@ -397,3 +397,18 @@ def test_bmp_gif_pixel_decode_real(spark):
     rz = {r["doc_id"]: r for r in resize_image(df, 2, 2).collect()}
     assert rz[2]["resized"] == bytes([99]) * 12
     assert rz[3]["resized"] is None
+
+
+def test_png_palette_decode_real():
+    """Palette PNGs (color type 3) decode for real: PLTE lookup maps
+    indices to RGB."""
+    from zed_spark.textops.multimodal import png_bytes, png_pixels
+
+    px = png_pixels(png_bytes(6, 4, color_type=3, fill=123))
+    assert px.shape == (4, 6, 3) and int(px[0, 0, 0]) == 123
+    # palette PNG without a PLTE chunk degrades to None, never raises
+    import re
+
+    broken = png_bytes(2, 2, color_type=3)
+    broken = broken.replace(b"PLTE", b"XXXX", 1)
+    assert png_pixels(broken) is None

@@ -121,7 +121,12 @@ def png_bytes(width: int, height: int, color_type: int = 2, fill: int = 0) -> by
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     row = b"\x00" + bytes([fill]) * (width * nch)  # filter 0 + pixels
     idat = zlib.compress(row * height)
-    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    plte = (
+        chunk(b"PLTE", bytes(bytearray(v for i in range(256) for v in (i, i, i))))
+        if color_type == 3
+        else b""
+    )
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + plte + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
 def image_meta(df: DataFrame, media_col: str = "media", id_col: str = "doc_id") -> DataFrame:
@@ -160,9 +165,9 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
 def png_pixels(b: bytes | None):
     """REAL PNG pixel decode, pure Python + numpy: IDAT zlib inflate
     then per-scanline unfiltering (filters 0-4 of the PNG spec §9).
-    Supports 8-bit depth, color types 0/2/4/6, non-interlaced —
-    returns an (h, w, channels) uint8 array, or None for anything
-    else (16-bit, palette, Adam7)."""
+    Supports 8-bit depth, color types 0/2/3 (palette via PLTE)/4/6,
+    non-interlaced — returns an (h, w, channels) uint8 array, or None
+    for anything else (16-bit, Adam7)."""
     import numpy as np
 
     if not b or not bytes(b).startswith(_PNG_SIG):
@@ -170,6 +175,7 @@ def png_pixels(b: bytes | None):
     b = bytes(b)
     i, n = 8, len(b)
     idat = bytearray()
+    plte = None
     w = h = depth = color = interlace = None
     while i + 8 <= n:
         ln = struct.unpack(">I", b[i : i + 4])[0]
@@ -179,13 +185,17 @@ def png_pixels(b: bytes | None):
             w, h, depth, color, _c, _f, interlace = struct.unpack(
                 ">IIBBBBB", data[:13]
             )
+        elif tag == b"PLTE":
+            plte = data
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
             break
         i += 12 + ln
     c = _PNG_CHANNELS.get(color)
-    if not w or not h or depth != 8 or interlace or c is None or color == 3:
+    if not w or not h or depth != 8 or interlace or c is None:
+        return None
+    if color == 3 and (plte is None or len(plte) % 3):
         return None
     try:
         raw = zlib.decompress(bytes(idat))
@@ -225,7 +235,14 @@ def png_pixels(b: bytes | None):
                     rec[x] = (rec[x] + pr) & 0xFF
             rec = rec.astype(np.uint8)
         out[y] = rec
-    return out.reshape(h, w, c)
+    px = out.reshape(h, w, c)
+    if color == 3:  # palette indices -> RGB via the PLTE table
+        table = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = px[..., 0]
+        if int(idx.max()) >= len(table):
+            return None
+        return table[idx]
+    return px
 
 
 def bmp_bytes(width: int, height: int, fill: int = 0) -> bytes:
