@@ -334,6 +334,27 @@ def test_json_compact_serializer_matches_dumps():
     assert _dumps_compact({"f": 1e-5}) == '{"f":0.00001}'
 
 
+def test_json_pretty_serializer_go_floats_and_dumps_shape():
+    """Pretty JSON keeps the Go encoding/json float form (the
+    reference's tab-driven writer marshals primitives through the
+    same encoder compact or pretty, zio/jsonio/writer.go:48,235-241)
+    and otherwise matches json.dumps(indent=N) byte for byte."""
+    import json
+
+    from zed_spark.sources.jsonio import _dumps_compact
+
+    obj = {"a": [1, "x", None, True], "b": {}, "c": [], "d": {"k": -5}}
+    assert _dumps_compact(obj, pretty=2) == json.dumps(
+        obj, ensure_ascii=False, indent=2
+    )
+    assert _dumps_compact(obj, pretty=4) == json.dumps(
+        obj, ensure_ascii=False, indent=4
+    )
+    # Python json.dumps(indent) would say 1e-05 / 1e-07 here
+    got = _dumps_compact({"f": [1e-5, 1e-7]}, pretty=4)
+    assert got == '{\n    "f": [\n        0.00001,\n        1e-7\n    ]\n}'
+
+
 def test_time_duration_text_vectors():
     """RFC3339Nano times (incl. pre-epoch) and pkg/nano durations."""
     from zed_spark.functions.ztime import format_duration_ns, format_time_ns

@@ -32,16 +32,25 @@ def _base_type(zt: str | None) -> str | None:
 _UNION_KEY = _re.compile(r"[ve]\d+")
 
 
-def _dumps_compact(obj) -> str:
-    """Compact JSON with Go encoding/json float text (ES6 form:
+def _dumps_compact(obj, pretty: int | None = None) -> str:
+    """JSON text with Go encoding/json float text (ES6 form:
     positional within [1e-6, 1e21), trimmed exponents outside —
-    zio/jsonio/writer.go:234 marshals through encoding/json, whose
-    float form differs from Python repr at the magnitude extremes).
-    Everything else matches json.dumps(separators=(',', ':'),
-    ensure_ascii=False) byte for byte."""
+    zio/jsonio/writer.go:234 marshals every primitive, compact or
+    pretty, through encoding/json, whose float form differs from
+    Python repr at the magnitude extremes). `pretty` indents by that
+    many spaces exactly like the reference's tab-driven writer
+    (zio/jsonio/writer.go:91-129,192-201: trailing commas, a space
+    after the colon, empty containers on one line) — which is also
+    Python json.dumps(indent=N) shape, so only the float text
+    needed the shared path. Compact matches
+    json.dumps(separators=(',', ':'), ensure_ascii=False) byte for
+    byte aside from floats."""
     from zed_spark.functions.zfloat import format_float_json
 
-    def ser(o):
+    tab = pretty or 0
+    colon = ": " if tab else ":"
+
+    def ser(o, ind: int):
         if o is None:
             return "null"
         if o is True:
@@ -55,15 +64,28 @@ def _dumps_compact(obj) -> str:
         if isinstance(o, int):
             return str(o)
         if isinstance(o, (list, tuple)):
-            return "[" + ",".join(ser(x) for x in o) + "]"
+            if not o:
+                return "[]"
+            if not tab:
+                return "[" + ",".join(ser(x, ind) for x in o) + "]"
+            pad = " " * (ind + tab)
+            body = (",\n" + pad).join(ser(x, ind + tab) for x in o)
+            return "[\n" + pad + body + "\n" + " " * ind + "]"
         if isinstance(o, dict):
-            return "{" + ",".join(
-                f"{json.dumps(str(k), ensure_ascii=False)}:{ser(v)}"
+            if not o:
+                return "{}"
+            items = (
+                f"{json.dumps(str(k), ensure_ascii=False)}{colon}"
+                f"{ser(v, ind + tab)}"
                 for k, v in o.items()
-            ) + "}"
+            )
+            if not tab:
+                return "{" + ",".join(items) + "}"
+            pad = " " * (ind + tab)
+            return "{\n" + pad + (",\n" + pad).join(items) + "\n" + " " * ind + "}"
         return json.dumps(o, ensure_ascii=False)
 
-    return ser(obj)
+    return ser(obj, 0)
 
 
 def _is_union(dt) -> bool:
@@ -291,11 +313,7 @@ def to_json_text(
                 missing,
                 "",
             )
-        lines.append(
-            _dumps_compact(obj)
-            if pretty is None
-            else json.dumps(obj, ensure_ascii=False, indent=pretty)
-        )
+        lines.append(_dumps_compact(obj, pretty=pretty))
     return "\n".join(lines) + ("\n" if lines else "")
 
 
