@@ -399,6 +399,219 @@ def test_bmp_gif_pixel_decode_real(spark):
     assert rz[3]["resized"] is None
 
 
+def _jpeg_test_emitter():
+    """Independent in-test JPEG bit emitter (MSB-first, 0xFF00
+    stuffing, 1-padded tail) — deliberately NOT the repo's
+    jpeg_bytes encoder, so decoder tests don't lean on a matching
+    implementation (the zigzag lesson)."""
+    state = {"acc": 0, "n": 0}
+    out = bytearray()
+
+    def put(val, nbits):
+        for i in range(nbits - 1, -1, -1):
+            state["acc"] = (state["acc"] << 1) | ((val >> i) & 1)
+            state["n"] += 1
+            if state["n"] == 8:
+                out.append(state["acc"])
+                if state["acc"] == 0xFF:
+                    out.append(0x00)
+                state["acc"] = state["n"] = 0
+
+    def flush():
+        while state["n"]:
+            put(1, 1)
+        return bytes(out)
+
+    return put, flush, out
+
+
+def _jpeg_test_codes(bits, vals):
+    """symbol -> (nbits, code), canonical per T.81 Annex C —
+    re-derived in-test."""
+    codes, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (ln, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_naive_idct(S):
+    """Direct T.81 A.3.3 double-sum IDCT (independent of the repo's
+    basis-matrix implementation): s(y,x) = sum_u sum_v C(u)C(v)/4
+    S[v][u] cos((2x+1)u pi/16) cos((2y+1)v pi/16)."""
+    import math
+
+    out = [[0.0] * 8 for _ in range(8)]
+    for y in range(8):
+        for x in range(8):
+            acc = 0.0
+            for v in range(8):
+                for u in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    acc += (
+                        cu * cv / 4 * S[v][u]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            out[y][x] = acc + 128.0
+    return out
+
+
+def test_jpeg_baseline_decode_spec_vector():
+    """Baseline JPEG decode is REAL: a hand-assembled single-block
+    grayscale file (unit quant table, Annex K.3 Huffman tables, DC +
+    two AC coefficients incl. a zero run) must decode to the pixels
+    the spec's own double-sum IDCT produces. The file bytes and the
+    expected pixels are both built independently of the repo's
+    encoder and decoder."""
+    import struct
+
+    import numpy as np
+
+    from zed_spark.textops.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        jpeg_pixels,
+    )
+
+    dc = _jpeg_test_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac = _jpeg_test_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    put, flush, _ = _jpeg_test_emitter()
+    # DC = 16 (category 5, bits 10000)
+    put(dc[5][1], dc[5][0])
+    put(16, 5)
+    # AC zigzag 1 = S[0][1] = 12: run 0 size 4 -> symbol 0x04
+    put(ac[0x04][1], ac[0x04][0])
+    put(12, 4)
+    # skip 3 zeros, AC zigzag 5 = S[0][2] = -7: run 3 size 3 -> 0x33,
+    # magnitude bits are the one's complement form -7 -> 0
+    put(ac[0x33][1], ac[0x33][0])
+    put(0, 3)
+    # EOB
+    put(ac[0x00][1], ac[0x00][0])
+    scan = flush()
+
+    f = bytearray(b"\xff\xd8")
+    f += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+    f += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+    f += bytes([1, 0x11, 0])
+    f += b"\xff\xc4" + struct.pack(">HB", 31, 0x00) + _JPEG_DC_BITS + _JPEG_DC_VALS
+    f += b"\xff\xc4" + struct.pack(">HB", 181, 0x10) + _JPEG_AC_BITS + _JPEG_AC_VALS
+    f += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    f += scan + b"\xff\xd9"
+
+    S = [[0] * 8 for _ in range(8)]
+    S[0][0], S[0][1], S[0][2] = 16, 12, -7
+    want = np.clip(np.rint(np.array(_jpeg_naive_idct(S))), 0, 255).astype(np.uint8)
+    got = jpeg_pixels(bytes(f))
+    assert got is not None and got.shape == (8, 8, 1)
+    assert np.array_equal(got[..., 0], want), (got[..., 0], want)
+
+
+def test_jpeg_color_420_restart_markers():
+    """A hand-assembled 3-component 4:2:0 JPEG (two MCUs, DRI=1, an
+    RST0 between them that must reset the DC predictors) decodes to
+    the RGB the JFIF YCbCr equations give — computed independently
+    here."""
+    import struct
+
+    import numpy as np
+
+    from zed_spark.textops.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        jpeg_pixels,
+    )
+
+    Y, CB, CR = 90, 60, 190
+    dc = _jpeg_test_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac = _jpeg_test_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def block(put, diff):
+        t = abs(diff).bit_length()
+        put(dc[t][1], dc[t][0])
+        if t:
+            put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        put(ac[0x00][1], ac[0x00][0])
+
+    def mcu_bytes():
+        # 4 Y blocks + Cb + Cr; solid plane -> only the first DC of
+        # each component is nonzero (predictors reset per restart)
+        put, flush, _ = _jpeg_test_emitter()
+        for i in range(4):
+            block(put, (Y - 128) if i == 0 else 0)
+        block(put, CB - 128)
+        block(put, CR - 128)
+        return flush()
+
+    qtab = bytes([8] + [16] * 63)  # Q[0]=8 -> DC is exact
+    f = bytearray(b"\xff\xd8")
+    f += b"\xff\xdb" + struct.pack(">HB", 67, 0) + qtab
+    f += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 16, 32, 3)
+    f += bytes([1, 0x22, 0])  # Y: 2x2 sampling
+    f += bytes([2, 0x11, 0])  # Cb: 1x1
+    f += bytes([3, 0x11, 0])  # Cr: 1x1
+    f += b"\xff\xc4" + struct.pack(">HB", 31, 0x00) + _JPEG_DC_BITS + _JPEG_DC_VALS
+    f += b"\xff\xc4" + struct.pack(">HB", 181, 0x10) + _JPEG_AC_BITS + _JPEG_AC_VALS
+    f += b"\xff\xdd" + struct.pack(">HH", 4, 1)  # DRI: restart every MCU
+    f += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    f += bytes([1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    f += mcu_bytes() + b"\xff\xd0" + mcu_bytes() + b"\xff\xd9"
+
+    got = jpeg_pixels(bytes(f))
+    assert got is not None and got.shape == (16, 32, 3)
+    cb, cr = CB - 128.0, CR - 128.0
+    want = [
+        int(np.clip(round(v), 0, 255))
+        for v in (
+            Y + 1.402 * cr,
+            Y - 0.344136 * cb - 0.714136 * cr,
+            Y + 1.772 * cb,
+        )
+    ]
+    assert got.min(axis=(0, 1)).tolist() == want
+    assert got.max(axis=(0, 1)).tolist() == want
+
+    # progressive (SOF2) and truncated scans degrade to None, no raise
+    prog = bytes(f).replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert jpeg_pixels(prog) is None
+    assert jpeg_pixels(bytes(f)[:80]) is None
+
+
+def test_jpeg_spark_decode_and_resize(spark):
+    """JPEGs flow through the Spark decode/resize path like every
+    other container — no PIL in this environment, so this exercises
+    the pure-Python baseline path end to end."""
+    from zed_spark.textops.multimodal import (
+        any_pixels,
+        decode_image,
+        jpeg_bytes,
+        resize_image,
+    )
+
+    jb = jpeg_bytes(16, 10, fill=77)
+    assert any_pixels(jb).shape == (10, 16, 1)
+    df = spark.createDataFrame(
+        [(1, bytearray(jb)), (2, b"\xff\xd8junk")],
+        "doc_id long, media binary",
+    )
+    got = {r["doc_id"]: r for r in decode_image(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_channels"]) == (16, 10, 1)
+    assert abs(got[1]["mean_luma"] - 77 / 255) < 1e-6
+    assert got[2]["width"] is None
+    rz = {r["doc_id"]: r for r in resize_image(df, 4, 4).collect()}
+    assert rz[1]["resized"] == bytes([77]) * 48
+    assert rz[2]["resized"] is None
+
+
 def test_png_palette_decode_real():
     """Palette PNGs (color type 3) decode for real: PLTE lookup maps
     indices to RGB."""

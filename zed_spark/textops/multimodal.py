@@ -7,12 +7,14 @@ Decode tiers:
     markers, GIF/BMP fixed headers). Width/height/channels/format
     come from the actual bytes; no external library needed.
   - pixel-level decode (`decode_image` luma, `resize_image`) — REAL
-    for PNG (zlib inflate + spec unfiltering), BMP (BI_RGB rows) and
-    GIF (spec LZW) via pure-Python decoders, and for every PIL-known
-    format (JPEG's entropy decode included) when PIL is importable
-    (optional, probed at call time). Payloads no real path can decode
-    yield NULL feature columns (errors-as-values); `fake=True` keeps
-    the deterministic plumbing stub for synthetic payloads.
+    for PNG (zlib inflate + spec unfiltering), BMP (BI_RGB rows),
+    GIF (spec LZW) and baseline JPEG (Huffman entropy decode +
+    exact IDCT, `jpeg_pixels`) via pure-Python decoders, and for
+    every PIL-known format (progressive JPEG, CMYK) when PIL is
+    importable (optional, probed at call time). Payloads no real
+    path can decode yield NULL feature columns (errors-as-values);
+    `fake=True` keeps the deterministic plumbing stub for synthetic
+    payloads.
 
 Scale design:
   - binary payloads stay in parquet binary columns; metadata is a
@@ -416,11 +418,342 @@ def gif_pixels(b: bytes | None):
     return None
 
 
+# ITU-T T.81 Annex K.1 luminance quantization table (zigzag order) —
+# jpeg_bytes overrides Q[0] so solid fills round-trip exactly.
+_JPEG_QT_K1 = bytes([
+    16, 11, 12, 14, 12, 10, 16, 14, 13, 14, 18, 17, 16, 19, 24, 40,
+    26, 24, 22, 22, 24, 49, 35, 37, 29, 40, 58, 51, 61, 60, 57, 51,
+    56, 55, 64, 72, 92, 78, 64, 68, 87, 69, 55, 56, 80, 109, 81, 87,
+    95, 98, 103, 104, 103, 62, 77, 113, 121, 112, 100, 120, 92, 101,
+    103, 99,
+])
+# Annex K.3.1 DC luminance Huffman spec: BITS (counts per code length
+# 1..16) then HUFFVAL (symbols = DC diff categories 0..11).
+_JPEG_DC_BITS = bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0])
+_JPEG_DC_VALS = bytes(range(12))
+# Annex K.3.2 AC luminance Huffman spec (162 run/size symbols;
+# EOB=0x00 sits at code length 4).
+_JPEG_AC_BITS = bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D])
+_JPEG_AC_VALS = bytes([
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+
+_JPEG_ZIGZAG = bytes([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+
+def _jpeg_canonical(bits, vals) -> dict:
+    """(length, code) -> symbol from a DHT BITS/HUFFVAL spec — the
+    canonical code assignment of T.81 Annex C."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    byte-stuffing removal (T.81 §B.1.1.5); stops at any real marker."""
+
+    def __init__(self, b: bytes, i: int):
+        self.b, self.i, self.acc, self.n = b, i, 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.i >= len(self.b):
+                raise ValueError("eof")
+            byte = self.b[self.i]
+            if byte == 0xFF:
+                if self.i + 1 < len(self.b) and self.b[self.i + 1] == 0x00:
+                    self.i += 2  # stuffed 0xFF data byte
+                else:
+                    raise ValueError("marker")  # real marker in scan
+            else:
+                self.i += 1
+            self.acc, self.n = byte, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, count: int) -> int:
+        v = 0
+        for _ in range(count):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad huffman code")
+
+    def align(self):
+        self.n = 0
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """RECEIVE/EXTEND (T.81 §F.2.2.1): t-bit magnitude to signed."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def jpeg_pixels(b: bytes | None):
+    """REAL baseline JPEG decode, pure Python + numpy (ITU-T T.81):
+    DQT/DHT/SOF0/SOF1/DRI/SOS marker parse, canonical Huffman entropy
+    decode with byte-stuffing and restart markers, dequantize +
+    dezigzag, exact 8x8 IDCT via the DCT-II basis matrix, chroma
+    upsampling by pixel replication, JFIF YCbCr->RGB. Returns an
+    (h, w, channels) uint8 array (1 = grayscale, 3 = RGB), or None
+    for progressive (SOF2+), 12-bit, arithmetic-coded, or
+    non-interleaved multi-scan files (PIL handles those when
+    importable; see _real_decode)."""
+    import numpy as np
+
+    if not b or len(b) < 4 or bytes(b[:2]) != b"\xff\xd8":
+        return None
+    b = bytes(b)
+    qt: dict[int, list] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps = None  # [(id, h_samp, v_samp, qt_id)]
+    w = h = 0
+    restart = 0
+    i, n = 2, len(b)
+    try:
+        while i + 4 <= n:
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker == 0xD9:  # EOI before any scan
+                return None
+            if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                i += 2
+                continue
+            ln = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            seg = b[i + 4 : i + 2 + ln]
+            if marker == 0xDB:  # DQT — one or more tables
+                j = 0
+                while j < len(seg):
+                    pq, tq = seg[j] >> 4, seg[j] & 15
+                    step = 2 if pq else 1
+                    raw = seg[j + 1 : j + 1 + 64 * step]
+                    if pq:
+                        vals = list(struct.unpack(">64H", raw))
+                    else:
+                        vals = list(raw)
+                    qt[tq] = vals
+                    j += 1 + 64 * step
+            elif marker == 0xC4:  # DHT — one or more tables
+                j = 0
+                while j + 17 <= len(seg):
+                    tc, th = seg[j] >> 4, seg[j] & 15
+                    bits = seg[j + 1 : j + 17]
+                    cnt = sum(bits)
+                    vals = seg[j + 17 : j + 17 + cnt]
+                    (huff_ac if tc else huff_dc)[th] = _jpeg_canonical(bits, vals)
+                    j += 17 + cnt
+            elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+                if seg[0] != 8:  # sample precision
+                    return None
+                h, w = struct.unpack(">HH", seg[1:5])
+                nc = seg[5]
+                comps = [
+                    (seg[6 + 3 * k], seg[7 + 3 * k] >> 4,
+                     seg[7 + 3 * k] & 15, seg[8 + 3 * k])
+                    for k in range(nc)
+                ]
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive / lossless / arithmetic
+            elif marker == 0xDD:  # DRI
+                restart = struct.unpack(">H", seg[:2])[0]
+            elif marker == 0xDA:  # SOS
+                if comps is None or not w or not h:
+                    return None
+                ns = seg[0]
+                if ns != len(comps) or not 1 <= ns <= 4:
+                    return None  # multi-scan baseline: PIL path only
+                scan = {seg[1 + 2 * k]: (seg[2 + 2 * k] >> 4,
+                                         seg[2 + 2 * k] & 15)
+                        for k in range(ns)}
+                return _jpeg_decode_scan(
+                    np, b, i + 2 + ln, w, h, comps, scan, qt,
+                    huff_dc, huff_ac, restart,
+                )
+            i += 2 + ln
+    except (ValueError, KeyError, IndexError, struct.error):
+        return None
+    return None
+
+
+def _jpeg_decode_scan(np, b, i, w, h, comps, scan, qt, huff_dc,
+                      huff_ac, restart):
+    """Entropy-decode one interleaved baseline scan into pixel planes."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # exact IDCT basis: A[u, x] = C(u)/2 * cos((2x+1) u pi / 16)
+    u = np.arange(8)
+    A = 0.5 * np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16)
+    A[0] *= 1 / np.sqrt(2)
+    zig = np.frombuffer(_JPEG_ZIGZAG, np.uint8)
+    planes, qzz, dcs, acs = [], [], [], []
+    for cid, hs, vs, tq in comps:
+        planes.append(np.zeros((mcuy * vs * 8, mcux * hs * 8), np.float64))
+        qzz.append(np.asarray(qt[tq], np.float64))
+        td, ta = scan[cid]
+        dcs.append(huff_dc[td])
+        acs.append(huff_ac[ta])
+    r = _JpegBits(b, i)
+    pred = [0] * len(comps)
+    coef = np.zeros(64, np.float64)
+    done = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and done and done % restart == 0:
+                r.align()  # byte-align, then the RSTm marker
+                if r.b[r.i : r.i + 1] != b"\xff":
+                    return None
+                if not 0xD0 <= r.b[r.i + 1] <= 0xD7:
+                    return None
+                r.i += 2
+                pred = [0] * len(comps)
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        coef[:] = 0.0
+                        t = r.huff(dcs[ci])
+                        pred[ci] += _jpeg_extend(r.bits(t), t)
+                        coef[0] = pred[ci] * qzz[ci][0]
+                        k = 1
+                        while k < 64:
+                            rs = r.huff(acs[ci])
+                            rr, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if rr != 15:
+                                    break  # EOB
+                                k += 16
+                                continue
+                            k += rr
+                            if k > 63:
+                                return None
+                            coef[zig[k]] = (
+                                _jpeg_extend(r.bits(s), s) * qzz[ci][k]
+                            )
+                            k += 1
+                        blk = A.T @ coef.reshape(8, 8) @ A + 128.0
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+            done += 1
+    out = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        p = planes[ci]
+        if hs != hmax or vs != vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, 0), hmax // hs, 1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        g = np.clip(np.rint(out[0]), 0, 255).astype(np.uint8)
+        return g[..., None]
+    if len(out) != 3:
+        return None  # CMYK needs the Adobe transform — PIL path
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr,
+         y - 0.344136 * cb - 0.714136 * cr,
+         y + 1.772 * cb],
+        axis=-1,
+    )
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def jpeg_bytes(width: int, height: int, fill: int = 128) -> bytes:
+    """A minimal REAL baseline grayscale JPEG (solid fill), genuinely
+    entropy-coded with the Annex K.3 luminance Huffman tables — real
+    image bytes for tests without any library. Q[0] is 8, so the DC
+    coefficient is exactly fill-128 and the fill round-trips."""
+    qtab = bytearray(_JPEG_QT_K1)
+    qtab[0] = 8
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0) + bytes(qtab)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1)
+    out += bytes([1, 0x11, 0])  # component 1, 1x1 sampling, qtable 0
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + 12, 0x00)
+    out += _JPEG_DC_BITS + _JPEG_DC_VALS
+    nac = sum(_JPEG_AC_BITS)
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + nac, 0x10)
+    out += _JPEG_AC_BITS + _JPEG_AC_VALS[:nac]
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    dc_codes = {
+        s: (ln, code) for (ln, code), s in
+        _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS).items()
+    }
+    ac_codes = {
+        s: (ln, code) for (ln, code), s in
+        _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS).items()
+    }
+    buf = bits = 0
+    coded = bytearray()
+
+    def emit(ln, code):
+        nonlocal buf, bits
+        buf = (buf << ln) | code
+        bits += ln
+        while bits >= 8:
+            byte = (buf >> (bits - 8)) & 0xFF
+            coded.append(byte)
+            if byte == 0xFF:
+                coded.append(0x00)  # byte stuffing
+            bits -= 8
+        buf &= (1 << bits) - 1
+
+    diff = fill - 128  # first block; all later diffs are 0
+    for blk in range(-(-width // 8) * -(-height // 8)):
+        d = diff if blk == 0 else 0
+        t = d.bit_length() if d >= 0 else (-d).bit_length()
+        emit(*dc_codes[t])
+        if t:
+            emit(t, d if d >= 0 else d + (1 << t) - 1)
+        emit(*ac_codes[0x00])  # EOB
+    if bits:
+        pad = 8 - bits
+        byte = ((buf << pad) | ((1 << pad) - 1)) & 0xFF
+        coded.append(byte)
+        if byte == 0xFF:
+            coded.append(0x00)
+    out += coded + b"\xff\xd9"
+    return bytes(out)
+
+
 def any_pixels(b: bytes | None):
     """Pure-Python pixel decode for every container it can: PNG,
-    BMP (BI_RGB), GIF (non-interlaced). JPEG entropy decode genuinely
-    needs an image library (PIL handles it when importable)."""
-    for dec in (png_pixels, bmp_pixels, gif_pixels):
+    BMP (BI_RGB), GIF (non-interlaced), baseline JPEG (SOF0/SOF1;
+    progressive and CMYK fall through to PIL when importable)."""
+    for dec in (png_pixels, bmp_pixels, gif_pixels, jpeg_pixels):
         px = dec(b)
         if px is not None:
             return px
@@ -429,8 +762,9 @@ def any_pixels(b: bytes | None):
 
 def _real_decode(payload) -> tuple[int, int, int, float] | None:
     """REAL pixel decode: PIL when importable (any format it knows),
-    else the pure-Python PNG/BMP/GIF paths. Returns (w, h, channels,
-    mean_luma in [0,1]) or None if no real path can decode it."""
+    else the pure-Python PNG/BMP/GIF/baseline-JPEG paths. Returns
+    (w, h, channels, mean_luma in [0,1]) or None if no real path can
+    decode it."""
     import numpy as np
 
     if payload is None or len(payload) == 0:
