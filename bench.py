@@ -73,6 +73,9 @@ NEW_QUERIES: list[str] = [
     # round-11: cross-snapshot incremental dedup (lake-persisted
     # signatures; oracle-pinned equal to full dedup in EXTRA_ORACLES)
     "incremental_dedup",
+    # round-11 late tranche: exact substring dedup (duplicated spans)
+    # + benchmark decontamination (oracle-pinned in EXTRA_ORACLES)
+    "duplicated_spans", "decontaminate",
 ]
 
 
@@ -101,6 +104,9 @@ def _extra_queries() -> dict:
         "dedup_corpus": qt.dedup_corpus_q,
         "mixture_sample": qt.mixture_sample_q,
         "incremental_dedup": qt.incremental_dedup_q,
+        # round-11 late tranche (NEW_QUERIES block)
+        "duplicated_spans": qt.duplicated_spans_q,
+        "decontaminate": qt.decontaminate_q,
     }
 
 

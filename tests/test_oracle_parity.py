@@ -36,6 +36,11 @@ EXTRA_ORACLES = {
     # persists+rereads minhash signatures through a lake pool and
     # never rescans old text
     "incremental_dedup": (qt.incremental_dedup_q, qt.DEDUP_CORPUS_SQL),
+    # round-11 late tranche: exact substring dedup (duplicated-span
+    # detection, Lee et al. 2021 semantics) + benchmark
+    # decontamination (n-gram collision vs a broadcast eval set)
+    "duplicated_spans": (qt.duplicated_spans_q, qt.DUP_SPANS_SQL),
+    "decontaminate": (qt.decontaminate_q, qt.DECONTAM_SQL),
 }
 
 

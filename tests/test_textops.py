@@ -423,3 +423,123 @@ def test_minhash_signature_column_form(spark):
         for i in range(4)
     ]
     assert col_form == want
+
+
+def test_duplicated_spans_hand_cases(spark):
+    """Span semantics pinned on hand-computable docs: cross-doc
+    shared windows, a WITHIN-doc repeat (the paper counts both), and
+    island merging of overlapping windows."""
+    from zed_spark.textops.spans import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g"),
+            (1, "x y a b c d q"),
+            (2, "p q r s p q r s"),
+            (3, "unique words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"]): (r["span_end"], r["n_tokens"])
+        for r in duplicated_spans(docs, n=4, min_count=2).collect()
+    }
+    # "a b c d" occurs in docs 0 and 1 -> one 4-token span each
+    assert got[(0, 0)] == (3, 4)
+    assert got[(1, 2)] == (5, 4)
+    # doc 2: "p q r s" repeats at positions 0 and 4 of the SAME doc;
+    # positions 0 and 4 are non-adjacent -> two distinct spans
+    assert got[(2, 0)] == (3, 4)
+    assert got[(2, 4)] == (7, 4)
+    assert len(got) == 4  # doc 3 contributes nothing
+
+
+def test_duplicated_spans_island_merge(spark):
+    """Consecutive duplicated windows merge into ONE maximal span
+    (positions p and p+1 overlap by n-1 tokens)."""
+    from zed_spark.textops.spans import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e z z"),
+            (1, "q a b c d e w"),
+        ],
+        "doc_id long, text string",
+    )
+    # shared run "a b c d e": 4-gram windows at doc0 pos {0,1} and
+    # doc1 pos {1,2} -> merged spans covering 5 tokens each
+    rows = {r["doc_id"]: r for r in duplicated_spans(docs, n=4).collect()}
+    assert (rows[0]["span_start"], rows[0]["span_end"], rows[0]["n_tokens"]) == (0, 4, 5)
+    assert (rows[1]["span_start"], rows[1]["span_end"], rows[1]["n_tokens"]) == (1, 5, 5)
+
+
+def test_strip_duplicated_spans(spark):
+    """The remediation step cuts span tokens out and leaves clean
+    docs untouched (normalized); a fully-duplicated doc strips to
+    the empty string."""
+    from zed_spark.textops.spans import strip_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g", "en"),
+            (1, "x y a b c d q", "en"),
+            (2, "p q r s p q r s", "de"),
+            (3, "Unique   Words only HERE", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["doc_id"]: r for r in strip_duplicated_spans(docs, n=4).collect()}
+    assert got[0]["text"] == "e f g"
+    assert got[1]["text"] == "x y q"
+    assert got[2]["text"] == ""
+    # untouched docs come back normalized, other columns intact
+    assert got[3]["text"] == "unique words only here"
+    assert got[3]["lang"] == "fr"
+    assert set(got[0].asDict()) == {"doc_id", "text", "lang"}
+
+
+def test_contamination_report_and_decontaminate(spark):
+    """Distinct-gram hit counting against a separate eval frame:
+    per-doc hits, min_hits thresholding, and eval-side cross-doc
+    dedup of grams (one gram shared with two eval docs = one hit)."""
+    from zed_spark.textops.decontam import contamination_report, decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "completely unrelated text with no benchmark overlap"),
+            (2, "the quick brown fox appears here too"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps high"),
+            (101, "another copy the quick brown fox of it"),
+        ],
+        "eval_id long, prompt string",
+    )
+    rep = {
+        r["doc_id"]: r["n_hits"]
+        for r in contamination_report(
+            docs, eval_df, n=3, eval_text_col="prompt"
+        ).collect()
+    }
+    # doc 0 shares 3-grams 'the quick brown', 'quick brown fox',
+    # 'brown fox jumps' (the first two appear in BOTH eval docs but
+    # count once); doc 2 shares the first two; doc 1 shares none
+    assert rep == {0: 3, 2: 2}
+    kept = sorted(
+        r["doc_id"]
+        for r in decontaminate(
+            docs, eval_df, n=3, min_hits=3, eval_text_col="prompt"
+        ).collect()
+    )
+    assert kept == [1, 2]  # only doc 0 reaches 3 hits
+    kept1 = sorted(
+        r["doc_id"]
+        for r in decontaminate(
+            docs, eval_df, n=3, min_hits=1, eval_text_col="prompt"
+        ).collect()
+    )
+    assert kept1 == [1]

@@ -654,3 +654,90 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
       < rate * {1 << 28}
 ORDER BY doc_id
 """
+
+
+def duplicated_spans_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact substring dedup, detection step (round-11 tranche):
+    every maximal token span whose 4-token windows each occur >= 2
+    times corpus-wide (Lee et al. 2021 semantics, re-expressed as a
+    distributed n-gram-position pipeline — no suffix array, no
+    all-pairs; see textops/spans.py)."""
+    from zed_spark.textops.spans import duplicated_spans
+
+    docs = read_table(spark, sf, "documents")
+    # single-file input at test scales: fan out so the n-gram explode
+    # uses every core (at 100 TB the scan already has enough splits —
+    # same conditional as repetition_filter_q)
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    out = duplicated_spans(docs, n=4, min_count=2)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    ).orderBy("doc_id", "span_start")
+
+
+DUP_SPANS_SQL = f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+pg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ws) - 3, 0)),
+           i -> struct_pack(pos := i - 1,
+                            g := array_to_string(list_slice(ws, i, i + 3), ' ')))) AS u
+  FROM w
+),
+pg2 AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM pg),
+dup AS (SELECT g FROM pg2 GROUP BY g HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, pos FROM pg2 JOIN dup USING (g)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 1
+              THEN 1 ELSE 0 END AS brk
+  FROM hits),
+isl2 AS (SELECT doc_id, pos,
+                SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM isl)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 3 AS span_end,
+       MAX(pos) - MIN(pos) + 4 AS n_tokens
+FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start
+"""
+
+
+def decontaminate_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (round-11 tranche): docs sharing any
+    5-gram with the held-out eval slice (doc_id % 17 == 3 stands in
+    for the benchmark) are dropped. Eval gram set is broadcast — the
+    corpus is never shuffled by gram."""
+    from zed_spark.textops.decontam import decontaminate
+
+    docs = read_table(spark, sf, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    eval_df = docs.where(F.col("doc_id") % 17 == 3)
+    return (
+        decontaminate(docs, eval_df, n=5, min_hits=1)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+DECONTAM_SQL = f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(
+                generate_series(1, greatest(len(ws) - 4, 0)),
+                i -> array_to_string(list_slice(ws, i, i + 4), ' '))) AS grams
+       FROM w),
+ev AS (SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE doc_id % 17 = 3),
+bad AS (
+  SELECT DISTINCT s.doc_id
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM sh) s JOIN ev USING (gram))
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+ORDER BY doc_id
+"""

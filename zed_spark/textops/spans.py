@@ -1,0 +1,144 @@
+"""Duplicated-span detection and removal (exact substring dedup).
+
+The training-data op from "Deduplicating Training Data Makes
+Language Models Better" (Lee et al. 2021, arXiv:2107.06499): find
+every maximal token span whose n-token windows all occur >= 2 times
+in the corpus, and optionally cut those spans out of the text. The
+paper builds a suffix array; that structure is inherently
+single-machine, so this engine re-expresses the same semantics as
+a distributed n-gram-position pipeline:
+
+  1. positional n-grams — every (doc, token position) yields the
+     n-token window starting there (one zip_with chain, no
+     per-element re-evaluation; see dedup.word_shingles);
+  2. duplicated windows — group by the window hash, keep hashes
+     with total count >= min_count (map-side partial counts, one
+     shuffle on the hash);
+  3. span assembly — positions whose window is duplicated merge
+     into maximal spans per doc via gaps-and-islands (a lag +
+     running-sum window partitioned BY DOC — never a global sort).
+     A span [p0, p1] of n-gram positions covers tokens
+     [p0, p1 + n - 1].
+
+Scale: the shuffles key on gram hash (step 2, bounded by corpus
+token count) and doc_id (step 3). Nothing is all-pairs, nothing
+collects to the driver, and the per-doc window state is one doc's
+positions. Hot n-grams (boilerplate) are exactly the ones the op
+exists to find; AQE skew splitting handles their shuffle skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from zed_spark.textops.dedup import normalize_text
+
+
+def positional_ngrams(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, pos, gram): the n-token window starting at each 0-based
+    token position of the normalized text. Built with the zip_with
+    chain (tail windows shorter than n come out null and are dropped
+    AFTER posexplode, so positions stay aligned)."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    cur: Column = words
+    for j in range(1, n):
+        rest = F.slice(words, j + 1, F.greatest(F.size(words) - j, F.lit(0)))
+        cur = F.zip_with(cur, rest, lambda a, b: F.concat(a, F.lit(" "), b))
+    return (
+        df.select(id_col, F.posexplode(cur).alias("pos", "gram"))
+        .where(F.col("gram").isNotNull())
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    n: int = 5,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated token spans per doc: (id, span_start,
+    span_end, n_tokens), token positions 0-based inclusive. A span is
+    the union of consecutive positions whose n-gram occurs at least
+    `min_count` times corpus-wide (within- and cross-doc occurrences
+    both count, as in the paper)."""
+    pg = positional_ngrams(df, n=n, text_col=text_col, id_col=id_col)
+    # 8-byte codegen hash as the shuffle/join key (not md5 strings):
+    # a 64-bit collision would merge two distinct grams, at ~1e-19
+    # per pair — the oracle's exact-output compare would catch it
+    pg = pg.select(id_col, "pos", F.xxhash64("gram").alias("gh"))
+    dup = (
+        pg.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select("gh")
+    )
+    hits = pg.join(dup, "gh").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = hits.withColumn(
+        "brk",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + 1),
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("brk").over(w))
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n - 1).alias("span_end"),
+            (F.max("pos") - F.min("pos") + n).alias("n_tokens"),
+        )
+        .drop("island")
+    )
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    n: int = 5,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut duplicated spans out of each doc: the paper's remediation
+    step. Returns the input rows with `text` replaced by the
+    normalized text minus every token inside a duplicated span (docs
+    with no spans keep their normalized text whole).
+
+    Plan: spans collapse to one small array per affected doc
+    (collect_list after the span agg), broadcast-or-shuffle join
+    back on id, then ONE pass over the word array with an
+    index-aware filter — exists() over the span array per token.
+    Span counts per doc are tiny (boilerplate runs), so the arrays
+    are bounded."""
+    spans = duplicated_spans(
+        df, n=n, min_count=min_count, text_col=text_col, id_col=id_col
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    kept = F.filter(
+        words,
+        lambda w, i: ~F.exists(
+            F.col("__spans"),
+            lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+        ),
+    )
+    out_cols = [c for c in df.columns if c != text_col]
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn(
+            text_col,
+            F.when(F.col("__spans").isNull(), normalize_text(F.col(text_col)))
+            .otherwise(F.array_join(kept, " ")),
+        )
+        .select(*out_cols, text_col)
+    )
