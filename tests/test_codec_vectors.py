@@ -355,6 +355,34 @@ def test_json_pretty_serializer_go_floats_and_dumps_shape():
     assert got == '{\n    "f": [\n        0.00001,\n        1e-7\n    ]\n}'
 
 
+def test_native_json_sink_float_form_documented(spark, tmp_path):
+    """The DISTRIBUTED json sink (df.write.json — Spark's Jackson
+    writer) renders floats in Java shortest form ("1.0E-7"), not the
+    reference's Go form ("1e-7"). This is a DOCUMENTED divergence for
+    the bulk path: both forms are shortest-round-trip, so values
+    survive exactly (asserted here); reference-exact TEXT comes from
+    the gated to_json_text path (asserted in the pretty/compact
+    vector tests). If this test ever fails on the value assertion,
+    the sink is corrupting floats, not just spelling them."""
+    import json
+
+    from zed_spark.sources.jsonio import to_json_text
+    from zed_spark.sources.sinks import write_any
+
+    vals = [1.5e-7, 1e-5, 2.5e22, 0.1, -0.0, 3.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, f double")
+    out = str(tmp_path / "j")
+    write_any(df, out, fmt="json")
+    back = {r["i"]: r["f"] for r in spark.read.json(out).collect()}
+    import struct as _s
+
+    for i, v in enumerate(vals):
+        assert _s.pack("<d", back[i]) == _s.pack("<d", v), (i, v, back[i])
+    # the reference-exact text path for the same frame
+    txt = to_json_text(df.orderBy("i"))
+    assert '"f":1.5e-7' in txt and '"f":0.00001' in txt and '"f":2.5e+22' in txt
+
+
 def test_time_duration_text_vectors():
     """RFC3339Nano times (incl. pre-epoch) and pkg/nano durations."""
     from zed_spark.functions.ztime import format_duration_ns, format_time_ns
