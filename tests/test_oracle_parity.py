@@ -41,6 +41,7 @@ EXTRA_ORACLES = {
     # decontamination (n-gram collision vs a broadcast eval set)
     "duplicated_spans": (qt.duplicated_spans_q, qt.DUP_SPANS_SQL),
     "decontaminate": (qt.decontaminate_q, qt.DECONTAM_SQL),
+    "chunk_documents": (qt.chunk_documents_q, qt.CHUNK_SQL),
 }
 
 

@@ -543,3 +543,30 @@ def test_contamination_report_and_decontaminate(spark):
         ).collect()
     )
     assert kept1 == [1]
+
+
+def test_chunk_documents_semantics(spark):
+    """Chunk windows pinned by hand: overlap arithmetic, short tail,
+    doc shorter than one window, empty doc producing nothing."""
+    from zed_spark.textops.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h i j"),  # 10 words
+            (1, "one two"),
+            (2, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, max_tokens=4, stride=3).collect()
+    got = {(r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk"]) for r in rows}
+    assert got[(0, 0)] == (4, "a b c d")
+    assert got[(0, 1)] == (4, "d e f g")
+    assert got[(0, 2)] == (4, "g h i j")
+    assert got[(0, 3)] == (1, "j")  # tail window, start 9
+    assert got[(1, 0)] == (2, "one two")
+    assert len([k for k in got if k[0] == 2]) == 0  # empty doc: no chunks
+    # non-overlapping default covers every token exactly once
+    nolap = chunk_documents(docs, max_tokens=4).collect()
+    tok = sum(r["n_tokens"] for r in nolap if r["doc_id"] == 0)
+    assert tok == 10

@@ -726,6 +726,37 @@ def decontaminate_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def chunk_documents_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Document chunking (round-11 tranche): overlapping 32-token
+    windows every 24 tokens — the fixed-length-sequence prep step
+    between cleaning and shard packing. Pure per-row codegen, no
+    shuffle (see textops/chunking.py)."""
+    from zed_spark.textops.chunking import chunk_documents
+
+    docs = read_table(spark, sf, "documents")
+    out = chunk_documents(docs, max_tokens=32, stride=24)
+    return out.orderBy("doc_id", "chunk_id")
+
+
+CHUNK_SQL = f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+c AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(0, greatest(len(ws) - 1, 0), 24),
+           s -> struct_pack(
+             chunk_id := s // 24,
+             n_tokens := least(32, len(ws) - s),
+             chunk := array_to_string(list_slice(ws, s + 1, s + 32), ' ')))) AS u
+  FROM w
+)
+SELECT doc_id, CAST(u.chunk_id AS BIGINT) AS chunk_id,
+       CAST(u.n_tokens AS BIGINT) AS n_tokens, u.chunk AS chunk
+FROM c WHERE u.chunk != ''
+ORDER BY doc_id, chunk_id
+"""
+
+
 DECONTAM_SQL = f"""
 WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
 sh AS (SELECT doc_id,
