@@ -586,6 +586,201 @@ def test_jpeg_color_420_restart_markers():
     assert jpeg_pixels(bytes(f)[:80]) is None
 
 
+def _jpeg_test_tables():
+    import struct
+
+    from zed_spark.textops.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+    )
+
+    dht = b"\xff\xc4" + struct.pack(">HB", 31, 0x00) + _JPEG_DC_BITS + _JPEG_DC_VALS
+    dht += b"\xff\xc4" + struct.pack(">HB", 181, 0x10) + _JPEG_AC_BITS + _JPEG_AC_VALS
+    dc = _jpeg_test_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac = _jpeg_test_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    return dht, dc, ac
+
+
+def _jpeg_prog_ac_table():
+    """A custom AC Huffman table with the EOBn symbols progressive
+    scans need (Annex K's sequential table has only EOB0/ZRL —
+    progressive encoders always emit custom tables). Canonical codes:
+    L2: 0x00, 0x01; L3: 0x10, 0x20."""
+    import struct
+
+    bits = bytes([0, 2, 2] + [0] * 13)
+    vals = bytes([0x00, 0x01, 0x10, 0x20])
+    seg = b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + 4, 0x10) + bits + vals
+    return seg, _jpeg_test_codes(bits, vals)
+
+
+def _jpeg_sos(comps, ss, se, ah, al):
+    """SOS segment: comps = [(cid, td, ta)]."""
+    import struct
+
+    ns = len(comps)
+    seg = bytes([ns])
+    for cid, td, ta in comps:
+        seg += bytes([cid, (td << 4) | ta])
+    seg += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + seg
+
+
+def _put_dc_diff(put, dc, diff):
+    t = abs(diff).bit_length()
+    put(dc[t][1], dc[t][0])
+    if t:
+        put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+
+def test_jpeg_progressive_gray_successive_approximation():
+    """A hand-assembled progressive (SOF2) grayscale file — DC first
+    at Al=1, all-zero AC band via a 2-block EOB run, DC refinement —
+    must reconstruct the exact solid fill. Every scan's bitstream is
+    built by the independent in-test emitter per T.81 Annex G."""
+    import struct
+
+    import numpy as np
+
+    from zed_spark.textops.multimodal import jpeg_pixels
+
+    dht, dc, ac = _jpeg_test_tables()
+    ac_seg, ac = _jpeg_prog_ac_table()  # EOBn symbols (custom table)
+    qtab = bytes([8] + [16] * 63)
+    FILL = 150  # quantized DC = (150-128)*8/8 = 22; 22>>1 = 11, LSB 0
+
+    f = bytearray(b"\xff\xd8")
+    f += b"\xff\xdb" + struct.pack(">HB", 67, 0) + qtab
+    f += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 16, 1) + bytes([1, 0x11, 0])
+    f += dht + ac_seg
+    # scan 1: DC first, Al=1 — diffs 11 then 0 (reduced precision)
+    put, flush, _ = _jpeg_test_emitter()
+    _put_dc_diff(put, dc, 11)
+    _put_dc_diff(put, dc, 0)
+    f += _jpeg_sos([(1, 0, 0)], 0, 0, 0, 1) + flush()
+    # scan 2: AC first, band 1-63 — one EOB run covering both blocks
+    put, flush, _ = _jpeg_test_emitter()
+    put(ac[0x10][1], ac[0x10][0])  # EOB1: run = 2 + extra bit
+    put(0, 1)
+    f += _jpeg_sos([(1, 0, 0)], 1, 63, 0, 0) + flush()
+    # scan 3: DC refinement Ah=1, Al=0 — LSB of 22 is 0, both blocks
+    put, flush, _ = _jpeg_test_emitter()
+    put(0, 1)
+    put(0, 1)
+    f += _jpeg_sos([(1, 0, 0)], 0, 0, 1, 0) + flush()
+    f += b"\xff\xd9"
+
+    got = jpeg_pixels(bytes(f))
+    assert got is not None and got.shape == (8, 16, 1)
+    assert int(got.min()) == int(got.max()) == FILL
+
+
+def test_jpeg_progressive_ac_refinement_correction_bits():
+    """AC successive approximation end to end: an AC coefficient
+    placed at reduced precision in the first scan gains its
+    correction bit in the refinement scan (the EOB-run branch must
+    refine the remaining band of the CURRENT block — the formula
+    differs from first scans). Expected pixels from the in-test
+    double-sum IDCT."""
+    import struct
+
+    import numpy as np
+
+    from zed_spark.textops.multimodal import jpeg_pixels
+
+    dht, dc, ac = _jpeg_test_tables()
+    f = bytearray(b"\xff\xd8")
+    f += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+    f += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    f += dht
+    # true quantized coefs: DC = 16, AC at zigzag 1 = 3
+    # scan 1: DC first Al=1 -> diff 8, stored 16
+    put, flush, _ = _jpeg_test_emitter()
+    _put_dc_diff(put, dc, 8)
+    f += _jpeg_sos([(1, 0, 0)], 0, 0, 0, 1) + flush()
+    # scan 2: AC first Al=1 -> 3>>1 = 1 at k=1 (run 0 size 1, bit 1),
+    # then EOB
+    put, flush, _ = _jpeg_test_emitter()
+    put(ac[0x01][1], ac[0x01][0])
+    put(1, 1)
+    put(ac[0x00][1], ac[0x00][0])
+    f += _jpeg_sos([(1, 0, 0)], 1, 63, 0, 1) + flush()
+    # scan 3: DC refine Al=0 -> LSB of 16 is 0
+    put, flush, _ = _jpeg_test_emitter()
+    put(0, 1)
+    f += _jpeg_sos([(1, 0, 0)], 0, 0, 1, 0) + flush()
+    # scan 4: AC refine Al=0 -> no new coefs: EOB(run 1), then the
+    # correction bit for k=1 (3 has LSB 1)
+    put, flush, _ = _jpeg_test_emitter()
+    put(ac[0x00][1], ac[0x00][0])
+    put(1, 1)
+    f += _jpeg_sos([(1, 0, 0)], 1, 63, 1, 0) + flush()
+    f += b"\xff\xd9"
+
+    S = [[0] * 8 for _ in range(8)]
+    S[0][0], S[0][1] = 16, 3
+    want = np.clip(np.rint(np.array(_jpeg_naive_idct(S))), 0, 255).astype(np.uint8)
+    got = jpeg_pixels(bytes(f))
+    assert got is not None and got.shape == (8, 8, 1)
+    assert np.array_equal(got[..., 0], want), (got[..., 0], want)
+
+
+def test_jpeg_progressive_color_interleaved_dc():
+    """Progressive color 4:2:0: one interleaved DC scan (all three
+    components, per-component predictors) + per-component all-zero AC
+    scans with multi-block EOB runs reconstructs the exact solid
+    YCbCr color."""
+    import struct
+
+    import numpy as np
+
+    from zed_spark.textops.multimodal import jpeg_pixels
+
+    dht, dc, ac = _jpeg_test_tables()
+    ac_seg, ac = _jpeg_prog_ac_table()  # EOBn symbols (custom table)
+    Y, CB, CR = 90, 60, 190
+    qtab = bytes([8] + [16] * 63)
+    f = bytearray(b"\xff\xd8")
+    f += b"\xff\xdb" + struct.pack(">HB", 67, 0) + qtab
+    f += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, 16, 16, 3)
+    f += bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    f += dht + ac_seg
+    # interleaved DC-first scan (Al=0): MCU = 4 Y blocks + Cb + Cr
+    put, flush, _ = _jpeg_test_emitter()
+    for i in range(4):
+        _put_dc_diff(put, dc, (Y - 128) if i == 0 else 0)
+    _put_dc_diff(put, dc, CB - 128)
+    _put_dc_diff(put, dc, CR - 128)
+    f += _jpeg_sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 0, 0) + flush()
+    # AC-first scans, all zero: Y has 4 blocks (EOB2 + 2 extra-bit
+    # zeros -> run of 4), Cb/Cr one block each (EOB0)
+    put, flush, _ = _jpeg_test_emitter()
+    put(ac[0x20][1], ac[0x20][0])
+    put(0, 2)
+    f += _jpeg_sos([(1, 0, 0)], 1, 63, 0, 0) + flush()
+    for cid in (2, 3):
+        put, flush, _ = _jpeg_test_emitter()
+        put(ac[0x00][1], ac[0x00][0])
+        f += _jpeg_sos([(cid, 0, 0)], 1, 63, 0, 0) + flush()
+    f += b"\xff\xd9"
+
+    got = jpeg_pixels(bytes(f))
+    assert got is not None and got.shape == (16, 16, 3)
+    cb, cr = CB - 128.0, CR - 128.0
+    want = [
+        int(np.clip(round(v), 0, 255))
+        for v in (
+            Y + 1.402 * cr,
+            Y - 0.344136 * cb - 0.714136 * cr,
+            Y + 1.772 * cb,
+        )
+    ]
+    assert got.min(axis=(0, 1)).tolist() == want
+    assert got.max(axis=(0, 1)).tolist() == want
+
+
 def test_jpeg_spark_decode_and_resize(spark):
     """JPEGs flow through the Spark decode/resize path like every
     other container — no PIL in this environment, so this exercises

@@ -521,14 +521,15 @@ def _jpeg_extend(v: int, t: int) -> int:
 
 
 def jpeg_pixels(b: bytes | None):
-    """REAL baseline JPEG decode, pure Python + numpy (ITU-T T.81):
-    DQT/DHT/SOF0/SOF1/DRI/SOS marker parse, canonical Huffman entropy
-    decode with byte-stuffing and restart markers, dequantize +
-    dezigzag, exact 8x8 IDCT via the DCT-II basis matrix, chroma
-    upsampling by pixel replication, JFIF YCbCr->RGB. Returns an
-    (h, w, channels) uint8 array (1 = grayscale, 3 = RGB), or None
-    for progressive (SOF2+), 12-bit, arithmetic-coded, or
-    non-interleaved multi-scan files (PIL handles those when
+    """REAL JPEG decode, pure Python + numpy (ITU-T T.81): baseline
+    (SOF0/SOF1, one interleaved scan) AND progressive (SOF2, spectral
+    selection + successive approximation per Annex G). Canonical
+    Huffman entropy decode with byte-stuffing and restart markers,
+    dequantize + dezigzag, exact 8x8 IDCT via the DCT-II basis
+    matrix, chroma upsampling by pixel replication, JFIF YCbCr->RGB.
+    Returns an (h, w, channels) uint8 array (1 = grayscale, 3 = RGB),
+    or None for 12-bit, lossless, arithmetic-coded, CMYK, or
+    non-interleaved multi-scan BASELINE files (PIL handles those when
     importable; see _real_decode)."""
     import numpy as np
 
@@ -541,17 +542,23 @@ def jpeg_pixels(b: bytes | None):
     comps = None  # [(id, h_samp, v_samp, qt_id)]
     w = h = 0
     restart = 0
+    progressive = False
+    pstate = None
     i, n = 2, len(b)
     try:
-        while i + 4 <= n:
+        while i + 2 <= n:
             if b[i] != 0xFF:
                 return None
             marker = b[i + 1]
-            if marker == 0xD9:  # EOI before any scan
+            if marker == 0xD9:  # EOI
+                if pstate is not None and pstate.got_scan:
+                    return _jpeg_prog_finish(np, w, h, comps, qt, pstate)
                 return None
             if 0xD0 <= marker <= 0xD7 or marker == 0x01:
                 i += 2
                 continue
+            if i + 4 > n:
+                return None
             ln = struct.unpack(">H", b[i + 2 : i + 4])[0]
             seg = b[i + 4 : i + 2 + ln]
             if marker == 0xDB:  # DQT — one or more tables
@@ -575,9 +582,10 @@ def jpeg_pixels(b: bytes | None):
                     vals = seg[j + 17 : j + 17 + cnt]
                     (huff_ac if tc else huff_dc)[th] = _jpeg_canonical(bits, vals)
                     j += 17 + cnt
-            elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
                 if seg[0] != 8:  # sample precision
                     return None
+                progressive = marker == 0xC2
                 h, w = struct.unpack(">HH", seg[1:5])
                 nc = seg[5]
                 comps = [
@@ -585,24 +593,41 @@ def jpeg_pixels(b: bytes | None):
                      seg[7 + 3 * k] & 15, seg[8 + 3 * k])
                     for k in range(nc)
                 ]
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive / lossless / arithmetic
+                return None  # lossless / arithmetic / differential
             elif marker == 0xDD:  # DRI
                 restart = struct.unpack(">H", seg[:2])[0]
             elif marker == 0xDA:  # SOS
                 if comps is None or not w or not h:
                     return None
                 ns = seg[0]
-                if ns != len(comps) or not 1 <= ns <= 4:
-                    return None  # multi-scan baseline: PIL path only
                 scan = {seg[1 + 2 * k]: (seg[2 + 2 * k] >> 4,
                                          seg[2 + 2 * k] & 15)
                         for k in range(ns)}
-                return _jpeg_decode_scan(
-                    np, b, i + 2 + ln, w, h, comps, scan, qt,
-                    huff_dc, huff_ac, restart,
+                if not progressive:
+                    if ns != len(comps) or not 1 <= ns <= 4:
+                        return None  # multi-scan baseline: PIL path only
+                    return _jpeg_decode_scan(
+                        np, b, i + 2 + ln, w, h, comps, scan, qt,
+                        huff_dc, huff_ac, restart,
+                    )
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+                if pstate is None:
+                    pstate = _JpegProgState(np, w, h, comps)
+                scan_comps = [
+                    (ci, cid, hs, vs)
+                    for ci, (cid, hs, vs, tq) in enumerate(comps)
+                    if cid in scan
+                ]
+                if len(scan_comps) != ns:
+                    return None
+                i = _jpeg_prog_scan(
+                    b, i + 2 + ln, comps, scan_comps, scan, qt,
+                    huff_dc, huff_ac, restart, ss, se, ah, al, pstate,
                 )
+                continue
             i += 2 + ln
     except (ValueError, KeyError, IndexError, struct.error):
         return None
@@ -670,6 +695,208 @@ def _jpeg_decode_scan(np, b, i, w, h, comps, scan, qt, huff_dc,
                         x0 = (mx * hs + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
             done += 1
+    return _jpeg_finish(np, planes, comps, hmax, vmax, w, h)
+
+
+class _JpegProgState:
+    """Per-component zigzag-order coefficient accumulators for a
+    progressive (SOF2) frame — scans add spectral bands and
+    successive-approximation bits until EOI (T.81 Annex G)."""
+
+    def __init__(self, np, w, h, comps):
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.mcux = -(-w // (8 * self.hmax))
+        self.mcuy = -(-h // (8 * self.vmax))
+        self.coefs = []   # [by, bx, 64] int64, zigzag index order
+        self.bdims = []   # true (non-MCU-padded) block dims per comp
+        for cid, hs, vs, tq in comps:
+            self.coefs.append(
+                np.zeros((self.mcuy * vs * 8 // 8, self.mcux * hs * 8 // 8, 64),
+                         np.int64)
+            )
+            cw = -(-w * hs // self.hmax)
+            ch = -(-h * vs // self.vmax)
+            self.bdims.append((-(-ch // 8), -(-cw // 8)))
+        self.eobrun = 0
+        self.got_scan = False
+
+
+def _jpeg_prog_block_first(r, blk, dc_tab, ac_tab, pred, ss, se, al, state):
+    """First pass over a spectral band (Ah == 0): DC diff or AC
+    run/size coding with EOB runs (T.81 G.1.2.1-2)."""
+    if ss == 0:
+        t = r.huff(dc_tab)
+        pred += _jpeg_extend(r.bits(t), t)
+        blk[0] = pred << al
+        return pred
+    if state.eobrun > 0:
+        state.eobrun -= 1
+        return pred
+    k = ss
+    while k <= se:
+        rs = r.huff(ac_tab)
+        run, s = rs >> 4, rs & 15
+        if s == 0:
+            if run != 15:
+                state.eobrun = (1 << run) - 1
+                if run:
+                    state.eobrun += r.bits(run)
+                break
+            k += 16
+            continue
+        k += run
+        if k > se:
+            raise ValueError("band overrun")
+        blk[k] = _jpeg_extend(r.bits(s), s) << al
+        k += 1
+    return pred
+
+
+def _jpeg_prog_block_refine(r, blk, ac_tab, ss, se, al, state):
+    """Successive-approximation refinement (Ah != 0): DC appends one
+    bit; AC applies the correction-bit algorithm of T.81 G.1.2.3 —
+    newly nonzero coefficients skip ZERO-history positions only,
+    reading a correction bit at every nonzero-history position
+    passed."""
+    p1, m1 = 1 << al, -(1 << al)
+    if ss == 0:
+        if r.bit():
+            blk[0] |= p1
+        return
+    k = ss
+    if state.eobrun == 0:
+        while k <= se:
+            rs = r.huff(ac_tab)
+            run, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if run != 15:
+                    # unlike first scans, the EOB run here INCLUDES
+                    # the current block — its remaining band is
+                    # refined by the post-loop, which decrements
+                    state.eobrun = 1 << run
+                    if run:
+                        state.eobrun += r.bits(run)
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            else:  # s is always 1 in a refinement scan
+                val = p1 if r.bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if r.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if state.eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if r.bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        state.eobrun -= 1
+
+
+def _jpeg_prog_scan(b, i, comps, scan_comps, scan, qt, huff_dc, huff_ac,
+                    restart, ss, se, ah, al, state):
+    """Decode one progressive scan into the coefficient store; returns
+    the byte offset of the marker that ends the scan's entropy data.
+    scan_comps: [(ci, cid, hs, vs)] in scan order."""
+    r = _JpegBits(b, i)
+    state.eobrun = 0
+    state.got_scan = True
+    pred = {ci: 0 for ci, *_ in scan_comps}
+    first = ah == 0
+
+    def maybe_restart(done):
+        if restart and done and done % restart == 0:
+            r.align()
+            if r.b[r.i : r.i + 1] != b"\xff" or not 0xD0 <= r.b[r.i + 1] <= 0xD7:
+                raise ValueError("missing restart marker")
+            r.i += 2
+            for c in pred:
+                pred[c] = 0
+            state.eobrun = 0
+
+    if len(scan_comps) == 1:
+        # non-interleaved: raster over the component's TRUE block dims
+        ci, cid, hs, vs = scan_comps[0]
+        td, ta = scan[cid]
+        dc_tab, ac_tab = huff_dc.get(td), huff_ac.get(ta)
+        bh, bw = state.bdims[ci]
+        done = 0
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart(done)
+                blk = state.coefs[ci][by, bx]
+                if first:
+                    pred[ci] = _jpeg_prog_block_first(
+                        r, blk, dc_tab, ac_tab, pred[ci], ss, se, al, state)
+                else:
+                    _jpeg_prog_block_refine(r, blk, ac_tab, ss, se, al, state)
+                done += 1
+    else:
+        # interleaved (DC scans only, T.81 G.1.1.1.1): MCU order
+        if ss != 0:
+            raise ValueError("interleaved AC scan")
+        done = 0
+        for my in range(state.mcuy):
+            for mx in range(state.mcux):
+                maybe_restart(done)
+                for ci, cid, hs, vs in scan_comps:
+                    td, _ta = scan[cid]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            blk = state.coefs[ci][my * vs + by, mx * hs + bx]
+                            if first:
+                                pred[ci] = _jpeg_prog_block_first(
+                                    r, blk, huff_dc.get(td), None, pred[ci],
+                                    0, 0, al, state)
+                            else:
+                                _jpeg_prog_block_refine(
+                                    r, blk, None, 0, 0, al, state)
+                done += 1
+    # locate the marker ending this scan (skip pad bits / stuffing)
+    j = r.i
+    while j + 1 < len(b):
+        if b[j] == 0xFF and b[j + 1] != 0x00:
+            if 0xD0 <= b[j + 1] <= 0xD7:  # trailing restart marker
+                j += 2
+                continue
+            return j
+        j += 1
+    raise ValueError("unterminated scan")
+
+
+def _jpeg_prog_finish(np, w, h, comps, qt, state):
+    """Dequantize + dezigzag the accumulated coefficients, IDCT every
+    block (vectorized einsum over the basis matrix), assemble planes,
+    then share the baseline upsample/color path."""
+    u = np.arange(8)
+    A = 0.5 * np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16)
+    A[0] *= 1 / np.sqrt(2)
+    zig = np.frombuffer(_JPEG_ZIGZAG, np.uint8)
+    planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        deq = state.coefs[ci].astype(np.float64) * np.asarray(qt[tq], np.float64)
+        nat = np.zeros_like(deq)
+        nat[..., zig] = deq
+        blocks = nat.reshape(*nat.shape[:2], 8, 8)
+        px = np.einsum("ai,yxab,bj->yxij", A, blocks, A) + 128.0
+        by, bx = px.shape[:2]
+        planes.append(px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+    return _jpeg_finish(np, planes, comps, state.hmax, state.vmax, w, h)
+
+
+def _jpeg_finish(np, planes, comps, hmax, vmax, w, h):
+    """Upsample chroma planes to full resolution, crop to the frame,
+    and apply the JFIF YCbCr->RGB equations (1 comp = grayscale)."""
     out = []
     for ci, (cid, hs, vs, tq) in enumerate(comps):
         p = planes[ci]
