@@ -820,3 +820,48 @@ def test_png_palette_decode_real():
     broken = png_bytes(2, 2, color_type=3)
     broken = broken.replace(b"PLTE", b"XXXX", 1)
     assert png_pixels(broken) is None
+
+
+def test_audio_header_flac_mp3(spark):
+    """FLAC STREAMINFO and MP3 frame-header parsing are REAL: fields
+    come out of genuine container bytes (public specs), including a
+    hand-packed STREAMINFO the repo synthesizer cross-checks."""
+    from zed_spark.textops.multimodal import (
+        audio_meta,
+        flac_bytes,
+        mp3_bytes,
+        parse_audio_header,
+        wav_bytes,
+    )
+
+    got = parse_audio_header(flac_bytes(1, 48000, 24, 96000))
+    assert got == ("flac", 1, 48000, 24, 2.0)
+    # hand-packed STREAMINFO, independent of the synthesizer: 44100 Hz
+    # stereo 16-bit, 44100 samples -> 1 s
+    packed = (44100 << 44) | (1 << 41) | (15 << 36) | 44100
+    info = b"\x10\x00\x10\x00" + b"\x00" * 6 + packed.to_bytes(8, "big") + b"\x00" * 16
+    f = b"fLaC" + bytes([0x80]) + len(info).to_bytes(3, "big") + info
+    assert parse_audio_header(f) == ("flac", 2, 44100, 16, 1.0)
+
+    mp3 = mp3_bytes(n_frames=38, kbps=128, sample_rate=44100)
+    fmt, nch, rate, bits, dur = parse_audio_header(mp3)
+    assert (fmt, nch, rate, bits) == ("mp3", 2, 44100, None)
+    # 38 frames x 417 bytes at 128 kbps ~= 0.99 s
+    assert abs(dur - (len(mp3) - 10) * 8 / 128000) < 1e-6
+    assert parse_audio_header(mp3_bytes(mono=True))[1] == 1
+    # truncated/garbage degrade, never raise
+    assert parse_audio_header(b"fLaC\x00\x22")[0] == "unknown"
+    assert parse_audio_header(b"ID3\x03\x00\x00\x00\x00\x00\x00\xff")[0] == "unknown"
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(flac_bytes(2, 44100, 16, 22050))),
+            (2, bytearray(mp3_bytes())),
+            (3, bytearray(wav_bytes())),
+        ],
+        "doc_id long, media binary",
+    )
+    got = {r["doc_id"]: r for r in audio_meta(df).collect()}
+    assert got[1]["format"] == "flac" and got[1]["duration_s"] == 0.5
+    assert got[2]["format"] == "mp3" and got[2]["sample_rate"] == 44100
+    assert got[3]["format"] == "wav"

@@ -1126,14 +1126,76 @@ def resize_image(df: DataFrame, width: int, height: int,
 # libraries needed for METADATA; only pixel/sample decode is stubbed.
 
 
+# MPEG audio bitrate (kbps) and sample-rate tables (public ISO/IEC
+# 11172-3 / 13818-3 header layout), layer III columns only
+_MP3_BITRATE_V1 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0]
+_MP3_BITRATE_V2 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0]
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
+
+
+def _parse_flac_header(b: bytes):
+    """fLaC STREAMINFO (the mandatory first metadata block): sample
+    rate 20 bits, channels-1 3 bits, bits-per-sample-1 5 bits, total
+    samples 36 bits, packed big-endian after the block-size fields."""
+    if len(b) < 8 + 18:
+        return None
+    # metadata block header: last-flag(1) + type(7) = STREAMINFO (0)
+    if b[4] & 0x7F != 0:
+        return None
+    packed = int.from_bytes(b[18:26], "big")
+    rate = packed >> 44
+    nch = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    dur = round(total / rate, 6) if rate and total else None
+    return ("flac", nch, rate or None, bits, dur)
+
+
+def _parse_mp3_header(b: bytes):
+    """First MPEG frame header after an optional ID3v2 tag: version/
+    layer/bitrate/samplerate/channel-mode bits; duration estimated
+    from the stream size at that constant bitrate (the usual
+    header-only estimate for CBR files)."""
+    i = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        sz = 0
+        for byte in b[6:10]:  # syncsafe 28-bit size
+            sz = (sz << 7) | (byte & 0x7F)
+        i = 10 + sz
+    if i + 4 > len(b) or b[i] != 0xFF or (b[i + 1] & 0xE0) != 0xE0:
+        return None
+    h = int.from_bytes(b[i : i + 4], "big")
+    version = (h >> 19) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer = (h >> 17) & 3  # 1 = Layer III
+    if version == 1 or layer != 1:
+        return None
+    brx = (h >> 12) & 0xF
+    srx = (h >> 10) & 3
+    if srx == 3 or brx in (0, 15):
+        return None
+    table = _MP3_BITRATE_V1 if version == 3 else _MP3_BITRATE_V2
+    kbps = table[brx]
+    rate = _MP3_RATES[version][srx]
+    nch = 1 if ((h >> 6) & 3) == 3 else 2
+    dur = round((len(b) - i) * 8 / (kbps * 1000), 6) if kbps else None
+    return ("mp3", nch, rate, None, dur)
+
+
 def parse_audio_header(b: bytes | None):
     """(format, n_channels, sample_rate, bits_per_sample, duration_s)
-    from WAV/RIFF bytes: 'fmt ' chunk fields + 'data' chunk size.
+    from WAV/RIFF ('fmt ' + 'data' chunks), FLAC (STREAMINFO), or MP3
+    (first MPEG frame header after optional ID3v2) bytes.
     Unknown/truncated → ('unknown', None, None, None, None)."""
     unknown = ("unknown", None, None, None, None)
     if not b or len(b) < 12:
         return unknown
     b = bytes(b)
+    if b[:4] == b"fLaC":
+        got = _parse_flac_header(b)
+        return got if got else unknown
+    if b[:3] == b"ID3" or (b[0] == 0xFF and len(b) > 1 and (b[1] & 0xE0) == 0xE0):
+        got = _parse_mp3_header(b)
+        return got if got else unknown
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return unknown
     nch = rate = brate = bits = data_size = None
@@ -1154,6 +1216,48 @@ def parse_audio_header(b: bytes | None):
         else None
     )
     return ("wav", nch, rate, bits, dur)
+
+
+def flac_bytes(
+    n_channels: int = 2,
+    sample_rate: int = 44100,
+    bits: int = 16,
+    total_samples: int = 88200,
+) -> bytes:
+    """A minimal REAL FLAC metadata stream (fLaC + last-block
+    STREAMINFO with genuine packed fields) — real container bytes for
+    header tests without any audio library."""
+    packed = (
+        (sample_rate << 44)
+        | ((n_channels - 1) << 41)
+        | ((bits - 1) << 36)
+        | total_samples
+    )
+    info = struct.pack(">HH", 4096, 4096) + b"\x00" * 6
+    info += packed.to_bytes(8, "big") + b"\x00" * 16  # md5 zeros
+    return b"fLaC" + bytes([0x80]) + len(info).to_bytes(3, "big") + info
+
+
+def mp3_bytes(
+    n_frames: int = 38,
+    kbps: int = 128,
+    sample_rate: int = 44100,
+    mono: bool = False,
+) -> bytes:
+    """A minimal REAL MPEG-1 Layer III stream: an empty ID3v2 tag
+    followed by correctly-sized CBR frames (sync + header bits per
+    ISO 11172-3, zero payload)."""
+    brx = _MP3_BITRATE_V1.index(kbps)
+    srx = _MP3_RATES[3].index(sample_rate)
+    mode = 3 if mono else 0
+    h = (
+        (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+        | (brx << 12) | (srx << 10) | (mode << 6)
+    )
+    frame_len = 144 * kbps * 1000 // sample_rate  # padding bit 0
+    frame = h.to_bytes(4, "big") + b"\x00" * (frame_len - 4)
+    id3 = b"ID3\x03\x00\x00" + b"\x00\x00\x00\x00"
+    return id3 + frame * n_frames
 
 
 def wav_bytes(
