@@ -144,3 +144,53 @@ def test_streaming_incremental_dedup(spark, tmp_path):
         new_df, sigs, k_shingle=2, bands=8, threshold=0.35
     )
     assert sorted(r["doc_id"] for r in kept.collect()) == got
+
+
+def test_streaming_decontaminate(spark, tmp_path):
+    """The stateless stream-static decontamination filter passes
+    exactly the docs the batch op keeps (min_hits=1)."""
+    import json
+    import os
+
+    from zed_spark.streaming.dedup import streaming_decontaminate
+    from zed_spark.textops.decontam import decontaminate
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "completely unrelated text with no benchmark overlap"),
+        (2, "the quick brown fox appears here too"),
+        (3, "another clean document entirely its own words"),
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "docs.json", "w") as f:
+        for i, t in rows:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high")], "eval_id long, prompt string"
+    )
+    batch_docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(
+        r["doc_id"]
+        for r in decontaminate(
+            batch_docs, eval_df, n=3, min_hits=1, eval_text_col="prompt"
+        ).collect()
+    )
+
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    out = streaming_decontaminate(
+        stream, eval_df, n=3, eval_text_col="prompt"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("decontam_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["doc_id"] for r in spark.sql("select doc_id from decontam_sink").collect()
+    )
+    assert got == want == [1, 3]

@@ -130,3 +130,43 @@ def streaming_incremental_dedup(
         cond = cond & (jac >= threshold)
     out = out.join(F.broadcast(near_store), cond, "left_anti")
     return out.drop("__h", "__hs", "minhashes", "__bk")
+
+
+def streaming_decontaminate(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """Drop stream docs sharing any n-gram with a STATIC eval set —
+    the streaming face of textops/decontam.decontaminate(min_hits=1),
+    stateless like streaming_incremental_dedup: the doc's gram-hash
+    array is a pure column expression and membership is one
+    stream-static broadcast left-anti join (condition:
+    array_contains(doc grams, eval gram)). The eval side is
+    benchmark-sized by definition, so the broadcast is the same one
+    the batch op plans. min_hits > 1 needs per-doc hit counting
+    (an aggregation) — that is the batch op's job."""
+    from zed_spark.textops.dedup import word_shingles
+
+    grams = F.transform(
+        word_shingles(F.col(text_col), n), lambda g: F.xxhash64(g)
+    )
+    ev = (
+        eval_df.select(
+            F.explode(
+                word_shingles(F.col(eval_text_col or text_col), n)
+            ).alias("__g")
+        )
+        .select(F.xxhash64("__g").alias("__egh"))
+        .distinct()
+    )
+    staged = docs.withColumn("__gh", grams)
+    out = staged.join(
+        F.broadcast(ev),
+        F.array_contains(F.col("__gh"), F.col("__egh")),
+        "left_anti",
+    )
+    return out.drop("__gh")
