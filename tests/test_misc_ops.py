@@ -865,3 +865,44 @@ def test_audio_header_flac_mp3(spark):
     assert got[1]["format"] == "flac" and got[1]["duration_s"] == 0.5
     assert got[2]["format"] == "mp3" and got[2]["sample_rate"] == 44100
     assert got[3]["format"] == "wav"
+
+
+def test_image_header_webp_tiff():
+    """WEBP (all three chunk forms) and TIFF (both byte orders)
+    header parsing from hand-built container bytes per the public
+    specs."""
+    import struct
+
+    from zed_spark.textops.multimodal import parse_image_header
+
+    def riff(tag, payload):
+        body = b"WEBP" + tag + struct.pack("<I", len(payload)) + payload
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # VP8 lossy: 3-byte frame tag + sync 9D 01 2A + 14-bit dims
+    vp8 = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 320, 240)
+    assert parse_image_header(riff(b"VP8 ", vp8)) == ("webp", 320, 240, 3)
+    # VP8L lossless: 0x2F then 14+14 bit w-1/h-1 (+alpha bit 28)
+    bits = (99) | (49 << 14) | (1 << 28)
+    vp8l = b"\x2f" + struct.pack("<I", bits)
+    assert parse_image_header(riff(b"VP8L", vp8l)) == ("webp", 100, 50, 4)
+    # VP8X extended: flags byte (0x10 = alpha), 24-bit w-1/h-1
+    vp8x = bytes([0x10, 0, 0, 0]) + (639).to_bytes(3, "little") + (479).to_bytes(3, "little")
+    assert parse_image_header(riff(b"VP8X", vp8x)) == ("webp", 640, 480, 4)
+
+    # TIFF little- and big-endian: tags 256/257/277
+    def tiff(end):
+        e = "<" if end == b"II*\x00" else ">"
+        entries = [
+            struct.pack(e + "HHI", 256, 3, 1) + struct.pack(e + "H", 800) + b"\x00\x00",
+            struct.pack(e + "HHI", 257, 4, 1) + struct.pack(e + "I", 600),
+            struct.pack(e + "HHI", 277, 3, 1) + struct.pack(e + "H", 3) + b"\x00\x00",
+        ]
+        ifd = struct.pack(e + "H", len(entries)) + b"".join(entries) + b"\x00" * 4
+        return end + struct.pack(e + "I", 8) + ifd
+
+    assert parse_image_header(tiff(b"II*\x00")) == ("tiff", 800, 600, 3)
+    assert parse_image_header(tiff(b"MM\x00*")) == ("tiff", 800, 600, 3)
+    # truncated webp/tiff degrade to format-only / unknown, no raise
+    assert parse_image_header(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == ("webp", None, None, None)
+    assert parse_image_header(b"II*\x00\xff\xff\xff\xff\x00\x00")[:1] == ("tiff",)

@@ -66,8 +66,9 @@ _JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0
 
 def parse_image_header(b: bytes | None):
     """(format, width, height, channels) from real container bytes —
-    PNG IHDR, JPEG SOFn scan, GIF and BMP fixed headers. Unknown or
-    truncated input → ('unknown', None, None, None)."""
+    PNG IHDR, JPEG SOFn scan, GIF and BMP fixed headers, WEBP
+    (VP8/VP8L/VP8X chunk headers), TIFF (first-IFD tag walk).
+    Unknown or truncated input → ('unknown', None, None, None)."""
     unknown = ("unknown", None, None, None)
     if not b or len(b) < 10:
         return unknown
@@ -102,6 +103,49 @@ def parse_image_header(b: bytes | None):
     if b[:2] == b"BM" and len(b) >= 26:
         w, h = struct.unpack("<ii", b[18:26])
         return ("bmp", w, abs(h), 3)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP" and len(b) >= 16:
+        tag = b[12:16]
+        if tag == b"VP8X" and len(b) >= 30:
+            # extended header: 24-bit little-endian w-1 / h-1
+            w = int.from_bytes(b[24:27], "little") + 1
+            h = int.from_bytes(b[27:30], "little") + 1
+            return ("webp", w, h, 4 if b[20] & 0x10 else 3)
+        if tag == b"VP8L" and len(b) >= 25 and b[20] == 0x2F:
+            bits = int.from_bytes(b[21:25], "little")
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            return ("webp", w, h, 4 if (bits >> 28) & 1 else 3)
+        if tag == b"VP8 " and len(b) >= 30 and b[23:26] == b"\x9d\x01\x2a":
+            w = struct.unpack("<H", b[26:28])[0] & 0x3FFF
+            h = struct.unpack("<H", b[28:30])[0] & 0x3FFF
+            return ("webp", w, h, 3)
+        return ("webp", None, None, None)
+    if b[:4] in (b"II*\x00", b"MM\x00*") and len(b) >= 8:
+        # TIFF: walk the first IFD for ImageWidth/ImageLength/
+        # SamplesPerPixel (tags 256/257/277, SHORT or LONG inline)
+        end = "<" if b[:2] == b"II" else ">"
+        off = struct.unpack(end + "I", b[4:8])[0]
+        w = h = ch = None
+        if off + 2 <= len(b):
+            cnt = struct.unpack(end + "H", b[off : off + 2])[0]
+            for k in range(cnt):
+                e = off + 2 + 12 * k
+                if e + 12 > len(b):
+                    break
+                tag, typ = struct.unpack(end + "HH", b[e : e + 4])
+                if typ == 3:
+                    val = struct.unpack(end + "H", b[e + 8 : e + 10])[0]
+                elif typ == 4:
+                    val = struct.unpack(end + "I", b[e + 8 : e + 12])[0]
+                else:
+                    continue
+                if tag == 256:
+                    w = val
+                elif tag == 257:
+                    h = val
+                elif tag == 277:
+                    ch = val
+        return ("tiff", w, h, ch)
     return unknown
 
 
