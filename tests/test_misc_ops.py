@@ -906,3 +906,43 @@ def test_image_header_webp_tiff():
     # truncated webp/tiff degrade to format-only / unknown, no raise
     assert parse_image_header(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == ("webp", None, None, None)
     assert parse_image_header(b"II*\x00\xff\xff\xff\xff\x00\x00")[:1] == ("tiff",)
+
+
+def test_jpeg_decoder_never_raises():
+    """Adversarial robustness: truncations and byte mutations of
+    valid files, and random marker soup, must yield an array or None
+    — never an exception (errors are values in this engine)."""
+    import random
+
+    from zed_spark.textops.multimodal import jpeg_bytes, jpeg_pixels
+
+    rng = random.Random(7)
+    base = jpeg_bytes(16, 16, fill=99)
+    for cut in range(0, len(base), 7):
+        out = jpeg_pixels(base[:cut])
+        assert out is None or out.shape == (16, 16, 1)
+    for _ in range(200):
+        mut = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            mut[rng.randrange(len(mut))] = rng.randrange(256)
+        out = jpeg_pixels(bytes(mut))
+        assert out is None or out.ndim == 3
+    for _ in range(100):
+        soup = b"\xff\xd8" + bytes(
+            rng.randrange(256) for _ in range(rng.randint(0, 120))
+        )
+        out = jpeg_pixels(soup)
+        assert out is None or out.ndim == 3
+
+
+def test_jpeg_pixel_count_gate():
+    """A header claiming 65535x65535 returns None before any plane
+    allocation (decode bound, mirrors the engine's gate convention)."""
+    import struct
+
+    from zed_spark.textops.multimodal import jpeg_bytes, jpeg_pixels
+
+    big = bytearray(jpeg_bytes(8, 8))
+    sof = big.find(b"\xff\xc0")
+    big[sof + 5 : sof + 9] = struct.pack(">HH", 65535, 65535)
+    assert jpeg_pixels(bytes(big)) is None

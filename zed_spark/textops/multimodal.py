@@ -462,6 +462,10 @@ def gif_pixels(b: bytes | None):
     return None
 
 
+# decode bound: 64 Mpixel (a 0.5 GB float64 plane) — corrupt headers
+# claiming 65535x65535 must not drive a 34 GB allocation
+_JPEG_MAX_PIXELS = 1 << 26
+
 # ITU-T T.81 Annex K.1 luminance quantization table (zigzag order) —
 # jpeg_bytes overrides Q[0] so solid fills round-trip exactly.
 _JPEG_QT_K1 = bytes([
@@ -631,6 +635,11 @@ def jpeg_pixels(b: bytes | None):
                     return None
                 progressive = marker == 0xC2
                 h, w = struct.unpack(">HH", seg[1:5])
+                if w * h > _JPEG_MAX_PIXELS:
+                    # adversarial/corrupt headers can claim 65535^2
+                    # (a ~34 GB plane allocation); decode bounds are
+                    # a decoder property, not a data property
+                    return None
                 nc = seg[5]
                 comps = [
                     (seg[6 + 3 * k], seg[7 + 3 * k] >> 4,
