@@ -23,7 +23,9 @@ from zed_spark.textops.dedup import word_shingles
 
 
 def _gram_set(df: DataFrame, n: int, text_col: str, id_col: str | None) -> DataFrame:
-    grams = word_shingles(F.col(text_col), k=n).alias("__grams")
+    # sort=False: membership counting is order-insensitive, so the
+    # per-doc O(m log m) shingle sort is pure overhead here
+    grams = word_shingles(F.col(text_col), k=n, sort=False).alias("__grams")
     cols = ([id_col] if id_col else []) + [grams]
     ex = df.select(*cols).select(
         *([id_col] if id_col else []), F.explode("__grams").alias("gram")

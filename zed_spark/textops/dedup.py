@@ -38,8 +38,11 @@ def exact_dedup(
     return out
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-shingles of the text (sorted for determinism).
+def word_shingles(text: Column, k: int = 3, sort: bool = True) -> Column:
+    """Distinct word k-shingles of the text (sorted for determinism;
+    pass sort=False when the consumer is order-insensitive — e.g.
+    decontamination's membership counting — to skip the per-doc
+    O(m log m) sort).
 
     Built by zipping the word array with its own shifted tails rather
     than indexing with transform(sequence(...)) — an expression
@@ -54,7 +57,8 @@ def word_shingles(text: Column, k: int = 3) -> Column:
         rest = F.slice(words, j + 1, F.greatest(F.size(words) - j, F.lit(0)))
         cur = F.zip_with(cur, rest, lambda a, b: F.concat(a, F.lit(" "), b))
     cur = F.filter(cur, lambda x: x.isNotNull())
-    return F.array_sort(F.array_distinct(cur))
+    out = F.array_distinct(cur)
+    return F.array_sort(out) if sort else out
 
 
 def ngram_jaccard_pairs(
