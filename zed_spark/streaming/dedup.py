@@ -82,7 +82,7 @@ def streaming_incremental_dedup(
 
     hs = F.array_distinct(
         F.transform(
-            word_shingles(F.col(text_col), k_shingle),
+            word_shingles(F.col(text_col), k_shingle, sort=False),
             lambda sh: shingle_base(sh),
         )
     )
@@ -152,12 +152,12 @@ def streaming_decontaminate(
     from zed_spark.textops.dedup import word_shingles
 
     grams = F.transform(
-        word_shingles(F.col(text_col), n), lambda g: F.xxhash64(g)
+        word_shingles(F.col(text_col), n, sort=False), lambda g: F.xxhash64(g)
     )
     ev = (
         eval_df.select(
             F.explode(
-                word_shingles(F.col(eval_text_col or text_col), n)
+                word_shingles(F.col(eval_text_col or text_col), n, sort=False)
             ).alias("__g")
         )
         .select(F.xxhash64("__g").alias("__egh"))

@@ -97,7 +97,7 @@ def ngram_jaccard_pairs(
     df = df.join(groups.select(F.col("rep").alias(id_col)), id_col, "left_semi")
 
     docs = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("shingles")
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), k, sort=False).alias("shingles")
     ).withColumn("n_sh", F.size("shingles"))
     ex = docs.select("id", "n_sh", F.explode("shingles").alias("sh"))
     a, b = ex.alias("a"), ex.alias("b")

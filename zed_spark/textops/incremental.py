@@ -64,7 +64,7 @@ def _text_signatures(
     groups = keyed.groupBy("__h").agg(F.min("id").alias("min_id"))
     reps = keyed.join(groups, "__h").filter(F.col("id") == F.col("min_id"))
     based = reps.select(
-        "__h", F.explode(word_shingles(F.col("__t"), k_shingle)).alias("sh")
+        "__h", F.explode(word_shingles(F.col("__t"), k_shingle, sort=False)).alias("sh")
     ).select("__h", shingle_base(F.col("sh")).alias("b"))
     agg = based.groupBy("__h").agg(
         F.array(

@@ -92,7 +92,7 @@ def _lsh_parts(
     df = reps_df
     ex = df.select(
         F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), k_shingle)).alias("sh"),
+        F.explode(word_shingles(F.col(text_col), k_shingle, sort=False)).alias("sh"),
     )
     # base hash materialized BEFORE the aggregation so the md5 runs
     # once per shingle, not once per seed
