@@ -75,7 +75,7 @@ NEW_QUERIES: list[str] = [
     "incremental_dedup",
     # round-11 late tranche: exact substring dedup (duplicated spans)
     # + benchmark decontamination (oracle-pinned in EXTRA_ORACLES)
-    "duplicated_spans", "decontaminate", "chunk_documents",
+    "duplicated_spans", "strip_spans", "decontaminate", "chunk_documents",
 ]
 
 
@@ -106,6 +106,7 @@ def _extra_queries() -> dict:
         "incremental_dedup": qt.incremental_dedup_q,
         # round-11 late tranche (NEW_QUERIES block)
         "duplicated_spans": qt.duplicated_spans_q,
+        "strip_spans": qt.strip_spans_q,
         "decontaminate": qt.decontaminate_q,
         "chunk_documents": qt.chunk_documents_q,
     }

@@ -40,6 +40,7 @@ EXTRA_ORACLES = {
     # detection, Lee et al. 2021 semantics) + benchmark
     # decontamination (n-gram collision vs a broadcast eval set)
     "duplicated_spans": (qt.duplicated_spans_q, qt.DUP_SPANS_SQL),
+    "strip_spans": (qt.strip_spans_q, qt.STRIP_SPANS_SQL),
     "decontaminate": (qt.decontaminate_q, qt.DECONTAM_SQL),
     "chunk_documents": (qt.chunk_documents_q, qt.CHUNK_SQL),
 }

@@ -707,6 +707,62 @@ FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start
 """
 
 
+def strip_spans_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact substring dedup, remediation step: the corpus with every
+    duplicated 4-token span cut out (doc set unchanged — span removal
+    edits text, it does not drop docs)."""
+    from zed_spark.textops.spans import strip_duplicated_spans
+
+    docs = read_table(spark, sf, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    out = strip_duplicated_spans(docs, n=4, min_count=2)
+    return out.select("doc_id", "text").orderBy("doc_id")
+
+
+STRIP_SPANS_SQL = f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+pg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ws) - 3, 0)),
+           i -> struct_pack(pos := i - 1,
+                            g := array_to_string(list_slice(ws, i, i + 3), ' ')))) AS u
+  FROM w
+),
+pg2 AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM pg),
+dup AS (SELECT g FROM pg2 GROUP BY g HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, pos FROM pg2 JOIN dup USING (g)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 1
+              THEN 1 ELSE 0 END AS brk
+  FROM hits),
+isl2 AS (SELECT doc_id, pos,
+                SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM isl),
+spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 3 AS e
+          FROM isl2 GROUP BY doc_id, island),
+tok AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ws)),
+           i -> struct_pack(p := i - 1, wd := ws[i]))) AS u
+  FROM w
+),
+tok2 AS (SELECT doc_id, u.p AS p, u.wd AS wd FROM tok),
+kept AS (
+  SELECT t.doc_id, t.p, t.wd FROM tok2 t
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = t.doc_id AND t.p BETWEEN s.s AND s.e)
+)
+SELECT d.doc_id,
+       COALESCE((SELECT string_agg(k.wd, ' ' ORDER BY k.p)
+                 FROM kept k WHERE k.doc_id = d.doc_id), '') AS text
+FROM documents d ORDER BY d.doc_id
+"""
+
+
 def decontaminate_q(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination (round-11 tranche): docs sharing any
     5-gram with the held-out eval slice (doc_id % 17 == 3 stands in

@@ -25,6 +25,9 @@ from zed_spark.textops.analysis import (
     token_count,
     tokenize,
 )
+from zed_spark.textops.chunking import chunk_documents
+from zed_spark.textops.decontam import contamination_report, decontaminate
+from zed_spark.textops.spans import duplicated_spans, strip_duplicated_spans
 
 __all__ = [
     "exact_dedup", "ngram_jaccard_pairs",
@@ -32,4 +35,7 @@ __all__ = [
     "simhash",
     "cosine_similarity", "brute_force_topk",
     "tokenize", "token_count", "language_id", "quality_score", "fingerprint",
+    "duplicated_spans", "strip_duplicated_spans",
+    "contamination_report", "decontaminate",
+    "chunk_documents",
 ]
