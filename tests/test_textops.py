@@ -570,3 +570,42 @@ def test_chunk_documents_semantics(spark):
     nolap = chunk_documents(docs, max_tokens=4).collect()
     tok = sum(r["n_tokens"] for r in nolap if r["doc_id"] == 0)
     assert tok == 10
+
+
+def test_corpus_pipeline_end_to_end(spark):
+    """The full filter->dedup->decontaminate->strip->chunk->sample->
+    pack chain composes: counts are monotone at each dropping stage,
+    stripped text never grows, chunks respect the token bound, and
+    shards respect the per-language budget (single oversized docs
+    aside)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "corpus_pipeline",
+        os.path.join(os.path.dirname(__file__), "..", "examples", "05_corpus_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = mod.run_pipeline(spark, SF_DIR, show=False)
+    n = {k: out[k].count() for k in ("raw", "filtered", "deduped", "decontaminated", "sampled")}
+    assert n["raw"] >= n["filtered"] >= n["deduped"] >= n["decontaminated"]
+    assert n["decontaminated"] >= n["sampled"] > 0
+    # strip edits text, never drops docs
+    assert out["stripped"].count() == n["decontaminated"]
+    from pyspark.sql import functions as F
+
+    grew = out["stripped"].alias("s").join(
+        out["decontaminated"].alias("d"), "doc_id"
+    ).where(F.length("s.text") > F.length("d.text"))
+    assert grew.count() == 0
+    assert out["chunks"].agg(F.max("n_tokens")).first()[0] <= 32
+    # every shard except possibly a group's last stays under budget
+    # once it has >1 doc (single docs may exceed it by design)
+    bad = (
+        out["packed"].groupBy("lang", "shard")
+        .agg(F.sum("n_tokens").alias("t"), F.count("*").alias("c"))
+        .where((F.col("t") > 2000) & (F.col("c") > 1))
+    )
+    assert bad.count() == 0
