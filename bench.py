@@ -76,6 +76,7 @@ NEW_QUERIES: list[str] = [
     # round-11 late tranche: exact substring dedup (duplicated spans)
     # + benchmark decontamination (oracle-pinned in EXTRA_ORACLES)
     "duplicated_spans", "strip_spans", "decontaminate", "chunk_documents",
+    "quantize_embeddings",
 ]
 
 
@@ -109,6 +110,7 @@ def _extra_queries() -> dict:
         "strip_spans": qt.strip_spans_q,
         "decontaminate": qt.decontaminate_q,
         "chunk_documents": qt.chunk_documents_q,
+        "quantize_embeddings": qt.quantize_embeddings_q,
     }
 
 

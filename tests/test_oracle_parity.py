@@ -43,6 +43,7 @@ EXTRA_ORACLES = {
     "strip_spans": (qt.strip_spans_q, qt.STRIP_SPANS_SQL),
     "decontaminate": (qt.decontaminate_q, qt.DECONTAM_SQL),
     "chunk_documents": (qt.chunk_documents_q, qt.CHUNK_SQL),
+    "quantize_embeddings": (qt.quantize_embeddings_q, qt.QUANTIZE_SQL),
 }
 
 

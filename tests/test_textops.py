@@ -609,3 +609,41 @@ def test_corpus_pipeline_end_to_end(spark):
         .where((F.col("t") > 2000) & (F.col("c") > 1))
     )
     assert bad.count() == 0
+
+
+def test_quantize_embeddings_error_bound(spark):
+    """int8 round trip: per-element error <= scale/2 everywhere, and
+    cosine similarity against a fixed query survives quantization to
+    within 2% on the real embeddings table."""
+    from pyspark.sql import functions as F
+
+    from zed_spark.sources.readers import read_table
+    from zed_spark.textops.quantize import dequantize_embeddings, quantize_embeddings
+
+    emb = read_table(spark, SF_DIR, "embeddings").limit(200)
+    q = quantize_embeddings(emb)
+    back = dequantize_embeddings(q)
+    j = emb.alias("a").join(back.alias("b"), F.col("a.vec_id") == F.col("b.vec_id"))
+    worst = j.select(
+        F.array_max(
+            F.zip_with(
+                "a.embedding", "b.embedding",
+                lambda x, y: F.abs(x.cast("double") - y) / F.col("b.scale"),
+            )
+        ).alias("e")
+    ).agg(F.max("e")).first()[0]
+    assert worst <= 0.5 + 1e-9
+
+    def cos(u, v):
+        dot = sum(x * y for x, y in zip(u, v))
+        import math
+
+        nu = math.sqrt(sum(x * x for x in u)) or 1.0
+        nv = math.sqrt(sum(y * y for y in v)) or 1.0
+        return dot / (nu * nv)
+
+    rows = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    brows = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in back.collect()}
+    qv = next(iter(rows.values()))
+    for k in rows:
+        assert abs(cos(rows[k], qv) - cos(brows[k], qv)) < 0.02

@@ -763,6 +763,33 @@ FROM documents d ORDER BY d.doc_id
 """
 
 
+def quantize_embeddings_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (round-11 tranche): the
+    ANN storage path's compression step. Pure per-row codegen; the
+    floor(x+0.5) rounding is engine-portable, so the oracle is
+    value-exact."""
+    from zed_spark.textops.quantize import quantize_embeddings
+
+    emb = read_table(spark, sf, "embeddings")
+    return quantize_embeddings(emb).orderBy("vec_id")
+
+
+QUANTIZE_SQL = """
+WITH s AS (
+  SELECT vec_id,
+         GREATEST(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS scale,
+         embedding
+  FROM embeddings
+)
+SELECT vec_id, scale,
+       list_transform(embedding,
+         x -> CAST(GREATEST(-127, LEAST(127,
+                FLOOR(CAST(x AS DOUBLE) / scale + 0.5))) AS INTEGER)) AS qvec
+FROM s ORDER BY vec_id
+"""
+
+
 def decontaminate_q(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination (round-11 tranche): docs sharing any
     5-gram with the held-out eval slice (doc_id % 17 == 3 stands in
