@@ -647,3 +647,24 @@ def test_quantize_embeddings_error_bound(spark):
     qv = next(iter(rows.values()))
     for k in rows:
         assert abs(cos(rows[k], qv) - cos(brows[k], qv)) < 0.02
+
+
+def test_quantized_topk_recall(spark):
+    """Scoring straight off the int8 store: top-10 by quantized
+    cosine overlaps float top-10 at >= 0.9 recall, and scores agree
+    within the quantization error."""
+    from pyspark.sql import functions as F
+
+    from zed_spark.sources.readers import read_table
+    from zed_spark.textops.quantize import quantize_embeddings, quantized_topk
+    from zed_spark.textops.similarity import brute_force_topk
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    qv = [float(x) for x in emb.first()["embedding"]]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, qv, k=10).collect()]
+    store = quantize_embeddings(emb)
+    approx = quantized_topk(store, qv, k=10)
+    ids = [r["vec_id"] for r in approx.collect()]
+    assert len(set(ids) & set(exact)) >= 9
+    top = approx.first()
+    assert top["cosine"] > 0.99  # the query vector itself

@@ -27,7 +27,11 @@ from zed_spark.textops.analysis import (
 )
 from zed_spark.textops.chunking import chunk_documents
 from zed_spark.textops.decontam import contamination_report, decontaminate
-from zed_spark.textops.quantize import dequantize_embeddings, quantize_embeddings
+from zed_spark.textops.quantize import (
+    dequantize_embeddings,
+    quantize_embeddings,
+    quantized_topk,
+)
 from zed_spark.textops.spans import duplicated_spans, strip_duplicated_spans
 
 __all__ = [
@@ -39,5 +43,5 @@ __all__ = [
     "duplicated_spans", "strip_duplicated_spans",
     "contamination_report", "decontaminate",
     "chunk_documents",
-    "quantize_embeddings", "dequantize_embeddings",
+    "quantize_embeddings", "dequantize_embeddings", "quantized_topk",
 ]

@@ -48,6 +48,43 @@ def quantize_embeddings(
     )
 
 
+def quantized_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    qvec_col: str = "qvec",
+    scale_col: str = "scale",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k over QUANTIZED vectors: the dot
+    product folds the scale out — dot(x~, q) = scale * sum(qvec_i *
+    query_i) — so scoring never materializes float vectors. One
+    codegen aggregate per row + TakeOrderedAndProject; the int8 store
+    is the only thing scanned."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in query)) or 1.0
+    qarr = F.array(*[F.lit(float(x)) for x in query])
+    dot = F.aggregate(
+        F.zip_with(F.col(qvec_col), qarr, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) * F.col(scale_col)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(qvec_col), lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    ) * F.col(scale_col)
+    cos = F.when(norm > 0, dot / (norm * qn)).otherwise(F.lit(0.0))
+    return (
+        df.select(id_col, cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
 def dequantize_embeddings(
     df: DataFrame,
     qvec_col: str = "qvec",
