@@ -668,3 +668,72 @@ def test_quantized_topk_recall(spark):
     assert len(set(ids) & set(exact)) >= 9
     top = approx.first()
     assert top["cosine"] > 0.99  # the query vector itself
+
+
+def test_chunk_documents_matches_python_model(spark):
+    """Randomized cross-implementation check: 200 random word lists,
+    expected chunks computed by an independent Python model, ONE
+    Spark round trip."""
+    import random
+
+    from zed_spark.textops.chunking import chunk_documents
+
+    rng = random.Random(11)
+    docs, expect = [], {}
+    for i in range(200):
+        nw = rng.randint(0, 40)
+        words = [f"w{rng.randint(0, 30)}" for _ in range(nw)]
+        docs.append((i, " ".join(words)))
+        for j, s in enumerate(range(0, max(nw, 1), 5)):
+            chunk = " ".join(words[s : s + 7])
+            if chunk:
+                expect[(i, j)] = (min(7, nw - s), chunk)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk"])
+        for r in chunk_documents(df, max_tokens=7, stride=5).collect()
+    }
+    assert got == expect
+
+
+def test_duplicated_spans_matches_python_model(spark):
+    """Randomized cross-implementation check for span detection: an
+    independent Python n-gram/island model over 120 docs drawn from
+    a small vocabulary (plenty of collisions), ONE Spark round trip."""
+    import random
+    from collections import Counter
+
+    from zed_spark.textops.spans import duplicated_spans
+
+    rng = random.Random(23)
+    N = 3
+    docs = []
+    for i in range(120):
+        nw = rng.randint(0, 12)
+        docs.append((i, " ".join(f"t{rng.randint(0, 5)}" for _ in range(nw))))
+
+    grams = Counter()
+    per_doc = {}
+    for i, text in docs:
+        ws = text.split(" ") if text else [""]
+        pg = [" ".join(ws[p : p + N]) for p in range(max(len(ws) - N + 1, 0))]
+        per_doc[i] = pg
+        grams.update(pg)
+    expect = set()
+    for i, pg in per_doc.items():
+        hits = sorted(p for p, g in enumerate(pg) if grams[g] >= 2)
+        start = prev = None
+        for p in hits + [None]:
+            if p is not None and prev is not None and p == prev + 1:
+                prev = p
+                continue
+            if prev is not None:
+                expect.add((i, start, prev + N - 1, prev - start + N))
+            if p is not None:
+                start = prev = p
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"])
+        for r in duplicated_spans(df, n=N, min_count=2).collect()
+    }
+    assert got == expect
