@@ -765,8 +765,7 @@ class _JpegProgState:
         self.bdims = []   # true (non-MCU-padded) block dims per comp
         for cid, hs, vs, tq in comps:
             self.coefs.append(
-                np.zeros((self.mcuy * vs * 8 // 8, self.mcux * hs * 8 // 8, 64),
-                         np.int64)
+                np.zeros((self.mcuy * vs, self.mcux * hs, 64), np.int64)
             )
             cw = -(-w * hs // self.hmax)
             ch = -(-h * vs // self.vmax)
