@@ -946,3 +946,77 @@ def test_jpeg_pixel_count_gate():
     sof = big.find(b"\xff\xc0")
     big[sof + 5 : sof + 9] = struct.pack(">HH", 65535, 65535)
     assert jpeg_pixels(bytes(big)) is None
+
+
+def test_gif_frames_and_disposal():
+    """Animated GIF decode is REAL: every frame composites onto the
+    canvas; disposal 2 restores the background between frames."""
+    import numpy as np
+
+    from zed_spark.textops.multimodal import gif_anim_bytes, gif_frames
+
+    b = gif_anim_bytes(4, 3, [10, 200, 45])
+    frames = list(gif_frames(b))
+    assert [f for f, _ in frames] == [0, 1, 2]
+    for (fno, px), fill in zip(frames, (10, 200, 45)):
+        assert px.shape == (3, 4, 3)
+        assert int(px.min()) == int(px.max()) == fill
+
+    # disposal 2: a sub-rect frame then background restore — frame 2
+    # must NOT retain frame 1's pixels outside its own rect
+    import struct as _s
+
+    full = gif_anim_bytes(4, 4, [7], disposal=2)
+    # splice in a second full-canvas frame of 99 after the first
+    second = gif_anim_bytes(4, 4, [99], disposal=1)
+    # take second's GCE+image block (between the palette and trailer)
+    start = 13 + 256 * 3
+    block = second[start:-1]
+    b2 = full[:-1] + block + b"\x3b"
+    frames = list(gif_frames(b2))
+    assert len(frames) == 2
+    # frame 0 shows 7; after disposal-2 the canvas resets to the
+    # background (index 0 -> black) before frame 1 paints 99
+    assert int(frames[0][1].max()) == 7
+    assert int(frames[1][1].min()) == int(frames[1][1].max()) == 99
+
+
+def test_avi_mjpeg_frames_real(spark):
+    """MJPEG AVI frame sampling end to end: container walk + the
+    pure-Python JPEG decoder, through the Spark mapInPandas path."""
+    import numpy as np
+
+    from zed_spark.textops.multimodal import (
+        avi_mjpeg_bytes,
+        avi_mjpeg_frames,
+        frame_sample,
+        gif_anim_bytes,
+        jpeg_bytes,
+    )
+
+    avi = avi_mjpeg_bytes([jpeg_bytes(8, 8, fill=f) for f in (30, 60, 90, 120)])
+    frames = list(avi_mjpeg_frames(avi))
+    assert [f for f, _ in frames] == [0, 1, 2, 3]
+    assert all(int(px.min()) == int(px.max()) == f for (_, px), f in
+               zip(frames, (30, 60, 90, 120)))
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(avi)),
+            (2, bytearray(gif_anim_bytes(4, 2, [5, 6, 7]))),
+            (3, b"not video"),
+        ],
+        "doc_id long, media binary",
+    )
+    got = frame_sample(df, every_n=2).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert sorted(r["frame_no"] for r in by_doc[1]) == [0, 2]
+    f0 = next(r for r in by_doc[1] if r["frame_no"] == 0)
+    assert (f0["width"], f0["height"]) == (8, 8)
+    assert f0["frame"] == bytes([30]) * (8 * 8 * 3)
+    assert sorted(r["frame_no"] for r in by_doc[2]) == [0, 2]
+    g2 = next(r for r in by_doc[2] if r["frame_no"] == 2)
+    assert g2["frame"] == bytes([7]) * (4 * 2 * 3)
+    assert 3 not in by_doc  # undecodable: no rows, no crash
