@@ -933,6 +933,65 @@ def test_jpeg_decoder_never_raises():
         )
         out = jpeg_pixels(soup)
         assert out is None or out.ndim == 3
+    # progressive files get the same treatment: flip the baseline
+    # SOF0 marker to SOF2 so the multi-scan machinery sees garbage
+    prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    for _ in range(200):
+        mut = bytearray(prog)
+        for _ in range(rng.randint(1, 4)):
+            mut[rng.randrange(len(mut))] = rng.randrange(256)
+        out = jpeg_pixels(bytes(mut))
+        assert out is None or out.ndim == 3
+
+
+def test_jpeg_baseline_422_subsampling():
+    """Baseline 4:2:2 (Y 2x1, chroma 1x1): horizontal-only chroma
+    replication reconstructs the exact solid YCbCr color."""
+    import struct
+
+    import numpy as np
+
+    from zed_spark.textops.multimodal import jpeg_pixels
+
+    dht, dc, ac = _jpeg_test_tables()
+    Y, CB, CR = 120, 100, 140
+    qtab = bytes([8] + [16] * 63)
+    f = bytearray(b"\xff\xd8")
+    f += b"\xff\xdb" + struct.pack(">HB", 67, 0) + qtab
+    f += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 8, 16, 3)
+    f += bytes([1, 0x21, 0, 2, 0x11, 0, 3, 0x11, 0])  # Y 2x1
+    f += dht
+    f += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    f += bytes([1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    put, flush, _ = _jpeg_test_emitter()
+
+    def block(diff):
+        t = abs(diff).bit_length()
+        put(dc[t][1], dc[t][0])
+        if t:
+            put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        put(ac[0x00][1], ac[0x00][0])
+
+    # one MCU: 2 Y blocks (2x1) + Cb + Cr
+    block(Y - 128)
+    block(0)
+    block(CB - 128)
+    block(CR - 128)
+    f += flush() + b"\xff\xd9"
+
+    got = jpeg_pixels(bytes(f))
+    assert got is not None and got.shape == (8, 16, 3)
+    cb, cr = CB - 128.0, CR - 128.0
+    want = [
+        int(np.clip(round(v), 0, 255))
+        for v in (
+            Y + 1.402 * cr,
+            Y - 0.344136 * cb - 0.714136 * cr,
+            Y + 1.772 * cb,
+        )
+    ]
+    assert got.min(axis=(0, 1)).tolist() == want
+    assert got.max(axis=(0, 1)).tolist() == want
 
 
 def test_jpeg_pixel_count_gate():

@@ -555,7 +555,9 @@ class _JpegBits:
             v = (v << 1) | self.bit()
         return v
 
-    def huff(self, table: dict) -> int:
+    def huff(self, table: dict | None) -> int:
+        if table is None:  # scan referenced an undefined DHT slot
+            raise ValueError("missing huffman table")
         code = 0
         for ln in range(1, 17):
             code = (code << 1) | self.bit()
