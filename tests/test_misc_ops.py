@@ -1079,3 +1079,44 @@ def test_avi_mjpeg_frames_real(spark):
     g2 = next(r for r in by_doc[2] if r["frame_no"] == 2)
     assert g2["frame"] == bytes([7]) * (4 * 2 * 3)
     assert 3 not in by_doc  # undecodable: no rows, no crash
+
+
+def test_frame_decoders_never_raise():
+    """Fuzz regression for the container decoders: mutations caught a
+    corrupt LZW min-code byte sizing the initial table at 1<<255 (a
+    hard hang) and a zero JPEG sampling factor (ZeroDivisionError).
+    Truncations and byte mutations must terminate quickly and never
+    raise."""
+    import random
+
+    from zed_spark.textops.multimodal import (
+        any_pixels,
+        avi_mjpeg_bytes,
+        avi_mjpeg_frames,
+        bmp_bytes,
+        gif_anim_bytes,
+        gif_bytes,
+        gif_frames,
+        jpeg_bytes,
+        png_bytes,
+    )
+
+    rng = random.Random(3)
+    gif = gif_anim_bytes(6, 4, [1, 2, 3])
+    avi = avi_mjpeg_bytes([jpeg_bytes(8, 8, fill=60)])
+    for base, dec in ((gif, gif_frames), (avi, avi_mjpeg_frames)):
+        for cut in range(0, len(base), 11):
+            list(dec(base[:cut]))
+        for _ in range(300):
+            mut = bytearray(base)
+            for _ in range(rng.randint(1, 5)):
+                mut[rng.randrange(len(mut))] = rng.randrange(256)
+            list(dec(bytes(mut)))
+    for base in (gif_bytes(5, 4, fill=9), png_bytes(5, 4), bmp_bytes(5, 4)):
+        for cut in range(0, len(base), 13):
+            any_pixels(base[:cut])
+        for _ in range(200):
+            mut = bytearray(base)
+            for _ in range(rng.randint(1, 5)):
+                mut[rng.randrange(len(mut))] = rng.randrange(256)
+            any_pixels(bytes(mut))

@@ -340,6 +340,10 @@ def bmp_pixels(b: bytes | None):
 def _gif_lzw_decode(data: bytes, min_code: int, npix: int) -> list | None:
     """GIF LZW (the public GIF89a spec, appendix F): variable-width
     codes LSB-first, dictionary reset on CLEAR, width grows to 12."""
+    if not 2 <= min_code <= 11:
+        # spec range is 2-8 (code width caps at 12); a corrupt byte
+        # here would size the initial table at 1 << min_code
+        return None
     clear, end = 1 << min_code, (1 << min_code) + 1
     out: list = []
     table = [(i,) for i in range(clear)] + [(), ()]
@@ -429,6 +433,8 @@ def gif_pixels(b: bytes | None):
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 7)
+        if i + n * 3 > len(b):  # truncated color table
+            return None
         gct = np.frombuffer(b, np.uint8, n * 3, i).reshape(n, 3)
         i += n * 3
     while i < len(b):
@@ -445,6 +451,8 @@ def gif_pixels(b: bytes | None):
             table = gct
             if ip & 0x80:
                 n = 2 << (ip & 7)
+                if i + n * 3 > len(b):
+                    return None
                 table = np.frombuffer(b, np.uint8, n * 3, i).reshape(n, 3)
                 i += n * 3
             if ip & 0x40 or table is None:  # interlaced: not supported
@@ -653,6 +661,11 @@ def jpeg_pixels(b: bytes | None):
                      seg[7 + 3 * k] & 15, seg[8 + 3 * k])
                     for k in range(nc)
                 ]
+                if any(
+                    not (1 <= hs <= 4 and 1 <= vs <= 4)
+                    for _, hs, vs, _ in comps
+                ):
+                    return None  # T.81 B.2.2: sampling factors 1-4
             elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # lossless / arithmetic / differential
@@ -1040,7 +1053,10 @@ def any_pixels(b: bytes | None):
     BMP (BI_RGB), GIF (non-interlaced), baseline JPEG (SOF0/SOF1;
     progressive and CMYK fall through to PIL when importable)."""
     for dec in (png_pixels, bmp_pixels, gif_pixels, jpeg_pixels):
-        px = dec(b)
+        try:
+            px = dec(b)
+        except Exception:  # malformed container: errors are values
+            px = None
         if px is not None:
             return px
     return None
@@ -1585,10 +1601,14 @@ def gif_frames(b: bytes | None):
         return
     b = bytes(b)
     W, H = struct.unpack("<HH", b[6:10])
+    if W * H > _JPEG_MAX_PIXELS:  # same decode bound as jpeg_pixels
+        return
     packed, bg = b[10], b[11]
     i, gct = 13, None
     if packed & 0x80:
         n = 2 << (packed & 7)
+        if i + n * 3 > len(b):  # truncated color table
+            return
         gct = np.frombuffer(b, np.uint8, n * 3, i).reshape(n, 3)
         i += n * 3
     bg_rgb = (
@@ -1618,6 +1638,8 @@ def gif_frames(b: bytes | None):
             table = gct
             if ip & 0x80:
                 n = 2 << (ip & 7)
+                if i + n * 3 > len(b):
+                    return
                 table = np.frombuffer(b, np.uint8, n * 3, i).reshape(n, 3)
                 i += n * 3
             if ip & 0x40 or table is None or t + h > H or l + w > W:
@@ -1750,13 +1772,16 @@ def frame_sample(df: DataFrame, every_n: int = 10, media_col: str = "media",
 
     def decode_frames(payload):
         b = bytes(payload)
-        it = gif_frames(b)
-        probe = next(it, None)
-        if probe is not None:
-            yield probe
-            yield from it
+        try:
+            it = gif_frames(b)
+            probe = next(it, None)
+            if probe is not None:
+                yield probe
+                yield from it
+                return
+            yield from avi_mjpeg_frames(b)
+        except Exception:  # malformed container: emit nothing
             return
-        yield from avi_mjpeg_frames(b)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
