@@ -132,7 +132,6 @@ def strip_duplicated_spans(
             lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
         ),
     )
-    out_cols = [c for c in df.columns if c != text_col]
     return (
         df.join(per_doc, id_col, "left")
         .withColumn(
@@ -140,5 +139,5 @@ def strip_duplicated_spans(
             F.when(F.col("__spans").isNull(), normalize_text(F.col(text_col)))
             .otherwise(F.array_join(kept, " ")),
         )
-        .select(*out_cols, text_col)
+        .select(*df.columns)  # original column order, text in place
     )
