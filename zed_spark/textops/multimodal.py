@@ -213,12 +213,60 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
     return (w, h, 3, round(luma, 6))
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step), PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(np, raw: bytes, h: int, stride: int, bpp: int):
+    """Reverse scanline filters 0-4 (PNG spec §9) over one (sub-)
+    image of `h` rows x `stride` bytes with `bpp` bytes/pixel;
+    returns an (h, stride) uint8 array or None on truncation."""
+    if len(raw) < h * (stride + 1):
+        return None
+    arr = np.frombuffer(raw[: h * (stride + 1)], np.uint8).reshape(
+        h, stride + 1
+    )
+    ftype, rows = arr[:, 0], arr[:, 1:]
+    out = np.zeros((h, stride), np.uint8)
+    zero = np.zeros(stride, np.uint8)
+    for y in range(h):
+        f, row = int(ftype[y]), rows[y]
+        prior = out[y - 1] if y else zero
+        if f == 0:
+            rec = row.copy()
+        elif f == 2:  # Up — vectorized (uint8 add wraps mod 256)
+            rec = row + prior
+        else:  # Sub/Average/Paeth carry an intra-row dependency
+            rec = row.astype(np.int32)
+            pri = prior.astype(np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    rec[x] = (rec[x] + a) & 0xFF
+                elif f == 3:
+                    rec[x] = (rec[x] + ((a + pri[x]) >> 1)) & 0xFF
+                else:  # Paeth
+                    up = pri[x]
+                    ul = pri[x - bpp] if x >= bpp else 0
+                    p = a + up - ul
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - ul)
+                    pr = a if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                    rec[x] = (rec[x] + pr) & 0xFF
+            rec = rec.astype(np.uint8)
+        out[y] = rec
+    return out
+
+
 def png_pixels(b: bytes | None):
     """REAL PNG pixel decode, pure Python + numpy: IDAT zlib inflate
     then per-scanline unfiltering (filters 0-4 of the PNG spec §9).
-    Supports 8-bit depth, color types 0/2/3 (palette via PLTE)/4/6,
-    non-interlaced — returns an (h, w, channels) uint8 array, or None
-    for anything else (16-bit, Adam7)."""
+    Supports 8- and 16-bit depth (16-bit downsamples to the high
+    byte), color types 0/2/3 (palette via PLTE)/4/6, non-interlaced
+    AND Adam7-interlaced — returns an (h, w, channels) uint8 array,
+    or None for sub-byte depths."""
     import numpy as np
 
     if not b or not bytes(b).startswith(_PNG_SIG):
@@ -244,49 +292,40 @@ def png_pixels(b: bytes | None):
             break
         i += 12 + ln
     c = _PNG_CHANNELS.get(color)
-    if not w or not h or depth != 8 or interlace or c is None:
+    if not w or not h or depth not in (8, 16) or c is None:
         return None
+    if depth == 16 and color == 3:
+        return None  # 16-bit palette does not exist in the spec
     if color == 3 and (plte is None or len(plte) % 3):
+        return None
+    if w * h > _JPEG_MAX_PIXELS or interlace not in (0, 1):
         return None
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    stride = w * c
-    if len(raw) < h * (stride + 1):
-        return None
-    arr = np.frombuffer(raw[: h * (stride + 1)], np.uint8).reshape(
-        h, stride + 1
-    )
-    ftype, rows = arr[:, 0], arr[:, 1:]
-    out = np.zeros((h, stride), np.uint8)
-    zero = np.zeros(stride, np.uint8)
-    for y in range(h):
-        f, row = int(ftype[y]), rows[y]
-        prior = out[y - 1] if y else zero
-        if f == 0:
-            rec = row.copy()
-        elif f == 2:  # Up — vectorized (uint8 add wraps mod 256)
-            rec = row + prior
-        else:  # Sub/Average/Paeth carry an intra-row dependency
-            rec = row.astype(np.int32)
-            pri = prior.astype(np.int32)
-            for x in range(stride):
-                a = rec[x - c] if x >= c else 0
-                if f == 1:
-                    rec[x] = (rec[x] + a) & 0xFF
-                elif f == 3:
-                    rec[x] = (rec[x] + ((a + pri[x]) >> 1)) & 0xFF
-                else:  # Paeth
-                    up = pri[x]
-                    ul = pri[x - c] if x >= c else 0
-                    p = a + up - ul
-                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - ul)
-                    pr = a if pa <= pb and pa <= pc else (up if pb <= pc else ul)
-                    rec[x] = (rec[x] + pr) & 0xFF
-            rec = rec.astype(np.uint8)
-        out[y] = rec
-    px = out.reshape(h, w, c)
+    bpp = c * (depth // 8)
+    if interlace == 0:
+        out = _png_unfilter(np, raw, h, w * bpp, bpp)
+        if out is None:
+            return None
+        full = out.reshape(h, w, bpp)
+    else:  # Adam7: each pass is its own filtered sub-image
+        full = np.zeros((h, w, bpp), np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub = _png_unfilter(np, raw[pos:], ph, pw * bpp, bpp)
+            if sub is None:
+                return None
+            pos += ph * (pw * bpp + 1)
+            full[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+    if depth == 16:
+        full = full.reshape(h, w, c, 2)[..., 0]  # high byte
+    px = full.reshape(h, w, c)
     if color == 3:  # palette indices -> RGB via the PLTE table
         table = np.frombuffer(plte, np.uint8).reshape(-1, 3)
         idx = px[..., 0]
@@ -335,6 +374,17 @@ def bmp_pixels(b: bytes | None):
     if not top_down:
         rows = rows[::-1]
     return rows[..., 2::-1].copy()  # BGR(A) -> RGB
+
+
+def _gif_deinterlace(np, arr):
+    """GIF89a 4-pass row interleave (spec appendix E): stream rows
+    land at 0,8,16.. then 4,12.. then 2,6.. then 1,3,5..."""
+    h = arr.shape[0]
+    order = [y for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))
+             for y in range(s, h, st)]
+    out = np.empty_like(arr)
+    out[np.asarray(order)] = arr
+    return out
 
 
 def _gif_lzw_decode(data: bytes, min_code: int, npix: int) -> list | None:
@@ -455,7 +505,7 @@ def gif_pixels(b: bytes | None):
                     return None
                 table = np.frombuffer(b, np.uint8, n * 3, i).reshape(n, 3)
                 i += n * 3
-            if ip & 0x40 or table is None:  # interlaced: not supported
+            if table is None:
                 return None
             min_code = b[i]
             i += 1
@@ -467,6 +517,8 @@ def gif_pixels(b: bytes | None):
             if idx is None or len(idx) < w * h:
                 return None
             arr = np.asarray(idx, dtype=np.int64).reshape(h, w)
+            if ip & 0x40:  # interlaced: reorder the pass rows
+                arr = _gif_deinterlace(np, arr)
             if int(arr.max()) >= len(table):
                 return None
             return table[arr]
@@ -1642,7 +1694,7 @@ def gif_frames(b: bytes | None):
                     return
                 table = np.frombuffer(b, np.uint8, n * 3, i).reshape(n, 3)
                 i += n * 3
-            if ip & 0x40 or table is None or t + h > H or l + w > W:
+            if table is None or t + h > H or l + w > W:
                 return
             min_code = b[i]
             i += 1
@@ -1655,6 +1707,8 @@ def gif_frames(b: bytes | None):
             if idx is None or len(idx) < w * h:
                 return
             arr = np.asarray(idx, np.int64).reshape(h, w)
+            if ip & 0x40:  # interlaced frame: reorder the pass rows
+                arr = _gif_deinterlace(np, arr)
             if int(arr.max()) >= len(table):
                 return
             if disposal == 3:
