@@ -1224,3 +1224,44 @@ def test_gif_interlaced_decode():
     px = gif_pixels(bytes(out))
     assert px is not None and px.shape == (H, W, 3)
     assert px[:, 0, 0].tolist() == list(range(H))
+
+
+def test_exif_orientation():
+    """EXIF orientation comes out of a genuine APP1 TIFF block in
+    either byte order; files without EXIF (or with out-of-range
+    values) yield None."""
+    import struct
+
+    from zed_spark.textops.multimodal import (
+        jpeg_bytes,
+        parse_exif_orientation,
+        parse_image_header,
+    )
+
+    def app1(tiff):
+        return (
+            b"\xff\xe1" + struct.pack(">H", 2 + 6 + len(tiff))
+            + b"Exif\x00\x00" + tiff
+        )
+
+    def tiff_le(orient):
+        return (
+            b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 1)
+            + struct.pack("<HHI", 274, 3, 1) + struct.pack("<H", orient)
+            + b"\x00\x00" + b"\x00" * 4
+        )
+
+    base = jpeg_bytes(8, 8, fill=40)
+    for o in (1, 6, 8):
+        f = base[:2] + app1(tiff_le(o)) + base[2:]
+        assert parse_exif_orientation(f) == o
+        # the EXIF segment must not confuse the header/pixel paths
+        assert parse_image_header(f)[:3] == ("jpeg", 8, 8)
+    assert parse_exif_orientation(base) is None
+    assert parse_exif_orientation(base[:2] + app1(tiff_le(9)) + base[2:]) is None
+    tiff_be = (
+        b"MM\x00*" + struct.pack(">I", 8) + struct.pack(">H", 1)
+        + struct.pack(">HHI", 274, 3, 1) + struct.pack(">H", 3)
+        + b"\x00\x00" + b"\x00" * 4
+    )
+    assert parse_exif_orientation(base[:2] + app1(tiff_be) + base[2:]) == 3

@@ -126,32 +126,62 @@ def parse_image_header(b: bytes | None):
             return ("webp", w, h, 3)
         return ("webp", None, None, None)
     if b[:4] in (b"II*\x00", b"MM\x00*") and len(b) >= 8:
-        # TIFF: walk the first IFD for ImageWidth/ImageLength/
-        # SamplesPerPixel (tags 256/257/277, SHORT or LONG inline)
-        end = "<" if b[:2] == b"II" else ">"
-        off = struct.unpack(end + "I", b[4:8])[0]
-        w = h = ch = None
-        if off + 2 <= len(b):
-            cnt = struct.unpack(end + "H", b[off : off + 2])[0]
-            for k in range(cnt):
-                e = off + 2 + 12 * k
-                if e + 12 > len(b):
-                    break
-                tag, typ = struct.unpack(end + "HH", b[e : e + 4])
-                if typ == 3:
-                    val = struct.unpack(end + "H", b[e + 8 : e + 10])[0]
-                elif typ == 4:
-                    val = struct.unpack(end + "I", b[e + 8 : e + 12])[0]
-                else:
-                    continue
-                if tag == 256:
-                    w = val
-                elif tag == 257:
-                    h = val
-                elif tag == 277:
-                    ch = val
-        return ("tiff", w, h, ch)
+        # TIFF: first-IFD ImageWidth/ImageLength/SamplesPerPixel
+        tags = _tiff_ifd_tags(b, (256, 257, 277))
+        return ("tiff", tags.get(256), tags.get(257), tags.get(277))
     return unknown
+
+
+def _tiff_ifd_tags(b: bytes, wanted) -> dict:
+    """First-IFD SHORT/LONG tag values from a TIFF byte-order block
+    (the container format EXIF embeds verbatim)."""
+    out: dict = {}
+    if len(b) < 8 or b[:4] not in (b"II*\x00", b"MM\x00*"):
+        return out
+    end = "<" if b[:2] == b"II" else ">"
+    off = struct.unpack(end + "I", b[4:8])[0]
+    if off + 2 > len(b):
+        return out
+    cnt = struct.unpack(end + "H", b[off : off + 2])[0]
+    for k in range(cnt):
+        e = off + 2 + 12 * k
+        if e + 12 > len(b):
+            break
+        tag, typ = struct.unpack(end + "HH", b[e : e + 4])
+        if tag not in wanted:
+            continue
+        if typ == 3:
+            out[tag] = struct.unpack(end + "H", b[e + 8 : e + 10])[0]
+        elif typ == 4:
+            out[tag] = struct.unpack(end + "I", b[e + 8 : e + 12])[0]
+    return out
+
+
+def parse_exif_orientation(b: bytes | None) -> int | None:
+    """EXIF orientation (tag 274, values 1-8) from a JPEG's APP1
+    segment — the field a training pipeline needs to normalize
+    rotation before pixel work. The EXIF payload is a verbatim TIFF
+    block, so this reuses the IFD walker. None when absent."""
+    if not b or len(b) < 4 or bytes(b[:2]) != b"\xff\xd8":
+        return None
+    b = bytes(b)
+    i, n = 2, len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / scan start: no EXIF
+            return None
+        ln = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        if marker == 0xE1 and b[i + 4 : i + 10] == b"Exif\x00\x00":
+            tiff = b[i + 10 : i + 2 + ln]
+            v = _tiff_ifd_tags(tiff, (274,)).get(274)
+            return v if v in range(1, 9) else None
+        i += 2 + ln
+    return None
 
 
 def png_bytes(width: int, height: int, color_type: int = 2, fill: int = 0) -> bytes:
