@@ -1265,3 +1265,34 @@ def test_exif_orientation():
         + b"\x00\x00" + b"\x00" * 4
     )
     assert parse_exif_orientation(base[:2] + app1(tiff_be) + base[2:]) == 3
+
+
+def test_png_trns_alpha_and_ogg_headers():
+    """Palette PNGs with a tRNS chunk decode to RGBA (absent entries
+    opaque); Ogg Opus/Vorbis identification packets yield channel
+    count and sample rate."""
+    import struct
+
+    from zed_spark.textops.multimodal import parse_audio_header, png_bytes, png_pixels
+
+    base = png_bytes(4, 2, color_type=3, fill=5)
+    # splice a tRNS chunk (entries 0..5 get alpha 250..255) after PLTE
+    trns = _png_chunk(b"tRNS", bytes(range(250, 256)))
+    at = base.find(b"IDAT") - 4
+    png = base[:at] + trns + base[at:]
+    px = png_pixels(png)
+    assert px is not None and px.shape == (2, 4, 4)
+    assert int(px[0, 0, 3]) == 255  # index 5 -> alpha 255
+    assert png_pixels(base).shape == (2, 4, 3)  # no tRNS: RGB
+
+    def ogg_page(pkt):
+        return (
+            b"OggS\x00\x02" + b"\x00" * 8 + b"\x00" * 4 + b"\x00" * 4
+            + b"\x00" * 4 + bytes([1, len(pkt)]) + pkt
+        )
+
+    opus = ogg_page(b"OpusHead\x01\x02\x38\x01" + struct.pack("<I", 48000) + b"\x00" * 3)
+    assert parse_audio_header(opus) == ("opus", 2, 48000, None, None)
+    vorb = ogg_page(b"\x01vorbis" + b"\x00" * 4 + bytes([1]) + struct.pack("<I", 44100))
+    assert parse_audio_header(vorb) == ("vorbis", 1, 44100, None, None)
+    assert parse_audio_header(b"OggS" + b"\x00" * 30)[0] == "ogg"

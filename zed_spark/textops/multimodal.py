@@ -294,7 +294,7 @@ def png_pixels(b: bytes | None):
     """REAL PNG pixel decode, pure Python + numpy: IDAT zlib inflate
     then per-scanline unfiltering (filters 0-4 of the PNG spec §9).
     Supports 8- and 16-bit depth (16-bit downsamples to the high
-    byte), color types 0/2/3 (palette via PLTE)/4/6, non-interlaced
+    byte), color types 0/2/3 (palette via PLTE, tRNS alpha)/4/6, non-interlaced
     AND Adam7-interlaced — returns an (h, w, channels) uint8 array,
     or None for sub-byte depths."""
     import numpy as np
@@ -304,7 +304,7 @@ def png_pixels(b: bytes | None):
     b = bytes(b)
     i, n = 8, len(b)
     idat = bytearray()
-    plte = None
+    plte = trns = None
     w = h = depth = color = interlace = None
     while i + 8 <= n:
         ln = struct.unpack(">I", b[i : i + 4])[0]
@@ -316,6 +316,8 @@ def png_pixels(b: bytes | None):
             )
         elif tag == b"PLTE":
             plte = data
+        elif tag == b"tRNS":
+            trns = data
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -356,12 +358,19 @@ def png_pixels(b: bytes | None):
     if depth == 16:
         full = full.reshape(h, w, c, 2)[..., 0]  # high byte
     px = full.reshape(h, w, c)
-    if color == 3:  # palette indices -> RGB via the PLTE table
+    if color == 3:  # palette indices -> RGB(A) via PLTE (+ tRNS)
         table = np.frombuffer(plte, np.uint8).reshape(-1, 3)
         idx = px[..., 0]
         if int(idx.max()) >= len(table):
             return None
-        return table[idx]
+        rgb = table[idx]
+        if trns:  # per-palette-entry alpha; absent entries are opaque
+            alpha = np.full(len(table), 255, np.uint8)
+            alpha[: min(len(trns), len(table))] = np.frombuffer(
+                trns[: len(table)], np.uint8
+            )
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
     return px
 
 
@@ -1338,15 +1347,42 @@ def _parse_mp3_header(b: bytes):
     return ("mp3", nch, rate, None, dur)
 
 
+def _parse_ogg_header(b: bytes):
+    """First Ogg page's identification packet: OpusHead (channel
+    count + pre-skip + input rate, RFC 7845 §5.1) or \x01vorbis
+    (channels + rate). Duration needs the last page's granule —
+    header-only parse reports None."""
+    # page header: "OggS" ver typ granule(8) serial(4) seq(4) crc(4)
+    # nsegs, then the segment table; the id packet follows
+    if len(b) < 28:
+        return None
+    nseg = b[26]
+    off = 27 + nseg
+    pkt = b[off : off + 64]
+    if pkt[:8] == b"OpusHead" and len(pkt) >= 13:
+        nch = pkt[9]
+        rate = struct.unpack("<I", pkt[12:16])[0] if len(pkt) >= 16 else None
+        return ("opus", nch or None, rate or None, None, None)
+    if pkt[:7] == b"\x01vorbis" and len(pkt) >= 16:
+        nch = pkt[11]
+        rate = struct.unpack("<I", pkt[12:16])[0]
+        return ("vorbis", nch or None, rate or None, None, None)
+    return ("ogg", None, None, None, None)
+
+
 def parse_audio_header(b: bytes | None):
     """(format, n_channels, sample_rate, bits_per_sample, duration_s)
-    from WAV/RIFF ('fmt ' + 'data' chunks), FLAC (STREAMINFO), or MP3
-    (first MPEG frame header after optional ID3v2) bytes.
+    from WAV/RIFF ('fmt ' + 'data' chunks), FLAC (STREAMINFO), MP3
+    (first MPEG frame header after optional ID3v2), or Ogg
+    (Opus/Vorbis id packet) bytes.
     Unknown/truncated → ('unknown', None, None, None, None)."""
     unknown = ("unknown", None, None, None, None)
     if not b or len(b) < 12:
         return unknown
     b = bytes(b)
+    if b[:4] == b"OggS":
+        got = _parse_ogg_header(b)
+        return got if got else unknown
     if b[:4] == b"fLaC":
         got = _parse_flac_header(b)
         return got if got else unknown
