@@ -1296,3 +1296,30 @@ def test_png_trns_alpha_and_ogg_headers():
     vorb = ogg_page(b"\x01vorbis" + b"\x00" * 4 + bytes([1]) + struct.pack("<I", 44100))
     assert parse_audio_header(vorb) == ("vorbis", 1, 44100, None, None)
     assert parse_audio_header(b"OggS" + b"\x00" * 30)[0] == "ogg"
+
+
+def test_ico_and_aiff_headers():
+    """ICO directory entries (0-byte = 256 saturation) and AIFF COMM
+    chunks (80-bit extended-float sample rate) parse from genuine
+    container bytes."""
+    import struct
+
+    from zed_spark.textops.multimodal import parse_audio_header, parse_image_header
+
+    ico = b"\x00\x00\x01\x00" + struct.pack("<H", 1) + bytes([32, 64]) + b"\x00" * 14
+    assert parse_image_header(ico) == ("ico", 32, 64, None)
+    ico256 = b"\x00\x00\x01\x00" + struct.pack("<H", 1) + bytes([0, 0]) + b"\x00" * 14
+    assert parse_image_header(ico256) == ("ico", 256, 256, None)
+
+    # 44100 Hz as 80-bit extended: exp 0x400E, mantissa 0xAC44<<48
+    comm = (
+        struct.pack(">HIH", 2, 88200, 16)
+        + struct.pack(">H", 0x400E) + (0xAC44 << 48).to_bytes(8, "big")
+    )
+    aiff = (
+        b"FORM" + struct.pack(">I", 4 + 8 + len(comm)) + b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+    )
+    assert parse_audio_header(aiff) == ("aiff", 2, 44100, 16, 2.0)
+    assert parse_audio_header(b"FORM\x00\x00\x00\x04AIFF") == (
+        "aiff", None, None, None, None)

@@ -129,6 +129,15 @@ def parse_image_header(b: bytes | None):
         # TIFF: first-IFD ImageWidth/ImageLength/SamplesPerPixel
         tags = _tiff_ifd_tags(b, (256, 257, 277))
         return ("tiff", tags.get(256), tags.get(257), tags.get(277))
+    if b[:4] == b"\x00\x00\x01\x00" and len(b) >= 22:
+        # ICO: first directory entry; 0 bytes mean 256 (the format's
+        # one-byte size fields saturate)
+        n = struct.unpack("<H", b[4:6])[0]
+        if n == 0:
+            return ("ico", None, None, None)
+        w = b[6] or 256
+        h = b[7] or 256
+        return ("ico", w, h, None)
     return unknown
 
 
@@ -1389,6 +1398,26 @@ def parse_audio_header(b: bytes | None):
     if b[:3] == b"ID3" or (b[0] == 0xFF and len(b) > 1 and (b[1] & 0xE0) == 0xE0):
         got = _parse_mp3_header(b)
         return got if got else unknown
+    if b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
+        # AIFF: big-endian IFF; COMM carries channels/bits/rate
+        # (the rate is an 80-bit extended float)
+        i, n = 12, len(b)
+        while i + 8 <= n:
+            tag = b[i : i + 4]
+            sz = struct.unpack(">I", b[i + 4 : i + 8])[0]
+            if tag == b"COMM" and i + 8 + 18 <= n:
+                nch, frames, bits = struct.unpack(">HIH", b[i + 8 : i + 16])
+                exp = struct.unpack(">H", b[i + 16 : i + 18])[0] & 0x7FFF
+                mant = int.from_bytes(b[i + 18 : i + 26], "big")
+                rate = (
+                    int(mant * 2.0 ** (exp - 16383 - 63))
+                    if 0 < exp < 0x7FFF and mant
+                    else None
+                )
+                dur = round(frames / rate, 6) if rate and frames else None
+                return ("aiff", nch or None, rate, bits or None, dur)
+            i += 8 + sz + (sz & 1)
+        return ("aiff", None, None, None, None)
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return unknown
     nch = rate = brate = bits = data_size = None
