@@ -1323,3 +1323,89 @@ def test_ico_and_aiff_headers():
     assert parse_audio_header(aiff) == ("aiff", 2, 44100, 16, 2.0)
     assert parse_audio_header(b"FORM\x00\x00\x00\x04AIFF") == (
         "aiff", None, None, None, None)
+
+
+def test_jpeg_12bit_extended_sequential():
+    """12-bit precision (SOF1): level shift 2048, coefficients in the
+    12-bit domain, output downscaled to 8-bit. Hand-assembled solid
+    frame with analytically known pixels."""
+    import struct
+
+    from zed_spark.textops.multimodal import jpeg_pixels
+
+    dht, dc, ac = _jpeg_test_tables()
+    qtab = bytes([8] + [16] * 63)
+    FILL12 = 3000  # DC diff (3000-2048) = 952, category 10
+    f = bytearray(b"\xff\xd8")
+    f += b"\xff\xdb" + struct.pack(">HB", 67, 0) + qtab
+    f += b"\xff\xc1" + struct.pack(">HBHHB", 11, 12, 8, 8, 1) + bytes([1, 0x11, 0])
+    f += dht
+    f += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    put, flush, _ = _jpeg_test_emitter()
+    _put_dc_diff(put, dc, FILL12 - 2048)
+    put(ac[0x00][1], ac[0x00][0])
+    f += flush() + b"\xff\xd9"
+
+    got = jpeg_pixels(bytes(f))
+    assert got is not None and got.shape == (8, 8, 1)
+    # 3000 / 16 = 187.5 -> rint -> 188
+    assert int(got.min()) == int(got.max()) == 188
+    # 12-bit BASELINE (SOF0) stays rejected per T.81 B.2.2
+    bad = bytes(f).replace(b"\xff\xc1", b"\xff\xc0", 1)
+    assert jpeg_pixels(bad) is None
+
+
+def test_jpeg_cmyk_and_ycck():
+    """Adobe 4-component decode: transform 0 (direct inverted CMYK)
+    and transform 2 (YCCK) both reduce to RGB = stored * K / 255,
+    computed independently here."""
+    import struct
+
+    import numpy as np
+
+    from zed_spark.textops.multimodal import jpeg_pixels
+
+    dht, dc, ac = _jpeg_test_tables()
+    qtab = bytes([8] + [16] * 63)
+
+    def build(transform, vals):
+        f = bytearray(b"\xff\xd8")
+        f += b"\xff\xee" + struct.pack(">H", 14) + b"Adobe"
+        f += b"\x00\x65\x00\x00\x00\x00" + bytes([transform])
+        f += b"\xff\xdb" + struct.pack(">HB", 67, 0) + qtab
+        f += b"\xff\xc0" + struct.pack(">HBHHB", 20, 8, 8, 8, 4)
+        for cid in (1, 2, 3, 4):
+            f += bytes([cid, 0x11, 0])
+        f += dht
+        f += b"\xff\xda" + struct.pack(">HB", 14, 4)
+        f += bytes([1, 0x00, 2, 0x00, 3, 0x00, 4, 0x00, 0, 63, 0])
+        put, flush, _ = _jpeg_test_emitter()
+        for v in vals:
+            _put_dc_diff(put, dc, v - 128)
+            put(ac[0x00][1], ac[0x00][0])
+        return bytes(f) + flush() + b"\xff\xd9"
+
+    # transform 0: stored (inverted) CMYK directly
+    C, M, Y, K = 200, 150, 100, 220
+    got = jpeg_pixels(build(0, (C, M, Y, K)))
+    assert got is not None and got.shape == (8, 8, 3)
+    want = [round(v * K / 255) for v in (C, M, Y)]
+    assert got.min(axis=(0, 1)).tolist() == want
+    assert got.max(axis=(0, 1)).tolist() == want
+
+    # transform 2: YCCK routes CMY through the YCbCr equations
+    Yl, CB, CR, K2 = 120, 140, 160, 230
+    got2 = jpeg_pixels(build(2, (Yl, CB, CR, K2)))
+    assert got2 is not None and got2.shape == (8, 8, 3)
+    cb, cr = CB - 128.0, CR - 128.0
+    chans = (
+        Yl + 1.402 * cr,
+        Yl - 0.344136 * cb - 0.714136 * cr,
+        Yl + 1.772 * cb,
+    )
+    want2 = [
+        int(np.clip(np.rint(np.clip(v, 0, 255) * K2 / 255.0), 0, 255))
+        for v in chans
+    ]
+    assert got2.min(axis=(0, 1)).tolist() == want2
+    assert got2.max(axis=(0, 1)).tolist() == want2

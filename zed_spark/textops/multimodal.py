@@ -8,9 +8,9 @@ Decode tiers:
     come from the actual bytes; no external library needed.
   - pixel-level decode (`decode_image` luma, `resize_image`) — REAL
     for PNG (zlib inflate + spec unfiltering), BMP (BI_RGB rows),
-    GIF (spec LZW) and JPEG, baseline AND progressive
-    (`jpeg_pixels`), via pure-Python decoders, and for every
-    PIL-known format (12-bit, lossless, CMYK) when PIL is importable
+    GIF (spec LZW) and JPEG — baseline, progressive, 12-bit,
+    CMYK/YCCK (`jpeg_pixels`) — via pure-Python decoders, and for
+    every PIL-known format (lossless, arithmetic) when PIL is importable
     (optional, probed at call time). Payloads no real path can
     decode yield NULL feature columns (errors-as-values);
     `fake=True` keeps the deterministic plumbing stub for synthetic
@@ -690,10 +690,12 @@ def jpeg_pixels(b: bytes | None):
     Huffman entropy decode with byte-stuffing and restart markers,
     dequantize + dezigzag, exact 8x8 IDCT via the DCT-II basis
     matrix, chroma upsampling by pixel replication, JFIF YCbCr->RGB.
-    Returns an (h, w, channels) uint8 array (1 = grayscale, 3 = RGB),
-    or None for 12-bit, lossless, arithmetic-coded, CMYK, or
-    non-interleaved multi-scan BASELINE files (PIL handles those when
-    importable; see _real_decode)."""
+    Also: 12-bit precision (extended/progressive frames, downscaled
+    to 8-bit output) and Adobe CMYK/YCCK (APP14 transform). Returns
+    an (h, w, channels) uint8 array (1 = grayscale, 3 = RGB), or
+    None for lossless, arithmetic-coded, or non-interleaved
+    multi-scan BASELINE files (PIL handles those when importable;
+    see _real_decode)."""
     import numpy as np
 
     if not b or len(b) < 4 or bytes(b[:2]) != b"\xff\xd8":
@@ -707,6 +709,8 @@ def jpeg_pixels(b: bytes | None):
     restart = 0
     progressive = False
     pstate = None
+    precision = 8
+    adobe = None  # APP14 color-transform code (CMYK files)
     i, n = 2, len(b)
     try:
         while i + 2 <= n:
@@ -715,7 +719,9 @@ def jpeg_pixels(b: bytes | None):
             marker = b[i + 1]
             if marker == 0xD9:  # EOI
                 if pstate is not None and pstate.got_scan:
-                    return _jpeg_prog_finish(np, w, h, comps, qt, pstate)
+                    return _jpeg_prog_finish(
+                        np, w, h, comps, qt, pstate, precision, adobe
+                    )
                 return None
             if 0xD0 <= marker <= 0xD7 or marker == 0x01:
                 i += 2
@@ -746,7 +752,10 @@ def jpeg_pixels(b: bytes | None):
                     (huff_ac if tc else huff_dc)[th] = _jpeg_canonical(bits, vals)
                     j += 17 + cnt
             elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
-                if seg[0] != 8:  # sample precision
+                precision = seg[0]
+                if precision != 8 and not (
+                    precision == 12 and marker in (0xC1, 0xC2)
+                ):  # 12-bit is extended/progressive only (T.81 B.2.2)
                     return None
                 progressive = marker == 0xC2
                 h, w = struct.unpack(">HH", seg[1:5])
@@ -771,6 +780,8 @@ def jpeg_pixels(b: bytes | None):
                 return None  # lossless / arithmetic / differential
             elif marker == 0xDD:  # DRI
                 restart = struct.unpack(">H", seg[:2])[0]
+            elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+                adobe = seg[11]  # 0 CMYK/RGB direct, 1 YCbCr, 2 YCCK
             elif marker == 0xDA:  # SOS
                 if comps is None or not w or not h:
                     return None
@@ -783,7 +794,7 @@ def jpeg_pixels(b: bytes | None):
                         return None  # multi-scan baseline: PIL path only
                     return _jpeg_decode_scan(
                         np, b, i + 2 + ln, w, h, comps, scan, qt,
-                        huff_dc, huff_ac, restart,
+                        huff_dc, huff_ac, restart, precision, adobe,
                     )
                 ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
                 ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
@@ -808,8 +819,10 @@ def jpeg_pixels(b: bytes | None):
 
 
 def _jpeg_decode_scan(np, b, i, w, h, comps, scan, qt, huff_dc,
-                      huff_ac, restart):
-    """Entropy-decode one interleaved baseline scan into pixel planes."""
+                      huff_ac, restart, precision=8, adobe=None):
+    """Entropy-decode one interleaved sequential scan into pixel
+    planes (8- or 12-bit precision; 12-bit downscales to 8 at the
+    end)."""
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -863,12 +876,17 @@ def _jpeg_decode_scan(np, b, i, w, h, comps, scan, qt, huff_dc,
                                 _jpeg_extend(r.bits(s), s) * qzz[ci][k]
                             )
                             k += 1
-                        blk = A.T @ coef.reshape(8, 8) @ A + 128.0
+                        blk = (
+                            A.T @ coef.reshape(8, 8) @ A
+                            + (1 << (precision - 1))
+                        )
                         y0 = (my * vs + by) * 8
                         x0 = (mx * hs + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
             done += 1
-    return _jpeg_finish(np, planes, comps, hmax, vmax, w, h)
+    if precision == 12:  # back to the 8-bit output domain
+        planes = [p / 16.0 for p in planes]
+    return _jpeg_finish(np, planes, comps, hmax, vmax, w, h, adobe)
 
 
 class _JpegProgState:
@@ -1046,7 +1064,8 @@ def _jpeg_prog_scan(b, i, comps, scan_comps, scan, qt, huff_dc, huff_ac,
     raise ValueError("unterminated scan")
 
 
-def _jpeg_prog_finish(np, w, h, comps, qt, state):
+def _jpeg_prog_finish(np, w, h, comps, qt, state, precision=8,
+                      adobe=None):
     """Dequantize + dezigzag the accumulated coefficients, IDCT every
     block (vectorized einsum over the basis matrix), assemble planes,
     then share the baseline upsample/color path."""
@@ -1060,13 +1079,19 @@ def _jpeg_prog_finish(np, w, h, comps, qt, state):
         nat = np.zeros_like(deq)
         nat[..., zig] = deq
         blocks = nat.reshape(*nat.shape[:2], 8, 8)
-        px = np.einsum("ai,yxab,bj->yxij", A, blocks, A) + 128.0
+        px = (
+            np.einsum("ai,yxab,bj->yxij", A, blocks, A)
+            + (1 << (precision - 1))
+        )
         by, bx = px.shape[:2]
         planes.append(px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
-    return _jpeg_finish(np, planes, comps, state.hmax, state.vmax, w, h)
+    if precision == 12:
+        planes = [p / 16.0 for p in planes]
+    return _jpeg_finish(np, planes, comps, state.hmax, state.vmax, w, h,
+                        adobe)
 
 
-def _jpeg_finish(np, planes, comps, hmax, vmax, w, h):
+def _jpeg_finish(np, planes, comps, hmax, vmax, w, h, adobe=None):
     """Upsample chroma planes to full resolution, crop to the frame,
     and apply the JFIF YCbCr->RGB equations (1 comp = grayscale)."""
     out = []
@@ -1078,8 +1103,24 @@ def _jpeg_finish(np, planes, comps, hmax, vmax, w, h):
     if len(out) == 1:
         g = np.clip(np.rint(out[0]), 0, 255).astype(np.uint8)
         return g[..., None]
+    if len(out) == 4:
+        # Adobe CMYK: stored components are INVERTED (255 - value);
+        # YCCK (transform 2) additionally routes CMY through the
+        # YCbCr equations. RGB = stored_channel * stored_K / 255.
+        c0, c1, c2, kk = out
+        if adobe == 2:
+            y, cb, cr = c0, c1 - 128.0, c2 - 128.0
+            c0 = y + 1.402 * cr
+            c1 = y - 0.344136 * cb - 0.714136 * cr
+            c2 = y + 1.772 * cb
+        rgb = np.stack([c0, c1, c2], axis=-1)
+        rgb = (
+            np.clip(rgb, 0.0, 255.0)
+            * np.clip(kk, 0.0, 255.0)[..., None] / 255.0
+        )
+        return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
     if len(out) != 3:
-        return None  # CMYK needs the Adobe transform — PIL path
+        return None  # exotic component counts stay on the PIL path
     y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
     rgb = np.stack(
         [y + 1.402 * cr,
