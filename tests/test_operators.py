@@ -286,3 +286,21 @@ def test_pivot_oracle_parity(spark):
     con = duckdb_con(SF_DIR)
     res = compare(qa.pivot_q(spark, SF_DIR), con, qa.PIVOT_SQL)
     assert res["count_match"] and res["schema_match"] and res["approx_match"], res
+
+
+def test_profile_table_approx_mode(spark):
+    """The scale-default profile uses the HLL sketch: distinct counts
+    land within the configured rsd of exact, and the rest of the
+    columns are identical to the exact mode."""
+    from zed_spark.analytics import profile_table
+    from zed_spark.sources.readers import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {r["column"]: r for r in profile_table(docs, exact_distinct=True).collect()}
+    approx = {r["column"]: r for r in profile_table(docs, rsd=0.02).collect()}
+    assert set(exact) == set(approx)
+    for c in exact:
+        e, a = exact[c], approx[c]
+        assert (e["n_nulls"], e["min_value"], e["max_value"]) == (
+            a["n_nulls"], a["min_value"], a["max_value"])
+        assert abs(a["n_distinct"] - e["n_distinct"]) <= max(3, 0.1 * e["n_distinct"])

@@ -44,6 +44,7 @@ EXTRA_ORACLES = {
     "decontaminate": (qt.decontaminate_q, qt.DECONTAM_SQL),
     "chunk_documents": (qt.chunk_documents_q, qt.CHUNK_SQL),
     "quantize_embeddings": (qt.quantize_embeddings_q, qt.QUANTIZE_SQL),
+    "profile_documents": (qt.profile_documents_q, qt.PROFILE_SQL),
 }
 
 

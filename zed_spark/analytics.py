@@ -138,3 +138,50 @@ def approx_percentiles(
             for i, p in enumerate(percentiles)
         ],
     )
+
+
+def profile_table(
+    df: DataFrame, exact_distinct: bool = False, rsd: float = 0.05
+) -> DataFrame:
+    """Column profile — the describe pass a pipeline runs before
+    training: one output row per column with null count, distinct
+    count, and min/max (rendered as strings so heterogeneous columns
+    share a schema).
+
+    Scale: ONE aggregation job. The default distinct counter is the
+    mergeable HLL sketch (`approx_count_distinct`, map-side partials
+    — the 100 TB path); `exact_distinct=True` opts into
+    `count_distinct`, which plans an Expand over the column set (row
+    multiplication by n_cols) and is meant for oracle checks and
+    samples. The wide single-row agg result is unpivoted driver-side
+    (n_cols rows, not data)."""
+    aggs = []
+    for c in df.columns:
+        col = F.col(c)
+        aggs.append(F.count(F.lit(1)).alias(f"__n_{c}"))
+        aggs.append(F.count(col).alias(f"__nn_{c}"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(col).alias(f"__d_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(col, rsd).alias(f"__d_{c}"))
+        aggs.append(F.min(col).cast("string").alias(f"__min_{c}"))
+        aggs.append(F.max(col).cast("string").alias(f"__max_{c}"))
+    row = df.agg(*aggs).first()
+    spark = df.sparkSession
+    dtypes = dict(df.dtypes)
+    out = [
+        (
+            c,
+            dtypes[c],
+            int(row[f"__n_{c}"] - row[f"__nn_{c}"]),
+            int(row[f"__d_{c}"]),
+            row[f"__min_{c}"],
+            row[f"__max_{c}"],
+        )
+        for c in df.columns
+    ]
+    return spark.createDataFrame(
+        out,
+        "column string, dtype string, n_nulls long, n_distinct long, "
+        "min_value string, max_value string",
+    )

@@ -855,3 +855,33 @@ SELECT doc_id, lang, source, n_chars FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM bad)
 ORDER BY doc_id
 """
+
+
+def profile_documents_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Column profiling (round-11 tranche): the describe pass over
+    the documents table — null/distinct counts and min/max per
+    column in one aggregation job. Exact distincts here so the
+    oracle is value-exact; the scale default is the HLL sketch
+    (analytics.profile_table)."""
+    from zed_spark.analytics import profile_table
+
+    docs = read_table(spark, sf, "documents")
+    return profile_table(docs, exact_distinct=True).orderBy("column")
+
+
+def _profile_sql() -> str:
+    cols = [("doc_id", "bigint"), ("text", "string"), ("lang", "string"),
+            ("source", "string"), ("n_chars", "bigint")]
+    parts = [
+        f"""SELECT '{c}' AS "column", '{t}' AS dtype,
+               COUNT(*) - COUNT({c}) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM documents"""
+        for c, t in cols
+    ]
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
+PROFILE_SQL = _profile_sql()
