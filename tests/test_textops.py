@@ -737,3 +737,52 @@ def test_duplicated_spans_matches_python_model(spark):
         for r in duplicated_spans(df, n=N, min_count=2).collect()
     }
     assert got == expect
+
+
+def test_bpe_training_hand_case(spark):
+    """BPE merges pinned on the canonical hand-computable corpus:
+    'low' x5, 'lower' x2, 'newest' x6, 'widest' x3 (Sennrich et al.
+    2016 §3 example family). The first merges must pick the most
+    frequent pair with deterministic lexicographic tie-breaks."""
+    from zed_spark.textops.bpe import _train_merges, train_bpe
+
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = _train_merges(freqs, 4)
+    # pair counts round 1: ('e','s') 9, ('s','t') 9, ('t','</w>') 9,
+    # ('l','o') 7, ('o','w') 7 ... tie at 9 -> lexicographic min
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", "</w>")
+    assert merges[3] == ("l", "o")
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3))
+         for i in range(3)],
+        "doc_id long, text string",
+    )
+    # the distributed path sees 3x the counts -> identical merges
+    assert train_bpe(docs, n_merges=4) == merges
+
+
+def test_bpe_token_count(spark):
+    """Applying a trained merge list: fully-merged words collapse to
+    one token, unseen words stay near character length."""
+    from zed_spark.textops.bpe import _encode_word, bpe_token_count, train_bpe
+
+    corpus = spark.createDataFrame(
+        [(0, "banana banana banana banana band bandana")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(corpus, n_merges=30)
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    assert _encode_word("banana", ranks) == 1  # frequent: fully merged
+    assert _encode_word("zzz", ranks) == 4  # unseen: chars + </w>
+
+    got = {r["doc_id"]: r["n_tokens"] for r in bpe_token_count(
+        spark.createDataFrame(
+            [(1, "banana banana"), (2, "zzz"), (3, None)],
+            "doc_id long, text string",
+        ),
+        merges,
+    ).collect()}
+    assert got[1] == 2 and got[2] == 4 and got[3] == 0

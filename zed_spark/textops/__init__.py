@@ -25,6 +25,7 @@ from zed_spark.textops.analysis import (
     token_count,
     tokenize,
 )
+from zed_spark.textops.bpe import bpe_token_count, train_bpe, word_counts
 from zed_spark.textops.chunking import chunk_documents
 from zed_spark.textops.decontam import contamination_report, decontaminate
 from zed_spark.textops.quantize import (
@@ -44,4 +45,5 @@ __all__ = [
     "contamination_report", "decontaminate",
     "chunk_documents",
     "quantize_embeddings", "dequantize_embeddings", "quantized_topk",
+    "train_bpe", "bpe_token_count", "word_counts",
 ]
