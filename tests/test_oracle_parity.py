@@ -45,6 +45,7 @@ EXTRA_ORACLES = {
     "chunk_documents": (qt.chunk_documents_q, qt.CHUNK_SQL),
     "quantize_embeddings": (qt.quantize_embeddings_q, qt.QUANTIZE_SQL),
     "profile_documents": (qt.profile_documents_q, qt.PROFILE_SQL),
+    "word_counts_top": (qt.word_counts_top_q, qt.WORD_COUNTS_SQL),
 }
 
 

@@ -885,3 +885,37 @@ def _profile_sql() -> str:
 
 
 PROFILE_SQL = _profile_sql()
+
+
+def word_counts_top_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus word-frequency table (round-11 tranche) — the bounded
+    input BPE training consumes; top 100 by (count desc, word) with
+    deterministic ties."""
+    from zed_spark.textops.bpe import word_counts
+
+    docs = read_table(spark, sf, "documents")
+    return word_counts(docs, max_words=100).orderBy(F.desc("n"), "word")
+
+
+WORD_COUNTS_SQL = f"""
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest({_WORDS_SQL}) AS word FROM documents)
+WHERE word != ''
+GROUP BY word ORDER BY n DESC, word LIMIT 100
+"""
+
+
+def bpe_merges_q(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE training end to end (bench key): one distributed
+    word-count aggregation + the driver-side merge loop; returns the
+    ordered merge table. Deterministic, but not SQL-expressible —
+    correctness is pinned in tests/test_textops.py on hand-computable
+    corpora."""
+    from zed_spark.textops.bpe import train_bpe
+
+    docs = read_table(spark, sf, "documents")
+    merges = train_bpe(docs, n_merges=50)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string",
+    )
