@@ -3,6 +3,7 @@
 Chains every corpus op the engine provides in the order a real
 pipeline runs them:
 
+  0. profile                      (describe pass: nulls/distincts)
   1. quality + repetition filter  (Gopher-style rules, codegen)
   2. corpus dedup                 (exact + MinHash-LSH clusters)
   3. benchmark decontamination    (n-gram collision, broadcast)
@@ -10,6 +11,7 @@ pipeline runs them:
   5. chunking                     (bounded token windows)
   6. deterministic sampling       (hash of id, append-stable)
   7. shard packing                (token budget per language)
+  8. tokenizer induction          (BPE merges + real token counts)
 
 Run: python examples/05_corpus_pipeline.py [sf_dir]
 """
@@ -24,15 +26,22 @@ from pyspark.sql import functions as F
 
 def run_pipeline(spark, sf, show=True):
     """Returns {stage: DataFrame} so tests can assert on every step."""
+    from zed_spark.analytics import profile_table
     from zed_spark.sources.readers import read_table
-    from zed_spark.textops import chunk_documents, decontaminate, strip_duplicated_spans
+    from zed_spark.textops import (
+        bpe_token_count,
+        chunk_documents,
+        decontaminate,
+        strip_duplicated_spans,
+        train_bpe,
+    )
     from zed_spark.textops.filters import repetition_report
     from zed_spark.textops.minhash import dedup_corpus
     from zed_spark.textops.sampling import hash_sample, pack_shards
     from zed_spark.textops.analysis import token_count
 
     docs = read_table(spark, sf, "documents")
-    out = {"raw": docs}
+    out = {"raw": docs, "profile": profile_table(docs)}
 
     # 1. repetition/quality filter: keep docs below the dup-word and
     #    top-bigram-coverage thresholds
@@ -72,7 +81,12 @@ def run_pipeline(spark, sf, show=True):
     )
     out["packed"] = packed
 
+    # 8. tokenizer induction on the final corpus + real token counts
+    merges = train_bpe(sampled, n_merges=50)
+    out["bpe_tokens"] = bpe_token_count(sampled, merges)
+
     if show:
+        out["profile"].show(truncate=22)
         for stage in ("raw", "filtered", "deduped", "decontaminated", "stripped"):
             print(f"{stage:>15}: {out[stage].count()} docs")
         print(f"{'chunks':>15}: {out['chunks'].count()} windows")
@@ -81,6 +95,8 @@ def run_pipeline(spark, sf, show=True):
             F.countDistinct("shard").alias("shards"),
             F.sum("n_tokens").alias("tokens"),
         ).orderBy("lang").show()
+        bt = out["bpe_tokens"].agg(F.sum("n_tokens")).first()[0]
+        print(f"{'bpe tokens':>15}: {bt} (50 merges)")
     return out
 
 

@@ -601,6 +601,9 @@ def test_corpus_pipeline_end_to_end(spark):
     ).where(F.length("s.text") > F.length("d.text"))
     assert grew.count() == 0
     assert out["chunks"].agg(F.max("n_tokens")).first()[0] <= 32
+    assert set(out["profile"].columns) == {
+        "column", "dtype", "n_nulls", "n_distinct", "min_value", "max_value"}
+    assert out["bpe_tokens"].count() == n["sampled"]
     # every shard except possibly a group's last stays under budget
     # once it has >1 doc (single docs may exceed it by design)
     bad = (
