@@ -76,7 +76,7 @@ NEW_QUERIES: list[str] = [
     # round-11 late tranche: exact substring dedup (duplicated spans)
     # + benchmark decontamination (oracle-pinned in EXTRA_ORACLES)
     "duplicated_spans", "strip_spans", "decontaminate", "chunk_documents",
-    "quantize_embeddings", "profile_documents", "bpe_merges",
+    "quantize_embeddings", "profile_documents", "bpe_merges", "lm_quality",
 ]
 
 
@@ -113,6 +113,7 @@ def _extra_queries() -> dict:
         "quantize_embeddings": qt.quantize_embeddings_q,
         "profile_documents": qt.profile_documents_q,
         "bpe_merges": qt.bpe_merges_q,
+        "lm_quality": qt.lm_quality_q,
     }
 
 

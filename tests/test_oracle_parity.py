@@ -46,6 +46,7 @@ EXTRA_ORACLES = {
     "quantize_embeddings": (qt.quantize_embeddings_q, qt.QUANTIZE_SQL),
     "profile_documents": (qt.profile_documents_q, qt.PROFILE_SQL),
     "word_counts_top": (qt.word_counts_top_q, qt.WORD_COUNTS_SQL),
+    "lm_quality": (qt.lm_quality_q, qt.LM_QUALITY_SQL),
 }
 
 

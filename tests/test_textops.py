@@ -789,3 +789,36 @@ def test_bpe_token_count(spark):
         merges,
     ).collect()}
     assert got[1] == 2 and got[2] == 4 and got[3] == 0
+
+
+def test_unigram_lm_scores(spark):
+    """LM semantics pinned by hand: common-word docs outscore rare-
+    word docs; OOV words (vs an external LM) take the floor logprob;
+    empty docs produce no row."""
+    import math
+
+    from zed_spark.textops.analysis import unigram_logprob_scores
+    from zed_spark.textops.bpe import word_counts
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common common common common"),
+            (1, "rare"),
+            (2, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["mean_logprob"]
+           for r in unigram_logprob_scores(docs).collect()}
+    # self-trained LM: 'common' has p=4/5, 'rare' 1/5
+    assert abs(got[0] - math.log(4 / 5)) < 1e-9
+    assert abs(got[1] - math.log(1 / 5)) < 1e-9
+    assert 2 not in got  # empty doc: no tokens, no row
+
+    # external LM: unseen words take the add-one floor
+    lm = word_counts(
+        spark.createDataFrame([(9, "common common")], "doc_id long, text string")
+    )
+    got2 = {r["doc_id"]: r["mean_logprob"]
+            for r in unigram_logprob_scores(docs, lm_df=lm).collect()}
+    assert abs(got2[1] - math.log(1 / 3)) < 1e-9  # oov floor: 1/(2+1)

@@ -919,3 +919,32 @@ def bpe_merges_q(spark: SparkSession, sf: str) -> DataFrame:
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank long, left string, right string",
     )
+
+
+def lm_quality_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM quality scores (round-11 tranche): mean per-token
+    log-probability under the corpus's own word distribution —
+    the CCNet-style perplexity filter signal. LM broadcast; one
+    doc-keyed shuffle."""
+    from zed_spark.textops.analysis import unigram_logprob_scores
+
+    docs = read_table(spark, sf, "documents")
+    out = unigram_logprob_scores(docs)
+    return out.select(
+        "doc_id", F.round("mean_logprob", 6).alias("mean_logprob")
+    ).orderBy("doc_id")
+
+
+LM_QUALITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
+),
+toks2 AS (SELECT doc_id, word FROM toks WHERE word != ''),
+lm AS (SELECT word, COUNT(*) AS n FROM toks2 GROUP BY word),
+tot AS (SELECT SUM(n) AS t FROM lm)
+SELECT doc_id,
+       ROUND(AVG(ln(lm.n / (SELECT CAST(t AS DOUBLE) FROM tot))), 6)
+         AS mean_logprob
+FROM toks2 JOIN lm USING (word)
+GROUP BY doc_id ORDER BY doc_id
+"""

@@ -24,6 +24,7 @@ from zed_spark.textops.analysis import (
     quality_score,
     token_count,
     tokenize,
+    unigram_logprob_scores,
 )
 from zed_spark.textops.bpe import bpe_token_count, train_bpe, word_counts
 from zed_spark.textops.chunking import chunk_documents
@@ -46,4 +47,5 @@ __all__ = [
     "chunk_documents",
     "quantize_embeddings", "dequantize_embeddings", "quantized_topk",
     "train_bpe", "bpe_token_count", "word_counts",
+    "unigram_logprob_scores",
 ]

@@ -94,3 +94,45 @@ def quality_report(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    lm_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_logprob: float | None = None,
+) -> DataFrame:
+    """CCNet-style language-model quality signal: mean per-token
+    unigram log-probability (natural log) of each doc under a word
+    LM. Low scores flag gibberish/boilerplate; pipelines keep the
+    middle of the distribution.
+
+    `lm_df` is a (word, n) frequency table — train it on a trusted
+    corpus (bpe.word_counts) or pass None to self-train on `df`
+    (perplexity-vs-own-corpus, the common first pass). Unseen words
+    score `oov_logprob` (default: log of one pseudo-count under the
+    LM total — add-one style).
+
+    Scale: the LM is vocabulary-sized, so it BROADCASTS; the corpus
+    side is explode -> broadcast hash join -> per-doc mean. One
+    shuffle keyed on doc id. Empty docs score NULL."""
+    from zed_spark.textops.bpe import word_counts
+
+    if lm_df is None:
+        lm_df = word_counts(df, text_col=text_col)
+    total = lm_df.agg(F.sum("n")).first()[0] or 1
+    if oov_logprob is None:
+        import math
+
+        oov_logprob = math.log(1.0 / (total + 1))
+    lm = lm_df.select(
+        "word", F.log(F.col("n") / F.lit(float(total))).alias("__lp")
+    )
+    toks = df.select(
+        id_col, F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word")
+    ).where(F.col("word") != "")
+    scored = toks.join(F.broadcast(lm), "word", "left").select(
+        id_col, F.coalesce(F.col("__lp"), F.lit(float(oov_logprob))).alias("__lp")
+    )
+    return scored.groupBy(id_col).agg(F.avg("__lp").alias("mean_logprob"))
