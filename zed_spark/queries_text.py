@@ -16,7 +16,7 @@ from zed_spark.textops import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
 )
-from zed_spark.textops.analysis import STOPWORDS, language_id, stopword_ratio, token_count
+from zed_spark.textops.analysis import STOPWORDS, token_count
 from zed_spark.textops.simhash import N_BITS, simhash
 from zed_spark.textops.similarity import ann_topk
 
@@ -283,17 +283,43 @@ def text_analysis_q(spark: SparkSession, sf: str) -> DataFrame:
     document fingerprint — round 1's `language_id` + `token_stats` +
     `quality_scores` merged into one graded query so each still gets
     a CORRECTNESS row within the driver's 50-query grading cap
-    (per-source token totals are a GROUP BY away from this output)."""
+    (per-source token totals are a GROUP BY away from this output).
+
+    Staged evaluation (round-11): word array first, per-language
+    stopword ratios second, output projection last. The inlined form
+    was ONE giant Project whose expression tree exceeded the codegen
+    limit — interpreted evaluation, no subexpression elimination, and
+    the plan carried 75 copies of split(regexp_replace(lower(text))).
+    Values are unchanged (same expressions over the staged columns)."""
+    from zed_spark.textops.analysis import (
+        language_id_from_ratios,
+        stopword_ratio_from_words,
+        tokenize,
+    )
+
     docs = read_table(spark, sf, "documents")
     t = F.col("text")
-    return docs.select(
+    staged = docs.select(
+        "doc_id", "source", t.alias("__t"), tokenize(t).alias("__w")
+    ).select(
         "doc_id",
         "source",
-        language_id(t).alias("lang_guess"),
-        token_count(t).alias("n_words"),
-        F.length(t).alias("n_chars"),
-        stopword_ratio(t).alias("stop_ratio"),
-        F.substring(F.md5(t), 1, 16).alias("fp"),
+        "__t",
+        "__w",
+        *[
+            stopword_ratio_from_words(F.col("__w"), lang).alias(f"__r_{lang}")
+            for lang in STOPWORDS
+        ],
+    )
+    ratios = {lang: F.col(f"__r_{lang}") for lang in STOPWORDS}
+    return staged.select(
+        "doc_id",
+        "source",
+        language_id_from_ratios(ratios).alias("lang_guess"),
+        F.size("__w").alias("n_words"),
+        F.length("__t").alias("n_chars"),
+        F.col("__r_en").alias("stop_ratio"),
+        F.substring(F.md5("__t"), 1, 16).alias("fp"),
     )
 
 

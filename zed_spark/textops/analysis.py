@@ -39,30 +39,52 @@ def token_count(text: Column, mode: str = "whitespace") -> Column:
     raise ValueError(f"token_count mode {mode!r}")
 
 
-def stopword_ratio(text: Column, lang: str = "en") -> Column:
-    toks = tokenize(text)
+def stopword_ratio_from_words(words: Column, lang: str = "en") -> Column:
+    """Stopword hit-ratio over a MATERIALIZED word-array column.
+
+    DataFrame pipelines should stage the word array in its own
+    projection and pass the attribute: Projects too large for
+    whole-stage codegen fall back to interpreted evaluation with no
+    subexpression elimination, so an inlined tokenize() is re-run per
+    reference (the round-11 text_analysis plan carried 75 copies of
+    split(regexp_replace(lower(text))))."""
     stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
-    return n_stop / F.greatest(F.size(toks), F.lit(1))
+    n_stop = F.size(F.filter(words, lambda t: F.array_contains(stops, t)))
+    return n_stop / F.greatest(F.size(words), F.lit(1))
 
 
-def language_id(text: Column) -> Column:
-    """Heuristic language id: the language whose stopword hit-ratio is
-    highest; 'und' when no stopwords hit at all."""
-    ratios = [(lang, stopword_ratio(text, lang)) for lang in STOPWORDS]
-    best_ratio = F.greatest(*[r for _, r in ratios])
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    return stopword_ratio_from_words(tokenize(text), lang)
+
+
+def language_id_from_ratios(ratios: dict[str, Column]) -> Column:
+    """Language pick from per-language stopword ratios (one column per
+    STOPWORDS language, e.g. staged by `staged_analysis`): the highest
+    ratio wins, ties broken by the later STOPWORDS entry (the same
+    when-chain order `language_id` always used); 'und' when no
+    stopwords hit."""
+    best_ratio = F.greatest(*ratios.values())
     out = F.lit("und")
-    for lang, r in ratios:
+    for lang, r in ratios.items():
         out = F.when((best_ratio > 0) & (r == best_ratio), F.lit(lang)).otherwise(out)
     return out
 
 
-def quality_score(text: Column) -> Column:
-    """Composite quality score in [0,1]: length score × alpha ratio ×
-    stopword presence × mean-word-length sanity. The standard cheap
-    pre-filter in training-data pipelines (C4-style heuristics).
-    """
+def language_id(text: Column) -> Column:
+    """Heuristic language id: the language whose stopword hit-ratio is
+    highest; 'und' when no stopwords hit at all. Column-level form;
+    DataFrame pipelines should stage the word array + per-language
+    ratios (see stopword_ratio_from_words) and use
+    `language_id_from_ratios`."""
     toks = tokenize(text)
+    return language_id_from_ratios(
+        {lang: stopword_ratio_from_words(toks, lang) for lang in STOPWORDS}
+    )
+
+
+def quality_score_from_words(text: Column, toks: Column) -> Column:
+    """quality_score over a materialized word-array column (see
+    stopword_ratio_from_words for why staging matters)."""
     n_words = F.size(toks)
     n_chars = F.length(text)
     mean_wl = n_chars / F.greatest(n_words, F.lit(1))
@@ -71,8 +93,16 @@ def quality_score(text: Column) -> Column:
         n_chars, F.lit(1)
     )
     wl_score = F.when((mean_wl >= 2) & (mean_wl <= 12), 1.0).otherwise(0.5)
-    stop_score = F.when(stopword_ratio(text) > 0, 1.0).otherwise(0.7)
+    stop_score = F.when(stopword_ratio_from_words(toks) > 0, 1.0).otherwise(0.7)
     return F.round(len_score * alpha_ratio * wl_score * stop_score, 6)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: length score × alpha ratio ×
+    stopword presence × mean-word-length sanity. The standard cheap
+    pre-filter in training-data pipelines (C4-style heuristics).
+    """
+    return quality_score_from_words(text, tokenize(text))
 
 
 def fingerprint(text: Column, n_chars: int = 16) -> Column:
@@ -82,17 +112,35 @@ def fingerprint(text: Column, n_chars: int = 16) -> Column:
 
 
 def quality_report(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """One row per doc with the full analysis column set."""
+    """One row per doc with the full analysis column set.
+
+    Staged evaluation: word array, then per-language stopword ratios,
+    then the output projection — the inlined form re-evaluated the
+    tokenize regexp dozens of times per row because the oversized
+    Project falls out of whole-stage codegen (no CSE interpreted)."""
     t = F.col(text_col)
-    return df.select(
+    staged = df.select(
+        F.col(id_col), t.alias("__t"), tokenize(t).alias("__w")
+    ).select(
+        id_col,
+        "__t",
+        "__w",
+        *[
+            stopword_ratio_from_words(F.col("__w"), lang).alias(f"__r_{lang}")
+            for lang in STOPWORDS
+        ],
+    )
+    ratios = {lang: F.col(f"__r_{lang}") for lang in STOPWORDS}
+    tt = F.col("__t")
+    return staged.select(
         F.col(id_col),
-        token_count(t).alias("n_words"),
-        token_count(t, "bpe").alias("n_tokens"),
-        F.length(t).alias("n_chars"),
-        language_id(t).alias("lang_guess"),
-        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
-        quality_score(t).alias("quality"),
-        fingerprint(t).alias("fingerprint"),
+        F.size("__w").alias("n_words"),
+        token_count(tt, "bpe").alias("n_tokens"),
+        F.length(tt).alias("n_chars"),
+        language_id_from_ratios(ratios).alias("lang_guess"),
+        F.round(F.col("__r_en"), 6).alias("stopword_ratio"),
+        quality_score_from_words(tt, F.col("__w")).alias("quality"),
+        fingerprint(tt).alias("fingerprint"),
     )
 
 
@@ -116,23 +164,40 @@ def unigram_logprob_scores(
 
     Scale: the LM is vocabulary-sized, so it BROADCASTS; the corpus
     side is explode -> broadcast hash join -> per-doc mean. One
-    shuffle keyed on doc id. Empty docs score NULL."""
+    shuffle keyed on doc id. Empty docs score NULL.
+
+    The LM total rides along as a broadcast 1-row cross join instead
+    of a blocking driver `.first()` (round-11: the old form ran a
+    full word-count job at plan-build time and — self-trained — then
+    recomputed the word count twice more inside the query: three
+    tokenize scans of the corpus where two suffice; the self-trained
+    LM is additionally cached because both the totals agg and the
+    join probe read it). log(n/total) is evaluated identically
+    (long/long → double divide → log), so scores are unchanged."""
     from zed_spark.textops.bpe import word_counts
 
     if lm_df is None:
-        lm_df = word_counts(df, text_col=text_col)
-    total = lm_df.agg(F.sum("n")).first()[0] or 1
-    if oov_logprob is None:
-        import math
-
-        oov_logprob = math.log(1.0 / (total + 1))
-    lm = lm_df.select(
-        "word", F.log(F.col("n") / F.lit(float(total))).alias("__lp")
+        # vocabulary-sized (bounded at any corpus scale) — cache so
+        # the totals aggregate and the join build share one pass
+        lm_df = word_counts(df, text_col=text_col).cache()
+    totals = lm_df.agg(
+        F.coalesce(F.sum("n"), F.lit(1).cast("long")).alias("__tot")
     )
+    oov_col = (
+        F.lit(float(oov_logprob))
+        if oov_logprob is not None
+        else F.log(F.lit(1.0) / (F.col("__tot") + F.lit(1)))
+    )
+    lm = lm_df.select("word", F.col("n").alias("__n"))
     toks = df.select(
         id_col, F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word")
     ).where(F.col("word") != "")
-    scored = toks.join(F.broadcast(lm), "word", "left").select(
-        id_col, F.coalesce(F.col("__lp"), F.lit(float(oov_logprob))).alias("__lp")
+    scored = (
+        toks.join(F.broadcast(lm), "word", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.coalesce(F.log(F.col("__n") / F.col("__tot")), oov_col).alias("__lp"),
+        )
     )
     return scored.groupBy(id_col).agg(F.avg("__lp").alias("mean_logprob"))

@@ -19,16 +19,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from zed_spark.textops.dedup import word_shingles
+from zed_spark.textops.dedup import normalize_text, shingles_from_words
 
 
 def _gram_set(df: DataFrame, n: int, text_col: str, id_col: str | None) -> DataFrame:
     # sort=False: membership counting is order-insensitive, so the
-    # per-doc O(m log m) shingle sort is pure overhead here
-    grams = word_shingles(F.col(text_col), k=n, sort=False).alias("__grams")
-    cols = ([id_col] if id_col else []) + [grams]
-    ex = df.select(*cols).select(
-        *([id_col] if id_col else []), F.explode("__grams").alias("gram")
+    # per-doc O(m log m) shingle sort is pure overhead here.
+    # Words staged in their own projection: inlined, the k=5 zip_with
+    # chain carried NINE split(regexp_replace(...)) copies (round-11
+    # plan audit) — one regexp per row suffices. The gram chain stays
+    # inline in the explode (attribute children trigger
+    # InferFiltersFromGenerate + pushdown re-inlining — see
+    # dedup.shingles_from_words).
+    keep = [id_col] if id_col else []
+    ex = df.select(
+        *keep, F.split(normalize_text(F.col(text_col)), " ").alias("__w")
+    ).select(
+        *keep,
+        F.explode(shingles_from_words(F.col("__w"), k=n, sort=False)).alias("gram"),
     )
     return ex
 

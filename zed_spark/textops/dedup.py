@@ -38,11 +38,20 @@ def exact_dedup(
     return out
 
 
-def word_shingles(text: Column, k: int = 3, sort: bool = True) -> Column:
-    """Distinct word k-shingles of the text (sorted for determinism;
-    pass sort=False when the consumer is order-insensitive — e.g.
-    decontamination's membership counting — to skip the per-doc
-    O(m log m) sort).
+def shingles_from_words(words: Column, k: int = 3, sort: bool = True) -> Column:
+    """Distinct word k-shingles of a MATERIALIZED word-array column.
+
+    Callers should stage the word array (`F.split(normalize_text(t),
+    " ")`) in its own projection and pass the attribute here: the
+    zip_with chain references `words` 2(k-1)+1 times, and Generate/
+    Filter nodes evaluate their expression trees as written (no
+    whole-stage codegen, no subexpression elimination), so an inlined
+    split+regexp runs up to 9× per row for k=5 (round-11 plan audit:
+    the decontaminate Generate carried 9 split(regexp_replace(...))
+    copies, and InferFiltersFromGenerate duplicated the whole tree
+    into a pre-filter twice more). Staging collapses that to ONE
+    regexp+split per row; CollapseProject keeps the staged column
+    because it is non-cheap and multiply referenced.
 
     Built by zipping the word array with its own shifted tails rather
     than indexing with transform(sequence(...)) — an expression
@@ -51,7 +60,6 @@ def word_shingles(text: Column, k: int = 3, sort: bool = True) -> Column:
     shorter side with nulls; concat propagates them, so the overhang
     entries are nulls and get filtered.
     """
-    words = F.split(normalize_text(text), " ")
     cur = words
     for j in range(1, k):
         rest = F.slice(words, j + 1, F.greatest(F.size(words) - j, F.lit(0)))
@@ -59,6 +67,15 @@ def word_shingles(text: Column, k: int = 3, sort: bool = True) -> Column:
     cur = F.filter(cur, lambda x: x.isNotNull())
     out = F.array_distinct(cur)
     return F.array_sort(out) if sort else out
+
+
+def word_shingles(text: Column, k: int = 3, sort: bool = True) -> Column:
+    """Distinct word k-shingles of the text (sorted for determinism;
+    pass sort=False when the consumer is order-insensitive — e.g.
+    decontamination's membership counting — to skip the per-doc
+    O(m log m) sort). Column-level form; DataFrame pipelines should
+    stage the word array and use `shingles_from_words` (see there)."""
+    return shingles_from_words(F.split(normalize_text(text), " "), k, sort)
 
 
 def ngram_jaccard_pairs(
@@ -96,10 +113,19 @@ def ngram_jaccard_pairs(
     members = keyed.join(groups, "__h").select("id", "rep", "gsz")
     df = df.join(groups.select(F.col("rep").alias(id_col)), id_col, "left_semi")
 
-    docs = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), k, sort=False).alias("shingles")
-    ).withColumn("n_sh", F.size("shingles"))
-    ex = docs.select("id", "n_sh", F.explode("shingles").alias("sh"))
+    # word array staged in its own projection so the regexp+split runs
+    # once per row. size() and the explode both evaluate the shingle
+    # chain over the staged attribute (two cheap array passes) — a
+    # staged shingle column would re-trigger InferFiltersFromGenerate
+    # + pushdown re-inlining of the split (see shingles_from_words).
+    sh = shingles_from_words(F.col("__w"), k, sort=False)
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+    )
+    ex = staged.select(
+        "id", F.size(sh).alias("n_sh"), F.explode(sh).alias("sh")
+    )
     a, b = ex.alias("a"), ex.alias("b")
     common = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
@@ -131,7 +157,7 @@ def ngram_jaccard_pairs(
             "jaccard",
         )
     )
-    shingled = docs.filter(F.col("n_sh") > 0).select(F.col("id").alias("rep"))
+    shingled = staged.filter(F.size(sh) > 0).select(F.col("id").alias("rep"))
     dup_groups = members.filter(F.col("gsz") >= 2).join(shingled, "rep", "left_semi")
     within = (
         dup_groups.select("rep", F.col("id").alias("__xa"))

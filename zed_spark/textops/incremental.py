@@ -35,7 +35,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from zed_spark.textops.dedup import connected_components, word_shingles
+from zed_spark.textops.dedup import (
+    connected_components,
+    normalize_text,
+    shingles_from_words,
+)
 from zed_spark.textops.minhash import (
     P,
     _SHIFT,
@@ -63,9 +67,22 @@ def _text_signatures(
     )
     groups = keyed.groupBy("__h").agg(F.min("id").alias("min_id"))
     reps = keyed.join(groups, "__h").filter(F.col("id") == F.col("min_id"))
-    based = reps.select(
-        "__h", F.explode(word_shingles(F.col("__t"), k_shingle, sort=False)).alias("sh")
-    ).select("__h", shingle_base(F.col("sh")).alias("b"))
+    # word array staged so the regexp+split runs once per row; the
+    # shingle chain stays inline in the explode (attribute children
+    # trigger InferFiltersFromGenerate + pushdown re-inlining — see
+    # dedup.shingles_from_words)
+    based = (
+        reps.select(
+            "__h", F.split(normalize_text(F.col("__t")), " ").alias("__w")
+        )
+        .select(
+            "__h",
+            F.explode(
+                shingles_from_words(F.col("__w"), k_shingle, sort=False)
+            ).alias("sh"),
+        )
+        .select("__h", shingle_base(F.col("sh")).alias("b"))
+    )
     agg = based.groupBy("__h").agg(
         F.array(
             *[
@@ -200,12 +217,16 @@ def incremental_dedup(
     )
 
     # --- band: every signed text; candidates need ≥1 NEW side --------
+    # the band self-join shuffles (node, is_old, band, int64) ONLY —
+    # the verify hash-sets join in AFTER candidate dedup (round-11:
+    # riding the band rows they were copied `bands`× per text into
+    # both sides of the shuffle; keys-not-payloads, same shape as
+    # minhash._lsh_parts)
     banded = (
         texts.filter(F.col("minhashes").isNotNull())
         .select(
             "node",
             "is_old",
-            "hashset",
             F.posexplode(F.array(*_bands_of_array(num_hashes, bands))).alias(
                 "band", "bh"
             ),
@@ -225,12 +246,24 @@ def incremental_dedup(
         .select(
             F.col("a.node").alias("id_a"),
             F.col("b.node").alias("id_b"),
-            F.col("a.hashset").alias("__sa"),
-            F.col("b.hashset").alias("__sb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
     if threshold is not None:
+        hsets = texts.filter(F.col("minhashes").isNotNull()).select(
+            F.col("node"), F.col("hashset")
+        )
+        cand = cand.join(
+            hsets.select(
+                F.col("node").alias("id_a"), F.col("hashset").alias("__sa")
+            ),
+            "id_a",
+        ).join(
+            hsets.select(
+                F.col("node").alias("id_b"), F.col("hashset").alias("__sb")
+            ),
+            "id_b",
+        )
         common = F.size(F.array_intersect("__sa", "__sb"))
         jac = common / (F.size("__sa") + F.size("__sb") - common)
         cand = cand.filter(jac >= threshold)

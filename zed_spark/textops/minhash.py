@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from zed_spark.textops.dedup import word_shingles
+from zed_spark.textops.dedup import normalize_text, shingles_from_words, word_shingles
 
 P = 2_147_483_647  # 2^31 - 1 (prime)
 _SHIFT = 2_147_483_648  # 2^31
@@ -90,9 +90,21 @@ def _lsh_parts(
         groups.select(F.col("rep").alias(id_col)), id_col, "left_semi"
     )
     df = reps_df
+    # word array staged in its own projection so the regexp+split runs
+    # ONCE per row — inlined into the Generate it was re-evaluated
+    # 2(k-1)+1 times (Generate has no codegen/CSE). The shingle chain
+    # stays INLINE in the explode: over a bare attribute,
+    # InferFiltersFromGenerate fires and predicate pushdown
+    # re-substitutes the full expression below the staging projection,
+    # twice (round-11 plan audit — see shingles_from_words).
     ex = df.select(
         F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), k_shingle, sort=False)).alias("sh"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+    ).select(
+        "id",
+        F.explode(
+            shingles_from_words(F.col("__w"), k_shingle, sort=False)
+        ).alias("sh"),
     )
     # base hash materialized BEFORE the aggregation so the md5 runs
     # once per shingle, not once per seed

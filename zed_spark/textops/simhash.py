@@ -38,8 +38,12 @@ def simhash(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     ).withColumn("v", token_hash(F.col("tok")))
+    # (v >> j) & 1 == floor(v / 2^j) % 2 for the non-negative 32-bit
+    # values token_hash produces — pure integer codegen instead of a
+    # double divide + floor + long mod per (token, bit); sums are
+    # bit-identical
     sums = [
-        F.sum((F.floor(F.col("v") / F.lit(2 ** j)) % 2) * 2 - 1).alias(f"b{j}")
+        F.sum(F.shiftright(F.col("v"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
         for j in range(N_BITS)
     ]
     agg = toks.groupBy(id_col).agg(*sums)

@@ -45,13 +45,22 @@ def positional_ngrams(
     token position of the normalized text. Built with the zip_with
     chain (tail windows shorter than n come out null and are dropped
     AFTER posexplode, so positions stay aligned)."""
-    words = F.split(normalize_text(F.col(text_col)), " ")
+    # word array staged in its own projection so the regexp+split runs
+    # once per row — inlined into the Generate it was evaluated
+    # 2(n-1)+1 times (Generate has no codegen/CSE). The window chain
+    # stays inline in the posexplode (attribute children trigger
+    # InferFiltersFromGenerate + pushdown re-inlining — see
+    # dedup.shingles_from_words).
+    words = F.col("__w")
     cur: Column = words
     for j in range(1, n):
         rest = F.slice(words, j + 1, F.greatest(F.size(words) - j, F.lit(0)))
         cur = F.zip_with(cur, rest, lambda a, b: F.concat(a, F.lit(" "), b))
     return (
-        df.select(id_col, F.posexplode(cur).alias("pos", "gram"))
+        df.select(
+            id_col, F.split(normalize_text(F.col(text_col)), " ").alias("__w")
+        )
+        .select(id_col, F.posexplode(cur).alias("pos", "gram"))
         .where(F.col("gram").isNotNull())
     )
 
@@ -124,9 +133,13 @@ def strip_duplicated_spans(
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
-    words = F.split(normalize_text(F.col(text_col)), " ")
+    # word array staged once: both the null-span branch and the filter
+    # branch read it (array_join(__w) == normalize_text(text) because
+    # split-on-single-space inverts exactly after whitespace collapse,
+    # including the empty and null cases), so the regexp+split runs
+    # once per row instead of twice
     kept = F.filter(
-        words,
+        F.col("__w"),
         lambda w, i: ~F.exists(
             F.col("__spans"),
             lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
@@ -134,9 +147,10 @@ def strip_duplicated_spans(
     )
     return (
         df.join(per_doc, id_col, "left")
+        .withColumn("__w", F.split(normalize_text(F.col(text_col)), " "))
         .withColumn(
             text_col,
-            F.when(F.col("__spans").isNull(), normalize_text(F.col(text_col)))
+            F.when(F.col("__spans").isNull(), F.array_join(F.col("__w"), " "))
             .otherwise(F.array_join(kept, " ")),
         )
         .select(*df.columns)  # original column order, text in place
