@@ -822,3 +822,39 @@ def test_unigram_lm_scores(spark):
     got2 = {r["doc_id"]: r["mean_logprob"]
             for r in unigram_logprob_scores(docs, lm_df=lm).collect()}
     assert abs(got2[1] - math.log(1 / 3)) < 1e-9  # oov floor: 1/(2+1)
+
+
+def test_word_array_staged_once_in_plans(spark):
+    """Round-11 staging contract: the normalize+split regexp appears a
+    pinned (small) number of times in each optimized physical plan.
+    Generate and oversized Project nodes are not whole-stage-codegen'd
+    and re-evaluate their trees per row, so every extra plan copy is a
+    per-row regexp re-run. Also guards the InferFiltersFromGenerate
+    trap: a bare-attribute generator child lets the optimizer infer a
+    size()>0 pre-filter and push it below the staging projection,
+    re-inlining the full expression (observed: 14 -> 30 copies)."""
+    from zed_spark.queries_text import (
+        decontaminate_q,
+        dedup_clusters_q,
+        duplicated_spans_q,
+        strip_spans_q,
+        text_analysis_q,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def copies(df) -> int:
+        return (
+            df._jdf.queryExecution().executedPlan().toString().count("regexp_replace")
+        )
+
+    # one scan, one staged split, small Project that codegens again
+    assert copies(text_analysis_q(spark, sf)) == 1
+    # two text scans (gram count + hit positions): one split each
+    assert copies(duplicated_spans_q(spark, sf)) <= 2
+    # spans subtree + the final word-array staging
+    assert copies(strip_spans_q(spark, sf)) <= 3
+    # corpus-side + eval-side gram sets: one split each
+    assert copies(decontaminate_q(spark, sf)) <= 2
+    # exact-dup collapse + one staged shingle scan
+    assert copies(dedup_clusters_q(spark, sf)) <= 2

@@ -134,9 +134,28 @@ SIMHASH_SQL = _simhash_sql()
 
 
 def cosine_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact top-10 by cosine against the vec_id=0 query vector.
+
+    The query vector joins in as a broadcast 1-row cross join instead
+    of a driver `.first()` round-trip (round-11): one Spark job per
+    invocation instead of two, same plan shape as the oracle SQL's
+    `FROM embeddings, q`. The fold kernel is unchanged — elements cast
+    float→double exactly as the collected-literal form did, so scores
+    are bit-identical."""
+    from zed_spark.textops.similarity import cosine_similarity
+
     emb = read_table(spark, sf, "embeddings")
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return brute_force_topk(emb, qv, k=10)
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("__qv"))
+    )
+    sim = cosine_similarity(F.col("embedding"), F.col("__qv")).alias("cosine")
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select(F.col("vec_id"), sim)
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
 
 
 COSINE_TOPK_SQL = """

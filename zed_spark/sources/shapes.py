@@ -32,17 +32,38 @@ def shape_key(json_col) -> F.Column:
 
 
 def shape_groups(spark: SparkSession, path: str) -> dict[str, DataFrame]:
-    """Read ndjson with mixed shapes → {shape: typed DataFrame}."""
+    """Read ndjson with mixed shapes → {shape: typed DataFrame}.
+
+    Driver round-trips are batched (round-11): shape discovery and one
+    exemplar per shape come from ONE aggregation (first() per group),
+    and every shape's schema_of_json evaluates in ONE driver-local
+    job — the per-shape loop ran 1 + 2·N_shapes jobs per call, pure
+    scheduling latency since each touched only metadata-scale data."""
     raw = spark.read.text(path).filter(F.trim("value") != "")
     keyed = raw.withColumn("__shape", shape_key(F.col("value"))).cache()
-    shapes = [r["__shape"] for r in keyed.select("__shape").distinct().collect()]
+    exemplars = {
+        r["__shape"]: r["__ex"]
+        for r in keyed.groupBy("__shape")
+        .agg(F.first("value").alias("__ex"))
+        .collect()
+    }
+    shapes = sorted(exemplars)
     out: dict[str, DataFrame] = {}
-    for shape in sorted(shapes):
+    if not shapes:
+        return out
+    ddl_row = (
+        spark.range(1)
+        .select(
+            *[
+                F.schema_of_json(F.lit(exemplars[s])).alias(f"__s{i}")
+                for i, s in enumerate(shapes)
+            ]
+        )
+        .first()
+    )
+    for i, shape in enumerate(shapes):
         rows = keyed.filter(F.col("__shape") == shape)
-        exemplar = rows.select("value").first()["value"]
-        ddl = spark.range(1).select(
-            F.schema_of_json(F.lit(exemplar)).alias("s")
-        ).first()["s"]
+        ddl = ddl_row[f"__s{i}"]
         parsed = rows.select(F.from_json(F.col("value"), ddl).alias("r"))
         # schema_of_json alphabetizes fields; restore the shape's
         # appearance order (field order is part of the zed type)

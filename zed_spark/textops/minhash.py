@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from zed_spark.textops.dedup import normalize_text, shingles_from_words, word_shingles
+from zed_spark.textops.dedup import normalize_text, shingles_from_words
 
 P = 2_147_483_647  # 2^31 - 1 (prime)
 _SHIFT = 2_147_483_648  # 2^31
