@@ -858,3 +858,53 @@ def test_word_array_staged_once_in_plans(spark):
     assert copies(decontaminate_q(spark, sf)) <= 2
     # exact-dup collapse + one staged shingle scan
     assert copies(dedup_clusters_q(spark, sf)) <= 2
+
+
+def test_expr_strings_match_column_api_trees(spark):
+    """Round-11 py4j-chatter cut: the minhash/simhash/band expressions
+    now parse from single SQL strings (one py4j round-trip each)
+    instead of being assembled operator-by-operator. This pins that
+    the parsed trees equal the Column-API formulation they replaced —
+    literal typing included (ints < 2^31 parse as int both ways)."""
+    from pyspark.sql import functions as F
+
+    from zed_spark.textops.incremental import _bands_of_array
+    from zed_spark.textops.minhash import P, _SHIFT, band_sql_exprs, hash_params
+
+    df = spark.createDataFrame([(1, 2)], "b long, v long")
+
+    def analyzed(c):
+        return df.select(c.alias("x"))._jdf.queryExecution().analyzed().toString()
+
+    import re
+
+    def norm(s):
+        return re.sub(r"#\d+", "", s)
+
+    # minhash seed expression (the _lsh_parts aggregate child)
+    a, bb = hash_params(3)
+    assert norm(analyzed(F.expr(f"({a} * b + {bb}) % {P}"))) == norm(
+        analyzed((F.lit(a) * F.col("b") + F.lit(bb)) % P)
+    )
+    # simhash bit vote
+    assert norm(analyzed(F.expr("(shiftright(v, 7) & 1) * 2 - 1"))) == norm(
+        analyzed(F.shiftright(F.col("v"), 7).bitwiseAND(F.lit(1)) * 2 - 1)
+    )
+    # band hash over m{i} columns (rows_per_band = 2 graded config)
+    dfm = spark.createDataFrame([(1, 2)], "m0 long, m1 long")
+
+    def analyzed_m(c):
+        return dfm.select(c.alias("x"))._jdf.queryExecution().analyzed().toString()
+
+    assert norm(analyzed_m(F.expr(band_sql_exprs(16, 8)[0]))) == norm(
+        analyzed_m(F.col("m0") * _SHIFT + F.col("m1"))
+    )
+    # band hash over a minhashes array (incremental path)
+    dfa = spark.createDataFrame([([1, 2],)], "minhashes array<long>")
+
+    def analyzed_a(c):
+        return dfa.select(c.alias("x"))._jdf.queryExecution().analyzed().toString()
+
+    assert norm(analyzed_a(_bands_of_array(16, 8)[0])) == norm(
+        analyzed_a(F.col("minhashes")[0] * _SHIFT + F.col("minhashes")[1])
+    )

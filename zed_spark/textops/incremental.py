@@ -83,16 +83,18 @@ def _text_signatures(
         )
         .select("__h", shingle_base(F.col("sh")).alias("b"))
     )
+    # one SQL string per aggregate instead of ~16 py4j round-trips per
+    # seed at plan-build time (same trees; see minhash._lsh_parts)
     agg = based.groupBy("__h").agg(
-        F.array(
-            *[
-                F.min(
-                    (F.lit(hash_params(i)[0]) * F.col("b") + F.lit(hash_params(i)[1])) % P
-                )
+        F.expr(
+            "array("
+            + ", ".join(
+                f"min(({hash_params(i)[0]} * b + {hash_params(i)[1]}) % {P})"
                 for i in range(num_hashes)
-            ]
-        ).alias("minhashes"),
-        F.array_sort(F.array_distinct(F.collect_list("b"))).alias("hashset"),
+            )
+            + ") AS minhashes"
+        ),
+        F.expr("array_sort(array_distinct(collect_list(b))) AS hashset"),
     )
     return groups.join(agg, "__h", "left")
 
@@ -139,19 +141,19 @@ def read_signatures(lake, pool_name: str) -> DataFrame:
 
 def _bands_of_array(num_hashes: int, bands: int):
     """Band-hash columns over a `minhashes` array column — the exact
-    construction minhash._lsh_parts builds over m{i} columns."""
+    construction minhash._lsh_parts builds over m{i} columns (one
+    parsed SQL string per band, not a py4j call per operator)."""
     rows_per_band = num_hashes // bands
     out = []
     for b in range(bands):
-        bh = F.col("minhashes")[b * rows_per_band]
+        expr = f"minhashes[{b * rows_per_band}]"
         for r in range(1, rows_per_band):
             idx = b * rows_per_band + r
-            bh = (
-                bh * _SHIFT + F.col("minhashes")[idx]
-                if r == rows_per_band - 1
-                else (bh + F.col("minhashes")[idx]) % P
-            )
-        out.append(bh)
+            if r == rows_per_band - 1:
+                expr = f"({expr} * {_SHIFT} + minhashes[{idx}])"
+            else:
+                expr = f"(({expr} + minhashes[{idx}]) % {P})"
+        out.append(F.expr(expr))
     return out
 
 

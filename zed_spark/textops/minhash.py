@@ -126,25 +126,24 @@ def _lsh_parts(
         if threshold is not None
         else []
     )
+    # the K min expressions parse from ONE SQL string each: the Column
+    # form cost ~16 py4j round-trips per seed (~0.25 ms each) at plan
+    # BUILD time, which dominated these keys at bench scale — the
+    # parsed trees are identical (literals < 2^31 type as int both
+    # ways), pinned by the analyzed-plan equality check in tests
     agg = based.groupBy("id").agg(
         *[
-            F.min((F.lit(hash_params(i)[0]) * F.col("b") + F.lit(hash_params(i)[1])) % P).alias(
-                f"m{i}"
+            F.expr(
+                f"min(({hash_params(i)[0]} * b + {hash_params(i)[1]}) % {P}) AS m{i}"
             )
             for i in range(num_hashes)
         ],
         *hs_agg,
     ).cache()
-    minh = agg.select("id", *[f"m{i}" for i in range(num_hashes)])
-    # int64 band hashes; the self-join shuffles (id, band, bh) only
-    band_cols = []
-    for b in range(bands):
-        bh = F.col(f"m{b * rows_per_band}")
-        for r in range(1, rows_per_band):
-            bh = bh * _SHIFT + F.col(f"m{b * rows_per_band + r}") if r == rows_per_band - 1 else (
-                (bh + F.col(f"m{b * rows_per_band + r}")) % P
-            )
-        band_cols.append(bh)
+    minh = agg.drop("__hs")  # id, m0..m{K-1} in aggregate order
+    # int64 band hashes; the self-join shuffles (id, band, bh) only —
+    # band_sql_exprs is the same construction the oracle SQL uses
+    band_cols = [F.expr(s) for s in band_sql_exprs(num_hashes, bands)]
     # (banded itself is not cached: each join side re-derives it as a
     # cheap posexplode over the doc-granular cached `agg` frame)
     banded = minh.select("id", F.posexplode(F.array(*band_cols)).alias("band", "bh"))
