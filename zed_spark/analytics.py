@@ -153,8 +153,10 @@ def profile_table(
     — the 100 TB path); `exact_distinct=True` opts into
     `count_distinct`, which plans an Expand over the column set (row
     multiplication by n_cols) and is meant for oracle checks and
-    samples. The wide single-row agg result is unpivoted driver-side
-    (n_cols rows, not data)."""
+    samples. The wide single-row agg result unpivots IN the plan (an
+    explode over per-column structs): no driver `.first()` round-trip
+    and no local re-parallelize, so the whole profile is one lazy
+    plan and one job end to end (round-11)."""
     aggs = []
     for c in df.columns:
         col = F.col(c)
@@ -166,22 +168,18 @@ def profile_table(
             aggs.append(F.approx_count_distinct(col, rsd).alias(f"__d_{c}"))
         aggs.append(F.min(col).cast("string").alias(f"__min_{c}"))
         aggs.append(F.max(col).cast("string").alias(f"__max_{c}"))
-    row = df.agg(*aggs).first()
-    spark = df.sparkSession
     dtypes = dict(df.dtypes)
-    out = [
-        (
-            c,
-            dtypes[c],
-            int(row[f"__n_{c}"] - row[f"__nn_{c}"]),
-            int(row[f"__d_{c}"]),
-            row[f"__min_{c}"],
-            row[f"__max_{c}"],
-        )
-        for c in df.columns
-    ]
-    return spark.createDataFrame(
-        out,
-        "column string, dtype string, n_nulls long, n_distinct long, "
-        "min_value string, max_value string",
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(dtypes[c]).alias("dtype"),
+                (F.col(f"__n_{c}") - F.col(f"__nn_{c}")).alias("n_nulls"),
+                F.col(f"__d_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+            )
+            for c in df.columns
+        ]
     )
+    return df.agg(*aggs).select(F.explode(rows).alias("__r")).select("__r.*")
