@@ -24,6 +24,27 @@ from zed_spark.textops.similarity import ann_topk
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _WORDS_SQL = f"string_split({_NORM_SQL}, ' ')"
 
+# fan-out decisions memoized per (session, sf dir, cores): the probe
+# builds the scan's RDD plan driver-side (analysis + physical planning
+# + a py4j conversion, ~10-30 ms) and its answer is a pure function of
+# the on-disk file layout, which is fixed for a given data directory —
+# four query wrappers were each re-paying it per invocation (round-11)
+_FANOUT_MEMO: dict = {}
+
+
+def _fan_out_if_narrow(spark: SparkSession, sf: str, docs: DataFrame) -> DataFrame:
+    """Repartition ONLY when the scan has fewer splits than the
+    cluster has cores (single-file input at test scales serializes
+    per-document codegen onto one core; at 100 TB the input already
+    has thousands of splits and a full shuffle of raw text would be
+    the bottleneck — the 100 TB plan has NO fan-out Exchange)."""
+    par = spark.sparkContext.defaultParallelism
+    key = (id(spark), sf, par)
+    narrow = _FANOUT_MEMO.get(key)
+    if narrow is None:
+        narrow = _FANOUT_MEMO[key] = docs.rdd.getNumPartitions() < par
+    return docs.repartition(par) if narrow else docs
+
 
 def dedup_exact_q(spark: SparkSession, sf: str) -> DataFrame:
     docs = read_table(spark, sf, "documents")
@@ -472,9 +493,7 @@ def repetition_filter_q(spark: SparkSession, sf: str) -> DataFrame:
     # thousands of splits and a full shuffle of raw text would be the
     # bottleneck — only repartition when the scan is narrower than the
     # cluster.
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    docs = _fan_out_if_narrow(spark, sf, docs)
     return repetition_report(docs).orderBy("doc_id")
 
 
@@ -713,9 +732,7 @@ def duplicated_spans_q(spark: SparkSession, sf: str) -> DataFrame:
     # single-file input at test scales: fan out so the n-gram explode
     # uses every core (at 100 TB the scan already has enough splits —
     # same conditional as repetition_filter_q)
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    docs = _fan_out_if_narrow(spark, sf, docs)
     out = duplicated_spans(docs, n=4, min_count=2)
     return out.select(
         "doc_id",
@@ -759,9 +776,7 @@ def strip_spans_q(spark: SparkSession, sf: str) -> DataFrame:
     from zed_spark.textops.spans import strip_duplicated_spans
 
     docs = read_table(spark, sf, "documents")
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    docs = _fan_out_if_narrow(spark, sf, docs)
     out = strip_duplicated_spans(docs, n=4, min_count=2)
     return out.select("doc_id", "text").orderBy("doc_id")
 
@@ -843,9 +858,7 @@ def decontaminate_q(spark: SparkSession, sf: str) -> DataFrame:
     from zed_spark.textops.decontam import decontaminate
 
     docs = read_table(spark, sf, "documents")
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    docs = _fan_out_if_narrow(spark, sf, docs)
     eval_df = docs.where(F.col("doc_id") % 17 == 3)
     return (
         decontaminate(docs, eval_df, n=5, min_hits=1)

@@ -19,26 +19,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from zed_spark.textops.dedup import normalize_text, shingles_from_words
+from zed_spark.textops.dedup import normalize_text
 
 
-def _gram_set(df: DataFrame, n: int, text_col: str, id_col: str | None) -> DataFrame:
-    # sort=False: membership counting is order-insensitive, so the
-    # per-doc O(m log m) shingle sort is pure overhead here.
-    # Words staged in their own projection: inlined, the k=5 zip_with
-    # chain carried NINE split(regexp_replace(...)) copies (round-11
-    # plan audit) — one regexp per row suffices. The gram chain stays
-    # inline in the explode (attribute children trigger
-    # InferFiltersFromGenerate + pushdown re-inlining — see
-    # dedup.shingles_from_words).
+_FNV = 1099511628211  # FNV-64 prime (same combine as textops/spans.py)
+
+
+def _gram_hash_set(df: DataFrame, n: int, text_col: str, id_col: str | None) -> DataFrame:
+    """(id?, gh): 64-bit hash of each DISTINCT n-token window per row.
+
+    Hashes each WORD once (xxhash64, staged alongside the word array)
+    and combines n consecutive word hashes with integer multiply-adds
+    (FNV-64 prime, wrapping long arithmetic) — the string form built
+    every window's gram string (n-1 growing concat allocations per
+    token) only to hash it right after the explode (round-11; same
+    rework as spans._positional_gram_hashes). Membership semantics
+    are unchanged: the join already compared 64-bit hashes, only the
+    hash function differs. Tail windows shorter than n zip against
+    null and come out null, exactly like the string form's overhang;
+    array_distinct mirrors shingles_from_words' per-row dedup."""
     keep = [id_col] if id_col else []
-    ex = df.select(
-        *keep, F.split(normalize_text(F.col(text_col)), " ").alias("__w")
-    ).select(
-        *keep,
-        F.explode(shingles_from_words(F.col("__w"), k=n, sort=False)).alias("gram"),
+    wh = F.col("__wh")
+    cur = wh
+    for j in range(1, n):
+        rest = F.slice(wh, j + 1, F.greatest(F.size(wh) - j, F.lit(0)))
+        cur = F.zip_with(cur, rest, lambda a, b: a * _FNV + b)
+    cur = F.array_distinct(F.filter(cur, lambda x: x.isNotNull()))
+    return (
+        df.select(
+            *keep, F.split(normalize_text(F.col(text_col)), " ").alias("__w")
+        )
+        .select(
+            *keep, F.transform("__w", lambda w: F.xxhash64(w)).alias("__wh")
+        )
+        .select(*keep, F.explode(cur).alias("gh"))
     )
-    return ex
 
 
 def contamination_report(
@@ -57,14 +72,12 @@ def contamination_report(
     hit, matching the distinct-collision definition."""
     # join on the 8-byte codegen hash, not the gram string — the
     # broadcast set is ~4x smaller and probing is a long compare
-    eval_grams = (
-        _gram_set(eval_df, n, eval_text_col or text_col, None)
-        .select(F.xxhash64("gram").alias("gh"))
-        .distinct()
-    )
-    doc_grams = _gram_set(docs, n, text_col, id_col).select(
-        id_col, F.xxhash64("gram").alias("gh")
-    )
+    # (hashes come straight from the word-hash combine; no gram
+    # strings are ever built — see _gram_hash_set)
+    eval_grams = _gram_hash_set(
+        eval_df, n, eval_text_col or text_col, None
+    ).distinct()
+    doc_grams = _gram_hash_set(docs, n, text_col, id_col)
     return (
         doc_grams.join(F.broadcast(eval_grams), "gh")
         .groupBy(id_col)

@@ -35,11 +35,33 @@ def words_of(text: Column) -> Column:
     )
 
 
-def duplicate_word_fraction(text: Column, words: Column | None = None) -> Column:
+_FNV = 1099511628211  # FNV-64 prime (same combine as textops/spans.py)
+
+
+def word_hashes_of(words: Column) -> Column:
+    """xxhash64 per word — both repetition metrics run on these
+    8-byte hashes instead of the word/bigram strings (round-11):
+    array_distinct and array_sort over longs beat the string forms
+    (no per-gram concat allocation, long compares instead of string
+    compares). A 64-bit collision (~1e-19/pair within one document)
+    would nudge one doc's metric; the oracle's exact-output compare
+    would catch it."""
+    return F.transform(words, lambda w: F.xxhash64(w))
+
+
+def duplicate_word_fraction(
+    text: Column,
+    words: Column | None = None,
+    word_hashes: Column | None = None,
+) -> Column:
     """1 - distinct/total over the document's words: ~0 for prose,
     → 1 for `spam spam spam`. Pass `words` (a materialized words_of
-    column) to share the tokenization with other metrics."""
-    w = words_of(text) if words is None else words
+    column) or `word_hashes` (a materialized word_hashes_of column;
+    preferred — distinct over longs) to share tokenization with
+    other metrics."""
+    w = word_hashes if word_hashes is not None else (
+        words_of(text) if words is None else words
+    )
     n = F.size(w)
     return F.when(
         n > 0,
@@ -47,28 +69,56 @@ def duplicate_word_fraction(text: Column, words: Column | None = None) -> Column
     ).otherwise(F.lit(0.0))
 
 
-def top_bigram_coverage(text: Column, words: Column | None = None) -> Column:
+def top_bigram_coverage(
+    text: Column,
+    words: Column | None = None,
+    word_hashes: Column | None = None,
+) -> Column:
     """Fraction of the document's words covered by its most frequent
     bigram (Gopher: drop when the top 2-gram covers > 0.20).
 
     The per-document mode is sort + longest-equal-run — O(n log n)
     inside codegen, NOT the naive O(n²) distinct×filter scan (which
-    measured 300× slower on KB documents)."""
-    w = words_of(text) if words is None else words
-    n = F.size(w)
-    grams = F.array_sort(
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
-            ),
+    measured 300× slower on KB documents). With `word_hashes` the
+    bigram key is an integer multiply-add of two word hashes and the
+    sort orders longs — no per-bigram string is ever built; run
+    counting only needs SOME total order grouping equal keys
+    adjacently, so the hash order works as well as the lexicographic
+    one."""
+    if word_hashes is not None:
+        wh = word_hashes
+        n = F.size(wh)
+        grams = F.array_sort(
+            F.filter(
+                F.zip_with(
+                    wh,
+                    F.slice(wh, 2, F.greatest(n - 1, F.lit(0))),
+                    lambda a, b: a * _FNV + b,
+                ),
+                lambda x: x.isNotNull(),
+            )
         )
-    )
-    acc0 = F.struct(
-        F.lit("").alias("prev"),
-        F.lit(0).alias("run"),
-        F.lit(0).alias("best"),
-    )
+        acc0 = F.struct(
+            F.lit(None).cast("bigint").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        )
+    else:
+        w = words_of(text) if words is None else words
+        n = F.size(w)
+        grams = F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
+                ),
+            )
+        )
+        acc0 = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        )
 
     def step(acc, x):
         run = (
@@ -99,15 +149,19 @@ def repetition_report(
 ) -> DataFrame:
     """Per-document repetition metrics + keep decision.
 
-    Tokenization (lower + regexp + split) is materialized ONCE in a
-    sub-projection and both metrics read the array — Catalyst keeps
-    the split un-inlined through CollapseProject because it is a
-    non-cheap expression used twice (round-11: −25% wall at sf1,
-    where this key is CPU-bound on 32 saturated cores)."""
+    Tokenization (lower + regexp + split + per-word xxhash64) is
+    materialized ONCE in a sub-projection and both metrics read the
+    hash array — Catalyst keeps it un-inlined through CollapseProject
+    because it is a non-cheap expression used twice (round-11: −25%
+    wall at sf1, where this key is CPU-bound on 32 saturated cores).
+    Both metrics run on the 8-byte word hashes (see word_hashes_of):
+    distinct/sort/compare over longs, no bigram strings."""
     t = F.col(text_col)
-    staged = df.select(F.col(id_col), t.alias("__t"), words_of(t).alias("__w"))
-    dup = duplicate_word_fraction(F.col("__t"), words=F.col("__w"))
-    cov = top_bigram_coverage(F.col("__t"), words=F.col("__w"))
+    staged = df.select(
+        F.col(id_col), word_hashes_of(words_of(t)).alias("__wh")
+    )
+    dup = duplicate_word_fraction(t, word_hashes=F.col("__wh"))
+    cov = top_bigram_coverage(t, word_hashes=F.col("__wh"))
     return staged.select(
         F.col(id_col),
         F.round(dup, 4).alias("dup_word_frac"),

@@ -54,19 +54,35 @@ SIGNATURE_SCHEMA = (
 
 
 def _text_signatures(
-    df: DataFrame, text_col: str, id_col: str, k_shingle: int, num_hashes: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k_shingle: int,
+    num_hashes: int,
+    assume_unique: bool = False,
 ) -> DataFrame:
     """(__h, min_id, minhashes, hashset) per DISTINCT text: one
     shingle scan over group representatives only (the same
     one-aggregation shape as _lsh_parts; minhashes is null for
-    shingle-less texts)."""
+    shingle-less texts).
+
+    assume_unique=True declares the input already holds exactly one
+    row per distinct text (incremental_dedup's fresh_docs are built
+    that way: one min-id doc per fresh hash), so the exact-dup
+    collapse — a groupBy Exchange plus a join that carries the text
+    payload — is skipped outright (round-11: two fewer stages in the
+    fresh-signature leg, the widest rows in the incremental plan)."""
     keyed = df.select(
         F.col(id_col).alias("id"),
         F.md5(F.col(text_col)).alias("__h"),
         F.col(text_col).alias("__t"),
     )
-    groups = keyed.groupBy("__h").agg(F.min("id").alias("min_id"))
-    reps = keyed.join(groups, "__h").filter(F.col("id") == F.col("min_id"))
+    if assume_unique:
+        groups = keyed.select("__h", F.col("id").alias("min_id"))
+        reps = keyed
+    else:
+        groups = keyed.groupBy("__h").agg(F.min("id").alias("min_id"))
+        reps = keyed.join(groups, "__h").filter(F.col("id") == F.col("min_id"))
     # word array staged so the regexp+split runs once per row; the
     # shingle chain stays inline in the explode (attribute children
     # trigger InferFiltersFromGenerate + pushdown re-inlining — see
@@ -196,7 +212,10 @@ def incremental_dedup(
         fresh_h.select(F.col("new_min").alias(id_col)), id_col, "left_semi"
     )
     fresh_sigs = _text_signatures(
-        fresh_docs, text_col, id_col, k_shingle, num_hashes
+        fresh_docs, text_col, id_col, k_shingle, num_hashes,
+        # fresh_docs holds exactly one (min-id) doc per fresh hash by
+        # construction — no exact-dup collapse needed
+        assume_unique=True,
     ).withColumnRenamed("min_id", "f_min")
 
     # per-text state: node = merged min doc id; shingled-ness and the
