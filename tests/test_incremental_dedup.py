@@ -90,3 +90,41 @@ def test_incremental_edge_cases(spark):
     assert got == _ids(full)
     # the displaced old survivor is exactly doc 30
     assert [r["doc_id"] for r in retired.collect()] == [30]
+
+
+def test_text_signatures_unique_path_equals_general(spark):
+    """round-11: the fresh-signature leg skips the exact-dup collapse
+    (assume_unique=True) because fresh_docs hold one min-id row per
+    distinct text by construction. On such input the fast path must
+    produce exactly the general path's signature rows."""
+    from zed_spark.textops.incremental import _text_signatures
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (5, "pack my box with five dozen fresh liquor jugs now"),
+        (9, "zz"),  # shingle-less at k=3: null minhashes
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(text_col="text", id_col="doc_id", k_shingle=3, num_hashes=8)
+
+    def norm(frame):
+        return sorted(
+            (
+                r["__h"],
+                r["min_id"],
+                tuple(r["minhashes"]) if r["minhashes"] is not None else None,
+                tuple(r["hashset"]) if r["hashset"] is not None else None,
+            )
+            for r in frame.collect()
+        )
+
+    general = _text_signatures(df, **kw)
+    fast = _text_signatures(df, assume_unique=True, **kw)
+    assert norm(fast) == norm(general)
+    # and the fast path's plan really dropped the collapse aggregate:
+    # exactly one HashAggregate pair (the minhash aggregation), not two
+    def n_aggs(frame):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        return plan.lower().count("hashaggregate")
+
+    assert n_aggs(fast) < n_aggs(general)

@@ -289,6 +289,108 @@ def test_top_bigram_coverage_clamped(spark):
     assert not rows[1]["keep"] and rows[2]["keep"]
 
 
+def test_repetition_metrics_hash_form_equals_string_form(spark):
+    """round-11: repetition_report runs both Gopher metrics over
+    8-byte word hashes (distinct/sort/compare longs, no bigram
+    strings). The hash form must reproduce the string form exactly —
+    including the empty-doc, single-word, and degenerate-repeat
+    edges — collisions aside (none on real words)."""
+    from pyspark.sql import functions as F
+
+    from zed_spark.textops.filters import (
+        duplicate_word_fraction,
+        top_bigram_coverage,
+        word_hashes_of,
+        words_of,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a"),
+            (2, "the cat sat on the mat"),
+            (3, "x"),
+            (4, ""),
+            (5, "spam spam spam spam ham spam spam"),
+            (6, "one two one two one two three"),
+        ],
+        ["doc_id", "text"],
+    )
+    t = F.col("text")
+    staged = df.select(
+        "doc_id",
+        words_of(t).alias("__w"),
+        word_hashes_of(words_of(t)).alias("__wh"),
+    )
+    out = staged.select(
+        "doc_id",
+        F.round(duplicate_word_fraction(t, words=F.col("__w")), 4).alias("dup_s"),
+        F.round(
+            duplicate_word_fraction(t, word_hashes=F.col("__wh")), 4
+        ).alias("dup_h"),
+        F.round(top_bigram_coverage(t, words=F.col("__w")), 4).alias("cov_s"),
+        F.round(
+            top_bigram_coverage(t, word_hashes=F.col("__wh")), 4
+        ).alias("cov_h"),
+    )
+    for r in out.collect():
+        assert r["dup_s"] == r["dup_h"], r
+        assert r["cov_s"] == r["cov_h"], r
+
+
+def test_gram_hash_set_matches_string_gram_membership(spark):
+    """round-11: decontamination's gram hash is a word-hash combine
+    (no gram strings). Membership must match the string-gram
+    semantics: same per-doc distinct window count, and two docs share
+    a combined hash iff they share the underlying n-token window."""
+    from pyspark.sql import functions as F
+
+    from zed_spark.textops.decontam import _gram_hash_set
+    from zed_spark.textops.dedup import normalize_text, shingles_from_words
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "ALPHA  beta gamma delta epsilon eta"),  # shares 5-gram-normalized windows
+            (3, "one two three four"),  # shorter than n: no grams
+            (4, "alpha beta gamma delta epsilon zeta"),  # dup of 1
+        ],
+        ["doc_id", "text"],
+    )
+    n = 5
+    got = (
+        _gram_hash_set(df, n, "text", "doc_id")
+        .groupBy("doc_id")
+        .agg(F.collect_set("gh").alias("ghs"))
+        .collect()
+    )
+    got = {r["doc_id"]: frozenset(r["ghs"]) for r in got}
+    want_strings = (
+        df.select(
+            "doc_id",
+            F.split(normalize_text(F.col("text")), " ").alias("__w"),
+        )
+        .select(
+            "doc_id",
+            shingles_from_words(F.col("__w"), k=n, sort=False).alias("g"),
+        )
+        .select("doc_id", F.explode("g").alias("gram"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("gram").alias("gs"))
+        .collect()
+    )
+    want = {r["doc_id"]: frozenset(r["gs"]) for r in want_strings}
+    # doc 3 has no windows in either form
+    assert 3 not in got and 3 not in want
+    # identical distinct-window counts per doc
+    assert {k: len(v) for k, v in got.items()} == {
+        k: len(v) for k, v in want.items()
+    }
+    # sharing structure matches: docs 1/2 overlap on exactly the
+    # windows whose strings coincide; doc 4 equals doc 1 entirely
+    assert got[1] == got[4] and want[1] == want[4]
+    assert len(got[1] & got[2]) == len(want[1] & want[2]) > 0
+
+
 def test_repetition_filter_no_shuffle_when_input_split(spark, tmp_path):
     """Scale safety: the query wrapper fans out ONLY when the scan has
     fewer splits than cores — an already-split input (the 100 TB case)
