@@ -250,6 +250,28 @@ def test_cc_near_clique_converges_in_three_rounds(spark):
     )
 
 
+def test_cc_round2_lazy_checkpoint_reusable(spark):
+    """Round 2's checkpoint is materialized lazily by the convergence
+    probe (round 11: the probe's count job doubles as the checkpoint
+    job, 2 jobs -> 1 on converge-at-round-2 graphs). The returned
+    labels frame must stay correct under repeated downstream actions:
+    reuse must hit the checkpointed rows, not replay truncated
+    lineage."""
+    import zed_spark.textops.dedup as dd
+
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    pairs = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    out = dd.connected_components(pairs)
+    expect = {n: 0 for n in range(5)}
+    first = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert first == expect
+    # the clique must have broken at the round-2 probe (the lazy path)
+    assert dd._LAST_CC_ROUNDS == 2
+    # repeated actions over the probe-materialized checkpoint
+    assert {r["doc_id"]: r["cluster_id"] for r in out.collect()} == expect
+    assert out.count() == 5
+
+
 def test_minhash_clusters_match_expanded_cc(spark):
     """The quotient-graph cluster path (CC on representative pairs,
     labels broadcast to members) is output-identical to running CC

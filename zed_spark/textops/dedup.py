@@ -267,7 +267,16 @@ def connected_components(
         if i == 0:
             new = prop
         elif i == 1:
-            new = prop.localCheckpoint(eager=True)
+            # lazy: the convergence probe below is the first action, so
+            # the probe's count job materializes the checkpoint — cached
+            # blocks are unrolled whole-partition on compute, so the
+            # probe's LocalLimit cannot leave partial blocks behind, and
+            # doCheckpoint's fill-in is a no-op. Fuses the round-2
+            # checkpoint job with the probe job (2 jobs -> 1) in the
+            # common converge-at-round-2 near-clique case. Rounds >= 3
+            # stay eager: on multi-round chains the fused form measured
+            # slightly slower, and those rounds are the rare path.
+            new = prop.localCheckpoint(eager=False)
         else:
             lbl2 = prop.select(
                 F.col("node").alias("__pn"), F.col("label").alias("__pl")
