@@ -31,9 +31,13 @@ from tests.test_ztests import _run_script_case
 
 MD_ROOT = "/root/reference/docs/language"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(MD_ROOT), reason="reference docs absent"
-)
+# marked slow (round-12): the ~350-case doc-block sweep rides the
+# ztest harness and the same verify-window budget; run it with
+# `-m "slow or not slow"` (see pytest.ini)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not os.path.isdir(MD_ROOT), reason="reference docs absent"),
+]
 
 # families (same taxonomy as test_ztests.UNSUPPORTED)
 _U = "mixed-type stream beyond tagged-union dispatch [union]"

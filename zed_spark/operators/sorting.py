@@ -81,6 +81,7 @@ def uniq(
     order_by: list[str],
     compare_cols: list[str] | None = None,
     count: bool = False,
+    input_partitions: int | None = None,
 ) -> DataFrame:
     """Adjacent dedup over an explicit order (zed uniq [-c]),
     distributed.
@@ -118,7 +119,13 @@ def uniq(
     # overhead — use the plain lag-window plan (same single task,
     # JVM-side codegen). Any input big enough to matter at scale has
     # >1 partition and takes the distributed plan.
-    if src.rdd.getNumPartitions() <= 1:
+    # `input_partitions` lets callers that already know the scan's
+    # split count (e.g. via readers.table_scan_partitions' memo) skip
+    # the per-invocation RDD probe — analysis + physical planning + a
+    # py4j conversion on the timed path (round-12, VERDICT item 7).
+    if input_partitions is None:
+        input_partitions = src.rdd.getNumPartitions()
+    if input_partitions <= 1:
         return _uniq_window(src, order_by, cmp_cols, count)
 
     rp = src.repartitionByRange(*[F.col(k) for k in order_by]).sortWithinPartitions(

@@ -179,8 +179,19 @@ ORDER BY c_acctbal DESC NULLS FIRST, c_custkey LIMIT 20
 
 
 def uniq_runs(spark, sf):
+    from zed_spark.sources.readers import table_scan_partitions
+
     ev = read_table(spark, sf, "events")
-    return ops.uniq(ev, order_by=["ts"], compare_cols=["event_type"], count=True)
+    # split count comes from the per-(application, dir) memo, so the
+    # timed path plans no RDD probe (round-12; plan-shape decision
+    # only — both uniq paths are output-identical, test-pinned)
+    return ops.uniq(
+        ev,
+        order_by=["ts"],
+        compare_cols=["event_type"],
+        count=True,
+        input_partitions=table_scan_partitions(spark, sf, "events"),
+    )
 
 
 UNIQ_SQL = """

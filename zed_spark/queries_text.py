@@ -24,25 +24,20 @@ from zed_spark.textops.similarity import ann_topk
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _WORDS_SQL = f"string_split({_NORM_SQL}, ' ')"
 
-# fan-out decisions memoized per (session, sf dir, cores): the probe
-# builds the scan's RDD plan driver-side (analysis + physical planning
-# + a py4j conversion, ~10-30 ms) and its answer is a pure function of
-# the on-disk file layout, which is fixed for a given data directory —
-# four query wrappers were each re-paying it per invocation (round-11)
-_FANOUT_MEMO: dict = {}
-
-
 def _fan_out_if_narrow(spark: SparkSession, sf: str, docs: DataFrame) -> DataFrame:
     """Repartition ONLY when the scan has fewer splits than the
     cluster has cores (single-file input at test scales serializes
     per-document codegen onto one core; at 100 TB the input already
     has thousands of splits and a full shuffle of raw text would be
-    the bottleneck — the 100 TB plan has NO fan-out Exchange)."""
+    the bottleneck — the 100 TB plan has NO fan-out Exchange).
+
+    The split-count probe is memoized per (application, data dir) in
+    readers.table_scan_partitions — a plan-shape decision, not a
+    result cache (round-11; round-12 moved the memo off id(spark))."""
+    from zed_spark.sources.readers import table_scan_partitions
+
     par = spark.sparkContext.defaultParallelism
-    key = (id(spark), sf, par)
-    narrow = _FANOUT_MEMO.get(key)
-    if narrow is None:
-        narrow = _FANOUT_MEMO[key] = docs.rdd.getNumPartitions() < par
+    narrow = table_scan_partitions(spark, sf, "documents") < par
     return docs.repartition(par) if narrow else docs
 
 
@@ -230,9 +225,10 @@ def embedding_lsh_agreement_q(spark: SparkSession, sf: str) -> DataFrame:
     construction — a false positive means the bucket kernel broke).
     The oracle is the constant truth table: if either bound fails
     the booleans flip and the driver sees a red hash."""
+    from zed_spark.cache_scope import scoped_cache
     from zed_spark.textops.similarity import embedding_near_pairs
 
-    emb = read_table(spark, sf, "embeddings").cache()
+    emb = scoped_cache(read_table(spark, sf, "embeddings"), "queries_text.lsh_agreement.emb")
     ex = embedding_near_pairs(emb, threshold=0.3).select("id_a", "id_b")
     ls = embedding_near_pairs(
         emb, threshold=0.3, n_planes=2, n_tables=12
@@ -293,9 +289,10 @@ def ann_recall_q(spark: SparkSession, sf: str) -> DataFrame:
     tests/test_textops.py for both paths; measured overlap is 10/10
     (IVF nprobe=8) and 10/10 (LSH planes=4 multiprobe=2) at the
     graded sf0.01 fixture, 9 and 8 at sf0.001."""
+    from zed_spark.cache_scope import scoped_cache
     from zed_spark.textops.similarity import ivf_topk
 
-    emb = read_table(spark, sf, "embeddings").cache()
+    emb = scoped_cache(read_table(spark, sf, "embeddings"), "queries_text.ann_recall.emb")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     brute = brute_force_topk(emb, qv, k=10, exact_fold=False).select("vec_id")
     lsh = ann_topk(emb, qv, k=10, n_planes=4, multiprobe=2).select("vec_id")
@@ -668,7 +665,13 @@ def incremental_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
 
     kw = dict(k_shingle=2, num_hashes=16, bands=8, threshold=0.35)
     docs = read_table(spark, sf, "documents")
-    key = (id(spark), sf)
+    # keyed on applicationId, not id(spark) (round-12 — ADVICE: ids
+    # can be reused after a session is GC'd). The memo additionally
+    # holds the signature-scan and cleaned-corpus READ PLANS: both are
+    # pure functions of the on-disk fixture, and rebuilding them cost
+    # a lake-metadata parse + parquet footer reads per invocation.
+    # Plans only — every action still scans the parquet from disk.
+    key = (spark.sparkContext.applicationId, sf)
     setup = _INC_SETUP.get(key)
     if setup is None:
         cut = docs.approxQuantile("doc_id", [0.7], 0.0)[0]
@@ -678,14 +681,13 @@ def incremental_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
         write_signatures(lake, "minhash_sigs", build_signatures(old, **kw))
         clean_path = f"{root}/old_clean.parquet"
         dedup_corpus(old, **kw).write.mode("overwrite").parquet(clean_path)
-        setup = _INC_SETUP[key] = (cut, root, clean_path)
-    cut, root, clean_path = setup
+        stored = read_signatures(Lake(spark, root), "minhash_sigs")
+        old_clean = spark.read.parquet(clean_path)
+        setup = _INC_SETUP[key] = (cut, stored, old_clean)
+    cut, stored, old_clean = setup
 
     new = docs.filter(F.col("doc_id") > cut)
-    stored = read_signatures(Lake(spark, root), "minhash_sigs")
-    assembled = incremental_dedup(
-        new, stored, old_deduped=spark.read.parquet(clean_path), **kw
-    )
+    assembled = incremental_dedup(new, stored, old_deduped=old_clean, **kw)
     return assembled.select("doc_id", "lang", "source", "n_chars").orderBy(
         "doc_id"
     )

@@ -778,6 +778,7 @@ class Pool:
         branch: str = "main",
         ordered: bool = False,
         keep_internal: bool = False,
+        schema=None,
     ) -> DataFrame:
         """PoolScan: read a branch's live objects. Filters pushed by
         the caller reach parquet row-group stats; because objects are
@@ -800,11 +801,18 @@ class Pool:
         if not objs:
             raise ValueError(f"pool {self.cfg.name!r} is empty on branch {branch!r}")
         paths = [fsio.join(self.cfg.path, o) for o in objs]
-        # objects committed at different times may have different
-        # shapes (the reference's pools are heterogeneous): merge
-        # footer schemas so later columns appear instead of silently
-        # adopting the first file's schema
-        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        if schema is not None:
+            # caller knows the pool's shape (e.g. the signature store's
+            # fixed schema): skip the mergeSchema footer pass — a
+            # per-scan driver job that exists only to DISCOVER the
+            # schema (round-12, incremental_dedup fixed-cost cut)
+            df = self.spark.read.schema(schema).parquet(*paths)
+        else:
+            # objects committed at different times may have different
+            # shapes (the reference's pools are heterogeneous): merge
+            # footer schemas so later columns appear instead of silently
+            # adopting the first file's schema
+            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         if not keep_internal:
             # ns-exact time shadows are lake-internal (size/stat
             # parity); the query layer sees µs timestamps only.

@@ -44,6 +44,30 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# scan split counts memoized per (application, data dir, table): the
+# probe builds the scan's RDD plan driver-side (analysis + physical
+# planning + a py4j conversion, ~10-30 ms) and its answer is a pure
+# function of the on-disk file layout plus the session's split config,
+# both fixed for a given application + directory. This is a plan-shape
+# decision memo, NOT a result cache — every invocation still computes
+# from the parquet inputs. Keyed on applicationId (not id(spark):
+# CPython can reuse an id after a session is GC'd — round-11 ADVICE).
+_SCAN_PARTS_MEMO: dict = {}
+
+
+def table_scan_partitions(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Number of scan splits for a test table — memoized per
+    (application, dir, table) so plan-shape heuristics (fan-out,
+    uniq's single-partition fast path) don't re-pay the RDD probe on
+    every invocation."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    n = _SCAN_PARTS_MEMO.get(key)
+    if n is None:
+        n = read_table(spark, sf_dir, name).rdd.getNumPartitions()
+        _SCAN_PARTS_MEMO[key] = n
+    return n
+
+
 def read_any(spark: SparkSession, path: str, fmt: str = "auto", **options) -> DataFrame:
     from zed_spark.sources import fsio
 

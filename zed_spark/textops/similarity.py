@@ -394,7 +394,14 @@ def embedding_near_pairs(
     base = base.withColumn("nrm", nrm_fn(F.col("u")))
     if n_planes:
         base = base.withColumn("bucket", lsh_bucket(F.col("u"), n_planes))
-    base = base.cache()
+    from zed_spark.cache_scope import scoped_cache
+
+    # slot parameterized by plan shape: the agreement query builds the
+    # exact and LSH variants side by side in ONE plan — they must not
+    # evict each other mid-query
+    base = scoped_cache(
+        base, f"similarity.near_pairs.base.p{n_planes}.t{n_tables}.x{exact_fold}"
+    )
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if n_planes:

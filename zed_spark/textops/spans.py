@@ -20,11 +20,15 @@ a distributed n-gram-position pipeline:
      A span [p0, p1] of n-gram positions covers tokens
      [p0, p1 + n - 1].
 
-Scale: the shuffles key on gram hash (step 2, bounded by corpus
-token count) and doc_id (step 3). Nothing is all-pairs, nothing
-collects to the driver, and the per-doc window state is one doc's
-positions. Hot n-grams (boilerplate) are exactly the ones the op
-exists to find; AQE skew splitting handles their shuffle skew.
+Scale: the shuffles key on gram hash (step 2, bounded by DISTINCT
+grams after map-side partial aggregation) and doc_id (step 3).
+Nothing is all-pairs, nothing collects to the driver, and the
+per-doc window state is one doc's positions. Hot n-grams
+(boilerplate) are exactly the ones the op exists to find; the
+duplicated-gram set attaches back to positions through a JOIN so
+AQE's runtime skew splitting applies (round-12 — a window over the
+gram hash would put every occurrence of a hot gram in one task,
+and window execs get no skew mitigation).
 """
 
 from __future__ import annotations
@@ -114,22 +118,41 @@ def duplicated_spans(
     # grams, at ~1e-19 per pair — the oracle's exact-output compare
     # would catch it
     pg = _positional_gram_hashes(df, n=n, text_col=text_col, id_col=id_col)
-    # corpus-wide count per gram as a window over the gram hash: ONE
-    # text scan + explode and ONE shuffle of (id, pos, gh). The
-    # groupBy-then-join form this replaced (round-11) evaluated the
-    # explode pipeline TWICE (aggregate side + hit side) and joined
-    # hits against the duplicated-hash set — a broadcast that becomes
-    # a scale cliff when the duplicated-gram set outgrows the driver
-    # (AQE's SMJ fallback re-shuffles all of pg anyway, on this same
-    # key with this same hot-gram skew). Measured at sf0.1: 1.21 s ->
-    # 0.81 s for the detection pipeline.
-    hits = (
-        pg.withColumn(
-            "cnt", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_SPANS_COUNT", "join") == "window":
+        # round-11 form: corpus-wide count per gram as a window over
+        # the gram hash — ONE text scan, ONE shuffle of (id, pos, gh).
+        # Scale flaw (round-11 VERDICT item 4): every occurrence of a
+        # hot gram (license headers, navbars) lands in ONE window
+        # task, and window execs get no AQE skew mitigation. Kept
+        # behind the env switch for A/B only.
+        hits = (
+            pg.withColumn(
+                "cnt", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+            )
+            .where(F.col("cnt") >= min_count)
+            .select(id_col, "pos")
         )
-        .where(F.col("cnt") >= min_count)
-        .select(id_col, "pos")
-    )
+    else:
+        # round-12 default: TWO-LEVEL count + semi-join. The groupBy
+        # runs a partial aggregation map-side, so a hot gram's
+        # occurrences collapse to one (gh, partial count) row per map
+        # partition before the shuffle — the wide shuffle carries
+        # distinct grams, not positions. Attaching the duplicated-gram
+        # set back to positions is a LEFT SEMI join, which AQE can
+        # broadcast when the set is small and skew-split when it is
+        # not (joins get runtime skew handling; window execs do not).
+        # Costs one extra evaluation of the gram pipeline (integer
+        # multiply-adds over the staged word hashes — no gram strings,
+        # unlike the round-10 form this supersedes).
+        dup = (
+            pg.groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") >= min_count)
+            .select("gh")
+        )
+        hits = pg.join(dup, "gh", "left_semi").select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     islands = hits.withColumn(
         "brk",
