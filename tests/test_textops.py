@@ -251,12 +251,12 @@ def test_cc_near_clique_converges_in_three_rounds(spark):
 
 
 def test_cc_round2_lazy_checkpoint_reusable(spark):
-    """Round 2's checkpoint is materialized lazily by the convergence
-    probe (round 11: the probe's count job doubles as the checkpoint
-    job, 2 jobs -> 1 on converge-at-round-2 graphs). The returned
-    labels frame must stay correct under repeated downstream actions:
-    reuse must hit the checkpointed rows, not replay truncated
-    lineage."""
+    """Round 2 checkpoints the propagated labels (eager again since
+    round 12 — the lazy probe-materialized form regressed 0.81x on
+    the driver because the probe's LocalLimit job cancels tasks
+    before their blocks register). The returned labels frame must
+    stay correct under repeated downstream actions: reuse must hit
+    the checkpointed rows, not replay truncated lineage."""
     import zed_spark.textops.dedup as dd
 
     edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]

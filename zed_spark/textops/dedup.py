@@ -284,22 +284,17 @@ def connected_components(
         if i == 0:
             new = prop
         elif i == 1:
-            # lazy: the convergence probe below is the first action, so
-            # the probe's count job materializes the checkpoint — cached
-            # blocks are unrolled whole-partition on compute, so the
-            # probe's LocalLimit cannot leave partial blocks behind, and
-            # doCheckpoint's fill-in is a no-op. Fuses the round-2
-            # checkpoint job with the probe job (2 jobs -> 1) in the
-            # common converge-at-round-2 near-clique case. Rounds >= 3
-            # stay eager: on multi-round chains the fused form measured
-            # slightly slower, and those rounds are the rare path.
-            # (r12 A/B switch: SPARK_GRAFT_CC_R2_EAGER=1 restores the
-            # eager round-2 checkpoint for the driver-regression A/B.)
-            import os as _os
-
-            new = prop.localCheckpoint(
-                eager=_os.environ.get("SPARK_GRAFT_CC_R2_EAGER", "0") == "1"
-            )
+            # EAGER round-2 checkpoint (round-12). The lazy fused form
+            # (round-11's last commit: eager=False, letting the
+            # convergence probe's count materialize the checkpoint) was
+            # the driver-measured 0.81x regression on this key and lost
+            # a 5-pair alternating-process A/B decisively (lazy medians
+            # 2.9-8.9 s with a 22 s outlier vs eager 2.6-4.1 s): the
+            # probe's LocalLimit job can finish tasks early, leaving
+            # blocks that compute but never register, so downstream
+            # rounds recompute the whole lineage — the exact
+            # re-computation the checkpoint exists to cut off.
+            new = prop.localCheckpoint()
         else:
             lbl2 = prop.select(
                 F.col("node").alias("__pn"), F.col("label").alias("__pl")
