@@ -145,6 +145,54 @@ def test_ngram_jaccard_normalized_equal_docs_still_pair(spark):
     assert (1, 4) not in out and (2, 4) not in out
 
 
+def test_rollup_two_level_equals_direct(spark):
+    """Round-12: rollup_q pre-aggregates at the finest granularity
+    before the ROLLUP (Expand then sees ~|groups| rows, not 3x the
+    input). Must be row-identical to the direct rollup — including
+    null group keys and all-null sum groups, where two-level
+    correctness is least obvious (count(1) vs sum of partial counts;
+    sum skips nulls identically at both levels)."""
+    from zed_spark.analytics import rollup_agg
+
+    rows = [
+        ("A", "F", 1.0),
+        ("A", "F", 2.5),
+        ("A", "O", None),   # null value inside a group
+        ("A", None, 4.0),   # null group key in the data
+        (None, "F", None),  # null key AND all-null sum group
+        (None, "F", None),
+    ]
+    df = spark.createDataFrame(rows, "f string, s string, q double")
+
+    direct = rollup_agg(
+        df,
+        ["f", "s"],
+        {
+            "n": F.count(F.lit(1)),
+            "qty": F.sum(F.col("q").cast("decimal(38,4)")).cast("double"),
+        },
+    )
+    pre = df.groupBy("f", "s").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("q").cast("decimal(38,4)")).alias("__qty"),
+    )
+    two_level = rollup_agg(
+        pre, ["f", "s"], {"n": F.sum("__n"), "qty": F.sum("__qty").cast("double")}
+    )
+    # names + types must agree; nullability may differ (count(1) is
+    # non-nullable, sum of partial counts is nullable-typed but never
+    # null in practice: rollup groups are never empty) — the oracle
+    # compares column names and pandas dtype kinds, not nullability
+    assert [(f.name, f.dataType) for f in direct.schema.fields] == [
+        (f.name, f.dataType) for f in two_level.schema.fields
+    ]
+    from collections import Counter
+
+    assert Counter(map(tuple, direct.collect())) == Counter(
+        map(tuple, two_level.collect())
+    )
+
+
 def test_uniq_input_partitions_hint_paths_agree(spark):
     """The input_partitions hint only picks the plan; both uniq paths
     stay output-identical (round-12: uniq_runs passes the memoized

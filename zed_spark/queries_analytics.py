@@ -82,12 +82,27 @@ FROM events GROUP BY event_type
 
 def rollup_q(spark: SparkSession, sf: str) -> DataFrame:
     li = read_table(spark, sf, "lineitem")
+    # TWO-LEVEL rollup (round-12): Spark plans ROLLUP as
+    # Expand -> HashAggregate, so every input row is replicated once
+    # per grouping set (3x here) and pays the decimal(38,4) sum per
+    # copy. Pre-aggregating at the finest granularity first shrinks
+    # the Expand's input from |lineitem| to |distinct (flag, status)|
+    # rows (~6), so the scan-side aggregate processes each row once
+    # (guide §2.3: aggregate before the expensive operator).
+    # Output-identical to rollup_agg(li, ...): count(1) == sum of
+    # partial counts, and the decimal sum is EXACT (no floating-point
+    # reorder), so every rolled-up level re-sums to the same value —
+    # pinned by test_rollup_two_level_equals_direct, oracle unchanged.
+    pre = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("l_quantity").cast("decimal(38,4)")).alias("__qty"),
+    )
     out = rollup_agg(
-        li,
+        pre,
         ["l_returnflag", "l_linestatus"],
         {
-            "n": F.count(F.lit(1)),
-            "qty": F.sum(F.col("l_quantity").cast("decimal(38,4)")).cast("double"),
+            "n": F.sum("__n"),
+            "qty": F.sum("__qty").cast("double"),
         },
     )
     return out
