@@ -145,46 +145,6 @@ def test_ngram_jaccard_normalized_equal_docs_still_pair(spark):
     assert (1, 4) not in out and (2, 4) not in out
 
 
-def test_exact_percentiles_window_form_bit_equals_aggregate(spark):
-    """Round-12: exact_percentiles is a window pass (spillable sort,
-    only the interpolation neighbors survive) instead of the
-    value-buffering `percentile` aggregate. Must be BIT-identical to
-    the aggregate — the driver's oracle hash tolerates zero ULP of
-    drift. Randomized corpora cover interpolated (even-n) and exact
-    (odd-n) positions, heavy ties, nulls, all-null groups,
-    single-row groups, and negative values."""
-    import random
-
-    from zed_spark.analytics import exact_percentiles
-
-    rng = random.Random(12012)
-    rows = []
-    for g in range(7):
-        size = [1, 2, 3, 10, 101, 1000, 4][g]
-        for i in range(size):
-            if g == 6:  # all-null group
-                v = None
-            elif rng.random() < 0.15:
-                v = None
-            elif rng.random() < 0.3:
-                v = float(rng.randint(-3, 3))  # heavy ties, negatives
-            else:
-                v = rng.uniform(-1e6, 1e6)
-            rows.append((f"g{g}", v))
-    df = spark.createDataFrame(rows, "k string, v double")
-    ps = [0.0, 0.25, 0.5, 0.9, 1.0]
-
-    new = {r["k"]: tuple(r)[1:] for r in exact_percentiles(df, "v", ["k"], ps).collect()}
-    agg = F.percentile(F.col("v"), F.array(*[F.lit(p) for p in ps]))
-    old = {
-        r["k"]: tuple(r["__ps"] or [None] * len(ps))
-        for r in df.groupBy("k").agg(agg.alias("__ps")).collect()
-    }
-    assert set(new) == set(old)
-    for k in old:
-        assert new[k] == old[k], (k, new[k], old[k])
-
-
 def test_rollup_two_level_equals_direct(spark):
     """Round-12: rollup_q pre-aggregates at the finest granularity
     before the ROLLUP (Expand then sees ~|groups| rows, not 3x the
